@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Deduplication primitives: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard. Designed for the 100 TB regime:
+  *  - exact dedup is a hash aggregate on a fingerprint (one shuffle of
+  *    16-byte keys, not documents);
+  *  - MinHash-LSH turns all-pairs similarity into an equi-join on band
+  *    keys (shuffle joins scale linearly, candidate pairs only);
+  *  - SimHash reduces a document to a 32-bit signature whose hamming
+  *    neighborhoods are block keys;
+  *  - n-gram Jaccard is evaluated only on blocked candidate pairs.
+  */
+object DedupFunctions {
+
+  /** Large Mersenne prime — all permuted hashes live in [0, P). */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Fixed affine-permutation constants: (a*h + b) mod P. */
+  val MinhashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19)
+  val MinhashB: Seq[Long] = Seq(1, 4, 9, 16, 25, 36, 49, 64)
+  def numMinhashes: Int = MinhashA.length
+
+  /** i-th minhash of a shingle array: min over shingles of the i-th
+    * affine permutation of the 60-bit content hash. Stays columnar —
+    * one `transform` + `array_min`, no explode. */
+  def minhash(shingleArr: Column, i: Int): Column = {
+    val a = MinhashA(i); val b = MinhashB(i)
+    array_min(transform(shingleArr, s =>
+      (lit(a) * (hash60(s) % MinhashPrime) + lit(b)) % MinhashPrime))
+  }
+
+  /** Full signature as `numMinhashes` columns named sig0..sigN. */
+  def minhashSignature(shingleArr: Column): Seq[Column] =
+    (0 until numMinhashes).map(i => minhash(shingleArr, i).as(s"sig$i"))
+
+  /** LSH band keys: bands of `rowsPerBand` signature slots concatenated
+    * into a join key. Docs sharing any band key are candidate pairs. */
+  def bandKeys(sigCols: Seq[Column], rowsPerBand: Int): Column = {
+    val bands = sigCols.grouped(rowsPerBand).zipWithIndex.map { case (g, bi) =>
+      concat_ws(":", (lit(bi) +: g).map(_.cast("string")): _*)
+    }.toSeq
+    array(bands: _*)
+  }
+
+  /** Per-token 32-bit hash used by simhash. */
+  def hash32(c: Column): Column = hash60(c) % lit(4294967296L)
+
+  /** SimHash over exploded tokens: caller explodes to (id, token) rows,
+    * then aggregates with these expressions — `bitSums` are the per-bit
+    * set-counts, [[simhashFromBitSums]] folds them into the signature.
+    * Aggregate once per doc; no per-bit explode. */
+  def bitSums(h: Column, bits: Int): Seq[Column] =
+    (0 until bits).map(j => sum(shiftright(h, j).bitwiseAND(1)).as(s"bit$j"))
+
+  def simhashFromBitSums(bitCols: Seq[Column], total: Column): Column =
+    bitCols.zipWithIndex.map { case (b, j) =>
+      when(b * 2 > total, lit(1L) << j).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Jaccard similarity of the distinct-token sets of two documents. */
+  def jaccard(tokensA: Column, tokensB: Column): Column = {
+    val inter = size(array_intersect(tokensA, tokensB)).cast("double")
+    val union = size(tokensA) + size(tokensB) - size(array_intersect(tokensA, tokensB))
+    inter / union.cast("double")
+  }
+
+  /** Exact dedup: one row per distinct fingerprint with the surviving
+    * (minimum) id and the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+}

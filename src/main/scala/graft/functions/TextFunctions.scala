@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, portable hashing, language-ID heuristics, quality
+  * scoring, fingerprinting. All are built from codegen'd built-in
+  * functions (no UDFs), so they stay inside whole-stage codegen and
+  * push down/prune like any other Catalyst expression.
+  *
+  * Portability contract: `hash60` is reproducible in any engine with
+  * `md5()` (first 15 hex chars of the MD5 as a base-16 integer → fits a
+  * signed 64-bit), which is what the DuckDB oracles use.
+  */
+object TextFunctions {
+
+  /** 60-bit stable content hash: first 15 hex digits of md5, as long. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Same hash computed driver-side (for plan-time constants such as
+    * LSH hyperplanes — guaranteed equal to [[hash60]] output). */
+  def hash60(s: String): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+    val hex = d.map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word `n`-grams (shingles) of the token array; empty when there are
+    * fewer than `n` tokens. 1-based `element_at` keeps the expression
+    * identical to the SQL oracle. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      j => concat_ws(" ", (0 until n).map(k => element_at(toks, j + k)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Number of whitespace-delimited tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword unit count: alpha runs, digit runs, and isolated
+    * punctuation each count as one unit. */
+  def bpeishCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Occurrences of `word` as a whole word. */
+  def wordCount(text: Column, word: String): Column =
+    regexp_count(lower(text), lit("\\b" + word + "\\b"))
+
+  /** Language-marker scores → predicted language. The marker sets are a
+    * classic stopword heuristic; deterministic and engine-portable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "que"),
+    "zh" -> Seq("de5", "shi4", "le5")) // romanized placeholders
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => wordCount(text, w)).reduce(_ + _)
+
+  /** argmax over language scores with first-listed tie-break. */
+  def predictedLang(text: Column): Column = {
+    val scored = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Stopword ratio over a fixed small stopword list. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  def stopwordRatio(text: Column): Column = {
+    val stops = stopwords.map(w => wordCount(text, w)).reduce(_ + _)
+    stops.cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with sane
+    * punctuation density and some stopwords (fluent prose proxy). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
+    lit(0.4) * stopwordRatio(text) + lit(0.3) * lenScore + lit(0.3) * punctScore
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set —
+    * order- and duplication-invariant (bag-of-words identity). */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+
+  /** Prefix fingerprint: md5 of the first 64 chars (cheap rolling-hash
+    * stand-in for locality-sensitive prefix dedup). */
+  def prefixFingerprint(text: Column): Column =
+    md5(substring(lower(text), 1, 64).cast("binary"))
+}

@@ -1,0 +1,76 @@
+package graft.schema
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema compatibility policy, vendored semantics of
+  * `/root/reference/src/main/java/io/confluent/connect/hdfs/schema/Compatibility.java:18-23`
+  * with the version-comparison rules of `schema/SchemaUtils.java:38-61`:
+  *  - NONE:     any schema inequality forces a change (rotate + adopt).
+  *  - BACKWARD/FULL: a *newer* version replaces the current schema;
+  *    older-versioned records are projected up.
+  *  - FORWARD:  an *older* version replaces the current schema;
+  *    newer-versioned records are projected down.
+  * A missing version under any mode but NONE is an error
+  * (`SchemaUtils.java:43-47`).
+  */
+sealed trait Compatibility
+object Compatibility {
+  case object None     extends Compatibility
+  case object Backward extends Compatibility
+  case object Forward  extends Compatibility
+  case object Full     extends Compatibility
+
+  def fromString(s: String): Compatibility = s.toUpperCase match {
+    case "NONE" => None
+    case "BACKWARD" => Backward
+    case "FORWARD" => Forward
+    case "FULL" => Full
+    case other => throw new IllegalArgumentException(s"unknown compatibility: $other")
+  }
+}
+
+/** A versioned schema, the unit the reference tracks per topic-partition
+  * (Kafka Connect `Schema.version()`). */
+final case class VersionedSchema(version: Int, schema: StructType)
+
+object SchemaEvolution {
+
+  /** Should the writer switch its current schema to the incoming one?
+    * Port of `SchemaUtils.shouldChangeSchema` (`SchemaUtils.java:38-61`). */
+  def shouldChangeSchema(incoming: VersionedSchema, current: Option[VersionedSchema],
+                         compat: Compatibility): Boolean = current match {
+    case scala.None => true
+    case Some(cur) =>
+      compat match {
+        case Compatibility.None => incoming.schema != cur.schema
+        case Compatibility.Backward | Compatibility.Full => incoming.version > cur.version
+        case Compatibility.Forward => incoming.version < cur.version
+      }
+  }
+
+  /** Projection list taking a frame of arbitrary (sub/super)schema onto
+    * `target`: fields missing from the source are filled with `defaults`
+    * (or typed nulls), extra source fields are dropped, and every column
+    * is cast to the target type. Port of the Connect `SchemaProjector`
+    * usage at `SchemaUtils.java:64-91` / `TopicPartitionWriter.java:378-379`,
+    * expressed as a plain Catalyst projection so it pushes through the
+    * optimizer (column pruning still reaches the scan).
+    */
+  def projectionTo(source: StructType, target: StructType,
+                   defaults: Map[String, Any] = Map.empty): Seq[Column] =
+    target.fields.toSeq.map { f =>
+      val base: Column =
+        if (source.fieldNames.contains(f.name)) col(f.name)
+        else defaults.get(f.name) match {
+          case Some(v) => lit(v)
+          case scala.None => lit(null)
+        }
+      base.cast(f.dataType).as(f.name)
+    }
+
+  def project(df: DataFrame, target: StructType,
+              defaults: Map[String, Any] = Map.empty): DataFrame =
+    df.select(projectionTo(df.schema, target, defaults): _*)
+}
