@@ -50,23 +50,40 @@ object DedupFunctions {
   /** Per-token 32-bit hash used by simhash. */
   def hash32(c: Column): Column = hash60(c) % lit(4294967296L)
 
-  /** SimHash over exploded tokens: caller explodes to (id, token) rows,
-    * then aggregates with these expressions — `bitSums` are the per-bit
-    * set-counts, [[simhashFromBitSums]] folds them into the signature.
-    * Aggregate once per doc; no per-bit explode. */
+  /** SimHash signature of a token array, fully columnar: for each bit j
+    * count tokens whose 32-bit hash has bit j set (`aggregate` over the
+    * array — no explode, no shuffle, stays in whole-stage codegen); bit
+    * j of the signature is set iff a majority of tokens set it. Empty
+    * token arrays hash to 0. */
+  def simhash(toks: Column, bits: Int): Column = {
+    val n = size(toks).cast("long")
+    (0 until bits).map { j =>
+      val ones = aggregate(toks, lit(0L),
+        (acc, t) => acc + shiftright(hash32(t), j).bitwiseAND(lit(1L)))
+      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash over pre-exploded (id, token) rows — per-bit set-counts to
+    * aggregate, then [[simhashFromBitSums]] folds them into the
+    * signature. Kept for pipelines that already explode. */
   def bitSums(h: Column, bits: Int): Seq[Column] =
     (0 until bits).map(j => sum(shiftright(h, j).bitwiseAND(1)).as(s"bit$j"))
 
   def simhashFromBitSums(bitCols: Seq[Column], total: Column): Column =
     bitCols.zipWithIndex.map { case (b, j) =>
-      when(b * 2 > total, lit(1L) << j).otherwise(lit(0L))
+      when(b * 2 > total, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Jaccard similarity of the distinct-token sets of two documents. */
+  /** Jaccard similarity of the distinct-token sets of two documents.
+    * Inputs are deduplicated here so callers can pass raw token arrays;
+    * two empty sets are defined as identical (1.0). */
   def jaccard(tokensA: Column, tokensB: Column): Column = {
-    val inter = size(array_intersect(tokensA, tokensB)).cast("double")
-    val union = size(tokensA) + size(tokensB) - size(array_intersect(tokensA, tokensB))
-    inter / union.cast("double")
+    val a = array_distinct(tokensA)
+    val b = array_distinct(tokensB)
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
   /** Exact dedup: one row per distinct fingerprint with the surviving

@@ -38,6 +38,27 @@ object SimilarityFunctions {
     (0 until numPlanes).map { j =>
       val p = plane(j, dims)
       val planeLit = array(p.map(x => lit(x.toDouble)): _*)
-      when(dot(vec, planeLit) > 0, lit(1L) << j).otherwise(lit(0L))
+      when(dot(vec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Fixed-point quantization of a float vector: element-wise
+    * `floor(x * scale)` as long. Quantized vectors make every
+    * downstream dot product / LSH bucket integer-exact, so results are
+    * bit-identical across engines (and across summation orders — the
+    * oracle path). Production similarity can use the float [[cosine]];
+    * ranking via the quantized dot is within 1/scale of it. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Integer dot product of two quantized vectors — exact, overflow-safe
+    * for |q| < 2^15 per element at dims <= 2^20. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** [[lshBucket]] over a quantized vector (integer-exact sign tests). */
+  def lshBucketQ(qvec: Column, numPlanes: Int, dims: Int): Column =
+    (0 until numPlanes).map { j =>
+      val planeLit = array(plane(j, dims).map(x => lit(x.toLong)): _*)
+      when(intDot(qvec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

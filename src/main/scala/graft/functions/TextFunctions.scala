@@ -30,8 +30,12 @@ object TextFunctions {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** Whitespace tokens of the lowercased text. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Whitespace tokens of the lowercased text. Leading/trailing
+    * whitespace is trimmed and empty tokens are dropped, so blank text
+    * yields an empty array (not `[""]`) and `"  hello"` tokenizes the
+    * same as `"hello"` — the bag-of-words identity dedup relies on. */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
   /** Word `n`-grams (shingles) of the token array; empty when there are
     * fewer than `n` tokens. 1-based `element_at` keeps the expression
@@ -50,9 +54,10 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
-  /** Occurrences of `word` as a whole word. */
+  /** Occurrences of `word` as a whole word. The word is regex-quoted so
+    * callers may pass words containing metacharacters (e.g. "c++"). */
   def wordCount(text: Column, word: String): Column =
-    regexp_count(lower(text), lit("\\b" + word + "\\b"))
+    regexp_count(lower(text), lit("\\b\\Q" + word + "\\E\\b"))
 
   /** Language-marker scores → predicted language. The marker sets are a
     * classic stopword heuristic; deterministic and engine-portable. */
