@@ -20,10 +20,21 @@ object DedupFunctions {
   /** Large Mersenne prime — all permuted hashes live in [0, P). */
   val MinhashPrime: Long = 2147483647L
 
-  /** Fixed affine-permutation constants: (a*h + b) mod P. */
-  val MinhashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19)
-  val MinhashB: Seq[Long] = Seq(1, 4, 9, 16, 25, 36, 49, 64)
+  /** Fixed affine-permutation constants: (a*h + b) mod P. 16 hashes →
+    * 4 LSH bands of 4 rows (s ≈ 0.55 similarity threshold). */
+  val MinhashA: Seq[Long] = Seq(2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53)
+  val MinhashB: Seq[Long] = Seq(1, 4, 9, 16, 25, 36, 49, 64, 81, 100, 121, 144, 169, 196, 225, 256)
   def numMinhashes: Int = MinhashA.length
+
+  /** Aggregate-form minhash signature over exploded (id, h) rows, where
+    * `h` = hash60(shingle) % [[MinhashPrime]]. The scale-preferred path:
+    * the expensive md5 is computed ONCE per shingle, partial (map-side)
+    * `min` aggregation shrinks the shuffle to one row per document per
+    * input partition, and the group-by key is the 8-byte doc id. */
+  def minhashAggExprs(h: Column): Seq[Column] =
+    MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * h + lit(b)) % MinhashPrime).as(s"sig$i")
+    }
 
   /** i-th minhash of a shingle array: min over shingles of the i-th
     * affine permutation of the 60-bit content hash. Stays columnar —

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{FileNaming, Rotation}
+import graft.partition.{Partitioners, TimestampExtractors}
+import graft.schema.SchemaEvolution
+import graft.tables.Tables
+
+/** The ingestion/commit-plane operator demos (SURVEY.md §2.A/§2.B) as
+  * batch queries over the `events` table, each with a DuckDB oracle.
+  *
+  * `events` stands in for the Kafka stream: `event_id` ≈ offset, a
+  * derived `event_id % 4` ≈ kafka partition, `ts` ≈ record timestamp,
+  * `event_type` ≈ field-partition key (FIXTURES.md §2).
+  */
+object IngestQueries {
+
+  private val P = QuerySpec.StreamPartitions // 4
+
+  /** events + synthesized stream envelope columns (topic, part, off). */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      lit("events").as("topic"),
+      pmod(col("event_id"), lit(P.toLong)).as("part"),
+      col("event_id").as("off"),
+      col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+
+  /** Committed filenames derived from size-based rotation at flush=100 —
+    * shared by filename_encode / extract_offset / max_offset_per_partition. */
+  private def committedFiles(spark: SparkSession, dir: String): DataFrame = {
+    val sized = Rotation.withSizeFileIndex(
+      stream(spark, dir), Seq(col("part")), col("off"), 100)
+    sized.groupBy(col("part"), col("file_idx"))
+      .agg(min(col("off")).as("start_offset"), max(col("off")).as("end_offset"))
+      .select(
+        FileNaming.encode(lit("events"), col("part"),
+          col("start_offset"), col("end_offset"), ".parquet").as("filename"),
+        col("part"), col("file_idx"), col("start_offset"), col("end_offset"))
+  }
+
+  /** DuckDB CTE mirroring [[committedFiles]]. */
+  private val committedFilesSql =
+    s"""WITH e AS (SELECT event_id % $P AS part, event_id AS off FROM events),
+       |f AS (SELECT part, off,
+       |        (off - min(off) OVER (PARTITION BY part)) // 100 AS file_idx
+       |      FROM e),
+       |c AS (SELECT part, file_idx,
+       |        min(off) AS start_offset, max(off) AS end_offset,
+       |        printf('events+%d+%010d+%010d.parquet', part, min(off), max(off)) AS filename
+       |      FROM f GROUP BY part, file_idx)""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // A1 — Kafka source scan (batch analog): projection + pushed filter.
+    QuerySpec("scan_events",
+      (s, d) => Tables.events(s, d)
+        .filter(col("value") > 100)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE value > 100 ORDER BY event_id""".stripMargin)),
+
+    // A2 — per-partition routing: demux counts by (topic, partition).
+    QuerySpec("route_by_partition",
+      (s, d) => stream(s, d).groupBy(col("part"))
+        .agg(count(lit(1)).as("n"), min(col("off")).as("min_off"),
+          max(col("off")).as("max_off"))
+        .orderBy(col("part")),
+      Some(s"""SELECT event_id % $P AS part, count(*) AS n,
+              |  min(event_id) AS min_off, max(event_id) AS max_off
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A3 — DefaultPartitioner: partition=<kafkaPartition>.
+    QuerySpec("partition_default",
+      (s, d) => stream(s, d)
+        .groupBy(Partitioners.defaultPartition(col("part")).as("encoded"))
+        .agg(count(lit(1)).as("n")).orderBy(col("encoded")),
+      Some(s"""SELECT concat('partition=', (event_id % $P)::VARCHAR) AS encoded,
+              |  count(*) AS n
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A4 — FieldPartitioner: <field>=<value> per distinct value.
+    QuerySpec("partition_field",
+      (s, d) => stream(s, d)
+        .groupBy(Partitioners.fieldPartition("event_type", col("event_type")).as("encoded"))
+        .agg(count(lit(1)).as("n")).orderBy(col("encoded")),
+      Some("""SELECT concat('event_type=', event_type) AS encoded, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A5 — TimeBasedPartitioner: floor(ts / duration) buckets (2h).
+    QuerySpec("partition_time_bucket",
+      (s, d) => stream(s, d)
+        .groupBy(Partitioners.timeBucketMillis(col("ts"), 7200000L).as("bucket_ms"))
+        .agg(count(lit(1)).as("n")).orderBy(col("bucket_ms")),
+      Some("""SELECT epoch_ms(ts) - epoch_ms(ts) % 7200000 AS bucket_ms, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A6 — DailyPartitioner path.
+    QuerySpec("partition_daily",
+      (s, d) => stream(s, d)
+        .groupBy(Partitioners.dailyPath(col("ts")).as("path"))
+        .agg(count(lit(1)).as("n")).orderBy(col("path")),
+      Some("""SELECT strftime(ts, 'year=%Y/month=%m/day=%d') AS path, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A6 — HourlyPartitioner path.
+    QuerySpec("partition_hourly",
+      (s, d) => stream(s, d)
+        .groupBy(Partitioners.hourlyPath(col("ts")).as("path"))
+        .agg(count(lit(1)).as("n")).orderBy(col("path")),
+      Some("""SELECT strftime(ts, 'year=%Y/month=%m/day=%d/hour=%H') AS path, count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A7 — RecordField timestamp extractor: epoch-ms field → timestamp.
+    QuerySpec("ts_extract_field",
+      (s, d) => stream(s, d).select(col("off").as("event_id"),
+          unix_millis(TimestampExtractors.recordField(unix_millis(col("ts")))).as("ts_ms"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, epoch_ms(ts) AS ts_ms FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // A8 — schema-change detector: lag(schema_hash) over offset order
+    // per partition (md5(event_type) stands in for the value schema).
+    QuerySpec("schema_change_detect",
+      (s, d) => {
+        val h = stream(s, d).select(col("part"), col("off"),
+          md5(col("event_type").cast("binary")).as("hash"))
+        val w = Window.partitionBy(col("part")).orderBy(col("off"))
+        h.withColumn("prev_hash", lag(col("hash"), 1).over(w))
+          .filter(col("prev_hash").isNotNull && col("prev_hash") =!= col("hash"))
+          .select(col("part"), col("off"), col("prev_hash"), col("hash").as("new_hash"))
+          .orderBy(col("part"), col("off"))
+      },
+      Some(s"""WITH h AS (SELECT event_id % $P AS part, event_id AS off,
+              |    md5(event_type) AS hash FROM events),
+              |l AS (SELECT part, off, hash,
+              |    lag(hash) OVER (PARTITION BY part ORDER BY off) AS prev
+              |  FROM h)
+              |SELECT part, off, prev AS prev_hash, hash AS new_hash FROM l
+              |WHERE prev IS NOT NULL AND prev <> hash
+              |ORDER BY part, off""".stripMargin)),
+
+    // A9 — schema projection onto a target schema (missing field
+    // defaulted, extra fields dropped, casts applied).
+    QuerySpec("schema_project",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val target = StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("severity", IntegerType)))
+        SchemaEvolution.project(Tables.events(s, d), target,
+          defaults = Map("severity" -> 0)).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, 0 AS severity FROM events
+             |ORDER BY event_id""".stripMargin)),
+
+    // A11 — size-based rotation: flush.size=100 file assignment.
+    QuerySpec("rotate_size_files",
+      (s, d) => Rotation.withSizeFileIndex(
+          stream(s, d), Seq(col("part")), col("off"), 100)
+        .groupBy(col("part"), col("file_idx"))
+        .agg(count(lit(1)).as("n"), min(col("off")).as("start_offset"),
+          max(col("off")).as("end_offset"))
+        .orderBy(col("part"), col("file_idx")),
+      Some(s"""WITH e AS (SELECT event_id % $P AS part, event_id AS off FROM events),
+              |f AS (SELECT part, off,
+              |    (off - min(off) OVER (PARTITION BY part)) // 100 AS file_idx FROM e)
+              |SELECT part, file_idx, count(*) AS n,
+              |  min(off) AS start_offset, max(off) AS end_offset
+              |FROM f GROUP BY part, file_idx ORDER BY part, file_idx""".stripMargin),
+      bench = true),
+
+    // A12 — data-time interval rotation (1h buckets from first ts).
+    QuerySpec("rotate_interval_buckets",
+      (s, d) => Rotation.withIntervalBucket(
+          stream(s, d), Seq(col("part")), unix_millis(col("ts")), 3600000L)
+        .groupBy(col("part"), col("bucket_idx"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("part"), col("bucket_idx")),
+      Some(s"""WITH e AS (SELECT event_id % $P AS part, epoch_ms(ts) AS ts_ms FROM events),
+              |f AS (SELECT part,
+              |    (ts_ms - min(ts_ms) OVER (PARTITION BY part)) // 3600000 AS bucket_idx
+              |  FROM e)
+              |SELECT part, bucket_idx, count(*) AS n
+              |FROM f GROUP BY part, bucket_idx ORDER BY part, bucket_idx""".stripMargin)),
+
+    // A13 — scheduled rotation: day-aligned next fire time (period 3h).
+    QuerySpec("next_rotate_schedule",
+      (s, d) => stream(s, d).select(col("off").as("event_id"),
+          Rotation.nextRotateMillis(col("ts"), 10800000L).as("next_fire_ms"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+             |  epoch_ms(date_trunc('day', ts))
+             |  + ((epoch_ms(ts) - epoch_ms(date_trunc('day', ts))) // 10800000 + 1)
+             |    * 10800000 AS next_fire_ms
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // A15 — offset-ranged committed filename encoding.
+    QuerySpec("filename_encode",
+      (s, d) => committedFiles(s, d)
+        .orderBy(col("part"), col("file_idx")),
+      Some(s"""$committedFilesSql
+              |SELECT filename, part, file_idx, start_offset, end_offset
+              |FROM c ORDER BY part, file_idx""".stripMargin),
+      bench = true),
+
+    // B9 — offset extraction back out of committed filenames.
+    QuerySpec("extract_offset",
+      (s, d) => committedFiles(s, d).select(
+          col("filename"),
+          FileNaming.extractTopic(col("filename")).as("topic"),
+          FileNaming.extractPartition(col("filename")).as("part_extracted"),
+          FileNaming.extractEndOffset(col("filename")).as("end_extracted"))
+        .orderBy(col("filename")),
+      Some(s"""$committedFilesSql
+              |SELECT filename,
+              |  regexp_extract(filename, '([a-zA-Z0-9\\._\\-]+)\\+(\\d+)\\+(\\d+)\\+(\\d+)(\\.\\w+)?', 1) AS topic,
+              |  regexp_extract(filename, '([a-zA-Z0-9\\._\\-]+)\\+(\\d+)\\+(\\d+)\\+(\\d+)(\\.\\w+)?', 2)::INT AS part_extracted,
+              |  regexp_extract(filename, '([a-zA-Z0-9\\._\\-]+)\\+(\\d+)\\+(\\d+)\\+(\\d+)(\\.\\w+)?', 4)::BIGINT AS end_extracted
+              |FROM c ORDER BY filename""".stripMargin)),
+
+    // B8 — committed-file filter: committed names pass, temp names drop.
+    QuerySpec("filter_committed_files",
+      (s, d) => {
+        val named = stream(s, d).select(
+          when(pmod(col("off"), lit(2L)) === 0,
+            FileNaming.encode(lit("events"), col("part"), col("off"), col("off"), ".parquet"))
+          .otherwise(format_string("%08x_tmp.parquet", col("off"))).as("name"))
+        named.filter(FileNaming.isCommitted(col("name"))).orderBy(col("name"))
+      },
+      Some(s"""WITH n AS (SELECT CASE WHEN event_id % 2 = 0
+              |    THEN printf('events+%d+%010d+%010d.parquet',
+              |                event_id % $P, event_id, event_id)
+              |    ELSE printf('%08x_tmp.parquet', event_id) END AS name
+              |  FROM events)
+              |SELECT name FROM n
+              |WHERE regexp_matches(name, '^([a-zA-Z0-9\\._\\-]+)\\+(\\d+)\\+(\\d+)\\+(\\d+)(\\.\\w+)?$$')
+              |ORDER BY name""".stripMargin)),
+
+    // A21/B11 — offset restore: max committed end offset per partition.
+    QuerySpec("max_offset_per_partition",
+      (s, d) => committedFiles(s, d)
+        .groupBy(FileNaming.extractPartition(col("filename")).as("part_extracted"))
+        .agg(max(FileNaming.extractEndOffset(col("filename"))).as("max_offset"))
+        .orderBy(col("part_extracted")),
+      Some(s"""$committedFilesSql
+              |SELECT
+              |  regexp_extract(filename, '([a-zA-Z0-9\\._\\-]+)\\+(\\d+)\\+(\\d+)\\+(\\d+)(\\.\\w+)?', 2)::INT AS part_extracted,
+              |  max(regexp_extract(filename, '([a-zA-Z0-9\\._\\-]+)\\+(\\d+)\\+(\\d+)\\+(\\d+)(\\.\\w+)?', 4)::BIGINT) AS max_offset
+              |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // B3 — JSON round-trip: parse a field out of the json payload and
+    // re-encode it (schemaless JSON path of the reference).
+    QuerySpec("json_roundtrip",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        Tables.events(s, d).select(col("event_id"), k.as("k"),
+            to_json(struct(k.as("k"))).as("j"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  regexp_extract(props, '"k": (\d+)', 1)::INT AS k,
+             |  printf('{"k":%d}', regexp_extract(props, '"k": (\d+)', 1)::INT) AS j
+             |FROM events ORDER BY event_id""".stripMargin)))
+}

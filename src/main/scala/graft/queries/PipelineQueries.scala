@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupFunctions => DF, SimilarityFunctions => SF, TextFunctions => TF}
+import graft.tables.Tables
+
+/** Large-scale training-data-pipeline operators over `documents` and
+  * `embeddings`: exact + near dedup (MinHash-LSH, SimHash, n-gram
+  * Jaccard), text analysis (lang-ID, quality, token stats), similarity
+  * search (brute-force top-k baseline + hyperplane-LSH buckets), and
+  * binary-column (multimodal) feature plumbing.
+  *
+  * Every oracle mirrors the portable `hash60` contract
+  * (TextFunctions.scala): DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`
+  * == Spark `conv(substring(md5(x),1,15),16,10)`. All float outputs are
+  * either exact IEEE single-op results (small-int divisions) or
+  * identically-parenthesized expression trees, so hashes match bit-wise.
+  */
+object PipelineQueries {
+
+  // ---- DuckDB SQL fragments generated from the same Scala constants ----
+
+  private def h60(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
+  private def toksSql(t: String) =
+    s"list_filter(string_split_regex(trim(lower($t)), '\\s+'), t -> len(t) > 0)"
+
+  /** Word n-gram list over a `toks` column (1-based list indexing). */
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"toks[j + $k]").mkString(", ")
+    s"CASE WHEN len(toks) >= $n THEN " +
+      s"list_transform(range(1, len(toks) - ${n - 2}), j -> concat_ws(' ', $parts)) " +
+      "ELSE []::VARCHAR[] END"
+  }
+
+  private def wordCountSql(t: String, w: String) =
+    s"len(regexp_extract_all(lower($t), '\\b$w\\b'))"
+
+  private val mmP = DF.MinhashPrime
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- Exact dedup: hash-aggregate on a 16-byte fingerprint. ----
+    QuerySpec("dedup_exact",
+      (s, d) => DF.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fingerprint")),
+      Some("""SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+             |  count(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // ---- Bag-of-words + prefix fingerprints (order/dup-invariant). ----
+    QuerySpec("dedup_fingerprint",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          TF.contentFingerprint(col("text")).as("content_fp"),
+          TF.prefixFingerprint(col("text")).as("prefix_fp"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  md5(array_to_string(list_sort(list_distinct(${toksSql("text")})), ' ')) AS content_fp,
+              |  md5(substr(lower(text), 1, 64)) AS prefix_fp
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- MinHash + LSH banding → candidate duplicate pairs. ----
+    QuerySpec("dedup_minhash_lsh",
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(col("doc_id"),
+          TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+        // one md5 per shingle; map-side-combined min() per signature slot
+        val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+          .select(col("doc_id"), (TF.hash60(col("s")) % mmP).as("h"))
+        val sig = hs.groupBy(col("doc_id")).agg(
+          DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
+        val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
+        val bands = sig.select(col("doc_id"),
+          explode(DF.bandKeys(sigCols, 4)).as("band"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
+        }.mkString(",\n    ")
+        val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
+          case (g, bi) =>
+            val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
+            s"concat_ws(':', '$bi', $elems)"
+        }.mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
+           |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
+           |  FROM sh WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id,
+           |    $sigExprs
+           |  FROM hs),
+           |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      bench = true),
+
+    // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
+    QuerySpec("dedup_simhash",
+      (s, d) => {
+        val bits = 16
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+          .select(col("doc_id"), DF.hash32(col("t")).as("h"))
+        val agg = ex.groupBy(col("doc_id")).agg(
+          DF.bitSums(col("h"), bits).head,
+          DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
+        agg.select(col("doc_id"),
+            DF.simhashFromBitSums((0 until bits).map(i => col(s"bit$i")), col("total"))
+              .as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val terms = (0 until 16).map { j =>
+          s"""CASE WHEN 2 * coalesce(list_sum(list_transform(toks,
+             |    t -> (((${h60("t")} % 4294967296) >> $j) & 1))), 0) > len(toks)
+             |  THEN ${1L << j} ELSE 0 END""".stripMargin
+        }.mkString("\n  + ")
+        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+           |SELECT doc_id,
+           |  $terms AS simhash
+           |FROM tok WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin
+      },
+      bench = true),
+
+    // ---- 2-gram Jaccard over adjacent-id candidate pairs. ----
+    QuerySpec("dedup_ngram_jaccard",
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(col("doc_id"),
+          TF.shingles(TF.tokens(col("text")), 2).as("sh"))
+        sh.as("a").join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            DF.jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+          .orderBy(col("doc_a"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS ds FROM tok),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ds AS da, b.ds AS db
+              |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1),
+              |j AS (SELECT doc_a, doc_b,
+              |    CAST(len(list_filter(da, x -> list_contains(db, x))) AS DOUBLE) AS inter,
+              |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
+              |  FROM p)
+              |SELECT doc_a, doc_b,
+              |  CASE WHEN szsum - inter = 0.0 THEN 1.0 ELSE inter / (szsum - inter) END AS jaccard
+              |FROM j ORDER BY doc_a""".stripMargin)),
+
+    // ---- Text analysis: tokens, BPE-ish units, punctuation, lang-ID,
+    //      stopword ratio, composite quality score. ----
+    QuerySpec("text_stats",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TF.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+          TF.punctCount(col("text")).cast("long").as("n_punct"),
+          TF.predictedLang(col("text")).as("lang"),
+          TF.stopwordRatio(col("text")).as("stop_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some {
+        val scoreDefs = TF.langMarkers.map { case (l, ms) =>
+          val sum = ms.map(w => wordCountSql("text", w)).mkString(" + ")
+          s"$sum AS s_$l"
+        }.mkString(",\n    ")
+        val best = TF.langMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+        val langCase = TF.langMarkers.map { case (l, _) =>
+          s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+        }.mkString("\n    ")
+        val stops = TF.stopwords.map(w => wordCountSql("text", w)).mkString(" + ")
+        s"""WITH base AS (SELECT doc_id, text,
+           |    len(${toksSql("text")})::BIGINT AS n_tokens,
+           |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
+           |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+           |    $scoreDefs,
+           |    ($stops) AS n_stops
+           |  FROM documents),
+           |scored AS (SELECT *, $best AS best,
+           |    CAST(n_stops AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+           |    least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS len_score,
+           |    CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS punct_score
+           |  FROM base)
+           |SELECT doc_id, n_tokens, n_bpeish, n_punct,
+           |  CASE
+           |    $langCase
+           |    ELSE 'und' END AS lang,
+           |  stop_ratio,
+           |  CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * len_score
+           |    + CAST(0.3 AS DOUBLE) * punct_score AS quality
+           |FROM scored ORDER BY doc_id""".stripMargin
+      },
+      bench = true),
+
+    // ---- ANN baseline: brute-force top-10 neighbors for 3 query
+    //      vectors, integer-exact via fixed-point quantization. ----
+    QuerySpec("sim_topk_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("dot").desc, col("neighbor_id").asc)
+        emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            SF.intDot(col("qv"), col("v")).as("dot"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""WITH qv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM qv WHERE vec_id IN (0, 1, 2)),
+             |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+             |  FROM qv a CROSS JOIN q WHERE a.vec_id <> q_id),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
+             |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 10
+             |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
+
+    // ---- ANN scale path: random-hyperplane LSH bucket histogram. ----
+    QuerySpec("sim_lsh_buckets",
+      (s, d) => Tables.embeddings(s, d)
+        .select(SF.lshBucketQ(SF.quantize(col("embedding")), 8, 64).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket")),
+      Some {
+        val terms = (0 until 8).map { j =>
+          val planeLit = SF.plane(j, 64).mkString("[", ", ", "]::BIGINT[]")
+          s"""CASE WHEN CAST(list_sum(list_transform(list_zip(v, $planeLit),
+             |    p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+        }.mkString("\n  + ")
+        s"""WITH qv AS (SELECT
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |b AS (SELECT
+           |  $terms AS bucket
+           |FROM qv)
+           |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
+      bench = true),
+
+    // ---- Multimodal plumbing: opaque binary payload + deterministic
+    //      fake "decode" into typed features (the Spark-side schema /
+    //      batching is real; real codecs slot into graft.multimodal). ----
+    QuerySpec("multimodal_features",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text").cast("binary")).as("checksum"),
+          (TF.hash60(col("text")) % 256).as("brightness"),
+          greatest(lit(1L), expr("octet_length(text) div 4096")).as("n_frames"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  octet_length(encode(text))::BIGINT AS n_bytes,
+              |  md5(text) AS checksum,
+              |  ${h60("text")} % 256 AS brightness,
+              |  greatest(1, octet_length(encode(text)) // 4096)::BIGINT AS n_frames
+              |FROM documents ORDER BY doc_id""".stripMargin)))
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** The query surface the reference delegates to Hive (SURVEY.md §2.D),
+  * native here: scans, joins (broadcast/sort-merge/semi), aggregation,
+  * rollup, windows, top-k, set ops — all Catalyst built-ins over the
+  * TPC-H-ish star schema.
+  *
+  * Float determinism: every SUM over a double column goes through
+  * DECIMAL(18,2) (exact integer arithmetic, order-independent) and is
+  * cast back to double at the end, so Spark's unordered partial
+  * aggregation and DuckDB's sequential sum produce bit-identical
+  * results. Raw column passthrough (no arithmetic) is exact by
+  * construction.
+  */
+object RelationalQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Projection + filter with predicate pushdown to the parquet scan.
+    QuerySpec("proj_filter_lineitem",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-09-02 00:00:00")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-09-02 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      bench = true),
+
+    // Broadcast join fact→dim + aggregation per segment.
+    QuerySpec("join_orders_customer",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      bench = true),
+
+    // Left-semi join: lineitems whose part is oversized.
+    QuerySpec("join_semi_part",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_size") > 40),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey")).distinct()
+        .orderBy(col("l_partkey")),
+      Some("""SELECT DISTINCT l_partkey FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+             |ORDER BY l_partkey""".stripMargin),
+      bench = true),
+
+    // TPC-H Q1 shape: the flagship aggregation (also SparkEntry.entry).
+    QuerySpec("agg_returnflag",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        val discPrice = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        val charge = discPrice * (lit(1.0) + col("l_tax"))
+        // disc_price is an exact 4-decimal rational (2dp × 2dp) and
+        // charge an exact 6-decimal one; casting at that precision keeps
+        // the double off decimal midpoints, so Spark's HALF_UP and
+        // DuckDB's conversion agree bit-for-bit. DECIMAL(18,2) here
+        // WOULD hit true midpoints and diverge.
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+            sum(discPrice.cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+            sum(charge.cast(DecimalType(18, 6))).cast("double").as("sum_charge"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // Exact distinct aggregation (HLL approx variant is bench-only —
+    // approx_count_distinct has no DuckDB-identical oracle).
+    QuerySpec("agg_distinct_users",
+      (s, d) => Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |  count(*) AS n_events
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      bench = true),
+
+    // Grouping sets: rollup region → nation over the customer dims.
+    QuerySpec("agg_rollup_nation",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name")),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
+
+    // Window ranking: top-3 orders per customer.
+    QuerySpec("window_top_orders",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d).withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+          .orderBy(col("o_custkey"), col("rnk"))
+      },
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM r
+             |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin),
+      bench = true),
+
+    // Top-k: TakeOrderedAndProject (no global sort of the full table).
+    QuerySpec("topk_suppliers",
+      (s, d) => Tables.supplier(s, d)
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        .limit(5)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 5""".stripMargin)),
+
+    // Set ops: (click ∪ purchase) \ error over user ids.
+    QuerySpec("setop_union_events",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def ids(t: String) = e.filter(col("event_type") === t).select(col("user_id"))
+        ids("click").union(ids("purchase")).distinct()
+          .except(ids("error"))
+          .orderBy(col("user_id"))
+      },
+      Some("""(SELECT user_id FROM events WHERE event_type = 'click'
+             | UNION
+             | SELECT user_id FROM events WHERE event_type = 'purchase')
+             |EXCEPT
+             |SELECT user_id FROM events WHERE event_type = 'error'
+             |ORDER BY user_id""".stripMargin)))
+}

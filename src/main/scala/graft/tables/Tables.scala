@@ -20,6 +20,11 @@ object Tables {
     * vectorized reader rejects. We read it as raw nanos
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
     * microseconds — identical to what a micro-precision engine does.
+    *
+    * The conf is set once at session build by Verify/Bench/tests; the
+    * set here is an idempotent backstop for ad-hoc sessions. It only
+    * affects TIMESTAMP(NANOS) columns (no other testdata table has
+    * any), so it is order-independent.
     */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
