@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.BatchWriter
+import graft.streaming.StreamIngest
+
+/** Runnable demo of the streaming ingest pipeline over a file source:
+  * events arrive as JSON files, the pipeline commits offset-ranged
+  * parquet, a second run with a fresh checkpoint replays the source
+  * (at-least-once) and commits nothing twice. Prints commit state. */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val in = Files.createTempDirectory("demo-in").toString
+    val out = Files.createTempDirectory("demo-out").toString
+    val schema = StructType(Seq(
+      StructField("part", LongType), StructField("off", LongType),
+      StructField("payload", StringType)))
+
+    def arrive(rows: Seq[(Long, Long, String)], file: String): Unit =
+      rows.toDF("part", "off", "payload").coalesce(1)
+        .write.mode("append").json(s"$in")
+
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream.schema(schema).json(in)
+      val q = StreamIngest.start(stream, out, "t", flushSize = 2, checkpoint)
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    arrive((0L to 4L).map(o => (0L, o, s"v$o")), "b1")
+    run(Files.createTempDirectory("demo-ck1").toString)
+    println("DEMO_AFTER_RUN1=" + BatchWriter.maxCommittedOffsets(spark, out, "t"))
+
+    // more data arrives; a FRESH checkpoint forces full source replay —
+    // the filename-recovery filter must keep the overlap out
+    arrive(Seq((0L, 5L, "v5"), (1L, 0L, "w0")), "b2")
+    run(Files.createTempDirectory("demo-ck2").toString)
+
+    val back = BatchWriter.read(spark, out, "t")
+    println("DEMO_AFTER_RUN2=" + BatchWriter.maxCommittedOffsets(spark, out, "t"))
+    println("DEMO_TOTAL=" + back.count())
+    println("DEMO_DISTINCT=" +
+      back.select(countDistinct(col("part"), col("off"))).as[Long].head())
+    println("DEMO_FILES=" + BatchWriter.listCommitted(spark, out, "t").mkString(","))
+    spark.stop()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.StructType
+
+/** Catalog plane (SURVEY §2.C): the reference registers every topic as
+  * a Hive external partitioned table and keeps schema + partitions in
+  * sync (`avro/AvroHiveUtil.java:56-97`, `parquet/ParquetHiveUtil.java:43-84`,
+  * bootstrap `DataWriter.java:383-420`). Spark's session catalog gives
+  * the same DDL surface natively; queries then run through Spark SQL —
+  * the engine that replaces the reference's Hive delegation
+  * (`hive/HiveExec.java:59-71`).
+  */
+object TableCatalog {
+
+  private def q(ident: String): String = s"`${ident.replace("`", "``")}`"
+
+  /** C1 — create an external partitioned table over a committed topic
+    * directory. Data columns from `schema`, partition columns listed
+    * separately (the partitioner's fields). */
+  def createExternalTable(spark: SparkSession, table: String, location: String,
+                          dataSchema: StructType, partitionCols: Seq[(String, String)]): Unit = {
+    val dataDdl = dataSchema.toDDL
+    val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${q(table)} ($dataDdl)
+         |USING PARQUET
+         |PARTITIONED BY ($partDdl)
+         |LOCATION '$location'""".stripMargin)
+  }
+
+  /** C4 — bootstrap sync: discover on-disk partitions into the
+    * metastore (the reference's leaf-dir diff, `DataWriter.java:400-414`;
+    * Hive's MSCK REPAIR). */
+  def syncPartitions(spark: SparkSession, table: String): Unit =
+    spark.sql(s"MSCK REPAIR TABLE ${q(table)}")
+
+  /** C3 — register one encoded partition explicitly (the first-write
+    * hook, `TopicPartitionWriter.java:787-800`). */
+  def addPartition(spark: SparkSession, table: String,
+                   partitionSpec: Map[String, Any]): Unit = {
+    val spec = partitionSpec.map {
+      case (k, v: String) => s"${q(k)}='$v'"
+      case (k, v) => s"${q(k)}=$v"
+    }.mkString(", ")
+    spark.sql(s"ALTER TABLE ${q(table)} ADD IF NOT EXISTS PARTITION ($spec)")
+  }
+
+  /** C2 — schema evolution DDL: append newly-added (nullable) columns,
+    * the BACKWARD-compatible evolution the reference pushes to Hive
+    * (`AvroHiveUtil.java:63-71`). */
+  def addColumns(spark: SparkSession, table: String, newCols: StructType): Unit =
+    if (newCols.nonEmpty)
+      spark.sql(s"ALTER TABLE ${q(table)} ADD COLUMNS (${newCols.toDDL})")
+
+  /** Convenience: columns in `evolved` that `current` lacks. */
+  def newColumnsOf(current: StructType, evolved: StructType): StructType =
+    StructType(evolved.fields.filterNot(f => current.fieldNames.contains(f.name)))
+}

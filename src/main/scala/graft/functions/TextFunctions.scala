@@ -54,10 +54,16 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
-  /** Occurrences of `word` as a whole word. The word is regex-quoted so
-    * callers may pass words containing metacharacters (e.g. "c++"). */
+  /** Occurrences of `word` as a whole word. Plain alphanumeric words
+    * use `\b` boundaries (kept RE2-compatible for the DuckDB oracles);
+    * words containing metacharacters (e.g. "c++") are regex-quoted and
+    * delimited by lookarounds, since a trailing `\b` after a non-word
+    * character can never match. */
   def wordCount(text: Column, word: String): Column =
-    regexp_count(lower(text), lit("\\b\\Q" + word + "\\E\\b"))
+    if (word.matches("[A-Za-z0-9_]+"))
+      regexp_count(lower(text), lit("\\b" + word + "\\b"))
+    else
+      regexp_count(lower(text), lit("(?<!\\w)\\Q" + word + "\\E(?!\\w)"))
 
   /** Language-marker scores → predicted language. The marker sets are a
     * classic stopword heuristic; deterministic and engine-portable. */

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads ride as opaque
+  * `binary` columns with typed metadata, and decode / feature-extract /
+  * frame-sample run as partition-batched transforms so a real codec
+  * (JNI/native) is invoked once per batch, not once per row.
+  *
+  * The decode itself is STUBBED (`decodeStub`) — the container has no
+  * image/audio libraries — with a deterministic fake that preserves the
+  * real pipeline shape: schema, batching, partitioning, and the
+  * UDF-boundary column contract are all production-real; only the byte
+  * interpretation is fake. Swap `decodeStub` for a codec call to go
+  * live.
+  */
+object Multimodal {
+
+  /** The at-rest schema of a media table: payload + envelope metadata.
+    * (Mirrors the reference's opaque-value stance: bytes are written
+    * untouched, `string/StringRecordWriterProvider.java:71-80`.) */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Feature row produced per media item by the decode pass. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("mean_byte", DoubleType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType), nullable = false)))
+
+  /** ??? real codec goes here ??? — deterministic fake decode: byte
+    * statistics + a 16-dim byte-histogram "embedding". Same signature a
+    * real decoder would have: bytes in, fixed-width features out. */
+  def decodeStub(payload: Array[Byte]): (Double, Int, Array[Float]) = {
+    val n = math.max(payload.length, 1)
+    val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+    val hist = new Array[Float](16)
+    payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+    var i = 0
+    while (i < 16) { hist(i) /= n; i += 1 }
+    (mean, 1 + payload.length / 4096, hist)
+  }
+
+  /** Partition-batched decode: one pass per partition (where a native
+    * codec would amortize init), emitting [[featureSchema]] rows.
+    * `mapPartitions` over Rows — the Scala analog of a batched Pandas
+    * UDF: the engine hands the transform whole batches, keeping the
+    * per-record overhead out of the hot loop. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition (per-batch) init happens HERE in a real codec
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (mean, frames, feat) = decodeStub(bytes)
+          Row(id, bytes.length.toLong, mean, frames, feat.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling plan: which byte offsets a video decoder would seek
+    * to for `k` uniform frames — pure column algebra, no decode. */
+  def frameSampleOffsets(media: DataFrame, k: Int): DataFrame =
+    media.select(col("media_id"),
+      transform(sequence(lit(0), lit(k - 1)),
+        i => graft.ingest.Rotation.longDiv(
+          i.cast("long") * octet_length(col("payload")).cast("long"),
+          lit(k.toLong))).as("frame_offsets"))
+
+  /** Wrap a text/doc table as a media table (test fixture path). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("application/octet-stream").as("mime"),
+      col("text").cast("binary").as("payload"),
+      lit(null).cast(IntegerType).as("width"),
+      lit(null).cast(IntegerType).as("height"),
+      lit(null).cast(LongType).as("duration_ms"))
+}

@@ -50,13 +50,25 @@ object SchemaEvolution {
       }
   }
 
+  /** Raised when a record cannot be projected to the target schema —
+    * the analog of the Connect `SchemaProjectorException` the reference
+    * surfaces on incompatible evolution (`SchemaUtils.java:64-91`). */
+  final class SchemaProjectionException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Projection list taking a frame of arbitrary (sub/super)schema onto
     * `target`: fields missing from the source are filled with `defaults`
-    * (or typed nulls), extra source fields are dropped, and every column
-    * is cast to the target type. Port of the Connect `SchemaProjector`
-    * usage at `SchemaUtils.java:64-91` / `TopicPartitionWriter.java:378-379`,
+    * (or typed nulls when the target field is nullable), extra source
+    * fields are dropped, and every column is cast to the target type.
+    * Port of the Connect `SchemaProjector` usage at
+    * `SchemaUtils.java:64-91` / `TopicPartitionWriter.java:378-379`,
     * expressed as a plain Catalyst projection so it pushes through the
     * optimizer (column pruning still reaches the scan).
+    *
+    * A target field that is missing from the source, non-nullable, and
+    * has no default throws [[SchemaProjectionException]] — matching the
+    * reference's required-field-without-default failure instead of
+    * silently emitting nulls.
     */
   def projectionTo(source: StructType, target: StructType,
                    defaults: Map[String, Any] = Map.empty): Seq[Column] =
@@ -65,7 +77,11 @@ object SchemaEvolution {
         if (source.fieldNames.contains(f.name)) col(f.name)
         else defaults.get(f.name) match {
           case Some(v) => lit(v)
-          case scala.None => lit(null)
+          case scala.None if f.nullable => lit(null)
+          case scala.None =>
+            throw new SchemaProjectionException(
+              s"target field '${f.name}' is non-nullable, missing from the " +
+                s"source schema, and has no default")
         }
       base.cast(f.dataType).as(f.name)
     }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.ingest.BatchWriter
+
+/** Streaming ingest (SURVEY §7 M5): the reference's continuously-running
+  * exactly-once pipeline (`HdfsSinkTask.put` → buffer → rotate → WAL →
+  * rename, `TopicPartitionWriter.java:313-433`) as Structured Streaming.
+  *
+  * Spark-native replacements for the reference machinery:
+  *  - consumer offset tracking / rewind  → checkpoint `offsets/`
+  *  - WAL append/apply/truncate (A16-18) → checkpoint + idempotent
+  *    micro-batch commit below
+  *  - retry w/ backoff (A22)             → batch replay from checkpoint
+  *  - rebalance open/close (A23)         → Spark scheduler internal
+  *
+  * Exactly-once: each micro-batch first drops offsets at or below the
+  * committed maximum recovered FROM FILENAMES (the reference's own
+  * source of truth, `FileUtils.java:106-149`), then commits via atomic
+  * renames. A replayed batch after a crash re-filters to nothing — the
+  * same idempotent-redo contract as `FSWAL.apply`.
+  */
+object StreamIngest {
+
+  /** Start the commit pipeline on a stream shaped (part, off, ...). */
+  def start(stream: DataFrame, outDir: String, topic: String, flushSize: Int,
+            checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val committed = BatchWriter.maxCommittedOffsets(batch.sparkSession, outDir, topic)
+        val fresh = BatchWriter.resumeFrom(batch, committed)
+        if (!fresh.isEmpty) { BatchWriter.write(fresh, outDir, topic, flushSize); () }
+      }
+      .start()
+
+  /** Event-time bucketing with late-data handling (A12's semantics:
+    * a time bucket closes only once a later record advances the clock —
+    * exactly the watermark contract, `TopicPartitionWriterTest.java:404`). */
+  def windowedCounts(events: DataFrame, tsCol: String, windowDur: String,
+                     watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col("n"))
+
+  /** Offset-keyed dedup across the stream (at-least-once source →
+    * exactly-once records), bounded by the watermark. */
+  def dedupOffsets(events: DataFrame, tsCol: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("part", "off")
+}

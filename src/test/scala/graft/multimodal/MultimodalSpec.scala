@@ -1,0 +1,39 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def media() = Multimodal.fromDocuments(
+    Seq((1L, "hello world"), (2L, "a" * 10000), (3L, "")).toDF("doc_id", "text"))
+
+  test("media schema carries binary payload + typed metadata") {
+    val m = media()
+    assert(m.schema === Multimodal.mediaSchema)
+  }
+
+  test("batched feature extraction emits one feature row per item") {
+    val f = Multimodal.extractFeatures(media()).orderBy("media_id")
+    assert(f.schema === Multimodal.featureSchema)
+    val rows = f.select(col("media_id"), col("n_bytes"), col("n_frames"),
+        size(col("feature"))).as[(Long, Long, Int, Int)].collect().toSeq
+    assert(rows === Seq((1L, 11L, 1, 16), (2L, 10000L, 3, 16), (3L, 0L, 1, 16)))
+  }
+
+  test("decode stub is deterministic and histogram sums to 1 for non-empty") {
+    val (mean1, _, h1) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    val (mean2, _, h2) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(mean1 === mean2 && h1.toSeq === h2.toSeq)
+    assert(math.abs(h1.sum - 1f) < 1e-5)
+  }
+
+  test("frame sampling yields k monotonically increasing byte offsets") {
+    val got = Multimodal.frameSampleOffsets(media(), 4)
+      .filter(col("media_id") === 2).select(col("frame_offsets"))
+      .as[Seq[Long]].head()
+    assert(got === Seq(0L, 2500L, 5000L, 7500L))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.partition
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Vectors from the reference partitioner tests:
+  * `partitioner/TimeBasedPartitionerTest.java:38-48` (long month-name
+  * format, hour without zero-pad), `DailyPartitionerTest.java:36`,
+  * `HourlyPartitionerTest.java:36`. The reference evaluates in a
+  * configured timezone; this engine standardizes on session UTC. */
+class PartitionersSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def one(c: org.apache.spark.sql.Column, t: Timestamp): String =
+    Seq(t).toDF("ts").select(c).as[String].head()
+
+  test("timeBasedPath renders the long format vector year=2015/month=January/day=01/hour=2") {
+    assert(one(Partitioners.timeBasedPath(col("ts")), ts("2015-01-01 02:00:00")) ===
+      "year=2015/month=January/day=01/hour=2")
+  }
+
+  test("dailyPath matches year=YYYY/month=MM/day=dd") {
+    assert(one(Partitioners.dailyPath(col("ts")), ts("2015-04-02 01:00:00")) ===
+      "year=2015/month=04/day=02")
+  }
+
+  test("hourlyPath matches year=YYYY/month=MM/day=dd/hour=HH") {
+    assert(one(Partitioners.hourlyPath(col("ts")), ts("2015-04-02 01:00:00")) ===
+      "year=2015/month=04/day=02/hour=01")
+  }
+
+  test("defaultPartition and fieldPartition encode k=v directories") {
+    val df = Seq((12, "click")).toDF("p", "et")
+    val (d, f) = df.select(
+      Partitioners.defaultPartition(col("p")),
+      Partitioners.fieldPartition("event_type", col("et"))).as[(String, String)].head()
+    assert(d === "partition=12" && f === "event_type=click")
+  }
+
+  test("timeBucketMillis floors to the duration grid (2h)") {
+    val t = ts("2015-01-01 03:59:59")
+    val got = Seq(t).toDF("ts")
+      .select(Partitioners.timeBucketMillis(col("ts"), 7200000L)).as[Long].head()
+    assert(got === ts("2015-01-01 02:00:00").getTime)
+  }
+
+  test("RecordField extractor roundtrips epoch millis") {
+    val ms = 1420099200123L
+    val got = Seq(ms).toDF("f")
+      .select(unix_millis(TimestampExtractors.recordField(col("f")))).as[Long].head()
+    assert(got === ms)
+  }
+}

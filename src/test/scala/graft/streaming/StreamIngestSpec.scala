@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ingest.BatchWriter
+
+/** Streaming crash/replay semantics vs the reference's WAL-recovery
+  * tests (`avro/DataWriterAvroTest.java:80-116`: offsets restored from
+  * committed state, no duplicate data after restart). */
+class StreamIngestSpec extends SparkSuite {
+
+  test("exactly-once commit across restart with full source replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-stream").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt1").toString
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.start(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 2, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"))
+    q1.processAllAvailable()
+    s1.addData((0L, 3L, "d"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 3L))
+
+    // "crash": new query, FRESH checkpoint, source replays everything
+    // (at-least-once) plus new offsets — only the new ones may commit.
+    val ckpt2 = Files.createTempDirectory("graft-ckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = StreamIngest.start(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 2, ckpt2)
+    s2.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"), (0L, 3L, "d"),
+      (0L, 4L, "e"), (1L, 0L, "x"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = BatchWriter.read(spark, out, "t")
+    // every (part, off) exactly once — no dup, no loss
+    assert(back.count() === 6)
+    assert(back.select(countDistinct(col("part"), col("off"))).as[Long].head() === 6)
+    assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 4L, 1L -> 0L))
+  }
+
+  test("windowed counts emit only watermark-closed buckets (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Timestamp, String)]
+    val q = StreamIngest.windowedCounts(
+        s.toDF().toDF("ts", "k"), "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    def t(m: Int) = new Timestamp(3600000L * 24 * 365 * 50 + m * 60000L)
+
+    s.addData((t(1), "a"), (t(5), "b"))
+    q.processAllAvailable()
+    assert(spark.table("wc").count() === 0) // bucket still open
+
+    s.addData((t(30), "late-advances-clock"))
+    q.processAllAvailable()
+    val rows = spark.table("wc").as[(Timestamp, Long)].collect().toSeq
+    q.stop()
+    assert(rows.map(_._2) === Seq(2L)) // the [t0, t0+10m) bucket closed with 2 events
+  }
+
+  test("dropDuplicates on (part, off) dedups an at-least-once stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamIngest.dedupOffsets(
+        s.toDF().toDF("ts", "part", "off"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    s.addData((t(0), 0L, 0L), (t(1), 0L, 1L), (t(1), 0L, 1L), (t(2), 0L, 0L))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dd").count() === 2)
+  }
+}
