@@ -21,6 +21,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // untimed warmup: touch every input table + exercise codegen/shuffle
+    // once so the first timed query doesn't absorb session start-up
+    graft.tables.Tables.names.foreach { t =>
+      graft.tables.Tables(spark, sfDir, t).count()
+    }
+    qs("route_by_partition")(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     val results = SparkEntry.benchQueries.map { name =>
       val t0 = System.nanoTime()
       val sec =

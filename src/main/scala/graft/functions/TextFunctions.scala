@@ -38,11 +38,21 @@ object TextFunctions {
     filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
   /** Word `n`-grams (shingles) of the token array; empty when there are
-    * fewer than `n` tokens. 1-based `element_at` keeps the expression
-    * identical to the SQL oracle. */
+    * fewer than `n` tokens.
+    *
+    * Implementation note: built by zipping `n` shifted `slice`s of the
+    * token array rather than indexing `element_at(toks, j+k)` inside a
+    * `transform` lambda. Higher-order functions evaluate interpreted
+    * (no codegen), and a lambda-body reference to `toks` re-evaluates
+    * the whole upstream expression — for `toks = tokens(text)` that
+    * meant one regex split PER ELEMENT (~3·|shingles| splits per row,
+    * measured 13 s for 5k docs). The zip form evaluates each array
+    * argument once per row: ~7 splits, >10× faster, identical output. */
   def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      j => concat_ws(" ", (0 until n).map(k => element_at(toks, j + k)): _*))
+    val m = size(toks) - (n - 1) // number of shingles
+    val grams = (2 to n).foldLeft(slice(toks, lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), m), (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 
@@ -109,9 +119,12 @@ object TextFunctions {
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set —
-    * order- and duplication-invariant (bag-of-words identity). */
+    * order- and duplication-invariant (bag-of-words identity).
+    * `sort_array` (codegen'd), not `array_sort` (a higher-order
+    * function that evaluates interpreted) — identical ordering for
+    * non-null string arrays. */
   def contentFingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))).cast("binary"))
 
   /** Prefix fingerprint: md5 of the first 64 chars (cheap rolling-hash
     * stand-in for locality-sensitive prefix dedup). */
