@@ -26,10 +26,26 @@ object BatchWriter {
   final case class CommittedFile(topic: String, partition: Long,
       fileIdx: Long, startOffset: Long, endOffset: Long, path: String)
 
+  /** Sink formats (B1–B4, `format.class` in the reference). Avro is
+    * part of the surface (`df.write.format("avro")`) but the spark-avro
+    * module is not on this container's classpath, so selecting it fails
+    * fast with a pointer instead of deep in the write. */
+  val Formats: Map[String, String] = Map(
+    "parquet" -> ".parquet", "json" -> ".json", "csv" -> ".csv", "text" -> ".txt")
+
   /** Write a stream-shaped frame (`part`, `off`, payload columns) as
-    * committed offset-ranged parquet. Returns the commit manifest. */
+    * committed offset-ranged files. Returns the commit manifest.
+    * `format`: parquet (default, B2) | json (B3) | csv | text (B4 —
+    * requires exactly one string payload column, the reference's
+    * `record.value().toString` contract). */
   def write(df: DataFrame, outDir: String, topic: String, flushSize: Int,
-            pad: Int = FileNaming.DefaultZeroPadWidth): Seq[CommittedFile] = {
+            pad: Int = FileNaming.DefaultZeroPadWidth,
+            format: String = "parquet"): Seq[CommittedFile] = {
+    if (format == "avro")
+      throw new IllegalArgumentException(
+        "avro needs the spark-avro module, which is not on this classpath")
+    val ext = Formats.getOrElse(format,
+      throw new IllegalArgumentException(s"unknown format: $format"))
     val spark = df.sparkSession
     val sized = Rotation.withSizeFileIndex(df, Seq(col("part")), col("off"), flushSize)
     val staged = s"$outDir/+tmp/$topic"
@@ -37,9 +53,23 @@ object BatchWriter {
     // Stage: exactly one file per (part, file_idx) — the repartition key
     // equals the directory key, so each dynamic partition is written by
     // a single task.
-    sized.repartition(col("part"), col("file_idx"))
+    val payloadCols = df.columns.filterNot(Set("part", "off")).toSeq
+    val toStage =
+      if (format == "text") {
+        // the reference's text sink writes value.toString, one per line
+        // (`string/StringRecordWriterProvider.java:71-80`); offsets live
+        // only in the filename range
+        require(payloadCols.size == 1,
+          s"text format needs exactly one payload column, got $payloadCols")
+        sized.select(col("part"), col("file_idx"), col("off"),
+          col(payloadCols.head).cast("string").as("value"))
+      } else sized
+    val dropAfterSort: Seq[String] = if (format == "text") Seq("off") else Seq.empty
+    toStage.repartition(col("part"), col("file_idx"))
       .sortWithinPartitions(col("part"), col("file_idx"), col("off"))
-      .write.mode("overwrite").partitionBy("part", "file_idx").parquet(staged)
+      .drop(dropAfterSort: _*)
+      .write.mode("overwrite").partitionBy("part", "file_idx")
+      .format(format).save(staged)
 
     val manifest = sized.groupBy(col("part"), col("file_idx"))
       .agg(min(col("off")).as("s"), max(col("off")).as("e"))
@@ -55,7 +85,7 @@ object BatchWriter {
         s"expected exactly one staged file in $srcDir, found ${srcs.length}")
       val destDir = new Path(s"$outDir/$topic/partition=$p")
       fs.mkdirs(destDir)
-      val dest = new Path(destDir, FileNaming.encodeName(topic, p.toInt, s, e, ".parquet", pad))
+      val dest = new Path(destDir, FileNaming.encodeName(topic, p.toInt, s, e, ext, pad))
       // idempotent redo: a file already committed under this exact
       // offset range is the same data — skip, like FSWAL.apply
       if (!fs.exists(dest)) fs.rename(srcs.head.getPath, dest)
@@ -106,7 +136,14 @@ object BatchWriter {
 
   /** Read the committed dataset back (partition pruning via the
     * `partition=` directory layout; renamed to the stream schema's
-    * `part` so write→read roundtrips are symmetric). */
-  def read(spark: SparkSession, outDir: String, topic: String): DataFrame =
-    spark.read.parquet(s"$outDir/$topic").withColumnRenamed("partition", "part")
+    * `part` so write→read roundtrips are symmetric). Schema readers
+    * B5–B7: parquet carries its own schema (footer), json infers,
+    * csv/text take `schema` (or fall back to inference/lines). */
+  def read(spark: SparkSession, outDir: String, topic: String,
+           format: String = "parquet",
+           schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = spark.read.format(format)
+    schema.foreach(reader.schema)
+    reader.load(s"$outDir/$topic").withColumnRenamed("partition", "part")
+  }
 }

@@ -76,4 +76,46 @@ class BatchWriterSpec extends SparkSuite {
     BatchWriter.write(records(Seq(0L), 3), out, "t", flushSize = 2)
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/+tmp")))
   }
+
+  test("json format roundtrips records with .json committed names (B3)") {
+    val out = tmpDir()
+    BatchWriter.write(records(Seq(0L), 4), out, "t", flushSize = 2, format = "json")
+    assert(BatchWriter.listCommitted(spark, out, "t").forall(_.endsWith(".json")))
+    val back = BatchWriter.read(spark, out, "t", format = "json")
+    assert(back.count() === 4)
+    assert(back.columns.toSet === Set("part", "off", "payload"))
+  }
+
+  test("text format writes one value per line into .txt files (B4)") {
+    val out = tmpDir()
+    BatchWriter.write(records(Seq(0L), 4), out, "t", flushSize = 4, format = "text")
+    assert(BatchWriter.listCommitted(spark, out, "t") ===
+      Seq("t+0+0000000000+0000000003.txt"))
+    val lines = BatchWriter.read(spark, out, "t", format = "text")
+    assert(lines.count() === 4)
+    // offset order preserved within the file
+    assert(lines.select("value").as[String].collect().toSeq ===
+      (0 to 3).map(o => s"payload-0-$o"))
+  }
+
+  test("csv format roundtrips with an explicit read schema (B5-B7 analog)") {
+    import org.apache.spark.sql.types._
+    val out = tmpDir()
+    BatchWriter.write(records(Seq(1L), 3), out, "t", flushSize = 2, format = "csv")
+    val schema = StructType(Seq(
+      StructField("off", LongType), StructField("payload", StringType)))
+    val back = BatchWriter.read(spark, out, "t", format = "csv", schema = Some(schema))
+    assert(back.count() === 3)
+  }
+
+  test("avro names the missing module; unknown formats rejected") {
+    val out = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      BatchWriter.write(records(Seq(0L), 2), out, "t", 2, format = "avro")
+    }
+    assert(e.getMessage.contains("spark-avro"))
+    intercept[IllegalArgumentException] {
+      BatchWriter.write(records(Seq(0L), 2), out, "t", 2, format = "orc2")
+    }
+  }
 }
