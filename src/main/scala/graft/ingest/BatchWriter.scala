@@ -41,19 +41,27 @@ object BatchWriter {
   def write(df: DataFrame, outDir: String, topic: String, flushSize: Int,
             pad: Int = FileNaming.DefaultZeroPadWidth,
             format: String = "parquet"): Seq[CommittedFile] = {
+    val sized = Rotation.withSizeFileIndex(df, Seq(col("part")), col("off"), flushSize)
+    writeAssigned(sized, outDir, topic, pad, format)
+  }
+
+  /** Commit a frame that already carries its `file_idx` assignment
+    * (size rotation, interval buckets, or schema-rotation segments). */
+  def writeAssigned(sized: DataFrame, outDir: String, topic: String,
+                    pad: Int = FileNaming.DefaultZeroPadWidth,
+                    format: String = "parquet"): Seq[CommittedFile] = {
     if (format == "avro")
       throw new IllegalArgumentException(
         "avro needs the spark-avro module, which is not on this classpath")
     val ext = Formats.getOrElse(format,
       throw new IllegalArgumentException(s"unknown format: $format"))
-    val spark = df.sparkSession
-    val sized = Rotation.withSizeFileIndex(df, Seq(col("part")), col("off"), flushSize)
+    val spark = sized.sparkSession
     val staged = s"$outDir/+tmp/$topic"
 
     // Stage: exactly one file per (part, file_idx) — the repartition key
     // equals the directory key, so each dynamic partition is written by
     // a single task.
-    val payloadCols = df.columns.filterNot(Set("part", "off")).toSeq
+    val payloadCols = sized.columns.filterNot(Set("part", "off", "file_idx")).toSeq
     val toStage =
       if (format == "text") {
         // the reference's text sink writes value.toString, one per line

@@ -109,6 +109,16 @@ object RelationalQueries {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       bench = true),
 
+    // HLL sketch variant of the distinct count — the 100 TB path (no
+    // exact-distinct shuffle). No oracle: HLL estimates are
+    // implementation-specific, so the driver records rows-only.
+    QuerySpec("agg_approx_users",
+      (s, d) => Tables.events(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type")),
+      None,
+      bench = true),
+
     // Grouping sets: rollup region → nation over the customer dims.
     QuerySpec("agg_rollup_nation",
       (s, d) => Tables.customer(s, d)
