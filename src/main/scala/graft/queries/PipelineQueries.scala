@@ -253,6 +253,97 @@ object PipelineQueries {
       },
       bench = true),
 
+    // ---- Embedding-cosine near-dup: LSH buckets as blocking, exact
+    //      cosine only on in-bucket pairs (O(n) candidates, not n²).
+    //      Cosine from integer-exact components (quantized dot + norms)
+    //      so both engines compute bit-identical doubles. Threshold
+    //      0.35 is tuned to the synthetic data's cosine range (max
+    //      ~0.44 — no true near-dups exist; the operator shape is the
+    //      deliverable). ----
+    QuerySpec("dedup_embedding_cosine",
+      (s, d) => {
+        val qv = Tables.embeddings(s, d).select(col("vec_id"),
+          SF.quantize(col("embedding")).as("v"))
+        val withB = qv.select(col("vec_id"), col("v"),
+          SF.lshBucketQ(col("v"), 8, 64).as("bucket"),
+          SF.intDot(col("v"), col("v")).as("n2"))
+        val pairs = withB.as("a").join(withB.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        val cos = SF.intDot(col("a.v"), col("b.v")).cast("double") /
+          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))
+        pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            cos.as("cosine"))
+          .filter(col("cosine") >= 0.35)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some {
+        val bucketTerms = (0 until 8).map { j =>
+          val planeLit = SF.plane(j, 64).mkString("[", ", ", "]::BIGINT[]")
+          s"""CASE WHEN CAST(list_sum(list_transform(list_zip(v, $planeLit),
+             |    p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+        }.mkString("\n  + ")
+        s"""WITH qv AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |wb AS (SELECT vec_id, v,
+           |    $bucketTerms AS bucket,
+           |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+           |  FROM qv),
+           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+           |    a.n2 AS na2, b.n2 AS nb2
+           |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b,
+           |  CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+           |FROM p
+           |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35
+           |ORDER BY vec_a, vec_b""".stripMargin
+      },
+      bench = true),
+
+    // ---- IVF-style ANN: the LSH bucket is the coarse quantizer;
+    //      probe only the query's own cell (nprobe=1). The scale path
+    //      vs sim_topk_bruteforce's full scan. ----
+    QuerySpec("sim_ivf_topk",
+      (s, d) => {
+        val qv = Tables.embeddings(s, d).select(col("vec_id"),
+          SF.quantize(col("embedding")).as("v"))
+        val withB = qv.select(col("vec_id"), col("v"),
+          SF.lshBucketQ(col("v"), 8, 64).as("bucket"))
+        val q = withB.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("dot").desc, col("neighbor_id").asc)
+        withB.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            SF.intDot(col("qv"), col("v")).as("dot"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        val bucketTerms = (0 until 8).map { j =>
+          val planeLit = SF.plane(j, 64).mkString("[", ", ", "]::BIGINT[]")
+          s"""CASE WHEN CAST(list_sum(list_transform(list_zip(v, $planeLit),
+             |    p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+        }.mkString("\n  + ")
+        s"""WITH qv AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |wb AS (SELECT vec_id, v,
+           |    $bucketTerms AS bucket
+           |  FROM qv),
+           |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id IN (0, 1, 2)),
+           |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+           |  FROM wb a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
+           |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin
+      }),
+
     // ---- Multimodal plumbing: opaque binary payload + deterministic
     //      fake "decode" into typed features (the Spark-side schema /
     //      batching is real; real codecs slot into graft.multimodal). ----
