@@ -106,6 +106,59 @@ object PipelineQueries {
       },
       bench = true),
 
+    // ---- Dedup clusters: MinHash-LSH candidate pairs → connected
+    //      components → one cluster id (min doc id) per document.
+    //      The full dedup pipeline shape: block, pair, cluster. ----
+    QuerySpec("dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = docs.select(col("doc_id"),
+          TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+        val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+          .select(col("doc_id"), (TF.hash60(col("s")) % mmP).as("h"))
+        val sig = hs.groupBy(col("doc_id")).agg(
+          DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
+        val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
+        val bands = sig.select(col("doc_id"),
+          explode(DF.bandKeys(sigCols, 4)).as("band"))
+        val pairs = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .distinct()
+        graft.operators.ConnectedComponents
+          .run(docs.select(col("doc_id").as("id")), pairs)
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
+        }.mkString(",\n    ")
+        val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
+          case (g, bi) =>
+            val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
+            s"concat_ws(':', '$bi', $elems)"
+        }.mkString(", ")
+        s"""WITH RECURSIVE tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
+           |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
+           |  FROM sh WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id,
+           |    $sigExprs
+           |  FROM hs),
+           |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+           |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+           |ed AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+           |reach(id, comp) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id)
+           |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach
+           |GROUP BY id ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
     QuerySpec("dedup_simhash",
       (s, d) => {
