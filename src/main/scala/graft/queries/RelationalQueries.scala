@@ -63,6 +63,21 @@ object RelationalQueries {
              |ORDER BY l_partkey""".stripMargin),
       bench = true),
 
+    // Left-anti join: parts with no shipment in the dataset's final
+    // months (every part has SOME lineitem, so the unfiltered anti
+    // would be empty — the date cut keeps the result non-degenerate).
+    QuerySpec("join_anti_part",
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") > to_timestamp(lit("2001-06-01 00:00:00"))),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_brand FROM part
+             |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+             |  WHERE l_shipdate > TIMESTAMP '2001-06-01 00:00:00')
+             |ORDER BY p_partkey""".stripMargin)),
+
     // TPC-H Q1 shape: the flagship aggregation (also SparkEntry.entry).
     QuerySpec("agg_returnflag",
       (s, d) => {
@@ -138,6 +153,19 @@ object RelationalQueries {
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
 
+    // Grouping sets: full cube over (returnflag, linestatus).
+    QuerySpec("agg_cube_flags",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // Window ranking: top-3 orders per customer.
     QuerySpec("window_top_orders",
       (s, d) => {
@@ -165,19 +193,25 @@ object RelationalQueries {
       Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
              |ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 5""".stripMargin)),
 
-    // Set ops: (click ∪ purchase) \ error over user ids.
+    // Set ops over (user, day) grain: active-without-error days.
+    // (Plain user_id grain is degenerate — every user hits every
+    // event type — so the day dimension keeps the result non-empty.)
     QuerySpec("setop_union_events",
       (s, d) => {
         val e = Tables.events(s, d)
-        def ids(t: String) = e.filter(col("event_type") === t).select(col("user_id"))
-        ids("click").union(ids("purchase")).distinct()
-          .except(ids("error"))
-          .orderBy(col("user_id"))
+        def ud(t: String) = e.filter(col("event_type") === t)
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        ud("click").union(ud("purchase")).distinct()
+          .except(ud("error"))
+          .orderBy(col("user_id"), col("day"))
       },
-      Some("""(SELECT user_id FROM events WHERE event_type = 'click'
+      Some("""(SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+             |   WHERE event_type = 'click'
              | UNION
-             | SELECT user_id FROM events WHERE event_type = 'purchase')
+             | SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
+             |   WHERE event_type = 'purchase')
              |EXCEPT
-             |SELECT user_id FROM events WHERE event_type = 'error'
-             |ORDER BY user_id""".stripMargin)))
+             |SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
+             |WHERE event_type = 'error'
+             |ORDER BY user_id, day""".stripMargin)))
 }
