@@ -56,6 +56,25 @@ object StreamDemo {
     println("DEMO_DISTINCT=" +
       back.select(countDistinct(col("part"), col("off"))).as[Long].head())
     println("DEMO_FILES=" + BatchWriter.listCommitted(spark, out, "t").mkString(","))
+
+    // schema-adoption tracking over a versioned stream (A8 streaming)
+    val in2 = Files.createTempDirectory("demo-ver-in").toString
+    Seq((0L, 0L, 1), (0L, 1L, 2), (0L, 2L, 1), (1L, 0L, 4))
+      .toDF("part", "off", "ver").coalesce(1).write.mode("append").json(in2)
+    val verStream = spark.readStream.schema(StructType(Seq(
+        StructField("part", LongType), StructField("off", LongType),
+        StructField("ver", IntegerType)))).json(in2)
+      .as[graft.streaming.SchemaTracker.SchemaEvent]
+    implicit val s = spark
+    val q2 = graft.streaming.SchemaTracker
+      .adoptions(verStream, graft.schema.Compatibility.Backward)
+      .writeStream.format("memory").queryName("demo_adoptions")
+      .option("checkpointLocation", Files.createTempDirectory("demo-ck3").toString)
+      .outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    println("DEMO_ADOPTIONS=" + spark.table("demo_adoptions")
+      .orderBy("part", "off").collect().mkString(","))
     spark.stop()
   }
 }
