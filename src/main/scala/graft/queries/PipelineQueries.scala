@@ -221,30 +221,25 @@ object PipelineQueries {
           TF.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
       Some {
-        val scoreDefs = TF.langMarkers.map { case (l, ms) =>
-          val sum = ms.map(w => wordCountSql("text", w)).mkString(" + ")
-          s"$sum AS s_$l"
-        }.mkString(",\n    ")
-        val best = TF.langMarkers.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
-        val langCase = TF.langMarkers.map { case (l, _) =>
-          s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
-        }.mkString("\n    ")
+        val scoreList = TF.langMarkers.map { case (_, ms) =>
+          ms.map(w => wordCountSql("text", w)).mkString(" + ")
+        }.mkString("[", ",\n      ", "]")
+        val langList = TF.langMarkers.map(m => s"'${m._1}'").mkString("[", ", ", "]")
         val stops = TF.stopwords.map(w => wordCountSql("text", w)).mkString(" + ")
         s"""WITH base AS (SELECT doc_id, text,
            |    len(${toksSql("text")})::BIGINT AS n_tokens,
            |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
            |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
-           |    $scoreDefs,
+           |    $scoreList AS scores,
            |    ($stops) AS n_stops
            |  FROM documents),
-           |scored AS (SELECT *, $best AS best,
+           |scored AS (SELECT *, list_max(scores) AS best,
            |    CAST(n_stops AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
            |    least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS len_score,
            |    CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS punct_score
            |  FROM base)
            |SELECT doc_id, n_tokens, n_bpeish, n_punct,
-           |  CASE
-           |    $langCase
+           |  CASE WHEN best > 0 THEN ($langList)[list_position(scores, best)]
            |    ELSE 'und' END AS lang,
            |  stop_ratio,
            |  CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * len_score
