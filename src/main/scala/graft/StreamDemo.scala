@@ -30,9 +30,9 @@ object StreamDemo {
       StructField("part", LongType), StructField("off", LongType),
       StructField("payload", StringType)))
 
-    def arrive(rows: Seq[(Long, Long, String)], file: String): Unit =
+    def arrive(rows: Seq[(Long, Long, String)]): Unit =
       rows.toDF("part", "off", "payload").coalesce(1)
-        .write.mode("append").json(s"$in")
+        .write.mode("append").json(in)
 
     def run(checkpoint: String): Unit = {
       val stream = spark.readStream.schema(schema).json(in)
@@ -41,13 +41,13 @@ object StreamDemo {
       q.stop()
     }
 
-    arrive((0L to 4L).map(o => (0L, o, s"v$o")), "b1")
+    arrive((0L to 4L).map(o => (0L, o, s"v$o")))
     run(Files.createTempDirectory("demo-ck1").toString)
     println("DEMO_AFTER_RUN1=" + BatchWriter.maxCommittedOffsets(spark, out, "t"))
 
     // more data arrives; a FRESH checkpoint forces full source replay —
     // the filename-recovery filter must keep the overlap out
-    arrive(Seq((0L, 5L, "v5"), (1L, 0L, "w0")), "b2")
+    arrive(Seq((0L, 5L, "v5"), (1L, 0L, "w0")))
     run(Files.createTempDirectory("demo-ck2").toString)
 
     val back = BatchWriter.read(spark, out, "t")

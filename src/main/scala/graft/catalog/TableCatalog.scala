@@ -15,6 +15,10 @@ object TableCatalog {
 
   private def q(ident: String): String = s"`${ident.replace("`", "``")}`"
 
+  /** Single-quoted SQL string literal with quote escaping — partition
+    * VALUES and locations are data, not identifiers. */
+  private def lit(v: String): String = s"'${v.replace("'", "''")}'"
+
   /** C1 — create an external partitioned table over a committed topic
     * directory. Data columns from `schema`, partition columns listed
     * separately (the partitioner's fields). */
@@ -26,7 +30,7 @@ object TableCatalog {
       s"""CREATE TABLE IF NOT EXISTS ${q(table)} ($dataDdl)
          |USING PARQUET
          |PARTITIONED BY ($partDdl)
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION ${lit(location)}""".stripMargin)
   }
 
   /** C4 — bootstrap sync: discover on-disk partitions into the
@@ -40,7 +44,7 @@ object TableCatalog {
   def addPartition(spark: SparkSession, table: String,
                    partitionSpec: Map[String, Any]): Unit = {
     val spec = partitionSpec.map {
-      case (k, v: String) => s"${q(k)}='$v'"
+      case (k, v: String) => s"${q(k)}=${lit(v)}"
       case (k, v) => s"${q(k)}=$v"
     }.mkString(", ")
     spark.sql(s"ALTER TABLE ${q(table)} ADD IF NOT EXISTS PARTITION ($spec)")

@@ -47,7 +47,7 @@ object BatchWriter {
 
   /** Commit a frame that already carries its `file_idx` assignment
     * (size rotation, interval buckets, or schema-rotation segments). */
-  def writeAssigned(sized: DataFrame, outDir: String, topic: String,
+  def writeAssigned(sizedIn: DataFrame, outDir: String, topic: String,
                     pad: Int = FileNaming.DefaultZeroPadWidth,
                     format: String = "parquet"): Seq[CommittedFile] = {
     if (format == "avro")
@@ -55,8 +55,14 @@ object BatchWriter {
         "avro needs the spark-avro module, which is not on this classpath")
     val ext = Formats.getOrElse(format,
       throw new IllegalArgumentException(s"unknown format: $format"))
-    val spark = sized.sparkSession
+    val spark = sizedIn.sparkSession
     val staged = s"$outDir/+tmp/$topic"
+
+    // Pin the frame across the two jobs below (staging write + manifest
+    // aggregate): without this, the whole upstream — including any
+    // stream-side resume filter — runs twice, and a nondeterministic
+    // recompute could let the manifest disagree with the staged data.
+    val sized = sizedIn.persist()
 
     // Stage: exactly one file per (part, file_idx) — the repartition key
     // equals the directory key, so each dynamic partition is written by
@@ -84,6 +90,7 @@ object BatchWriter {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2))
+    sized.unpersist()
 
     val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
     val committed = manifest.toSeq.map { case (p, i, s, e) =>
@@ -95,11 +102,18 @@ object BatchWriter {
       fs.mkdirs(destDir)
       val dest = new Path(destDir, FileNaming.encodeName(topic, p.toInt, s, e, ext, pad))
       // idempotent redo: a file already committed under this exact
-      // offset range is the same data — skip, like FSWAL.apply
-      if (!fs.exists(dest)) fs.rename(srcs.head.getPath, dest)
+      // offset range is the same data — skip, like FSWAL.apply. A
+      // rename failure returns false (it does not throw) — surfacing it
+      // here is what keeps "committed" truthful; swallowing it would
+      // advance the stream checkpoint past data that never landed.
+      if (!fs.exists(dest))
+        require(fs.rename(srcs.head.getPath, dest),
+          s"rename failed: ${srcs.head.getPath} -> $dest")
       CommittedFile(topic, p, i, s, e, dest.toString)
     }
-    fs.delete(new Path(s"$outDir/+tmp"), true)
+    // clean only THIS topic's staging dir — +tmp is shared by
+    // concurrently-ingesting topics under the same outDir
+    fs.delete(new Path(staged), true)
     committed
   }
 

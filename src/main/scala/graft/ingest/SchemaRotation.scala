@@ -55,22 +55,22 @@ object SchemaRotation {
     }
 
     val withAdopted = df.withColumn("adopted_ver", adopted)
-    val boundary = compat match {
-      case Compatibility.None =>
-        // any change of schema id vs the previous record
-        col("adopted_ver") =!= lag(col("adopted_ver"), 1, null).over(w) ||
-          lag(col("adopted_ver"), 1).over(w).isNull
-      case _ =>
-        col("adopted_ver") =!= lag(col("adopted_ver"), 1, -1).over(w) ||
-          lag(col("adopted_ver"), 1).over(w).isNull
-    }
+    // boundary = first record of the partition, or the adopted schema
+    // id changed. Null-safe equality: under NONE a null schema id is a
+    // legitimate distinct schema (schemaless JSON), and plain =!= would
+    // neither rotate into nor out of it consistently.
+    val boundary = row_number().over(w) === 1 ||
+      !(col("adopted_ver") <=> lag(col("adopted_ver"), 1).over(w))
     val seg = withAdopted
       .withColumn("__b", when(boundary, 1L).otherwise(0L))
       .withColumn("seg_idx", sum(col("__b")).over(running) - 1)
       .drop("__b")
     val wSeg = Window.partitionBy(part, col("seg_idx")).orderBy(off)
+    // (seg << 40) | sizeIdx: collision would need 2^40 files in one
+    // schema segment of one partition — unreachable (that is ≥ 2^40 ×
+    // flushSize records in a single Kafka partition)
     seg.withColumn("file_idx",
-      col("seg_idx") * 1000000L +
+      shiftleft(col("seg_idx"), 40) +
         Rotation.longDiv((row_number().over(wSeg) - 1).cast("long"), lit(flushSize.toLong)))
   }
 

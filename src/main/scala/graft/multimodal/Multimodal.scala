@@ -63,7 +63,9 @@ object Multimodal {
         // per-partition (per-batch) init happens HERE in a real codec
         rows.map { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
+          // payload is declared nullable — treat a missing payload as
+          // an empty blob rather than NPE-ing the task
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           val (mean, frames, feat) = decodeStub(bytes)
           Row(id, bytes.length.toLong, mean, frames, feat.toSeq)
         }

@@ -32,8 +32,12 @@ object StreamIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val committed = BatchWriter.maxCommittedOffsets(batch.sparkSession, outDir, topic)
-        val fresh = BatchWriter.resumeFrom(batch, committed)
-        if (!fresh.isEmpty) { BatchWriter.write(fresh, outDir, topic, flushSize); () }
+        // pin the filtered batch: isEmpty + the write's staging/manifest
+        // jobs would otherwise re-read the source up to three times
+        val fresh = BatchWriter.resumeFrom(batch, committed).persist()
+        try {
+          if (!fresh.isEmpty) { BatchWriter.write(fresh, outDir, topic, flushSize); () }
+        } finally fresh.unpersist()
       }
       .start()
 

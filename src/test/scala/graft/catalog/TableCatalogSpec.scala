@@ -60,4 +60,18 @@ class TableCatalogSpec extends SparkSuite {
 
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("partition values with quotes are escaped, not injected") {
+    val loc = Files.createTempDirectory("graft-cat-esc").toString
+    spark.sql("DROP TABLE IF EXISTS esc_tab")
+    TableCatalog.createExternalTable(spark, "esc_tab", loc,
+      dataSchema = StructType(Seq(StructField("v", LongType))),
+      partitionCols = Seq("event_type" -> "STRING"))
+    TableCatalog.addPartition(spark, "esc_tab", Map("event_type" -> "user's-click"))
+    val parts = spark.sql("SHOW PARTITIONS esc_tab").collect().map(_.getString(0))
+    // Spark URL-encodes special chars in partition path names
+    assert(parts.exists(p => p.contains("user's-click") || p.contains("user%27s-click")),
+      parts.mkString(","))
+    spark.sql("DROP TABLE esc_tab")
+  }
 }

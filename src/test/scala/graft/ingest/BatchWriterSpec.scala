@@ -74,7 +74,9 @@ class BatchWriterSpec extends SparkSuite {
   test("temp staging directory is cleaned up after commit") {
     val out = tmpDir()
     BatchWriter.write(records(Seq(0L), 3), out, "t", flushSize = 2)
-    assert(!Files.exists(java.nio.file.Paths.get(s"$out/+tmp")))
+    // the topic's own staging dir is removed; the shared +tmp root may
+    // remain (other topics could be staging under it)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/+tmp/t")))
   }
 
   test("json format roundtrips records with .json committed names (B3)") {
@@ -106,6 +108,18 @@ class BatchWriterSpec extends SparkSuite {
       StructField("off", LongType), StructField("payload", StringType)))
     val back = BatchWriter.read(spark, out, "t", format = "csv", schema = Some(schema))
     assert(back.count() === 3)
+  }
+
+  test("commit cleanup touches only the writing topic's staging dir") {
+    val out = tmpDir()
+    // leave another topic's staging files in the shared +tmp root
+    val other = java.nio.file.Paths.get(s"$out/+tmp/other-topic")
+    Files.createDirectories(other)
+    Files.writeString(other.resolve("inflight.parquet"), "x")
+    BatchWriter.write(records(Seq(0L), 3), out, "t", flushSize = 2)
+    assert(Files.exists(other.resolve("inflight.parquet")),
+      "concurrent topic's staged data must survive another topic's commit")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/+tmp/t")))
   }
 
   test("avro names the missing module; unknown formats rejected") {

@@ -56,6 +56,20 @@ class SchemaRotationSpec extends SparkSuite {
     assert(got === Seq((0L, 1), (1L, 2), (2L, 2), (3L, 2)))
   }
 
+  test("NONE treats a null schema id as a distinct schema (rotates in and out)") {
+    val out = Files.createTempDirectory("schema-rot").toString
+    val df = Seq(
+      (12L, 0L, Integer.valueOf(7), "a"),
+      (12L, 1L, null.asInstanceOf[Integer], "b"),
+      (12L, 2L, null.asInstanceOf[Integer], "c"),
+      (12L, 3L, Integer.valueOf(7), "d")).toDF("part", "off", "ver", "payload")
+    val m = SchemaRotation.write(df, col("part"), col("off"), col("ver"),
+      Compatibility.None, out, "t", flushSize = 10)
+    // segments: [7], [null,null], [7] — null neither merges into the
+    // previous schema nor splits per-record
+    assert(ranges(m) === Seq((0L, 0L), (1L, 2L), (3L, 3L)))
+  }
+
   test("missing version under BACKWARD raises (reference parity)") {
     val out = Files.createTempDirectory("schema-rot").toString
     val bad = Seq((12L, 0L, null.asInstanceOf[Integer], "r"))

@@ -30,6 +30,14 @@ class MultimodalSpec extends SparkSuite {
     assert(math.abs(h1.sum - 1f) < 1e-5)
   }
 
+  test("null payload decodes as an empty blob instead of failing the task") {
+    val m = Seq((1L, "x"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val f = Multimodal.extractFeatures(Multimodal.fromDocuments(m))
+    val rows = f.select(col("media_id"), col("n_bytes"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 1L, 2L -> 0L))
+  }
+
   test("frame sampling yields k monotonically increasing byte offsets") {
     val got = Multimodal.frameSampleOffsets(media(), 4)
       .filter(col("media_id") === 2).select(col("frame_offsets"))
