@@ -25,21 +25,34 @@ import graft.ingest.BatchWriter
   */
 object StreamIngest {
 
-  /** Start the commit pipeline on a stream shaped (part, off, ...). */
+  /** Start the commit pipeline on a stream shaped (part, off, ...).
+    *
+    * Committed offsets are recovered from filenames ONCE at query
+    * start (the reference's recover-on-start, `HdfsSinkTask.java:145-149`)
+    * and then maintained incrementally from each batch's commit
+    * manifest — the recursive directory listing does not re-run per
+    * micro-batch, so its cost no longer grows with total file count.
+    * A restart re-lists, which is exactly the crash-recovery contract. */
   def start(stream: DataFrame, outDir: String, topic: String, flushSize: Int,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String): StreamingQuery = {
+    var committed = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val committed = BatchWriter.maxCommittedOffsets(batch.sparkSession, outDir, topic)
         // pin the filtered batch: isEmpty + the write's staging/manifest
         // jobs would otherwise re-read the source up to three times
         val fresh = BatchWriter.resumeFrom(batch, committed).persist()
         try {
-          if (!fresh.isEmpty) { BatchWriter.write(fresh, outDir, topic, flushSize); () }
-        } finally fresh.unpersist()
+          if (!fresh.isEmpty) {
+            val manifest = BatchWriter.write(fresh, outDir, topic, flushSize)
+            committed = manifest.foldLeft(committed) { (m, f) =>
+              m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
+            }
+          }
+        } finally { fresh.unpersist(); () }
       }
       .start()
+  }
 
   /** Event-time bucketing with late-data handling (A12's semantics:
     * a time bucket closes only once a later record advances the clock —
