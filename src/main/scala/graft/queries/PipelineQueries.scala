@@ -74,8 +74,11 @@ object PipelineQueries {
         val sig = hs.groupBy(col("doc_id")).agg(
           DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
         val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
+        // persist before the self-join: both join sides would otherwise
+        // re-run the whole shingle→hash→signature pipeline; bands is
+        // tiny relative to the documents (4 short strings per doc)
         val bands = sig.select(col("doc_id"),
-          explode(DF.bandKeys(sigCols, 4)).as("band"))
+          explode(DF.bandKeys(sigCols, 4)).as("band")).persist()
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -120,7 +123,7 @@ object PipelineQueries {
           DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
         val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
         val bands = sig.select(col("doc_id"),
-          explode(DF.bandKeys(sigCols, 4)).as("band"))
+          explode(DF.bandKeys(sigCols, 4)).as("band")).persist()
         val pairs = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
