@@ -75,6 +75,16 @@ object StreamDemo {
     q2.stop()
     println("DEMO_ADOPTIONS=" + spark.table("demo_adoptions")
       .orderBy("part", "off").collect().mkString(","))
+
+    // avro sink over real events (snappy codec, avro-core writer)
+    val ev = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(pmod(col("event_id"), lit(4L)).as("part"),
+        col("event_id").as("off"), col("event_type"), col("value"))
+    val avroOut = Files.createTempDirectory("demo-avro").toString
+    val m = graft.ingest.AvroSink.write(ev, avroOut, "events", 250, codec = "snappy")
+    println("DEMO_AVRO_FILES=" + BatchWriter.listCommitted(spark, avroOut, "events").take(2))
+    val (sch, rows) = graft.ingest.AvroSink.readFile(m.head.path.stripPrefix("file:"))
+    println("DEMO_AVRO=" + sch.getName + " n=" + rows.size + " first=" + rows.head)
     spark.stop()
   }
 }

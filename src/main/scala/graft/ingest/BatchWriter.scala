@@ -52,7 +52,8 @@ object BatchWriter {
                     format: String = "parquet"): Seq[CommittedFile] = {
     if (format == "avro")
       throw new IllegalArgumentException(
-        "avro needs the spark-avro module, which is not on this classpath")
+        "avro via DataFrameWriter needs the spark-avro module (absent " +
+          "from this classpath) — use graft.ingest.AvroSink.write instead")
     val ext = Formats.getOrElse(format,
       throw new IllegalArgumentException(s"unknown format: $format"))
     val spark = sizedIn.sparkSession
