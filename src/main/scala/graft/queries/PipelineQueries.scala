@@ -109,14 +109,16 @@ object PipelineQueries {
       },
       bench = true),
 
-    // ---- Dedup clusters: MinHash-LSH candidate pairs → connected
-    //      components → one cluster id (min doc id) per document.
-    //      The full dedup pipeline shape: block, pair, cluster. ----
+    // ---- Dedup clusters: the full production pipeline shape —
+    //      block (LSH bands) → pair → VERIFY (true 3-gram Jaccard ≥ 0.5
+    //      on candidates only; at sf0.01 this keeps the 25 real
+    //      near-dup pairs, j ≥ 0.9, and drops 23 banding false
+    //      positives, j ≈ 0.02) → cluster (connected components). ----
     QuerySpec("dedup_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)
         val sh = docs.select(col("doc_id"),
-          TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+          TF.shingles(TF.tokens(col("text")), 3).as("sh")).persist()
         val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
           .select(col("doc_id"), (TF.hash60(col("s")) % mmP).as("h"))
         val sig = hs.groupBy(col("doc_id")).agg(
@@ -128,8 +130,13 @@ object PipelineQueries {
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
           .distinct()
+        val verified = pairs
+          .join(sh.as("x"), col("src") === col("x.doc_id"))
+          .join(sh.as("y"), col("dst") === col("y.doc_id"))
+          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+          .select(col("src"), col("dst"))
         graft.operators.ConnectedComponents
-          .run(docs.select(col("doc_id").as("id")), pairs)
+          .run(docs.select(col("doc_id").as("id")), verified)
           .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
           .orderBy(col("doc_id"))
       },
@@ -153,7 +160,13 @@ object PipelineQueries {
            |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
            |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-           |ed AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+           |verified AS (SELECT src, dst FROM (
+           |  SELECT src, dst,
+           |    CAST(len(list_filter(list_distinct(x.sh), s0 -> list_contains(list_distinct(y.sh), s0))) AS DOUBLE) AS inter,
+           |    CAST(len(list_distinct(x.sh)) + len(list_distinct(y.sh)) AS DOUBLE) AS szsum
+           |  FROM pairs JOIN sh x ON x.doc_id = src JOIN sh y ON y.doc_id = dst)
+           |  WHERE inter / (szsum - inter) >= 0.5),
+           |ed AS (SELECT src, dst FROM verified UNION SELECT dst, src FROM verified),
            |reach(id, comp) AS (
            |  SELECT doc_id, doc_id FROM documents
            |  UNION
