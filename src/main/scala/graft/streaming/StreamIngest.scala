@@ -39,9 +39,13 @@ object StreamIngest {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // batch-local offset dedup: an at-least-once upstream can hand
+        // the SAME (part, off) twice within one micro-batch, which the
+        // committed-offset filter alone cannot catch
+        val deduped = batch.dropDuplicates("part", "off")
         // pin the filtered batch: isEmpty + the write's staging/manifest
         // jobs would otherwise re-read the source up to three times
-        val fresh = BatchWriter.resumeFrom(batch, committed).persist()
+        val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
         try {
           if (!fresh.isEmpty) {
             val manifest = BatchWriter.write(fresh, outDir, topic, flushSize)

@@ -48,6 +48,22 @@ class StreamIngestSpec extends SparkSuite {
     assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 4L, 1L -> 0L))
   }
 
+  test("duplicate offsets within one micro-batch commit exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-stream-dup").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-dup").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = StreamIngest.start(
+      s.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 2, ckpt)
+    s.addData((0L, 0L, "a"), (0L, 0L, "a"), (0L, 1L, "b"), (0L, 1L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val back = BatchWriter.read(spark, out, "t")
+    assert(back.count() === 2)
+    assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 1L))
+  }
+
   test("windowed counts emit only watermark-closed buckets (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
