@@ -4,12 +4,31 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity primitives over `array<float>` embedding columns.
-  * Pure Catalyst higher-order functions (`zip_with`/`aggregate`) — no
-  * UDFs, so the hot loops are codegen'd and columnar-pruned.
+  *
+  * Cost model (measured, not assumed): Catalyst higher-order functions
+  * (`zip_with`/`aggregate`) evaluate INTERPRETED — fine for a one-shot
+  * dot product, wrong for anything per-plane. The LSH sign bits are
+  * therefore computed from per-dimension `element_at` reads (codegen'd
+  * `ElementAt` + adds, the hyperplane ±1 signs folded into the plan as
+  * add/subtract): ONE logical pass over the vector produces every
+  * plane's projection, no lambda dispatch in the hot loop. (Measured
+  * boundary: the expansion pays a one-time codegen-compile cost and
+  * wins when many planes read each row; for a single per-pair dot
+  * product the tight interpreted loop of `intDot` is ~3× faster — so
+  * scoring paths keep the HOF.)
   *
   * Scale path: brute-force cosine is O(Q×N×d) and only acceptable for a
-  * small query set; the random-hyperplane LSH bucket key reduces the
-  * search to one shuffle-join on a small integer key.
+  * small query set. Blocking/search use BANDED random-hyperplane
+  * signatures — `bands` bands of `rowsPerBand` planes each, the same
+  * b×r shape as MinHash-LSH banding:
+  *   - two vectors at angle θ collide in one band with
+  *     p = (1 − θ/π)^rowsPerBand, and in ≥1 of b bands with
+  *     1 − (1 − p)^bands — `bands` buys recall, `rowsPerBand` buys
+  *     precision;
+  *   - expected in-bucket pair count is ~n²/2^rowsPerBand per band, so
+  *     at scale pick rowsPerBand ≈ log2(n / targetBucketSize) — the
+  *     knob that keeps the candidate self-join linear as n grows. These
+  *     are API parameters, not constants, for exactly that reason.
   */
 object SimilarityFunctions {
 
@@ -41,6 +60,42 @@ object SimilarityFunctions {
       when(dot(vec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** All `numPlanes` hyperplane sign bits of a quantized vector,
+    * computed in ONE pass: each dimension is read once via codegen'd
+    * `element_at` and the ±1 plane components become plan-time
+    * add/subtract — no higher-order functions, no per-plane re-zip of
+    * the array. Returns 0/1 long columns, bit j = [dot(v, plane_j) > 0].
+    *
+    * Requires `qvec` to have exactly `dims` elements (ANSI `element_at`
+    * is strict on bounds — deliberately, a short vector is corrupt
+    * input, not something to silently zero-pad). */
+  def signBitsQ(qvec: Column, numPlanes: Int, dims: Int): Seq[Column] = {
+    val elems = (1 to dims).map(i => element_at(qvec, lit(i)))
+    (0 until numPlanes).map { j =>
+      val proj = elems.zip(plane(j, dims))
+        .map { case (e, s) => if (s > 0) e else -e }
+        .reduce(_ + _)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    }
+  }
+
+  /** Banded LSH keys for a quantized vector: `bands` string keys, each
+    * `"<band>:<packed rowsPerBand-bit signature>"`. Vectors sharing ANY
+    * band key are candidate neighbors — explode + equi-join on the key,
+    * exactly the MinHash-LSH banding shape. See the header for how to
+    * size `bands` (recall) and `rowsPerBand` (candidate-set growth). */
+  def bandedLshKeysQ(qvec: Column, bands: Int, rowsPerBand: Int,
+                     dims: Int): Column = {
+    val bits = signBitsQ(qvec, bands * rowsPerBand, dims)
+    val keys = (0 until bands).map { b =>
+      val sig = (0 until rowsPerBand)
+        .map(r => bits(b * rowsPerBand + r) * lit(1L << r))
+        .reduce(_ + _)
+      concat_ws(":", lit(b).cast("string"), sig.cast("string"))
+    }
+    array(keys: _*)
+  }
+
   /** Fixed-point quantization of a float vector: element-wise
     * `floor(x * scale)` as long. Quantized vectors make every
     * downstream dot product / LSH bucket integer-exact, so results are
@@ -55,10 +110,10 @@ object SimilarityFunctions {
   def intDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
-  /** [[lshBucket]] over a quantized vector (integer-exact sign tests). */
+  /** [[lshBucket]] over a quantized vector (integer-exact sign tests),
+    * built on the single-pass [[signBitsQ]]. */
   def lshBucketQ(qvec: Column, numPlanes: Int, dims: Int): Column =
-    (0 until numPlanes).map { j =>
-      val planeLit = array(plane(j, dims).map(x => lit(x.toLong)): _*)
-      when(intDot(qvec, planeLit) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    signBitsQ(qvec, numPlanes, dims).zipWithIndex
+      .map { case (b, j) => b * lit(1L << j) }
+      .reduce(_ + _)
 }

@@ -38,6 +38,40 @@ object PipelineQueries {
   private def wordCountSql(t: String, w: String) =
     s"len(regexp_extract_all(lower($t), '\\b$w\\b'))"
 
+  /** Signed projection Σ ±v[i] of quantized vector `v` onto hyperplane
+    * `j` — the ±1 components become literal +/− terms, mirroring the
+    * plan Spark's single-pass `signBitsQ` builds. */
+  private def signSumSql(j: Int, dims: Int, v: String): String =
+    SF.plane(j, dims).zipWithIndex.map { case (s, i) =>
+      if (i == 0) { if (s > 0) s"$v[1]" else s"-$v[1]" }
+      else { if (s > 0) s" + $v[${i + 1}]" else s" - $v[${i + 1}]" }
+    }.mkString
+
+  /** Packed `numPlanes`-bit LSH bucket (mirror of `SF.lshBucketQ`). */
+  private def bucketSumSql(numPlanes: Int, dims: Int, v: String): String =
+    (0 until numPlanes).map { j =>
+      s"CASE WHEN (${signSumSql(j, dims, v)}) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n  + ")
+
+  /** Banded LSH key list (mirror of `SF.bandedLshKeysQ`). */
+  private def bandedKeysSql(bands: Int, r: Int, dims: Int, v: String): String = {
+    val keys = (0 until bands).map { b =>
+      val sig = (0 until r).map { rr =>
+        s"(CASE WHEN (${signSumSql(b * r + rr, dims, v)}) > 0 THEN ${1L << rr} ELSE 0 END)"
+      }.mkString(" + ")
+      s"concat_ws(':', '$b', ($sig)::VARCHAR)"
+    }
+    keys.mkString("[", ",\n    ", "]")
+  }
+
+  /** Banded-LSH shape shared by the embedding blocking/search queries:
+    * 4 bands × 4 planes (16 hyperplanes). At this SF the bands keep
+    * recall high; at scale both are caller-set knobs (see
+    * SimilarityFunctions header for the sizing rule). */
+  private val EmbBands = 4
+  private val EmbRows = 4
+  private val EmbDims = 64
+
   private val mmP = DF.MinhashPrime
 
   val specs: Seq[QuerySpec] = Seq(
@@ -295,118 +329,136 @@ object PipelineQueries {
              |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
 
-    // ---- ANN scale path: random-hyperplane LSH bucket histogram. ----
+    // ---- ANN scale path: random-hyperplane LSH bucket histogram.
+    //      Sign bits come from the single-pass codegen'd signBitsQ —
+    //      one element_at read per dimension, not one re-zip of the
+    //      vector per plane. ----
     QuerySpec("sim_lsh_buckets",
-      (s, d) => Tables.embeddings(s, d)
-        .select(SF.lshBucketQ(SF.quantize(col("embedding")), 8, 64).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .orderBy(col("bucket")),
-      Some {
-        val terms = (0 until 8).map { j =>
-          val planeLit = SF.plane(j, 64).mkString("[", ", ", "]::BIGINT[]")
-          s"""CASE WHEN CAST(list_sum(list_transform(list_zip(v, $planeLit),
-             |    p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
-        }.mkString("\n  + ")
+      (s, d) => {
+        val qv = Tables.embeddings(s, d)
+          .select(SF.quantize(col("embedding")).as("v"))
+        qv.select(SF.lshBucketQ(col("v"), 8, EmbDims).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some(
         s"""WITH qv AS (SELECT
            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
            |  FROM embeddings),
            |b AS (SELECT
-           |  $terms AS bucket
+           |  ${bucketSumSql(8, EmbDims, "v")} AS bucket
            |FROM qv)
-           |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
-      },
+           |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
       bench = true),
 
-    // ---- Embedding-cosine near-dup: LSH buckets as blocking, exact
-    //      cosine only on in-bucket pairs (O(n) candidates, not n²).
-    //      Cosine from integer-exact components (quantized dot + norms)
-    //      so both engines compute bit-identical doubles. Threshold
-    //      0.35 is tuned to the synthetic data's cosine range (max
-    //      ~0.44 — no true near-dups exist; the operator shape is the
-    //      deliverable). ----
+    // ---- Embedding-cosine near-dup: BANDED hyperplane LSH as blocking
+    //      (explode band keys → equi-join → distinct candidates), exact
+    //      cosine verify only on candidates — the same block→pair→verify
+    //      shape as dedup_clusters, and linear-in-n when rowsPerBand is
+    //      sized to log2(n / targetBucketSize) (see SimilarityFunctions
+    //      header). Cosine from integer-exact components (quantized dot
+    //      + norms) so both engines compute bit-identical doubles.
+    //      Threshold 0.35 is tuned to the synthetic data's cosine range
+    //      (max ~0.44 — no true near-dups exist; the operator shape is
+    //      the deliverable). ----
     QuerySpec("dedup_embedding_cosine",
       (s, d) => {
         val qv = Tables.embeddings(s, d).select(col("vec_id"),
           SF.quantize(col("embedding")).as("v"))
+        // persisted: referenced by both self-join sides and the verify
+        // join-back — otherwise the quantize+sign pipeline re-runs 4×
         val withB = qv.select(col("vec_id"), col("v"),
-          SF.lshBucketQ(col("v"), 8, 64).as("bucket"),
-          SF.intDot(col("v"), col("v")).as("n2"))
-        val pairs = withB.as("a").join(withB.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        val cos = SF.intDot(col("a.v"), col("b.v")).cast("double") /
-          (sqrt(col("a.n2").cast("double")) * sqrt(col("b.n2").cast("double")))
-        pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            cos.as("cosine"))
+          SF.bandedLshKeysQ(col("v"), EmbBands, EmbRows, EmbDims).as("keys"),
+          SF.intDot(col("v"), col("v")).as("n2")).persist()
+        val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
+        val cand = bk.as("a").join(bk.as("b"),
+            col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val joined = cand
+          .join(withB.as("x"), col("vec_a") === col("x.vec_id"))
+          .join(withB.as("y"), col("vec_b") === col("y.vec_id"))
+        // per-pair dot stays the single-pass HOF intDot: measured 3×
+        // faster here than a per-dimension element_at expansion (the
+        // expansion wins only for many-planes-per-row projections,
+        // where its one-time codegen cost amortizes across planes)
+        val cos = SF.intDot(col("x.v"), col("y.v")).cast("double") /
+          (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
+        joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
           .filter(col("cosine") >= 0.35)
           .orderBy(col("vec_a"), col("vec_b"))
       },
-      Some {
-        val bucketTerms = (0 until 8).map { j =>
-          val planeLit = SF.plane(j, 64).mkString("[", ", ", "]::BIGINT[]")
-          s"""CASE WHEN CAST(list_sum(list_transform(list_zip(v, $planeLit),
-             |    p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
-        }.mkString("\n  + ")
+      Some(
         s"""WITH qv AS (SELECT vec_id,
            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
            |  FROM embeddings),
            |wb AS (SELECT vec_id, v,
-           |    $bucketTerms AS bucket,
-           |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+           |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+           |    ${bandedKeysSql(EmbBands, EmbRows, EmbDims, "v")} AS keys
            |  FROM qv),
-           |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |    CAST(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
-           |    a.n2 AS na2, b.n2 AS nb2
-           |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
+           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
+           |p AS (SELECT vec_a, vec_b,
+           |    CAST(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+           |    x.n2 AS na2, y.n2 AS nb2
+           |  FROM cand JOIN wb x ON x.vec_id = vec_a JOIN wb y ON y.vec_id = vec_b)
            |SELECT vec_a, vec_b,
            |  CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
            |FROM p
            |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35
-           |ORDER BY vec_a, vec_b""".stripMargin
-      },
+           |ORDER BY vec_a, vec_b""".stripMargin),
       bench = true),
 
-    // ---- IVF-style ANN: the LSH bucket is the coarse quantizer;
-    //      probe only the query's own cell (nprobe=1). The scale path
-    //      vs sim_topk_bruteforce's full scan. ----
+    // ---- IVF-style ANN with banded multiprobe: each band key is a
+    //      coarse-quantizer cell and a query probes all `EmbBands` of
+    //      its cells (nprobe = bands — the recall knob the fixed
+    //      single-bucket version lacked). Candidates are deduped BEFORE
+    //      the dot products, so each survivor is scored once. ----
     QuerySpec("sim_ivf_topk",
       (s, d) => {
         val qv = Tables.embeddings(s, d).select(col("vec_id"),
           SF.quantize(col("embedding")).as("v"))
-        val withB = qv.select(col("vec_id"), col("v"),
-          SF.lshBucketQ(col("v"), 8, 64).as("bucket"))
-        val q = withB.filter(col("vec_id").isin(0L, 1L, 2L))
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+        val withK = qv.select(col("vec_id"), col("v"),
+          SF.bandedLshKeysQ(col("v"), EmbBands, EmbRows, EmbDims).as("keys"))
+          .persist()
+        val bk = withK.select(col("vec_id"), explode(col("keys")).as("k"))
+        val qk = bk.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("k"))
+        val cand = bk.join(broadcast(qk), Seq("k"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"))
+          .distinct()
+        val q = withK.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("dot").desc, col("neighbor_id").asc)
-        withB.join(broadcast(q), Seq("bucket"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cand.join(withK, col("neighbor_id") === col("vec_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .select(col("q_id"), col("neighbor_id"),
             SF.intDot(col("qv"), col("v")).as("dot"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .orderBy(col("q_id"), col("rnk"))
       },
-      Some {
-        val bucketTerms = (0 until 8).map { j =>
-          val planeLit = SF.plane(j, 64).mkString("[", ", ", "]::BIGINT[]")
-          s"""CASE WHEN CAST(list_sum(list_transform(list_zip(v, $planeLit),
-             |    p -> p[1] * p[2])) AS BIGINT) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
-        }.mkString("\n  + ")
+      Some(
         s"""WITH qv AS (SELECT vec_id,
            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
            |  FROM embeddings),
-           |wb AS (SELECT vec_id, v,
-           |    $bucketTerms AS bucket
+           |wk AS (SELECT vec_id, v,
+           |    ${bandedKeysSql(EmbBands, EmbRows, EmbDims, "v")} AS keys
            |  FROM qv),
-           |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id IN (0, 1, 2)),
-           |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
-           |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
-           |  FROM wb a JOIN q ON a.bucket = q.bucket WHERE a.vec_id <> q_id),
+           |bk AS (SELECT vec_id, unnest(keys) AS k FROM wk),
+           |cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS neighbor_id
+           |  FROM bk a JOIN bk q ON a.k = q.k
+           |  WHERE q.vec_id IN (0, 1, 2) AND a.vec_id <> q.vec_id),
+           |dots AS (SELECT q_id, neighbor_id,
+           |    CAST(list_sum(list_transform(list_zip(qq.v, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+           |  FROM cand JOIN qv a ON a.vec_id = neighbor_id JOIN qv qq ON qq.vec_id = q_id),
            |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
            |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
            |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
-           |ORDER BY q_id, rnk""".stripMargin
-      }),
+           |ORDER BY q_id, rnk""".stripMargin)),
 
     // ---- Multimodal plumbing: opaque binary payload + deterministic
     //      fake "decode" into typed features (the Spark-side schema /

@@ -39,6 +39,61 @@ class SimilarityFunctionsSpec extends SparkSuite {
     assert(SimilarityFunctions.plane(4, 16) !== p1)
   }
 
+  test("signBitsQ matches the per-plane intDot definition") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(16)(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextInt(2001) - 1000L)))
+    val df = vecs.toDF("id", "v")
+    val fast = df.select(col("id"),
+        array(SimilarityFunctions.signBitsQ(col("v"), 6, 8): _*).as("bits"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val slow = vecs.map { case (id, v) =>
+      id -> (0 until 6).map { j =>
+        val d = v.zip(SimilarityFunctions.plane(j, 8)).map { case (x, s) => x * s }.sum
+        if (d > 0) 1L else 0L
+      }
+    }.toMap
+    assert(fast === slow)
+  }
+
+  test("bandedLshKeysQ: identical vectors share every key; keys are band-prefixed") {
+    val v = Seq(0.501f, -0.251f, 0.751f, -0.501f, 0.301f, 0.101f, -0.901f, 0.441f)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "v")
+    val got = df.select(col("id"),
+        SimilarityFunctions.bandedLshKeysQ(
+          SimilarityFunctions.quantize(col("v")), 3, 2, 8).as("keys"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === got(2L))
+    assert(got(1L).size === 3)
+    got(1L).zipWithIndex.foreach { case (k, b) =>
+      assert(k.matches(s"$b:[0-3]"), s"key $k not <band>:<2-bit sig>")
+    }
+  }
+
+  test("banded blocking: candidate pairs stay ~linear when rowsPerBand scales with log n") {
+    // The scale contract from the header: doubling n while adding one
+    // row per band keeps expected candidates ~n²/2^r → growth ≈ 2×,
+    // not the 4× a fixed bucket space gives.
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(42)
+    def vecs(n: Int) = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    def candidates(df: DataFrame, r: Int): Long = {
+      val withK = df.select(col("id"),
+        SimilarityFunctions.bandedLshKeysQ(
+          SimilarityFunctions.quantize(col("v")), 4, r, 64).as("keys"))
+      val bk = withK.select(col("id"), explode(col("keys")).as("k"))
+      bk.as("a").join(bk.as("b"),
+          col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    val small = candidates(vecs(256).toDF("id", "v"), 4)
+    val big = candidates(vecs(512).toDF("id", "v"), 5)
+    assert(small > 0)
+    assert(big.toDouble / small < 3.0,
+      s"candidates grew ${big.toDouble / small}x (want ~2x): $small -> $big")
+  }
+
   test("lshBucketQ buckets identical vectors together, fits numPlanes bits") {
     // 5 dims with odd quantized values: a ±1-plane dot of 5 odd terms is
     // odd, hence never 0, so the opposite vector flips every sign bit.
