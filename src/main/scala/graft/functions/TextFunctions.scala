@@ -84,8 +84,18 @@ object TextFunctions {
     "es" -> Seq("el", "los", "que"),
     "zh" -> Seq("de5", "shi4", "le5")) // romanized placeholders
 
+  /** Total occurrences of any of `words` as whole words — ONE regex
+    * alternation pass over the text, not one pass per word. Equal to
+    * the sum of the individual [[wordCount]]s: `\b`-delimited plain
+    * words cannot produce overlapping matches. */
+  def wordsCount(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty && words.forall(_.matches("[A-Za-z0-9_]+")),
+      s"alternation needs plain words, got: ${words.mkString(",")}")
+    regexp_count(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"))
+  }
+
   def langScore(text: Column, markers: Seq[String]): Column =
-    markers.map(w => wordCount(text, w)).reduce(_ + _)
+    wordsCount(text, markers)
 
   /** argmax over language scores with first-listed tie-break.
     *
@@ -95,8 +105,12 @@ object TextFunctions {
     * codegen compile time (1.9 s vs 3.7 s first run) and mirrors into
     * a much smaller oracle. `array_position` takes the FIRST index on
     * ties — the same first-listed-language priority the fold had. */
-  def predictedLang(text: Column): Column = {
-    val scores = array(langMarkers.map { case (_, ms) => langScore(text, ms) }: _*)
+  def predictedLang(text: Column): Column =
+    langFromScores(array(langMarkers.map { case (_, ms) => langScore(text, ms) }: _*))
+
+  /** argmax over a precomputed [[langScore]] array — callers that also
+    * need the scores materialize them once and pass the attribute. */
+  def langFromScores(scores: Column): Column = {
     val langs = array(langMarkers.map(m => lit(m._1)): _*)
     val best = array_max(scores)
     when(best > 0,
@@ -111,20 +125,34 @@ object TextFunctions {
   /** Stopword ratio over a fixed small stopword list. */
   val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
 
-  def stopwordRatio(text: Column): Column = {
-    val stops = stopwords.map(w => wordCount(text, w)).reduce(_ + _)
-    stops.cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  /** One alternation pass over the text (see [[wordsCount]]). */
+  def stopwordCount(text: Column): Column = wordsCount(text, stopwords)
+
+  /** Ratio from PRE-MATERIALIZED counts — the tokenize-once path:
+    * pipelines computing several stats per document should compute
+    * `tokenCount`/`stopwordCount` once in a projection and derive
+    * every downstream stat from the attributes, instead of letting
+    * each stat re-scan the text. */
+  def stopwordRatioFrom(nStops: Column, nTokens: Column): Column =
+    nStops.cast("double") / greatest(nTokens, lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFrom(stopwordCount(text), tokenCount(text))
+
+  /** Composite quality score in [0,1] from pre-materialized counts:
+    * favors mid-length docs with sane punctuation density and some
+    * stopwords (fluent prose proxy). `len` is `length(text)`. */
+  def qualityScoreFrom(stopRatio: Column, nTokens: Column, nPunct: Column,
+                       len: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / lit(100.0), lit(1.0))
+    val punctRatio = nPunct.cast("double") / greatest(len, lit(1)).cast("double")
+    val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
+    lit(0.4) * stopRatio + lit(0.3) * lenScore + lit(0.3) * punctScore
   }
 
-  /** Composite quality score in [0,1]: favors mid-length docs with sane
-    * punctuation density and some stopwords (fluent prose proxy). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
-    val punctRatio = punctCount(text).cast("double") /
-      greatest(length(text), lit(1)).cast("double")
-    val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
-    lit(0.4) * stopwordRatio(text) + lit(0.3) * lenScore + lit(0.3) * punctScore
-  }
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(stopwordRatio(text), tokenCount(text), punctCount(text),
+      length(text))
 
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order- and duplication-invariant (bag-of-words identity).

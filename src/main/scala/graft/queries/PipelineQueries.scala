@@ -35,9 +35,6 @@ object PipelineQueries {
       "ELSE []::VARCHAR[] END"
   }
 
-  private def wordCountSql(t: String, w: String) =
-    s"len(regexp_extract_all(lower($t), '\\b$w\\b'))"
-
   /** Signed projection Σ ±v[i] of quantized vector `v` onto hyperplane
     * `j` — the ±1 components become literal +/− terms, mirroring the
     * plan Spark's single-pass `signBitsQ` builds. */
@@ -260,22 +257,37 @@ object PipelineQueries {
               |FROM j ORDER BY doc_a""".stripMargin)),
 
     // ---- Text analysis: tokens, BPE-ish units, punctuation, lang-ID,
-    //      stopword ratio, composite quality score. ----
+    //      stopword ratio, composite quality score. Tokenize-once
+    //      shape: the base projection scans the text exactly 8 times
+    //      (1 token split, 1 bpeish + 1 punct regex, 5 per-language
+    //      alternation counts incl. stopwords) and every downstream
+    //      stat derives from those attributes — vs one regex pass per
+    //      marker word (~25 scans/row) before. ----
     QuerySpec("text_stats",
-      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+      (s, d) => {
+        val base = Tables.documents(s, d).select(col("doc_id"),
           TF.tokenCount(col("text")).cast("long").as("n_tokens"),
           TF.bpeishCount(col("text")).cast("long").as("n_bpeish"),
           TF.punctCount(col("text")).cast("long").as("n_punct"),
-          TF.predictedLang(col("text")).as("lang"),
-          TF.stopwordRatio(col("text")).as("stop_ratio"),
-          TF.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id")),
+          array(TF.langMarkers.map { case (_, ms) =>
+            TF.langScore(col("text"), ms) }: _*).as("scores"),
+          TF.stopwordCount(col("text")).as("n_stops"),
+          length(col("text")).as("len"))
+        val stopRatio = TF.stopwordRatioFrom(col("n_stops"), col("n_tokens"))
+        base.select(col("doc_id"), col("n_tokens"), col("n_bpeish"),
+            col("n_punct"),
+            TF.langFromScores(col("scores")).as("lang"),
+            stopRatio.as("stop_ratio"),
+            TF.qualityScoreFrom(stopRatio, col("n_tokens"), col("n_punct"),
+              col("len")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
       Some {
         val scoreList = TF.langMarkers.map { case (_, ms) =>
-          ms.map(w => wordCountSql("text", w)).mkString(" + ")
+          s"len(regexp_extract_all(lower(text), '\\b(${ms.mkString("|")})\\b'))"
         }.mkString("[", ",\n      ", "]")
         val langList = TF.langMarkers.map(m => s"'${m._1}'").mkString("[", ", ", "]")
-        val stops = TF.stopwords.map(w => wordCountSql("text", w)).mkString(" + ")
+        val stops = s"len(regexp_extract_all(lower(text), '\\b(${TF.stopwords.mkString("|")})\\b'))"
         s"""WITH base AS (SELECT doc_id, text,
            |    len(${toksSql("text")})::BIGINT AS n_tokens,
            |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,

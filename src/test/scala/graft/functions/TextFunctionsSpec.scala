@@ -54,6 +54,15 @@ class TextFunctionsSpec extends SparkSuite {
     assert(got === Seq("en", "de", "und"))
   }
 
+  test("wordsCount equals the sum of per-word wordCounts") {
+    val texts = Seq("the cat and the dog of it", "and of the the the", "none here")
+    val words = Seq("the", "and", "of")
+    val together = onTexts[Int](texts, TextFunctions.wordsCount(col("text"), words))
+    val summed = words.map(w => onTexts[Int](texts, TextFunctions.wordCount(col("text"), w)))
+      .transpose.map(_.sum)
+    assert(together === summed)
+  }
+
   test("stopwordRatio and qualityScore stay in [0,1]") {
     val texts = Seq("the a and of to in", "no stop words here!!!", "")
     val ratios = onTexts[Double](texts, TextFunctions.stopwordRatio(col("text")))
