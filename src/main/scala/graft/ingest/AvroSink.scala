@@ -86,26 +86,11 @@ object AvroSink {
     sized.repartition(col("part"), col("file_idx"))
       .sortWithinPartitions(col("part"), col("file_idx"), col("off"))
       .foreachPartition { rows: Iterator[Row] =>
-        val schema = new Schema.Parser().parse(avroJson)
-        val fs = FileSystem.get(new Path(staged).toUri, new Configuration())
-        val writers = mutable.Map.empty[(Long, Long), DataFileWriter[GenericRecord]]
-        try {
-          rows.foreach { r =>
-            val key = (r.getAs[Long]("part"), r.getAs[Long]("file_idx"))
-            val w = writers.getOrElseUpdate(key, {
-              val p = new Path(s"$staged/part=${key._1}/file_idx=${key._2}/part-0.avro")
-              val out = fs.create(p, true)
-              val dfw = new DataFileWriter[GenericRecord](
-                new GenericDatumWriter[GenericRecord](schema))
-              dfw.setCodec(codecFor(codec))
-              dfw.create(schema, out)
-              dfw
-            })
-            val rec = new GenericData.Record(schema)
-            fieldNames.foreach(n => rec.put(n, toAvro(r.getAs[Any](n))))
-            w.append(rec)
-          }
-        } finally writers.values.foreach(_.close())
+        val tc = org.apache.spark.TaskContext.get()
+        val tag =
+          if (tc != null) s"attempt-${tc.taskAttemptId()}"
+          else s"attempt-${java.util.UUID.randomUUID()}"
+        writePartitionStaged(rows, avroJson, staged, codec, fieldNames, tag)
       }
 
     val manifest = sized.groupBy(col("part"), col("file_idx"))
@@ -127,6 +112,101 @@ object AvroSink {
     }
     fs.delete(new Path(staged), true)
     committed
+  }
+
+  /** One task attempt's staged write. Rows (grouped + sorted by
+    * `(part, file_idx, off)`) go to ATTEMPT-UNIQUE temp files
+    * (`part-0.avro.<tag>.tmp`), promoted to the canonical staged name
+    * by an atomic rename only after every writer closed cleanly — so a
+    * speculative or retried duplicate attempt can never interleave
+    * container blocks with the winner's (the reference's temp→rename
+    * staging discipline, `FileUtils.java:66-75`). On HDFS the rename is
+    * first-wins (rename onto an existing path fails and the loser's
+    * temp is dropped); on a POSIX local FS it is last-wins — either
+    * way the visible file is ONE attempt's complete output, and both
+    * attempts wrote identical logical content. A failed attempt
+    * deletes its temps. */
+  private[ingest] def writePartitionStaged(rows: Iterator[Row], avroJson: String,
+      staged: String, codec: String, fieldNames: Seq[String],
+      attemptTag: String): Unit = {
+    val schema = new Schema.Parser().parse(avroJson)
+    val fs = FileSystem.get(new Path(staged).toUri, new Configuration())
+    val writers =
+      mutable.Map.empty[(Long, Long), (Path, DataFileWriter[GenericRecord])]
+    var ok = false
+    try {
+      rows.foreach { r =>
+        val key = (r.getAs[Long]("part"), r.getAs[Long]("file_idx"))
+        val (_, w) = writers.getOrElseUpdate(key, {
+          val tmp = new Path(
+            s"$staged/part=${key._1}/file_idx=${key._2}/part-0.avro.$attemptTag.tmp")
+          val out = fs.create(tmp, true)
+          val dfw = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          dfw.setCodec(codecFor(codec))
+          dfw.create(schema, out)
+          (tmp, dfw)
+        })
+        val rec = new GenericData.Record(schema)
+        fieldNames.foreach(n => rec.put(n, toAvro(r.getAs[Any](n))))
+        w.append(rec)
+      }
+      ok = true
+    } finally {
+      writers.values.foreach { case (_, w) => w.close() }
+      if (ok)
+        writers.foreach { case ((p, i), (tmp, _)) =>
+          val dest = new Path(s"$staged/part=$p/file_idx=$i/part-0.avro")
+          if (!fs.rename(tmp, dest)) fs.delete(tmp, false) // lost to a winner
+        }
+      else
+        writers.values.foreach { case (tmp, _) => fs.delete(tmp, false) }
+    }
+  }
+
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: CharSequence, StringType) => u.toString
+    case (b: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
+    case (l: java.lang.Long, TimestampType) =>
+      val micros = l.longValue()
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
+    case (x, _) => x
+  }
+
+  /** B5 end-to-end — committed Avro container files as a DataFrame,
+    * without the spark-avro module: a distributed `binaryFile` scan
+    * feeds avro-core container decoding on the executors (reference
+    * readers `avro/AvroFileReader.java:42-53`). Each task decodes whole
+    * container files — correct parallelism for flush-size-bounded sink
+    * output, where file count >> executor count at scale. `schema`
+    * must be the payload schema the files were written with (the
+    * [[avroSchemaFor]] type lattice). */
+  def readDataFrame(spark: org.apache.spark.sql.SparkSession, path: String,
+                    schema: StructType): DataFrame = {
+    val fieldNames = schema.fieldNames.toSeq
+    val types = schema.fields.map(_.dataType).toSeq
+    val rdd = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(path)
+      .select(col("content")).rdd
+      .flatMap { row =>
+        val in = new org.apache.avro.file.SeekableByteArrayInput(
+          row.getAs[Array[Byte]](0))
+        val rdr = new DataFileReader[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        try while (rdr.hasNext) {
+          val rec = rdr.next()
+          out += Row.fromSeq(fieldNames.zip(types).map {
+            case (n, dt) => fromAvro(rec.get(n), dt)
+          })
+        } finally rdr.close()
+        out
+      }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** B5 — Avro schema + record read-back (driver-side, avro-core). */

@@ -37,6 +37,63 @@ class AvroSinkSpec extends SparkSuite {
     }
   }
 
+  test("duplicate task attempts cannot interleave: each stages to its own temp") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    val staged = Files.createTempDirectory("avro-attempts").toString
+    val sized = Rotation.withSizeFileIndex(records(4), Seq(col("part")), col("off"), 4)
+    val rows = sized.collect().toSeq
+    val payloadSchema = StructType(sized.schema.fields.filterNot(_.name == "file_idx"))
+    val avroJson = AvroSink.avroSchemaFor(payloadSchema, "t").toString
+    val names = payloadSchema.fieldNames.toSeq
+    // speculative execution: two attempts of the same partition both run
+    AvroSink.writePartitionStaged(rows.iterator, avroJson, staged, "null", names, "attempt-1")
+    AvroSink.writePartitionStaged(rows.iterator, avroJson, staged, "null", names, "attempt-2")
+    val dir = new java.io.File(s"$staged/part=12/file_idx=0")
+    val visible = dir.listFiles().filterNot(_.getName.startsWith(".")).map(_.getName).sorted
+    assert(visible.toSeq === Seq("part-0.avro"), "exactly one winner, no temp leftovers")
+    val (_, got) = AvroSink.readFile(s"$dir/part-0.avro")
+    assert(got.map(_("off")) === Seq(0L, 1L, 2L, 3L), "winner file is complete")
+  }
+
+  test("a failed attempt deletes its temp; a retry then succeeds") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    val staged = Files.createTempDirectory("avro-retry").toString
+    val sized = Rotation.withSizeFileIndex(records(4), Seq(col("part")), col("off"), 4)
+    val rows = sized.collect().toSeq
+    val payloadSchema = StructType(sized.schema.fields.filterNot(_.name == "file_idx"))
+    val avroJson = AvroSink.avroSchemaFor(payloadSchema, "t").toString
+    val names = payloadSchema.fieldNames.toSeq
+    val failing = rows.iterator.zipWithIndex.map { case (r, i) =>
+      if (i == 2) throw new RuntimeException("executor died"); r
+    }
+    intercept[RuntimeException] {
+      AvroSink.writePartitionStaged(failing, avroJson, staged, "null", names, "attempt-1")
+    }
+    val dir = new java.io.File(s"$staged/part=12/file_idx=0")
+    assert(dir.listFiles().filterNot(_.getName.startsWith(".")).isEmpty,
+      "failed attempt left no visible or temp file")
+    AvroSink.writePartitionStaged(rows.iterator, avroJson, staged, "null", names, "attempt-2")
+    val (_, got) = AvroSink.readFile(s"$dir/part-0.avro")
+    assert(got.map(_("off")) === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("committed files read back as a DataFrame (binaryFile + avro-core)") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("avro-df").toString
+    val df = (0L until 10L).map(o =>
+        (o % 2, o, s"v$o", o * 1.5, if (o % 3 == 0) null else s"n$o"))
+      .toDF("part", "off", "s", "d", "maybe")
+    AvroSink.write(df, out, "events", flushSize = 4)
+    val payloadSchema = df.schema
+    val got = AvroSink.readDataFrame(spark, s"$out/events/partition=*", payloadSchema)
+    assert(got.schema === payloadSchema)
+    val gotRows = got.orderBy(col("off")).collect().toSeq
+    val wantRows = df.orderBy(col("off")).collect().toSeq
+    assert(gotRows === wantRows)
+  }
+
   test("unknown codec and unsupported column types fail fast") {
     val out = Files.createTempDirectory("avro-bad").toString
     intercept[IllegalArgumentException] {
