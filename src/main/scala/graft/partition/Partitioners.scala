@@ -45,13 +45,46 @@ object Partitioners {
 
   /** TimeBased path with the reference's default-ish long format,
     * e.g. `year=2015/month=January/day=01/hour=2` —
-    * vector from `partitioner/TimeBasedPartitionerTest.java:44-47`. */
+    * vector from `partitioner/TimeBasedPartitionerTest.java:44-47`.
+    * Renders in the session timezone, English month names. */
   def timeBasedPath(ts: Column): Column =
     concat(
       lit("year="), date_format(ts, "yyyy"),
       lit("/month="), date_format(ts, "MMMM"),
       lit("/day="), date_format(ts, "dd"),
       lit("/hour="), date_format(ts, "H"))
+
+  /** Duration-bucket start in the LOCAL wall time of `tz` — the
+    * reference's bucketing semantics (`TimeBasedPartitioner.java`
+    * `getPartition`: the floor is applied to the zone-ADJUSTED
+    * timestamp, then mapped back; an hourly bucket in a +05:30 zone
+    * starts on the local hour, not the UTC one). Returns the bucket
+    * start as a wall-clock timestamp (render it directly; the repo's
+    * session-timezone convention is UTC). */
+  def timeBucketLocal(ts: Column, durationMs: Long, tz: String): Column = {
+    val local = from_utc_timestamp(ts, tz)
+    timestamp_millis(unix_millis(local) - pmod(unix_millis(local), lit(durationMs)))
+  }
+
+  /** Fully parameterized TimeBased partitioner path — the reference's
+    * configuration surface (`docs/configuration_options.rst:189-215`:
+    * `partition.duration.ms`, `timezone`, `locale`; long path format).
+    * Month names come from a plan-time per-locale name table because
+    * `date_format` has no locale parameter; everything stays a foldable
+    * Column expression. DST behavior matches the reference
+    * (`TimeBasedPartitionerTest.java:51-60`): on fall-back the repeated
+    * local hour renders the same path for both UTC instants. */
+  def timeBasedPath(ts: Column, durationMs: Long, tz: String,
+                    locale: java.util.Locale): Column = {
+    val b = timeBucketLocal(ts, durationMs, tz)
+    val monthNames = (1 to 12).map(m => lit(java.time.Month.of(m)
+      .getDisplayName(java.time.format.TextStyle.FULL, locale)))
+    concat(
+      lit("year="), date_format(b, "yyyy"),
+      lit("/month="), element_at(array(monthNames: _*), month(b)),
+      lit("/day="), date_format(b, "dd"),
+      lit("/hour="), date_format(b, "H"))
+  }
 }
 
 /** The reference's pluggable `TimestampExtractor`s

@@ -34,6 +34,41 @@ class PartitionersSpec extends SparkSuite {
       "year=2015/month=04/day=02/hour=01")
   }
 
+  test("parameterized timeBasedPath: BiHourly LA vector with locale month names") {
+    // reference TimeBasedPartitionerTest.java:38-48: 2015-01-01 03:00
+    // America/Los_Angeles (= 11:00Z), 2h buckets -> bucket start 02:00
+    val t = ts("2015-01-01 11:00:00") // session TZ is UTC -> this is 11:00Z
+    val en = one(Partitioners.timeBasedPath(col("ts"), 7200000L,
+      "America/Los_Angeles", java.util.Locale.ENGLISH), t)
+    assert(en === "year=2015/month=January/day=01/hour=2")
+    val fr = one(Partitioners.timeBasedPath(col("ts"), 7200000L,
+      "America/Los_Angeles", java.util.Locale.FRENCH), t)
+    assert(fr === "year=2015/month=janvier/day=01/hour=2")
+  }
+
+  test("DST fall-back: both occurrences of the repeated local hour render one path") {
+    // reference TimeBasedPartitionerTest.java:51-60: 2015-11-01 LA,
+    // clocks fall back 02:00 -> 01:00; 08:30Z is 01:30 PDT and 09:30Z
+    // is 01:30 PST -- one local hour, one rendered partition path.
+    val pdt = ts("2015-11-01 08:30:00")
+    val pst = ts("2015-11-01 09:30:00")
+    val path = Partitioners.timeBasedPath(col("ts"), 3600000L,
+      "America/Los_Angeles", java.util.Locale.ENGLISH)
+    val a = one(path, pdt)
+    val b = one(path, pst)
+    assert(a === b)
+    assert(a === "year=2015/month=November/day=01/hour=1")
+  }
+
+  test("timeBucketLocal floors on the LOCAL wall clock (half-hour zone)") {
+    // Hourly buckets in Asia/Kolkata (+05:30) must start on the local
+    // hour: 10:00Z = 15:30 IST -> bucket start 15:00 IST wall time.
+    val got = Seq(ts("2015-04-02 10:00:00")).toDF("ts")
+      .select(date_format(Partitioners.timeBucketLocal(col("ts"), 3600000L,
+        "Asia/Kolkata"), "HH:mm")).as[String].head()
+    assert(got === "15:00")
+  }
+
   test("defaultPartition and fieldPartition encode k=v directories") {
     val df = Seq((12, "click")).toDF("p", "et")
     val (d, f) = df.select(
