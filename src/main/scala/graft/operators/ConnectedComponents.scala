@@ -15,34 +15,71 @@ import org.apache.spark.sql.functions._
   * alternating large-star/small-star (O(log n) rounds, same join
   * shape) — the per-round dataflow here (shuffle on vertex id, 16-byte
   * rows) is already the scalable one.
+  *
+  * Per-round cost: ONE shuffle (the min aggregation). The edge set is
+  * pre-partitioned on `src` to match the aggregation's hash(id) output
+  * partitioning, so the propagate join is exchange-free, and the
+  * convergence flag is computed INSIDE the same aggregation (the old
+  * label rides along and is compared post-agg) — reading the changed
+  * count is a scan of the just-materialized round, not a second
+  * aggregate-and-join job.
+  *
+  * Lineage: each round is truncated with `localCheckpoint` (executor
+  * memory — without it Catalyst analysis time grows exponentially in
+  * the round number). On a large cluster where losing an executor
+  * mid-run matters, pass `checkpointDir` to use reliable HDFS
+  * checkpointing instead.
   */
 object ConnectedComponents {
 
   /** `vertices`: one `id` column; `edges`: `src`,`dst` (undirected —
     * symmetrized internally). Returns (id, component) with component =
     * min vertex id in the component. */
-  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
+          checkpointDir: Option[String] = None): DataFrame =
+    runCounted(vertices, edges, maxIter, checkpointDir)._1
+
+  /** [[run]], also returning the number of rounds executed (diameter
+    * + 1 detection round for a converging input). */
+  def runCounted(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
+                 checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+
+    // hash-partitioned on src to align with the aggregation's hash(id)
+    // output: the per-round join then needs no exchange on either side
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
-    // localCheckpoint (not cache) each round: caching keeps the logical
-    // plan growing — after ~15 iterations Catalyst analysis time
-    // explodes exponentially. Checkpointing truncates the lineage so
-    // every round plans against a flat scan.
-    var comp = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+      .distinct()
+      .repartition(col("src"))
+      .cache()
+    var comp = materialize(vertices.select(col("id"), col("id").as("comp")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val viaNeighbor = sym.join(comp, sym("src") === comp("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = comp.select(col("id"), col("comp")).union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp")).localCheckpoint()
-      changed = next.as("n").join(comp.as("c"), col("n.id") === col("c.id"))
-        .filter(col("n.comp") =!= col("c.comp")).count()
-      comp = next
+      val next = materialize(round(sym, comp))
+      changed = next.filter(col("chg")).count() // scan of the cached round
+      comp = next.select(col("id"), col("comp"))
       i += 1
     }
     sym.unpersist()
-    comp
+    (comp, i)
+  }
+
+  /** One propagation round: min label over self + neighbors, with the
+    * previous label carried through the SAME aggregation (`own` rows
+    * are unique per id, so `min(when(own, comp))` recovers it) and the
+    * changed flag derived post-agg — one shuffle, no follow-up join. */
+  private[operators] def round(sym: DataFrame, comp: DataFrame): DataFrame = {
+    val viaNeighbor = sym.join(comp, sym("src") === comp("id"))
+      .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
+    comp.select(col("id"), col("comp"), lit(true).as("own"))
+      .union(viaNeighbor)
+      .groupBy(col("id"))
+      .agg(min(col("comp")).as("comp"),
+        min(when(col("own"), col("comp"))).as("prev"))
+      .withColumn("chg", col("comp") =!= col("prev"))
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSuite
 
 class ConnectedComponentsSpec extends SparkSuite {
@@ -21,6 +23,56 @@ class ConnectedComponentsSpec extends SparkSuite {
     val got = ConnectedComponents.run(vertices, edges)
       .as[(Long, Long)].collect().toMap
     assert(got.values.toSet === Set(1L))
+  }
+
+  test("round count is diameter + 1 and the convergence flag needs no extra join") {
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val (got, rounds) = ConnectedComponents.runCounted(vertices, edges)
+    assert(got.as[(Long, Long)].collect().toMap.values.forall(_ == 1L))
+    assert(rounds === 4) // diameter 3 + 1 fixpoint-detection round
+  }
+
+  test("reliable checkpointing produces the same components and writes the dir") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val vertices = Seq(1L, 2L, 3L, 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = ConnectedComponents.run(vertices, edges, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L))
+    assert(new java.io.File(dir).listFiles().nonEmpty, "checkpoint dir used")
+  }
+
+  test("one exchange per round: the propagate join reuses aligned partitioning") {
+    val vertices = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).cache()
+    sym.count()
+    val comp = vertices.select(col("id"), col("id").as("comp")).localCheckpoint()
+    // comp here is hash-partitioned only after round 1; emulate the
+    // steady state by passing one round's output back in. AQE and
+    // broadcast are disabled so the sort-merge path must stand on the
+    // aligned hash partitioning alone.
+    val conf = spark.conf
+    val (aqe, bc) = (conf.get("spark.sql.adaptive.enabled"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val r1 = ConnectedComponents.round(sym, comp).localCheckpoint()
+      val r2 = ConnectedComponents.round(sym, r1.select(col("id"), col("comp")))
+      val exchanges = r2.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.size
+      assert(exchanges === 1,
+        s"want exactly the aggregation exchange in a steady-state round, got $exchanges")
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+      sym.unpersist()
+    }
   }
 
   test("long path converges within the iteration cap") {
