@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ingest.BatchWriter
 
@@ -34,10 +34,12 @@ object StreamIngest {
     * micro-batch, so its cost no longer grows with total file count.
     * A restart re-lists, which is exactly the crash-recovery contract. */
   def start(stream: DataFrame, outDir: String, topic: String, flushSize: Int,
-            checkpoint: String): StreamingQuery = {
+            checkpoint: String, trigger: Option[Trigger] = None): StreamingQuery = {
     var committed = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic)
-    stream.writeStream
+    val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
+    trigger.foreach(writer.trigger)
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // batch-local offset dedup: an at-least-once upstream can hand
         // the SAME (part, off) twice within one micro-batch, which the
@@ -57,6 +59,28 @@ object StreamIngest {
       }
       .start()
   }
+
+  /** A13 — wallclock scheduled rotation in the streaming plane
+    * (`rotate.schedule.interval.ms`, `TopicPartitionWriter.java:297-310`
+    * + partial-file flush test `DataWriterAvroTest.java:356-403`): the
+    * commit cadence is a processing-time trigger at `periodMs`, and a
+    * micro-batch holding FEWER than `flushSize` records still commits
+    * its file when the schedule fires — the partial-file flush the
+    * reference tests.
+    *
+    * Day alignment: Spark's ProcessingTime trigger fires at
+    * epoch-aligned multiples of the period; the epoch is anchored at
+    * UTC midnight, so for periods dividing 24h these are exactly the
+    * reference's midnight-anchored fire times
+    * (`Rotation.nextTimeAdjustedByDay` — equivalence property-tested
+    * in RotationSpec). Periods that do not divide a day re-anchor at
+    * each midnight in the reference; pick a divisor period (the
+    * reference's own default configs do) to keep the contracts equal. */
+  def startScheduled(stream: DataFrame, outDir: String, topic: String,
+                     flushSize: Int, checkpoint: String,
+                     periodMs: Long): StreamingQuery =
+    start(stream, outDir, topic, flushSize, checkpoint,
+      Some(Trigger.ProcessingTime(periodMs)))
 
   /** Event-time bucketing with late-data handling (A12's semantics:
     * a time bucket closes only once a later record advances the clock —

@@ -87,6 +87,22 @@ class RotationSpec extends SparkSuite {
     assert(next > t && next - t <= 3600000L)
   }
 
+  test("epoch-aligned trigger fire times equal the day-aligned schedule for divisor periods") {
+    // StreamIngest.startScheduled relies on this: Spark's ProcessingTime
+    // trigger aligns batches to epoch multiples of the period, and the
+    // epoch is anchored at UTC midnight — so for any period dividing
+    // 24h the fire grid is exactly nextTimeAdjustedByDay's.
+    val utc = ZoneId.of("UTC")
+    val periods = Seq(60000L, 900000L, 3600000L, 7200000L, 21600000L, 86400000L)
+    val rnd = new scala.util.Random(13)
+    val times = Seq.fill(50)(1420070400000L + (rnd.nextLong(365L * 86400000L)))
+    for (p <- periods; t <- times) {
+      val epochAligned = (t / p + 1) * p
+      assert(epochAligned === Rotation.nextTimeAdjustedByDay(t, p, utc),
+        s"period=$p t=$t")
+    }
+  }
+
   test("column-form nextRotateMillis equals the pure function in UTC") {
     val tsMs = Seq(1704067798778L, 1704100000000L, 1704067200000L)
     val got = tsMs.toDF("ms")

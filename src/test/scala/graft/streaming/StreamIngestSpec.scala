@@ -64,6 +64,26 @@ class StreamIngestSpec extends SparkSuite {
     assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 1L))
   }
 
+  test("scheduled rotation commits a partial file when the trigger fires (A13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-stream-sched").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-sched").toString
+    val s = MemoryStream[(Long, Long, String)]
+    // flushSize 5 but only 2 records arrive: the schedule fire (the
+    // processing-time trigger) must still flush and commit the partial
+    // file — DataWriterAvroTest.java:356-403's contract.
+    val q = StreamIngest.startScheduled(
+      s.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 5, ckpt,
+      periodMs = 200L)
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(BatchWriter.listCommitted(spark, out, "t") ===
+      Seq("t+0+0000000000+0000000001.parquet"))
+    assert(BatchWriter.read(spark, out, "t").count() === 2)
+  }
+
   test("windowed counts emit only watermark-closed buckets (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
