@@ -21,16 +21,24 @@ object Tables {
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
     * microseconds — identical to what a micro-precision engine does.
     *
-    * The conf is set once at session build by Verify/Bench/tests; the
-    * set here is an idempotent backstop for ad-hoc sessions. It only
-    * affects TIMESTAMP(NANOS) columns (no other testdata table has
-    * any), so it is order-independent.
-    */
+    * The conf is SCOPED to this read (set, infer, restore): the
+    * relation captures it at schema-inference time, so later actions
+    * on the returned frame are unaffected by the restore — and other
+    * parquet reads in the session keep their configured semantics
+    * instead of silently decoding any TIMESTAMP(NANOS) column as long
+    * because `events` happened to load first. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     case n =>
       spark.read.parquet(s"$dir/$n.parquet")
   }
