@@ -114,6 +114,26 @@ object IngestQueries {
       Some("""SELECT strftime(ts, 'year=%Y/month=%m/day=%d/hour=%H') AS path, count(*) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // A5+ — parameterized TimeBasedPartitioner: 2h buckets floored on
+    // the America/Los_Angeles wall clock (the reference's zone-adjusted
+    // getPartition), rendered in the long month-name format.
+    QuerySpec("partition_time_zoned",
+      (s, d) => stream(s, d)
+        .groupBy(Partitioners.timeBasedPath(col("ts"), 7200000L,
+          "America/Los_Angeles", java.util.Locale.ENGLISH).as("path"))
+        .agg(count(lit(1)).as("n")).orderBy(col("path")),
+      Some("""WITH wall AS (
+             |  SELECT timezone('America/Los_Angeles', ts AT TIME ZONE 'UTC') AS w
+             |  FROM events),
+             |b AS (SELECT make_timestamp(
+             |    (epoch_ms(w) - epoch_ms(w) % 7200000) * 1000) AS bk FROM wall)
+             |SELECT concat('year=', strftime(bk, '%Y'),
+             |    '/month=', monthname(bk),
+             |    '/day=', strftime(bk, '%d'),
+             |    '/hour=', CAST(hour(bk) AS VARCHAR)) AS path,
+             |  count(*) AS n
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A7 — RecordField timestamp extractor: epoch-ms field → timestamp.
     QuerySpec("ts_extract_field",
       (s, d) => stream(s, d).select(col("off").as("event_id"),

@@ -472,6 +472,44 @@ object PipelineQueries {
            |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
            |ORDER BY q_id, rnk""".stripMargin)),
 
+    // ---- Deterministic train/val/test assignment: hash-bucket the
+    //      content (NOT a random sample — reproducible across runs,
+    //      engines, and re-partitioning; membership is a pure function
+    //      of the document). The aggregate shape shuffles one small
+    //      grouping column, not documents. ----
+    QuerySpec("split_train_val_test",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select((TF.hash60(col("text")) % 100).as("bucket"))
+        base.select(
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH b AS (SELECT ${h60("text")} % 100 AS bucket FROM documents)
+              |SELECT CASE WHEN bucket < 80 THEN 'train'
+              |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+              |  count(*) AS n_docs
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Corpus heavy hitters: global top-20 tokens. Partial (map-
+    //      side) counting shrinks the shuffle to distinct tokens per
+    //      input partition; the final top-k is TakeOrdered, never a
+    //      full sort of the vocabulary. Ties broken on the token so
+    //      the result is deterministic. ----
+    QuerySpec("top_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some(s"""WITH tok AS (SELECT ${toksSql("text")} AS toks FROM documents),
+              |t AS (SELECT unnest(toks) AS token FROM tok)
+              |SELECT token, count(*) AS n FROM t GROUP BY 1
+              |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
+
     // ---- Multimodal plumbing: opaque binary payload + deterministic
     //      fake "decode" into typed features (the Spark-side schema /
     //      batching is real; real codecs slot into graft.multimodal). ----
