@@ -118,6 +118,96 @@ object BatchWriter {
     committed
   }
 
+  /** Small-files compaction — the maintenance operation every
+    * flush-size-bounded streaming sink needs at scale (a year of
+    * micro-batches = millions of small files; NameNode metadata and
+    * scan-task scheduling both degrade). Merges runs of CONTIGUOUS
+    * committed files per partition into files of ≥ `targetRecords`
+    * records, preserving the offset-ranged naming and the idempotent
+    * commit protocol:
+    *
+    *  - grouping is pure offset arithmetic over the filename manifest
+    *    (driver-side, linear in file count — metadata plane, no data);
+    *  - only multi-file groups are read (explicit file list, not a
+    *    full-topic scan) and rewritten through [[writeAssigned]] in ONE
+    *    Spark job (group index = file_idx, so the shuffle key equals
+    *    the output layout);
+    *  - sources are deleted only AFTER their replacement committed, so
+    *    a crash anywhere is healed by re-running: the compacted range
+    *    is skipped idempotently and leftover sources are re-deleted.
+    *
+    * Readers that scan the directory during the commit→delete window
+    * can observe a compacted file alongside its sources (overlapping
+    * offsets) — run compaction writer-exclusive per topic, the same
+    * discipline the reference's one-writer-per-partition model implies.
+    * A transactional metadata-log sink is the upgrade that removes the
+    * window entirely.
+    *
+    * `format` must be one that retains the `off` column (parquet/json/
+    * csv — text files carry offsets only in the filename). */
+  def compact(spark: SparkSession, outDir: String, topic: String,
+              targetRecords: Long, pad: Int = FileNaming.DefaultZeroPadWidth,
+              format: String = "parquet"): Seq[CommittedFile] = {
+    require(format != "text", "text files do not retain the off column")
+    val re = FileNaming.CommittedFilenameRegex.r
+    val byPartition = listCommitted(spark, outDir, topic).flatMap {
+      case n @ re(t, p, s, e, _) if t == topic =>
+        Some((p.toLong, s.toLong, e.toLong, n))
+      case _ => None
+    }.groupBy(_._1)
+
+    // greedy contiguous grouping: accumulate files until the group
+    // holds >= targetRecords (dense offsets => records = e - s + 1)
+    final case class Group(partition: Long, start: Long, end: Long,
+                           files: Seq[String])
+    val groups = byPartition.toSeq.sortBy(_._1).flatMap { case (p, files) =>
+      val out = Seq.newBuilder[Group]
+      var start = -1L
+      var end = -1L
+      var names = List.empty[String]
+      files.sortBy(_._2).foreach { case (_, s, e, n) =>
+        if (names.isEmpty) start = s
+        names = n :: names
+        end = e
+        if (end - start + 1 >= targetRecords) {
+          out += Group(p, start, end, names.reverse)
+          names = Nil
+        }
+      }
+      if (names.nonEmpty) out += Group(p, start, end, names.reverse)
+      out.result()
+    }
+    val multi = groups.filter(_.files.size > 1)
+    if (multi.isEmpty) return Seq.empty
+
+    val fs = FileSystem.get(new Path(outDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def srcPath(p: Long, name: String) =
+      new Path(s"$outDir/$topic/partition=$p/$name")
+
+    // one job: read only the files being merged, assign group index by
+    // offset range (broadcast ranges), and commit through the standard
+    // staging + rename protocol
+    val paths = multi.flatMap(g => g.files.map(srcPath(g.partition, _).toString))
+    val data = spark.read.option("basePath", s"$outDir/$topic")
+      .format(format).load(paths: _*)
+      .withColumnRenamed("partition", "part")
+      // partition-dir discovery infers int; the stream schema is long
+      .withColumn("part", col("part").cast("long"))
+    import spark.implicits._
+    val ranges = multi.zipWithIndex
+      .map { case (g, i) => (g.partition, g.start, g.end, i.toLong) }
+      .toDF("part", "__gs", "__ge", "file_idx")
+    val assigned = data.join(broadcast(ranges), Seq("part"))
+      .filter(col("off").between(col("__gs"), col("__ge")))
+      .drop("__gs", "__ge")
+    val committed = writeAssigned(assigned, outDir, topic, pad, format)
+
+    // replacements are durable — now drop the merged sources
+    multi.foreach(g => g.files.foreach(n => fs.delete(srcPath(g.partition, n), false)))
+    committed
+  }
+
   /** Recursive committed-file listing (B10, `FileUtils.java:151-221`):
     * depth-first under `<outDir>/<topic>`, committed names only. */
   def listCommitted(spark: SparkSession, outDir: String, topic: String): Seq[String] = {
