@@ -213,5 +213,74 @@ object RelationalQueries {
              |EXCEPT
              |SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
              |WHERE event_type = 'error'
-             |ORDER BY user_id, day""".stripMargin)))
+             |ORDER BY user_id, day""".stripMargin)),
+
+    // Sessionization: gap > 30 min starts a new session; assignment is
+    // a running sum of session starts — ONE shuffle on user_id + a
+    // sort, no iteration. Ties on ts are broken by event_id so the lag
+    // is deterministic.
+    QuerySpec("sessionize_events",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapMs = unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+        val isNew = when(lag(col("ts"), 1).over(w).isNull || gapMs > 1800000L, 1L)
+          .otherwise(0L)
+        e.select(col("user_id"), col("event_id"), col("ts"), isNew.as("is_new"))
+          .withColumn("session_idx", sum(col("is_new")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            unix_millis(min(col("ts"))).as("start_ms"),
+            unix_millis(max(col("ts"))).as("end_ms"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS is_new
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, event_id, ts,
+             |    (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx FROM g)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // As-of join (point-in-time): each event picks the most recent
+    // signup of its user at or before its timestamp. Spark has no ASOF
+    // operator; composed scalably as union + last-non-null over a
+    // (ts, kind) ordered window — one shuffle on user_id, no
+    // per-row range probe. Signups are deduped to one per (user, ts)
+    // so the greatest-ts-at-or-before row is unique (determinism).
+    QuerySpec("asof_last_signup",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val signups = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts")).agg(min(col("event_id")).as("signup_id"))
+        val l = signups.select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("signup_id"), lit(null).cast("long").as("event_id"))
+        val ev = e.select(col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast("long").as("signup_id"), col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        l.union(ev)
+          .withColumn("last_signup_id",
+            last(col("signup_id"), ignoreNulls = true).over(w))
+          .withColumn("last_signup_ts",
+            last(when(col("signup_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("user_id"),
+            unix_millis(col("ts")).as("ts_ms"),
+            col("last_signup_id").as("signup_id"),
+            unix_millis(col("last_signup_ts")).as("signup_ts_ms"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH signups AS (SELECT user_id, ts, min(event_id) AS signup_id
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+             |SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+             |  l.signup_id, epoch_ms(l.ts) AS signup_ts_ms
+             |FROM events e ASOF LEFT JOIN signups l
+             |  ON e.user_id = l.user_id AND e.ts >= l.ts
+             |ORDER BY e.event_id""".stripMargin)))
 }
