@@ -31,6 +31,33 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Range (interval) join at scale: `points ⋈ intervals` on
+    * `key` ∧ `ts ∈ [start, end]`. Spark plans a raw non-equi join as a
+    * broadcast-nested-loop — O(|points|·|intervals|) and a driver OOM
+    * once the intervals side is big. This is the standard bucketization
+    * rewrite: both sides are exploded onto a `bucketMs` time grid
+    * (intervals onto every bucket they overlap), the join becomes an
+    * EQUI-join on (key, bucket) — hash-shuffled, AQE-skew-splittable —
+    * and the exact `BETWEEN` is re-checked as a post-filter. Cost is
+    * O(points + intervals·span/bucketMs + matches): pick `bucketMs`
+    * near the typical interval length so each interval lands in ~1-2
+    * buckets.
+    *
+    * `points` must carry `key`,`ts_ms`; `intervals` `key`,`start_ms`,
+    * `end_ms` (inclusive bounds, epoch millis). Returns matched rows
+    * with both sides' columns. */
+  def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
+                        bucketMs: Long): DataFrame = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(bucketMs))) / bucketMs).cast("long")
+    val p = points.withColumn("__bucket", bucket(col("ts_ms")))
+    val i = intervals.withColumn("__bucket",
+      explode(sequence(bucket(col("start_ms")), bucket(col("end_ms")))))
+    p.join(i, Seq("key", "__bucket"))
+      .filter(col("ts_ms").between(col("start_ms"), col("end_ms")))
+      .drop("__bucket")
+  }
+
   /** Persist `df` bucketed+sorted by `key` into `numBuckets` buckets as
     * a managed table, enabling exchange-free sort-merge joins between
     * tables bucketed the same way. */

@@ -234,6 +234,55 @@ object PipelineQueries {
       },
       bench = true),
 
+    // ---- SimHash near-dup pairs via pigeonhole band blocking: a pair
+    //      within hamming distance 3 differs in at most 3 of the 4
+    //      4-bit bands, so it SHARES at least one band exactly — the
+    //      blocking has zero false negatives, which the oracle proves
+    //      by computing the same result as an unblocked all-pairs
+    //      hamming scan. Spark side stays bucketed (band equi-join +
+    //      bit_count verify), never all-pairs. ----
+    QuerySpec("dedup_simhash_pairs",
+      (s, d) => {
+        val bits = 16
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+          .select(col("doc_id"), DF.hash32(col("t")).as("h"))
+        val agg = ex.groupBy(col("doc_id")).agg(
+          DF.bitSums(col("h"), bits).head,
+          DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
+        val sig = agg.select(col("doc_id"),
+          DF.simhashFromBitSums((0 until bits).map(i => col(s"bit$i")), col("total"))
+            .as("simhash")).persist()
+        val bands = sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            concat_ws(":", lit(b).cast("string"),
+              shiftright(col("simhash"), 4 * b).bitwiseAND(15).cast("string"))): _*))
+            .as("band"))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          .filter(col("hamming") <= 3)
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val terms = (0 until 16).map { j =>
+          s"""CASE WHEN 2 * coalesce(list_sum(list_transform(toks,
+             |    t -> (((${h60("t")} % 4294967296) >> $j) & 1))), 0) > len(toks)
+             |  THEN ${1L << j} ELSE 0 END""".stripMargin
+        }.mkString("\n  + ")
+        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+           |sig AS (SELECT doc_id,
+           |  $terms AS simhash
+           |FROM tok WHERE len(toks) > 0)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // ---- 2-gram Jaccard over adjacent-id candidate pairs. ----
     QuerySpec("dedup_ngram_jaccard",
       (s, d) => {

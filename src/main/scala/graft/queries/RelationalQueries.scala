@@ -282,5 +282,32 @@ object RelationalQueries {
              |  l.signup_id, epoch_ms(l.ts) AS signup_ts_ms
              |FROM events e ASOF LEFT JOIN signups l
              |  ON e.user_id = l.user_id AND e.ts >= l.ts
-             |ORDER BY e.event_id""".stripMargin)))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // Range (interval) join: events per one-hour-after-signup window,
+    // via the bucketized equi-join rewrite (ScaleJoins.bucketedRangeJoin)
+    // — a raw BETWEEN join would plan as a broadcast-nested-loop. The
+    // oracle states the same semantics as a plain non-equi join.
+    QuerySpec("range_join_signup_hour",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val points = e.select(col("user_id").as("key"),
+          unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+        val iv = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id"), col("ts")).agg(min(col("event_id")).as("signup_id"))
+          .select(col("user_id").as("key"), col("signup_id"),
+            unix_millis(col("ts")).as("start_ms"),
+            (unix_millis(col("ts")) + 3600000L).as("end_ms"))
+        graft.operators.ScaleJoins.bucketedRangeJoin(points, iv, 3600000L)
+          .groupBy(col("signup_id")).agg(count(lit(1)).as("n_events"))
+          .orderBy(col("signup_id"))
+      },
+      Some("""WITH signups AS (SELECT user_id, ts, min(event_id) AS signup_id
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+             |iv AS (SELECT user_id, signup_id, epoch_ms(ts) AS s_ms,
+             |    epoch_ms(ts) + 3600000 AS e_ms FROM signups)
+             |SELECT signup_id, count(*) AS n_events
+             |FROM events e JOIN iv ON e.user_id = iv.user_id
+             |  AND epoch_ms(e.ts) BETWEEN s_ms AND e_ms
+             |GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

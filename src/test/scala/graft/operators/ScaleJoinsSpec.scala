@@ -18,6 +18,34 @@ class ScaleJoinsSpec extends SparkSuite {
     assert(salted.size === 1000)
   }
 
+  test("bucketedRangeJoin equals the plain BETWEEN join, across bucket spans") {
+    // intervals deliberately span 1, 2, and 4 buckets at bucketMs=100;
+    // bounds are inclusive on both ends
+    val points = Seq(
+      (1L, 0L, "p0"), (1L, 99L, "p99"), (1L, 100L, "p100"), (1L, 250L, "p250"),
+      (1L, 399L, "p399"), (1L, 400L, "p400"), (2L, 250L, "q250"))
+      .toDF("key", "ts_ms", "pv")
+    val intervals = Seq(
+      (1L, 0L, 99L, "i-a"),     // exactly one bucket
+      (1L, 50L, 150L, "i-b"),   // two buckets
+      (1L, 0L, 399L, "i-c"),    // four buckets
+      (2L, 200L, 300L, "i-d"),  // other key
+      (1L, 500L, 600L, "i-e"))  // matches nothing
+      .toDF("key", "start_ms", "end_ms", "iv")
+    val got = ScaleJoins.bucketedRangeJoin(points, intervals, 100L)
+      .select("pv", "iv").as[(String, String)].collect().toSet
+    val want = points.as("p").join(intervals.as("i"),
+        col("p.key") === col("i.key") &&
+          col("ts_ms").between(col("start_ms"), col("end_ms")))
+      .select("pv", "iv").as[(String, String)].collect().toSet
+    assert(got === want)
+    assert(want === Set(
+      ("p0", "i-a"), ("p99", "i-a"),
+      ("p99", "i-b"), ("p100", "i-b"),
+      ("p0", "i-c"), ("p99", "i-c"), ("p100", "i-c"), ("p250", "i-c"), ("p399", "i-c"),
+      ("q250", "i-d")))
+  }
+
   test("joining two same-bucketed tables runs without a shuffle exchange") {
     val left = (1L to 500L).map(i => (i, s"l$i")).toDF("k", "lv")
     val right = (1L to 500L).map(i => (i, s"r$i")).toDF("k", "rv")
