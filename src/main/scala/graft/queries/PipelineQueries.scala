@@ -281,7 +281,8 @@ object PipelineQueries {
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- 2-gram Jaccard over adjacent-id candidate pairs. ----
     QuerySpec("dedup_ngram_jaccard",
@@ -557,7 +558,8 @@ object PipelineQueries {
       Some(s"""WITH tok AS (SELECT ${toksSql("text")} AS toks FROM documents),
               |t AS (SELECT unnest(toks) AS token FROM tok)
               |SELECT token, count(*) AS n FROM t GROUP BY 1
-              |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
+              |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
+      bench = true),
 
     // ---- Multimodal plumbing: opaque binary payload + deterministic
     //      fake "decode" into typed features (the Spark-side schema /

@@ -244,7 +244,8 @@ object RelationalQueries {
              |      ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx FROM g)
              |SELECT user_id, session_idx, count(*) AS n_events,
              |  min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms
-             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // As-of join (point-in-time): each event picks the most recent
     // signup of its user at or before its timestamp. Spark has no ASOF
@@ -282,7 +283,8 @@ object RelationalQueries {
              |  l.signup_id, epoch_ms(l.ts) AS signup_ts_ms
              |FROM events e ASOF LEFT JOIN signups l
              |  ON e.user_id = l.user_id AND e.ts >= l.ts
-             |ORDER BY e.event_id""".stripMargin)),
+             |ORDER BY e.event_id""".stripMargin),
+      bench = true),
 
     // Range (interval) join: events per one-hour-after-signup window,
     // via the bucketized equi-join rewrite (ScaleJoins.bucketedRangeJoin)
@@ -309,5 +311,6 @@ object RelationalQueries {
              |SELECT signup_id, count(*) AS n_events
              |FROM events e JOIN iv ON e.user_id = iv.user_id
              |  AND epoch_ms(e.ts) BETWEEN s_ms AND e_ms
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true))
 }
