@@ -81,6 +81,20 @@ object Multimodal {
           i.cast("long") * octet_length(col("payload")).cast("long"),
           lit(k.toLong))).as("frame_offsets"))
 
+  /** Resize (thumbnail) plan: output dimensions fitting inside
+    * `maxDim`, aspect preserved, never upscaled — the metadata-only
+    * half of a resize pass, pure column algebra; the byte transform
+    * slots into [[extractFeatures]]'s per-partition batch loop where
+    * the codec lives. Null dimensions pass through as null. */
+  def resizePlan(media: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("width").cast("double")
+    val h = col("height").cast("double")
+    val scale = least(lit(1.0), lit(maxDim.toDouble) / greatest(w, h))
+    media.select(col("media_id"), col("width"), col("height"),
+      floor(w * scale).cast("int").as("out_w"),
+      floor(h * scale).cast("int").as("out_h"))
+  }
+
   /** Wrap a text/doc table as a media table (test fixture path). */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(

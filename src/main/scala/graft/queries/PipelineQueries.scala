@@ -561,6 +561,18 @@ object PipelineQueries {
               |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
       bench = true),
 
+    // ---- Multimodal frame-sampling plan: the byte offsets a video
+    //      decoder would seek to for k uniform frames — pure integer
+    //      column algebra over the payload length, no decode. ----
+    QuerySpec("multimodal_frame_plan",
+      (s, d) => graft.multimodal.Multimodal.frameSampleOffsets(
+          graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)), 4)
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+             |  list_transform(range(0, 4),
+             |    i -> (i * octet_length(encode(text))) // 4) AS frame_offsets
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ---- Multimodal plumbing: opaque binary payload + deterministic
     //      fake "decode" into typed features (the Spark-side schema /
     //      batching is real; real codecs slot into graft.multimodal). ----

@@ -44,4 +44,19 @@ class MultimodalSpec extends SparkSuite {
       .as[Seq[Long]].head()
     assert(got === Seq(0L, 2500L, 5000L, 7500L))
   }
+
+  test("resizePlan fits inside maxDim, preserves aspect, never upscales") {
+    val m = Seq(
+      (1L, "m", Array[Byte](), 1920, 1080, 0L),   // downscale, landscape
+      (2L, "m", Array[Byte](), 600, 800, 0L),     // downscale, portrait
+      (3L, "m", Array[Byte](), 100, 50, 0L))      // already small: untouched
+      .toDF("media_id", "mime", "payload", "width", "height", "duration_ms")
+    val got = Multimodal.resizePlan(m, maxDim = 256)
+      .select(col("media_id"), col("out_w"), col("out_h"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, w, h) => id -> ((w, h)) }.toMap
+    assert(got(1L) === ((256, 144)))
+    assert(got(2L) === ((192, 256)))
+    assert(got(3L) === ((100, 50)))
+  }
 }
