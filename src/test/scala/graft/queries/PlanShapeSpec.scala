@@ -1,0 +1,54 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan-shape assertions for the operators whose value IS their plan:
+  * a correct result via the wrong plan (nested-loop range join, full
+  * sort for a top-k, window-per-stat) would not survive 100 TB. Run at
+  * sf0.001 — plan shape is scale-invariant. */
+class PlanShapeSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(f) ++ p.subqueries.flatMap(_.collect(f))
+
+  test("range_join_signup_hour is an equi-join, not a nested loop") {
+    val p = plan("range_join_signup_hour")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"bucketized rewrite must not plan a nested loop:\n$p")
+  }
+
+  test("top_tokens plans TakeOrdered, never a global sort of the vocabulary") {
+    val p = plan("top_tokens").toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sessionize_events shuffles once for the window and once for the agg at most") {
+    val p = plan("sessionize_events")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2,
+      s"want <=2 exchanges (user_id window + session agg), got ${shuffles.size}:\n$p")
+  }
+
+  test("asof_last_signup shuffles only on the join key") {
+    val p = plan("asof_last_signup")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // signup dedup agg + the union window partitioning; never a
+    // per-row range probe or nested loop
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(shuffles.size <= 3, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("proj_filter_lineitem pushes the filter into the parquet scan") {
+    val p = plan("proj_filter_lineitem").toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
+  }
+}
