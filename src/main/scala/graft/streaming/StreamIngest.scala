@@ -92,6 +92,19 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("bucket_start"), col("n"))
 
+  /** Gap-based sessionization on the live stream: Spark's native
+    * `session_window` keeps per-key session state and emits a session
+    * once the watermark passes its close — the streaming twin of the
+    * batch `sessionize_events` query (same 30-minute-gap semantics,
+    * state bounded by the watermark instead of a sort). */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+                    watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col("user_id"), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Offset-keyed dedup across the stream (at-least-once source →
     * exactly-once records), bounded by the watermark. */
   def dedupOffsets(events: DataFrame, tsCol: String, watermarkDelay: String): DataFrame =

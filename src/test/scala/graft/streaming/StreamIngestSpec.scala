@@ -104,6 +104,31 @@ class StreamIngestSpec extends SparkSuite {
     assert(rows.map(_._2) === Seq(2L)) // the [t0, t0+10m) bucket closed with 2 events
   }
 
+  test("session_window closes a session only after the gap + watermark pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Timestamp, Long)]
+    val q = StreamIngest.sessionCounts(
+        s.toDF().toDF("ts", "user_id"), "ts", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+    // user 7: two events 5 min apart (one session), then silence
+    s.addData((t(0), 7L), (t(5), 7L))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() === 0) // session still open
+
+    // an event far in the future advances the watermark past the close
+    s.addData((t(120), 7L))
+    q.processAllAvailable()
+    val rows = spark.table("sess").as[(Long, Timestamp, Timestamp, Long)]
+      .collect().toSeq
+    q.stop()
+    assert(rows.map(r => (r._1, r._4)) === Seq((7L, 2L)))
+    // session spans first event .. last event + gap
+    assert(rows.head._2 === t(0) && rows.head._3 === t(35))
+  }
+
   test("dropDuplicates on (part, off) dedups an at-least-once stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
