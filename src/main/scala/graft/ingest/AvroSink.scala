@@ -83,6 +83,12 @@ object AvroSink {
     val avroJson = avroSchemaFor(payloadSchema, topic.replaceAll("[^A-Za-z0-9_]", "_")).toString
     val fieldNames = payloadSchema.fieldNames.toSeq
 
+    // wipe any staging leftovers from a previous crashed run BEFORE the
+    // job: on HDFS the task-side promotion is rename-if-absent, and a
+    // stale part-0.avro from an old run must not win over fresh data
+    FileSystem.get(new Path(staged).toUri, spark.sparkContext.hadoopConfiguration)
+      .delete(new Path(staged), true)
+
     sized.repartition(col("part"), col("file_idx"))
       .sortWithinPartitions(col("part"), col("file_idx"), col("off"))
       .foreachPartition { rows: Iterator[Row] =>

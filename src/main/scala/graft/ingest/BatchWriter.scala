@@ -143,18 +143,44 @@ object BatchWriter {
     * A transactional metadata-log sink is the upgrade that removes the
     * window entirely.
     *
-    * `format` must be one that retains the `off` column (parquet/json/
-    * csv — text files carry offsets only in the filename). */
+    * `format` must be one that retains the `off` column AND reads back
+    * with its schema — parquet or json (csv drops column names without
+    * a header; text carries offsets only in the filename). */
   def compact(spark: SparkSession, outDir: String, topic: String,
               targetRecords: Long, pad: Int = FileNaming.DefaultZeroPadWidth,
               format: String = "parquet"): Seq[CommittedFile] = {
-    require(format != "text", "text files do not retain the off column")
+    require(format == "parquet" || format == "json",
+      s"compact needs a self-describing format retaining off, got: $format")
+    val fs = FileSystem.get(new Path(outDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    def srcPath(p: Long, name: String) =
+      new Path(s"$outDir/$topic/partition=$p/$name")
+
     val re = FileNaming.CommittedFilenameRegex.r
-    val byPartition = listCommitted(spark, outDir, topic).flatMap {
+    val listed = listCommitted(spark, outDir, topic).flatMap {
       case n @ re(t, p, s, e, _) if t == topic =>
         Some((p.toLong, s.toLong, e.toLong, n))
       case _ => None
-    }.groupBy(_._1)
+    }
+
+    // Heal first: a file whose offset range lies inside another
+    // committed file's range is a leftover source from a compaction
+    // that crashed in its commit→delete window — every record it holds
+    // is already in the containing file. Deleting subsumed files here
+    // makes the remaining ranges disjoint, so a re-run can never
+    // regroup a compacted file with its own sources (which would
+    // duplicate records, or delete a file acting as its own skipped
+    // "replacement"). Overlap is always full containment because every
+    // committed range is a union of whole predecessor ranges.
+    val byPartition = listed.groupBy(_._1).map { case (p, files) =>
+      val kept = Seq.newBuilder[(Long, Long, Long, String)]
+      var maxEnd = -1L
+      files.sortBy(f => (f._2, -f._3)).foreach { f =>
+        if (f._3 <= maxEnd) fs.delete(srcPath(p, f._4), false) // subsumed
+        else { kept += f; maxEnd = f._3 }
+      }
+      p -> kept.result()
+    }
 
     // greedy contiguous grouping: accumulate files until the group
     // holds >= targetRecords (dense offsets => records = e - s + 1)
@@ -179,11 +205,6 @@ object BatchWriter {
     }
     val multi = groups.filter(_.files.size > 1)
     if (multi.isEmpty) return Seq.empty
-
-    val fs = FileSystem.get(new Path(outDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    def srcPath(p: Long, name: String) =
-      new Path(s"$outDir/$topic/partition=$p/$name")
 
     // one job: read only the files being merged, assign group index by
     // offset range (broadcast ranges), and commit through the standard

@@ -26,7 +26,10 @@ object Tables {
     * on the returned frame are unaffected by the restore — and other
     * parquet reads in the session keep their configured semantics
     * instead of silently decoding any TIMESTAMP(NANOS) column as long
-    * because `events` happened to load first. */
+    * because `events` happened to load first. (Verified on this Spark
+    * by aggregating the ts column AFTER both unsetting and
+    * false-setting the conf — the scan honors the inferred long
+    * schema, not the action-time conf.) */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       val key = "spark.sql.legacy.parquet.nanosAsLong"

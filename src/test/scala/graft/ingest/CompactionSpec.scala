@@ -54,6 +54,44 @@ class CompactionSpec extends SparkSuite {
     assert(BatchWriter.read(spark, out, "t").count() === 8)
   }
 
+  test("a crash in the commit->delete window heals on re-run: no dupes, no loss") {
+    // Build the post-crash state directly: the compacted replacement
+    // committed, but its sources were never deleted.
+    val a = Files.createTempDirectory("compact-crash-a").toString
+    ingest(a, 10, 1)
+    BatchWriter.compact(spark, a, "t", targetRecords = 2) // produces t+0+0+2 etc.
+    val b = Files.createTempDirectory("compact-crash-b").toString
+    ingest(b, 10, 1) // sources all present
+    val leftover = "t+0+0000000000+0000000002.parquet"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$a/t/partition=0/$leftover"),
+      java.nio.file.Paths.get(s"$b/t/partition=0/$leftover"))
+
+    // re-run: the subsumed sources (0-0, 2-2) must be healed away, the
+    // survivor set regrouped with no record duplicated or lost
+    BatchWriter.compact(spark, b, "t", targetRecords = 2)
+    val back = BatchWriter.read(spark, b, "t")
+    assert(back.count() === 10)
+    assert(back.select(countDistinct(col("part"), col("off"))).as[Long].head() === 10)
+    assert(BatchWriter.listCommitted(spark, b, "t") === Seq(
+      "t+0+0000000000+0000000002.parquet",
+      "t+0+0000000004+0000000006.parquet",
+      "t+0+0000000008+0000000008.parquet",
+      "t+1+0000000001+0000000003.parquet",
+      "t+1+0000000005+0000000007.parquet",
+      "t+1+0000000009+0000000009.parquet"))
+  }
+
+  test("compact rejects formats that cannot be read back with their schema") {
+    val out = Files.createTempDirectory("compact-fmt").toString
+    intercept[IllegalArgumentException] {
+      BatchWriter.compact(spark, out, "t", 2, format = "csv")
+    }
+    intercept[IllegalArgumentException] {
+      BatchWriter.compact(spark, out, "t", 2, format = "text")
+    }
+  }
+
   test("files already at target size are untouched (no rewrite, no delete)") {
     val out = Files.createTempDirectory("compact-single").toString
     val df = (0L until 4L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
