@@ -79,6 +79,16 @@ object SimilarityFunctions {
     }
   }
 
+  /** The sizing rule from the header as code: the smallest
+    * `rowsPerBand` keeping the expected per-band bucket population
+    * near `targetBucketSize`, i.e. ceil(log2(n / target)). Doubling n
+    * adds one row per band — candidate growth stays ~linear. */
+  def recommendedRowsPerBand(n: Long, targetBucketSize: Long): Int = {
+    require(n > 0 && targetBucketSize > 0)
+    math.max(1, math.ceil(
+      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+  }
+
   /** Banded LSH keys for a quantized vector: `bands` string keys, each
     * `"<band>:<packed rowsPerBand-bit signature>"`. Vectors sharing ANY
     * band key are candidate neighbors — explode + equi-join on the key,

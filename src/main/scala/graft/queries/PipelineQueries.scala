@@ -71,6 +71,56 @@ object PipelineQueries {
 
   private val mmP = DF.MinhashPrime
 
+  /** Tokenize-once text stats (doc_id, n_tokens, n_bpeish, n_punct,
+    * lang, stop_ratio, quality), unordered — shared by `text_stats`
+    * and the quality filter. */
+  private def textStatsFrame(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.bpeishCount(col("text")).cast("long").as("n_bpeish"),
+      TF.punctCount(col("text")).cast("long").as("n_punct"),
+      array(TF.langMarkers.map { case (_, ms) =>
+        TF.langScore(col("text"), ms) }: _*).as("scores"),
+      TF.stopwordCount(col("text")).as("n_stops"),
+      length(col("text")).as("len"))
+    val stopRatio = TF.stopwordRatioFrom(col("n_stops"), col("n_tokens"))
+    base.select(col("doc_id"), col("n_tokens"), col("n_bpeish"),
+      col("n_punct"),
+      TF.langFromScores(col("scores")).as("lang"),
+      stopRatio.as("stop_ratio"),
+      TF.qualityScoreFrom(stopRatio, col("n_tokens"), col("n_punct"),
+        col("len")).as("quality"))
+  }
+
+  /** DuckDB mirror of [[textStatsFrame]] (no ORDER BY). */
+  private val textStatsCoreSql: String = {
+    val scoreList = TF.langMarkers.map { case (_, ms) =>
+      s"len(regexp_extract_all(lower(text), '\\b(${ms.mkString("|")})\\b'))"
+    }.mkString("[", ",\n      ", "]")
+    val langList = TF.langMarkers.map(m => s"'${m._1}'").mkString("[", ", ", "]")
+    val stops = s"len(regexp_extract_all(lower(text), '\\b(${TF.stopwords.mkString("|")})\\b'))"
+    s"""WITH base AS (SELECT doc_id, text,
+       |    len(${toksSql("text")})::BIGINT AS n_tokens,
+       |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
+       |    $scoreList AS scores,
+       |    ($stops) AS n_stops
+       |  FROM documents),
+       |scored AS (SELECT *, list_max(scores) AS best,
+       |    CAST(n_stops AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+       |    least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS len_score,
+       |    CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS punct_score
+       |  FROM base)
+       |SELECT doc_id, n_tokens, n_bpeish, n_punct,
+       |  CASE WHEN best > 0 THEN ($langList)[list_position(scores, best)]
+       |    ELSE 'und' END AS lang,
+       |  stop_ratio,
+       |  CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * len_score
+       |    + CAST(0.3 AS DOUBLE) * punct_score AS quality
+       |FROM scored""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Exact dedup: hash-aggregate on a 16-byte fingerprint. ----
@@ -314,51 +364,24 @@ object PipelineQueries {
     //      stat derives from those attributes — vs one regex pass per
     //      marker word (~25 scans/row) before. ----
     QuerySpec("text_stats",
-      (s, d) => {
-        val base = Tables.documents(s, d).select(col("doc_id"),
-          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
-          TF.bpeishCount(col("text")).cast("long").as("n_bpeish"),
-          TF.punctCount(col("text")).cast("long").as("n_punct"),
-          array(TF.langMarkers.map { case (_, ms) =>
-            TF.langScore(col("text"), ms) }: _*).as("scores"),
-          TF.stopwordCount(col("text")).as("n_stops"),
-          length(col("text")).as("len"))
-        val stopRatio = TF.stopwordRatioFrom(col("n_stops"), col("n_tokens"))
-        base.select(col("doc_id"), col("n_tokens"), col("n_bpeish"),
-            col("n_punct"),
-            TF.langFromScores(col("scores")).as("lang"),
-            stopRatio.as("stop_ratio"),
-            TF.qualityScoreFrom(stopRatio, col("n_tokens"), col("n_punct"),
-              col("len")).as("quality"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val scoreList = TF.langMarkers.map { case (_, ms) =>
-          s"len(regexp_extract_all(lower(text), '\\b(${ms.mkString("|")})\\b'))"
-        }.mkString("[", ",\n      ", "]")
-        val langList = TF.langMarkers.map(m => s"'${m._1}'").mkString("[", ", ", "]")
-        val stops = s"len(regexp_extract_all(lower(text), '\\b(${TF.stopwords.mkString("|")})\\b'))"
-        s"""WITH base AS (SELECT doc_id, text,
-           |    len(${toksSql("text")})::BIGINT AS n_tokens,
-           |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
-           |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
-           |    $scoreList AS scores,
-           |    ($stops) AS n_stops
-           |  FROM documents),
-           |scored AS (SELECT *, list_max(scores) AS best,
-           |    CAST(n_stops AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
-           |    least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS len_score,
-           |    CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS punct_score
-           |  FROM base)
-           |SELECT doc_id, n_tokens, n_bpeish, n_punct,
-           |  CASE WHEN best > 0 THEN ($langList)[list_position(scores, best)]
-           |    ELSE 'und' END AS lang,
-           |  stop_ratio,
-           |  CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * len_score
-           |    + CAST(0.3 AS DOUBLE) * punct_score AS quality
-           |FROM scored ORDER BY doc_id""".stripMargin
-      },
+      (s, d) => textStatsFrame(s, d).orderBy(col("doc_id")),
+      Some(s"$textStatsCoreSql\nORDER BY doc_id"),
       bench = true),
+
+    // ---- The canonical pretraining quality filter on top of the same
+    //      tokenize-once stats: keep fluent-English, mid-length docs.
+    //      Filters compose with the stats projection in one pass —
+    //      no second scan of the corpus. ----
+    QuerySpec("filter_quality_docs",
+      (s, d) => textStatsFrame(s, d)
+        .filter(col("lang") === "en" && col("quality") >= 0.5 &&
+          col("n_tokens").between(10, 5000))
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_tokens, quality FROM ($textStatsCoreSql)
+              |WHERE lang = 'en' AND quality >= 0.5
+              |  AND n_tokens BETWEEN 10 AND 5000
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- ANN baseline: brute-force top-10 neighbors for 3 query
     //      vectors, integer-exact via fixed-point quantization. ----

@@ -70,6 +70,13 @@ class SimilarityFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("recommendedRowsPerBand grows by one when n doubles") {
+    assert(SimilarityFunctions.recommendedRowsPerBand(512, 16) === 5)
+    assert(SimilarityFunctions.recommendedRowsPerBand(1024, 16) === 6)
+    assert(SimilarityFunctions.recommendedRowsPerBand(2048, 16) === 7)
+    assert(SimilarityFunctions.recommendedRowsPerBand(10, 16) === 1) // floor
+  }
+
   test("banded blocking: candidate pairs stay ~linear when rowsPerBand scales with log n") {
     // The scale contract from the header: doubling n while adding one
     // row per band keeps expected candidates ~n²/2^r → growth ≈ 2×,

@@ -75,6 +75,30 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("star contraction matches min-propagation on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val n = 60L
+    val vertices = (0L until n).toDF("id")
+    val edges = Seq.fill(50)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val viaProp = ConnectedComponents.run(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    val (starDf, _) = ConnectedComponents.runStarContraction(vertices, edges)
+    val viaStar = starDf.as[(Long, Long)].collect().toMap
+    assert(viaStar === viaProp)
+  }
+
+  test("star contraction converges in O(log n) rounds on a 256-node path") {
+    val n = 256L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (comp, rounds) = ConnectedComponents.runStarContraction(vertices, edges)
+    assert(comp.as[(Long, Long)].collect().forall(_._2 == 1L))
+    // min-propagation would need ~n rounds on this diameter; star
+    // contraction is logarithmic (plus the convergence-detect round)
+    assert(rounds <= 14, s"expected O(log n) rounds, got $rounds")
+  }
+
   test("long path converges within the iteration cap") {
     val n = 20L
     val vertices = (1L to n).toDF("id")
