@@ -215,6 +215,29 @@ object RelationalQueries {
              |WHERE event_type = 'error'
              |ORDER BY user_id, day""".stripMargin)),
 
+    // Unpivot (wide→long): lineitem money columns melted to
+    // (metric, value) rows and re-aggregated — the reshape every
+    // metrics pipeline needs, via the native unpivot operator (a
+    // generated projection, not a join). DECIMAL-exact sums.
+    QuerySpec("unpivot_lineitem_metrics",
+      (s, d) => Tables.lineitem(s, d)
+        .select(dec(col("l_quantity")).as("quantity"),
+          dec(col("l_extendedprice")).as("extendedprice"),
+          dec(col("l_discount")).as("discount"),
+          dec(col("l_tax")).as("tax"))
+        .unpivot(Array.empty, "metric", "value")
+        .groupBy(col("metric"))
+        .agg(sum(col("value")).cast("double").as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("metric")),
+      Some("""SELECT metric, CAST(sum(v) AS DOUBLE) AS total, count(*) AS n
+             |FROM (
+             |  SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+             |  UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+             |  UNION ALL SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+             |  UNION ALL SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Sessionization: gap > 30 min starts a new session; assignment is
     // a running sum of session starts — ONE shuffle on user_id + a
     // sort, no iteration. Ties on ts are broken by event_id so the lag

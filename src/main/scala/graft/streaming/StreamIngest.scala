@@ -34,7 +34,8 @@ object StreamIngest {
     * micro-batch, so its cost no longer grows with total file count.
     * A restart re-lists, which is exactly the crash-recovery contract. */
   def start(stream: DataFrame, outDir: String, topic: String, flushSize: Int,
-            checkpoint: String, trigger: Option[Trigger] = None): StreamingQuery = {
+            checkpoint: String, trigger: Option[Trigger] = None,
+            format: String = "parquet"): StreamingQuery = {
     var committed = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -50,7 +51,8 @@ object StreamIngest {
         val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
         try {
           if (!fresh.isEmpty) {
-            val manifest = BatchWriter.write(fresh, outDir, topic, flushSize)
+            val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
+              format = format)
             committed = manifest.foldLeft(committed) { (m, f) =>
               m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
             }

@@ -84,6 +84,23 @@ class StreamIngestSpec extends SparkSuite {
     assert(BatchWriter.read(spark, out, "t").count() === 2)
   }
 
+  test("the streaming committer honors the format surface (json)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-stream-json").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-json").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = StreamIngest.start(
+      s.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 2, ckpt,
+      format = "json")
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(BatchWriter.listCommitted(spark, out, "t") ===
+      Seq("t+0+0000000000+0000000001.json"))
+    assert(BatchWriter.read(spark, out, "t", format = "json").count() === 2)
+  }
+
   test("windowed counts emit only watermark-closed buckets (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
