@@ -94,6 +94,19 @@ class AvroSinkSpec extends SparkSuite {
     assert(gotRows === wantRows)
   }
 
+  test("stale staging from a crashed previous run cannot win over fresh data") {
+    val out = Files.createTempDirectory("avro-stale").toString
+    // simulate a crashed earlier run: a bogus part-0.avro already sits
+    // at the canonical staged path the new run's tasks promote into
+    val staleDir = new java.io.File(s"$out/+tmp/t/part=12/file_idx=0")
+    staleDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$staleDir/part-0.avro"), "stale".getBytes)
+    val m = AvroSink.write(records(3), out, "t", flushSize = 3)
+    val (_, rows) = AvroSink.readFile(m.head.path.stripPrefix("file:"))
+    assert(rows.map(_("s")) === Seq("v0", "v1", "v2"), "fresh data committed")
+  }
+
   test("unknown codec and unsupported column types fail fast") {
     val out = Files.createTempDirectory("avro-bad").toString
     intercept[IllegalArgumentException] {
