@@ -393,10 +393,11 @@ object PipelineQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("dot").desc, col("neighbor_id").asc)
+        graft.functions.NativeExpressions.register(s)
         emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            SF.intDot(col("qv"), col("v")).as("dot"))
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
           .orderBy(col("q_id"), col("rnk"))
@@ -463,11 +464,12 @@ object PipelineQueries {
         val joined = cand
           .join(withB.as("x"), col("vec_a") === col("x.vec_id"))
           .join(withB.as("y"), col("vec_b") === col("y.vec_id"))
-        // per-pair dot stays the single-pass HOF intDot: measured 3×
-        // faster here than a per-dimension element_at expansion (the
-        // expansion wins only for many-planes-per-row projections,
-        // where its one-time codegen cost amortizes across planes)
-        val cos = SF.intDot(col("x.v"), col("y.v")).cast("double") /
+        // per-pair dot is the native codegen'd DotI64 expression — a
+        // tight getLong loop per candidate pair (the HOF intDot stays
+        // the portable fallback; a per-dimension element_at expansion
+        // measured 3× slower than even the HOF in join context)
+        graft.functions.NativeExpressions.register(s)
+        val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
           (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
         joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
           .filter(col("cosine") >= 0.35)
@@ -518,10 +520,11 @@ object PipelineQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("dot").desc, col("neighbor_id").asc)
+        graft.functions.NativeExpressions.register(s)
         cand.join(withK, col("neighbor_id") === col("vec_id"))
           .join(broadcast(q), Seq("q_id"))
           .select(col("q_id"), col("neighbor_id"),
-            SF.intDot(col("qv"), col("v")).as("dot"))
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .orderBy(col("q_id"), col("rnk"))
