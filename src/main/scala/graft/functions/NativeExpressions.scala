@@ -63,19 +63,33 @@ case class DotI64(left: Expression, right: Expression)
 
 object NativeExpressions {
 
-  /** Register the native functions on a session (idempotent) so they
-    * are callable via `call_function` / SQL by name. */
+  private val dotId = FunctionIdentifier("dot_i64")
+  private val dotInfo = new ExpressionInfo(classOf[DotI64].getName, "dot_i64")
+  private val dotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "dot_i64 takes exactly 2 arguments")
+    DotI64(children.head, children(1))
+  }
+
+  /** Register the native functions on a live session (idempotent) so
+    * they are callable via `call_function` / SQL by name. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val id = FunctionIdentifier("dot_i64")
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(
-        id,
-        new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
-        (children: Seq[Expression]) => {
-          require(children.size == 2, "dot_i64 takes exactly 2 arguments")
-          DotI64(children.head, children(1))
-        })
-    }
+    if (!registry.functionExists(dotId))
+      registry.registerFunction(dotId, dotInfo, dotBuilder)
   }
+
+  private[functions] def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((dotId, dotInfo, dotBuilder))
+}
+
+/** Session-extensions entry point: sessions built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (a STATIC
+  * conf — set it before the first session of the application) or
+  * `builder.withExtensions(new GraftExtensions)` get every graft
+  * native function injected at session construction — the deployment
+  * path for a cluster where user SQL should see `dot_i64` without any
+  * driver-side registration call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    NativeExpressions.inject(ext)
 }

@@ -46,6 +46,30 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(df.as[Long].collect().sorted === Array(3L, 11L, 23L))
   }
 
+  test("GraftExtensions injects dot_i64 at session construction") {
+    import org.apache.spark.sql.SparkSession
+    // spark.sql.extensions is a STATIC conf (read from the SparkContext
+    // at first-session build — the cluster deployment path); for an
+    // in-process check, withExtensions applies the same injection to a
+    // fresh session over the shared context
+    val active = SparkSession.getActiveSession
+    val default = SparkSession.getDefaultSession
+    try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      assert(s2 ne spark, "a fresh session must have been constructed")
+      val got = s2.sql("SELECT dot_i64(array(1L, 2L), array(3L, 4L))")
+        .collect().head.getLong(0)
+      assert(got === 11L)
+    } finally {
+      active.foreach(SparkSession.setActiveSession)
+      default.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("dot_i64 rejects non-array arguments at analysis") {
     NativeExpressions.register(spark)
     val e = intercept[Exception] {
