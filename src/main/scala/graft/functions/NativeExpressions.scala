@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -61,25 +61,82 @@ case class DotI64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Static kernel for [[Hash60]], callable from generated code. */
+object Hash60Util {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5 as a non-negative long — bit-identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)`: 15 hex digits are the
+    * first 7.5 bytes big-endian, i.e. the top 64 bits shifted right 4. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
+/** Native form of the portable `hash60` content hash (the MinHash /
+  * SimHash cost center — one evaluation per shingle/token): the same
+  * md5, but read straight off the digest bytes instead of
+  * materializing a 32-char hex string and re-parsing 15 digits with
+  * `conv`. Value is bit-identical to the `TextFunctions.hash60`
+  * column form (property-tested), so every DuckDB oracle keeps its
+  * `('0x' || substr(md5(x),1,15))::BIGINT` mirror unchanged. */
+case class Hash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash60_md5 needs a binary argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash60_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Hash60Util.hash60(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60Util.hash60($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
 
-  private val dotId = FunctionIdentifier("dot_i64")
-  private val dotInfo = new ExpressionInfo(classOf[DotI64].getName, "dot_i64")
-  private val dotBuilder: Seq[Expression] => Expression = { children =>
-    require(children.size == 2, "dot_i64 takes exactly 2 arguments")
-    DotI64(children.head, children(1))
-  }
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotI64].getName, "dot_i64"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "dot_i64 takes exactly 2 arguments")
+        DotI64(children.head, children(1))
+      }),
+    (FunctionIdentifier("hash60_md5"),
+      new ExpressionInfo(classOf[Hash60].getName, "hash60_md5"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "hash60_md5 takes exactly 1 argument")
+        Hash60(children.head)
+      }))
 
   /** Register the native functions on a live session (idempotent) so
     * they are callable via `call_function` / SQL by name. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(dotId))
-      registry.registerFunction(dotId, dotInfo, dotBuilder)
+    functions.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id))
+        registry.registerFunction(id, info, builder)
+    }
   }
 
   private[functions] def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction((dotId, dotInfo, dotBuilder))
+    functions.foreach(ext.injectFunction)
 }
 
 /** Session-extensions entry point: sessions built with

@@ -71,6 +71,12 @@ object PipelineQueries {
 
   private val mmP = DF.MinhashPrime
 
+  /** Native hash60 (same md5 value as `TF.hash60`, no hex-string
+    * round-trip) — for the per-shingle/per-token hot paths. Callers
+    * must have run `NativeExpressions.register(spark)`. */
+  private def h60n(c: org.apache.spark.sql.Column) =
+    call_function("hash60_md5", c.cast("binary"))
+
   /** Tokenize-once text stats (doc_id, n_tokens, n_bpeish, n_punct,
     * lang, stop_ratio, quality), unordered — shared by `text_stats`
     * and the quality filter. */
@@ -147,11 +153,13 @@ object PipelineQueries {
     // ---- MinHash + LSH banding → candidate duplicate pairs. ----
     QuerySpec("dedup_minhash_lsh",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val sh = Tables.documents(s, d).select(col("doc_id"),
           TF.shingles(TF.tokens(col("text")), 3).as("sh"))
-        // one md5 per shingle; map-side-combined min() per signature slot
+        // one md5 per shingle (native digest read — no hex round-trip);
+        // map-side-combined min() per signature slot
         val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-          .select(col("doc_id"), (TF.hash60(col("s")) % mmP).as("h"))
+          .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
         val sig = hs.groupBy(col("doc_id")).agg(
           DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
         val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
@@ -197,11 +205,12 @@ object PipelineQueries {
     //      positives, j ≈ 0.02) → cluster (connected components). ----
     QuerySpec("dedup_clusters",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val docs = Tables.documents(s, d)
         val sh = docs.select(col("doc_id"),
           TF.shingles(TF.tokens(col("text")), 3).as("sh")).persist()
         val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-          .select(col("doc_id"), (TF.hash60(col("s")) % mmP).as("h"))
+          .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
         val sig = hs.groupBy(col("doc_id")).agg(
           DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
         val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
@@ -259,10 +268,11 @@ object PipelineQueries {
     // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
     QuerySpec("dedup_simhash",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val bits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-          .select(col("doc_id"), DF.hash32(col("t")).as("h"))
+          .select(col("doc_id"), (h60n(col("t")) % lit(4294967296L)).as("h"))
         val agg = ex.groupBy(col("doc_id")).agg(
           DF.bitSums(col("h"), bits).head,
           DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
@@ -293,10 +303,11 @@ object PipelineQueries {
     //      bit_count verify), never all-pairs. ----
     QuerySpec("dedup_simhash_pairs",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val bits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-          .select(col("doc_id"), DF.hash32(col("t")).as("h"))
+          .select(col("doc_id"), (h60n(col("t")) % lit(4294967296L)).as("h"))
         val agg = ex.groupBy(col("doc_id")).agg(
           DF.bitSums(col("h"), bits).head,
           DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
