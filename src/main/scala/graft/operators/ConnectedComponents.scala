@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components by min-label propagation — the cluster-forming
@@ -101,7 +102,7 @@ object ConnectedComponents {
     while (!converged && i < maxIter) {
       // large-star over the full (symmetrized) neighborhood of u
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val wU = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+      val wU = Window.partitionBy(col("u"))
       val ls = sym.withColumn("m", least(col("u"), min(col("v")).over(wU)))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
@@ -109,7 +110,7 @@ object ConnectedComponents {
       // small-star over high->low directed edges grouped at the high end
       val dir = ls.select(greatest(col("u"), col("v")).as("hi"),
         least(col("u"), col("v")).as("lo")).distinct()
-      val wHi = org.apache.spark.sql.expressions.Window.partitionBy(col("hi"))
+      val wHi = Window.partitionBy(col("hi"))
       val withMin = dir.withColumn("m", min(col("lo")).over(wHi))
       val ss = withMin.filter(col("lo") =!= col("m"))
         .select(col("lo").as("u"), col("m").as("v"))

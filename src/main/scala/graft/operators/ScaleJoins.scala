@@ -49,7 +49,7 @@ object ScaleJoins {
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
                         bucketMs: Long): DataFrame = {
     def bucket(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(bucketMs))) / bucketMs).cast("long")
+      graft.ingest.Rotation.longDiv(c, lit(bucketMs))
     val p = points.withColumn("__bucket", bucket(col("ts_ms")))
     val i = intervals.withColumn("__bucket",
       explode(sequence(bucket(col("start_ms")), bucket(col("end_ms")))))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{DedupFunctions => DF, SimilarityFunctions => SF, TextFunctions => TF}
+import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -153,7 +153,7 @@ object PipelineQueries {
     // ---- MinHash + LSH banding → candidate duplicate pairs. ----
     QuerySpec("dedup_minhash_lsh",
       (s, d) => {
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         val sh = Tables.documents(s, d).select(col("doc_id"),
           TF.shingles(TF.tokens(col("text")), 3).as("sh"))
         // one md5 per shingle (native digest read — no hex round-trip);
@@ -205,7 +205,7 @@ object PipelineQueries {
     //      positives, j ≈ 0.02) → cluster (connected components). ----
     QuerySpec("dedup_clusters",
       (s, d) => {
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         val docs = Tables.documents(s, d)
         val sh = docs.select(col("doc_id"),
           TF.shingles(TF.tokens(col("text")), 3).as("sh")).persist()
@@ -268,7 +268,7 @@ object PipelineQueries {
     // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
     QuerySpec("dedup_simhash",
       (s, d) => {
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         val bits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
@@ -303,7 +303,7 @@ object PipelineQueries {
     //      bit_count verify), never all-pairs. ----
     QuerySpec("dedup_simhash_pairs",
       (s, d) => {
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         val bits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
@@ -404,7 +404,7 @@ object PipelineQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("dot").desc, col("neighbor_id").asc)
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         emb.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -479,7 +479,7 @@ object PipelineQueries {
         // tight getLong loop per candidate pair (the HOF intDot stays
         // the portable fallback; a per-dimension element_at expansion
         // measured 3× slower than even the HOF in join context)
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
           (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
         joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
@@ -531,7 +531,7 @@ object PipelineQueries {
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("dot").desc, col("neighbor_id").asc)
-        graft.functions.NativeExpressions.register(s)
+        NativeExpressions.register(s)
         cand.join(withK, col("neighbor_id") === col("vec_id"))
           .join(broadcast(q), Seq("q_id"))
           .select(col("q_id"), col("neighbor_id"),

@@ -37,15 +37,20 @@ class AvroSinkSpec extends SparkSuite {
     }
   }
 
-  test("duplicate task attempts cannot interleave: each stages to its own temp") {
+  /** Staged-write fixture shared by the attempt-isolation tests:
+    * 4 sized rows plus the avro schema/field plumbing writePartitionStaged needs. */
+  private def stagedFixture(): (Seq[org.apache.spark.sql.Row], String, Seq[String]) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StructType
-    val staged = Files.createTempDirectory("avro-attempts").toString
     val sized = Rotation.withSizeFileIndex(records(4), Seq(col("part")), col("off"), 4)
-    val rows = sized.collect().toSeq
     val payloadSchema = StructType(sized.schema.fields.filterNot(_.name == "file_idx"))
-    val avroJson = AvroSink.avroSchemaFor(payloadSchema, "t").toString
-    val names = payloadSchema.fieldNames.toSeq
+    (sized.collect().toSeq, AvroSink.avroSchemaFor(payloadSchema, "t").toString,
+      payloadSchema.fieldNames.toSeq)
+  }
+
+  test("duplicate task attempts cannot interleave: each stages to its own temp") {
+    val staged = Files.createTempDirectory("avro-attempts").toString
+    val (rows, avroJson, names) = stagedFixture()
     // speculative execution: two attempts of the same partition both run
     AvroSink.writePartitionStaged(rows.iterator, avroJson, staged, "null", names, "attempt-1")
     AvroSink.writePartitionStaged(rows.iterator, avroJson, staged, "null", names, "attempt-2")
@@ -57,14 +62,8 @@ class AvroSinkSpec extends SparkSuite {
   }
 
   test("a failed attempt deletes its temp; a retry then succeeds") {
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.StructType
     val staged = Files.createTempDirectory("avro-retry").toString
-    val sized = Rotation.withSizeFileIndex(records(4), Seq(col("part")), col("off"), 4)
-    val rows = sized.collect().toSeq
-    val payloadSchema = StructType(sized.schema.fields.filterNot(_.name == "file_idx"))
-    val avroJson = AvroSink.avroSchemaFor(payloadSchema, "t").toString
-    val names = payloadSchema.fieldNames.toSeq
+    val (rows, avroJson, names) = stagedFixture()
     val failing = rows.iterator.zipWithIndex.map { case (r, i) =>
       if (i == 2) throw new RuntimeException("executor died"); r
     }
