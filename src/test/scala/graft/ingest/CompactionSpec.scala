@@ -82,6 +82,19 @@ class CompactionSpec extends SparkSuite {
       "t+1+0000000009+0000000009.parquet"))
   }
 
+  test("json files compact end-to-end like parquet") {
+    val out = Files.createTempDirectory("compact-json").toString
+    val df = (0L until 6L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    BatchWriter.write(df, out, "t", flushSize = 1, format = "json")
+    assert(BatchWriter.listCommitted(spark, out, "t").size === 6)
+    BatchWriter.compact(spark, out, "t", targetRecords = 3, format = "json")
+    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+      "t+0+0000000000+0000000002.json", "t+0+0000000003+0000000005.json"))
+    val back = BatchWriter.read(spark, out, "t", format = "json")
+    assert(back.count() === 6)
+    assert(back.select(countDistinct(col("off"))).as[Long].head() === 6)
+  }
+
   test("compact rejects formats that cannot be read back with their schema") {
     val out = Files.createTempDirectory("compact-fmt").toString
     intercept[IllegalArgumentException] {
