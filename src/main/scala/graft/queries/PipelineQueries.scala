@@ -559,6 +559,32 @@ object PipelineQueries {
            |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
            |ORDER BY q_id, rnk""".stripMargin)),
 
+    // ---- Benchmark decontamination: flag training docs sharing any
+    //      8-gram with the eval set (docs 0-24 stand in for a held-out
+    //      benchmark). The eval side collapses to a small distinct-gram
+    //      set and BROADCASTS — the realistic shape, since benchmarks
+    //      are tiny next to a training corpus; the training side
+    //      streams through a semi-join, no shuffle of the corpus. ----
+    QuerySpec("decontaminate_eval_overlap",
+      (s, d) => {
+        val grams = Tables.documents(s, d).select(col("doc_id"),
+          explode(TF.shingles(TF.tokens(col("text")), 8)).as("g"))
+          .persist() // shared by the eval and training branches
+        val evalGrams = grams.filter(col("doc_id") < 25)
+          .select(col("g")).distinct()
+        grams.filter(col("doc_id") >= 25)
+          .join(broadcast(evalGrams), Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM tok),
+              |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)
+              |SELECT DISTINCT doc_id FROM g
+              |WHERE doc_id >= 25 AND g IN (SELECT g FROM ev)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- Deterministic train/val/test assignment: hash-bucket the
     //      content (NOT a random sample — reproducible across runs,
     //      engines, and re-partitioning; membership is a pure function
