@@ -300,7 +300,12 @@ object PipelineQueries {
     //      blocking has zero false negatives, which the oracle proves
     //      by computing the same result as an unblocked all-pairs
     //      hamming scan. Spark side stays bucketed (band equi-join +
-    //      bit_count verify), never all-pairs. ----
+    //      bit_count verify), never all-pairs. Scale knob: in-band
+    //      bucket space is 2^(bits/bands); at corpus scale widen the
+    //      signature (64-bit simhash → 4 bands of 16 bits keeps the
+    //      same hamming≤3 guarantee with 65536× the buckets) — `bits`
+    //      is the parameter below, 16 here to match the 16-bit
+    //      dedup_simhash signatures the oracle mirrors. ----
     QuerySpec("dedup_simhash_pairs",
       (s, d) => {
         NativeExpressions.register(s)
