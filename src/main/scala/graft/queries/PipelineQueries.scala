@@ -629,6 +629,79 @@ object PipelineQueries {
               |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
       bench = true),
 
+    // ---- IVF with a real coarse quantizer: K centroid vectors (the
+    //      first K ids as a deterministic stand-in for a k-means pass —
+    //      production swaps the centroid table, nothing else), every
+    //      vector assigned to its best cell by one broadcast-K pass,
+    //      queries probing their NProbe best cells. Candidates are
+    //      bounded by ~nprobe/K of the corpus; all dots are the native
+    //      codegen'd dot_i64 and ties break on id, so both engines
+    //      rank identically. ----
+    QuerySpec("sim_ivf_centroid_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val K = 16
+        val NProbe = 2
+        val qv = Tables.embeddings(s, d).select(col("vec_id"),
+          SF.quantize(col("embedding")).as("v"))
+        val cents = qv.filter(col("vec_id") < K)
+          .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cdot").desc, col("c_id").asc)
+        val assigned = qv.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("v"), col("c_id"),
+            call_function("dot_i64", col("v"), col("cv")).as("cdot"))
+          .withColumn("rnk", row_number().over(wAssign))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("cell"))
+        val q = qv.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val wProbe = Window.partitionBy(col("q_id"))
+          .orderBy(col("cdot").desc, col("c_id").asc)
+        val probes = q.crossJoin(broadcast(cents))
+          .select(col("q_id"), col("qv"), col("c_id"),
+            call_function("dot_i64", col("qv"), col("cv")).as("cdot"))
+          .withColumn("rnk", row_number().over(wProbe))
+          .filter(col("rnk") <= NProbe)
+          .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("dot").desc, col("neighbor_id").asc)
+        // a vector lives in exactly one cell and probe cells are
+        // distinct, so (q, neighbor) pairs are already unique
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(
+        s"""WITH qv AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |cents AS (SELECT vec_id AS c_id, v AS cv FROM qv WHERE vec_id < 16),
+           |ad AS (SELECT a.vec_id, a.v, c_id,
+           |    CAST(list_sum(list_transform(list_zip(a.v, cv), p -> p[1] * p[2])) AS BIGINT) AS cdot
+           |  FROM qv a CROSS JOIN cents),
+           |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY cdot DESC, c_id ASC) AS rnk FROM ad),
+           |assigned AS (SELECT vec_id, v, c_id AS cell FROM ar WHERE rnk = 1),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM qv WHERE vec_id IN (0, 1, 2)),
+           |pd AS (SELECT q_id, qv, c_id,
+           |    CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS BIGINT) AS cdot
+           |  FROM q CROSS JOIN cents),
+           |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY cdot DESC, c_id ASC) AS rnk FROM pd),
+           |probes AS (SELECT q_id, qv, c_id AS cell FROM pr WHERE rnk <= 2),
+           |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+           |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
+           |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
+           |ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- Multimodal frame-sampling plan: the byte offsets a video
     //      decoder would seek to for k uniform frames — pure integer
     //      column algebra over the payload length, no decode. ----
