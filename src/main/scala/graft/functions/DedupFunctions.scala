@@ -58,8 +58,14 @@ object DedupFunctions {
     array(bands: _*)
   }
 
+  /** The 32-bit fold of a 60-bit content hash — the ONE definition of
+    * simhash's per-token hash, shared by the column-form path and the
+    * native hash60_md5 path (and mirrored as `% 4294967296` in every
+    * oracle). */
+  def hash32From(h60: Column): Column = h60 % lit(4294967296L)
+
   /** Per-token 32-bit hash used by simhash. */
-  def hash32(c: Column): Column = hash60(c) % lit(4294967296L)
+  def hash32(c: Column): Column = hash32From(hash60(c))
 
   /** SimHash signature of a token array, fully columnar: for each bit j
     * count tokens whose 32-bit hash has bit j set (`aggregate` over the

@@ -85,8 +85,12 @@ object SimilarityFunctions {
     * adds one row per band — candidate growth stays ~linear. */
   def recommendedRowsPerBand(n: Long, targetBucketSize: Long): Int = {
     require(n > 0 && targetBucketSize > 0)
-    math.max(1, math.ceil(
-      math.log(n.toDouble / targetBucketSize) / math.log(2.0)).toInt)
+    // integer bit arithmetic, not floating log: log(2^k)/log(2) drifts
+    // above k at several exact powers of two (e.g. 2^29), which would
+    // silently halve the bucket size the rule promises
+    val q = (n + targetBucketSize - 1) / targetBucketSize // ceil(n/target)
+    if (q <= 2L) 1
+    else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
   }
 
   /** Banded LSH keys for a quantized vector: `bands` string keys, each

@@ -73,22 +73,31 @@ object ConnectedComponents {
     * contraction — O(log n) rounds versus min-propagation's
     * O(diameter), the right loop body when the candidate graph can
     * contain adversarially long chains (cross-shard duplicate trails
-    * at planet scale). Per round, two shuffles (one per star op), both
-    * on node ids with 16-byte rows:
+    * at planet scale). Per round: one window shuffle + one dedup
+    * shuffle per star op (all on node ids with 16-byte rows):
     *
     *  - large-star: every node's HIGHER neighbors re-point at the
-    *    minimum of its neighborhood (incl. itself);
+    *    minimum of its neighborhood (incl. itself). Its output edges
+    *    already satisfy u > v (v is a neighborhood minimum), so they
+    *    feed small-star directly — no re-orientation pass;
     *  - small-star: every node and its LOWER neighbors re-point at the
     *    minimum of the lower neighborhood.
     *
     * The edge set monotonically contracts toward stars rooted at each
     * component's minimum id; convergence = the edge multiset stops
     * changing (checked with a count + order-independent hash aggregate
-    * over the materialized round — no extra join). */
+    * over the materialized round — no extra join). `checkpointDir`
+    * has the same meaning as in [[runCounted]]: reliable checkpointing
+    * for cluster runs instead of executor-memory lineage truncation. */
   def runStarContraction(vertices: DataFrame, edges: DataFrame,
-                         maxIter: Int = 50): (DataFrame, Int) = {
-    var e = edges.select(col("src").as("u"), col("dst").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+                         maxIter: Int = 50,
+                         checkpointDir: Option[String] = None): (DataFrame, Int) = {
+    val spark = vertices.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var e = materialize(edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
     def signature(df: DataFrame): (Long, Long) = {
       // bit_xor: order-independent and overflow-free (edges are
       // distinct, so xor-cancellation of duplicates cannot occur)
@@ -107,16 +116,16 @@ object ConnectedComponents {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
-      // small-star over high->low directed edges grouped at the high end
-      val dir = ls.select(greatest(col("u"), col("v")).as("hi"),
-        least(col("u"), col("v")).as("lo")).distinct()
+      // small-star over the already high->low-oriented large-star
+      // output, grouped at the high end
       val wHi = Window.partitionBy(col("hi"))
-      val withMin = dir.withColumn("m", min(col("lo")).over(wHi))
-      val ss = withMin.filter(col("lo") =!= col("m"))
+      val withMin = ls.select(col("u").as("hi"), col("v").as("lo"))
+        .withColumn("m", min(col("lo")).over(wHi))
+      val ss = materialize(withMin.filter(col("lo") =!= col("m"))
         .select(col("lo").as("u"), col("m").as("v"))
         .union(withMin.select(col("hi").as("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct())
       val nextSig = signature(ss)
       converged = nextSig == sig
       sig = nextSig

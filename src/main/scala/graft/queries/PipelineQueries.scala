@@ -272,7 +272,7 @@ object PipelineQueries {
         val bits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-          .select(col("doc_id"), (h60n(col("t")) % lit(4294967296L)).as("h"))
+          .select(col("doc_id"), DF.hash32From(h60n(col("t"))).as("h"))
         val agg = ex.groupBy(col("doc_id")).agg(
           DF.bitSums(col("h"), bits).head,
           DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
@@ -312,7 +312,7 @@ object PipelineQueries {
         val bits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-          .select(col("doc_id"), (h60n(col("t")) % lit(4294967296L)).as("h"))
+          .select(col("doc_id"), DF.hash32From(h60n(col("t"))).as("h"))
         val agg = ex.groupBy(col("doc_id")).agg(
           DF.bitSums(col("h"), bits).head,
           DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)

@@ -75,6 +75,11 @@ class SimilarityFunctionsSpec extends SparkSuite {
     assert(SimilarityFunctions.recommendedRowsPerBand(1024, 16) === 6)
     assert(SimilarityFunctions.recommendedRowsPerBand(2048, 16) === 7)
     assert(SimilarityFunctions.recommendedRowsPerBand(10, 16) === 1) // floor
+    // exact large powers of two: floating log drifts above k at 2^29,
+    // 2^31... — the integer form must not
+    assert(SimilarityFunctions.recommendedRowsPerBand(16L << 29, 16) === 29)
+    assert(SimilarityFunctions.recommendedRowsPerBand(16L << 31, 16) === 31)
+    assert(SimilarityFunctions.recommendedRowsPerBand((16L << 29) + 1, 16) === 30)
   }
 
   test("banded blocking: candidate pairs stay ~linear when rowsPerBand scales with log n") {
