@@ -118,6 +118,65 @@ object BatchWriter {
     committed
   }
 
+  /** One committed file in the compaction manifest (offsets parsed
+    * from its name). */
+  final case class CompactFile(partition: Long, start: Long, end: Long,
+                               name: String)
+
+  /** One planned output file: a run of contiguous source files. */
+  final case class CompactGroup(partition: Long, start: Long, end: Long,
+                                files: Seq[String])
+
+  /** The compaction plan: files to delete up front (healing) and the
+    * grouping of the survivors. */
+  final case class CompactionPlan(subsumed: Seq[CompactFile],
+                                  groups: Seq[CompactGroup])
+
+  /** Pure compaction planner (property-tested separately from the
+    * filesystem side effects).
+    *
+    * Healing: a file whose offset range lies inside another committed
+    * file's range is a leftover source from a compaction that crashed
+    * in its commit→delete window — every record it holds is already in
+    * the containing file, so it is deleted before grouping. That makes
+    * the surviving ranges disjoint, so a re-run can never regroup a
+    * compacted file with its own sources (which would duplicate
+    * records, or delete a file acting as its own skipped
+    * "replacement"). Overlap is always full containment because every
+    * committed range is a union of whole predecessor ranges.
+    *
+    * Grouping: greedy accumulation of contiguous survivors until the
+    * group spans ≥ `targetRecords` offsets (dense per-partition
+    * offsets ⇒ records = end − start + 1); the tail stays as an
+    * undersized group. */
+  private[graft] def planCompaction(listed: Seq[CompactFile],
+                                     targetRecords: Long): CompactionPlan = {
+    val subsumed = Seq.newBuilder[CompactFile]
+    val groups = Seq.newBuilder[CompactGroup]
+    listed.groupBy(_.partition).toSeq.sortBy(_._1).foreach { case (p, files) =>
+      val kept = Seq.newBuilder[CompactFile]
+      var maxEnd = -1L
+      files.sortBy(f => (f.start, -f.end)).foreach { f =>
+        if (f.end <= maxEnd) subsumed += f
+        else { kept += f; maxEnd = f.end }
+      }
+      var start = -1L
+      var end = -1L
+      var names = List.empty[String]
+      kept.result().foreach { f =>
+        if (names.isEmpty) start = f.start
+        names = f.name :: names
+        end = f.end
+        if (end - start + 1 >= targetRecords) {
+          groups += CompactGroup(p, start, end, names.reverse)
+          names = Nil
+        }
+      }
+      if (names.nonEmpty) groups += CompactGroup(p, start, end, names.reverse)
+    }
+    CompactionPlan(subsumed.result(), groups.result())
+  }
+
   /** Small-files compaction — the maintenance operation every
     * flush-size-bounded streaming sink needs at scale (a year of
     * micro-batches = millions of small files; NameNode metadata and
@@ -159,51 +218,12 @@ object BatchWriter {
     val re = FileNaming.CommittedFilenameRegex.r
     val listed = listCommitted(spark, outDir, topic).flatMap {
       case n @ re(t, p, s, e, _) if t == topic =>
-        Some((p.toLong, s.toLong, e.toLong, n))
+        Some(CompactFile(p.toLong, s.toLong, e.toLong, n))
       case _ => None
     }
-
-    // Heal first: a file whose offset range lies inside another
-    // committed file's range is a leftover source from a compaction
-    // that crashed in its commit→delete window — every record it holds
-    // is already in the containing file. Deleting subsumed files here
-    // makes the remaining ranges disjoint, so a re-run can never
-    // regroup a compacted file with its own sources (which would
-    // duplicate records, or delete a file acting as its own skipped
-    // "replacement"). Overlap is always full containment because every
-    // committed range is a union of whole predecessor ranges.
-    val byPartition = listed.groupBy(_._1).map { case (p, files) =>
-      val kept = Seq.newBuilder[(Long, Long, Long, String)]
-      var maxEnd = -1L
-      files.sortBy(f => (f._2, -f._3)).foreach { f =>
-        if (f._3 <= maxEnd) fs.delete(srcPath(p, f._4), false) // subsumed
-        else { kept += f; maxEnd = f._3 }
-      }
-      p -> kept.result()
-    }
-
-    // greedy contiguous grouping: accumulate files until the group
-    // holds >= targetRecords (dense offsets => records = e - s + 1)
-    final case class Group(partition: Long, start: Long, end: Long,
-                           files: Seq[String])
-    val groups = byPartition.toSeq.sortBy(_._1).flatMap { case (p, files) =>
-      val out = Seq.newBuilder[Group]
-      var start = -1L
-      var end = -1L
-      var names = List.empty[String]
-      files.sortBy(_._2).foreach { case (_, s, e, n) =>
-        if (names.isEmpty) start = s
-        names = n :: names
-        end = e
-        if (end - start + 1 >= targetRecords) {
-          out += Group(p, start, end, names.reverse)
-          names = Nil
-        }
-      }
-      if (names.nonEmpty) out += Group(p, start, end, names.reverse)
-      out.result()
-    }
-    val multi = groups.filter(_.files.size > 1)
+    val plan = planCompaction(listed, targetRecords)
+    plan.subsumed.foreach(f => fs.delete(srcPath(f.partition, f.name), false))
+    val multi = plan.groups.filter(_.files.size > 1)
     if (multi.isEmpty) return Seq.empty
 
     // one job: read only the files being merged, assign group index by
