@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{IngestQueries, PipelineQueries, QuerySpec, RelationalQueries}
+import graft.queries.{CurationQueries, IngestQueries, PipelineQueries, QuerySpec, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** Full registered inventory: ingestion/commit plane (SURVEY §2.A/B),
     * relational query surface (§2.D), and the LLM-data-pipeline ops. */
   val specs: Seq[QuerySpec] =
-    IngestQueries.specs ++ RelationalQueries.specs ++ PipelineQueries.specs
+    IngestQueries.specs ++ RelationalQueries.specs ++ PipelineQueries.specs ++
+      CurationQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The TPC-H Q1-shaped `agg_returnflag` per SURVEY §7.3. */

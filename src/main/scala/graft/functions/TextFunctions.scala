@@ -154,6 +154,40 @@ object TextFunctions {
     qualityScoreFrom(stopwordRatio(text), tokenCount(text), punctCount(text),
       length(text))
 
+  /** PII patterns for redaction, ordered so earlier replacements cannot
+    * create or destroy later matches (emails first — a domain that
+    * embeds an IPv4 shape like `bob@1.2.3.4.com` must redact as ONE
+    * email, not leak an ip match; then ips; phone separators can't
+    * collide with either).
+    * Kept RE2-compatible (no lookarounds/backreferences) so the DuckDB
+    * oracles run the byte-identical pattern. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"))
+
+  /** Text with every [[piiPatterns]] occurrence replaced by its typed
+    * placeholder — the standard pretraining PII scrub. One
+    * `regexp_replace` pass per pattern class, all codegen'd. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, pat, rep)) =>
+      regexp_replace(acc, lit(pat), lit(rep))
+    }
+
+  /** Match counts per PII class, in [[piiPatterns]] order. Class k is
+    * counted on the text with classes 0..k-1 already replaced, so the
+    * counts agree with what [[redactPii]] actually redacts (an
+    * IPv4-shaped email host counts as the email it was redacted as,
+    * not also as an ip). */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.indices.map { k =>
+      val (name, pat, _) = piiPatterns(k)
+      val seen = piiPatterns.take(k).foldLeft(text) { case (acc, (_, p, r)) =>
+        regexp_replace(acc, lit(p), lit(r))
+      }
+      regexp_count(seen, lit(pat)).cast("long").as(s"n_${name}s")
+    }
+
   /** Content fingerprint: md5 over the sorted distinct token set —
     * order- and duplication-invariant (bag-of-words identity).
     * `sort_array` (codegen'd), not `array_sort` (a higher-order

@@ -31,7 +31,8 @@ object BatchWriter {
     * module is not on this container's classpath, so selecting it fails
     * fast with a pointer instead of deep in the write. */
   val Formats: Map[String, String] = Map(
-    "parquet" -> ".parquet", "json" -> ".json", "csv" -> ".csv", "text" -> ".txt")
+    "parquet" -> ".parquet", "json" -> ".json", "csv" -> ".csv",
+    "text" -> ".txt", "orc" -> ".orc")
 
   /** Write a stream-shaped frame (`part`, `off`, payload columns) as
     * committed offset-ranged files. Returns the commit manifest.

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Packing
+import graft.tables.Tables
+
+/** Training-data curation operators beyond dedup/similarity: PII
+  * scrubbing, repetition (Gopher-style) quality signals, TF-IDF term
+  * extraction, sequence packing into fixed context windows, document
+  * chunking, and stratified corpus sampling. All run over `documents`
+  * and hash-match a DuckDB oracle; float outputs are identically-
+  * parenthesized expression trees on both engines.
+  */
+object CurationQueries {
+
+  import OracleSql._
+
+  /** Context-window width for pack_sequences (tokens). */
+  private val PackCtx = 512L
+  /** Prefix-sum shard width — at this SF one shard is ~64 docs; at
+    * corpus scale set ~1e6 so the single-task shard-offset window sees
+    * metadata, not data (see `operators/Packing`). */
+  private val PackShard = 64L
+  /** Token-window width for chunk_documents. */
+  private val ChunkW = 32
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ---- PII scrub: typed placeholders for emails / IPv4s / phone
+    //      numbers, one codegen'd regexp_replace pass per class. The
+    //      synthetic corpus is PII-free, so here the oracle proves the
+    //      chain is an exact identity on clean text (the crafted-PII
+    //      behavior is pinned by RedactionSpec); the operator is the
+    //      per-row scrub a real corpus runs unchanged. ----
+    QuerySpec("redact_pii",
+      (s, d) => Tables.documents(s, d).select(
+          Seq(col("doc_id")) ++ TF.piiCounts(col("text")) :+
+            TF.redactPii(col("text")).as("clean"): _*)
+        .orderBy(col("doc_id")),
+      Some {
+        val repl = TF.piiPatterns.foldLeft("text") { case (acc, (_, pat, rep)) =>
+          s"regexp_replace($acc, '$pat', '$rep', 'g')"
+        }
+        val counts = TF.piiPatterns.indices.map { k =>
+          val (name, pat, _) = TF.piiPatterns(k)
+          val seen = TF.piiPatterns.take(k).foldLeft("text") {
+            case (acc, (_, p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+          }
+          s"len(regexp_extract_all($seen, '$pat'))::BIGINT AS n_${name}s"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id,
+           |  $counts,
+           |  $repl AS clean
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- Repetition signals (the Gopher/MassiveText repetition
+    //      filters): duplicate-2gram fraction from set algebra on the
+    //      shingle array, top-token fraction via explode → two
+    //      map-side-combined aggregates — never a per-doc O(n²) mode
+    //      scan inside a lambda. ----
+    QuerySpec("repetition_stats",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val base = tok
+          .select(col("doc_id"), col("toks"),
+            TF.shingles(col("toks"), 2).as("g2"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            size(col("g2")).cast("long").as("n_2grams"),
+            size(array_distinct(col("g2"))).cast("long").as("nd_2grams"))
+        val mx = tok.select(col("doc_id"), explode(col("toks")).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+        base.join(mx, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("n_2grams"),
+            when(col("n_2grams") > 0,
+              lit(1.0) - col("nd_2grams").cast("double") / col("n_2grams").cast("double"))
+              .otherwise(lit(0.0)).as("dup_2gram_frac"),
+            when(col("n_tokens") > 0,
+              col("max_tok").cast("double") / col("n_tokens").cast("double"))
+              .otherwise(lit(0.0)).as("top_token_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+              |    len(${shinglesSql(2)})::BIGINT AS n_2grams,
+              |    len(list_distinct(${shinglesSql(2)}))::BIGINT AS nd_2grams
+              |  FROM tok),
+              |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+              |tc AS (SELECT doc_id, t, count(*) AS c FROM ex GROUP BY 1, 2),
+              |mx AS (SELECT doc_id, max(c) AS max_tok FROM tc GROUP BY 1)
+              |SELECT base.doc_id, n_tokens, n_2grams,
+              |  CASE WHEN n_2grams > 0
+              |    THEN CAST(1.0 AS DOUBLE) - CAST(nd_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+              |    ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac,
+              |  CASE WHEN n_tokens > 0
+              |    THEN CAST(max_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |    ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac
+              |FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id
+              |ORDER BY base.doc_id""".stripMargin)),
+
+    // ---- TF-IDF-style salient terms, top-3 per document. Document
+    //      frequency joins on the term (vocabulary-sized shuffle, not
+    //      corpus-sized); the idf factor is the exact rational 1/df so
+    //      both engines rank on bit-identical doubles (log-idf is
+    //      monotone in df — same ranking, but libm log is not
+    //      guaranteed cross-engine bit-exact). ----
+    QuerySpec("tfidf_top_terms",
+      (s, d) => {
+        val tc = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        val dl = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("dlen"))
+        val dfreq = tc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tc.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+          .select(col("doc_id"), col("term"),
+            ((col("c").cast("double") / col("dlen").cast("double")) /
+              col("df").cast("double")).as("score"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+              |tc AS (SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2),
+              |dl AS (SELECT doc_id, sum(c) AS dlen FROM tc GROUP BY 1),
+              |dfreq AS (SELECT term, count(*) AS df FROM tc GROUP BY 1),
+              |scored AS (SELECT tc.doc_id, tc.term,
+              |    (CAST(c AS DOUBLE) / CAST(dlen AS DOUBLE)) / CAST(df AS DOUBLE) AS score
+              |  FROM tc JOIN dl ON tc.doc_id = dl.doc_id
+              |    JOIN dfreq ON tc.term = dfreq.term),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, term ASC) AS rnk FROM scored)
+              |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3
+              |ORDER BY doc_id, rnk""".stripMargin)),
+
+    // ---- Sequence packing: concat-then-chunk assignment of documents
+    //      to fixed 512-token context windows via the two-level
+    //      distributed prefix sum (operators/Packing) — the oracle is
+    //      the single-window running sum the distributed form must
+    //      equal exactly. ----
+    QuerySpec("pack_sequences",
+      (s, d) => {
+        val counted = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.packBins(counted, "doc_id", "n_tokens", PackCtx, PackShard)
+          .select(col("doc_id"), col("n_tokens"), col("tok_start"), col("bin"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    len(${toksSql("text")})::BIGINT AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+              |  FROM tok)
+              |SELECT doc_id, n_tokens, tok_start,
+              |  (tok_start // $PackCtx)::BIGINT AS bin
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ---- Document chunking: split each document into fixed 32-token
+    //      windows with offsets and materialized chunk text — one
+    //      generator expression per doc (explode of a sequence), no
+    //      joins, fully parallel. ----
+    QuerySpec("chunk_documents",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("nch", expr(s"(n + ${ChunkW - 1}) div $ChunkW"))
+        tok.select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0L), col("nch") - 1)).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            (col("chunk_idx") * ChunkW).as("tok_start"),
+            least(lit(ChunkW.toLong), col("n") - col("chunk_idx") * ChunkW)
+              .as("n_chunk_tokens"),
+            concat_ws(" ", slice(col("toks"),
+              (col("chunk_idx") * ChunkW + 1).cast("int"), lit(ChunkW)))
+              .as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |nz AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM tok
+              |  WHERE len(toks) > 0),
+              |ch AS (SELECT doc_id, toks, n,
+              |    unnest(range(0, (n + ${ChunkW - 1}) // $ChunkW)) AS chunk_idx
+              |  FROM nz)
+              |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+              |  (chunk_idx * $ChunkW)::BIGINT AS tok_start,
+              |  least($ChunkW, n - chunk_idx * $ChunkW)::BIGINT AS n_chunk_tokens,
+              |  array_to_string(list_slice(toks, chunk_idx * $ChunkW + 1,
+              |    least(n, chunk_idx * $ChunkW + $ChunkW)), ' ') AS chunk_text
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- Stratified corpus sampling: per-language keep rates applied
+    //      via the deterministic content-hash gate (pure function of
+    //      the row — reproducible across runs, engines, partitionings;
+    //      the same mechanism as split_train_val_test). The filter is
+    //      a pushed-down scan predicate: no shuffle at all. ----
+    QuerySpec("sample_stratified",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 80L)
+          .when(col("lang") === "de" || col("lang") === "fr", 60L)
+          .when(col("lang") === "es", 40L)
+          .otherwise(20L)
+        Tables.documents(s, d)
+          .filter((TF.hash60(concat(lit("strat:"), col("doc_id").cast("string"))) % 100)
+            < rate)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val gate = h60("'strat:' || CAST(doc_id AS VARCHAR)")
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE $gate % 100 < CASE WHEN lang = 'en' THEN 80
+           |  WHEN lang IN ('de', 'fr') THEN 60
+           |  WHEN lang = 'es' THEN 40 ELSE 20 END
+           |ORDER BY doc_id""".stripMargin
+      }))
+}

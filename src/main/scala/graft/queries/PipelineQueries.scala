@@ -20,20 +20,13 @@ import graft.tables.Tables
   */
 object PipelineQueries {
 
-  // ---- DuckDB SQL fragments generated from the same Scala constants ----
+  // ---- DuckDB SQL fragments generated from the same Scala constants
+  //      (tokens/hash/shingles mirrors live in OracleSql, shared with
+  //      CurationQueries) ----
 
-  private def h60(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
-
-  private def toksSql(t: String) =
-    s"list_filter(string_split_regex(trim(lower($t)), '\\s+'), t -> len(t) > 0)"
-
-  /** Word n-gram list over a `toks` column (1-based list indexing). */
-  private def shinglesSql(n: Int): String = {
-    val parts = (0 until n).map(k => s"toks[j + $k]").mkString(", ")
-    s"CASE WHEN len(toks) >= $n THEN " +
-      s"list_transform(range(1, len(toks) - ${n - 2}), j -> concat_ws(' ', $parts)) " +
-      "ELSE []::VARCHAR[] END"
-  }
+  private def h60(x: String) = OracleSql.h60(x)
+  private def toksSql(t: String) = OracleSql.toksSql(t)
+  private def shinglesSql(n: Int): String = OracleSql.shinglesSql(n)
 
   /** Signed projection Σ ±v[i] of quantized vector `v` onto hyperplane
     * `j` — the ±1 components become literal +/− terms, mirroring the

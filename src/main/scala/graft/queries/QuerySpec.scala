@@ -14,6 +14,29 @@ final case class QuerySpec(
     /** include in the per-round Bench headline set */
     bench: Boolean = false)
 
+/** DuckDB fragment builders shared by the query files — each mirrors a
+  * Spark-side primitive in `graft.functions` exactly (same hash, same
+  * tokenization, same shingle construction), which is what keeps the
+  * oracles lockstep with the plans they check. */
+private[queries] object OracleSql {
+
+  /** Mirror of `TextFunctions.hash60`. */
+  def h60(x: String): String = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+
+  /** Mirror of `TextFunctions.tokens`. */
+  def toksSql(t: String): String =
+    s"list_filter(string_split_regex(trim(lower($t)), '\\s+'), t -> len(t) > 0)"
+
+  /** Mirror of `TextFunctions.shingles` over a `toks` column
+    * (1-based list indexing). */
+  def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"toks[j + $k]").mkString(", ")
+    s"CASE WHEN len(toks) >= $n THEN " +
+      s"list_transform(range(1, len(toks) - ${n - 2}), j -> concat_ws(' ', $parts)) " +
+      "ELSE []::VARCHAR[] END"
+  }
+}
+
 object QuerySpec {
   /** The derived "Kafka stream at rest" view of the `events` table:
     * topic/partition/offset columns synthesized deterministically so

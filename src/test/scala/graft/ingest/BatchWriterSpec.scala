@@ -88,6 +88,15 @@ class BatchWriterSpec extends SparkSuite {
     assert(back.columns.toSet === Set("part", "off", "payload"))
   }
 
+  test("orc format roundtrips records with .orc committed names") {
+    val out = tmpDir()
+    BatchWriter.write(records(Seq(0L, 2L), 3), out, "t", flushSize = 2, format = "orc")
+    assert(BatchWriter.listCommitted(spark, out, "t").forall(_.endsWith(".orc")))
+    val back = BatchWriter.read(spark, out, "t", format = "orc")
+    assert(back.count() === 6)
+    assert(back.columns.toSet === Set("part", "off", "payload"))
+  }
+
   test("text format writes one value per line into .txt files (B4)") {
     val out = tmpDir()
     BatchWriter.write(records(Seq(0L), 4), out, "t", flushSize = 4, format = "text")
