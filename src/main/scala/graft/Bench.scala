@@ -22,7 +22,11 @@ object Bench {
 
     val qs = SparkEntry.queries
     // untimed warmup: touch every input table + exercise codegen/shuffle
-    // once so the first timed query doesn't absorb session start-up
+    // once so the first timed query doesn't absorb session start-up.
+    // (A fuller warmup — running every headline query at sf0.001 first —
+    // was measured WORSE: plans persist() intermediates that linger in
+    // the cache and generated-code caching doesn't survive the differing
+    // exprIds, so it only added memory pressure.)
     graft.tables.Tables.names.foreach { t =>
       graft.tables.Tables(spark, sfDir, t).count()
     }
@@ -39,6 +43,9 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
         }
+      // outside the timer: drop intermediates the query persist()ed so
+      // they can't pressure later queries' memory
+      spark.catalog.clearCache()
       name -> sec
     }
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -55,7 +55,8 @@ object CurationQueries {
            |  $counts,
            |  $repl AS clean
            |FROM documents ORDER BY doc_id""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- Repetition signals (the Gopher/MassiveText repetition
     //      filters): duplicate-2gram fraction from set algebra on the
@@ -102,7 +103,8 @@ object CurationQueries {
               |    THEN CAST(max_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE)
               |    ELSE CAST(0.0 AS DOUBLE) END AS top_token_frac
               |FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id
-              |ORDER BY base.doc_id""".stripMargin)),
+              |ORDER BY base.doc_id""".stripMargin),
+      bench = true),
 
     // ---- TF-IDF-style salient terms, top-3 per document. Document
     //      frequency joins on the term (vocabulary-sized shuffle, not
@@ -139,7 +141,8 @@ object CurationQueries {
               |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
               |    ORDER BY score DESC, term ASC) AS rnk FROM scored)
               |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3
-              |ORDER BY doc_id, rnk""".stripMargin)),
+              |ORDER BY doc_id, rnk""".stripMargin),
+      bench = true),
 
     // ---- Sequence packing: concat-then-chunk assignment of documents
     //      to fixed 512-token context windows via the two-level
@@ -162,7 +165,8 @@ object CurationQueries {
               |  FROM tok)
               |SELECT doc_id, n_tokens, tok_start,
               |  (tok_start // $PackCtx)::BIGINT AS bin
-              |FROM c ORDER BY doc_id""".stripMargin)),
+              |FROM c ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- Document chunking: split each document into fixed 32-token
     //      windows with offsets and materialized chunk text — one

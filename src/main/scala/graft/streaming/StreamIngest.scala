@@ -112,4 +112,22 @@ object StreamIngest {
   def dedupOffsets(events: DataFrame, tsCol: String, watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates("part", "off")
+
+  /** Stream-stream enrichment join: each left event picks up right
+    * events with the same `key` whose timestamp falls in
+    * `[left.ts - lookback, left.ts]` — the streaming twin of the batch
+    * `range_join_signup_hour` interval join. Both sides carry
+    * watermarks AND the join condition bounds event-time range, which
+    * is what lets Spark expire join state instead of buffering both
+    * streams forever — state per key is O(lookback), not O(stream). */
+  def enrichWithinLookback(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String,
+                           watermarkDelay: String, lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $lookback") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
 }

@@ -146,6 +146,33 @@ class StreamIngestSpec extends SparkSuite {
     assert(rows.head._2 === t(0) && rows.head._3 === t(35))
   }
 
+  test("stream-stream lookback join matches within the window and expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val views = MemoryStream[(Timestamp, Long, String)]
+    val joined = StreamIngest.enrichWithinLookback(
+      clicks.toDF().toDF("cts", "user", "click"),
+      views.toDF().toDF("vts", "user", "page"),
+      "user", "cts", "vts", "10 minutes", "15 minutes")
+    val q = joined
+      .select(col("l.user"), col("click"), col("page"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+    // view at t0 and t40; click at t10 joins only the t0 view (within
+    // 15-minute lookback); click at t41 joins only the t40 view (the
+    // t0 view is 41 min stale)
+    views.addData((t(0), 7L, "home"), (t(40), 7L, "pricing"))
+    clicks.addData((t(10), 7L, "signup"), (t(41), 7L, "buy"))
+    // a different user's view never joins
+    views.addData((t(10), 8L, "other"))
+    q.processAllAvailable()
+    val rows = spark.table("ssj").as[(Long, String, String)].collect().toSet
+    q.stop()
+    assert(rows === Set((7L, "signup", "home"), (7L, "buy", "pricing")))
+  }
+
   test("dropDuplicates on (part, off) dedups an at-least-once stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
