@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   * parallel.
   *
   * Contract: `idCol` is a non-negative long, unique per row; corpus
-  * order is ascending id. Offsets are exact for total token counts
-  * below 2^53 (the bin index divides through a double).
+  * order is ascending id. All arithmetic is long-exact (`sum` over
+  * longs, SQL `div` for the bin) — offsets are correct up to long
+  * overflow at 2^63 total tokens.
   */
 object Packing {
 
@@ -39,22 +40,26 @@ object Packing {
   def withTokenOffsets(df: DataFrame, idCol: String, weightCol: String,
                        shardSpan: Long): DataFrame = {
     require(shardSpan > 0, s"shardSpan must be positive, got $shardSpan")
-    val sharded = df.withColumn("shard", expr(s"$idCol div $shardSpan"))
+    // collision-safe internal names: a caller's own `shard` column must
+    // survive untouched
+    val sharded = df.withColumn("__pack_shard", expr(s"$idCol div $shardSpan"))
     // within-shard exclusive prefix: bounded by shardSpan rows per task
-    val wLocal = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val wLocal = Window.partitionBy(col("__pack_shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withLocal = sharded.withColumn("local_off",
+    val withLocal = sharded.withColumn("__pack_local_off",
       coalesce(sum(col(weightCol)).over(wLocal), lit(0L)))
     // shard totals: one row per shard — the metadata-scale frame
-    val wShard = Window.orderBy(col("shard"))
+    val wShard = Window.orderBy(col("__pack_shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val shardOffsets = sharded.groupBy(col("shard"))
-      .agg(sum(col(weightCol)).as("shard_total"))
-      .withColumn("shard_off", coalesce(sum(col("shard_total")).over(wShard), lit(0L)))
-      .select(col("shard"), col("shard_off"))
-    withLocal.join(broadcast(shardOffsets), Seq("shard"))
-      .withColumn("tok_start", (col("shard_off") + col("local_off")).cast("long"))
-      .drop("shard", "local_off", "shard_off")
+    val shardOffsets = sharded.groupBy(col("__pack_shard"))
+      .agg(sum(col(weightCol)).as("__pack_shard_total"))
+      .withColumn("__pack_shard_off",
+        coalesce(sum(col("__pack_shard_total")).over(wShard), lit(0L)))
+      .select(col("__pack_shard"), col("__pack_shard_off"))
+    withLocal.join(broadcast(shardOffsets), Seq("__pack_shard"))
+      .withColumn("tok_start",
+        (col("__pack_shard_off") + col("__pack_local_off")).cast("long"))
+      .drop("__pack_shard", "__pack_local_off", "__pack_shard_off")
   }
 
   /** [[withTokenOffsets]] plus the context-window assignment:

@@ -27,6 +27,26 @@ object CurationQueries {
   /** Token-window width for chunk_documents. */
   private val ChunkW = 32
 
+  /** Mixture-rebalancing core (shared by `sample_balanced_sources` and
+    * its skewed-source unit test): downsample every source to the
+    * smallest source's size via the integer-exact hash gate
+    * `(h60 % 1e6) · n_src < min_src · 1e6`, returning per-source
+    * (n_src, n_kept). Package-visible so the non-trivial gate (keep
+    * rate < 1) is pinned by CurationSpec on a skewed frame — the
+    * testdata corpus has near-uniform sources, where the gate is
+    * trivially always-true. */
+  private[graft] def balancedBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
+    docs.join(broadcast(counts), Seq("source"))
+      .filter((TF.hash60(concat(lit("bal:"), col("doc_id").cast("string"))) % 1000000L)
+        * col("n_src") < col("mn") * 1000000L)
+      .groupBy(col("source"), col("n_src"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- PII scrub: typed placeholders for emails / IPv4s / phone
@@ -202,6 +222,74 @@ object CurationQueries {
               |  array_to_string(list_slice(toks, chunk_idx * $ChunkW + 1,
               |    least(n, chunk_idx * $ChunkW + $ChunkW)), ' ') AS chunk_text
               |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ---- Mixture rebalancing: downsample every source to the
+    //      smallest source's size, so the corpus mixture comes out
+    //      ~uniform. Per-source counts are a tiny aggregate; the
+    //      smallest count spreads via a metadata-scale window + one
+    //      broadcast join; the keep-gate is INTEGER-exact
+    //      ((h % 1e6) * n_src < min * 1e6 ⟺ h%1e6 < rate·1e6 with no
+    //      float rounding) and a pure function of the row. ----
+    QuerySpec("sample_balanced_sources",
+      (s, d) => balancedBySource(Tables.documents(s, d)),
+      Some {
+        val gate = h60("'bal:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+           |m AS (SELECT min(n_src) AS mn FROM c),
+           |k AS (SELECT d.source, c.n_src
+           |  FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+           |  WHERE ($gate % 1000000) * c.n_src < m.mn * 1000000)
+           |SELECT source, n_src, count(*) AS n_kept FROM k
+           |GROUP BY source, n_src ORDER BY source""".stripMargin
+      }),
+
+    // ---- Corpus bigram associations: PMI-style lift of adjacent token
+    //      pairs, top-20. Counts shuffle the (small) vocabulary and
+    //      bigram set after map-side partial aggregation; the final
+    //      top-k is TakeOrdered. Lift is one double division of exact
+    //      integer products, so ranking is bit-identical cross-engine
+    //      (log-PMI is monotone in lift — same order). ----
+    QuerySpec("bigram_lift",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(TF.tokens(col("text")).as("toks"))
+        val unigrams = tok.select(explode(col("toks")).as("t"))
+          .groupBy(col("t")).agg(count(lit(1)).as("n"))
+        // total token count from the vocabulary-sized aggregate — NOT a
+        // third scan+tokenize pass over the corpus
+        val total = unigrams.agg(sum(col("n")).cast("long").as("n_total"))
+        val bigrams = tok.select(explode(TF.shingles(col("toks"), 2)).as("big"))
+          .groupBy(col("big")).agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 5)
+          .withColumn("a", split(col("big"), " ").getItem(0))
+          .withColumn("b", split(col("big"), " ").getItem(1))
+        bigrams
+          .join(unigrams.select(col("t").as("a"), col("n").as("n_a")), Seq("a"))
+          .join(unigrams.select(col("t").as("b"), col("n").as("n_b")), Seq("b"))
+          .crossJoin(broadcast(total))
+          // divisions first: the integer products n_ab·N and n_a·n_b
+          // overflow long at real corpus sizes (N ~ 1e13 tokens)
+          .select(col("big"), col("n_ab"),
+            (col("n_ab").cast("double") / col("n_a").cast("double") /
+              col("n_b").cast("double") * col("n_total").cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("big").asc)
+          .limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT ${toksSql("text")} AS toks FROM documents),
+              |uni AS (SELECT unnest(toks) AS t FROM tok),
+              |u AS (SELECT t, count(*) AS n FROM uni GROUP BY 1),
+              |tot AS (SELECT count(*)::BIGINT AS n_total FROM uni),
+              |bg AS (SELECT unnest(${shinglesSql(2)}) AS big FROM tok),
+              |b AS (SELECT big, count(*) AS n_ab FROM bg GROUP BY 1 HAVING count(*) >= 5),
+              |sp AS (SELECT big, n_ab, string_split(big, ' ')[1] AS a,
+              |    string_split(big, ' ')[2] AS bb FROM b),
+              |j AS (SELECT big, n_ab,
+              |    CAST(n_ab AS DOUBLE) / CAST(ua.n AS DOUBLE)
+              |      / CAST(ub.n AS DOUBLE) * CAST(n_total AS DOUBLE) AS lift
+              |  FROM sp JOIN u ua ON sp.a = ua.t JOIN u ub ON sp.bb = ub.t
+              |  CROSS JOIN tot)
+              |SELECT big, n_ab, lift FROM j
+              |ORDER BY lift DESC, big ASC LIMIT 20""".stripMargin)),
 
     // ---- Stratified corpus sampling: per-language keep rates applied
     //      via the deterministic content-hash gate (pure function of

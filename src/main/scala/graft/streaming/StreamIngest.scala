@@ -119,7 +119,11 @@ object StreamIngest {
     * `range_join_signup_hour` interval join. Both sides carry
     * watermarks AND the join condition bounds event-time range, which
     * is what lets Spark expire join state instead of buffering both
-    * streams forever — state per key is O(lookback), not O(stream). */
+    * streams forever — state per key is O(lookback), not O(stream).
+    *
+    * The result keeps BOTH sides' `key`/timestamp columns under the
+    * `l` and `r` aliases — select them qualified (`col("l.user")`),
+    * an unqualified `col("user")` is ambiguous. */
   def enrichWithinLookback(left: DataFrame, right: DataFrame, key: String,
                            leftTs: String, rightTs: String,
                            watermarkDelay: String, lookback: String): DataFrame = {

@@ -61,7 +61,7 @@ class PackingSpec extends SparkSuite {
     // ORDER column first: windowspecdefinition(doc_id#...)
     assert(!plan.contains("windowspecdefinition(doc_id"),
       s"per-row window must be shard-partitioned:\n$plan")
-    assert(plan.contains("windowspecdefinition(shard"),
+    assert(plan.contains("windowspecdefinition(__pack_shard"),
       s"expected the shard-partitioned per-row window in:\n$plan")
   }
 }
