@@ -51,4 +51,35 @@ class PlanShapeSpec extends SparkSuite {
     val p = plan("proj_filter_lineitem").toString
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"), p)
   }
+
+  test("sample_stratified is a pure scan predicate — zero exchanges") {
+    val p = plan("sample_stratified")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // the global orderBy is presentation-only in the QuerySpec; the
+    // keep-gate itself must not shuffle: one exchange for the sort max
+    assert(shuffles.size <= 1, s"got ${shuffles.size} exchanges:\n$p")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("bigram_lift ends in TakeOrdered and hash-joins the vocabulary") {
+    val p = plan("bigram_lift")
+    val s = p.toString
+    // (the single-row total legitimately attaches via a broadcast
+    // nested loop — a 1-row cross join has no key to hash on)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"unigram joins must be equi-joins:\n$s")
+  }
+
+  test("decontaminate_eval_overlap broadcasts the eval grams — corpus side never shuffles for the join") {
+    val p = plan("decontaminate_eval_overlap").toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval set must broadcast into a semi-join:\n$p")
+  }
+
+  test("pack_sequences' corpus-side window is shard-partitioned, never global") {
+    val p = plan("pack_sequences").toString
+    assert(!p.contains("windowspecdefinition(doc_id"),
+      s"found an unpartitioned per-row window:\n$p")
+  }
 }
