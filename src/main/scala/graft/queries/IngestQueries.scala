@@ -285,5 +285,49 @@ object IngestQueries {
       Some("""SELECT event_id,
              |  regexp_extract(props, '"k": (\d+)', 1)::INT AS k,
              |  printf('{"k":%d}', regexp_extract(props, '"k": (\d+)', 1)::INT) AS j
-             |FROM events ORDER BY event_id""".stripMargin)))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- Log-compaction semantics (Kafka compacted topics): the
+    //      latest record per key, resolved by offset with max_by — one
+    //      hash aggregate, no window/sort of each key's history. ----
+    QuerySpec("compact_latest_by_key",
+      (s, d) => stream(s, d).groupBy(col("user_id"))
+        .agg(max(col("off")).as("last_off"),
+          max_by(col("event_type"), col("off")).as("last_type"),
+          max_by(col("value"), col("off")).as("last_value"))
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, max(event_id) AS last_off,
+             |  arg_max(event_type, event_id) AS last_type,
+             |  arg_max(value, event_id) AS last_value
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- Dead-letter routing (Connect's errors.tolerance/DLQ): every
+    //      7th payload is corrupted upstream; records whose JSON fails
+    //      to parse route to 'dlq', the rest carry their extracted
+    //      field to 'main'. One pass, no shuffle — the route decision
+    //      is a row-local expression. (Route-by-parse-success equals
+    //      the oracle's json_valid gate because every intact props has
+    //      a k field.) ----
+    QuerySpec("route_malformed",
+      (s, d) => {
+        val payload = when(pmod(col("event_id"), lit(7L)) === 0,
+          concat(lit("corrupt:"), col("props"))).otherwise(col("props"))
+        Tables.events(s, d)
+          .select(col("event_id"), payload.as("payload"))
+          .select(col("event_id"),
+            when(get_json_object(col("payload"), "$.k").isNotNull, "main")
+              .otherwise("dlq").as("route"),
+            get_json_object(col("payload"), "$.k").cast("long").as("k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH p AS (SELECT event_id,
+             |    CASE WHEN event_id % 7 = 0 THEN 'corrupt:' || props
+             |      ELSE props END AS payload
+             |  FROM events)
+             |SELECT event_id,
+             |  CASE WHEN json_valid(payload) THEN 'main' ELSE 'dlq' END AS route,
+             |  CASE WHEN json_valid(payload)
+             |    THEN json_extract_string(payload, '$.k')::BIGINT
+             |    ELSE NULL END AS k
+             |FROM p ORDER BY event_id""".stripMargin)))
 }
