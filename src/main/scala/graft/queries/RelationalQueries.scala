@@ -335,5 +335,53 @@ object RelationalQueries {
              |FROM events e JOIN iv ON e.user_id = iv.user_id
              |  AND epoch_ms(e.ts) BETWEEN s_ms AND e_ms
              |GROUP BY 1 ORDER BY 1""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // Pivot — the reshape inverse of unpivot_lineitem_metrics, via the
+    // native pivot operator with the value set pinned (no extra
+    // distinct-scan job to discover columns; at scale the column set
+    // must be declared, not inferred). DECIMAL-exact sums as always.
+    QuerySpec("pivot_flag_status",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("double"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  CAST(sum(CASE WHEN l_linestatus = 'F'
+             |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+             |  CAST(sum(CASE WHEN l_linestatus = 'O'
+             |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact median without an approx sketch: rank per group, keep the
+    // middle one or two rows, average them through DECIMAL (sum of ≤2
+    // exact decimals, then one division by 1 or 2 — both IEEE-exact,
+    // so the hash matches DuckDB bit-for-bit, which quantile_cont's
+    // engine-specific interpolation would not). The window partitions
+    // by customer — groups are small and numerous, so the per-group
+    // sort is scale-safe (contrast a global or few-group median, which
+    // would want an approx sketch instead).
+    QuerySpec("median_order_by_cust",
+      (s, d) => {
+        val ranked = Tables.orders(s, d)
+          .select(col("o_custkey"), dec(col("o_totalprice")).as("p"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("o_custkey")).orderBy(col("p"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+        ranked.filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n + 2) div 2"))
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("p")).cast("double") / count(lit(1))).as("median_price"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH r AS (SELECT o_custkey,
+             |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS rn,
+             |    count(*) OVER (PARTITION BY o_custkey) AS n
+             |  FROM orders),
+             |m AS (SELECT * FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
+             |SELECT o_custkey, CAST(sum(p) AS DOUBLE) / count(*) AS median_price
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)))
 }
