@@ -143,6 +143,14 @@ object NativeExpressions {
       { children: Seq[Expression] =>
         require(children.size == 1, "hash60_md5 takes exactly 1 argument")
         Hash60(children.head)
+      }),
+    (FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      { children: Seq[Expression] =>
+        require(children.size == 3, "topk_pairs takes (ord, id, k)")
+        // returned unwrapped — the analyzer wraps an AggregateFunction
+        // into its AggregateExpression in aggregation context
+        TopKPairs(children.head, children(1), children(2))
       }))
 
   /** Register the native functions on a live session (idempotent) so
