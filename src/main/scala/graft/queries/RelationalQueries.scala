@@ -215,6 +215,24 @@ object RelationalQueries {
              |WHERE event_type = 'error'
              |ORDER BY user_id, day""".stripMargin)),
 
+    // Set ops, part 2 — INTERSECT (plans as a left-semi aggregate, the
+    // same hash shapes as the joins above): user-days that both
+    // clicked AND purchased.
+    QuerySpec("setop_intersect_events",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def ud(t: String) = e.filter(col("event_type") === t)
+          .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        ud("click").intersect(ud("purchase"))
+          .orderBy(col("user_id"), col("day"))
+      },
+      Some("""SELECT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events
+             |WHERE event_type = 'click'
+             |INTERSECT
+             |SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
+             |WHERE event_type = 'purchase'
+             |ORDER BY user_id, day""".stripMargin)),
+
     // Unpivot (wide→long): lineitem money columns melted to
     // (metric, value) rows and re-aggregated — the reshape every
     // metrics pipeline needs, via the native unpivot operator (a
