@@ -567,15 +567,20 @@ object PipelineQueries {
           .distinct()
         val q = withK.filter(col("vec_id").isin(0L, 1L, 2L))
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val w = Window.partitionBy(col("q_id"))
-          .orderBy(col("dot").desc, col("neighbor_id").asc)
         NativeExpressions.register(s)
+        // final top-k through the bounded-heap aggregate: candidates
+        // reduce map-side to ≤k rows per partition before the exchange
+        // (the row_number window form would shuffle and sort them all)
         cand.join(withK, col("neighbor_id") === col("vec_id"))
           .join(broadcast(q), Seq("q_id"))
           .select(col("q_id"), col("neighbor_id"),
             call_function("dot_i64", col("qv"), col("v")).as("dot"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(5)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
       Some(
