@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+
+/** Distributed Lloyd k-means over quantized integer vectors — the
+  * trainer for the IVF coarse quantizer that `sim_ivf_centroid_topk`
+  * deliberately stubs with "first K ids" (its contract: production
+  * swaps the centroid table, nothing else; this is what produces that
+  * table).
+  *
+  * Scale shape (the same one Spark MLlib's k-means uses): the centroid
+  * set is O(K·d) — independent of corpus size — so it lives on the
+  * driver and enters each job as plan-time literal arrays. Per Lloyd
+  * iteration:
+  *
+  *   - ASSIGNMENT is a pure projection — zero shuffle. Each row
+  *     computes K squared distances via the codegen'd `dot_i64`
+  *     (d2 = x·x − 2·x·c + c·c, x·x computed once and shared by
+  *     codegen subexpression elimination) and takes the argmin with
+  *     `array_min` over (d2, cell) structs — lexicographic struct
+  *     ordering breaks distance ties on the lower cell id, so
+  *     assignment is total and deterministic.
+  *   - RECOMPUTE shuffles only per-(cell, dim) partial sums:
+  *     `posexplode` + hash aggregate means map-side combine caps each
+  *     input partition's contribution at K·d rows no matter how many
+  *     vectors it holds. The driver then collects K rows.
+  *
+  * Everything is integer-exact: inputs are fixed-point quantized longs
+  * and the new centroid component is the floor mean
+  * `(s − pmod(s, n)) div n` — an exact multiple before the division,
+  * so any engine's integer-division convention agrees and a DuckDB
+  * oracle can replay training bit-for-bit.
+  *
+  * Empty cells simply drop out (their id disappears from the centroid
+  * set); ids are stable across iterations — they are the init ids, not
+  * positional indexes.
+  */
+object KMeans {
+
+  /** A fitted centroid: stable id + quantized components. */
+  final case class Centroid(id: Long, v: Seq[Long]) {
+    /** c·c, precomputed once driver-side per iteration. */
+    def normSq: Long = v.map(x => x * x).sum
+  }
+
+  private def litVec(v: Seq[Long]): Column = array(v.map(lit): _*)
+
+  /** (d2, cell) argmin struct over the literal centroid set. */
+  private def bestCell(v: Column, cents: Seq[Centroid]): Column = {
+    val xx = call_function("dot_i64", v, v)
+    array_min(array(cents.map { c =>
+      struct(
+        (xx - lit(2L) * call_function("dot_i64", v, litVec(c.v)) +
+          lit(c.normSq)).as("d2"),
+        lit(c.id).as("cell"))
+    }: _*))
+  }
+
+  /** Assign every vector to its nearest centroid: `(id, v, cell, d2)`.
+    * A projection — no exchange; ties break on the lower cell id. */
+  def assign(vecs: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    NativeExpressions.register(vecs.sparkSession)
+    val best = bestCell(col("v"), cents)
+    vecs.select(col("id"), col("v"),
+      best.getField("cell").as("cell"), best.getField("d2").as("d2"))
+  }
+
+  /** Floor-mean recompute: one partial-sum shuffle, K rows out. */
+  private def recompute(assigned: DataFrame): Seq[Centroid] =
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
+        max(col("n")).as("n"))
+      .selectExpr("cell",
+        "transform(ps, p -> ((p.s - ((p.s % n) + n) % n) div n)) AS cv")
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_.id)
+
+  /** Deterministic init: the k vectors with the smallest ids (a k-row
+    * TakeOrdered — k driver rows, never a data-scale collect). */
+  def initFirstK(vecs: DataFrame, k: Int): Seq[Centroid] =
+    vecs.orderBy(col("id")).limit(k).collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_.id)
+
+  /** `iters` Lloyd updates from the first-k init. Each iteration is one
+    * Spark job (scan + partial-sum aggregate); the loop state is K·d
+    * driver-side longs, so lineage never grows with iterations. */
+  def fit(vecs: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
+    require(k > 0 && iters >= 0)
+    var cents = initFirstK(vecs, k)
+    for (_ <- 1 to iters) cents = recompute(assign(vecs, cents))
+    cents
+  }
+
+  /** Per-cell population and inertia (Σ d2) under a centroid set. */
+  def cellStats(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
+    assign(vecs, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d2")).as("inertia"))
+      .orderBy(col("cell"))
+
+  /** Total inertia under a centroid set (driver-side scalar). */
+  def inertia(vecs: DataFrame, cents: Seq[Centroid]): Long =
+    assign(vecs, cents).agg(sum(col("d2"))).collect()(0).getLong(0)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
+import graft.operators.KMeans
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -54,6 +55,29 @@ object PipelineQueries {
     keys.mkString("[", ",\n    ", "]")
   }
 
+  /** One k-means assignment block (mirror of `KMeans.assign`): CTEs
+    * `<out>_d`/`<out>_r`/`<out>`, every `src` vector to its nearest
+    * `cents` centroid, distance ties to the lower centroid id. */
+  private def kmAssignSql(src: String, cents: String, out: String): String =
+    s"""${out}_d AS (SELECT id, v, c_id,
+       |    CAST(list_sum(list_transform(list_zip(v, cv),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+       |  FROM $src CROSS JOIN $cents),
+       |${out}_r AS (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY d2 ASC, c_id ASC) AS rnk FROM ${out}_d),
+       |$out AS (SELECT id, v, c_id AS cell, d2 FROM ${out}_r WHERE rnk = 1)"""
+      .stripMargin
+
+  /** One k-means floor-mean update block (mirror of the recompute step):
+    * exact-multiple numerator, so `//` here equals Spark's `div`. */
+  private def kmUpdateSql(asg: String, out: String, dims: Int): String =
+    s"""${out}_s AS (SELECT cell, j, CAST(sum(v[j]) AS BIGINT) AS s,
+       |    count(*) AS n
+       |  FROM $asg CROSS JOIN range(1, ${dims + 1}) t(j) GROUP BY cell, j),
+       |$out AS (SELECT cell AS c_id,
+       |    list(((s - ((s % n) + n) % n) // n) ORDER BY j) AS cv
+       |  FROM ${out}_s GROUP BY cell)""".stripMargin
+
   /** Banded-LSH shape shared by the embedding blocking/search queries:
     * 4 bands × 4 planes (16 hyperplanes). At this SF the bands keep
     * recall high; at scale both are caller-set knobs (see
@@ -74,32 +98,36 @@ object PipelineQueries {
     * lang, stop_ratio, quality), unordered — shared by `text_stats`
     * and the quality filter. */
   private def textStatsFrame(s: org.apache.spark.sql.SparkSession,
-                             d: String): org.apache.spark.sql.DataFrame = {
-    val base = Tables.documents(s, d).select(col("doc_id"),
+                             d: String,
+                             withSource: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val idCols = if (withSource) Seq(col("doc_id"), col("source"))
+      else Seq(col("doc_id"))
+    val base = Tables.documents(s, d).select(idCols ++ Seq(
       TF.tokenCount(col("text")).cast("long").as("n_tokens"),
       TF.bpeishCount(col("text")).cast("long").as("n_bpeish"),
       TF.punctCount(col("text")).cast("long").as("n_punct"),
       array(TF.langMarkers.map { case (_, ms) =>
         TF.langScore(col("text"), ms) }: _*).as("scores"),
       TF.stopwordCount(col("text")).as("n_stops"),
-      length(col("text")).as("len"))
+      length(col("text")).as("len")): _*)
     val stopRatio = TF.stopwordRatioFrom(col("n_stops"), col("n_tokens"))
-    base.select(col("doc_id"), col("n_tokens"), col("n_bpeish"),
+    base.select(idCols ++ Seq(col("n_tokens"), col("n_bpeish"),
       col("n_punct"),
       TF.langFromScores(col("scores")).as("lang"),
       stopRatio.as("stop_ratio"),
       TF.qualityScoreFrom(stopRatio, col("n_tokens"), col("n_punct"),
-        col("len")).as("quality"))
+        col("len")).as("quality")): _*)
   }
 
-  /** DuckDB mirror of [[textStatsFrame]] (no ORDER BY). */
-  private val textStatsCoreSql: String = {
+  /** DuckDB mirror of [[textStatsFrame]] (no ORDER BY); `extraCols`
+    * threads passthrough document columns (e.g. ", source"). */
+  private def textStatsSql(extraCols: String): String = {
     val scoreList = TF.langMarkers.map { case (_, ms) =>
       s"len(regexp_extract_all(lower(text), '\\b(${ms.mkString("|")})\\b'))"
     }.mkString("[", ",\n      ", "]")
     val langList = TF.langMarkers.map(m => s"'${m._1}'").mkString("[", ", ", "]")
     val stops = s"len(regexp_extract_all(lower(text), '\\b(${TF.stopwords.mkString("|")})\\b'))"
-    s"""WITH base AS (SELECT doc_id, text,
+    s"""WITH base AS (SELECT doc_id$extraCols, text,
        |    len(${toksSql("text")})::BIGINT AS n_tokens,
        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpeish,
        |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))::BIGINT AS n_punct,
@@ -111,7 +139,7 @@ object PipelineQueries {
        |    least(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS len_score,
        |    CAST(1.0 AS DOUBLE) - least(CAST(n_punct AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS punct_score
        |  FROM base)
-       |SELECT doc_id, n_tokens, n_bpeish, n_punct,
+       |SELECT doc_id$extraCols, n_tokens, n_bpeish, n_punct,
        |  CASE WHEN best > 0 THEN ($langList)[list_position(scores, best)]
        |    ELSE 'und' END AS lang,
        |  stop_ratio,
@@ -119,6 +147,8 @@ object PipelineQueries {
        |    + CAST(0.3 AS DOUBLE) * punct_score AS quality
        |FROM scored""".stripMargin
   }
+
+  private val textStatsCoreSql: String = textStatsSql("")
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -391,6 +421,61 @@ object PipelineQueries {
               |WHERE lang = 'en' AND quality >= 0.5
               |  AND n_tokens BETWEEN 10 AND 5000
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Incremental dedup: the daily-increment shape — which docs
+    //      of the incoming batch (source src0) are NOT already in the
+    //      standing corpus. An anti-join that shuffles 16-byte
+    //      fingerprints, never documents; when the increment is small
+    //      relative to the corpus, AQE turns its side into the
+    //      broadcast build. ----
+    QuerySpec("dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), TF.contentFingerprint(col("text")).as("fp"))
+        val corpus = docs.filter(col("source") =!= "src0")
+          .select(TF.contentFingerprint(col("text")).as("fp"))
+        batch.join(corpus, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, source,
+              |    md5(array_to_string(list_sort(list_distinct(${toksSql("text")})), ' ')) AS fp
+              |  FROM documents)
+              |SELECT doc_id, fp FROM fp
+              |WHERE source = 'src0' AND fp NOT IN (
+              |  SELECT fp FROM fp WHERE source <> 'src0')
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Per-source quality quotas: keep each source's k best-quality
+    //      docs (the per-domain cap every web-curation pipeline runs).
+    //      Ranking goes through the bounded-heap `topk_pairs` aggregate
+    //      — the map side reduces every partition to ≤k rows per
+    //      source, so the exchange carries O(sources×k) where a
+    //      row_number window would shuffle and sort the corpus.
+    //      Quality is quantized to integer micro-units for the ord key;
+    //      ties break on doc_id, so both engines rank identically. ----
+    QuerySpec("sample_quota_by_source",
+      (s, d) => {
+        NativeExpressions.register(s)
+        textStatsFrame(s, d, withSource = true)
+          .select(col("source"), col("doc_id"),
+            floor(col("quality") * 1000000.0).cast("long").as("q"))
+          .groupBy(col("source"))
+          .agg(call_function("topk_pairs", col("q"), col("doc_id"),
+            lit(10)).as("top"))
+          .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+            col("p.id").as("doc_id"), col("p.ord").as("q"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some(s"""WITH st AS (${textStatsSql(", source")}),
+              |q AS (SELECT source, doc_id,
+              |    CAST(floor(quality * 1000000.0) AS BIGINT) AS q FROM st),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY source
+              |    ORDER BY q DESC, doc_id ASC) AS rnk FROM q)
+              |SELECT source, rnk, doc_id, q FROM r WHERE rnk <= 10
+              |ORDER BY source, rnk""".stripMargin)),
 
     // ---- ANN baseline: brute-force top-10 neighbors for 3 query
     //      vectors, integer-exact via fixed-point quantization. ----
@@ -739,6 +824,33 @@ object PipelineQueries {
            |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
            |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
            |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- IVF centroid TRAINING: 2 Lloyd updates of 8 centroids over
+    //      the quantized corpus (operators/KMeans — assignment is a
+    //      shuffle-free projection against driver-held literal
+    //      centroids, recompute shuffles K×d partial sums), then the
+    //      per-cell population/inertia under the fitted centroids.
+    //      Integer-exact throughout, so DuckDB replays the whole
+    //      training loop bit-for-bit. ----
+    QuerySpec("kmeans_cells",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          SF.quantize(col("embedding")).as("v"))
+        KMeans.cellStats(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+      },
+      Some(s"""WITH qv AS (SELECT vec_id AS id,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              |  FROM embeddings),
+              |c0 AS (SELECT id AS c_id, v AS cv FROM qv ORDER BY id LIMIT 8),
+              |${kmAssignSql("qv", "c0", "a1")},
+              |${kmUpdateSql("a1", "c1", EmbDims)},
+              |${kmAssignSql("qv", "c1", "a2")},
+              |${kmUpdateSql("a2", "c2", EmbDims)},
+              |${kmAssignSql("qv", "c2", "a3")}
+              |SELECT cell, count(*) AS n_vectors,
+              |  CAST(sum(d2) AS BIGINT) AS inertia
+              |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin),
+      bench = true),
 
     // ---- Multimodal frame-sampling plan: the byte offsets a video
     //      decoder would seek to for k uniform frames — pure integer

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.SparkSuite
+
+class KMeansSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df(rows: (Long, Seq[Long])*) = rows.toDF("id", "v")
+
+  test("two well-separated clusters converge to their floor means") {
+    // cluster A around (0, 0), cluster B around (100, 100)
+    val vecs = df(
+      0L -> Seq(0L, 1L), 1L -> Seq(100L, 99L),
+      2L -> Seq(1L, 0L), 3L -> Seq(99L, 100L),
+      4L -> Seq(2L, 2L), 5L -> Seq(101L, 101L))
+    val cents = KMeans.fit(vecs, k = 2, iters = 3)
+    assert(cents.map(_.id) === Seq(0L, 1L))
+    assert(cents(0).v === Seq(1L, 1L)) // floor mean of {0,1,2}×{1,0,2}
+    assert(cents(1).v === Seq(100L, 100L))
+    val byCell = KMeans.assign(vecs, cents)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    assert(byCell === Map(0L -> 0L, 2L -> 0L, 4L -> 0L,
+      1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("inertia is non-increasing across Lloyd iterations") {
+    // deterministic pseudo-random layout (no RNG: hash-ish arithmetic)
+    val vecs = (0L until 40L).map { i =>
+      i -> Seq((i * 37 % 101) - 50, (i * 53 % 97) - 48, (i * 71 % 89) - 44)
+    }
+    val d = df(vecs: _*)
+    val inertias = (0 to 3).map(t => KMeans.inertia(d, KMeans.fit(d, 4, t)))
+    assert(inertias.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"inertia must not increase: $inertias")
+    assert(inertias.last < inertias.head, "training must actually improve")
+  }
+
+  test("fit is deterministic") {
+    val d = df((0L until 20L).map(i => i -> Seq(i * 13 % 31, i * 7 % 23)): _*)
+    assert(KMeans.fit(d, 3, 2) === KMeans.fit(d, 3, 2))
+  }
+
+  test("a cell that loses all members drops out; ids stay stable") {
+    // init picks ids 0,1,2; ids 0 and 1 are duplicate points, so the
+    // distance tie breaks to the lower cell id and cell 1 gets nothing
+    val d = df(
+      0L -> Seq(0L), 1L -> Seq(0L), 2L -> Seq(50L),
+      3L -> Seq(0L), 4L -> Seq(50L), 5L -> Seq(0L), 6L -> Seq(50L))
+    val cents = KMeans.fit(d, k = 3, iters = 2)
+    assert(cents.map(_.id).toSet.subsetOf(Set(0L, 1L, 2L)))
+    assert(cents.size < 3, "one centroid must have emptied")
+    // stats remain consistent: every vector lands in a surviving cell
+    val stats = KMeans.cellStats(d, cents).collect()
+    assert(stats.map(_.getLong(1)).sum === 7L)
+  }
+
+  test("assignment is a pure projection — no shuffle exchange") {
+    val d = df(0L -> Seq(1L, 2L), 1L -> Seq(3L, 4L))
+    val cents = Seq(KMeans.Centroid(0L, Seq(1L, 2L)),
+      KMeans.Centroid(1L, Seq(3L, 4L)))
+    val plan = KMeans.assign(d, cents).queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"assignment must not exchange:\n$plan")
+  }
+}
