@@ -48,16 +48,22 @@ object KMeans {
 
   private def litVec(v: Seq[Long]): Column = array(v.map(lit): _*)
 
-  /** (d2, cell) argmin struct over the literal centroid set. */
-  private def bestCell(v: Column, cents: Seq[Centroid]): Column = {
+  /** The (d2, cell) struct per centroid — lexicographic order on the
+    * struct IS the (distance, id) order, so argmin/top-n over this
+    * array are tie-broken on the lower cell id for free. */
+  private def cellDists(v: Column, cents: Seq[Centroid]): Column = {
     val xx = call_function("dot_i64", v, v)
-    array_min(array(cents.map { c =>
+    array(cents.map { c =>
       struct(
         (xx - lit(2L) * call_function("dot_i64", v, litVec(c.v)) +
           lit(c.normSq)).as("d2"),
         lit(c.id).as("cell"))
-    }: _*))
+    }: _*)
   }
+
+  /** (d2, cell) argmin struct over the literal centroid set. */
+  private def bestCell(v: Column, cents: Seq[Centroid]): Column =
+    array_min(cellDists(v, cents))
 
   /** Assign every vector to its nearest centroid: `(id, v, cell, d2)`.
     * A projection — no exchange; ties break on the lower cell id. */
@@ -67,6 +73,18 @@ object KMeans {
     val best = bestCell(col("v"), cents)
     vecs.select(col("id"), col("v"),
       best.getField("cell").as("cell"), best.getField("d2").as("d2"))
+  }
+
+  /** IVF multiprobe: each vector's `nprobe` nearest cells, one row per
+    * (id, cell) — still a pure projection + generate, no exchange.
+    * Probe order is (d2 ASC, cell ASC), the same total order as
+    * [[assign]], so probe 1 is always the assignment cell. */
+  def probeCells(vecs: DataFrame, cents: Seq[Centroid], nprobe: Int): DataFrame = {
+    require(nprobe > 0 && nprobe <= cents.size)
+    NativeExpressions.register(vecs.sparkSession)
+    val probes = slice(sort_array(cellDists(col("v"), cents)), 1, nprobe)
+    vecs.select(col("id"), col("v"), explode(probes).as("p"))
+      .select(col("id"), col("v"), col("p.cell").as("cell"))
   }
 
   /** Floor-mean recompute: one partial-sum shuffle, K rows out. */

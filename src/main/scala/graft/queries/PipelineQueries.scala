@@ -852,6 +852,62 @@ object PipelineQueries {
               |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin),
       bench = true),
 
+    // ---- The full IVF lifecycle in one query: TRAIN the coarse
+    //      quantizer (2 Lloyd updates, operators/KMeans), ASSIGN the
+    //      corpus (shuffle-free projection), PROBE each query's 2
+    //      nearest cells, and SCORE candidates through the bounded-heap
+    //      topk_pairs aggregate. Candidates are ~nprobe/K of the
+    //      corpus; every stage is integer-exact, so the oracle replays
+    //      training AND search bit-for-bit. ----
+    QuerySpec("sim_ivf_trained_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val vecs = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          SF.quantize(col("embedding")).as("v"))
+        val cents = KMeans.fit(vecs, k = 8, iters = 2)
+        val assigned = KMeans.assign(vecs, cents)
+          .select(col("id"), col("v"), col("cell"))
+        val probes = KMeans.probeCells(
+            vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
+          .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+        // a vector lives in one cell and probe cells are distinct, so
+        // (q, neighbor) pairs are already unique
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("id") =!= col("q_id"))
+          .select(col("q_id"), col("id").as("neighbor_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(5)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH qv AS (SELECT vec_id AS id,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              |  FROM embeddings),
+              |c0 AS (SELECT id AS c_id, v AS cv FROM qv ORDER BY id LIMIT 8),
+              |${kmAssignSql("qv", "c0", "a1")},
+              |${kmUpdateSql("a1", "c1", EmbDims)},
+              |${kmAssignSql("qv", "c1", "a2")},
+              |${kmUpdateSql("a2", "c2", EmbDims)},
+              |${kmAssignSql("qv", "c2", "a3")},
+              |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
+              |    ORDER BY d2 ASC, c_id ASC) AS rnk
+              |  FROM a3_d WHERE id IN (0, 1, 2)),
+              |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
+              |  FROM pr WHERE rnk <= 2),
+              |cand AS (SELECT q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+              |      p -> p[1] * p[2])) AS BIGINT) AS dot
+              |  FROM a3 a JOIN probes p ON a.cell = p.cell
+              |  WHERE a.id <> p.q_id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)
+              |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- Multimodal frame-sampling plan: the byte offsets a video
     //      decoder would seek to for k uniform frames — pure integer
     //      column algebra over the payload length, no decode. ----

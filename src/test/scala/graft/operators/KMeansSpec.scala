@@ -56,6 +56,24 @@ class KMeansSpec extends SparkSuite {
     assert(stats.map(_.getLong(1)).sum === 7L)
   }
 
+  test("probeCells yields nprobe rows per vector, nearest-first, no shuffle") {
+    val d = df(0L -> Seq(0L), 1L -> Seq(10L), 2L -> Seq(21L))
+    val cents = Seq(KMeans.Centroid(0L, Seq(0L)),
+      KMeans.Centroid(1L, Seq(10L)), KMeans.Centroid(2L, Seq(20L)))
+    val probed = KMeans.probeCells(d, cents, nprobe = 2)
+    assert(probed.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e }.isEmpty)
+    val rows = probed.select("id", "cell").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(rows(0L) === Seq(0L, 1L)) // sort_array keeps (d2, cell) order
+    assert(rows(1L) === Seq(1L, 0L)) // d2 to cell 0 (100) < cell 2 (121)
+    assert(rows(2L) === Seq(2L, 1L))
+    // probe 1 always equals the assignment cell
+    val a = KMeans.assign(d, cents).select("id", "cell")
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cells) => assert(cells.head === a(id)) }
+  }
+
   test("assignment is a pure projection — no shuffle exchange") {
     val d = df(0L -> Seq(1L, 2L), 1L -> Seq(3L, 4L))
     val cents = Seq(KMeans.Centroid(0L, Seq(1L, 2L)),
