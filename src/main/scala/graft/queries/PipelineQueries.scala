@@ -150,6 +150,61 @@ object PipelineQueries {
 
   private val textStatsCoreSql: String = textStatsSql("")
 
+  /** Train → assign → multiprobe → bounded-heap top-k: the shared body
+    * of `sim_ivf_trained_topk` and the recall evaluation. Unordered
+    * output (q_id, neighbor_id, dot, rnk). */
+  private def trainedIvfTopk(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    NativeExpressions.register(s)
+    val vecs = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      SF.quantize(col("embedding")).as("v"))
+    val cents = KMeans.fit(vecs, k = 8, iters = 2)
+    val assigned = KMeans.assign(vecs, cents)
+      .select(col("id"), col("v"), col("cell"))
+    val probes = KMeans.probeCells(
+        vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    // a vector lives in one cell and probe cells are distinct, so
+    // (q, neighbor) pairs are already unique
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        call_function("dot_i64", col("qv"), col("v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(5)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** The trained-IVF oracle CTE chain (training + probe + search),
+    * ending in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ 5). */
+  private def trainedIvfSql: String =
+    s"""qv AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT id AS c_id, v AS cv FROM qv ORDER BY id LIMIT 8),
+       |${kmAssignSql("qv", "c0", "a1")},
+       |${kmUpdateSql("a1", "c1", EmbDims)},
+       |${kmAssignSql("qv", "c1", "a2")},
+       |${kmUpdateSql("a2", "c2", EmbDims)},
+       |${kmAssignSql("qv", "c2", "a3")},
+       |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
+       |    ORDER BY d2 ASC, c_id ASC) AS rnk
+       |  FROM a3_d WHERE id IN (0, 1, 2)),
+       |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
+       |  FROM pr WHERE rnk <= 2),
+       |cand AS (SELECT q_id, a.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+       |      p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM a3 a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.id <> p.q_id),
+       |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand),
+       |ivf AS (SELECT q_id, neighbor_id, dot, rnk FROM ivf_r
+       |  WHERE rnk <= 5)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Exact dedup: hash-aggregate on a 16-byte fingerprint. ----
@@ -860,53 +915,58 @@ object PipelineQueries {
     //      corpus; every stage is integer-exact, so the oracle replays
     //      training AND search bit-for-bit. ----
     QuerySpec("sim_ivf_trained_topk",
+      (s, d) => trainedIvfTopk(s, d).orderBy(col("q_id"), col("rnk")),
+      Some(s"""WITH $trainedIvfSql
+              |SELECT q_id, neighbor_id, dot, rnk FROM ivf
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- Measure, don't guess: recall@5 of the trained IVF against
+    //      exact brute force, per query. Both sides are deterministic
+    //      integer rankings, so even the evaluation is oracle-checked —
+    //      the ANN quality knobs (K, iters, nprobe) have a measured,
+    //      reproducible recall, not a vibe. ----
+    QuerySpec("sim_ivf_recall",
       (s, d) => {
-        NativeExpressions.register(s)
-        val vecs = Tables.embeddings(s, d).select(col("vec_id").as("id"),
-          SF.quantize(col("embedding")).as("v"))
-        val cents = KMeans.fit(vecs, k = 8, iters = 2)
-        val assigned = KMeans.assign(vecs, cents)
-          .select(col("id"), col("v"), col("cell"))
-        val probes = KMeans.probeCells(
-            vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
-          .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
-        // a vector lives in one cell and probe cells are distinct, so
-        // (q, neighbor) pairs are already unique
-        assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("id") =!= col("q_id"))
-          .select(col("q_id"), col("id").as("neighbor_id"),
+        val ivf = trainedIvfTopk(s, d).select(col("q_id"), col("neighbor_id"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val bf = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
             call_function("dot_i64", col("qv"), col("v")).as("dot"))
           .groupBy(col("q_id"))
           .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
             lit(5)).as("top"))
-          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
-          .select(col("q_id"), col("p.id").as("neighbor_id"),
-            col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
-          .orderBy(col("q_id"), col("rnk"))
+          .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+        val hits = ivf.join(bf, Seq("q_id", "neighbor_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        bf.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / 5.0)
+          .orderBy(col("q_id"))
       },
-      Some(s"""WITH qv AS (SELECT vec_id AS id,
-              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-              |  FROM embeddings),
-              |c0 AS (SELECT id AS c_id, v AS cv FROM qv ORDER BY id LIMIT 8),
-              |${kmAssignSql("qv", "c0", "a1")},
-              |${kmUpdateSql("a1", "c1", EmbDims)},
-              |${kmAssignSql("qv", "c1", "a2")},
-              |${kmUpdateSql("a2", "c2", EmbDims)},
-              |${kmAssignSql("qv", "c2", "a3")},
-              |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
-              |    ORDER BY d2 ASC, c_id ASC) AS rnk
-              |  FROM a3_d WHERE id IN (0, 1, 2)),
-              |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
-              |  FROM pr WHERE rnk <= 2),
-              |cand AS (SELECT q_id, a.id AS neighbor_id,
-              |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+      Some(s"""WITH $trainedIvfSql,
+              |bf_d AS (SELECT q.q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.qv, a.v),
               |      p -> p[1] * p[2])) AS BIGINT) AS dot
-              |  FROM a3 a JOIN probes p ON a.cell = p.cell
-              |  WHERE a.id <> p.q_id),
-              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)
-              |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin)),
+              |  FROM qv a CROSS JOIN (SELECT id AS q_id, v AS qv FROM qv
+              |    WHERE id IN (0, 1, 2)) q
+              |  WHERE a.id <> q.q_id),
+              |bf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM bf_d),
+              |bf AS (SELECT q_id, neighbor_id FROM bf_r WHERE rnk <= 5),
+              |hits AS (SELECT i.q_id, count(*) AS n_hit
+              |  FROM ivf i JOIN bf b
+              |    ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+              |  GROUP BY 1)
+              |SELECT q.q_id, coalesce(n_hit, 0) AS n_hit,
+              |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 5.0 AS recall
+              |FROM (SELECT DISTINCT q_id FROM bf) q
+              |LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
 
     // ---- Multimodal frame-sampling plan: the byte offsets a video
     //      decoder would seek to for k uniform frames — pure integer
