@@ -626,6 +626,38 @@ object PipelineQueries {
            |SELECT bucket, count(*) AS n FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
       bench = true),
 
+    // ---- LSH blocking observability: per-band bucket-size and
+    //      candidate-pair counts (Σ s·(s−1)/2). This is the number the
+    //      100 TB operator watches — when max_bucket or n_pairs stops
+    //      being ~linear in n, rowsPerBand is undersized and the
+    //      candidate self-join is drifting quadratic. Runs as two hash
+    //      aggregates over exploded band keys; the pair arithmetic is
+    //      exact (s·(s−1) is even, so `div 2` loses nothing). ----
+    QuerySpec("lsh_band_stats",
+      (s, d) => {
+        val qv = Tables.embeddings(s, d)
+          .select(SF.quantize(col("embedding")).as("v"))
+        qv.select(explode(
+            SF.bandedLshKeysQ(col("v"), EmbBands, EmbRows, EmbDims)).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("s"))
+          .select(split(col("key"), ":").getItem(0).cast("long").as("band"),
+            col("s"))
+          .groupBy(col("band")).agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("s")).as("max_bucket"),
+            sum(expr("(s * (s - 1)) div 2")).as("n_pairs"))
+          .orderBy(col("band"))
+      },
+      Some(s"""WITH qv AS (SELECT
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              |  FROM embeddings),
+              |k AS (SELECT unnest(${bandedKeysSql(EmbBands, EmbRows, EmbDims, "v")}) AS key FROM qv),
+              |b AS (SELECT key, count(*) AS s FROM k GROUP BY 1)
+              |SELECT CAST(split_part(key, ':', 1) AS BIGINT) AS band,
+              |  count(*) AS n_buckets, max(s) AS max_bucket,
+              |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS n_pairs
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Embedding-cosine near-dup: BANDED hyperplane LSH as blocking
     //      (explode band keys → equi-join → distinct candidates), exact
     //      cosine verify only on candidates — the same block→pair→verify
