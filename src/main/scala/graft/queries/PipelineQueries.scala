@@ -150,6 +150,74 @@ object PipelineQueries {
 
   private val textStatsCoreSql: String = textStatsSql("")
 
+  /** block → pair → verify → cluster: the shared body of
+    * `dedup_clusters` and the canonical-doc rewrite. Unordered
+    * (doc_id, cluster_id). */
+  private def dedupClustersFrame(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    NativeExpressions.register(s)
+    val docs = Tables.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      TF.shingles(TF.tokens(col("text")), 3).as("sh")).persist()
+    val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
+    val sig = hs.groupBy(col("doc_id")).agg(
+      DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
+    val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
+    val bands = sig.select(col("doc_id"),
+      explode(DF.bandKeys(sigCols, 4)).as("band")).persist()
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    val verified = pairs
+      .join(sh.as("x"), col("src") === col("x.doc_id"))
+      .join(sh.as("y"), col("dst") === col("y.doc_id"))
+      .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+      .select(col("src"), col("dst"))
+    graft.operators.ConnectedComponents
+      .run(docs.select(col("doc_id").as("id")), verified)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
+  /** DuckDB mirror of [[dedupClustersFrame]]: the CTE chain (recursive
+    * — callers prepend `WITH RECURSIVE`), ending in CTE `clusters` =
+    * (doc_id, cluster_id). */
+  private val dedupClustersSql: String = {
+    val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
+      case (g, bi) =>
+        val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
+        s"concat_ws(':', '$bi', $elems)"
+    }.mkString(", ")
+    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
+       |  FROM sh WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM hs),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |verified AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    CAST(len(list_filter(list_distinct(x.sh), s0 -> list_contains(list_distinct(y.sh), s0))) AS DOUBLE) AS inter,
+       |    CAST(len(list_distinct(x.sh)) + len(list_distinct(y.sh)) AS DOUBLE) AS szsum
+       |  FROM pairs JOIN sh x ON x.doc_id = src JOIN sh y ON y.doc_id = dst)
+       |  WHERE inter / (szsum - inter) >= 0.5),
+       |ed AS (SELECT src, dst FROM verified UNION SELECT dst, src FROM verified),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id),
+       |clusters AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach
+       |  GROUP BY id)""".stripMargin
+  }
+
   /** Train → assign → multiprobe → bounded-heap top-k: the shared body
     * of `sim_ivf_trained_topk` and the recall evaluation. Unordered
     * output (q_id, neighbor_id, dot, rnk). */
@@ -282,66 +350,42 @@ object PipelineQueries {
     //      near-dup pairs, j ≥ 0.9, and drops 23 banding false
     //      positives, j ≈ 0.02) → cluster (connected components). ----
     QuerySpec("dedup_clusters",
+      (s, d) => dedupClustersFrame(s, d).orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $dedupClustersSql
+              |SELECT doc_id, cluster_id FROM clusters
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Canonical-document selection: per duplicate cluster, keep
+    //      the BEST doc (quality micro-units, ties to the lower id) —
+    //      the rewrite step real pipelines run after clustering, where
+    //      min-id would throw away the cleanest copy. Selection goes
+    //      through the bounded-heap topk_pairs aggregate with k=1, so
+    //      the exchange carries one row per cluster. ----
+    QuerySpec("dedup_canonical_docs",
       (s, d) => {
-        NativeExpressions.register(s)
-        val docs = Tables.documents(s, d)
-        val sh = docs.select(col("doc_id"),
-          TF.shingles(TF.tokens(col("text")), 3).as("sh")).persist()
-        val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-          .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
-        val sig = hs.groupBy(col("doc_id")).agg(
-          DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
-        val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
-        val bands = sig.select(col("doc_id"),
-          explode(DF.bandKeys(sigCols, 4)).as("band")).persist()
-        val pairs = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-          .distinct()
-        val verified = pairs
-          .join(sh.as("x"), col("src") === col("x.doc_id"))
-          .join(sh.as("y"), col("dst") === col("y.doc_id"))
-          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
-          .select(col("src"), col("dst"))
-        graft.operators.ConnectedComponents
-          .run(docs.select(col("doc_id").as("id")), verified)
-          .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-          .orderBy(col("doc_id"))
+        val q = textStatsFrame(s, d).select(col("doc_id"),
+          floor(col("quality") * 1000000.0).cast("long").as("q"))
+        dedupClustersFrame(s, d).join(q, Seq("doc_id"))
+          .groupBy(col("cluster_id"))
+          .agg(call_function("topk_pairs", col("q"), col("doc_id"),
+            lit(1)).as("top"), count(lit(1)).as("n_docs"))
+          .select(col("cluster_id"),
+            element_at(col("top"), 1).getField("id").as("keeper_id"),
+            element_at(col("top"), 1).getField("ord").as("keeper_q"),
+            col("n_docs"))
+          .orderBy(col("cluster_id"))
       },
-      Some {
-        val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
-          case ((a, b), i) =>
-            s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
-        }.mkString(",\n    ")
-        val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
-          case (g, bi) =>
-            val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
-            s"concat_ws(':', '$bi', $elems)"
-        }.mkString(", ")
-        s"""WITH RECURSIVE tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-           |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
-           |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
-           |  FROM sh WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id,
-           |    $sigExprs
-           |  FROM hs),
-           |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
-           |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-           |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-           |verified AS (SELECT src, dst FROM (
-           |  SELECT src, dst,
-           |    CAST(len(list_filter(list_distinct(x.sh), s0 -> list_contains(list_distinct(y.sh), s0))) AS DOUBLE) AS inter,
-           |    CAST(len(list_distinct(x.sh)) + len(list_distinct(y.sh)) AS DOUBLE) AS szsum
-           |  FROM pairs JOIN sh x ON x.doc_id = src JOIN sh y ON y.doc_id = dst)
-           |  WHERE inter / (szsum - inter) >= 0.5),
-           |ed AS (SELECT src, dst FROM verified UNION SELECT dst, src FROM verified),
-           |reach(id, comp) AS (
-           |  SELECT doc_id, doc_id FROM documents
-           |  UNION
-           |  SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id)
-           |SELECT id AS doc_id, min(comp) AS cluster_id FROM reach
-           |GROUP BY id ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH RECURSIVE $dedupClustersSql,
+              |q AS (SELECT doc_id, CAST(floor(quality * 1000000.0) AS BIGINT) AS q
+              |  FROM (${textStatsSql("")})),
+              |j AS (SELECT c.cluster_id, q.q, q.doc_id
+              |  FROM clusters c JOIN q USING (doc_id)),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |    ORDER BY q DESC, doc_id ASC) AS rnk FROM j),
+              |n AS (SELECT cluster_id, count(*) AS n_docs FROM j GROUP BY 1)
+              |SELECT cluster_id, doc_id AS keeper_id, q AS keeper_q, n_docs
+              |FROM r JOIN n USING (cluster_id) WHERE rnk = 1
+              |ORDER BY cluster_id""".stripMargin)),
 
     // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
     QuerySpec("dedup_simhash",
