@@ -1,0 +1,224 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transactional metadata-log commit — the 100 TB upgrade over
+  * directory-listing commits that `BatchWriter.compact`'s scaladoc
+  * promises: readers never list the data directory, so the
+  * compaction commit→delete visibility window disappears and the
+  * O(files) recursive listing becomes an O(versions) log replay.
+  *
+  * Shape (a deliberately minimal cousin of Spark's streaming
+  * FileStreamSink log / the lakehouse table-format idea, built from
+  * public Spark + Hadoop APIs only):
+  *
+  *   `<outDir>/<topic>/_commitlog/<version>` — one file per committed
+  *   version, lines `a|<relPath>` (add) and `r|<relPath>` (remove).
+  *   The log stores ONLY paths: offsets, partitions, and ranges all
+  *   parse back out of the offset-ranged filenames, the same
+  *   filename-as-metadata contract the reference's recovery uses
+  *   (`FileUtils.java:106-149`).
+  *
+  *   - PUBLISH is an atomic rename of a staged uuid temp to the next
+  *     version number. Rename-if-absent is the CAS: under the
+  *     one-writer-per-topic discipline the reference's task model
+  *     implies, a lost race (version exists) retries at the next
+  *     number; data files were already idempotently committed, so a
+  *     crash between data-rename and publish leaves only invisible
+  *     files (healed by `vacuum`).
+  *   - SNAPSHOT is replay: versions in order, adds minus removes.
+  *     A compaction publishes adds+removes in ONE version file, so
+  *     readers atomically flip from sources to their replacement —
+  *     no torn view, no overlapping-offset double-read.
+  *   - VACUUM deletes committed-named files the log doesn't
+  *     reference (crashed writers' orphans, compacted sources) —
+  *     safe precisely because readers go through the log.
+  */
+object CommitLog {
+
+  private def logDir(outDir: String, topic: String) =
+    new Path(s"$outDir/$topic/_commitlog")
+
+  private[ingest] def fs(spark: SparkSession, outDir: String): FileSystem =
+    FileSystem.get(new Path(outDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Current log version, or -1 for an empty/absent log. */
+  def latestVersion(spark: SparkSession, outDir: String, topic: String): Long = {
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    if (!f.exists(dir)) return -1L
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Atomically publish one version adding `adds` and removing
+    * `removes` (topic-relative paths like
+    * `partition=3/t+3+0000000000+0000000009.parquet`). Returns the
+    * published version. */
+  def publish(spark: SparkSession, outDir: String, topic: String,
+              adds: Seq[String], removes: Seq[String] = Seq.empty): Long = {
+    require(adds.nonEmpty || removes.nonEmpty, "empty commit")
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    f.mkdirs(dir)
+    val body = (adds.sorted.map("a|" + _) ++ removes.sorted.map("r|" + _))
+      .mkString("", "\n", "\n")
+    val tmp = new Path(dir, s".${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try {
+      var v = latestVersion(spark, outDir, topic) + 1
+      // rename-if-absent CAS: on a lost race, advance and retry
+      while (!f.rename(tmp, new Path(dir, v.toString))) {
+        require(f.exists(new Path(dir, v.toString)),
+          s"rename to version $v failed without a competing version")
+        v += 1
+      }
+      v
+    } finally f.delete(tmp, false) // no-op when the rename won
+  }
+
+  /** Replay the log: the set of live topic-relative paths. */
+  def snapshot(spark: SparkSession, outDir: String, topic: String): Seq[String] = {
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    if (!f.exists(dir)) return Seq.empty
+    val versions = f.listStatus(dir).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    versions.foreach { p =>
+      val in = f.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString(StandardCharsets.UTF_8.name())
+      } finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val (op, path) = (line.charAt(0), line.substring(2))
+        if (op == 'a') live += path
+        else if (op == 'r') live -= path
+        else throw new IllegalStateException(s"corrupt log line: $line")
+      }
+    }
+    live.toSeq.sorted
+  }
+
+  /** Read the logged snapshot as a DataFrame — the exact live file
+    * list, never a directory scan, so concurrent compaction can
+    * never tear or double-read a query. */
+  def read(spark: SparkSession, outDir: String, topic: String,
+           format: String = "parquet"): DataFrame = {
+    val files = snapshot(spark, outDir, topic)
+      .map(rel => s"$outDir/$topic/$rel")
+    require(files.nonEmpty, s"empty commit log for $topic")
+    spark.read.option("basePath", s"$outDir/$topic").format(format)
+      .load(files: _*)
+      .withColumnRenamed("partition", "part")
+      .withColumn("part", col("part").cast("long"))
+  }
+
+  /** Offset restore from the log alone (the filename-as-metadata
+    * contract): max committed end offset per partition. */
+  def maxOffsets(spark: SparkSession, outDir: String, topic: String): Map[Long, Long] = {
+    val re = FileNaming.CommittedFilenameRegex.r
+    snapshot(spark, outDir, topic).flatMap { rel =>
+      rel.split('/').last match {
+        case re(t, p, _, e, _) if t == topic => Some(p.toLong -> e.toLong)
+        case _ => None
+      }
+    }.groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  /** Write + publish: stage and rename through [[BatchWriter]]'s
+    * idempotent protocol, then make the files visible in one log
+    * version. */
+  def writeLogged(df: DataFrame, outDir: String, topic: String,
+                  flushSize: Int,
+                  pad: Int = FileNaming.DefaultZeroPadWidth,
+                  format: String = "parquet"): Long = {
+    val committed = BatchWriter.write(df, outDir, topic, flushSize, pad, format)
+    publish(df.sparkSession, outDir, topic,
+      committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"))
+  }
+
+  /** Log-based compaction: plan over the SNAPSHOT (not the
+    * directory), rewrite multi-file groups through the standard
+    * protocol, then swap sources for replacements in ONE atomic
+    * version. Readers never observe sources and replacement together;
+    * physical deletion is deferred to [[vacuum]]. Re-running after a
+    * crash at any point converges: pre-publish, the replacement
+    * renames are idempotently skipped and the publish redone;
+    * post-publish, the plan sees only replacements and no multi-file
+    * groups remain. */
+  def compactLogged(spark: SparkSession, outDir: String, topic: String,
+                    targetRecords: Long,
+                    pad: Int = FileNaming.DefaultZeroPadWidth,
+                    format: String = "parquet"): Long = {
+    require(format == "parquet" || format == "json",
+      s"compact needs a self-describing format retaining off, got: $format")
+    val re = FileNaming.CommittedFilenameRegex.r
+    val listed = snapshot(spark, outDir, topic).flatMap { rel =>
+      rel.split('/').last match {
+        case n @ re(t, p, s, e, _) if t == topic =>
+          Some(BatchWriter.CompactFile(p.toLong, s.toLong, e.toLong, n))
+        case _ => None
+      }
+    }
+    // a log snapshot never holds overlapping ranges (swaps are atomic),
+    // so the plan's healing set is empty by construction
+    val plan = BatchWriter.planCompaction(listed, targetRecords)
+    require(plan.subsumed.isEmpty,
+      s"overlapping ranges in a log snapshot: ${plan.subsumed}")
+    val multi = plan.groups.filter(_.files.size > 1)
+    if (multi.isEmpty) return latestVersion(spark, outDir, topic)
+
+    val paths = multi.flatMap(g =>
+      g.files.map(n => s"$outDir/$topic/partition=${g.partition}/$n"))
+    val data = spark.read.option("basePath", s"$outDir/$topic")
+      .format(format).load(paths: _*)
+      .withColumnRenamed("partition", "part")
+      .withColumn("part", col("part").cast("long"))
+    import spark.implicits._
+    val ranges = multi.zipWithIndex
+      .map { case (g, i) => (g.partition, g.start, g.end, i.toLong) }
+      .toDF("part", "__gs", "__ge", "file_idx")
+    val assigned = data.join(broadcast(ranges), Seq("part"))
+      .filter(col("off").between(col("__gs"), col("__ge")))
+      .drop("__gs", "__ge")
+    val committed = BatchWriter.writeAssigned(assigned, outDir, topic, pad, format)
+
+    publish(spark, outDir, topic,
+      adds = committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"),
+      removes = multi.flatMap(g => g.files.map(n => s"partition=${g.partition}/$n")))
+  }
+
+  /** Delete committed-named data files the log does not reference:
+    * compacted sources and crashed writers' orphans. Only
+    * committed-named files are touched — staging and log internals
+    * are not its business. Returns the deleted relative paths. */
+  def vacuum(spark: SparkSession, outDir: String, topic: String): Seq[String] = {
+    val f = fs(spark, outDir)
+    val live = snapshot(spark, outDir, topic).toSet
+    val root = new Path(s"$outDir/$topic")
+    if (!f.exists(root)) return Seq.empty
+    val it = f.listFiles(root, true)
+    val doomed = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.matches(FileNaming.CommittedFilenameRegex)) {
+        val rel = s"${p.getParent.getName}/${p.getName}"
+        if (!live.contains(rel)) doomed += rel
+      }
+    }
+    val out = doomed.result()
+    out.foreach(rel => f.delete(new Path(root, rel), false))
+    out
+  }
+}
