@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ingest.BatchWriter
+import graft.ingest.{BatchWriter, CommitLog}
 
 /** Streaming ingest (SURVEY §7 M5): the reference's continuously-running
   * exactly-once pipeline (`HdfsSinkTask.put` → buffer → rotate → WAL →
@@ -55,6 +55,49 @@ object StreamIngest {
               format = format)
             committed = manifest.foldLeft(committed) { (m, f) =>
               m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
+            }
+          }
+        } finally { fresh.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** [[start]] with the transactional metadata-log commit: each
+    * micro-batch's files publish as ONE atomic `CommitLog` version and
+    * resume offsets come from the log snapshot, not a directory
+    * listing. Exactly-once survives a crash BETWEEN data-rename and
+    * publish: the restarted stream resumes from the log (which never
+    * saw the orphaned batch) and re-ingests those offsets. Where the
+    * replay reproduces a file boundary, the rename is idempotently
+    * skipped and the redone publish adopts the orphan; where new
+    * offsets shift the tail grouping, the stale partial file simply
+    * stays unreferenced — log readers can never see it next to its
+    * overlapping replacement (the double-read a directory lister WOULD
+    * hit), and `vacuum` reclaims it at leisure. */
+  def startLogged(stream: DataFrame, outDir: String, topic: String,
+                  flushSize: Int, checkpoint: String,
+                  trigger: Option[Trigger] = None,
+                  format: String = "parquet"): StreamingQuery = {
+    val spark = stream.sparkSession
+    var committed = CommitLog.maxOffsets(spark, outDir, topic)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = batch.dropDuplicates("part", "off")
+        val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
+        try {
+          if (!fresh.isEmpty) {
+            val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
+              format = format)
+            CommitLog.publish(spark, outDir, topic, manifest.map { c =>
+              s"partition=${c.partition}/" +
+                new org.apache.hadoop.fs.Path(c.path).getName
+            })
+            committed = manifest.foldLeft(committed) { (m, f) =>
+              m.updated(f.partition,
+                math.max(m.getOrElse(f.partition, -1L), f.endOffset))
             }
           }
         } finally { fresh.unpersist(); () }

@@ -72,6 +72,49 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.compactLogged(spark, out, "t", targetRecords = 5) === 3L)
   }
 
+  test("streaming: logged commits survive crash-between-rename-and-publish") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("clog-stream").toString
+    val ckpt1 = Files.createTempDirectory("clog-sckpt1").toString
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = graft.streaming.StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 2, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 2L))
+    val v1 = CommitLog.latestVersion(spark, out, "t")
+
+    // crash between data-rename and publish: data files exist, log
+    // version doesn't — roll the log back
+    CommitLog.fs(spark, out)
+      .delete(new Path(s"$out/t/_commitlog/$v1"), false)
+    assert(CommitLog.maxOffsets(spark, out, "t")
+      .getOrElse(0L, -1L) < 2L) // log forgot the tail
+    // fresh checkpoint, full at-least-once replay + one new offset
+    val ckpt2 = Files.createTempDirectory("clog-sckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = graft.streaming.StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 2, ckpt2)
+    s2.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"), (0L, 3L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = CommitLog.read(spark, out, "t")
+    assert(back.count() === 4) // orphans adopted, nothing doubled
+    assert(back.select(countDistinct(col("part"), col("off")))
+      .as[Long].head() === 4)
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 3L))
+    // offset 3's arrival regrouped the tail to [2,3], so the crashed
+    // batch's partial file [2,2] stays an unreferenced orphan — it
+    // OVERLAPS the replacement, which is exactly why log readers must
+    // never see it and the directory lister would double-read here
+    assert(CommitLog.vacuum(spark, out, "t") ===
+      Seq("partition=0/t+0+0000000002+0000000002.parquet"))
+  }
+
   test("publish CAS: a pre-existing version number is never overwritten") {
     val out = Files.createTempDirectory("clog-cas").toString
     CommitLog.writeLogged(frame(2), out, "t", flushSize = 2) // version 0
