@@ -82,4 +82,21 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("windowspecdefinition(doc_id"),
       s"found an unpartitioned per-row window:\n$p")
   }
+
+  test("sample_quota_by_source ranks via the bounded-heap aggregate, not a window") {
+    val p = plan("sample_quota_by_source")
+    val s = p.toString
+    assert(s.contains("topk_pairs"), s"quota must use topk_pairs:\n$s")
+    assert(!s.contains("Window"), s"no corpus window allowed:\n$s")
+    // one exchange: the per-source aggregate (plus AQE reads)
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("dedup_incremental is a fingerprint anti-join, no nested loop") {
+    val p = plan("dedup_incremental")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"anti-join must stay keyed:\n$p")
+    assert(p.toString.contains("LeftAnti"), p.toString)
+  }
 }
