@@ -287,6 +287,34 @@ object IngestQueries {
              |  printf('{"k":%d}', regexp_extract(props, '"k": (\d+)', 1)::INT) AS j
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // ---- Transactional-log sink round-trip: ingest the event stream
+    //      through CommitLog (write → one atomic version per commit →
+    //      log-based compaction swap → vacuum), then aggregate the
+    //      SNAPSHOT read. The oracle computes the same aggregate from
+    //      the raw table — equality proves the full
+    //      write/compact/vacuum/replay cycle is lossless and
+    //      duplicate-free. ----
+    QuerySpec("commitlog_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.compactLogged(s, dir, "events",
+          targetRecords = 4000)
+        graft.ingest.CommitLog.vacuum(s, dir, "events")
+        graft.ingest.CommitLog.read(s, dir, "events")
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), min(col("off")).as("min_off"),
+            max(col("off")).as("max_off"),
+            sum(col("user_id")).as("sum_users"))
+          .orderBy(col("part"))
+      },
+      Some(s"""SELECT event_id % ${P} AS part, count(*) AS n,
+              |  min(event_id) AS min_off, max(event_id) AS max_off,
+              |  sum(user_id) AS sum_users
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Log-compaction semantics (Kafka compacted topics): the
     //      latest record per key, resolved by offset with max_by — one
     //      hash aggregate, no window/sort of each key's history. ----
