@@ -227,15 +227,36 @@ object BatchWriter {
     val multi = plan.groups.filter(_.files.size > 1)
     if (multi.isEmpty) return Seq.empty
 
-    // one job: read only the files being merged, assign group index by
-    // offset range (broadcast ranges), and commit through the standard
-    // staging + rename protocol
-    val paths = multi.flatMap(g => g.files.map(srcPath(g.partition, _).toString))
-    val data = spark.read.option("basePath", s"$outDir/$topic")
-      .format(format).load(paths: _*)
+    val committed = rewriteGroups(spark, outDir, topic, multi, pad, format)
+
+    // replacements are durable — now drop the merged sources
+    multi.foreach(g => g.files.foreach(n => fs.delete(srcPath(g.partition, n), false)))
+    committed
+  }
+
+  /** Load an explicit committed-file list back into the stream schema
+    * (`partition=` dir value → long `part`). Shared by the two compact
+    * paths and the CommitLog snapshot reader — the rename/cast pair is
+    * subtle enough to exist exactly once. */
+  private[ingest] def loadCommitted(spark: SparkSession, baseDir: String,
+                                    format: String,
+                                    paths: Seq[String]): DataFrame =
+    spark.read.option("basePath", baseDir).format(format).load(paths: _*)
       .withColumnRenamed("partition", "part")
       // partition-dir discovery infers int; the stream schema is long
       .withColumn("part", col("part").cast("long"))
+
+  /** One job: read only the files being merged, assign group index by
+    * offset range (broadcast ranges), and commit through the standard
+    * staging + rename protocol. Shared by listing- and log-based
+    * compaction. */
+  private[ingest] def rewriteGroups(spark: SparkSession, outDir: String,
+                                    topic: String, multi: Seq[CompactGroup],
+                                    pad: Int,
+                                    format: String): Seq[CommittedFile] = {
+    val paths = multi.flatMap(g =>
+      g.files.map(n => s"$outDir/$topic/partition=${g.partition}/$n"))
+    val data = loadCommitted(spark, s"$outDir/$topic", format, paths)
     import spark.implicits._
     val ranges = multi.zipWithIndex
       .map { case (g, i) => (g.partition, g.start, g.end, i.toLong) }
@@ -243,11 +264,7 @@ object BatchWriter {
     val assigned = data.join(broadcast(ranges), Seq("part"))
       .filter(col("off").between(col("__gs"), col("__ge")))
       .drop("__gs", "__ge")
-    val committed = writeAssigned(assigned, outDir, topic, pad, format)
-
-    // replacements are durable — now drop the merged sources
-    multi.foreach(g => g.files.foreach(n => fs.delete(srcPath(g.partition, n), false)))
-    committed
+    writeAssigned(assigned, outDir, topic, pad, format)
   }
 
   /** Recursive committed-file listing (B10, `FileUtils.java:151-221`):

@@ -71,9 +71,9 @@ object CommitLog {
     val body = (adds.sorted.map("a|" + _) ++ removes.sorted.map("r|" + _))
       .mkString("", "\n", "\n")
     val tmp = new Path(dir, s".${UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     try {
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
       var v = latestVersion(spark, outDir, topic) + 1
       // rename-if-absent CAS: on a lost race, advance and retry
       while (!f.rename(tmp, new Path(dir, v.toString))) {
@@ -101,10 +101,11 @@ object CommitLog {
         buf.toString(StandardCharsets.UTF_8.name())
       } finally in.close()
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
-        val (op, path) = (line.charAt(0), line.substring(2))
-        if (op == 'a') live += path
-        else if (op == 'r') live -= path
-        else throw new IllegalStateException(s"corrupt log line: $line")
+        if (line.length < 3 || line.charAt(1) != '|' ||
+          (line.charAt(0) != 'a' && line.charAt(0) != 'r'))
+          throw new IllegalStateException(s"corrupt log line: $line")
+        if (line.charAt(0) == 'a') live += line.substring(2)
+        else live -= line.substring(2)
       }
     }
     live.toSeq.sorted
@@ -118,10 +119,7 @@ object CommitLog {
     val files = snapshot(spark, outDir, topic)
       .map(rel => s"$outDir/$topic/$rel")
     require(files.nonEmpty, s"empty commit log for $topic")
-    spark.read.option("basePath", s"$outDir/$topic").format(format)
-      .load(files: _*)
-      .withColumnRenamed("partition", "part")
-      .withColumn("part", col("part").cast("long"))
+    BatchWriter.loadCommitted(spark, s"$outDir/$topic", format, files)
   }
 
   /** Offset restore from the log alone (the filename-as-metadata
@@ -179,20 +177,8 @@ object CommitLog {
     val multi = plan.groups.filter(_.files.size > 1)
     if (multi.isEmpty) return latestVersion(spark, outDir, topic)
 
-    val paths = multi.flatMap(g =>
-      g.files.map(n => s"$outDir/$topic/partition=${g.partition}/$n"))
-    val data = spark.read.option("basePath", s"$outDir/$topic")
-      .format(format).load(paths: _*)
-      .withColumnRenamed("partition", "part")
-      .withColumn("part", col("part").cast("long"))
-    import spark.implicits._
-    val ranges = multi.zipWithIndex
-      .map { case (g, i) => (g.partition, g.start, g.end, i.toLong) }
-      .toDF("part", "__gs", "__ge", "file_idx")
-    val assigned = data.join(broadcast(ranges), Seq("part"))
-      .filter(col("off").between(col("__gs"), col("__ge")))
-      .drop("__gs", "__ge")
-    val committed = BatchWriter.writeAssigned(assigned, outDir, topic, pad, format)
+    val committed =
+      BatchWriter.rewriteGroups(spark, outDir, topic, multi, pad, format)
 
     publish(spark, outDir, topic,
       adds = committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"),
@@ -201,18 +187,31 @@ object CommitLog {
 
   /** Delete committed-named data files the log does not reference:
     * compacted sources and crashed writers' orphans. Only
-    * committed-named files are touched — staging and log internals
-    * are not its business. Returns the deleted relative paths. */
-  def vacuum(spark: SparkSession, outDir: String, topic: String): Seq[String] = {
+    * committed-named files are touched — staging and log internals are
+    * not its business. Returns the deleted relative paths.
+    *
+    * `graceMs` is the retention window that keeps vacuum safe against
+    * the two racers that legitimately hold unreferenced files: a
+    * reader whose snapshot was resolved before a compaction swap (it
+    * may still be scanning the swapped-out sources) and a writer
+    * between data-rename and publish. Files younger than `graceMs`
+    * are kept; size it above the longest query runtime + commit
+    * latency (the default is deliberately conservative). Pass 0 only
+    * when the topic is known quiescent (as tests do). */
+  def vacuum(spark: SparkSession, outDir: String, topic: String,
+             graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, outDir)
     val live = snapshot(spark, outDir, topic).toSet
     val root = new Path(s"$outDir/$topic")
     if (!f.exists(root)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
     val it = f.listFiles(root, true)
     val doomed = Seq.newBuilder[String]
     while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.matches(FileNaming.CommittedFilenameRegex)) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.matches(FileNaming.CommittedFilenameRegex) &&
+        st.getModificationTime <= cutoff) {
         val rel = s"${p.getParent.getName}/${p.getName}"
         if (!live.contains(rel)) doomed += rel
       }

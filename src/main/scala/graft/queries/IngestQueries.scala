@@ -302,13 +302,23 @@ object IngestQueries {
         graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
         graft.ingest.CommitLog.compactLogged(s, dir, "events",
           targetRecords = 4000)
-        graft.ingest.CommitLog.vacuum(s, dir, "events")
-        graft.ingest.CommitLog.read(s, dir, "events")
+        graft.ingest.CommitLog.vacuum(s, dir, "events", graceMs = 0)
+        val agg = graft.ingest.CommitLog.read(s, dir, "events")
           .groupBy(col("part"))
           .agg(count(lit(1)).as("n"), min(col("off")).as("min_off"),
             max(col("off")).as("max_off"),
             sum(col("user_id")).as("sum_users"))
           .orderBy(col("part"))
+        // materialize the per-partition result (4 rows) so the temp
+        // ingest dir can be reclaimed before returning
+        val rows = agg.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), agg.schema)
       },
       Some(s"""SELECT event_id % ${P} AS part, count(*) AS n,
               |  min(event_id) AS min_off, max(event_id) AS max_off,

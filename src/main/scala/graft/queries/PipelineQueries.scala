@@ -175,9 +175,14 @@ object PipelineQueries {
       .join(sh.as("y"), col("dst") === col("y.doc_id"))
       .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
       .select(col("src"), col("dst"))
-    graft.operators.ConnectedComponents
+    val comp = graft.operators.ConnectedComponents
       .run(docs.select(col("doc_id").as("id")), verified)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    // run() materialized every round (localCheckpoint), so the cached
+    // shingle/band frames are no longer reachable from the result —
+    // release them instead of leaking blocks into the shared session
+    sh.unpersist()
+    bands.unpersist()
+    comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
   }
 
   /** DuckDB mirror of [[dedupClustersFrame]]: the CTE chain (recursive

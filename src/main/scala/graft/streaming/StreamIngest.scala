@@ -35,8 +35,21 @@ object StreamIngest {
     * A restart re-lists, which is exactly the crash-recovery contract. */
   def start(stream: DataFrame, outDir: String, topic: String, flushSize: Int,
             checkpoint: String, trigger: Option[Trigger] = None,
-            format: String = "parquet"): StreamingQuery = {
-    var committed = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic)
+            format: String = "parquet"): StreamingQuery =
+    commitLoop(stream, outDir, topic, flushSize, checkpoint, trigger, format,
+      initial = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic),
+      afterWrite = _ => ())
+
+  /** The shared micro-batch commit loop: dedup → resume-filter →
+    * write → (hook) → advance offsets. `afterWrite` runs after the
+    * batch's files are durably renamed and before the in-memory
+    * offsets advance — the logged path publishes there. */
+  private def commitLoop(stream: DataFrame, outDir: String, topic: String,
+                         flushSize: Int, checkpoint: String,
+                         trigger: Option[Trigger], format: String,
+                         initial: Map[Long, Long],
+                         afterWrite: Seq[BatchWriter.CommittedFile] => Unit): StreamingQuery = {
+    var committed = initial
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
     trigger.foreach(writer.trigger)
@@ -53,6 +66,7 @@ object StreamIngest {
           if (!fresh.isEmpty) {
             val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
               format = format)
+            afterWrite(manifest)
             committed = manifest.foldLeft(committed) { (m, f) =>
               m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
             }
@@ -79,30 +93,13 @@ object StreamIngest {
                   trigger: Option[Trigger] = None,
                   format: String = "parquet"): StreamingQuery = {
     val spark = stream.sparkSession
-    var committed = CommitLog.maxOffsets(spark, outDir, topic)
-    val writer = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-    trigger.foreach(writer.trigger)
-    writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val deduped = batch.dropDuplicates("part", "off")
-        val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
-        try {
-          if (!fresh.isEmpty) {
-            val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
-              format = format)
-            CommitLog.publish(spark, outDir, topic, manifest.map { c =>
-              s"partition=${c.partition}/" +
-                new org.apache.hadoop.fs.Path(c.path).getName
-            })
-            committed = manifest.foldLeft(committed) { (m, f) =>
-              m.updated(f.partition,
-                math.max(m.getOrElse(f.partition, -1L), f.endOffset))
-            }
-          }
-        } finally { fresh.unpersist(); () }
-      }
-      .start()
+    commitLoop(stream, outDir, topic, flushSize, checkpoint, trigger, format,
+      initial = CommitLog.maxOffsets(spark, outDir, topic),
+      afterWrite = manifest =>
+        CommitLog.publish(spark, outDir, topic, manifest.map { c =>
+          s"partition=${c.partition}/" +
+            new org.apache.hadoop.fs.Path(c.path).getName
+        }))
   }
 
   /** A13 — wallclock scheduled rotation in the streaming plane

@@ -37,7 +37,7 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.latestVersion(spark, out, "t") === 0L)
     assert(BatchWriter.read(spark, out, "t").count() === 5) // lister sees 5
     assert(CommitLog.read(spark, out, "t").count() === 4)   // log reader: 4
-    val removed = CommitLog.vacuum(spark, out, "t")
+    val removed = CommitLog.vacuum(spark, out, "t", graceMs = 0)
     assert(removed === Seq("partition=0/t+0+0000000099+0000000099.parquet"))
     assert(BatchWriter.read(spark, out, "t").count() === 4)
   }
@@ -65,7 +65,7 @@ class CommitLogSpec extends SparkSuite {
       .as[Long].head() === 6)
     // sources still on disk (readers don't care) until vacuum
     assert(BatchWriter.listCommitted(spark, out, "t").size === 8)
-    assert(CommitLog.vacuum(spark, out, "t").size === 6)
+    assert(CommitLog.vacuum(spark, out, "t", graceMs = 0).size === 6)
     assert(BatchWriter.listCommitted(spark, out, "t") ===
       snap.map(_.split('/').last).sorted)
     // converged: another run is a no-op at this target
@@ -111,7 +111,7 @@ class CommitLogSpec extends SparkSuite {
     // batch's partial file [2,2] stays an unreferenced orphan — it
     // OVERLAPS the replacement, which is exactly why log readers must
     // never see it and the directory lister would double-read here
-    assert(CommitLog.vacuum(spark, out, "t") ===
+    assert(CommitLog.vacuum(spark, out, "t", graceMs = 0) ===
       Seq("partition=0/t+0+0000000002+0000000002.parquet"))
   }
 
@@ -150,7 +150,7 @@ class CommitLogSpec extends SparkSuite {
     assert(back.count() === 4)
     assert(back.select(countDistinct(col("part"), col("off")))
       .as[Long].head() === 4)
-    CommitLog.vacuum(spark, out, "t")
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
     assert(BatchWriter.listCommitted(spark, out, "t").size ===
       CommitLog.snapshot(spark, out, "t").size)
   }
