@@ -85,38 +85,60 @@ object CommitLog {
     } finally f.delete(tmp, false) // no-op when the rename won
   }
 
-  /** Replay the log: the set of live topic-relative paths. */
-  def snapshot(spark: SparkSession, outDir: String, topic: String): Seq[String] = {
+  /** The (adds, removes) recorded in one version file. */
+  def changesAt(spark: SparkSession, outDir: String, topic: String,
+                version: Long): (Seq[String], Seq[String]) = {
+    val f = fs(spark, outDir)
+    val p = new Path(logDir(outDir, topic), version.toString)
+    val in = f.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString(StandardCharsets.UTF_8.name())
+    } finally in.close()
+    val adds = Seq.newBuilder[String]
+    val removes = Seq.newBuilder[String]
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      if (line.length < 3 || line.charAt(1) != '|' ||
+        (line.charAt(0) != 'a' && line.charAt(0) != 'r'))
+        throw new IllegalStateException(s"corrupt log line: $line")
+      if (line.charAt(0) == 'a') adds += line.substring(2)
+      else removes += line.substring(2)
+    }
+    (adds.result(), removes.result())
+  }
+
+  /** Replay the log: the set of live topic-relative paths — at
+    * `asOf` (inclusive) for time travel, or the full log by default.
+    * Versions are immutable once published, so a pinned `asOf`
+    * snapshot is reproducible forever (modulo vacuum of its files —
+    * retain what you pin). */
+  def snapshot(spark: SparkSession, outDir: String, topic: String,
+               asOf: Long = Long.MaxValue): Seq[String] = {
     val dir = logDir(outDir, topic)
     val f = fs(spark, outDir)
     if (!f.exists(dir)) return Seq.empty
-    val versions = f.listStatus(dir).map(_.getPath)
-      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    val versions = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .filter(_ <= asOf).sorted
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    versions.foreach { p =>
-      val in = f.open(p)
-      val text = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-        buf.toString(StandardCharsets.UTF_8.name())
-      } finally in.close()
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
-        if (line.length < 3 || line.charAt(1) != '|' ||
-          (line.charAt(0) != 'a' && line.charAt(0) != 'r'))
-          throw new IllegalStateException(s"corrupt log line: $line")
-        if (line.charAt(0) == 'a') live += line.substring(2)
-        else live -= line.substring(2)
-      }
+    versions.foreach { v =>
+      val (adds, removes) = changesAt(spark, outDir, topic, v)
+      live ++= adds
+      live --= removes
     }
     live.toSeq.sorted
   }
 
   /** Read the logged snapshot as a DataFrame — the exact live file
-    * list, never a directory scan, so concurrent compaction can
-    * never tear or double-read a query. */
+    * list, never a directory scan, so concurrent compaction can never
+    * tear or double-read a query. `asOf` pins a historical version
+    * (time travel): training runs record the version they read and
+    * replay the identical corpus later. */
   def read(spark: SparkSession, outDir: String, topic: String,
-           format: String = "parquet"): DataFrame = {
-    val files = snapshot(spark, outDir, topic)
+           format: String = "parquet",
+           asOf: Long = Long.MaxValue): DataFrame = {
+    val files = snapshot(spark, outDir, topic, asOf)
       .map(rel => s"$outDir/$topic/$rel")
     require(files.nonEmpty, s"empty commit log for $topic")
     BatchWriter.loadCommitted(spark, s"$outDir/$topic", format, files)

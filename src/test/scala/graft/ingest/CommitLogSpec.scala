@@ -115,6 +115,28 @@ class CommitLogSpec extends SparkSuite {
       Seq("partition=0/t+0+0000000002+0000000002.parquet"))
   }
 
+  test("time travel: asOf pins historical snapshots across appends and compaction") {
+    val out = Files.createTempDirectory("clog-tt").toString
+    CommitLog.writeLogged(frame(2), out, "t", flushSize = 1)               // v0: offs 0,1
+    CommitLog.writeLogged(frame(4).filter(col("off") >= 2), out, "t", 1)   // v1: offs 2,3
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 5)           // v2: swap
+    assert(CommitLog.latestVersion(spark, out, "t") === 2L)
+
+    assert(CommitLog.read(spark, out, "t", asOf = 0L).count() === 2)
+    assert(CommitLog.read(spark, out, "t", asOf = 1L).count() === 4)
+    // the compaction version changes files, not rows
+    assert(CommitLog.read(spark, out, "t", asOf = 2L).count() === 4)
+    assert(CommitLog.snapshot(spark, out, "t", asOf = 1L).size === 4)
+    assert(CommitLog.snapshot(spark, out, "t", asOf = 2L).size === 2)
+    // the change feed of the swap records both sides
+    val (adds, removes) = CommitLog.changesAt(spark, out, "t", 2L)
+    assert(adds.size === 2 && removes.size === 4)
+    // vacuum invalidates history (documented): pinned readers must
+    // retain — after it, asOf=1 files are gone but HEAD still reads
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
+    assert(CommitLog.read(spark, out, "t").count() === 4)
+  }
+
   test("publish CAS: a pre-existing version number is never overwritten") {
     val out = Files.createTempDirectory("clog-cas").toString
     CommitLog.writeLogged(frame(2), out, "t", flushSize = 2) // version 0
