@@ -315,5 +315,66 @@ object CurationQueries {
            |  WHEN lang IN ('de', 'fr') THEN 60
            |  WHEN lang = 'es' THEN 40 ELSE 20 END
            |ORDER BY doc_id""".stripMargin
-      }))
+      }),
+
+    // ---- Temperature-flattened mixture (τ=2, the multilingual
+    //      pretraining standard): each source keeps ~sqrt(mn/n_src) of
+    //      its docs, so big sources are damped toward the small ones
+    //      without truncating to the minimum. No square root is ever
+    //      evaluated — the gate compares SQUARES (g²·n_src < mn·10¹²)
+    //      in decimal/int128 arithmetic, so the keep decision is exact
+    //      in any engine at any corpus size. Same tiny counts
+    //      aggregate + broadcast join as the balanced mix. ----
+    QuerySpec("sample_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_src"))
+          .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
+        val g = (TF.hash60(concat(lit("sqrt:"), col("doc_id").cast("string")))
+          % 1000000L).cast("decimal(38,0)")
+        docs.join(broadcast(counts), Seq("source"))
+          .filter(g * g * col("n_src").cast("decimal(38,0)") <
+            col("mn").cast("decimal(38,0)") *
+              lit(1000000000000L).cast("decimal(38,0)"))
+          .groupBy(col("source"), col("n_src"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val gate = h60("'sqrt:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),
+           |m AS (SELECT min(n_src) AS mn FROM c),
+           |k AS (SELECT d.source, c.n_src
+           |  FROM documents d JOIN c ON d.source = c.source CROSS JOIN m
+           |  WHERE (($gate % 1000000)::HUGEINT * (($gate) % 1000000)
+           |      * c.n_src) < m.mn::HUGEINT * 1000000000000)
+           |SELECT source, n_src, count(*) AS n_kept FROM k
+           |GROUP BY source, n_src ORDER BY source""".stripMargin
+      }),
+
+    // ---- The corpus card: one-row summary every curation run logs.
+    //      All aggregates are order-independent (counts, long sums,
+    //      distinct counts over md5 fingerprints), so the row is
+    //      engine-exact; dup_rate's two float ops share one
+    //      parenthesization with the oracle. ----
+    QuerySpec("corpus_stats",
+      (s, d) => Tables.documents(s, d).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .select(col("n_docs"), col("n_sources"), col("n_langs"),
+          col("n_tokens"), col("n_unique"),
+          (lit(1.0) - col("n_unique").cast("double") /
+            col("n_docs").cast("double")).as("dup_rate")),
+      Some(s"""SELECT count(*) AS n_docs,
+              |  count(DISTINCT source) AS n_sources,
+              |  count(DISTINCT lang) AS n_langs,
+              |  CAST(sum(len(${toksSql("text")})) AS BIGINT) AS n_tokens,
+              |  count(DISTINCT md5(text)) AS n_unique,
+              |  CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS dup_rate
+              |FROM documents""".stripMargin)))
 }

@@ -137,6 +137,31 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.read(spark, out, "t").count() === 4)
   }
 
+  test("readAddedSince feeds only new rows, even across a compaction rewrite") {
+    val out = Files.createTempDirectory("clog-inc").toString
+    CommitLog.writeLogged(frame(2), out, "t", flushSize = 1)              // v0: offs 0,1
+    CommitLog.writeLogged(frame(4).filter(col("off") >= 2), out, "t", 1)  // v1: offs 2,3
+    // plain increment: exactly v1's rows
+    val inc = CommitLog.readAddedSince(spark, out, "t", sinceVersion = 0L)
+    assert(inc.select("off").as[Long].collect().sorted === Array(2L, 3L))
+    // a compaction (v2) rewrites offsets 0-3 into merged files; the
+    // incremental feed from v0 must STILL be just v1's rows — the
+    // replacement covers already-consumed offsets
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 5)
+    val inc2 = CommitLog.readAddedSince(spark, out, "t", sinceVersion = 0L)
+    assert(inc2.select("off").as[Long].collect().sorted === Array(2L, 3L))
+    // nothing new after the compaction-only version
+    intercept[IllegalArgumentException] {
+      CommitLog.readAddedSince(spark, out, "t", sinceVersion = 2L)
+    }
+    // append after the compaction: picked up from either baseline
+    CommitLog.writeLogged(frame(6).filter(col("off") >= 4), out, "t", 1) // v3
+    assert(CommitLog.readAddedSince(spark, out, "t", sinceVersion = 2L)
+      .select("off").as[Long].collect().sorted === Array(4L, 5L))
+    assert(CommitLog.readAddedSince(spark, out, "t", sinceVersion = 0L)
+      .select("off").as[Long].collect().sorted === Array(2L, 3L, 4L, 5L))
+  }
+
   test("publish CAS: a pre-existing version number is never overwritten") {
     val out = Files.createTempDirectory("clog-cas").toString
     CommitLog.writeLogged(frame(2), out, "t", flushSize = 2) // version 0
