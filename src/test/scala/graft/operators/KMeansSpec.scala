@@ -56,6 +56,27 @@ class KMeansSpec extends SparkSuite {
     assert(stats.map(_.getLong(1)).sum === 7L)
   }
 
+  test("farthest-first init spreads seeds and beats first-k on clustered data") {
+    // ids 0 and 1 are duplicate points: first-K(2) seeds both
+    // centroids at (0,0), the tie collapses cell 1 to empty in round
+    // one, and Lloyd is stuck with a single centroid forever.
+    // Farthest-first can never pick a duplicate of an existing seed.
+    val vecs = df(
+      0L -> Seq(0L, 0L), 1L -> Seq(0L, 0L), 2L -> Seq(0L, 1L),
+      3L -> Seq(1L, 0L),
+      4L -> Seq(100L, 100L), 5L -> Seq(101L, 100L), 6L -> Seq(100L, 101L))
+    val init = KMeans.initFarthest(vecs, 2)
+    // seed 0, then the true farthest: (101,100) at d²=20201 beats
+    // (100,100)'s 20000; the d²=20201 tie between ids 5 and 6 → 5
+    assert(init.map(_.id) === Seq(0L, 5L))
+    val far = KMeans.inertia(vecs, KMeans.fitFarthest(vecs, 2, 2))
+    val first = KMeans.inertia(vecs, KMeans.fit(vecs, 2, 2))
+    assert(KMeans.fit(vecs, 2, 2).size === 1, "first-K collapsed (by design)")
+    assert(KMeans.fitFarthest(vecs, 2, 2).size === 2)
+    assert(far < first,
+      s"farthest init must separate the clusters: far=$far first=$first")
+  }
+
   test("probeCells yields nprobe rows per vector, nearest-first, no shuffle") {
     val d = df(0L -> Seq(0L), 1L -> Seq(10L), 2L -> Seq(21L))
     val cents = Seq(KMeans.Centroid(0L, Seq(0L)),
