@@ -1049,6 +1049,77 @@ object PipelineQueries {
               |LEFT JOIN hits USING (q_id)
               |ORDER BY q_id""".stripMargin)),
 
+    // ---- Contrastive pair mining: per query, one positive (exact
+    //      nearest neighbor through the bounded-heap aggregate) and
+    //      three negatives drawn by DETERMINISTIC hash — no RNG, so
+    //      the sample is reproducible and oracle-checkable. Collisions
+    //      with the query or its positive are skipped by taking the
+    //      first 3 surviving candidates in hash order — the standard
+    //      "random negatives" recipe for contrastive embedding
+    //      training, made engine-exact. ----
+    QuerySpec("contrastive_pairs",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val n = emb.agg(count(lit(1)).as("n_total"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val pos = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"),
+            col("vec_id"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("vec_id"),
+            lit(1)).as("top"))
+          .select(col("q_id"),
+            element_at(col("top"), 1).getField("id").as("pos_id"))
+        val negs = q.select(col("q_id")).crossJoin(broadcast(n))
+          .select(col("q_id"), col("n_total"),
+            explode(sequence(lit(0L), lit(4L))).as("j"))
+          .select(col("q_id"), col("j"),
+            (TF.hash60(concat(lit("neg:"), col("q_id").cast("string"),
+              lit(":"), col("j").cast("string"))) % col("n_total"))
+              .as("cand"))
+          .join(pos, Seq("q_id"))
+          .filter(col("cand") =!= col("q_id") && col("cand") =!= col("pos_id"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("j"))))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), lit("neg").as("kind"),
+            col("cand").as("pair_id"), col("rnk"))
+        pos.select(col("q_id"), lit("pos").as("kind"),
+            col("pos_id").as("pair_id"), lit(0).as("rnk"))
+          .unionByName(negs)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        val negHash = h60("'neg:' || CAST(q_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+        s"""WITH qv AS (SELECT vec_id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |n AS (SELECT count(*) AS n_total FROM qv),
+           |q AS (SELECT vec_id AS q_id, v AS qv FROM qv WHERE vec_id IN (0, 1, 2)),
+           |dots AS (SELECT q_id, a.vec_id,
+           |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+           |  FROM qv a CROSS JOIN q WHERE a.vec_id <> q_id),
+           |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dot DESC, vec_id ASC) AS r FROM dots),
+           |pos AS (SELECT q_id, vec_id AS pos_id FROM pr WHERE r = 1),
+           |cand AS (SELECT q.q_id, j, ($negHash) % n_total AS cand
+           |  FROM q CROSS JOIN n CROSS JOIN range(0, 5) t(j)),
+           |keep AS (SELECT c.q_id, c.cand, row_number() OVER (
+           |    PARTITION BY c.q_id ORDER BY c.j) AS rnk
+           |  FROM cand c JOIN pos p ON c.q_id = p.q_id
+           |  WHERE c.cand <> c.q_id AND c.cand <> p.pos_id)
+           |SELECT q_id, 'pos' AS kind, pos_id AS pair_id, 0 AS rnk FROM pos
+           |UNION ALL
+           |SELECT q_id, 'neg' AS kind, cand AS pair_id, rnk FROM keep
+           |  WHERE rnk <= 3
+           |ORDER BY q_id, rnk""".stripMargin
+      }),
+
     // ---- Multimodal frame-sampling plan: the byte offsets a video
     //      decoder would seek to for k uniform frames — pure integer
     //      column algebra over the payload length, no decode. ----
