@@ -988,6 +988,42 @@ object PipelineQueries {
               |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin),
       bench = true),
 
+    // ---- The same trainer from the farthest-first (k-center) init:
+    //      every init step is ALSO replayed by the oracle (assign to
+    //      the current seeds, take the max-distance vector, ties to
+    //      the lower id), so seed selection, training, and the final
+    //      cells are all hash-checked. K=4 keeps the unrolled init
+    //      chain readable. ----
+    QuerySpec("kmeans_farthest_cells",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          SF.quantize(col("embedding")).as("v"))
+        KMeans.cellStats(vecs, KMeans.fitFarthest(vecs, k = 4, iters = 2))
+      },
+      Some {
+        val k = 4
+        val init = (1 until k).map { i =>
+          s"""${kmAssignSql("qv", s"c${i - 1}", s"s$i")},
+             |c$i AS (SELECT * FROM c${i - 1} UNION ALL
+             |  SELECT id AS c_id, v AS cv FROM (
+             |    SELECT id, v FROM s$i ORDER BY d2 DESC, id ASC LIMIT 1))"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH qv AS (SELECT vec_id AS id,
+           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |c0 AS (SELECT id AS c_id, v AS cv FROM qv ORDER BY id LIMIT 1),
+           |$init,
+           |${kmAssignSql("qv", s"c${k - 1}", "a1")},
+           |${kmUpdateSql("a1", "t1", EmbDims)},
+           |${kmAssignSql("qv", "t1", "a2")},
+           |${kmUpdateSql("a2", "t2", EmbDims)},
+           |${kmAssignSql("qv", "t2", "a3")}
+           |SELECT cell, count(*) AS n_vectors,
+           |  CAST(sum(d2) AS BIGINT) AS inertia
+           |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin
+      }),
+
     // ---- The full IVF lifecycle in one query: TRAIN the coarse
     //      quantizer (2 Lloyd updates, operators/KMeans), ASSIGN the
     //      corpus (shuffle-free projection), PROBE each query's 2
