@@ -357,7 +357,12 @@ object CurationQueries {
     //      All aggregates are order-independent (counts, long sums,
     //      distinct counts over md5 fingerprints), so the row is
     //      engine-exact; dup_rate's two float ops share one
-    //      parenthesization with the oracle. ----
+    //      parenthesization with the oracle. Exact multi-distinct
+    //      plans as an Expand (~4× the scan rows); at the 100 TB tier
+    //      swap countDistinct for approx_count_distinct (HLL partial
+    //      aggregates, no expand) and bound it like agg_approx_users
+    //      — exact is kept here because the card is the oracle-checked
+    //      reference point. ----
     QuerySpec("corpus_stats",
       (s, d) => Tables.documents(s, d).agg(
           count(lit(1)).as("n_docs"),
