@@ -47,6 +47,26 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-mix core (shared by `sample_temperature_mix` and its
+    * skewed-source unit test): keep ~sqrt(mn/n_src) per source via the
+    * SQUARED integer gate g²·n_src < mn·10¹² in decimal(38) — no sqrt
+    * is ever evaluated, so the keep decision is exact in any engine at
+    * any corpus size. */
+  private[graft] def temperatureBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
+    val g = (TF.hash60(concat(lit("sqrt:"), col("doc_id").cast("string")))
+      % 1000000L).cast("decimal(38,0)")
+    docs.join(broadcast(counts), Seq("source"))
+      .filter(g * g * col("n_src").cast("decimal(38,0)") <
+        col("mn").cast("decimal(38,0)") *
+          lit(1000000000000L).cast("decimal(38,0)"))
+      .groupBy(col("source"), col("n_src"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- PII scrub: typed placeholders for emails / IPv4s / phone
@@ -326,21 +346,7 @@ object CurationQueries {
     //      in any engine at any corpus size. Same tiny counts
     //      aggregate + broadcast join as the balanced mix. ----
     QuerySpec("sample_temperature_mix",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        val counts = docs.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_src"))
-          .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
-        val g = (TF.hash60(concat(lit("sqrt:"), col("doc_id").cast("string")))
-          % 1000000L).cast("decimal(38,0)")
-        docs.join(broadcast(counts), Seq("source"))
-          .filter(g * g * col("n_src").cast("decimal(38,0)") <
-            col("mn").cast("decimal(38,0)") *
-              lit(1000000000000L).cast("decimal(38,0)"))
-          .groupBy(col("source"), col("n_src"))
-          .agg(count(lit(1)).as("n_kept"))
-          .orderBy(col("source"))
-      },
+      (s, d) => temperatureBySource(Tables.documents(s, d)),
       Some {
         val gate = h60("'sqrt:' || CAST(doc_id AS VARCHAR)")
         s"""WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY 1),

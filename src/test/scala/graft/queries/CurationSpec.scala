@@ -32,4 +32,27 @@ class CurationSpec extends SparkSuite {
     // the smallest source keeps everything
     assert(expectedBig < 30L && expectedBig > 0L)
   }
+
+  test("temperatureBySource damps a skewed source to ~sqrt(mn/n), not mn/n") {
+    // big: 100 docs, small: 10 → temperature keep rate sqrt(10/100) ≈ 32%,
+    // vs the balanced mix's 10%
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+
+    val got = CurationQueries.temperatureBySource(docs)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // replay the squared gate driver-side: g²·n < mn·10¹²
+    def kept(ids: Range, nSrc: Long): Long = ids.count { i =>
+      val g = BigInt(TextFunctions.hash60(s"sqrt:$i") % 1000000L)
+      g * g * nSrc < BigInt(10L) * BigInt("1000000000000")
+    }.toLong
+    val expectedBig = kept(0 until 100, 100L)
+    assert(got === Map("big" -> ((100L, expectedBig)), "small" -> ((10L, 10L))))
+    // flattened, not truncated: well above the balanced 10%, below 50%
+    assert(expectedBig > 15L && expectedBig < 50L,
+      s"sqrt damping should keep ~32 of 100, got $expectedBig")
+  }
 }
