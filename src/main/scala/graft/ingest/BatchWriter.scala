@@ -119,6 +119,11 @@ object BatchWriter {
     committed
   }
 
+  /** Formats compaction can read back with their own schema and the
+    * `off` column intact (csv drops names without a header; text
+    * carries offsets only in the filename). */
+  private[ingest] val SelfDescribing = Set("parquet", "json", "orc")
+
   /** One committed file in the compaction manifest (offsets parsed
     * from its name). */
   final case class CompactFile(partition: Long, start: Long, end: Long,
@@ -209,7 +214,7 @@ object BatchWriter {
   def compact(spark: SparkSession, outDir: String, topic: String,
               targetRecords: Long, pad: Int = FileNaming.DefaultZeroPadWidth,
               format: String = "parquet"): Seq[CommittedFile] = {
-    require(format == "parquet" || format == "json",
+    require(SelfDescribing(format),
       s"compact needs a self-describing format retaining off, got: $format")
     val fs = FileSystem.get(new Path(outDir).toUri,
       spark.sparkContext.hadoopConfiguration)

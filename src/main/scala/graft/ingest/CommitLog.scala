@@ -216,7 +216,7 @@ object CommitLog {
                     targetRecords: Long,
                     pad: Int = FileNaming.DefaultZeroPadWidth,
                     format: String = "parquet"): Long = {
-    require(format == "parquet" || format == "json",
+    require(BatchWriter.SelfDescribing(format),
       s"compact needs a self-describing format retaining off, got: $format")
     val re = FileNaming.CommittedFilenameRegex.r
     val listed = snapshot(spark, outDir, topic).flatMap { rel =>

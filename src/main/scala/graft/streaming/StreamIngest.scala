@@ -124,6 +124,14 @@ object StreamIngest {
     start(stream, outDir, topic, flushSize, checkpoint,
       Some(Trigger.ProcessingTime(periodMs)))
 
+  /** [[startScheduled]] through the transactional commit log: the
+    * schedule-fired partial file is published as an atomic version. */
+  def startScheduledLogged(stream: DataFrame, outDir: String, topic: String,
+                           flushSize: Int, checkpoint: String,
+                           periodMs: Long): StreamingQuery =
+    startLogged(stream, outDir, topic, flushSize, checkpoint,
+      Some(Trigger.ProcessingTime(periodMs)))
+
   /** Event-time bucketing with late-data handling (A12's semantics:
     * a time bucket closes only once a later record advances the clock —
     * exactly the watermark contract, `TopicPartitionWriterTest.java:404`). */

@@ -162,6 +162,25 @@ class CommitLogSpec extends SparkSuite {
       .select("off").as[Long].collect().sorted === Array(2L, 3L, 4L, 5L))
   }
 
+  test("scheduled rotation through the log: partial file published atomically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("clog-sched").toString
+    val ckpt = Files.createTempDirectory("clog-sched-ckpt").toString
+    val s = MemoryStream[(Long, Long, String)]
+    // flushSize 5 but only 2 records: the schedule fire must flush AND
+    // publish the partial file as a log version (A13 through the log)
+    val q = graft.streaming.StreamIngest.startScheduledLogged(
+      s.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 5, ckpt,
+      periodMs = 200L)
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(CommitLog.snapshot(spark, out, "t") ===
+      Seq("partition=0/t+0+0000000000+0000000001.parquet"))
+    assert(CommitLog.read(spark, out, "t").count() === 2)
+  }
+
   test("publish CAS: a pre-existing version number is never overwritten") {
     val out = Files.createTempDirectory("clog-cas").toString
     CommitLog.writeLogged(frame(2), out, "t", flushSize = 2) // version 0

@@ -95,6 +95,19 @@ class CompactionSpec extends SparkSuite {
     assert(back.select(countDistinct(col("off"))).as[Long].head() === 6)
   }
 
+  test("orc files compact end-to-end like parquet") {
+    val out = Files.createTempDirectory("compact-orc").toString
+    val df = (0L until 6L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    BatchWriter.write(df, out, "t", flushSize = 1, format = "orc")
+    assert(BatchWriter.listCommitted(spark, out, "t").size === 6)
+    BatchWriter.compact(spark, out, "t", targetRecords = 3, format = "orc")
+    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+      "t+0+0000000000+0000000002.orc", "t+0+0000000003+0000000005.orc"))
+    val back = BatchWriter.read(spark, out, "t", format = "orc")
+    assert(back.count() === 6)
+    assert(back.select(countDistinct(col("off"))).as[Long].head() === 6)
+  }
+
   test("compact rejects formats that cannot be read back with their schema") {
     val out = Files.createTempDirectory("compact-fmt").toString
     intercept[IllegalArgumentException] {
