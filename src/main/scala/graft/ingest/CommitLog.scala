@@ -145,35 +145,28 @@ object CommitLog {
   }
 
   /** The incremental feed: rows in files ADDED after `sinceVersion`
-    * (exclusive), skipping compaction rewrites — a replacement file's
-    * offset range is fully covered by previously-live files, so
-    * re-reading it would double-feed a downstream consumer. Detection
-    * is pure filename arithmetic: an added file whose range lies
-    * inside the since-snapshot's committed max for its partition is a
-    * rewrite, not new data. This is what a downstream incremental
-    * job (e.g. batch-vs-corpus dedup of just the new arrivals)
-    * consumes between its own checkpoints. */
+    * (exclusive), skipping compaction rewrites. Detection rests on the
+    * protocol's commit-kind invariant: every version is either an
+    * APPEND (adds only — writeLogged / the streaming committer) or a
+    * compaction SWAP (adds AND removes, whose added files only rewrite
+    * offsets that were already live). A version carrying removes is
+    * therefore never new data, regardless of which offsets its
+    * replacement happens to span. This is what a downstream
+    * incremental job (e.g. batch-vs-corpus dedup of just the new
+    * arrivals) consumes between its own checkpoints.
+    *
+    * Retention caveat (same contract as time travel): a swap makes the
+    * pending appends' ORIGINAL files unreferenced, so a consumer must
+    * catch up within the vacuum grace window of any compaction that
+    * overlaps its backlog — retain what your consumers still need. */
   def readAddedSince(spark: SparkSession, outDir: String, topic: String,
                      sinceVersion: Long,
                      format: String = "parquet"): DataFrame = {
-    val re = FileNaming.CommittedFilenameRegex.r
-    val baseMax = snapshot(spark, outDir, topic, asOf = sinceVersion)
-      .flatMap { rel =>
-        rel.split('/').last match {
-          case re(t, p, _, e, _) if t == topic => Some(p.toLong -> e.toLong)
-          case _ => None
-        }
-      }.groupMapReduce(_._1)(_._2)(math.max)
     val latest = latestVersion(spark, outDir, topic)
     val fresh = (sinceVersion + 1 to latest).flatMap { v =>
-      changesAt(spark, outDir, topic, v)._1
-    }.distinct.filter { rel =>
-      rel.split('/').last match {
-        case re(t, p, s, _, _) if t == topic =>
-          s.toLong > baseMax.getOrElse(p.toLong, -1L)
-        case _ => false
-      }
-    }
+      val (adds, removes) = changesAt(spark, outDir, topic, v)
+      if (removes.isEmpty) adds else Seq.empty // swaps rewrite, appends add
+    }.distinct
     require(fresh.nonEmpty, s"no new files after version $sinceVersion")
     BatchWriter.loadCommitted(spark, s"$outDir/$topic", format,
       fresh.map(rel => s"$outDir/$topic/$rel"))

@@ -119,10 +119,15 @@ object KMeans {
   def initFarthest(vecs: DataFrame, k: Int): Seq[Centroid] = {
     require(k > 0)
     var cents = initFirstK(vecs, 1)
-    for (_ <- 2 to k) {
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val far = assign(vecs, cents)
         .orderBy(col("d2").desc, col("id").asc).limit(1).collect()(0)
-      cents = (cents :+ Centroid(far.getLong(0), far.getSeq[Long](1)))
+      // max distance 0 ⇒ every vector coincides with a seed: fewer
+      // than k distinct points exist, and adding the "farthest" would
+      // duplicate a seed id — stop with the distinct seeds found
+      if (far.getLong(3) == 0L) exhausted = true
+      else cents = (cents :+ Centroid(far.getLong(0), far.getSeq[Long](1)))
         .sortBy(_.id)
     }
     cents

@@ -35,17 +35,27 @@ object CurationQueries {
     * rate < 1) is pinned by CurationSpec on a skewed frame — the
     * testdata corpus has near-uniform sources, where the gate is
     * trivially always-true. */
-  private[graft] def balancedBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Shared frame for the per-source sampling gates: docs joined with
+    * their source's size and the global minimum (tiny counts aggregate
+    * spread by a metadata-scale window + one broadcast join), filtered
+    * by `keep` (a predicate over doc columns + `n_src`/`mn`), reduced
+    * to per-source (n_src, n_kept). */
+  private def keptBySource(docs: org.apache.spark.sql.DataFrame,
+                           keep: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val counts = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
       .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
     docs.join(broadcast(counts), Seq("source"))
-      .filter((TF.hash60(concat(lit("bal:"), col("doc_id").cast("string"))) % 1000000L)
-        * col("n_src") < col("mn") * 1000000L)
+      .filter(keep)
       .groupBy(col("source"), col("n_src"))
       .agg(count(lit(1)).as("n_kept"))
       .orderBy(col("source"))
   }
+
+  private[graft] def balancedBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    keptBySource(docs,
+      (TF.hash60(concat(lit("bal:"), col("doc_id").cast("string"))) % 1000000L)
+        * col("n_src") < col("mn") * 1000000L)
 
   /** Temperature-mix core (shared by `sample_temperature_mix` and its
     * skewed-source unit test): keep ~sqrt(mn/n_src) per source via the
@@ -53,18 +63,12 @@ object CurationQueries {
     * is ever evaluated, so the keep decision is exact in any engine at
     * any corpus size. */
   private[graft] def temperatureBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val counts = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_src"))
-      .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
     val g = (TF.hash60(concat(lit("sqrt:"), col("doc_id").cast("string")))
       % 1000000L).cast("decimal(38,0)")
-    docs.join(broadcast(counts), Seq("source"))
-      .filter(g * g * col("n_src").cast("decimal(38,0)") <
+    keptBySource(docs,
+      g * g * col("n_src").cast("decimal(38,0)") <
         col("mn").cast("decimal(38,0)") *
           lit(1000000000000L).cast("decimal(38,0)"))
-      .groupBy(col("source"), col("n_src"))
-      .agg(count(lit(1)).as("n_kept"))
-      .orderBy(col("source"))
   }
 
   val specs: Seq[QuerySpec] = Seq(

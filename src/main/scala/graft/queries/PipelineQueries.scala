@@ -1035,7 +1035,8 @@ object PipelineQueries {
       (s, d) => trainedIvfTopk(s, d).orderBy(col("q_id"), col("rnk")),
       Some(s"""WITH $trainedIvfSql
               |SELECT q_id, neighbor_id, dot, rnk FROM ivf
-              |ORDER BY q_id, rnk""".stripMargin)),
+              |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
 
     // ---- Measure, don't guess: recall@5 of the trained IVF against
     //      exact brute force, per query. Both sides are deterministic

@@ -162,6 +162,22 @@ class CommitLogSpec extends SparkSuite {
       .select("off").as[Long].collect().sorted === Array(2L, 3L, 4L, 5L))
   }
 
+  test("readAddedSince: a swap merging ONLY post-checkpoint files still feeds once") {
+    // single partition so the baseline file closes as its own group and
+    // the replacement spans ONLY the new offsets — the case where a
+    // start-offset freshness filter would double-feed
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    val out = Files.createTempDirectory("clog-inc2").toString
+    CommitLog.writeLogged(one(Seq(0L, 1L)), out, "t", flushSize = 2) // v0: [0,1]
+    CommitLog.writeLogged(one(Seq(2L)), out, "t", flushSize = 1)     // v1: [2,2]
+    CommitLog.writeLogged(one(Seq(3L)), out, "t", flushSize = 1)     // v2: [3,3]
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 2)      // v3: swap [2,3]
+    assert(CommitLog.snapshot(spark, out, "t").exists(_.contains("0000000002+0000000003")))
+    val inc = CommitLog.readAddedSince(spark, out, "t", sinceVersion = 0L)
+    assert(inc.select("off").as[Long].collect().sorted === Array(2L, 3L),
+      "the swap's replacement must not double-feed offsets 2,3")
+  }
+
   test("scheduled rotation through the log: partial file published atomically") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

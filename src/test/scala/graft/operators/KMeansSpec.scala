@@ -77,6 +77,13 @@ class KMeansSpec extends SparkSuite {
       s"farthest init must separate the clusters: far=$far first=$first")
   }
 
+  test("initFarthest stops at the distinct-point count instead of duplicating seeds") {
+    val d = df(0L -> Seq(0L), 1L -> Seq(0L), 2L -> Seq(7L))
+    // only two distinct points exist; k=3 must yield 2 distinct seeds
+    val init = KMeans.initFarthest(d, 3)
+    assert(init.map(_.id) === Seq(0L, 2L))
+  }
+
   test("probeCells yields nprobe rows per vector, nearest-first, no shuffle") {
     val d = df(0L -> Seq(0L), 1L -> Seq(10L), 2L -> Seq(21L))
     val cents = Seq(KMeans.Centroid(0L, Seq(0L)),
