@@ -392,6 +392,49 @@ object PipelineQueries {
               |FROM r JOIN n USING (cluster_id) WHERE rnk = 1
               |ORDER BY cluster_id""".stripMargin)),
 
+    // ---- Duplicated-span fraction: the distributed approximation of
+    //      exact substring dedup (suffix-array style). Per doc, the
+    //      share of its 8-gram instances that also occur in OTHER
+    //      docs: explode gram hashes (8 bytes, one md5 each — the
+    //      minhash pipeline's shape), find cross-doc grams with a
+    //      map-side-combined distinct-doc count, semi-join back, and
+    //      divide. Docs above a threshold get their duplicated spans
+    //      cut in a real pipeline; here the signal itself is
+    //      oracle-checked. Shuffles gram hashes, never text. ----
+    QuerySpec("dedup_span_fraction",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val ex = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 8)).as("g"))
+          .select(col("doc_id"), h60n(col("g")).as("h"))
+        val dup = ex.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("h"))
+        val tot = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val hit = ex.join(dup, Seq("h"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        tot.join(hit, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+          .withColumn("dup_frac",
+            col("n_dup").cast("double") / col("n_grams").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM tok),
+              |ex AS (SELECT doc_id, ${h60("g")} AS h
+              |  FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE len(sh) > 0)),
+              |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+              |  FROM ex GROUP BY h) WHERE nd >= 2),
+              |tot AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY 1),
+              |hit AS (SELECT doc_id, count(*) AS n_dup FROM ex
+              |  WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+              |SELECT t.doc_id, n_grams, coalesce(n_dup, 0) AS n_dup,
+              |  CAST(coalesce(n_dup, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac
+              |FROM tot t LEFT JOIN hit USING (doc_id)
+              |ORDER BY t.doc_id""".stripMargin)),
+
     // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
     QuerySpec("dedup_simhash",
       (s, d) => {
