@@ -16,13 +16,17 @@ import graft.functions.NativeExpressions
   * driver and enters each job as plan-time literal arrays. Per Lloyd
   * iteration:
   *
-  *   - ASSIGNMENT is a pure projection — zero shuffle. Each row
-  *     computes K squared distances via the codegen'd `dot_i64`
-  *     (d2 = x·x − 2·x·c + c·c, x·x computed once and shared by
-  *     codegen subexpression elimination) and takes the argmin with
-  *     `array_min` over (d2, cell) structs — lexicographic struct
-  *     ordering breaks distance ties on the lower cell id, so
-  *     assignment is total and deterministic.
+  *   - ASSIGNMENT at small K is a pure projection — zero shuffle.
+  *     Each row computes K squared distances via the codegen'd
+  *     `dot_i64` (d2 = x·x − 2·x·c + c·c, x·x computed once and
+  *     shared by codegen subexpression elimination) and takes the
+  *     argmin with `array_min` over (d2, cell) structs —
+  *     lexicographic struct ordering breaks distance ties on the
+  *     lower cell id, so assignment is total and deterministic.
+  *     Past [[LiteralAssignMaxK]] cells it switches to a broadcast
+  *     join + min aggregate (same total order, one exchange of one
+  *     row per vector) — plan-literal expansion stops fitting
+  *     codegen at the K a production coarse quantizer uses.
   *   - RECOMPUTE shuffles only per-(cell, dim) partial sums:
   *     `posexplode` + hash aggregate means map-side combine caps each
   *     input partition's contribution at K·d rows no matter how many
@@ -65,14 +69,44 @@ object KMeans {
   private def bestCell(v: Column, cents: Seq[Centroid]): Column =
     array_min(cellDists(v, cents))
 
-  /** Assign every vector to its nearest centroid: `(id, v, cell, d2)`.
-    * A projection — no exchange; ties break on the lower cell id. */
+  /** Above this K, assignment switches from plan-literal centroids to
+    * the broadcast-join path: K·d literal add/subtract terms stop
+    * fitting whole-stage codegen long before they stop being correct,
+    * and production coarse quantizers run K in the thousands. */
+  val LiteralAssignMaxK = 64
+
+  /** Assign every vector to its nearest centroid: `(id, v, cell, d2)`,
+    * ties to the lower cell id. Small K: a pure shuffle-free
+    * projection over literal centroids. Large K: a broadcast hash
+    * join (the centroid table is still O(K·d) — broadcast, never
+    * shuffled) + ONE map-side-combined min aggregate on a
+    * lexicographic (d2, cell) struct — no window, no sort; the
+    * aggregate's exchange carries one row per vector. */
   def assign(vecs: DataFrame, cents: Seq[Centroid]): DataFrame = {
     require(cents.nonEmpty, "need at least one centroid")
     NativeExpressions.register(vecs.sparkSession)
-    val best = bestCell(col("v"), cents)
-    vecs.select(col("id"), col("v"),
-      best.getField("cell").as("cell"), best.getField("d2").as("d2"))
+    if (cents.size <= LiteralAssignMaxK) {
+      val best = bestCell(col("v"), cents)
+      vecs.select(col("id"), col("v"),
+        best.getField("cell").as("cell"), best.getField("d2").as("d2"))
+    } else assignViaJoin(vecs, cents)
+  }
+
+  private[graft] def assignViaJoin(vecs: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val cdf = cents.map(c => (c.id, c.v, c.normSq)).toDF("c_id", "cv", "cc")
+    val xx = call_function("dot_i64", col("v"), col("v"))
+    vecs.crossJoin(broadcast(cdf))
+      .select(col("id"), col("v"),
+        struct(
+          (xx - lit(2L) * call_function("dot_i64", col("v"), col("cv")) +
+            col("cc")).as("d2"),
+          col("c_id").as("cell")).as("cand"))
+      .groupBy(col("id"))
+      .agg(min(col("cand")).as("best"), first(col("v")).as("v"))
+      .select(col("id"), col("v"),
+        col("best.cell").as("cell"), col("best.d2").as("d2"))
   }
 
   /** IVF multiprobe: each vector's `nprobe` nearest cells, one row per
@@ -81,6 +115,10 @@ object KMeans {
     * [[assign]], so probe 1 is always the assignment cell. */
   def probeCells(vecs: DataFrame, cents: Seq[Centroid], nprobe: Int): DataFrame = {
     require(nprobe > 0 && nprobe <= cents.size)
+    require(cents.size <= LiteralAssignMaxK,
+      s"probeCells embeds centroids as plan literals; beyond " +
+        s"$LiteralAssignMaxK cells use the window-ranked broadcast-join " +
+        "probe (the sim_ivf_centroid_topk shape)")
     NativeExpressions.register(vecs.sparkSession)
     val probes = slice(sort_array(cellDists(col("v"), cents)), 1, nprobe)
     vecs.select(col("id"), col("v"), explode(probes).as("p"))

@@ -102,6 +102,23 @@ class KMeansSpec extends SparkSuite {
     rows.foreach { case (id, cells) => assert(cells.head === a(id)) }
   }
 
+  test("literal and broadcast-join assignment paths agree exactly") {
+    val vecs = df((0L until 30L).map(i =>
+      i -> Seq(i * 37 % 101 - 50, i * 53 % 97 - 48)): _*)
+    val cents = (0L until 6L).map(c =>
+      KMeans.Centroid(c * 5, Seq(c * 29 % 101 - 50, c * 41 % 97 - 48)))
+    val lit = KMeans.assign(vecs, cents)
+      .select("id", "cell", "d2").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val join = KMeans.assignViaJoin(vecs, cents)
+      .select("id", "cell", "d2").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(lit === join)
+    // and the dispatch actually switches: >64 centroids must still work
+    val many = (0L until 70L).map(c =>
+      KMeans.Centroid(c, Seq(c % 101 - 50, c * 7 % 97 - 48)))
+    val big = KMeans.assign(vecs, many)
+    assert(big.count() === 30)
+  }
+
   test("assignment is a pure projection — no shuffle exchange") {
     val d = df(0L -> Seq(1L, 2L), 1L -> Seq(3L, 4L))
     val cents = Seq(KMeans.Centroid(0L, Seq(1L, 2L)),
