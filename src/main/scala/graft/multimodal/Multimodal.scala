@@ -81,6 +81,18 @@ object Multimodal {
           i.cast("long") * octet_length(col("payload")).cast("long"),
           lit(k.toLong))).as("frame_offsets"))
 
+  /** [[frameSampleOffsets]] flattened to scalar rows — one
+    * (media_id, frame_idx, byte_offset) per planned seek. The exploded
+    * shape is what a distributed decode stage actually consumes (each
+    * row is an independent unit of work), and it keeps every column
+    * scalar for downstream exchange/compare. */
+  def frameSamplePlan(media: DataFrame, k: Int): DataFrame =
+    frameSampleOffsets(media, k)
+      .select(col("media_id"),
+        posexplode(col("frame_offsets")).as(Seq("frame_idx", "byte_offset")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("byte_offset"))
+
   /** Resize (thumbnail) plan: output dimensions fitting inside
     * `maxDim`, aspect preserved, never upscaled — the metadata-only
     * half of a resize pass, pure column algebra; the byte transform

@@ -322,7 +322,7 @@ object IngestQueries {
       },
       Some(s"""SELECT event_id % ${P} AS part, count(*) AS n,
               |  min(event_id) AS min_off, max(event_id) AS max_off,
-              |  sum(user_id) AS sum_users
+              |  CAST(sum(user_id) AS BIGINT) AS sum_users
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Log-compaction semantics (Kafka compacted topics): the

@@ -1202,15 +1202,17 @@ object PipelineQueries {
 
     // ---- Multimodal frame-sampling plan: the byte offsets a video
     //      decoder would seek to for k uniform frames — pure integer
-    //      column algebra over the payload length, no decode. ----
+    //      column algebra over the payload length, no decode. Exploded
+    //      to scalar rows: each (media_id, frame_idx, byte_offset) is
+    //      an independent decode-stage work unit. ----
     QuerySpec("multimodal_frame_plan",
-      (s, d) => graft.multimodal.Multimodal.frameSampleOffsets(
+      (s, d) => graft.multimodal.Multimodal.frameSamplePlan(
           graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)), 4)
-        .orderBy(col("media_id")),
-      Some("""SELECT doc_id AS media_id,
-             |  list_transform(range(0, 4),
-             |    i -> (i * octet_length(encode(text))) // 4) AS frame_offsets
-             |FROM documents ORDER BY media_id""".stripMargin)),
+        .orderBy(col("media_id"), col("frame_idx")),
+      Some("""SELECT doc_id AS media_id, i AS frame_idx,
+             |  (i * octet_length(encode(text))) // 4 AS byte_offset
+             |FROM documents CROSS JOIN range(0, 4) t(i)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
 
     // ---- Multimodal plumbing: opaque binary payload + deterministic
     //      fake "decode" into typed features (the Spark-side schema /
