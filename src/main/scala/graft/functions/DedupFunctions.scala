@@ -92,6 +92,21 @@ object DedupFunctions {
       when(b * 2 > total, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Fold per-bit majority sums into per-BAND signature values
+    * (`bandBits` bits each, so each value is in [0, 2^bandBits)) —
+    * the wide-signature form of [[simhashFromBitSums]]: band b holds
+    * global bits [b*bandBits, (b+1)*bandBits), and a signature wider
+    * than 63 bits never has to exist as a single (sign-problematic)
+    * long on either engine. Hamming distance of two signatures is the
+    * sum of per-band `bit_count(xor)`. */
+  def simhashBandsFromBitSums(bitCols: Seq[Column], total: Column,
+                              bandBits: Int): Seq[Column] =
+    bitCols.grouped(bandBits).toSeq.map { grp =>
+      grp.zipWithIndex.map { case (b, j) =>
+        when(b * 2 > total, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
   /** Jaccard similarity of the distinct-token sets of two documents.
     * Inputs are deduplicated here so callers can pass raw token arrays;
     * two empty sets are defined as identical (1.0). */

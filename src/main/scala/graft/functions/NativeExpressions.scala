@@ -100,6 +100,22 @@ object Hash60Util {
     while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** Full first 64 bits of md5 as a (possibly negative) big-endian
+    * long — the 16-hex-char prefix. Callers only ever extract bit
+    * fields (`shiftright(h, j) & mask`), which are sign-safe, so the
+    * signed representation never leaks. The DuckDB mirror reads the
+    * same bits as four 16-bit hex slices: bits [16b, 16b+16) of this
+    * value equal `('0x' || substr(md5(x), 1 + 4*(3-b), 4))::BIGINT`. */
+  def hash64(bytes: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
 }
 
 /** Native form of the portable `hash60` content hash (the MinHash /
@@ -129,6 +145,31 @@ case class Hash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 64-bit sibling of [[Hash60]]: the full 16-hex-char md5 prefix as a
+  * signed long, for signatures that need more than 60 bits (the
+  * 64-bit simhash in `dedup_simhash_pairs`). Bit-field extraction
+  * (`shiftright & mask`) is exact on the signed value; the oracle
+  * mirror is per-16-bit-band hex slices (see [[Hash60Util.hash64]]). */
+case class Hash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hash64_md5 needs a binary argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash64_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Hash60Util.hash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Hash60Util.hash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NativeExpressions {
 
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -143,6 +184,12 @@ object NativeExpressions {
       { children: Seq[Expression] =>
         require(children.size == 1, "hash60_md5 takes exactly 1 argument")
         Hash60(children.head)
+      }),
+    (FunctionIdentifier("hash64_md5"),
+      new ExpressionInfo(classOf[Hash64].getName, "hash64_md5"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "hash64_md5 takes exactly 1 argument")
+        Hash64(children.head)
       }),
     (FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),

@@ -466,56 +466,73 @@ object PipelineQueries {
 
     // ---- SimHash near-dup pairs via pigeonhole band blocking: a pair
     //      within hamming distance 3 differs in at most 3 of the 4
-    //      4-bit bands, so it SHARES at least one band exactly — the
+    //      bands, so it SHARES at least one band exactly — the
     //      blocking has zero false negatives, which the oracle proves
     //      by computing the same result as an unblocked all-pairs
     //      hamming scan. Spark side stays bucketed (band equi-join +
-    //      bit_count verify), never all-pairs. Scale knob: in-band
-    //      bucket space is 2^(bits/bands); at corpus scale widen the
-    //      signature (64-bit simhash → 4 bands of 16 bits keeps the
-    //      same hamming≤3 guarantee with 65536× the buckets) — `bits`
-    //      is the parameter below, 16 here to match the 16-bit
-    //      dedup_simhash signatures the oracle mirrors. ----
+    //      bit_count verify), never all-pairs. Signature is 64-bit
+    //      (hash64_md5 per token) cut into 4 bands × 16 bits: in-band
+    //      bucket space is 2^16 = 65536, so buckets stay near-singleton
+    //      and the candidate join is ~linear in n — vs the quadratic
+    //      collapse of the old 16-bit/4-bit-band parameterization
+    //      (SimhashBandBoundSpec pins the candidate-pair count). The
+    //      signature lives as 4 per-band 16-bit values, never one
+    //      64-bit long, so bit 63 has no sign pitfall on either
+    //      engine; hamming = Σ per-band bit_count(xor). The compact
+    //      16-bit dedup_simhash signature query above is unchanged —
+    //      it is the reference's signature surface; pairing needs the
+    //      wide hash. ----
     QuerySpec("dedup_simhash_pairs",
       (s, d) => {
         NativeExpressions.register(s)
-        val bits = 16
+        val bits = 64
+        val bandBits = 16
         val ex = Tables.documents(s, d)
           .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-          .select(col("doc_id"), DF.hash32From(h60n(col("t"))).as("h"))
+          .select(col("doc_id"),
+            call_function("hash64_md5", col("t").cast("binary")).as("h"))
         val agg = ex.groupBy(col("doc_id")).agg(
           DF.bitSums(col("h"), bits).head,
           DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
-        val sig = agg.select(col("doc_id"),
-          DF.simhashFromBitSums((0 until bits).map(i => col(s"bit$i")), col("total"))
-            .as("simhash")).persist()
-        val bands = sig.select(col("doc_id"), col("simhash"),
-          explode(array((0 until 4).map(b =>
-            concat_ws(":", lit(b).cast("string"),
-              shiftright(col("simhash"), 4 * b).bitwiseAND(15).cast("string"))): _*))
-            .as("band"))
+        val bandCols = DF.simhashBandsFromBitSums(
+          (0 until bits).map(i => col(s"bit$i")), col("total"), bandBits)
+        val sig = agg.select(
+          col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) =>
+            c.as(s"band$b") }: _*).persist()
+        val nBands = bits / bandBits
+        val bands = sig.select(
+          col("doc_id") +: (0 until nBands).map(b => col(s"band$b")) :+
+            explode(array((0 until nBands).map(b =>
+              concat_ws(":", lit(b).cast("string"),
+                col(s"band$b").cast("string"))): _*)).as("bk"): _*)
         bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+            (0 until nBands).map(b =>
+              bit_count(col(s"a.band$b").bitwiseXOR(col(s"b.band$b"))))
+              .reduce(_ + _).as("hamming"))
           .filter(col("hamming") <= 3)
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        val terms = (0 until 16).map { j =>
+        // band b covers global bits [16b, 16b+16) of the md5-prefix
+        // hash64, i.e. hex chars 1+4*(3-b)..4+4*(3-b) of md5(t)
+        def bandExpr(b: Int): String = (0 until 16).map { j =>
           s"""CASE WHEN 2 * coalesce(list_sum(list_transform(toks,
-             |    t -> (((${h60("t")} % 4294967296) >> $j) & 1))), 0) > len(toks)
+             |    t -> ((('0x' || substr(md5(t), ${1 + 4 * (3 - b)}, 4))::BIGINT >> $j) & 1))), 0) > len(toks)
              |  THEN ${1L << j} ELSE 0 END""".stripMargin
         }.mkString("\n  + ")
+        val ham = (0 until 4).map(b =>
+          s"bit_count(xor(a.band$b, b.band$b))").mkString(" + ")
         s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
            |sig AS (SELECT doc_id,
-           |  $terms AS simhash
+           |  ${(0 until 4).map(b => s"(${bandExpr(b)}) AS band$b").mkString(",\n  ")}
            |FROM tok WHERE len(toks) > 0)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+           |  ($ham)::INTEGER AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |WHERE $ham <= 3
            |ORDER BY doc_a, doc_b""".stripMargin
       },
       bench = true),

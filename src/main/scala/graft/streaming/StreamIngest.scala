@@ -102,6 +102,72 @@ object StreamIngest {
         }))
   }
 
+  /** Multi-topic orchestration — the reference's `DataWriter.write`
+    * demultiplexes one record stream across every topic's writers in a
+    * single consumer pass (`DataWriter.java:347-353`: group records by
+    * TopicPartition, buffer into each partition's
+    * `TopicPartitionWriter`). The Spark-native equivalent: ONE
+    * streaming query whose micro-batch is pinned once, then sliced
+    * per-topic over the cached partitions — N topics never mean N
+    * source scans or N concurrent queries, and the stream checkpoint
+    * advances all topics together.
+    *
+    * Per-topic isolation matches the reference's
+    * writer-per-TopicPartition model: each topic keeps its OWN commit
+    * log (atomic version publish) and its own committed-offset map,
+    * recovered from that topic's log the first time the topic appears
+    * in the stream and maintained incrementally after. A crash between
+    * topic A's publish and topic B's publish replays the batch; A's
+    * resume filter drops its already-committed offsets (idempotent
+    * redo), B ingests as if the crash never happened — exactly-once
+    * per topic, no cross-topic coupling.
+    *
+    * `stream` is shaped (topic, part, off, payload...); the `topic`
+    * column routes and is dropped from the written payload (the
+    * topic is the directory, `<outDir>/<topic>/partition=<p>/`). */
+  def startLoggedMulti(stream: DataFrame, outDir: String, flushSize: Int,
+                       checkpoint: String, trigger: Option[Trigger] = None,
+                       format: String = "parquet"): StreamingQuery = {
+    val spark = stream.sparkSession
+    val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+    trigger.foreach(writer.trigger)
+    writer
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // one dedup keyed (topic, part, off) — offsets are per-topic
+        // sequences, so the same (part, off) on two topics is two
+        // distinct records. Pinned once; every per-topic slice below
+        // is a cached-partition filter, not a source re-read.
+        val deduped = batch.dropDuplicates("topic", "part", "off").persist()
+        try {
+          // the topic roster of THIS batch is metadata-scale (the
+          // reference holds one writer map per assigned topic too)
+          val topics = deduped.select("topic").distinct()
+            .collect().map(_.getString(0)).sorted
+          topics.foreach { topic =>
+            val cur = committed.getOrElseUpdate(topic,
+              CommitLog.maxOffsets(spark, outDir, topic))
+            val fresh = BatchWriter.resumeFrom(
+              deduped.filter(col("topic") === topic).drop("topic"), cur)
+            if (!fresh.isEmpty) {
+              val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
+                format = format)
+              CommitLog.publish(spark, outDir, topic, manifest.map { c =>
+                s"partition=${c.partition}/" +
+                  new org.apache.hadoop.fs.Path(c.path).getName
+              })
+              committed(topic) = manifest.foldLeft(cur) { (m, f) =>
+                m.updated(f.partition,
+                  math.max(m.getOrElse(f.partition, -1L), f.endOffset))
+              }
+            }
+          }
+        } finally { deduped.unpersist(); () }
+      }
+      .start()
+  }
+
   /** A13 — wallclock scheduled rotation in the streaming plane
     * (`rotate.schedule.interval.ms`, `TopicPartitionWriter.java:297-310`
     * + partial-file flush test `DataWriterAvroTest.java:356-403`): the

@@ -85,6 +85,27 @@ class NativeExpressionsSpec extends SparkSuite {
     assert(got.map(_._1).toSeq === inputs.map(TextFunctions.hash60))
   }
 
+  test("hash64_md5 equals the 16-hex-char md5 prefix, band slices mirror the oracle") {
+    NativeExpressions.register(spark)
+    val inputs = Seq("hello", "", "Zürich", "a b c", "é中文", "🙂 emoji")
+    val got = inputs.toDF("s")
+      .select(call_function("hash64_md5", col("s").cast("binary")).as("h"))
+      .as[Long].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    inputs.zip(got).foreach { case (s, h) =>
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // full value = first 16 hex chars big-endian (signed ok)
+      assert(h === java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16))
+      // band b of the signature reads hex chars 1+4*(3-b)..+4 — the
+      // DuckDB oracle's substr(md5(t), 1+4*(3-b), 4) slice
+      (0 until 4).foreach { b =>
+        val slice = java.lang.Long.parseLong(
+          hex.substring(4 * (3 - b), 4 * (3 - b) + 4), 16)
+        assert(((h >> (16 * b)) & 0xffffL) === slice, s"band $b of '$s'")
+      }
+    }
+  }
+
   test("dot_i64 matches intDot's null semantics: length mismatch or null element -> NULL") {
     NativeExpressions.register(spark)
     val df = Seq(

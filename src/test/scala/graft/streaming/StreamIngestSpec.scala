@@ -64,6 +64,58 @@ class StreamIngestSpec extends SparkSuite {
     assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 1L))
   }
 
+  test("multi-topic demux: one query, per-topic logs, independent offsets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.CommitLog
+    val out = Files.createTempDirectory("graft-stream-multi").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-multi1").toString
+
+    // one mixed stream: two topics with OVERLAPPING (part, off) pairs —
+    // the dedup key must be (topic, part, off), and each topic's
+    // offsets advance independently (DataWriter.java:347-353's demux)
+    val s1 = MemoryStream[(String, Long, Long, String)]
+    val q1 = StreamIngest.startLoggedMulti(
+      s1.toDF().toDF("topic", "part", "off", "payload"), out, 2, ckpt1)
+    s1.addData(("alpha", 0L, 0L, "a0"), ("alpha", 0L, 1L, "a1"),
+      ("beta", 0L, 0L, "b0"), ("beta", 1L, 0L, "b1"),
+      ("beta", 0L, 0L, "b0")) // in-batch duplicate on one topic only
+    q1.processAllAvailable()
+    q1.stop()
+
+    assert(CommitLog.maxOffsets(spark, out, "alpha") === Map(0L -> 1L))
+    assert(CommitLog.maxOffsets(spark, out, "beta") === Map(0L -> 0L, 1L -> 0L))
+    assert(CommitLog.read(spark, out, "alpha").count() === 2)
+    assert(CommitLog.read(spark, out, "beta").count() === 2)
+
+    // crash-restart with full replay plus new data: each topic's resume
+    // filter drops ITS committed offsets only — beta advancing must not
+    // suppress alpha's genuinely-new records
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-multi2").toString
+    val s2 = MemoryStream[(String, Long, Long, String)]
+    val q2 = StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "payload"), out, 2, ckpt2)
+    s2.addData(("alpha", 0L, 0L, "a0"), ("alpha", 0L, 1L, "a1"),
+      ("alpha", 0L, 2L, "a2"),
+      ("beta", 0L, 0L, "b0"), ("beta", 0L, 1L, "b2"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val alpha = CommitLog.read(spark, out, "alpha")
+    val beta = CommitLog.read(spark, out, "beta")
+    assert(alpha.count() === 3) // a0 a1 a2, no dup from the replay
+    assert(beta.count() === 3)  // b0 b1(part 1) b2
+    assert(alpha.select(countDistinct(col("part"), col("off"))).as[Long].head() === 3)
+    assert(beta.select(countDistinct(col("part"), col("off"))).as[Long].head() === 3)
+    assert(CommitLog.maxOffsets(spark, out, "alpha") === Map(0L -> 2L))
+    assert(CommitLog.maxOffsets(spark, out, "beta") === Map(0L -> 1L, 1L -> 0L))
+    // payloads routed to the right topic directories
+    assert(alpha.select(col("payload")).as[String].collect().toSet ===
+      Set("a0", "a1", "a2"))
+    assert(beta.select(col("payload")).as[String].collect().toSet ===
+      Set("b0", "b1", "b2"))
+  }
+
   test("scheduled rotation commits a partial file when the trigger fires (A13)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
