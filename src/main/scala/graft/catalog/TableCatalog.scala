@@ -33,6 +33,39 @@ object TableCatalog {
          |LOCATION ${lit(location)}""".stripMargin)
   }
 
+  /** C1 (Avro flavor) — the DDL the reference's `AvroHiveUtil`
+    * issues per Avro topic (`avro/AvroHiveUtil.java:56-97`): an
+    * external partitioned table whose reader schema is pinned by an
+    * explicit `avro.schema.literal` table property, so the table
+    * reads with the registered schema even as newer files carry
+    * evolved writer schemas (Avro schema resolution). The literal is
+    * generated from the SAME StructType→Avro mapping the sink writes
+    * with ([[graft.ingest.AvroSink.avroSchemaFor]]) — catalog and
+    * data plane can't drift. */
+  def avroTableDdl(table: String, location: String, dataSchema: StructType,
+                   partitionCols: Seq[(String, String)],
+                   recordName: String = "record"): String = {
+    val avroJson =
+      graft.ingest.AvroSink.avroSchemaFor(dataSchema, recordName).toString
+    val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
+    s"""CREATE TABLE IF NOT EXISTS ${q(table)} (${dataSchema.toDDL})
+       |USING AVRO
+       |PARTITIONED BY ($partDdl)
+       |LOCATION ${lit(location)}
+       |TBLPROPERTIES ('avro.schema.literal' = ${lit(avroJson)})""".stripMargin
+  }
+
+  /** Execute [[avroTableDdl]]. Needs the spark-avro module on the
+    * cluster classpath at scan time (the DDL itself is plain Spark
+    * SQL). */
+  def createAvroExternalTable(spark: SparkSession, table: String, location: String,
+                              dataSchema: StructType,
+                              partitionCols: Seq[(String, String)],
+                              recordName: String = "record"): Unit = {
+    spark.sql(avroTableDdl(table, location, dataSchema, partitionCols, recordName))
+    ()
+  }
+
   /** C4 — bootstrap sync: discover on-disk partitions into the
     * metastore (the reference's leaf-dir diff, `DataWriter.java:400-414`;
     * Hive's MSCK REPAIR). */

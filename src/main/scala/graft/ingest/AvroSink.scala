@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
 /** Avro sink (B1) without the spark-avro DataSource module (absent from
   * this classpath): committed offset-ranged Avro container files are
   * written through the avro-core API per staged file group, with the
-  * reference's `avro.codec` surface (null/deflate/snappy —
+  * reference's `avro.codec` surface (null/deflate/snappy/bzip2 —
   * `avro/AvroRecordWriterProvider.java:51-103`, codec test
   * `DataWriterAvroTest.java:406-440`).
   *
@@ -61,11 +61,18 @@ object AvroSink {
     case x => x
   }
 
-  private def codecFor(codec: String): CodecFactory = codec match {
+  /** The reference's full `avro.codec` lattice —
+    * null/deflate/snappy/bzip2 (`docs/configuration_options.rst`,
+    * codec roundtrip test `DataWriterAvroTest.java:406-440`). bzip2
+    * rides avro-core's commons-compress codec, already on a Spark
+    * classpath. */
+  private[ingest] def codecFor(codec: String): CodecFactory = codec match {
     case "null" => CodecFactory.nullCodec()
     case "deflate" => CodecFactory.deflateCodec(6)
     case "snappy" => CodecFactory.snappyCodec()
-    case other => throw new IllegalArgumentException(s"unknown avro.codec: $other")
+    case "bzip2" => CodecFactory.bzip2Codec()
+    case other => throw new IllegalArgumentException(
+      s"unknown avro.codec: $other (expected one of null, deflate, snappy, bzip2)")
   }
 
   /** Write a stream-shaped frame as committed offset-ranged `.avro`

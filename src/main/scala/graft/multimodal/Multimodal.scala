@@ -74,12 +74,16 @@ object Multimodal {
 
   /** Frame sampling plan: which byte offsets a video decoder would seek
     * to for `k` uniform frames — pure column algebra, no decode. */
-  def frameSampleOffsets(media: DataFrame, k: Int): DataFrame =
+  def frameSampleOffsets(media: DataFrame, k: Int): DataFrame = {
+    // k <= 0 would build sequence(0, k-1) DESCENDING and divide by
+    // zero — fail at plan build, not with null-riddled output
+    require(k > 0, s"frame sample count must be positive, got $k")
     media.select(col("media_id"),
       transform(sequence(lit(0), lit(k - 1)),
         i => graft.ingest.Rotation.longDiv(
           i.cast("long") * octet_length(col("payload")).cast("long"),
           lit(k.toLong))).as("frame_offsets"))
+  }
 
   /** [[frameSampleOffsets]] flattened to scalar rows — one
     * (media_id, frame_idx, byte_offset) per planned seek. The exploded

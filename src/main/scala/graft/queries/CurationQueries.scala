@@ -42,9 +42,14 @@ object CurationQueries {
     * to per-source (n_src, n_kept). */
   private def keptBySource(docs: org.apache.spark.sql.DataFrame,
                            keep: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
-    val counts = docs.groupBy(col("source"))
+    // global min via a 1-row aggregate cross-joined back (both sides
+    // are per-source counts — metadata-scale); an unpartitioned
+    // min().over(Window) computes the same thing but funnels through a
+    // single-partition WindowExec and warns on every run
+    val perSource = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_src"))
-      .withColumn("mn", min(col("n_src")).over(Window.partitionBy()))
+    val counts = perSource.crossJoin(
+      broadcast(perSource.agg(min(col("n_src")).as("mn"))))
     docs.join(broadcast(counts), Seq("source"))
       .filter(keep)
       .groupBy(col("source"), col("n_src"))

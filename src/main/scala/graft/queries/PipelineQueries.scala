@@ -94,6 +94,46 @@ object PipelineQueries {
   private def h60n(c: org.apache.spark.sql.Column) =
     call_function("hash60_md5", c.cast("binary"))
 
+  /** 64-bit simhash as 4 × 16-bit band values (doc_id, band0..band3),
+    * unordered — shared by `dedup_simhash_pairs` (blocking + verify)
+    * and `simhash_band_stats` (the candidate-bound monitor). Banded
+    * representation: a 64-bit signature never exists as one
+    * (sign-problematic) long on either engine; hamming distance is the
+    * sum of per-band `bit_count(xor)`. Callers need
+    * `NativeExpressions.register`. */
+  private def simhash64Bands(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val bits = 64
+    val bandBits = 16
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        call_function("hash64_md5", col("t").cast("binary")).as("h"))
+    val agg = ex.groupBy(col("doc_id")).agg(
+      DF.bitSums(col("h"), bits).head,
+      DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
+    val bandCols = DF.simhashBandsFromBitSums(
+      (0 until bits).map(i => col(s"bit$i")), col("total"), bandBits)
+    agg.select(col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) =>
+      c.as(s"band$b") }: _*)
+  }
+
+  /** DuckDB mirror of one [[simhash64Bands]] band value: band b covers
+    * global bits [16b, 16b+16) of the md5-prefix hash64, i.e. hex
+    * chars 1+4*(3-b)..4+4*(3-b) of md5(t). Expects a `toks` column. */
+  private def simhashBandSql(b: Int): String = (0 until 16).map { j =>
+    s"""CASE WHEN 2 * coalesce(list_sum(list_transform(toks,
+       |    t -> ((('0x' || substr(md5(t), ${1 + 4 * (3 - b)}, 4))::BIGINT >> $j) & 1))), 0) > len(toks)
+       |  THEN ${1L << j} ELSE 0 END""".stripMargin
+  }.mkString("\n  + ")
+
+  /** DuckDB CTE producing the banded signatures (doc_id, band0..3). */
+  private def simhashSigSql: String =
+    s"""WITH tok AS (SELECT doc_id, ${OracleSql.toksSql("text")} AS toks FROM documents),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until 4).map(b => s"(${simhashBandSql(b)}) AS band$b").mkString(",\n  ")}
+       |FROM tok WHERE len(toks) > 0)""".stripMargin
+
   /** Tokenize-once text stats (doc_id, n_tokens, n_bpeish, n_punct,
     * lang, stop_ratio, quality), unordered — shared by `text_stats`
     * and the quality filter. */
@@ -485,21 +525,8 @@ object PipelineQueries {
     QuerySpec("dedup_simhash_pairs",
       (s, d) => {
         NativeExpressions.register(s)
-        val bits = 64
-        val bandBits = 16
-        val ex = Tables.documents(s, d)
-          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("t"))
-          .select(col("doc_id"),
-            call_function("hash64_md5", col("t").cast("binary")).as("h"))
-        val agg = ex.groupBy(col("doc_id")).agg(
-          DF.bitSums(col("h"), bits).head,
-          DF.bitSums(col("h"), bits).tail :+ count(lit(1)).as("total"): _*)
-        val bandCols = DF.simhashBandsFromBitSums(
-          (0 until bits).map(i => col(s"bit$i")), col("total"), bandBits)
-        val sig = agg.select(
-          col("doc_id") +: bandCols.zipWithIndex.map { case (c, b) =>
-            c.as(s"band$b") }: _*).persist()
-        val nBands = bits / bandBits
+        val sig = simhash64Bands(s, d).persist()
+        val nBands = 4
         val bands = sig.select(
           col("doc_id") +: (0 until nBands).map(b => col(s"band$b")) :+
             explode(array((0 until nBands).map(b =>
@@ -516,19 +543,9 @@ object PipelineQueries {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        // band b covers global bits [16b, 16b+16) of the md5-prefix
-        // hash64, i.e. hex chars 1+4*(3-b)..4+4*(3-b) of md5(t)
-        def bandExpr(b: Int): String = (0 until 16).map { j =>
-          s"""CASE WHEN 2 * coalesce(list_sum(list_transform(toks,
-             |    t -> ((('0x' || substr(md5(t), ${1 + 4 * (3 - b)}, 4))::BIGINT >> $j) & 1))), 0) > len(toks)
-             |  THEN ${1L << j} ELSE 0 END""".stripMargin
-        }.mkString("\n  + ")
         val ham = (0 until 4).map(b =>
           s"bit_count(xor(a.band$b, b.band$b))").mkString(" + ")
-        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-           |sig AS (SELECT doc_id,
-           |  ${(0 until 4).map(b => s"(${bandExpr(b)}) AS band$b").mkString(",\n  ")}
-           |FROM tok WHERE len(toks) > 0)
+        s"""$simhashSigSql
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  ($ham)::INTEGER AS hamming
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -536,6 +553,39 @@ object PipelineQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       },
       bench = true),
+
+    // ---- The band-stats monitor APPLIED to simhash blocking (the
+    //      same Σ s·(s−1)/2 arithmetic as lsh_band_stats): per band,
+    //      bucket count, max bucket, and the candidate pairs the
+    //      equi-join above will materialize. The number the 100 TB
+    //      operator watches — when n_pairs stops being ~linear in n,
+    //      the signature is too narrow for the corpus and needs more
+    //      bits before the join drifts quadratic. ----
+    QuerySpec("simhash_band_stats",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val sig = simhash64Bands(s, d)
+        sig.select(explode(array((0 until 4).map(b =>
+            concat_ws(":", lit(b).cast("string"),
+              col(s"band$b").cast("string"))): _*)).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("s"))
+          .select(split(col("key"), ":").getItem(0).cast("long").as("band"),
+            col("s"))
+          .groupBy(col("band")).agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("s")).as("max_bucket"),
+            sum(expr("(s * (s - 1)) div 2")).as("n_pairs"))
+          .orderBy(col("band"))
+      },
+      Some(
+        s"""$simhashSigSql,
+           |k AS (${(0 until 4).map(b =>
+              s"SELECT $b AS band, band$b AS v FROM sig").mkString(" UNION ALL ")}),
+           |b AS (SELECT band, v, count(*) AS s FROM k GROUP BY 1, 2)
+           |SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+           |  max(s) AS max_bucket,
+           |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS n_pairs
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- 2-gram Jaccard over adjacent-id candidate pairs. ----
     QuerySpec("dedup_ngram_jaccard",

@@ -125,13 +125,25 @@ object RelationalQueries {
       bench = true),
 
     // HLL sketch variant of the distinct count — the 100 TB path (no
-    // exact-distinct shuffle). No oracle: HLL estimates are
-    // implementation-specific, so the driver records rows-only.
+    // exact-distinct shuffle). The raw estimate is engine-specific
+    // (Spark HLL++ vs DuckDB's sketch would never hash-match), so the
+    // checkable output is the ACCURACY CONTRACT: approx_ok = the
+    // estimate landed within 3×rsd (rsd = 0.02) of the exact count.
+    // The oracle asserts TRUE per group — a red row means Spark's
+    // sketch broke its own error bound. The exact countDistinct rides
+    // along ONLY to self-certify (one mixed-distinct aggregate pass);
+    // the production scale path is the estimate alone, where exact
+    // distinct is the shuffle being avoided.
     QuerySpec("agg_approx_users",
       (s, d) => Tables.events(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("apx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(col("event_type"),
+          (abs(col("apx") - col("exact")).cast("double") <=
+            lit(0.06) * col("exact").cast("double")).as("approx_ok"))
         .orderBy(col("event_type")),
-      None,
+      Some("""SELECT event_type, CAST(1 AS BOOLEAN) AS approx_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       bench = true),
 
     // Grouping sets: rollup region → nation over the customer dims.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ingest.{BatchWriter, CommitLog}
+import graft.ingest.{BatchWriter, CommitLog, GraftConfig}
 
 /** Streaming ingest (SURVEY §7 M5): the reference's continuously-running
   * exactly-once pipeline (`HdfsSinkTask.put` → buffer → rotate → WAL →
@@ -100,6 +100,23 @@ object StreamIngest {
           s"partition=${c.partition}/" +
             new org.apache.hadoop.fs.Path(c.path).getName
         }))
+  }
+
+  /** [[startLogged]] driven by a validated [[GraftConfig]] — flush
+    * size, format and the scheduled-rotation trigger
+    * (`rotate.schedule.interval.ms` > 0 → processing-time trigger)
+    * all come from the one typed config instead of loose arguments. */
+  def startLogged(stream: DataFrame, outDir: String, topic: String,
+                  cfg: GraftConfig, checkpoint: String): StreamingQuery = {
+    require(cfg.format != "avro",
+      "the streaming committer writes through BatchWriter formats; " +
+        "use AvroSink/GraftConfig.write for avro batches")
+    startLogged(stream, outDir, topic, cfg.flushSize, checkpoint,
+      trigger =
+        if (cfg.rotateScheduleIntervalMs > 0)
+          Some(Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs))
+        else None,
+      format = cfg.format)
   }
 
   /** Multi-topic orchestration — the reference's `DataWriter.write`

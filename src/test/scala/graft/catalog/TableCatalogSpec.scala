@@ -61,6 +61,48 @@ class TableCatalogSpec extends SparkSuite {
     spark.sql(s"DROP TABLE $table")
   }
 
+  test("avro external-table DDL pins the schema literal (AvroHiveUtil parity)") {
+    // the reference registers Avro topics with an explicit
+    // avro.schema.literal (AvroHiveUtil.java:56-97); the DDL must carry
+    // the SAME record schema the sink writes with
+    val dataSchema = StructType(Seq(
+      StructField("off", LongType, nullable = false),
+      StructField("payload", StringType)))
+    val ddl = TableCatalog.avroTableDdl("events_avro", "/data/events_avro",
+      dataSchema, Seq("partition" -> "BIGINT"), recordName = "events")
+    assert(ddl.contains("USING AVRO"))
+    assert(ddl.contains("PARTITIONED BY (`partition` BIGINT)"))
+    assert(ddl.contains("LOCATION '/data/events_avro'"))
+    // the embedded literal is exactly the sink's writer schema
+    val expected = graft.ingest.AvroSink
+      .avroSchemaFor(dataSchema, "events").toString
+    assert(ddl.contains(s"'avro.schema.literal' = '$expected'"))
+    // and it parses back to the same record shape
+    val lit = ddl.split("'avro\\.schema\\.literal' = '")(1).stripSuffix("')")
+    val parsed = new org.apache.avro.Schema.Parser().parse(lit)
+    assert(parsed.getName === "events")
+    assert(parsed.getFields.size === 2)
+    assert(parsed.getField("payload").schema().getType ===
+      org.apache.avro.Schema.Type.UNION) // nullable → union[null, string]
+  }
+
+  test("avro external table create fails fast here with the deploy pointer") {
+    // this container has no spark-avro module, and Spark resolves the
+    // USING provider eagerly at CREATE — the failure must be the
+    // actionable "deploy spark-avro" analysis error, not something
+    // deep in a later scan. (On a cluster with the module, the same
+    // DDL registers the table with avro.schema.literal intact — the
+    // string contract is pinned by the test above.)
+    spark.sql("DROP TABLE IF EXISTS events_avro_cat")
+    val loc = Files.createTempDirectory("graft-cat-avro").toString
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      TableCatalog.createAvroExternalTable(spark, "events_avro_cat", loc,
+        StructType(Seq(StructField("off", LongType), StructField("payload", StringType))),
+        Seq("partition" -> "BIGINT"), recordName = "events")
+    }
+    assert(e.getMessage.toLowerCase.contains("avro"))
+  }
+
   test("partition values with quotes are escaped, not injected") {
     val loc = Files.createTempDirectory("graft-cat-esc").toString
     spark.sql("DROP TABLE IF EXISTS esc_tab")

@@ -28,12 +28,16 @@ class AvroSinkSpec extends SparkSuite {
       Seq((0L, "v0", 0.0), (1L, "v1", 1.5), (2L, "v2", 3.0)))
   }
 
-  test("deflate and snappy codecs write readable files") {
-    for (codec <- Seq("deflate", "snappy")) {
+  test("deflate, snappy and bzip2 codecs write readable files") {
+    // the reference's full avro.codec lattice minus "null" (golden test
+    // above), DataWriterAvroTest.java:406-440
+    for (codec <- Seq("deflate", "snappy", "bzip2")) {
       val out = Files.createTempDirectory(s"avro-$codec").toString
       val m = AvroSink.write(records(4), out, "t", flushSize = 4, codec = codec)
       val (_, rows) = AvroSink.readFile(m.head.path.stripPrefix("file:"))
       assert(rows.size === 4, codec)
+      assert(rows.map(r => (r("off"), r("s"))) ===
+        (0L until 4L).map(o => (o, s"v$o")), codec)
     }
   }
 

@@ -1,0 +1,123 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** Mirrors the reference's config suite
+  * (`HdfsSinkConnectorConfigTest.java:57-245`): every supported codec
+  * constructs, an unsupported one fails with the valid list,
+  * enumerated keys expose recommended values, and
+  * partitioner-dependent keys toggle visibility. */
+class GraftConfigSpec extends SparkSuite {
+
+  private val base = Map("flush.size" -> "3")
+
+  test("every supported avro codec constructs (testAvroCompressionSettings)") {
+    GraftConfig.AvroCodecs.foreach { codec =>
+      val cfg = GraftConfig(base + ("avro.codec" -> codec))
+      assert(cfg.avroCodec === codec)
+    }
+  }
+
+  test("unsupported codec fails with the valid-values list (testUnsupportedAvroCompressionSettings)") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("avro.codec" -> "abc"))
+    }
+    assert(e.getMessage.contains("abc"))
+    assert(e.getMessage.contains("null, deflate, snappy, bzip2"))
+  }
+
+  test("enumerated keys carry recommended values (testRecommendedValues)") {
+    val vs = GraftConfig.validate(base).map(v => v.name -> v).toMap
+    assert(vs("format.class").recommended === GraftConfig.Formats)
+    assert(vs("avro.codec").recommended ===
+      Seq("null", "deflate", "snappy", "bzip2"))
+    assert(vs("partitioner.class").recommended ===
+      Seq("default", "field", "time", "daily", "hourly"))
+  }
+
+  test("partitioner choice toggles dependent-key visibility") {
+    def vis(partitioner: String): Map[String, Boolean] =
+      GraftConfig.validate(base + ("partitioner.class" -> partitioner))
+        .map(v => v.name -> v.visible).toMap
+    val dependents = Seq("partition.field.name", "partition.duration.ms",
+      "path.format", "locale", "timezone")
+
+    val default = vis("default")
+    dependents.foreach(k => assert(!default(k), s"$k visible under default"))
+
+    val field = vis("field")
+    assert(field("partition.field.name"))
+    Seq("partition.duration.ms", "path.format", "locale", "timezone")
+      .foreach(k => assert(!field(k), s"$k visible under field"))
+
+    for (p <- Seq("daily", "hourly")) {
+      val v = vis(p)
+      assert(v("locale") && v("timezone"), p)
+      assert(!v("partition.field.name") && !v("partition.duration.ms") &&
+        !v("path.format"), p)
+    }
+
+    val time = vis("time")
+    Seq("partition.duration.ms", "path.format", "locale", "timezone")
+      .foreach(k => assert(time(k), s"$k invisible under time"))
+  }
+
+  test("invalid values fail at construction with ALL errors aggregated") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(Map(
+        "flush.size" -> "-2",
+        "timezone" -> "Mars/Olympus",
+        "rotate.interval.ms" -> "0",
+        "partitioner.class" -> "field")) // partition.field.name missing
+    }
+    val msg = e.getMessage
+    assert(msg.contains("flush.size must be a positive record count"))
+    assert(msg.contains("invalid timezone 'Mars/Olympus'"))
+    assert(msg.contains("America/Chicago"), "timezone error suggests examples")
+    assert(msg.contains("rotate.interval.ms must be -1 (disabled) or a positive"))
+    assert(msg.contains("partition.field.name is required by the field partitioner"))
+  }
+
+  test("flush.size is required; unknown keys are rejected") {
+    val e1 = intercept[IllegalArgumentException] { GraftConfig(Map.empty) }
+    assert(e1.getMessage.contains("flush.size is required"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("flsh.size" -> "9"))
+    }
+    assert(e2.getMessage.contains("unknown configuration key 'flsh.size'"))
+  }
+
+  test("defaults mirror the reference's") {
+    val cfg = GraftConfig(base)
+    assert(cfg.flushSize === 3)
+    assert(cfg.rotateIntervalMs === -1L)
+    assert(cfg.rotateScheduleIntervalMs === -1L)
+    assert(cfg.retryBackoffMs === 5000L)
+    assert(cfg.shutdownTimeoutMs === 3000L)
+    assert(cfg.zeroPadWidth === FileNaming.DefaultZeroPadWidth)
+    assert(cfg.topicsDir === "topics")
+    assert(cfg.directoryDelim === "/")
+    assert(cfg.fileDelim === "+")
+  }
+
+  test("the typed config drives the write dispatch (parquet + avro/bzip2)") {
+    import spark.implicits._
+    val df = (0L until 4L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+
+    val outP = Files.createTempDirectory("cfg-parquet").toString
+    GraftConfig(Map("flush.size" -> "2")).write(df, outP, "t")
+    assert(BatchWriter.listCommitted(spark, outP, "t") === Seq(
+      "t+0+0000000000+0000000001.parquet", "t+0+0000000002+0000000003.parquet"))
+
+    val outA = Files.createTempDirectory("cfg-avro").toString
+    val cfgA = GraftConfig(Map("flush.size" -> "4",
+      "format.class" -> "avro", "avro.codec" -> "bzip2",
+      "filename.offset.zero.pad.width" -> "4"))
+    val m = cfgA.write(df, outA, "t")
+    assert(BatchWriter.listCommitted(spark, outA, "t") === Seq("t+0+0000+0003.avro"))
+    val (_, rows) = AvroSink.readFile(m.head.path.stripPrefix("file:"))
+    assert(rows.map(_("payload")) === Seq("v0", "v1", "v2", "v3"))
+  }
+}

@@ -102,6 +102,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$p")
   }
 
+  test("dedup_simhash_pairs blocks via a band equi-join — never all-pairs") {
+    val p = plan("dedup_simhash_pairs")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"band blocking must plan an equi-join:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+  }
+
   test("dedup_incremental is a fingerprint anti-join, no nested loop") {
     val p = plan("dedup_incremental")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
