@@ -107,11 +107,22 @@ object GraftConfig {
           case Right(n) => Seq(s"$FlushSize must be a positive record count, got $n")
           case Left(e) => Seq(e)
         }, Nil)
-      case RotateIntervalMs | RotateScheduleIntervalMs | PartitionDurationMs =>
+      case RotateIntervalMs | RotateScheduleIntervalMs =>
         (asLong(get(name)) match {
           case Right(n) if n == -1L || n > 0L => Nil
           case Right(n) => Seq(s"$name must be -1 (disabled) or a positive " +
             s"interval in milliseconds, got $n")
+          case Left(e) => Seq(e)
+        }, Nil)
+      case PartitionDurationMs =>
+        (asLong(get(name)) match {
+          case Right(n) if n > 0L => Nil
+          case Right(-1L) =>
+            if (partitioner == "time")
+              Seq(s"$PartitionDurationMs is required by the time partitioner")
+            else Nil
+          case Right(n) => Seq(s"$name must be -1 (unset) or a positive " +
+            s"bucket width in milliseconds, got $n")
           case Left(e) => Seq(e)
         }, Nil)
       case RetryBackoffMs | ShutdownTimeoutMs =>
@@ -234,4 +245,30 @@ final case class GraftConfig(
       AvroSink.write(df, outDir, topic, flushSize, zeroPadWidth, avroCodec)
     else
       BatchWriter.write(df, outDir, topic, flushSize, zeroPadWidth, format)
+
+  /** The configured partitioner as a path Column — `partitioner.class`
+    * plus its dependent keys actually CONSTRUCTING the partitioner
+    * (the reference's `Partitioner.configure`). The three argument
+    * kinds cover the family: `kafkaPartition` for default, `ts` for
+    * the time family (rendered in the configured `timezone`/`locale`),
+    * `field` resolves `partition.field.name` to its column. */
+  def partitionPath(kafkaPartition: org.apache.spark.sql.Column,
+                    ts: org.apache.spark.sql.Column,
+                    field: String => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.partition.Partitioners
+    import org.apache.spark.sql.functions.from_utc_timestamp
+    def localTs = from_utc_timestamp(ts, timezone)
+    partitioner match {
+      case "default" => Partitioners.defaultPartition(kafkaPartition)
+      case "field" => Partitioners.fieldPartition(partitionField,
+        field(partitionField))
+      case "daily" => Partitioners.dailyPath(localTs)
+      case "hourly" => Partitioners.hourlyPath(localTs)
+      case "time" => Partitioners.timeBasedPath(ts, partitionDurationMs,
+        timezone,
+        if (locale.isEmpty) Locale.US
+        else Locale.forLanguageTag(locale.replace('_', '-')))
+    }
+  }
 }

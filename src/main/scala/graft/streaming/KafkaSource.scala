@@ -28,6 +28,23 @@ object KafkaSource {
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
       .load()
 
+  /** `readStream` subscribed to MANY topics in one consumer — the
+    * reference connector's `topics` list config. [[normalize]] keeps
+    * the `topic` column, so the stream feeds
+    * `StreamIngest.startLoggedMulti`'s per-topic demux directly:
+    * one query, N topics, per-topic commit logs. */
+  def fromTopics(spark: SparkSession, bootstrapServers: String,
+                 topics: Seq[String],
+                 maxOffsetsPerTrigger: Long = 1000000L): DataFrame = {
+    require(topics.nonEmpty, "at least one topic")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+  }
+
   /** Kafka envelope → the engine's stream shape
     * (topic, part, off, ts, key, value). */
   def normalize(kafka: DataFrame): DataFrame =

@@ -141,7 +141,17 @@ object StreamIngest {
     *
     * `stream` is shaped (topic, part, off, payload...); the `topic`
     * column routes and is dropped from the written payload (the
-    * topic is the directory, `<outDir>/<topic>/partition=<p>/`). */
+    * topic is the directory, `<outDir>/<topic>/partition=<p>/`).
+    * Pair with `KafkaSource.fromTopics` + `normalize` in production.
+    *
+    * Scale note: per-topic work below is a loop of per-topic Spark
+    * jobs over the pinned batch — right for the tens-of-topics range
+    * a connector task handles (and each job is itself fully
+    * distributed). A fan-out of thousands of topics in ONE stream
+    * would want a single staging job partitioned by
+    * (topic, part, file_idx); the per-topic COMMIT must stay
+    * per-topic regardless, because each topic's log is its own
+    * atomicity domain. */
   def startLoggedMulti(stream: DataFrame, outDir: String, flushSize: Int,
                        checkpoint: String, trigger: Option[Trigger] = None,
                        format: String = "parquet"): StreamingQuery = {

@@ -102,6 +102,43 @@ class GraftConfigSpec extends SparkSuite {
     assert(cfg.fileDelim === "+")
   }
 
+  test("partition.duration.ms is required by the time partitioner only") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("partitioner.class" -> "time"))
+    }
+    assert(e.getMessage.contains(
+      "partition.duration.ms is required by the time partitioner"))
+    // -1 is fine everywhere else
+    assert(GraftConfig(base).partitionDurationMs === -1L)
+  }
+
+  test("the config constructs the configured partitioner (partitioner.class + dependents)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2015-04-02 01:00 UTC = 2015-04-01 18:00 America/Los_Angeles
+    val df = Seq((3L, "click", java.sql.Timestamp.valueOf("2015-04-02 01:00:00")))
+      .toDF("part", "event_type", "ts")
+    def path(cfg: GraftConfig): String =
+      df.select(cfg.partitionPath(col("part"), col("ts"), col).as("p"))
+        .as[String].head()
+
+    assert(path(GraftConfig(base)) === "partition=3")
+    assert(path(GraftConfig(base ++ Map(
+      "partitioner.class" -> "field",
+      "partition.field.name" -> "event_type"))) === "event_type=click")
+    assert(path(GraftConfig(base + ("partitioner.class" -> "daily"))) ===
+      "year=2015/month=04/day=02")
+    assert(path(GraftConfig(base ++ Map(
+      "partitioner.class" -> "hourly",
+      "timezone" -> "America/Los_Angeles"))) ===
+      "year=2015/month=04/day=01/hour=18")
+    assert(path(GraftConfig(base ++ Map(
+      "partitioner.class" -> "time",
+      "partition.duration.ms" -> "3600000",
+      "timezone" -> "UTC",
+      "locale" -> "fr-FR"))) === "year=2015/month=avril/day=02/hour=1")
+  }
+
   test("the typed config drives the write dispatch (parquet + avro/bzip2)") {
     import spark.implicits._
     val df = (0L until 4L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
