@@ -119,6 +119,97 @@ object BatchWriter {
     committed
   }
 
+  /** Legal topic-name charset (Kafka's own): keeps the dynamic
+    * `topic=` staging directory free of path-escaping surprises. */
+  private val TopicName = "[A-Za-z0-9._-]+".r
+
+  /** Multi-topic batch write: every topic in one pass. `df` is shaped
+    * (topic, part, off, payload...); size rotation keys on
+    * (topic, part) and the staging job writes ONE dynamic-partition
+    * layout keyed (topic, part, file_idx) — job count stays O(1) in
+    * topic count (stage + manifest), vs one write per topic when
+    * looping [[write]]. The reference's `DataWriter.write` demux
+    * (`DataWriter.java:347-353`) has the same single-pass shape, one
+    * buffer per TopicPartition. Commit renames are per (topic,
+    * partition, file) metadata ops, linear in file count.
+    *
+    * The returned manifest covers ALL topics — callers owning
+    * per-topic atomicity domains (e.g. one CommitLog per topic) group
+    * it by `.topic` and publish per topic. */
+  def writeMulti(df: DataFrame, outDir: String, flushSize: Int,
+                 pad: Int = FileNaming.DefaultZeroPadWidth,
+                 format: String = "parquet"): Seq[CommittedFile] = {
+    if (format == "avro")
+      throw new IllegalArgumentException(
+        "avro multi-topic writes go through AvroSink per topic")
+    val ext = Formats.getOrElse(format,
+      throw new IllegalArgumentException(s"unknown format: $format"))
+    val spark = df.sparkSession
+    val staged = s"$outDir/+tmp/.multi-${java.util.UUID.randomUUID()}"
+
+    val sized = Rotation.withSizeFileIndex(df,
+      Seq(col("topic"), col("part")), col("off"), flushSize).persist()
+
+    val payloadCols =
+      sized.columns.filterNot(Set("topic", "part", "off", "file_idx")).toSeq
+    val toStage =
+      if (format == "text") {
+        require(payloadCols.size == 1,
+          s"text format needs exactly one payload column, got $payloadCols")
+        sized.select(col("topic"), col("part"), col("file_idx"), col("off"),
+          col(payloadCols.head).cast("string").as("value"))
+      } else sized
+    val dropAfterSort: Seq[String] = if (format == "text") Seq("off") else Seq.empty
+    toStage.repartition(col("topic"), col("part"), col("file_idx"))
+      .sortWithinPartitions(col("topic"), col("part"), col("file_idx"), col("off"))
+      .drop(dropAfterSort: _*)
+      .write.mode("overwrite").partitionBy("topic", "part", "file_idx")
+      .format(format).save(staged)
+
+    val manifest = sized.groupBy(col("topic"), col("part"), col("file_idx"))
+      .agg(min(col("off")).as("s"), max(col("off")).as("e"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2, t._3))
+    sized.unpersist()
+
+    val fs = FileSystem.get(new Path(outDir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val committed = manifest.toSeq.map { case (t, p, i, s, e) =>
+      require(TopicName.matches(t), s"illegal topic name: '$t'")
+      val srcDir = new Path(s"$staged/topic=$t/part=$p/file_idx=$i")
+      val srcs = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
+      require(srcs.length == 1,
+        s"expected exactly one staged file in $srcDir, found ${srcs.length}")
+      val destDir = new Path(s"$outDir/$t/partition=$p")
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, FileNaming.encodeName(t, p.toInt, s, e, ext, pad))
+      if (!fs.exists(dest))
+        require(fs.rename(srcs.head.getPath, dest),
+          s"rename failed: ${srcs.head.getPath} -> $dest")
+      CommittedFile(t, p, i, s, e, dest.toString)
+    }
+    fs.delete(new Path(staged), true)
+    committed
+  }
+
+  /** [[resumeFrom]] with per-topic committed maps: one broadcast join
+    * keyed (topic, part) filters the whole mixed stream in a single
+    * pass — no per-topic slicing. */
+  def resumeFromMulti(df: DataFrame,
+                      committed: Map[String, Map[Long, Long]]): DataFrame = {
+    val rows = committed.toSeq.flatMap { case (t, m) =>
+      m.toSeq.map { case (p, o) => (t, p, o) }
+    }
+    if (rows.isEmpty) return df
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = rows.toDF("topic", "part", "__max_committed")
+    df.join(broadcast(offs), Seq("topic", "part"), "left")
+      .filter(col("__max_committed").isNull || col("off") > col("__max_committed"))
+      .drop("__max_committed")
+  }
+
   /** Formats compaction can read back with their own schema and the
     * `off` column intact (csv drops names without a header; text
     * carries offsets only in the filename). */

@@ -140,18 +140,17 @@ object StreamIngest {
     * per topic, no cross-topic coupling.
     *
     * `stream` is shaped (topic, part, off, payload...); the `topic`
-    * column routes and is dropped from the written payload (the
-    * topic is the directory, `<outDir>/<topic>/partition=<p>/`).
+    * column routes and becomes the directory
+    * (`<outDir>/<topic>/partition=<p>/`), never file content.
     * Pair with `KafkaSource.fromTopics` + `normalize` in production.
     *
-    * Scale note: per-topic work below is a loop of per-topic Spark
-    * jobs over the pinned batch — right for the tens-of-topics range
-    * a connector task handles (and each job is itself fully
-    * distributed). A fan-out of thousands of topics in ONE stream
-    * would want a single staging job partitioned by
-    * (topic, part, file_idx); the per-topic COMMIT must stay
-    * per-topic regardless, because each topic's log is its own
-    * atomicity domain. */
+    * Scale shape: job count per micro-batch is O(1) in topic count —
+    * one (topic, part)-keyed resume filter (broadcast join over the
+    * per-partition offset maps, metadata-scale), ONE staging job
+    * dynamic-partitioned by (topic, part, file_idx)
+    * (`BatchWriter.writeMulti`), one manifest aggregate. Only the
+    * COMMIT stays per-topic — each topic's log is its own atomicity
+    * domain, and those publishes are driver-side metadata ops. */
   def startLoggedMulti(stream: DataFrame, outDir: String, flushSize: Int,
                        checkpoint: String, trigger: Option[Trigger] = None,
                        format: String = "parquet"): StreamingQuery = {
@@ -164,32 +163,38 @@ object StreamIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // one dedup keyed (topic, part, off) — offsets are per-topic
         // sequences, so the same (part, off) on two topics is two
-        // distinct records. Pinned once; every per-topic slice below
-        // is a cached-partition filter, not a source re-read.
+        // distinct records
         val deduped = batch.dropDuplicates("topic", "part", "off").persist()
         try {
           // the topic roster of THIS batch is metadata-scale (the
-          // reference holds one writer map per assigned topic too)
+          // reference holds one writer map per assigned topic too);
+          // first sighting of a topic recovers its offsets from its log
           val topics = deduped.select("topic").distinct()
             .collect().map(_.getString(0)).sorted
           topics.foreach { topic =>
-            val cur = committed.getOrElseUpdate(topic,
+            committed.getOrElseUpdate(topic,
               CommitLog.maxOffsets(spark, outDir, topic))
-            val fresh = BatchWriter.resumeFrom(
-              deduped.filter(col("topic") === topic).drop("topic"), cur)
-            if (!fresh.isEmpty) {
-              val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
-                format = format)
-              CommitLog.publish(spark, outDir, topic, manifest.map { c =>
-                s"partition=${c.partition}/" +
-                  new org.apache.hadoop.fs.Path(c.path).getName
-              })
-              committed(topic) = manifest.foldLeft(cur) { (m, f) =>
-                m.updated(f.partition,
-                  math.max(m.getOrElse(f.partition, -1L), f.endOffset))
-              }
-            }
+            ()
           }
+          val fresh = BatchWriter.resumeFromMulti(deduped, committed.toMap)
+            .persist()
+          try {
+            if (!fresh.isEmpty) {
+              val manifest =
+                BatchWriter.writeMulti(fresh, outDir, flushSize, format = format)
+              manifest.groupBy(_.topic).toSeq.sortBy(_._1)
+                .foreach { case (topic, files) =>
+                  CommitLog.publish(spark, outDir, topic, files.map { c =>
+                    s"partition=${c.partition}/" +
+                      new org.apache.hadoop.fs.Path(c.path).getName
+                  })
+                  committed(topic) = files.foldLeft(committed(topic)) { (m, f) =>
+                    m.updated(f.partition,
+                      math.max(m.getOrElse(f.partition, -1L), f.endOffset))
+                  }
+                }
+            }
+          } finally { fresh.unpersist(); () }
         } finally { deduped.unpersist(); () }
       }
       .start()

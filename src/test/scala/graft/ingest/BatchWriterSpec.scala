@@ -61,6 +61,44 @@ class BatchWriterSpec extends SparkSuite {
     assert(BatchWriter.resumeFrom(newPart, maxOffs).count() === 1)
   }
 
+  test("writeMulti: one staging pass, per-topic committed layout + resume filter") {
+    val out = tmpDir()
+    // overlapping (part, off) across topics — routing must key on topic
+    val df = (for (t <- Seq("alpha", "beta"); p <- Seq(0L); o <- 0L until 5L)
+      yield (t, p, o, s"$t-$p-$o")).toDF("topic", "part", "off", "payload")
+    val manifest = BatchWriter.writeMulti(df, out, flushSize = 3)
+    assert(manifest.map(f => (f.topic, f.startOffset, f.endOffset)) === Seq(
+      ("alpha", 0L, 2L), ("alpha", 3L, 4L), ("beta", 0L, 2L), ("beta", 3L, 4L)))
+    assert(BatchWriter.listCommitted(spark, out, "alpha") === Seq(
+      "alpha+0+0000000000+0000000002.parquet",
+      "alpha+0+0000000003+0000000004.parquet"))
+    assert(BatchWriter.listCommitted(spark, out, "beta") === Seq(
+      "beta+0+0000000000+0000000002.parquet",
+      "beta+0+0000000003+0000000004.parquet"))
+    // read-back: content routed to the right topic, no topic column in files
+    val alpha = BatchWriter.read(spark, out, "alpha")
+    assert(alpha.select(col("payload")).as[String].collect().toSet ===
+      (0L until 5L).map(o => s"alpha-0-$o").toSet)
+    assert(!alpha.columns.contains("topic"))
+    // staging fully cleaned
+    assert(!new java.io.File(s"$out/+tmp").exists() ||
+      new java.io.File(s"$out/+tmp").listFiles().isEmpty)
+
+    // resumeFromMulti: per-topic maps filter independently in one join
+    val fresh = BatchWriter.resumeFromMulti(df,
+      Map("alpha" -> Map(0L -> 2L), "beta" -> Map(0L -> 4L)))
+    assert(fresh.select(col("topic"), col("off")).as[(String, Long)]
+      .collect().toSet === Set(("alpha", 3L), ("alpha", 4L)))
+  }
+
+  test("writeMulti rejects illegal topic names before any rename") {
+    val out = tmpDir()
+    val df = Seq(("bad/topic", 0L, 0L, "x")).toDF("topic", "part", "off", "payload")
+    intercept[IllegalArgumentException] {
+      BatchWriter.writeMulti(df, out, flushSize = 2)
+    }
+  }
+
   test("write is idempotent redo: re-running the same write commits nothing new") {
     val out = tmpDir()
     val df = records(Seq(3L), 4)
