@@ -145,7 +145,12 @@ object BatchWriter {
     val ext = Formats.getOrElse(format,
       throw new IllegalArgumentException(s"unknown format: $format"))
     val spark = df.sparkSession
-    val staged = s"$outDir/+tmp/.multi-${java.util.UUID.randomUUID()}"
+    // fixed staging path, like the per-topic `+tmp/<topic>` dirs: the
+    // overwrite-mode staging write wipes a crashed predecessor's
+    // leftovers instead of leaking uuid dirs. Discipline: one
+    // multi-topic writer per store, the same one-writer-per-staging-dir
+    // rule the per-topic path already implies.
+    val staged = s"$outDir/+tmp/.multi"
 
     val sized = Rotation.withSizeFileIndex(df,
       Seq(col("topic"), col("part")), col("off"), flushSize).persist()

@@ -235,6 +235,33 @@ object CommitLog {
       removes = multi.flatMap(g => g.files.map(n => s"partition=${g.partition}/$n")))
   }
 
+  /** Topics under `outDir` that own a commit log — the store's topic
+    * roster, discovered from the layout itself (one listing of the
+    * store root, metadata-scale). */
+  def topics(spark: SparkSession, outDir: String): Seq[String] = {
+    val f = fs(spark, outDir)
+    val root = new Path(outDir)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("+"))
+      .filter(t => f.exists(logDir(outDir, t)))
+      .toSeq.sorted
+  }
+
+  /** [[compactLogged]] across every logged topic in the store — the
+    * maintenance sweep a multi-topic ingest (`StreamIngest.
+    * startLoggedMulti`) pairs with. Each topic compacts and publishes
+    * independently (its own atomicity domain); a crash mid-sweep
+    * leaves completed topics compacted and the rest untouched, and a
+    * re-run converges. Returns each topic's resulting log version. */
+  def compactAllLogged(spark: SparkSession, outDir: String,
+                       targetRecords: Long,
+                       pad: Int = FileNaming.DefaultZeroPadWidth,
+                       format: String = "parquet"): Map[String, Long] =
+    topics(spark, outDir).map { t =>
+      t -> compactLogged(spark, outDir, t, targetRecords, pad, format)
+    }.toMap
+
   /** Delete committed-named data files the log does not reference:
     * compacted sources and crashed writers' orphans. Only
     * committed-named files are touched — staging and log internals are

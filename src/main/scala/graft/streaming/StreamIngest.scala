@@ -119,6 +119,21 @@ object StreamIngest {
       format = cfg.format)
   }
 
+  /** [[startLoggedMulti]] driven by a validated [[GraftConfig]] —
+    * same knob mapping as the single-topic config overload. */
+  def startLoggedMulti(stream: DataFrame, outDir: String, cfg: GraftConfig,
+                       checkpoint: String): StreamingQuery = {
+    require(cfg.format != "avro",
+      "the streaming committer writes through BatchWriter formats; " +
+        "use AvroSink/GraftConfig.write for avro batches")
+    startLoggedMulti(stream, outDir, cfg.flushSize, checkpoint,
+      trigger =
+        if (cfg.rotateScheduleIntervalMs > 0)
+          Some(Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs))
+        else None,
+      format = cfg.format)
+  }
+
   /** Multi-topic orchestration — the reference's `DataWriter.write`
     * demultiplexes one record stream across every topic's writers in a
     * single consumer pass (`DataWriter.java:347-353`: group records by

@@ -72,6 +72,29 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.compactLogged(spark, out, "t", targetRecords = 5) === 3L)
   }
 
+  test("topic roster + compactAllLogged sweep every logged topic independently") {
+    val out = Files.createTempDirectory("graft-log-all").toString
+    for (t <- Seq("alpha", "beta")) {
+      CommitLog.writeLogged(frame(2), out, t, flushSize = 1)               // 2 files
+      CommitLog.writeLogged(frame(4).filter(col("off") >= 2), out, t, 1)   // 2 more
+    }
+    // staging leftovers and non-logged dirs are not topics
+    new java.io.File(s"$out/+tmp").mkdirs()
+    new java.io.File(s"$out/scratch").mkdirs()
+    assert(CommitLog.topics(spark, out) === Seq("alpha", "beta"))
+
+    val versions = CommitLog.compactAllLogged(spark, out, targetRecords = 5)
+    assert(versions.keySet === Set("alpha", "beta"))
+    for (t <- Seq("alpha", "beta")) {
+      // per-partition contiguous runs collapse to one file each
+      assert(CommitLog.snapshot(spark, out, t).size === 2)
+      assert(CommitLog.read(spark, out, t).count() === 4)
+      assert(versions(t) === CommitLog.latestVersion(spark, out, t))
+    }
+    // idempotent: nothing left to compact, versions unchanged
+    assert(CommitLog.compactAllLogged(spark, out, targetRecords = 5) === versions)
+  }
+
   test("streaming: logged commits survive crash-between-rename-and-publish") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
