@@ -90,16 +90,8 @@ object Hash60Util {
 
   /** First 60 bits of md5 as a non-negative long — bit-identical to
     * `conv(substring(md5(x), 1, 15), 16, 10)`: 15 hex digits are the
-    * first 7.5 bytes big-endian, i.e. the top 64 bits shifted right 4. */
-  def hash60(bytes: Array[Byte]): Long = {
-    val m = md.get()
-    m.reset()
-    val d = m.digest(bytes)
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    v >>> 4
-  }
+    * first 7.5 bytes big-endian, i.e. [[hash64]] shifted right 4. */
+  def hash60(bytes: Array[Byte]): Long = hash64(bytes) >>> 4
 
   /** Full first 64 bits of md5 as a (possibly negative) big-endian
     * long — the 16-hex-char prefix. Callers only ever extract bit

@@ -50,7 +50,40 @@ object BatchWriter {
     * (size rotation, interval buckets, or schema-rotation segments). */
   def writeAssigned(sizedIn: DataFrame, outDir: String, topic: String,
                     pad: Int = FileNaming.DefaultZeroPadWidth,
-                    format: String = "parquet"): Seq[CommittedFile] = {
+                    format: String = "parquet"): Seq[CommittedFile] =
+    // staging under +tmp/<topic>: +tmp is shared by concurrently-
+    // ingesting topics under the same outDir, each owning its dir
+    stageAndCommit(sizedIn, outDir, s"$outDir/+tmp/$topic",
+      topicOf = None, topic = topic, pad = pad, format = format)
+
+  /** [[writeAssigned]] routed through a partition ENCODER: `sizedIn`
+    * carries an `__enc` column holding each record's encoded-partition
+    * directory (the reference's `Partitioner.encodePartition` —
+    * `partition=3`, `event_type=click`, `year=2026/month=08/day=12`).
+    * Files land under `<outDir>/<topic>/<enc>/` with the same
+    * offset-ranged names; the default encoder reproduces
+    * [[writeAssigned]]'s layout exactly. Offset recovery still works —
+    * [[listCommitted]] is recursive and offsets live in filenames, not
+    * paths. (Compaction stays a default-layout feature: encoded
+    * partitions split a Kafka partition's offsets across directories,
+    * so per-directory ranges are gappy.) */
+  def writeAssignedEncoded(sizedIn: DataFrame, outDir: String, topic: String,
+                           pad: Int = FileNaming.DefaultZeroPadWidth,
+                           format: String = "parquet"): Seq[CommittedFile] =
+    stageAndCommit(sizedIn, outDir, s"$outDir/+tmp/$topic",
+      topicOf = None, encodedOf = Some("__enc"), topic = topic, pad = pad,
+      format = format)
+
+  /** The ONE staging+manifest+rename commit protocol, shared by the
+    * single-topic ([[writeAssigned]]), multi-topic ([[writeMulti]])
+    * and encoded-partition ([[writeAssignedEncoded]]) paths —
+    * `topicOf`/`encodedOf` add those columns to every key (routing,
+    * staging layout, manifest). */
+  private def stageAndCommit(sizedIn: DataFrame, outDir: String,
+                             staged: String, topicOf: Option[String],
+                             topic: String, pad: Int,
+                             format: String,
+                             encodedOf: Option[String] = None): Seq[CommittedFile] = {
     if (format == "avro")
       throw new IllegalArgumentException(
         "avro via DataFrameWriter needs the spark-avro module (absent " +
@@ -58,7 +91,7 @@ object BatchWriter {
     val ext = Formats.getOrElse(format,
       throw new IllegalArgumentException(s"unknown format: $format"))
     val spark = sizedIn.sparkSession
-    val staged = s"$outDir/+tmp/$topic"
+    val keyCols = topicOf.toSeq ++ encodedOf.toSeq ++ Seq("part", "file_idx")
 
     // Pin the frame across the two jobs below (staging write + manifest
     // aggregate): without this, the whole upstream — including any
@@ -66,10 +99,11 @@ object BatchWriter {
     // recompute could let the manifest disagree with the staged data.
     val sized = sizedIn.persist()
 
-    // Stage: exactly one file per (part, file_idx) — the repartition key
-    // equals the directory key, so each dynamic partition is written by
-    // a single task.
-    val payloadCols = sized.columns.filterNot(Set("part", "off", "file_idx")).toSeq
+    // Stage: exactly one file per key — the repartition key equals the
+    // directory key, so each dynamic partition is written by a single
+    // task.
+    val payloadCols =
+      sized.columns.filterNot(keyCols.toSet + "off").toSeq
     val toStage =
       if (format == "text") {
         // the reference's text sink writes value.toString, one per line
@@ -77,32 +111,67 @@ object BatchWriter {
         // only in the filename range
         require(payloadCols.size == 1,
           s"text format needs exactly one payload column, got $payloadCols")
-        sized.select(col("part"), col("file_idx"), col("off"),
-          col(payloadCols.head).cast("string").as("value"))
+        sized.select(keyCols.map(col) ++ Seq(col("off"),
+          col(payloadCols.head).cast("string").as("value")): _*)
       } else sized
     val dropAfterSort: Seq[String] = if (format == "text") Seq("off") else Seq.empty
-    toStage.repartition(col("part"), col("file_idx"))
-      .sortWithinPartitions(col("part"), col("file_idx"), col("off"))
+    toStage.repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols :+ "off").map(col): _*)
       .drop(dropAfterSort: _*)
-      .write.mode("overwrite").partitionBy("part", "file_idx")
+      .write.mode("overwrite").partitionBy(keyCols: _*)
       .format(format).save(staged)
 
-    val manifest = sized.groupBy(col("part"), col("file_idx"))
+    val manifest = sized.groupBy(keyCols.map(col): _*)
       .agg(min(col("off")).as("s"), max(col("off")).as("e"))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(t => (t._1, t._2))
+      .map { r =>
+        var idx = 0
+        def str(opt: Option[String], default: String): String =
+          if (opt.isDefined) { val v = r.getString(idx); idx += 1; v }
+          else default
+        val t = str(topicOf, topic)
+        val enc = str(encodedOf, "")
+        (t, enc, r.getLong(idx), r.getLong(idx + 1),
+          r.getLong(idx + 2), r.getLong(idx + 3))
+      }
+      .sortBy(t => (t._1, t._2, t._3, t._4))
     sized.unpersist()
 
     val fs = FileSystem.get(new Path(outDir).toUri, spark.sparkContext.hadoopConfiguration)
-    val committed = manifest.toSeq.map { case (p, i, s, e) =>
-      val srcDir = new Path(s"$staged/part=$p/file_idx=$i")
+    // validate EVERY topic name and encoded path before the FIRST
+    // rename: a bad value mid-loop would otherwise leave earlier
+    // groups' files already committed — a torn batch. Pre-commit, so
+    // cleaning staging and failing is safe.
+    val badTopics = manifest.map(_._1).distinct.filterNot(TopicName.matches)
+    val badEnc = encodedOf.toSeq.flatMap(_ => manifest.map(_._2).distinct
+      .filter(v => v.isEmpty || v.startsWith("/") || v.split('/').exists(seg =>
+        seg.isEmpty || seg == "." || seg == "..")))
+    if (badTopics.nonEmpty || badEnc.nonEmpty) {
+      fs.delete(new Path(staged), true)
+      throw new IllegalArgumentException(
+        s"illegal topic name(s)/encoded partition(s): " +
+          (badTopics ++ badEnc).mkString(", "))
+    }
+    val committed = manifest.toSeq.map { case (t, enc, p, i, s, e) =>
+      val encSeg = encodedOf.map { ec =>
+        // Spark escapes special chars (e.g. '/') in dynamic-partition
+        // directory VALUES — reproduce its escaping to locate the dir
+        s"/$ec=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(enc)
+      }.getOrElse("")
+      val srcDir = topicOf match {
+        case Some(tc) => new Path(s"$staged/$tc=$t$encSeg/part=$p/file_idx=$i")
+        case None => new Path(s"$staged$encSeg/part=$p/file_idx=$i")
+      }
       val srcs = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
       require(srcs.length == 1,
         s"expected exactly one staged file in $srcDir, found ${srcs.length}")
-      val destDir = new Path(s"$outDir/$topic/partition=$p")
+      // encoded layout: the encoder's directory (possibly nested,
+      // `year=.../month=...`); default layout: partition=<p>
+      val destDir = new Path(s"$outDir/$t/" +
+        (if (encodedOf.isDefined) enc else s"partition=$p"))
       fs.mkdirs(destDir)
-      val dest = new Path(destDir, FileNaming.encodeName(topic, p.toInt, s, e, ext, pad))
+      val dest = new Path(destDir, FileNaming.encodeName(t, p.toInt, s, e, ext, pad))
       // idempotent redo: a file already committed under this exact
       // offset range is the same data — skip, like FSWAL.apply. A
       // rename failure returns false (it does not throw) — surfacing it
@@ -111,10 +180,8 @@ object BatchWriter {
       if (!fs.exists(dest))
         require(fs.rename(srcs.head.getPath, dest),
           s"rename failed: ${srcs.head.getPath} -> $dest")
-      CommittedFile(topic, p, i, s, e, dest.toString)
+      CommittedFile(t, p, i, s, e, dest.toString)
     }
-    // clean only THIS topic's staging dir — +tmp is shared by
-    // concurrently-ingesting topics under the same outDir
     fs.delete(new Path(staged), true)
     committed
   }
@@ -142,60 +209,15 @@ object BatchWriter {
     if (format == "avro")
       throw new IllegalArgumentException(
         "avro multi-topic writes go through AvroSink per topic")
-    val ext = Formats.getOrElse(format,
-      throw new IllegalArgumentException(s"unknown format: $format"))
-    val spark = df.sparkSession
+    val sized = Rotation.withSizeFileIndex(df,
+      Seq(col("topic"), col("part")), col("off"), flushSize)
     // fixed staging path, like the per-topic `+tmp/<topic>` dirs: the
     // overwrite-mode staging write wipes a crashed predecessor's
     // leftovers instead of leaking uuid dirs. Discipline: one
     // multi-topic writer per store, the same one-writer-per-staging-dir
     // rule the per-topic path already implies.
-    val staged = s"$outDir/+tmp/.multi"
-
-    val sized = Rotation.withSizeFileIndex(df,
-      Seq(col("topic"), col("part")), col("off"), flushSize).persist()
-
-    val payloadCols =
-      sized.columns.filterNot(Set("topic", "part", "off", "file_idx")).toSeq
-    val toStage =
-      if (format == "text") {
-        require(payloadCols.size == 1,
-          s"text format needs exactly one payload column, got $payloadCols")
-        sized.select(col("topic"), col("part"), col("file_idx"), col("off"),
-          col(payloadCols.head).cast("string").as("value"))
-      } else sized
-    val dropAfterSort: Seq[String] = if (format == "text") Seq("off") else Seq.empty
-    toStage.repartition(col("topic"), col("part"), col("file_idx"))
-      .sortWithinPartitions(col("topic"), col("part"), col("file_idx"), col("off"))
-      .drop(dropAfterSort: _*)
-      .write.mode("overwrite").partitionBy("topic", "part", "file_idx")
-      .format(format).save(staged)
-
-    val manifest = sized.groupBy(col("topic"), col("part"), col("file_idx"))
-      .agg(min(col("off")).as("s"), max(col("off")).as("e"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .sortBy(t => (t._1, t._2, t._3))
-    sized.unpersist()
-
-    val fs = FileSystem.get(new Path(outDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val committed = manifest.toSeq.map { case (t, p, i, s, e) =>
-      require(TopicName.matches(t), s"illegal topic name: '$t'")
-      val srcDir = new Path(s"$staged/topic=$t/part=$p/file_idx=$i")
-      val srcs = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
-      require(srcs.length == 1,
-        s"expected exactly one staged file in $srcDir, found ${srcs.length}")
-      val destDir = new Path(s"$outDir/$t/partition=$p")
-      fs.mkdirs(destDir)
-      val dest = new Path(destDir, FileNaming.encodeName(t, p.toInt, s, e, ext, pad))
-      if (!fs.exists(dest))
-        require(fs.rename(srcs.head.getPath, dest),
-          s"rename failed: ${srcs.head.getPath} -> $dest")
-      CommittedFile(t, p, i, s, e, dest.toString)
-    }
-    fs.delete(new Path(staged), true)
-    committed
+    stageAndCommit(sized, outDir, s"$outDir/+tmp/.multi",
+      topicOf = Some("topic"), topic = "", pad = pad, format = format)
   }
 
   /** [[resumeFrom]] with per-topic committed maps: one broadcast join

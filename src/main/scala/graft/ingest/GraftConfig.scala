@@ -46,6 +46,7 @@ object GraftConfig {
   val PartitionField = "partition.field.name"
   val PartitionDurationMs = "partition.duration.ms"
   val PathFormat = "path.format"
+  val TimestampField = "timestamp.field"
   val LocaleKey = "locale"
   val Timezone = "timezone"
   val TopicsDir = "topics.dir"
@@ -77,6 +78,7 @@ object GraftConfig {
     PartitionField -> "",
     PartitionDurationMs -> "-1",
     PathFormat -> "",
+    TimestampField -> "timestamp",
     LocaleKey -> "",
     Timezone -> "UTC",
     TopicsDir -> "topics",
@@ -153,6 +155,21 @@ object GraftConfig {
         (if (partitioner == "field" && get(name).isEmpty)
            Seq(s"$PartitionField is required by the field partitioner")
          else Nil, Nil)
+      case PathFormat =>
+        // the engine renders the reference's long format natively
+        // (year=.../month=<name>/day=.../hour=...); a custom Joda
+        // pattern has no consumer — reject rather than silently ignore
+        (if (get(name).isEmpty) Nil
+         else Seq(s"$PathFormat is not configurable: the time partitioner " +
+           "renders the reference's long format (year=/month=/day=/hour=)"),
+          Nil)
+      case DirectoryDelim =>
+        (if (get(name) == "/") Nil
+         else Seq(s"$DirectoryDelim supports only '/', got '${get(name)}'"), Nil)
+      case FileDelim =>
+        (if (get(name) == "+") Nil
+         else Seq(s"$FileDelim supports only '+' (offset-ranged names " +
+           s"are <topic>+<partition>+<start>+<end>), got '${get(name)}'"), Nil)
       case Timezone =>
         (try { ZoneId.of(get(name)); Nil } catch {
           case _: Exception => Seq(s"invalid $Timezone '${get(name)}'; use an " +
@@ -209,6 +226,7 @@ object GraftConfig {
       partitionField = m(PartitionField),
       partitionDurationMs = m(PartitionDurationMs).trim.toLong,
       pathFormat = m(PathFormat),
+      timestampField = m(TimestampField),
       locale = m(LocaleKey),
       timezone = m(Timezone),
       topicsDir = m(TopicsDir),
@@ -231,20 +249,60 @@ final case class GraftConfig(
     partitionField: String,
     partitionDurationMs: Long,
     pathFormat: String,
+    timestampField: String,
     locale: String,
     timezone: String,
     topicsDir: String,
     directoryDelim: String,
     fileDelim: String) {
 
-  /** Batch write through the configured format/codec/pad — the one
-    * dispatch point over [[BatchWriter]] and [[AvroSink]]. */
+  /** Batch write with EVERY write-plane knob consumed — the one
+    * dispatch point over [[BatchWriter]] and [[AvroSink]]:
+    * format/codec/pad select the sink, `partitioner.class` (+
+    * dependents) encodes the directory layout via [[partitionPath]],
+    * and `rotate.interval.ms` > 0 additionally splits files on
+    * record-time interval buckets (the reference's data-time rotation,
+    * `TopicPartitionWriter.java:516-519`), both reading record time
+    * from the `timestamp.field` column. The default partitioner with
+    * rotation disabled reproduces `BatchWriter.write`'s layout
+    * bit-for-bit. Avro keeps the default layout (its writer has its
+    * own staging path) — configuring it with a non-default partitioner
+    * or interval rotation fails fast here. */
   def write(df: org.apache.spark.sql.DataFrame, outDir: String,
-            topic: String): Seq[BatchWriter.CommittedFile] =
-    if (format == "avro")
-      AvroSink.write(df, outDir, topic, flushSize, zeroPadWidth, avroCodec)
-    else
-      BatchWriter.write(df, outDir, topic, flushSize, zeroPadWidth, format)
+            topic: String): Seq[BatchWriter.CommittedFile] = {
+    import org.apache.spark.sql.functions.{col, lit, unix_millis}
+    if (format == "avro") {
+      require(partitioner == "default" && rotateIntervalMs <= 0,
+        "the avro sink writes the default layout without interval " +
+          "rotation; use a BatchWriter format for partitioned layouts")
+      return AvroSink.write(df, outDir, topic, flushSize, zeroPadWidth, avroCodec)
+    }
+    if (partitioner == "default" && rotateIntervalMs <= 0)
+      return BatchWriter.write(df, outDir, topic, flushSize, zeroPadWidth, format)
+
+    val ts = col(timestampField)
+    val withEnc = df.withColumn("__enc",
+      partitionPath(col("part"), ts, col))
+    // file grouping: interval bucket (when configured) then size
+    // within (enc, part[, bucket]) — `(off − first)/flush` bounds every
+    // file at ≤ flushSize records even where encoding makes offsets
+    // gappy within a directory (files can only run small, never large)
+    val grouped =
+      if (rotateIntervalMs > 0) {
+        val b = Rotation.withIntervalBucket(withEnc, Seq(col("part")),
+          unix_millis(ts), rotateIntervalMs, "__bucket")
+        Rotation.withSizeFileIndex(b,
+            Seq(col("__enc"), col("part"), col("__bucket")), col("off"), flushSize)
+          // composite index: interval bucket majors, size split minors
+          // (≤ 1e6 size files per bucket — flushSize ≥ 1 bounds a
+          // bucket's files by its record count)
+          .withColumn("file_idx",
+            col("__bucket") * lit(1000000L) + col("file_idx"))
+          .drop("__bucket")
+      } else Rotation.withSizeFileIndex(withEnc,
+        Seq(col("__enc"), col("part")), col("off"), flushSize)
+    BatchWriter.writeAssignedEncoded(grouped, outDir, topic, zeroPadWidth, format)
+  }
 
   /** The configured partitioner as a path Column — `partitioner.class`
     * plus its dependent keys actually CONSTRUCTING the partitioner

@@ -131,9 +131,11 @@ object RelationalQueries {
     // estimate landed within 3×rsd (rsd = 0.02) of the exact count.
     // The oracle asserts TRUE per group — a red row means Spark's
     // sketch broke its own error bound. The exact countDistinct rides
-    // along ONLY to self-certify (one mixed-distinct aggregate pass);
-    // the production scale path is the estimate alone, where exact
-    // distinct is the shuffle being avoided.
+    // along ONLY to self-certify (one mixed-distinct aggregate pass,
+    // Expand-based — so THIS registry query, and its bench line, price
+    // in the certification); the production scale path is the
+    // estimate alone, where exact distinct is the shuffle being
+    // avoided (that raw path is bounded by ApproxBoundSpec).
     QuerySpec("agg_approx_users",
       (s, d) => Tables.events(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("apx"),

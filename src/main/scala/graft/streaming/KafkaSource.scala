@@ -21,12 +21,7 @@ object KafkaSource {
     * `StreamIngest.start`. */
   def fromTopic(spark: SparkSession, bootstrapServers: String, topic: String,
                 maxOffsetsPerTrigger: Long = 1000000L): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest") // checkpoint overrides after first run
-      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-      .load()
+    fromTopics(spark, bootstrapServers, Seq(topic), maxOffsetsPerTrigger)
 
   /** `readStream` subscribed to MANY topics in one consumer — the
     * reference connector's `topics` list config. [[normalize]] keeps
@@ -40,7 +35,7 @@ object KafkaSource {
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", "earliest")
+      .option("startingOffsets", "earliest") // checkpoint overrides after first run
       .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
       .load()
   }

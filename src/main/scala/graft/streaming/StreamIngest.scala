@@ -40,6 +40,17 @@ object StreamIngest {
       initial = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic),
       afterWrite = _ => ())
 
+  /** The foreachBatch query scaffolding every commit loop shares:
+    * checkpoint + optional trigger + start. */
+  private def batchQuery(stream: DataFrame, checkpoint: String,
+                         trigger: Option[Trigger])
+                        (body: DataFrame => Unit): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+    trigger.foreach(writer.trigger)
+    writer.foreachBatch { (batch: DataFrame, _: Long) => body(batch) }.start()
+  }
+
   /** The shared micro-batch commit loop: dedup → resume-filter →
     * write → (hook) → advance offsets. `afterWrite` runs after the
     * batch's files are durably renamed and before the in-memory
@@ -50,30 +61,25 @@ object StreamIngest {
                          initial: Map[Long, Long],
                          afterWrite: Seq[BatchWriter.CommittedFile] => Unit): StreamingQuery = {
     var committed = initial
-    val writer = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-    trigger.foreach(writer.trigger)
-    writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // batch-local offset dedup: an at-least-once upstream can hand
-        // the SAME (part, off) twice within one micro-batch, which the
-        // committed-offset filter alone cannot catch
-        val deduped = batch.dropDuplicates("part", "off")
-        // pin the filtered batch: isEmpty + the write's staging/manifest
-        // jobs would otherwise re-read the source up to three times
-        val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
-        try {
-          if (!fresh.isEmpty) {
-            val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
-              format = format)
-            afterWrite(manifest)
-            committed = manifest.foldLeft(committed) { (m, f) =>
-              m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
-            }
+    batchQuery(stream, checkpoint, trigger) { batch =>
+      // batch-local offset dedup: an at-least-once upstream can hand
+      // the SAME (part, off) twice within one micro-batch, which the
+      // committed-offset filter alone cannot catch
+      val deduped = batch.dropDuplicates("part", "off")
+      // pin the filtered batch: isEmpty + the write's staging/manifest
+      // jobs would otherwise re-read the source up to three times
+      val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
+      try {
+        if (!fresh.isEmpty) {
+          val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
+            format = format)
+          afterWrite(manifest)
+          committed = manifest.foldLeft(committed) { (m, f) =>
+            m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
           }
-        } finally { fresh.unpersist(); () }
-      }
-      .start()
+        }
+      } finally { fresh.unpersist(); () }
+    }
   }
 
   /** [[start]] with the transactional metadata-log commit: each
@@ -171,48 +177,43 @@ object StreamIngest {
                        format: String = "parquet"): StreamingQuery = {
     val spark = stream.sparkSession
     val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
-    val writer = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-    trigger.foreach(writer.trigger)
-    writer
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // one dedup keyed (topic, part, off) — offsets are per-topic
-        // sequences, so the same (part, off) on two topics is two
-        // distinct records
-        val deduped = batch.dropDuplicates("topic", "part", "off").persist()
+    batchQuery(stream, checkpoint, trigger) { batch =>
+      // one dedup keyed (topic, part, off) — offsets are per-topic
+      // sequences, so the same (part, off) on two topics is two
+      // distinct records
+      val deduped = batch.dropDuplicates("topic", "part", "off").persist()
+      try {
+        // the topic roster of THIS batch is metadata-scale (the
+        // reference holds one writer map per assigned topic too);
+        // first sighting of a topic recovers its offsets from its log
+        val topics = deduped.select("topic").distinct()
+          .collect().map(_.getString(0)).sorted
+        topics.foreach { topic =>
+          committed.getOrElseUpdate(topic,
+            CommitLog.maxOffsets(spark, outDir, topic))
+          ()
+        }
+        val fresh = BatchWriter.resumeFromMulti(deduped, committed.toMap)
+          .persist()
         try {
-          // the topic roster of THIS batch is metadata-scale (the
-          // reference holds one writer map per assigned topic too);
-          // first sighting of a topic recovers its offsets from its log
-          val topics = deduped.select("topic").distinct()
-            .collect().map(_.getString(0)).sorted
-          topics.foreach { topic =>
-            committed.getOrElseUpdate(topic,
-              CommitLog.maxOffsets(spark, outDir, topic))
-            ()
-          }
-          val fresh = BatchWriter.resumeFromMulti(deduped, committed.toMap)
-            .persist()
-          try {
-            if (!fresh.isEmpty) {
-              val manifest =
-                BatchWriter.writeMulti(fresh, outDir, flushSize, format = format)
-              manifest.groupBy(_.topic).toSeq.sortBy(_._1)
-                .foreach { case (topic, files) =>
-                  CommitLog.publish(spark, outDir, topic, files.map { c =>
-                    s"partition=${c.partition}/" +
-                      new org.apache.hadoop.fs.Path(c.path).getName
-                  })
-                  committed(topic) = files.foldLeft(committed(topic)) { (m, f) =>
-                    m.updated(f.partition,
-                      math.max(m.getOrElse(f.partition, -1L), f.endOffset))
-                  }
+          if (!fresh.isEmpty) {
+            val manifest =
+              BatchWriter.writeMulti(fresh, outDir, flushSize, format = format)
+            manifest.groupBy(_.topic).toSeq.sortBy(_._1)
+              .foreach { case (topic, files) =>
+                CommitLog.publish(spark, outDir, topic, files.map { c =>
+                  s"partition=${c.partition}/" +
+                    new org.apache.hadoop.fs.Path(c.path).getName
+                })
+                committed(topic) = files.foldLeft(committed(topic)) { (m, f) =>
+                  m.updated(f.partition,
+                    math.max(m.getOrElse(f.partition, -1L), f.endOffset))
                 }
-            }
-          } finally { fresh.unpersist(); () }
-        } finally { deduped.unpersist(); () }
-      }
-      .start()
+              }
+          }
+        } finally { fresh.unpersist(); () }
+      } finally { deduped.unpersist(); () }
+    }
   }
 
   /** A13 — wallclock scheduled rotation in the streaming plane

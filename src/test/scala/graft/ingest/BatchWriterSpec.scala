@@ -91,12 +91,22 @@ class BatchWriterSpec extends SparkSuite {
       .collect().toSet === Set(("alpha", 3L), ("alpha", 4L)))
   }
 
-  test("writeMulti rejects illegal topic names before any rename") {
+  test("writeMulti rejects illegal topic names before ANY rename — no torn batch") {
     val out = tmpDir()
-    val df = Seq(("bad/topic", 0L, 0L, "x")).toDF("topic", "part", "off", "payload")
-    intercept[IllegalArgumentException] {
+    // one good topic + one bad: the batch must commit NOTHING — a
+    // per-entry check inside the rename loop would have committed
+    // alpha's files before failing on the bad name
+    val df = Seq(
+      ("alpha", 0L, 0L, "a"), ("alpha", 0L, 1L, "b"),
+      ("bad/topic", 0L, 0L, "x")).toDF("topic", "part", "off", "payload")
+    val e = intercept[IllegalArgumentException] {
       BatchWriter.writeMulti(df, out, flushSize = 2)
     }
+    assert(e.getMessage.contains("bad/topic"))
+    assert(BatchWriter.listCommitted(spark, out, "alpha").isEmpty,
+      "no file may commit when any topic in the batch is illegal")
+    // staging cleaned on the validation failure
+    assert(!new java.io.File(s"$out/+tmp/.multi").exists())
   }
 
   test("write is idempotent redo: re-running the same write commits nothing new") {

@@ -139,6 +139,75 @@ class GraftConfigSpec extends SparkSuite {
       "locale" -> "fr-FR"))) === "year=2015/month=avril/day=02/hour=1")
   }
 
+  test("partitioner.class shapes the written directory layout (field + daily)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), "click", "a"),
+      (0L, 1L, java.sql.Timestamp.valueOf("2026-03-01 11:00:00"), "view", "b"),
+      (0L, 2L, java.sql.Timestamp.valueOf("2026-03-02 09:00:00"), "click", "c"))
+      .toDF("part", "off", "timestamp", "event_type", "payload")
+
+    val outF = Files.createTempDirectory("cfg-field").toString
+    GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "field",
+      "partition.field.name" -> "event_type")).write(df, outF, "t")
+    // one directory per field value (the reference's FieldPartitioner
+    // layout, TopicPartitionWriterTest.java:153-207)
+    assert(new java.io.File(s"$outF/t").listFiles().map(_.getName).toSet ===
+      Set("event_type=click", "event_type=view"))
+    val clicks = spark.read.parquet(s"$outF/t/event_type=click")
+    assert(clicks.select(col("payload")).as[String].collect().toSet === Set("a", "c"))
+    // offset recovery is layout-independent (recursive + filenames)
+    assert(BatchWriter.maxCommittedOffsets(spark, outF, "t") === Map(0L -> 2L))
+
+    val outD = Files.createTempDirectory("cfg-daily").toString
+    GraftConfig(Map("flush.size" -> "10",
+      "partitioner.class" -> "daily")).write(df, outD, "t")
+    assert(new java.io.File(s"$outD/t/year=2026/month=03/day=01").exists())
+    assert(new java.io.File(s"$outD/t/year=2026/month=03/day=02").exists())
+    assert(spark.read.parquet(s"$outD/t/year=2026/month=03/day=01").count() === 2)
+  }
+
+  test("rotate.interval.ms splits files on record-time buckets") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00").getTime
+    val df = (0L until 6L).map(o =>
+        (0L, o, new java.sql.Timestamp(t0 + o * 30000L), s"v$o"))
+      .toDF("part", "off", "timestamp", "payload")
+    val out = Files.createTempDirectory("cfg-interval").toString
+    // 60s buckets over 30s-spaced records: offsets {0,1},{2,3},{4,5}
+    GraftConfig(Map("flush.size" -> "100",
+      "rotate.interval.ms" -> "60000")).write(df, out, "t")
+    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+      "t+0+0000000000+0000000001.parquet",
+      "t+0+0000000002+0000000003.parquet",
+      "t+0+0000000004+0000000005.parquet"))
+    assert(BatchWriter.read(spark, out, "t").count() === 6)
+  }
+
+  test("avro rejects partitioned layouts and interval rotation fast") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, "x")).toDF("part", "off", "payload")
+    val out = Files.createTempDirectory("cfg-avro-bad").toString
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("flush.size" -> "2", "format.class" -> "avro",
+        "partitioner.class" -> "field", "partition.field.name" -> "payload"))
+        .write(df, out, "t")
+    }
+  }
+
+  test("pinned knobs fail fast instead of being silently ignored") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base ++ Map(
+        "path.format" -> "'year'=YYYY",
+        "directory.delim" -> "_",
+        "file.delim" -> "-"))
+    }
+    assert(e.getMessage.contains("path.format is not configurable"))
+    assert(e.getMessage.contains("directory.delim supports only '/'"))
+    assert(e.getMessage.contains("file.delim supports only '+'"))
+  }
+
   test("the typed config drives the write dispatch (parquet + avro/bzip2)") {
     import spark.implicits._
     val df = (0L until 4L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
