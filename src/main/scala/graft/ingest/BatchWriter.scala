@@ -62,11 +62,17 @@ object BatchWriter {
     * `partition=3`, `event_type=click`, `year=2026/month=08/day=12`).
     * Files land under `<outDir>/<topic>/<enc>/` with the same
     * offset-ranged names; the default encoder reproduces
-    * [[writeAssigned]]'s layout exactly. Offset recovery still works —
-    * [[listCommitted]] is recursive and offsets live in filenames, not
-    * paths. (Compaction stays a default-layout feature: encoded
-    * partitions split a Kafka partition's offsets across directories,
-    * so per-directory ranges are gappy.) */
+    * [[writeAssigned]]'s layout exactly.
+    *
+    * Recovery contract for encoded layouts: crash recovery is
+    * IDEMPOTENT REDO of the same batch (renames skip committed
+    * files), NOT offset filtering — encoding splits a partition's
+    * offsets across directories, so a crash mid-commit can land high
+    * offsets while lower ones in another directory have not, and a
+    * `maxCommittedOffsets`-based resume would skip the gap.
+    * Compaction is likewise a default-layout feature (per-directory
+    * ranges are gappy/interleaved here; `planCompaction` refuses
+    * them). */
   def writeAssignedEncoded(sizedIn: DataFrame, outDir: String, topic: String,
                            pad: Int = FileNaming.DefaultZeroPadWidth,
                            format: String = "parquet"): Seq[CommittedFile] =
@@ -91,6 +97,10 @@ object BatchWriter {
     val ext = Formats.getOrElse(format,
       throw new IllegalArgumentException(s"unknown format: $format"))
     val spark = sizedIn.sparkSession
+    // single-topic: the name is known at entry — reject it before any
+    // cluster work (the multi-topic roster is data, checked post-manifest)
+    if (topicOf.isEmpty)
+      require(TopicName.matches(topic), s"illegal topic name: '$topic'")
     val keyCols = topicOf.toSeq ++ encodedOf.toSeq ++ Seq("part", "file_idx")
 
     // Pin the frame across the two jobs below (staging write + manifest
@@ -127,8 +137,12 @@ object BatchWriter {
       .map { r =>
         var idx = 0
         def str(opt: Option[String], default: String): String =
-          if (opt.isDefined) { val v = r.getString(idx); idx += 1; v }
-          else default
+          if (opt.isDefined) {
+            // null-safe: a null routing value (null partition field /
+            // timestamp upstream) must reach the validation below as
+            // an illegal value, not NPE the manifest sort
+            val v = Option(r.getString(idx)).getOrElse(""); idx += 1; v
+          } else default
         val t = str(topicOf, topic)
         val enc = str(encodedOf, "")
         (t, enc, r.getLong(idx), r.getLong(idx + 1),
@@ -150,7 +164,9 @@ object BatchWriter {
       fs.delete(new Path(staged), true)
       throw new IllegalArgumentException(
         s"illegal topic name(s)/encoded partition(s): " +
-          (badTopics ++ badEnc).mkString(", "))
+          (badTopics ++ badEnc.map(v => if (v.isEmpty) "<null/empty>" else v))
+            .mkString(", ") +
+          " (a null partition field or timestamp encodes to an empty partition)")
     }
     val committed = manifest.toSeq.map { case (t, enc, p, i, s, e) =>
       val encSeg = encodedOf.map { ec =>
@@ -282,7 +298,19 @@ object BatchWriter {
       var maxEnd = -1L
       files.sortBy(f => (f.start, -f.end)).foreach { f =>
         if (f.end <= maxEnd) subsumed += f
-        else { kept += f; maxEnd = f.end }
+        else {
+          // the healing premise is containment-only overlap (the sort
+          // makes any f.end <= maxEnd a containment); a PARTIAL overlap
+          // means this is not a default-layout topic — encoded
+          // partition dirs interleave a partition's offsets — and
+          // deleting "subsumed" files there would destroy live data,
+          // so refuse instead of healing
+          require(f.start > maxEnd,
+            s"partially overlapping ranges in partition $p " +
+              s"(..$maxEnd vs [${f.start}..${f.end}]) — " +
+              "not a compactable default-layout topic")
+          kept += f; maxEnd = f.end
+        }
       }
       var start = -1L
       var end = -1L

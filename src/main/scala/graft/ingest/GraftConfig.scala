@@ -155,6 +155,10 @@ object GraftConfig {
         (if (partitioner == "field" && get(name).isEmpty)
            Seq(s"$PartitionField is required by the field partitioner")
          else Nil, Nil)
+      case TimestampField =>
+        (if (get(name).trim.nonEmpty) Nil
+         else Seq(s"$TimestampField must name the record-time column " +
+           "(consumed by time partitioners and rotate.interval.ms)"), Nil)
       case PathFormat =>
         // the engine renders the reference's long format natively
         // (year=.../month=<name>/day=.../hour=...); a custom Joda
@@ -280,27 +284,55 @@ final case class GraftConfig(
     if (partitioner == "default" && rotateIntervalMs <= 0)
       return BatchWriter.write(df, outDir, topic, flushSize, zeroPadWidth, format)
 
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{dense_rank, expr, lag, row_number, sum, when}
     val ts = col(timestampField)
-    val withEnc = df.withColumn("__enc",
+    val withEnc0 = df.withColumn("__enc",
       partitionPath(col("part"), ts, col))
-    // file grouping: interval bucket (when configured) then size
-    // within (enc, part[, bucket]) — `(off − first)/flush` bounds every
-    // file at ≤ flushSize records even where encoding makes offsets
-    // gappy within a directory (files can only run small, never large)
+    // text files carry only the payload line; the routing timestamp
+    // was consumed by the encoder/rotation and must not count as a
+    // second payload column
+    val withEnc =
+      if (format == "text") withEnc0.drop(timestampField) else withEnc0
     val grouped =
       if (rotateIntervalMs > 0) {
-        val b = Rotation.withIntervalBucket(withEnc, Seq(col("part")),
-          unix_millis(ts), rotateIntervalMs, "__bucket")
-        Rotation.withSizeFileIndex(b,
-            Seq(col("__enc"), col("part"), col("__bucket")), col("off"), flushSize)
-          // composite index: interval bucket majors, size split minors
-          // (≤ 1e6 size files per bucket — flushSize ≥ 1 bounds a
-          // bucket's files by its record count)
+        // the reference's data-time rotation semantics
+        // (`TopicPartitionWriter.java:516-519`): the offset-ORDERED
+        // stream rotates when the record-time bucket changes. Grouping
+        // by bucket VALUE instead would let out-of-order event time
+        // interleave buckets and emit OVERLAPPING offset ranges into
+        // one directory — which breaks the disjoint-ranges invariant
+        // offset recovery and compaction healing stand on.
+        // Windows are per (enc, part) — one encoder×Kafka-partition
+        // slice of THIS batch per task, the same sequential unit the
+        // reference's per-writer rotation processes; batch-scale, not
+        // corpus-scale.
+        val w = Window.partitionBy(col("__enc"), col("part")).orderBy(col("off"))
+        val bucket = Rotation.longDiv(unix_millis(ts), lit(rotateIntervalMs))
+        val rotated = when(
+          lag(bucket, 1).over(w).isNull || lag(bucket, 1).over(w) === bucket,
+          0).otherwise(1)
+        val wSeg = Window.partitionBy(col("__enc"), col("part"), col("__seg"))
+          .orderBy(col("off"))
+        val wFile = Window.partitionBy(col("__enc"), col("part"))
+          .orderBy(col("__seg"), col("__szi"))
+        withEnc
+          .withColumn("__seg", sum(rotated).over(w))
+          // size split WITHIN a time segment counts records (dense
+          // file_idx below makes gappy offsets irrelevant)
+          .withColumn("__rn", row_number().over(wSeg))
+          .withColumn("__szi", expr(s"(__rn - 1) div $flushSize"))
+          // dense_rank over (segment, size split) → contiguous
+          // collision-free file ids per (enc, part)
           .withColumn("file_idx",
-            col("__bucket") * lit(1000000L) + col("file_idx"))
-          .drop("__bucket")
-      } else Rotation.withSizeFileIndex(withEnc,
-        Seq(col("__enc"), col("part")), col("off"), flushSize)
+            (dense_rank().over(wFile) - 1).cast("long"))
+          .drop("__seg", "__rn", "__szi")
+      } else
+        // size-only: `(off − first)/flush` partitions the offset space
+        // — files can only run small where encoding makes offsets
+        // gappy, never above flushSize records; no window needed
+        Rotation.withSizeFileIndex(withEnc,
+          Seq(col("__enc"), col("part")), col("off"), flushSize)
     BatchWriter.writeAssignedEncoded(grouped, outDir, topic, zeroPadWidth, format)
   }
 

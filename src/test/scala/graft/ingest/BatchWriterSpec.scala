@@ -109,6 +109,23 @@ class BatchWriterSpec extends SparkSuite {
     assert(!new java.io.File(s"$out/+tmp/.multi").exists())
   }
 
+  test("planCompaction refuses partially overlapping ranges (encoded layouts)") {
+    // containment heals (crashed-compaction leftovers) ...
+    val healed = BatchWriter.planCompaction(Seq(
+      BatchWriter.CompactFile(0, 0, 9, "big"),
+      BatchWriter.CompactFile(0, 0, 2, "src1"),
+      BatchWriter.CompactFile(0, 3, 5, "src2")), targetRecords = 100)
+    assert(healed.subsumed.map(_.name) === Seq("src1", "src2"))
+    // ... but PARTIAL overlap means interleaved encoded-partition
+    // offsets — healing would delete live data, so it must refuse
+    val e = intercept[IllegalArgumentException] {
+      BatchWriter.planCompaction(Seq(
+        BatchWriter.CompactFile(0, 0, 4, "click"),
+        BatchWriter.CompactFile(0, 1, 5, "view")), targetRecords = 100)
+    }
+    assert(e.getMessage.contains("partially overlapping"))
+  }
+
   test("write is idempotent redo: re-running the same write commits nothing new") {
     val out = tmpDir()
     val df = records(Seq(3L), 4)

@@ -185,6 +185,63 @@ class GraftConfigSpec extends SparkSuite {
     assert(BatchWriter.read(spark, out, "t").count() === 6)
   }
 
+  test("out-of-order event time rotates on bucket CHANGE — ranges stay disjoint") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // offsets in order, event time zig-zagging across 60s buckets: a
+    // group-by-bucket-value grouping would emit [1..2] and [0..3] —
+    // overlapping ranges that compaction healing would then destroy
+    val df = Seq(
+      (0L, 0L, t("2026-03-01 10:00:30"), "a"),
+      (0L, 1L, t("2026-03-01 09:59:30"), "b"),
+      (0L, 2L, t("2026-03-01 09:59:40"), "c"),
+      (0L, 3L, t("2026-03-01 10:00:40"), "d"))
+      .toDF("part", "off", "timestamp", "payload")
+    val out = Files.createTempDirectory("cfg-ooo").toString
+    GraftConfig(Map("flush.size" -> "100",
+      "rotate.interval.ms" -> "60000")).write(df, out, "t")
+    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+      "t+0+0000000000+0000000000.parquet",
+      "t+0+0000000001+0000000002.parquet",
+      "t+0+0000000003+0000000003.parquet"))
+  }
+
+  test("a null partition-field value fails actionably and cleans staging") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, "click", "a"), (0L, 1L, null, "b"))
+      .toDF("part", "off", "event_type", "payload")
+    val out = Files.createTempDirectory("cfg-nullenc").toString
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "field",
+        "partition.field.name" -> "event_type")).write(df, out, "t")
+    }
+    assert(e.getMessage.contains("null/empty"))
+    assert(!new java.io.File(s"$out/+tmp/t").exists(), "staging cleaned")
+    assert(BatchWriter.listCommitted(spark, out, "t").isEmpty, "nothing committed")
+  }
+
+  test("text format with a time partitioner drops the routing timestamp") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), "hello"),
+      (0L, 1L, java.sql.Timestamp.valueOf("2026-03-02 10:00:00"), "world"))
+      .toDF("part", "off", "timestamp", "payload")
+    val out = Files.createTempDirectory("cfg-text-daily").toString
+    GraftConfig(Map("flush.size" -> "10", "format.class" -> "text",
+      "partitioner.class" -> "daily")).write(df, out, "t")
+    val f = s"$out/t/year=2026/month=03/day=01"
+    assert(new java.io.File(f).exists())
+    val lines = spark.read.text(s"$f/*.txt").collect().map(_.getString(0))
+    assert(lines.toSeq === Seq("hello"))
+  }
+
+  test("timestamp.field must be non-empty") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("timestamp.field" -> " "))
+    }
+    assert(e.getMessage.contains("timestamp.field must name"))
+  }
+
   test("avro rejects partitioned layouts and interval rotation fast") {
     import spark.implicits._
     val df = Seq((0L, 0L, "x")).toDF("part", "off", "payload")
