@@ -206,6 +206,49 @@ class GraftConfigSpec extends SparkSuite {
       "t+0+0000000003+0000000003.parquet"))
   }
 
+  test("rotation invariant under seeded random out-of-order time: per-dir ranges disjoint, no loss") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
+    // 2 kafka partitions × 2 field values × shuffled event times across
+    // ~6 one-minute buckets — the adversarial mix of encoding gaps and
+    // out-of-order time
+    val rows = for (p <- Seq(0L, 1L); o <- 0L until 40L) yield
+      (p, o, new java.sql.Timestamp(t0 + rnd.nextInt(360) * 1000L),
+        if (rnd.nextBoolean()) "click" else "view", s"v-$p-$o")
+    val df = rows.toDF("part", "off", "timestamp", "event_type", "payload")
+    val out = Files.createTempDirectory("cfg-rand").toString
+    GraftConfig(Map("flush.size" -> "7", "rotate.interval.ms" -> "60000",
+      "partitioner.class" -> "field", "partition.field.name" -> "event_type"))
+      .write(df, out, "t")
+
+    // no loss, no duplication, payload routed with its record. (Like
+    // the reference's value-only files, the kafka partition is
+    // filename metadata, not file content — payload carries (p, o)
+    // here, so distinct payloads prove exactly-once.)
+    val back = spark.read.parquet(s"$out/t/event_type=*")
+    assert(back.count() === 80)
+    assert(back.select(countDistinct(col("payload"))).as[Long].head() === 80)
+
+    // within every directory, committed ranges are pairwise disjoint —
+    // the invariant that keeps offset-ranged names meaningful
+    val re = FileNaming.CommittedFilenameRegex.r
+    for (dir <- new java.io.File(s"$out/t").listFiles(); if dir.isDirectory) {
+      val ranges = dir.listFiles().map(_.getName).collect {
+        case n @ re(_, p, s, e, _) => (p.toLong, s.toLong, e.toLong)
+      }
+      for (part <- ranges.map(_._1).distinct) {
+        val rs = ranges.filter(_._1 == part).map(r => (r._2, r._3)).sortBy(_._1)
+        rs.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) =>
+            assert(s2 > e1, s"overlap in ${dir.getName} part $part: $rs")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("a null partition-field value fails actionably and cleans staging") {
     import spark.implicits._
     val df = Seq((0L, 0L, "click", "a"), (0L, 1L, null, "b"))
