@@ -236,8 +236,10 @@ class GraftConfigSpec extends SparkSuite {
     val re = FileNaming.CommittedFilenameRegex.r
     for (dir <- new java.io.File(s"$out/t").listFiles(); if dir.isDirectory) {
       val ranges = dir.listFiles().map(_.getName).collect {
-        case n @ re(_, p, s, e, _) => (p.toLong, s.toLong, e.toLong)
+        case re(_, p, s, e, _) => (p.toLong, s.toLong, e.toLong)
       }
+      assert(ranges.nonEmpty, s"no committed files matched in ${dir.getName} " +
+        "— naming/layout drifted and the disjointness check went vacuous")
       for (part <- ranges.map(_._1).distinct) {
         val rs = ranges.filter(_._1 == part).map(r => (r._2, r._3)).sortBy(_._1)
         rs.sliding(2).foreach {
