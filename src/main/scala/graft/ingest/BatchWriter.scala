@@ -70,9 +70,9 @@ object BatchWriter {
     * offsets across directories, so a crash mid-commit can land high
     * offsets while lower ones in another directory have not, and a
     * `maxCommittedOffsets`-based resume would skip the gap.
-    * Compaction is likewise a default-layout feature (per-directory
-    * ranges are gappy/interleaved here; `planCompaction` refuses
-    * them). */
+    * Compaction is likewise a default-layout feature — per-directory
+    * ranges are gappy/interleaved here, and [[compact]]'s layout guard
+    * refuses non-`partition=<p>` paths up front. */
   def writeAssignedEncoded(sizedIn: DataFrame, outDir: String, topic: String,
                            pad: Int = FileNaming.DefaultZeroPadWidth,
                            format: String = "parquet"): Seq[CommittedFile] =
@@ -162,11 +162,14 @@ object BatchWriter {
         seg.isEmpty || seg == "." || seg == "..")))
     if (badTopics.nonEmpty || badEnc.nonEmpty) {
       fs.delete(new Path(staged), true)
+      def show(v: String) = if (v.isEmpty) "<null/empty>" else s"'$v'"
+      val hint =
+        if ((badTopics ++ badEnc).exists(_.isEmpty))
+          " (a null partition field or timestamp encodes to an empty value)"
+        else ""
       throw new IllegalArgumentException(
         s"illegal topic name(s)/encoded partition(s): " +
-          (badTopics ++ badEnc.map(v => if (v.isEmpty) "<null/empty>" else v))
-            .mkString(", ") +
-          " (a null partition field or timestamp encodes to an empty partition)")
+          (badTopics.map(show) ++ badEnc.map(show)).mkString(", ") + hint)
     }
     val committed = manifest.toSeq.map { case (t, enc, p, i, s, e) =>
       val encSeg = encodedOf.map { ec =>
@@ -368,10 +371,19 @@ object BatchWriter {
       new Path(s"$outDir/$topic/partition=$p/$name")
 
     val re = FileNaming.CommittedFilenameRegex.r
-    val listed = listCommitted(spark, outDir, topic).flatMap {
-      case n @ re(t, p, s, e, _) if t == topic =>
-        Some(CompactFile(p.toLong, s.toLong, e.toLong, n))
-      case _ => None
+    val listed = listCommittedRel(spark, outDir, topic).flatMap { rel =>
+      rel.split('/').last match {
+        case n @ re(t, p, s, e, _) if t == topic =>
+          // default-layout guard: compaction reconstructs source paths
+          // as partition=<p>/<name>; an encoded layout (field/daily/...
+          // directories) would no-op the deletes and fail mid-rewrite —
+          // refuse up front instead
+          require(rel == s"partition=$p/$n",
+            s"'$rel' is not in the default partition=<p> layout — " +
+              "encoded-partition topics are not compactable")
+          Some(CompactFile(p.toLong, s.toLong, e.toLong, n))
+        case _ => None
+      }
     }
     val plan = planCompaction(listed, targetRecords)
     plan.subsumed.foreach(f => fs.delete(srcPath(f.partition, f.name), false))
@@ -420,15 +432,24 @@ object BatchWriter {
 
   /** Recursive committed-file listing (B10, `FileUtils.java:151-221`):
     * depth-first under `<outDir>/<topic>`, committed names only. */
-  def listCommitted(spark: SparkSession, outDir: String, topic: String): Seq[String] = {
+  def listCommitted(spark: SparkSession, outDir: String, topic: String): Seq[String] =
+    listCommittedRel(spark, outDir, topic).map(_.split('/').last).sorted
+
+  /** [[listCommitted]] with topic-relative paths (`<dirs...>/<name>`) —
+    * what layout-sensitive callers (compaction's default-layout guard)
+    * need. */
+  private[ingest] def listCommittedRel(spark: SparkSession, outDir: String,
+                                       topic: String): Seq[String] = {
     val root = new Path(s"$outDir/$topic")
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val rootUri = root.toUri.getPath
     val it = fs.listFiles(root, true)
     val out = Seq.newBuilder[String]
     while (it.hasNext) {
-      val f = it.next().getPath.getName
-      if (f.matches(FileNaming.CommittedFilenameRegex)) out += f
+      val p = it.next().getPath
+      if (p.getName.matches(FileNaming.CommittedFilenameRegex))
+        out += p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
     }
     out.result().sorted
   }

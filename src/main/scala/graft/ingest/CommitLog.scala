@@ -219,8 +219,20 @@ object CommitLog {
         case _ => None
       }
     }
-    // a log snapshot never holds overlapping ranges (swaps are atomic),
-    // so the plan's healing set is empty by construction
+    // a log snapshot never holds overlapping ranges (swaps are atomic)
+    // — ANY overlap, partial or containment, means the log is corrupt.
+    // Checked here with the log's own diagnostic: planCompaction's
+    // layout-guard wording (and its containment "healing") would
+    // misread corruption as an encoded layout / crashed compaction.
+    listed.groupBy(_.partition).foreach { case (p, files) =>
+      files.sortBy(_.start).sliding(2).foreach {
+        case Seq(a, b) =>
+          require(b.start > a.end,
+            s"overlapping ranges in a log snapshot (corrupt log?): " +
+              s"partition $p [${a.start}..${a.end}] vs [${b.start}..${b.end}]")
+        case _ =>
+      }
+    }
     val plan = BatchWriter.planCompaction(listed, targetRecords)
     require(plan.subsumed.isEmpty,
       s"overlapping ranges in a log snapshot: ${plan.subsumed}")

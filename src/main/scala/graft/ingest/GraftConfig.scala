@@ -284,56 +284,30 @@ final case class GraftConfig(
     if (partitioner == "default" && rotateIntervalMs <= 0)
       return BatchWriter.write(df, outDir, topic, flushSize, zeroPadWidth, format)
 
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{dense_rank, expr, lag, row_number, sum, when}
     val ts = col(timestampField)
-    val withEnc0 = df.withColumn("__enc",
+    val withEnc = df.withColumn("__enc",
       partitionPath(col("part"), ts, col))
-    // text files carry only the payload line; the routing timestamp
-    // was consumed by the encoder/rotation and must not count as a
-    // second payload column
-    val withEnc =
-      if (format == "text") withEnc0.drop(timestampField) else withEnc0
     val grouped =
-      if (rotateIntervalMs > 0) {
-        // the reference's data-time rotation semantics
-        // (`TopicPartitionWriter.java:516-519`): the offset-ORDERED
-        // stream rotates when the record-time bucket changes. Grouping
-        // by bucket VALUE instead would let out-of-order event time
-        // interleave buckets and emit OVERLAPPING offset ranges into
-        // one directory — which breaks the disjoint-ranges invariant
-        // offset recovery and compaction healing stand on.
-        // Windows are per (enc, part) — one encoder×Kafka-partition
-        // slice of THIS batch per task, the same sequential unit the
-        // reference's per-writer rotation processes; batch-scale, not
-        // corpus-scale.
-        val w = Window.partitionBy(col("__enc"), col("part")).orderBy(col("off"))
-        val bucket = Rotation.longDiv(unix_millis(ts), lit(rotateIntervalMs))
-        val rotated = when(
-          lag(bucket, 1).over(w).isNull || lag(bucket, 1).over(w) === bucket,
-          0).otherwise(1)
-        val wSeg = Window.partitionBy(col("__enc"), col("part"), col("__seg"))
-          .orderBy(col("off"))
-        val wFile = Window.partitionBy(col("__enc"), col("part"))
-          .orderBy(col("__seg"), col("__szi"))
-        withEnc
-          .withColumn("__seg", sum(rotated).over(w))
-          // size split WITHIN a time segment counts records (dense
-          // file_idx below makes gappy offsets irrelevant)
-          .withColumn("__rn", row_number().over(wSeg))
-          .withColumn("__szi", expr(s"(__rn - 1) div $flushSize"))
-          // dense_rank over (segment, size split) → contiguous
-          // collision-free file ids per (enc, part)
-          .withColumn("file_idx",
-            (dense_rank().over(wFile) - 1).cast("long"))
-          .drop("__seg", "__rn", "__szi")
-      } else
+      if (rotateIntervalMs > 0)
+        // bucket-CHANGE rotation, not bucket-value grouping — the
+        // latter lets out-of-order event time emit overlapping offset
+        // ranges into one directory (see the Rotation scaladoc)
+        Rotation.withBucketChangeFileIndex(withEnc,
+          Seq(col("__enc"), col("part")), col("off"),
+          Rotation.longDiv(unix_millis(ts), lit(rotateIntervalMs)), flushSize)
+      else
         // size-only: `(off − first)/flush` partitions the offset space
         // — files can only run small where encoding makes offsets
         // gappy, never above flushSize records; no window needed
         Rotation.withSizeFileIndex(withEnc,
           Seq(col("__enc"), col("part")), col("off"), flushSize)
-    BatchWriter.writeAssignedEncoded(grouped, outDir, topic, zeroPadWidth, format)
+    // text files carry only the payload line; the routing timestamp was
+    // consumed by the encoder/rotation above and must not count as a
+    // second payload column (dropped AFTER grouping — the rotation
+    // expressions read it)
+    val sized =
+      if (format == "text") grouped.drop(timestampField) else grouped
+    BatchWriter.writeAssignedEncoded(sized, outDir, topic, zeroPadWidth, format)
   }
 
   /** The configured partitioner as a path Column — `partitioner.class`

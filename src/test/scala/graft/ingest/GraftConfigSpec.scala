@@ -280,6 +280,40 @@ class GraftConfigSpec extends SparkSuite {
     assert(lines.toSeq === Seq("hello"))
   }
 
+  test("text format with interval rotation works (ts consumed by rotation, then dropped)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-03-01 10:00:00").getTime
+    val df = (0L until 4L).map(o =>
+        (0L, o, new java.sql.Timestamp(t0 + o * 45000L), s"line$o"))
+      .toDF("part", "off", "timestamp", "payload")
+    val out = Files.createTempDirectory("cfg-text-rot").toString
+    GraftConfig(Map("flush.size" -> "100", "format.class" -> "text",
+      "rotate.interval.ms" -> "60000")).write(df, out, "t")
+    // 45s spacing over 60s buckets: bucket seq 0,0,1,2 → files [0,1],[2],[3]
+    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+      "t+0+0000000000+0000000001.txt",
+      "t+0+0000000002+0000000002.txt",
+      "t+0+0000000003+0000000003.txt"))
+    val lines = spark.read.text(s"$out/t/partition=0/*.txt")
+      .collect().map(_.getString(0)).sorted
+    assert(lines.toSeq === Seq("line0", "line1", "line2", "line3"))
+  }
+
+  test("compact refuses encoded-layout topics up front") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0L, java.sql.Timestamp.valueOf("2026-03-01 10:00:00"), "click", "a"),
+      (0L, 1L, java.sql.Timestamp.valueOf("2026-03-01 11:00:00"), "view", "b"))
+      .toDF("part", "off", "timestamp", "event_type", "payload")
+    val out = Files.createTempDirectory("cfg-compact-enc").toString
+    GraftConfig(Map("flush.size" -> "1", "partitioner.class" -> "field",
+      "partition.field.name" -> "event_type")).write(df, out, "t")
+    val e = intercept[IllegalArgumentException] {
+      BatchWriter.compact(spark, out, "t", targetRecords = 10)
+    }
+    assert(e.getMessage.contains("not in the default partition=<p> layout"))
+  }
+
   test("timestamp.field must be non-empty") {
     val e = intercept[IllegalArgumentException] {
       GraftConfig(base + ("timestamp.field" -> " "))
