@@ -440,8 +440,12 @@ object BatchWriter {
     * need. */
   private[ingest] def listCommittedRel(spark: SparkSession, outDir: String,
                                        topic: String): Seq[String] = {
-    val root = new Path(s"$outDir/$topic")
-    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    val fs = FileSystem.get(new Path(s"$outDir/$topic").toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE taking the prefix: listFiles returns qualified
+    // absolute paths, so an unqualified (e.g. relative) root would
+    // never strip and every "relative" path would come back absolute
+    val root = fs.makeQualified(new Path(s"$outDir/$topic"))
     if (!fs.exists(root)) return Seq.empty
     val rootUri = root.toUri.getPath
     val it = fs.listFiles(root, true)

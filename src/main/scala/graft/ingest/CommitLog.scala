@@ -215,15 +215,24 @@ object CommitLog {
     val listed = snapshot(spark, outDir, topic).flatMap { rel =>
       rel.split('/').last match {
         case n @ re(t, p, s, e, _) if t == topic =>
+          // same default-layout guard as BatchWriter.compact: the
+          // rewrite reconstructs partition=<p> source paths, so a
+          // logged encoded-layout path must refuse up front, not fail
+          // opaquely mid-rewrite
+          require(rel == s"partition=$p/$n",
+            s"'$rel' is not in the default partition=<p> layout — " +
+              "encoded-partition topics are not compactable")
           Some(BatchWriter.CompactFile(p.toLong, s.toLong, e.toLong, n))
         case _ => None
       }
     }
     // a log snapshot never holds overlapping ranges (swaps are atomic)
     // — ANY overlap, partial or containment, means the log is corrupt.
-    // Checked here with the log's own diagnostic: planCompaction's
-    // layout-guard wording (and its containment "healing") would
+    // Checked with the log's own diagnostic BEFORE planCompaction,
+    // whose layout-guard wording (and containment "healing") would
     // misread corruption as an encoded layout / crashed compaction.
+    // This makes every overlap unreachable for the planner, so no
+    // second subsumed check is needed after it.
     listed.groupBy(_.partition).foreach { case (p, files) =>
       files.sortBy(_.start).sliding(2).foreach {
         case Seq(a, b) =>
@@ -234,8 +243,6 @@ object CommitLog {
       }
     }
     val plan = BatchWriter.planCompaction(listed, targetRecords)
-    require(plan.subsumed.isEmpty,
-      s"overlapping ranges in a log snapshot: ${plan.subsumed}")
     val multi = plan.groups.filter(_.files.size > 1)
     if (multi.isEmpty) return latestVersion(spark, outDir, topic)
 
@@ -291,8 +298,12 @@ object CommitLog {
              graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, outDir)
     val live = snapshot(spark, outDir, topic).toSet
-    val root = new Path(s"$outDir/$topic")
+    // qualified root prefix → TRUE topic-relative paths at any nesting
+    // depth (a one-level getParent.getName shortcut would compute the
+    // wrong rel for nested layouts and vacuum the wrong files)
+    val root = f.makeQualified(new Path(s"$outDir/$topic"))
     if (!f.exists(root)) return Seq.empty
+    val rootUri = root.toUri.getPath
     val cutoff = System.currentTimeMillis() - graceMs
     val it = f.listFiles(root, true)
     val doomed = Seq.newBuilder[String]
@@ -301,7 +312,7 @@ object CommitLog {
       val p = st.getPath
       if (p.getName.matches(FileNaming.CommittedFilenameRegex) &&
         st.getModificationTime <= cutoff) {
-        val rel = s"${p.getParent.getName}/${p.getName}"
+        val rel = p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         if (!live.contains(rel)) doomed += rel
       }
     }

@@ -126,6 +126,21 @@ class BatchWriterSpec extends SparkSuite {
     assert(e.getMessage.contains("partially overlapping"))
   }
 
+  test("compact works with a RELATIVE outDir (layout guard must qualify paths)") {
+    val rel = s"target/graft-rel-${java.util.UUID.randomUUID()}"
+    try {
+      BatchWriter.write(records(Seq(0L), 4), rel, "t", flushSize = 1)
+      val committed = BatchWriter.compact(spark, rel, "t", targetRecords = 4)
+      assert(committed.map(f => (f.startOffset, f.endOffset)) === Seq((0L, 3L)))
+      assert(BatchWriter.read(spark, rel, "t").count() === 4)
+    } finally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(rel), true)
+      ()
+    }
+  }
+
   test("write is idempotent redo: re-running the same write commits nothing new") {
     val out = tmpDir()
     val df = records(Seq(3L), 4)
