@@ -97,13 +97,22 @@ object SimilarityFunctions {
     * `"<band>:<packed rowsPerBand-bit signature>"`. Vectors sharing ANY
     * band key are candidate neighbors — explode + equi-join on the key,
     * exactly the MinHash-LSH banding shape. See the header for how to
-    * size `bands` (recall) and `rowsPerBand` (candidate-set growth). */
+    * size `bands` (recall) and `rowsPerBand` (candidate-set growth).
+    *
+    * `planeStride` decouples plane indexing from `rowsPerBand`: band b
+    * uses planes `b*stride .. b*stride+rowsPerBand-1` (stride defaults
+    * to rowsPerBand). Callers deriving rowsPerBand from a corpus count
+    * pass a fixed stride (the cap) so a signature computed at the full
+    * stride width, masked to `2^rowsPerBand`, equals this key — which is
+    * how a static SQL mirror can agree with a data-dependent width. */
   def bandedLshKeysQ(qvec: Column, bands: Int, rowsPerBand: Int,
-                     dims: Int): Column = {
-    val bits = signBitsQ(qvec, bands * rowsPerBand, dims)
+                     dims: Int, planeStride: Int = 0): Column = {
+    val stride = if (planeStride > 0) planeStride else rowsPerBand
+    require(rowsPerBand <= stride, s"rowsPerBand $rowsPerBand > stride $stride")
+    val bits = signBitsQ(qvec, bands * stride, dims)
     val keys = (0 until bands).map { b =>
       val sig = (0 until rowsPerBand)
-        .map(r => bits(b * rowsPerBand + r) * lit(1L << r))
+        .map(r => bits(b * stride + r) * lit(1L << r))
         .reduce(_ + _)
       concat_ws(":", lit(b).cast("string"), sig.cast("string"))
     }

@@ -44,16 +44,6 @@ object PipelineQueries {
       s"CASE WHEN (${signSumSql(j, dims, v)}) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("\n  + ")
 
-  /** Banded LSH key list (mirror of `SF.bandedLshKeysQ`). */
-  private def bandedKeysSql(bands: Int, r: Int, dims: Int, v: String): String = {
-    val keys = (0 until bands).map { b =>
-      val sig = (0 until r).map { rr =>
-        s"(CASE WHEN (${signSumSql(b * r + rr, dims, v)}) > 0 THEN ${1L << rr} ELSE 0 END)"
-      }.mkString(" + ")
-      s"concat_ws(':', '$b', ($sig)::VARCHAR)"
-    }
-    keys.mkString("[", ",\n    ", "]")
-  }
 
   /** One k-means assignment block (mirror of `KMeans.assign`): CTEs
     * `<out>_d`/`<out>_r`/`<out>`, every `src` vector to its nearest
@@ -79,12 +69,55 @@ object PipelineQueries {
        |  FROM ${out}_s GROUP BY cell)""".stripMargin
 
   /** Banded-LSH shape shared by the embedding blocking/search queries:
-    * 4 bands × 4 planes (16 hyperplanes). At this SF the bands keep
-    * recall high; at scale both are caller-set knobs (see
-    * SimilarityFunctions header for the sizing rule). */
+    * 4 bands, rows-per-band DERIVED from the corpus size by the module's
+    * own sizing rule (rowsPerBand ≈ log2(n / targetBucketSize), see
+    * SimilarityFunctions header) so the candidate self-join stays
+    * ~linear as n grows — doubling the corpus adds one plane per band
+    * instead of quadrupling every bucket's pair count. Plane indexing is
+    * strided at the cap (`EmbMaxRows`) so the width can vary with data
+    * while the static DuckDB mirror computes the full-width signature
+    * once and masks it to `2^rows`. */
   private val EmbBands = 4
-  private val EmbRows = 4
+  private val EmbMaxRows = 16
+  private val EmbTargetBucket = 16L
   private val EmbDims = 64
+
+  /** Data-derived rows-per-band (one cheap count against the corpus). */
+  private def embRows(n: Long): Int =
+    math.min(EmbMaxRows, SF.recommendedRowsPerBand(n, EmbTargetBucket))
+
+  /** SQL mirror of [[embRows]]: ceil(log2(ceil(n/target))) capped at
+    * `EmbMaxRows`, as an exact integer CASE chain (no floating log —
+    * same rationale as `recommendedRowsPerBand`). Expects column `n`. */
+  private def embRowsCaseSql: String = {
+    val branches = (1 until EmbMaxRows)
+      .map(k => s"WHEN q <= ${1L << k} THEN $k").mkString(" ")
+    s"(SELECT CASE $branches ELSE $EmbMaxRows END FROM (SELECT" +
+      s" (n + ${EmbTargetBucket - 1}) // $EmbTargetBucket AS q))"
+  }
+
+  /** DuckDB CTE `prm(rows)` deriving the band width from the corpus
+    * count — prepend to any query using [[bandedKeysMaskedSql]]. */
+  private def embPrmSql: String =
+    s"prm AS (SELECT $embRowsCaseSql AS rows FROM" +
+      " (SELECT count(*) AS n FROM embeddings))"
+
+  /** Banded LSH key list with data-dependent width (mirror of
+    * `SF.bandedLshKeysQ` at stride [[EmbMaxRows]]): the full
+    * stride-width signature is computed from fixed planes and masked to
+    * `2^rows` — bit r of band b is plane `b*EmbMaxRows + r`, so masking
+    * the packed value keeps exactly the planes Spark's derived-width
+    * key uses. Expects `prm` (see [[embPrmSql]]) to be cross-joined in
+    * scope. */
+  private def bandedKeysMaskedSql(bands: Int, dims: Int, v: String): String = {
+    val keys = (0 until bands).map { b =>
+      val sig = (0 until EmbMaxRows).map { rr =>
+        s"(CASE WHEN (${signSumSql(b * EmbMaxRows + rr, dims, v)}) > 0 THEN ${1L << rr} ELSE 0 END)"
+      }.mkString(" + ")
+      s"concat_ws(':', '$b', (($sig) % (1::BIGINT << prm.rows))::VARCHAR)"
+    }
+    keys.mkString("[", ",\n    ", "]")
+  }
 
   private val mmP = DF.MinhashPrime
 
@@ -794,10 +827,12 @@ object PipelineQueries {
     //      exact (s·(s−1) is even, so `div 2` loses nothing). ----
     QuerySpec("lsh_band_stats",
       (s, d) => {
+        val rows = embRows(Tables.embeddings(s, d).count())
         val qv = Tables.embeddings(s, d)
           .select(SF.quantize(col("embedding")).as("v"))
         qv.select(explode(
-            SF.bandedLshKeysQ(col("v"), EmbBands, EmbRows, EmbDims)).as("key"))
+            SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+              EmbMaxRows)).as("key"))
           .groupBy(col("key")).agg(count(lit(1)).as("s"))
           .select(split(col("key"), ":").getItem(0).cast("long").as("band"),
             col("s"))
@@ -807,10 +842,11 @@ object PipelineQueries {
             sum(expr("(s * (s - 1)) div 2")).as("n_pairs"))
           .orderBy(col("band"))
       },
-      Some(s"""WITH qv AS (SELECT
+      Some(s"""WITH $embPrmSql,
+              |qv AS (SELECT
               |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
               |  FROM embeddings),
-              |k AS (SELECT unnest(${bandedKeysSql(EmbBands, EmbRows, EmbDims, "v")}) AS key FROM qv),
+              |k AS (SELECT unnest(${bandedKeysMaskedSql(EmbBands, EmbDims, "v")}) AS key FROM qv CROSS JOIN prm),
               |b AS (SELECT key, count(*) AS s FROM k GROUP BY 1)
               |SELECT CAST(split_part(key, ':', 1) AS BIGINT) AS band,
               |  count(*) AS n_buckets, max(s) AS max_bucket,
@@ -829,12 +865,14 @@ object PipelineQueries {
     //      the deliverable). ----
     QuerySpec("dedup_embedding_cosine",
       (s, d) => {
+        val rows = embRows(Tables.embeddings(s, d).count())
         val qv = Tables.embeddings(s, d).select(col("vec_id"),
           SF.quantize(col("embedding")).as("v"))
         // persisted: referenced by both self-join sides and the verify
         // join-back — otherwise the quantize+sign pipeline re-runs 4×
         val withB = qv.select(col("vec_id"), col("v"),
-          SF.bandedLshKeysQ(col("v"), EmbBands, EmbRows, EmbDims).as("keys"),
+          SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+            EmbMaxRows).as("keys"),
           SF.intDot(col("v"), col("v")).as("n2")).persist()
         val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
         val cand = bk.as("a").join(bk.as("b"),
@@ -856,13 +894,14 @@ object PipelineQueries {
           .orderBy(col("vec_a"), col("vec_b"))
       },
       Some(
-        s"""WITH qv AS (SELECT vec_id,
+        s"""WITH $embPrmSql,
+           |qv AS (SELECT vec_id,
            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
            |  FROM embeddings),
            |wb AS (SELECT vec_id, v,
            |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
-           |    ${bandedKeysSql(EmbBands, EmbRows, EmbDims, "v")} AS keys
-           |  FROM qv),
+           |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
+           |  FROM qv CROSS JOIN prm),
            |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
            |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
            |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
@@ -884,10 +923,12 @@ object PipelineQueries {
     //      the dot products, so each survivor is scored once. ----
     QuerySpec("sim_ivf_topk",
       (s, d) => {
+        val rows = embRows(Tables.embeddings(s, d).count())
         val qv = Tables.embeddings(s, d).select(col("vec_id"),
           SF.quantize(col("embedding")).as("v"))
         val withK = qv.select(col("vec_id"), col("v"),
-          SF.bandedLshKeysQ(col("v"), EmbBands, EmbRows, EmbDims).as("keys"))
+          SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+            EmbMaxRows).as("keys"))
           .persist()
         val bk = withK.select(col("vec_id"), explode(col("keys")).as("k"))
         val qk = bk.filter(col("vec_id").isin(0L, 1L, 2L))
@@ -915,12 +956,13 @@ object PipelineQueries {
           .orderBy(col("q_id"), col("rnk"))
       },
       Some(
-        s"""WITH qv AS (SELECT vec_id,
+        s"""WITH $embPrmSql,
+           |qv AS (SELECT vec_id,
            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
            |  FROM embeddings),
            |wk AS (SELECT vec_id, v,
-           |    ${bandedKeysSql(EmbBands, EmbRows, EmbDims, "v")} AS keys
-           |  FROM qv),
+           |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
+           |  FROM qv CROSS JOIN prm),
            |bk AS (SELECT vec_id, unnest(keys) AS k FROM wk),
            |cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS neighbor_id
            |  FROM bk a JOIN bk q ON a.k = q.k

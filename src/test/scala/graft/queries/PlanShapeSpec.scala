@@ -110,6 +110,14 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("dedup_embedding_cosine blocks via a band equi-join — never all-pairs") {
+    val p = plan("dedup_embedding_cosine")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"banded LSH blocking must plan an equi-join:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+  }
+
   test("dedup_incremental is a fingerprint anti-join, no nested loop") {
     val p = plan("dedup_incremental")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
