@@ -185,6 +185,14 @@ object GraftConfig {
          else if (Locale.forLanguageTag(v.replace('_', '-')).toLanguageTag != "und") Nil
          else Seq(s"invalid $LocaleKey '$v'; use a BCP-47 tag like en-US, fr-FR"),
           Nil)
+      case TopicsDir =>
+        val v = get(name)
+        val segs = v.split('/')
+        (if (v.isEmpty || v.startsWith("/") || v.endsWith("/") ||
+           segs.exists(s => s.isEmpty || s == "." || s == ".."))
+           Seq(s"$TopicsDir must be a relative path with no empty/./.. " +
+             s"segments, got '$v'")
+         else Nil, Nil)
       case _ => (Nil, Nil)
     }
     val defined = Defaults.keySet + FlushSize
@@ -260,29 +268,41 @@ final case class GraftConfig(
     directoryDelim: String,
     fileDelim: String) {
 
+  /** The store's data root under `topics.dir` — the reference's
+    * `<url>/<topics.dir>/<topic>/...` layout (`FileUtils.java:39-64`,
+    * `topics.dir` default `topics`). Every [[write]] lands under this
+    * root; pass the SAME root to the read-side helpers
+    * (`BatchWriter.read`/`CommitLog.*`) when pairing them with a
+    * config-driven writer. */
+  def topicsRoot(outDir: String): String = s"$outDir/$topicsDir"
+
   /** Batch write with EVERY write-plane knob consumed — the one
     * dispatch point over [[BatchWriter]] and [[AvroSink]]:
-    * format/codec/pad select the sink, `partitioner.class` (+
+    * format/codec/pad select the sink, `topics.dir` roots the layout
+    * (`<outDir>/<topics.dir>/<topic>/...`, the reference's
+    * `FileUtils.java:39-64` path scheme), `partitioner.class` (+
     * dependents) encodes the directory layout via [[partitionPath]],
     * and `rotate.interval.ms` > 0 additionally splits files on
     * record-time interval buckets (the reference's data-time rotation,
     * `TopicPartitionWriter.java:516-519`), both reading record time
     * from the `timestamp.field` column. The default partitioner with
     * rotation disabled reproduces `BatchWriter.write`'s layout
-    * bit-for-bit. Avro keeps the default layout (its writer has its
-    * own staging path) — configuring it with a non-default partitioner
-    * or interval rotation fails fast here. */
+    * bit-for-bit (under the `topics.dir` root). Avro keeps the default
+    * layout (its writer has its own staging path) — configuring it
+    * with a non-default partitioner or interval rotation fails fast
+    * here. */
   def write(df: org.apache.spark.sql.DataFrame, outDir: String,
             topic: String): Seq[BatchWriter.CommittedFile] = {
     import org.apache.spark.sql.functions.{col, lit, unix_millis}
+    val root = topicsRoot(outDir)
     if (format == "avro") {
       require(partitioner == "default" && rotateIntervalMs <= 0,
         "the avro sink writes the default layout without interval " +
           "rotation; use a BatchWriter format for partitioned layouts")
-      return AvroSink.write(df, outDir, topic, flushSize, zeroPadWidth, avroCodec)
+      return AvroSink.write(df, root, topic, flushSize, zeroPadWidth, avroCodec)
     }
     if (partitioner == "default" && rotateIntervalMs <= 0)
-      return BatchWriter.write(df, outDir, topic, flushSize, zeroPadWidth, format)
+      return BatchWriter.write(df, root, topic, flushSize, zeroPadWidth, format)
 
     val ts = col(timestampField)
     val withEnc = df.withColumn("__enc",
@@ -307,7 +327,7 @@ final case class GraftConfig(
     // expressions read it)
     val sized =
       if (format == "text") grouped.drop(timestampField) else grouped
-    BatchWriter.writeAssignedEncoded(sized, outDir, topic, zeroPadWidth, format)
+    BatchWriter.writeAssignedEncoded(sized, root, topic, zeroPadWidth, format)
   }
 
   /** The configured partitioner as a path Column — `partitioner.class`

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ingest.{BatchWriter, CommitLog, GraftConfig}
+import graft.ingest.{AvroSink, BatchWriter, CommitLog, FileNaming, GraftConfig, Retry}
 
 /** Streaming ingest (SURVEY §7 M5): the reference's continuously-running
   * exactly-once pipeline (`HdfsSinkTask.put` → buffer → rotate → WAL →
@@ -35,10 +35,36 @@ object StreamIngest {
     * A restart re-lists, which is exactly the crash-recovery contract. */
   def start(stream: DataFrame, outDir: String, topic: String, flushSize: Int,
             checkpoint: String, trigger: Option[Trigger] = None,
-            format: String = "parquet"): StreamingQuery =
-    commitLoop(stream, outDir, topic, flushSize, checkpoint, trigger, format,
+            format: String = "parquet",
+            avroCodec: String = "null"): StreamingQuery =
+    commitLoop(stream, checkpoint, trigger,
       initial = BatchWriter.maxCommittedOffsets(stream.sparkSession, outDir, topic),
+      writeFn = writerFor(outDir, topic, flushSize, format, avroCodec),
       afterWrite = _ => ())
+
+  /** The per-batch committer for a (format, codec) choice — B1's Avro
+    * writes through [[AvroSink]] (the reference's default on-disk
+    * format in its core streaming loop,
+    * `avro/AvroRecordWriterProvider.java:51-103`), everything else
+    * through [[BatchWriter]]. */
+  private def writerFor(outDir: String, topic: String, flushSize: Int,
+                        format: String, avroCodec: String,
+                        pad: Int = FileNaming.DefaultZeroPadWidth)
+      : DataFrame => Seq[BatchWriter.CommittedFile] =
+    if (format == "avro")
+      b => AvroSink.write(b, outDir, topic, flushSize, pad, avroCodec)
+    else
+      b => BatchWriter.write(b, outDir, topic, flushSize, pad, format)
+
+  /** A committed file's topic-relative path (what [[CommitLog]]
+    * stores) — works for the default `partition=<p>` layout and any
+    * encoded-partition layout, at any nesting depth. */
+  private def relPath(outDir: String, topic: String, path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$outDir/$topic").toUri.getPath
+    val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    require(p.startsWith(root), s"committed file $p outside topic root $root")
+    p.stripPrefix(root).stripPrefix("/")
+  }
 
   /** The foreachBatch query scaffolding every commit loop shares:
     * checkpoint + optional trigger + start. */
@@ -52,13 +78,15 @@ object StreamIngest {
   }
 
   /** The shared micro-batch commit loop: dedup → resume-filter →
-    * write → (hook) → advance offsets. `afterWrite` runs after the
-    * batch's files are durably renamed and before the in-memory
-    * offsets advance — the logged path publishes there. */
-  private def commitLoop(stream: DataFrame, outDir: String, topic: String,
-                         flushSize: Int, checkpoint: String,
-                         trigger: Option[Trigger], format: String,
+    * write → (hook) → advance offsets. `writeFn` is the batch
+    * committer (BatchWriter / AvroSink / a config's full dispatch);
+    * `afterWrite` runs after the batch's files are durably renamed and
+    * before the in-memory offsets advance — the logged path publishes
+    * there. */
+  private def commitLoop(stream: DataFrame, checkpoint: String,
+                         trigger: Option[Trigger],
                          initial: Map[Long, Long],
+                         writeFn: DataFrame => Seq[BatchWriter.CommittedFile],
                          afterWrite: Seq[BatchWriter.CommittedFile] => Unit): StreamingQuery = {
     var committed = initial
     batchQuery(stream, checkpoint, trigger) { batch =>
@@ -71,8 +99,7 @@ object StreamIngest {
       val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
       try {
         if (!fresh.isEmpty) {
-          val manifest = BatchWriter.write(fresh, outDir, topic, flushSize,
-            format = format)
+          val manifest = writeFn(fresh)
           afterWrite(manifest)
           committed = manifest.foldLeft(committed) { (m, f) =>
             m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
@@ -97,47 +124,82 @@ object StreamIngest {
   def startLogged(stream: DataFrame, outDir: String, topic: String,
                   flushSize: Int, checkpoint: String,
                   trigger: Option[Trigger] = None,
-                  format: String = "parquet"): StreamingQuery = {
+                  format: String = "parquet",
+                  avroCodec: String = "null"): StreamingQuery = {
     val spark = stream.sparkSession
-    commitLoop(stream, outDir, topic, flushSize, checkpoint, trigger, format,
+    commitLoop(stream, checkpoint, trigger,
       initial = CommitLog.maxOffsets(spark, outDir, topic),
+      writeFn = writerFor(outDir, topic, flushSize, format, avroCodec),
       afterWrite = manifest =>
-        CommitLog.publish(spark, outDir, topic, manifest.map { c =>
-          s"partition=${c.partition}/" +
-            new org.apache.hadoop.fs.Path(c.path).getName
-        }))
+        CommitLog.publish(spark, outDir, topic,
+          manifest.map(c => relPath(outDir, topic, c.path))))
   }
 
-  /** [[startLogged]] driven by a validated [[GraftConfig]] — flush
-    * size, format and the scheduled-rotation trigger
-    * (`rotate.schedule.interval.ms` > 0 → processing-time trigger)
-    * all come from the one typed config instead of loose arguments. */
+  private def cfgTrigger(cfg: GraftConfig): Option[Trigger] =
+    if (cfg.rotateScheduleIntervalMs > 0)
+      Some(Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs))
+    else None
+
+  /** [[startLogged]] driven by a validated [[GraftConfig]] — the
+    * micro-batch write IS [[GraftConfig.write]], so EVERY write-plane
+    * knob is consumed: format/codec (including Avro, the reference's
+    * default on-disk format, streaming end-to-end), `topics.dir`
+    * (files and log land under `<outDir>/<topics.dir>/<topic>` — read
+    * back via `cfg.topicsRoot(outDir)`), the partitioner family,
+    * `rotate.interval.ms` record-time splits, the zero-pad width,
+    * `retry.backoff.ms` (one backoff-retry of a failed batch write —
+    * safe because the commit protocol is idempotent redo), and
+    * `rotate.schedule.interval.ms` as the processing-time trigger.
+    *
+    * Encoded (non-default-partitioner) layouts keep exactly-once here
+    * even though recovery is offset-filtering: unlike a directory
+    * listing, the log publishes each batch ATOMICALLY, so its
+    * per-partition max offset can never straddle a torn commit — the
+    * caveat on `BatchWriter.writeAssignedEncoded` applies to
+    * listing-based resume, not to the log. */
   def startLogged(stream: DataFrame, outDir: String, topic: String,
                   cfg: GraftConfig, checkpoint: String): StreamingQuery = {
-    require(cfg.format != "avro",
-      "the streaming committer writes through BatchWriter formats; " +
-        "use AvroSink/GraftConfig.write for avro batches")
-    startLogged(stream, outDir, topic, cfg.flushSize, checkpoint,
-      trigger =
-        if (cfg.rotateScheduleIntervalMs > 0)
-          Some(Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs))
-        else None,
-      format = cfg.format)
+    val spark = stream.sparkSession
+    val root = cfg.topicsRoot(outDir)
+    commitLoop(stream, checkpoint, cfgTrigger(cfg),
+      initial = CommitLog.maxOffsets(spark, root, topic),
+      writeFn = b => Retry.withBackoff(2, cfg.retryBackoffMs)(
+        cfg.write(b, outDir, topic)),
+      afterWrite = manifest =>
+        CommitLog.publish(spark, root, topic,
+          manifest.map(c => relPath(root, topic, c.path))))
   }
 
-  /** [[startLoggedMulti]] driven by a validated [[GraftConfig]] —
-    * same knob mapping as the single-topic config overload. */
+  /** [[startLoggedMulti]] driven by a validated [[GraftConfig]]:
+    * flush size, format, zero-pad width, `topics.dir` root,
+    * `retry.backoff.ms` and the schedule trigger are consumed; the
+    * knobs the multi-topic committer does not support (Avro, encoded
+    * partitioners, interval rotation) fail fast here instead of being
+    * silently ignored — run those topics through the single-topic
+    * [[startLogged]] config overload. */
   def startLoggedMulti(stream: DataFrame, outDir: String, cfg: GraftConfig,
                        checkpoint: String): StreamingQuery = {
     require(cfg.format != "avro",
-      "the streaming committer writes through BatchWriter formats; " +
-        "use AvroSink/GraftConfig.write for avro batches")
-    startLoggedMulti(stream, outDir, cfg.flushSize, checkpoint,
-      trigger =
-        if (cfg.rotateScheduleIntervalMs > 0)
-          Some(Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs))
-        else None,
-      format = cfg.format)
+      "multi-topic streaming writes one dynamic-partitioned staging " +
+        "job, which the avro sink does not join; run avro topics " +
+        "through the single-topic startLogged(cfg) overload")
+    require(cfg.partitioner == "default" && cfg.rotateIntervalMs <= 0,
+      "multi-topic streaming supports the default layout without " +
+        "interval rotation; run encoded/rotated topics through the " +
+        "single-topic startLogged(cfg) overload")
+    startLoggedMulti(stream, cfg.topicsRoot(outDir), cfg.flushSize,
+      checkpoint, trigger = cfgTrigger(cfg), format = cfg.format,
+      pad = cfg.zeroPadWidth, writeRetries = 2,
+      retryBackoffMs = cfg.retryBackoffMs)
+  }
+
+  /** Stop a streaming query within the configured shutdown budget —
+    * the consumer of `shutdown.timeout.ms` (the reference bounds its
+    * writer-close on task stop, `DataWriter.java:close`). Returns
+    * whether the query terminated inside the budget. */
+  def stop(query: StreamingQuery, cfg: GraftConfig): Boolean = {
+    query.stop()
+    query.awaitTermination(cfg.shutdownTimeoutMs)
   }
 
   /** Multi-topic orchestration — the reference's `DataWriter.write`
@@ -174,7 +236,10 @@ object StreamIngest {
     * domain, and those publishes are driver-side metadata ops. */
   def startLoggedMulti(stream: DataFrame, outDir: String, flushSize: Int,
                        checkpoint: String, trigger: Option[Trigger] = None,
-                       format: String = "parquet"): StreamingQuery = {
+                       format: String = "parquet",
+                       pad: Int = FileNaming.DefaultZeroPadWidth,
+                       writeRetries: Int = 1,
+                       retryBackoffMs: Long = 0L): StreamingQuery = {
     val spark = stream.sparkSession
     val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
     batchQuery(stream, checkpoint, trigger) { batch =>
@@ -197,8 +262,8 @@ object StreamIngest {
           .persist()
         try {
           if (!fresh.isEmpty) {
-            val manifest =
-              BatchWriter.writeMulti(fresh, outDir, flushSize, format = format)
+            val manifest = Retry.withBackoff(writeRetries, retryBackoffMs)(
+              BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format))
             manifest.groupBy(_.topic).toSeq.sortBy(_._1)
               .foreach { case (topic, files) =>
                 CommitLog.publish(spark, outDir, topic, files.map { c =>

@@ -153,19 +153,19 @@ class GraftConfigSpec extends SparkSuite {
       "partition.field.name" -> "event_type")).write(df, outF, "t")
     // one directory per field value (the reference's FieldPartitioner
     // layout, TopicPartitionWriterTest.java:153-207)
-    assert(new java.io.File(s"$outF/t").listFiles().map(_.getName).toSet ===
+    assert(new java.io.File(s"$outF/topics/t").listFiles().map(_.getName).toSet ===
       Set("event_type=click", "event_type=view"))
-    val clicks = spark.read.parquet(s"$outF/t/event_type=click")
+    val clicks = spark.read.parquet(s"$outF/topics/t/event_type=click")
     assert(clicks.select(col("payload")).as[String].collect().toSet === Set("a", "c"))
     // offset recovery is layout-independent (recursive + filenames)
-    assert(BatchWriter.maxCommittedOffsets(spark, outF, "t") === Map(0L -> 2L))
+    assert(BatchWriter.maxCommittedOffsets(spark, s"$outF/topics", "t") === Map(0L -> 2L))
 
     val outD = Files.createTempDirectory("cfg-daily").toString
     GraftConfig(Map("flush.size" -> "10",
       "partitioner.class" -> "daily")).write(df, outD, "t")
-    assert(new java.io.File(s"$outD/t/year=2026/month=03/day=01").exists())
-    assert(new java.io.File(s"$outD/t/year=2026/month=03/day=02").exists())
-    assert(spark.read.parquet(s"$outD/t/year=2026/month=03/day=01").count() === 2)
+    assert(new java.io.File(s"$outD/topics/t/year=2026/month=03/day=01").exists())
+    assert(new java.io.File(s"$outD/topics/t/year=2026/month=03/day=02").exists())
+    assert(spark.read.parquet(s"$outD/topics/t/year=2026/month=03/day=01").count() === 2)
   }
 
   test("rotate.interval.ms splits files on record-time buckets") {
@@ -178,11 +178,11 @@ class GraftConfigSpec extends SparkSuite {
     // 60s buckets over 30s-spaced records: offsets {0,1},{2,3},{4,5}
     GraftConfig(Map("flush.size" -> "100",
       "rotate.interval.ms" -> "60000")).write(df, out, "t")
-    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+    assert(BatchWriter.listCommitted(spark, s"$out/topics", "t") === Seq(
       "t+0+0000000000+0000000001.parquet",
       "t+0+0000000002+0000000003.parquet",
       "t+0+0000000004+0000000005.parquet"))
-    assert(BatchWriter.read(spark, out, "t").count() === 6)
+    assert(BatchWriter.read(spark, s"$out/topics", "t").count() === 6)
   }
 
   test("out-of-order event time rotates on bucket CHANGE — ranges stay disjoint") {
@@ -200,7 +200,7 @@ class GraftConfigSpec extends SparkSuite {
     val out = Files.createTempDirectory("cfg-ooo").toString
     GraftConfig(Map("flush.size" -> "100",
       "rotate.interval.ms" -> "60000")).write(df, out, "t")
-    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+    assert(BatchWriter.listCommitted(spark, s"$out/topics", "t") === Seq(
       "t+0+0000000000+0000000000.parquet",
       "t+0+0000000001+0000000002.parquet",
       "t+0+0000000003+0000000003.parquet"))
@@ -227,14 +227,14 @@ class GraftConfigSpec extends SparkSuite {
     // the reference's value-only files, the kafka partition is
     // filename metadata, not file content — payload carries (p, o)
     // here, so distinct payloads prove exactly-once.)
-    val back = spark.read.parquet(s"$out/t/event_type=*")
+    val back = spark.read.parquet(s"$out/topics/t/event_type=*")
     assert(back.count() === 80)
     assert(back.select(countDistinct(col("payload"))).as[Long].head() === 80)
 
     // within every directory, committed ranges are pairwise disjoint —
     // the invariant that keeps offset-ranged names meaningful
     val re = FileNaming.CommittedFilenameRegex.r
-    for (dir <- new java.io.File(s"$out/t").listFiles(); if dir.isDirectory) {
+    for (dir <- new java.io.File(s"$out/topics/t").listFiles(); if dir.isDirectory) {
       val ranges = dir.listFiles().map(_.getName).collect {
         case re(_, p, s, e, _) => (p.toLong, s.toLong, e.toLong)
       }
@@ -261,8 +261,8 @@ class GraftConfigSpec extends SparkSuite {
         "partition.field.name" -> "event_type")).write(df, out, "t")
     }
     assert(e.getMessage.contains("null/empty"))
-    assert(!new java.io.File(s"$out/+tmp/t").exists(), "staging cleaned")
-    assert(BatchWriter.listCommitted(spark, out, "t").isEmpty, "nothing committed")
+    assert(!new java.io.File(s"$out/topics/+tmp/t").exists(), "staging cleaned")
+    assert(BatchWriter.listCommitted(spark, s"$out/topics", "t").isEmpty, "nothing committed")
   }
 
   test("text format with a time partitioner drops the routing timestamp") {
@@ -274,7 +274,7 @@ class GraftConfigSpec extends SparkSuite {
     val out = Files.createTempDirectory("cfg-text-daily").toString
     GraftConfig(Map("flush.size" -> "10", "format.class" -> "text",
       "partitioner.class" -> "daily")).write(df, out, "t")
-    val f = s"$out/t/year=2026/month=03/day=01"
+    val f = s"$out/topics/t/year=2026/month=03/day=01"
     assert(new java.io.File(f).exists())
     val lines = spark.read.text(s"$f/*.txt").collect().map(_.getString(0))
     assert(lines.toSeq === Seq("hello"))
@@ -290,11 +290,11 @@ class GraftConfigSpec extends SparkSuite {
     GraftConfig(Map("flush.size" -> "100", "format.class" -> "text",
       "rotate.interval.ms" -> "60000")).write(df, out, "t")
     // 45s spacing over 60s buckets: bucket seq 0,0,1,2 → files [0,1],[2],[3]
-    assert(BatchWriter.listCommitted(spark, out, "t") === Seq(
+    assert(BatchWriter.listCommitted(spark, s"$out/topics", "t") === Seq(
       "t+0+0000000000+0000000001.txt",
       "t+0+0000000002+0000000002.txt",
       "t+0+0000000003+0000000003.txt"))
-    val lines = spark.read.text(s"$out/t/partition=0/*.txt")
+    val lines = spark.read.text(s"$out/topics/t/partition=0/*.txt")
       .collect().map(_.getString(0)).sorted
     assert(lines.toSeq === Seq("line0", "line1", "line2", "line3"))
   }
@@ -309,7 +309,7 @@ class GraftConfigSpec extends SparkSuite {
     GraftConfig(Map("flush.size" -> "1", "partitioner.class" -> "field",
       "partition.field.name" -> "event_type")).write(df, out, "t")
     val e = intercept[IllegalArgumentException] {
-      BatchWriter.compact(spark, out, "t", targetRecords = 10)
+      BatchWriter.compact(spark, s"$out/topics", "t", targetRecords = 10)
     }
     assert(e.getMessage.contains("not in the default partition=<p> layout"))
   }
@@ -344,13 +344,30 @@ class GraftConfigSpec extends SparkSuite {
     assert(e.getMessage.contains("file.delim supports only '+'"))
   }
 
+  test("topics.dir roots the layout (reference FileUtils path scheme) and is validated") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, "a")).toDF("part", "off", "payload")
+    val out = Files.createTempDirectory("cfg-topicsdir").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2", "topics.dir" -> "data/raw"))
+    assert(cfg.topicsRoot(out) === s"$out/data/raw")
+    cfg.write(df, out, "t")
+    assert(BatchWriter.listCommitted(spark, s"$out/data/raw", "t") ===
+      Seq("t+0+0000000000+0000000000.parquet"))
+    for (bad <- Seq("/abs", "a//b", "..", "x/../y", "trail/")) {
+      val e = intercept[IllegalArgumentException] {
+        GraftConfig(base + ("topics.dir" -> bad))
+      }
+      assert(e.getMessage.contains("topics.dir must be a relative path"), bad)
+    }
+  }
+
   test("the typed config drives the write dispatch (parquet + avro/bzip2)") {
     import spark.implicits._
     val df = (0L until 4L).map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
 
     val outP = Files.createTempDirectory("cfg-parquet").toString
     GraftConfig(Map("flush.size" -> "2")).write(df, outP, "t")
-    assert(BatchWriter.listCommitted(spark, outP, "t") === Seq(
+    assert(BatchWriter.listCommitted(spark, s"$outP/topics", "t") === Seq(
       "t+0+0000000000+0000000001.parquet", "t+0+0000000002+0000000003.parquet"))
 
     val outA = Files.createTempDirectory("cfg-avro").toString
@@ -358,7 +375,7 @@ class GraftConfigSpec extends SparkSuite {
       "format.class" -> "avro", "avro.codec" -> "bzip2",
       "filename.offset.zero.pad.width" -> "4"))
     val m = cfgA.write(df, outA, "t")
-    assert(BatchWriter.listCommitted(spark, outA, "t") === Seq("t+0+0000+0003.avro"))
+    assert(BatchWriter.listCommitted(spark, s"$outA/topics", "t") === Seq("t+0+0000+0003.avro"))
     val (_, rows) = AvroSink.readFile(m.head.path.stripPrefix("file:"))
     assert(rows.map(_("payload")) === Seq("v0", "v1", "v2", "v3"))
   }

@@ -153,6 +153,101 @@ class StreamIngestSpec extends SparkSuite {
     assert(BatchWriter.read(spark, out, "t", format = "json").count() === 2)
   }
 
+  test("avro streams through the logged commit loop with a codec, and replays exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{AvroSink, CommitLog, GraftConfig}
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft-stream-avro").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-avro1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2",
+      "format.class" -> "avro", "avro.codec" -> "deflate"))
+    val root = cfg.topicsRoot(out)
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"))
+    q1.processAllAvailable()
+    // shutdown.timeout.ms consumer: termination inside the budget
+    assert(StreamIngest.stop(q1, cfg))
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 2L))
+    assert(BatchWriter.listCommitted(spark, root, "t") === Seq(
+      "t+0+0000000000+0000000001.avro", "t+0+0000000002+0000000002.avro"))
+    // the configured codec reached the container header
+    val one = s"$root/t/partition=0/t+0+0000000000+0000000001.avro"
+    val rdr = new org.apache.avro.file.DataFileReader(
+      new java.io.File(one),
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    try assert(rdr.getMetaString("avro.codec") === "deflate")
+    finally rdr.close()
+
+    // "crash": fresh checkpoint, full at-least-once replay + new data —
+    // only the new offsets may commit (DataWriterAvroTest.java:80-116)
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-avro2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt2)
+    s2.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"), (0L, 3L, "d"),
+      (1L, 0L, "x"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val schema = StructType(Seq(StructField("part", LongType),
+      StructField("off", LongType), StructField("payload", StringType)))
+    val back = AvroSink.readDataFrame(spark, s"$root/t", schema)
+    assert(back.count() === 5)
+    assert(back.select(countDistinct(col("part"), col("off"))).as[Long].head() === 5)
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L, 1L -> 0L))
+  }
+
+  test("the config overload consumes partitioner, pad and topics.dir in the streaming plane") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-stream-cfg").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-cfg1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "10",
+      "partitioner.class" -> "daily",
+      "filename.offset.zero.pad.width" -> "4",
+      "topics.dir" -> "tp"))
+    val root = cfg.topicsRoot(out)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val s1 = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "timestamp", "payload"), out, "t", cfg, ckpt1)
+    s1.addData((0L, 0L, t("2026-03-01 10:00:00"), "a"),
+      (0L, 1L, t("2026-03-01 11:00:00"), "b"),
+      (0L, 2L, t("2026-03-02 09:00:00"), "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    // daily directories under the topics.dir root, pad-4 names — the
+    // knobs the loose overloads used to silently drop
+    assert(new java.io.File(s"$root/t/year=2026/month=03/day=01").exists())
+    assert(BatchWriter.listCommitted(spark, root, "t") ===
+      Seq("t+0+0000+0001.parquet", "t+0+0002+0002.parquet"))
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 2L))
+
+    // restart with full replay + one new record: exactly-once holds on
+    // the encoded layout because each batch published atomically
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-cfg2").toString
+    val s2 = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "timestamp", "payload"), out, "t", cfg, ckpt2)
+    s2.addData((0L, 0L, t("2026-03-01 10:00:00"), "a"),
+      (0L, 1L, t("2026-03-01 11:00:00"), "b"),
+      (0L, 2L, t("2026-03-02 09:00:00"), "c"),
+      (0L, 3L, t("2026-03-02 10:00:00"), "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    // _commitlog starts with '_' so the parquet scan ignores it
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() === 4)
+    assert(back.select(countDistinct(col("payload"))).as[Long].head() === 4)
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
+  }
+
   test("windowed counts emit only watermark-closed buckets (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
