@@ -33,15 +33,19 @@ object TableCatalog {
          |LOCATION ${lit(location)}""".stripMargin)
   }
 
-  /** C1 (Avro flavor) — the DDL the reference's `AvroHiveUtil`
-    * issues per Avro topic (`avro/AvroHiveUtil.java:56-97`): an
-    * external partitioned table whose reader schema is pinned by an
-    * explicit `avro.schema.literal` table property, so the table
-    * reads with the registered schema even as newer files carry
-    * evolved writer schemas (Avro schema resolution). The literal is
-    * generated from the SAME StructType→Avro mapping the sink writes
-    * with ([[graft.ingest.AvroSink.avroSchemaFor]]) — catalog and
-    * data plane can't drift. */
+  /** C1 (Avro flavor) — the registration the reference's
+    * `AvroHiveUtil` issues per Avro topic (`avro/AvroHiveUtil.java:56-97`),
+    * re-expressed for Spark's catalog: the record schema is pinned as
+    * the `avroSchema` OPTION — storage properties are what actually
+    * reach Spark's avro datasource at scan time, so the reader schema
+    * really is the registered one even as newer files carry evolved
+    * writer schemas (Avro schema resolution). The reference's
+    * `avro.schema.literal` TBLPROPERTIES key is kept alongside as
+    * Hive-compat metadata (it is what a Hive reader of the same
+    * metastore consumes; Spark itself ignores it on a datasource
+    * table). Both carry the SAME record schema the sink writes with
+    * ([[graft.ingest.AvroSink.avroSchemaFor]]) — catalog and data
+    * plane can't drift. */
   def avroTableDdl(table: String, location: String, dataSchema: StructType,
                    partitionCols: Seq[(String, String)],
                    recordName: String = "record"): String = {
@@ -50,10 +54,53 @@ object TableCatalog {
     val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
     s"""CREATE TABLE IF NOT EXISTS ${q(table)} (${dataSchema.toDDL})
        |USING AVRO
+       |OPTIONS ('avroSchema' = ${lit(avroJson)})
        |PARTITIONED BY ($partDdl)
        |LOCATION ${lit(location)}
        |TBLPROPERTIES ('avro.schema.literal' = ${lit(avroJson)})""".stripMargin
   }
+
+  /** C2 (Avro flavor) — the literal-replacement evolution the
+    * reference performs on schema change
+    * (`avro/AvroHiveUtil.java:63-71`: `alterSchema` swaps
+    * `avro.schema.literal` for the evolved schema's literal), as the
+    * DDL statements Spark needs for the same effect:
+    *
+    *  1. `ADD COLUMNS` for the newly-added fields — on a Spark
+    *     datasource table the DECLARED columns drive the read schema,
+    *     so this is the part that actually widens scans;
+    *  2. `SET SERDEPROPERTIES` replacing the functional `avroSchema`
+    *     storage option — serde properties land in the table's STORAGE
+    *     properties, which are what Spark hands the datasource at scan
+    *     time (`SET TBLPROPERTIES` would only touch the inert
+    *     table-properties bag);
+    *  3. `SET TBLPROPERTIES` refreshing the Hive-compat
+    *     `avro.schema.literal` metadata — the reference's exact key.
+    *
+    * The evolved literal is regenerated from the sink's own
+    * StructType→Avro mapping, same as creation. */
+  def alterAvroSchemaDdl(table: String, current: StructType,
+                         evolved: StructType,
+                         recordName: String = "record"): Seq[String] = {
+    val avroJson =
+      graft.ingest.AvroSink.avroSchemaFor(evolved, recordName).toString
+    val added = newColumnsOf(current, evolved)
+    val addDdl =
+      if (added.isEmpty) Seq.empty
+      else Seq(s"ALTER TABLE ${q(table)} ADD COLUMNS (${added.toDDL})")
+    addDdl ++ Seq(
+      s"ALTER TABLE ${q(table)} SET SERDEPROPERTIES " +
+        s"('avroSchema' = ${lit(avroJson)})",
+      s"ALTER TABLE ${q(table)} SET TBLPROPERTIES " +
+        s"('avro.schema.literal' = ${lit(avroJson)})")
+  }
+
+  /** Execute [[alterAvroSchemaDdl]] against the session catalog. */
+  def alterAvroSchema(spark: SparkSession, table: String,
+                      current: StructType, evolved: StructType,
+                      recordName: String = "record"): Unit =
+    alterAvroSchemaDdl(table, current, evolved, recordName)
+      .foreach(spark.sql(_))
 
   /** Execute [[avroTableDdl]]. Needs the spark-avro module on the
     * cluster classpath at scan time (the DDL itself is plain Spark

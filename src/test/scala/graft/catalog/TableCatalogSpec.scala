@@ -73,9 +73,12 @@ class TableCatalogSpec extends SparkSuite {
     assert(ddl.contains("USING AVRO"))
     assert(ddl.contains("PARTITIONED BY (`partition` BIGINT)"))
     assert(ddl.contains("LOCATION '/data/events_avro'"))
-    // the embedded literal is exactly the sink's writer schema
+    // the embedded literal is exactly the sink's writer schema — as the
+    // avroSchema OPTION (storage properties reach Spark's datasource at
+    // scan time) and as Hive-compat avro.schema.literal metadata
     val expected = graft.ingest.AvroSink
       .avroSchemaFor(dataSchema, "events").toString
+    assert(ddl.contains(s"OPTIONS ('avroSchema' = '$expected')"))
     assert(ddl.contains(s"'avro.schema.literal' = '$expected'"))
     // and it parses back to the same record shape
     val lit = ddl.split("'avro\\.schema\\.literal' = '")(1).stripSuffix("')")
@@ -84,6 +87,43 @@ class TableCatalogSpec extends SparkSuite {
     assert(parsed.getFields.size === 2)
     assert(parsed.getField("payload").schema().getType ===
       org.apache.avro.Schema.Type.UNION) // nullable → union[null, string]
+  }
+
+  test("avro evolution swaps the schema literal (AvroHiveUtil.alterSchema parity)") {
+    val current = StructType(Seq(
+      StructField("off", LongType, nullable = false),
+      StructField("payload", StringType)))
+    val evolved = current.add(StructField("quality", DoubleType))
+    val ddls = TableCatalog.alterAvroSchemaDdl("events_avro", current, evolved,
+      recordName = "events")
+    assert(ddls.size === 3)
+    assert(ddls(0).contains("ADD COLUMNS") && ddls(0).contains("quality"))
+    val expected = graft.ingest.AvroSink
+      .avroSchemaFor(evolved, "events").toString
+    assert(ddls(1).contains("SET SERDEPROPERTIES") &&
+      ddls(1).contains(s"'avroSchema' = '$expected'"))
+    assert(ddls(2).contains(s"'avro.schema.literal' = '$expected'"))
+    // evolution with no new columns is only the literal swap
+    assert(TableCatalog.alterAvroSchemaDdl("t", evolved, evolved).size === 2)
+
+    // mechanism check on a stand-in table (avro can't CREATE in this
+    // container): option.-prefixed SET TBLPROPERTIES must reach the
+    // table's STORAGE properties — what the datasource consumes — not
+    // just the inert table-properties bag
+    spark.sql("DROP TABLE IF EXISTS avro_evolve_mech")
+    val loc = Files.createTempDirectory("graft-cat-evolve").toString
+    spark.sql("CREATE TABLE avro_evolve_mech (off BIGINT, payload STRING) " +
+      s"USING PARQUET OPTIONS ('avroSchema' = 'stale') LOCATION '$loc'")
+    TableCatalog.alterAvroSchema(spark, "avro_evolve_mech", current, evolved,
+      recordName = "events")
+    val storageRow = spark.sql("DESCRIBE TABLE EXTENDED avro_evolve_mech")
+      .filter(col("col_name") === "Storage Properties")
+      .collect().map(_.getString(1)).mkString
+    assert(storageRow.contains("avroSchema") && storageRow.contains("quality"),
+      s"evolved avroSchema option missing from storage properties: $storageRow")
+    assert(!storageRow.contains("stale"), s"stale option survived: $storageRow")
+    assert(spark.table("avro_evolve_mech").schema.fieldNames.contains("quality"))
+    spark.sql("DROP TABLE avro_evolve_mech")
   }
 
   test("avro external table create fails fast here with the deploy pointer") {
