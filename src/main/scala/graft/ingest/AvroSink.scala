@@ -2,7 +2,9 @@ package graft.ingest
 
 import scala.collection.mutable
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
@@ -39,7 +41,8 @@ object AvroSink {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
-      case TimestampType => Schema.create(Schema.Type.LONG) // epoch micros
+      case TimestampType => // epoch micros, tagged so readers round-trip
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case other => throw new IllegalArgumentException(
         s"unsupported type for avro sink: $other")
     }
@@ -52,6 +55,49 @@ object AvroSink {
         b.name(f.name).`type`(base(f.dataType)).noDefault()
     }
     fields.endRecord()
+  }
+
+  /** Inverse of [[avroSchemaFor]]'s type lattice — a committed file's
+    * writer schema back as a StructType (nullable ⇔ union[null, T],
+    * timestamp-micros ⇔ TimestampType). The consumer is restart schema
+    * re-inference (`TopicPartitionWriter.java:334-350`): the streaming
+    * committer re-reads the last committed schema through this on
+    * recovery. */
+  def structTypeFor(schema: Schema): StructType = {
+    def base(s: Schema): DataType = s.getType match {
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT => IntegerType
+      case Schema.Type.LONG =>
+        if (s.getLogicalType != null &&
+          s.getLogicalType.getName == "timestamp-micros") TimestampType
+        else LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => BinaryType
+      case other => throw new IllegalArgumentException(
+        s"unsupported avro type for schema recovery: $other")
+    }
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val ts = f.schema()
+      if (ts.getType == Schema.Type.UNION) {
+        val nonNull = ts.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+        require(nonNull.size == 1,
+          s"unsupported union for field ${f.name()}: $ts")
+        StructField(f.name(), base(nonNull.head), nullable = true)
+      } else StructField(f.name(), base(ts), nullable = false)
+    })
+  }
+
+  /** The writer schema of one committed container file, from its header
+    * alone (streamed — no full-file read, works on any Hadoop FS). */
+  def readSchemaOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Schema = {
+    val p = new Path(path)
+    val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val ds = new org.apache.avro.file.DataFileStream[GenericRecord](
+      f.open(p), new GenericDatumReader[GenericRecord]())
+    try ds.getSchema finally ds.close()
   }
 
   private def toAvro(v: Any): Any = v match {

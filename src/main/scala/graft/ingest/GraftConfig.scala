@@ -52,6 +52,12 @@ object GraftConfig {
   val TopicsDir = "topics.dir"
   val DirectoryDelim = "directory.delim"
   val FileDelim = "file.delim"
+  val SchemaCompatibility = "schema.compatibility"
+
+  /** The reference's `schema.compatibility` lattice
+    * (`docs/configuration_options.rst:273-274`). */
+  val SchemaCompatibilities: Seq[String] =
+    Seq("NONE", "BACKWARD", "FORWARD", "FULL")
 
   /** Formats this engine writes (BatchWriter + AvroSink — the
     * reference's `format.class` recommender list). */
@@ -83,7 +89,8 @@ object GraftConfig {
     Timezone -> "UTC",
     TopicsDir -> "topics",
     DirectoryDelim -> "/",
-    FileDelim -> "+")
+    FileDelim -> "+",
+    SchemaCompatibility -> "NONE")
 
   private def asLong(v: String): Either[String, Long] =
     try Right(v.trim.toLong) catch {
@@ -193,6 +200,12 @@ object GraftConfig {
            Seq(s"$TopicsDir must be a relative path with no empty/./.. " +
              s"segments, got '$v'")
          else Nil, Nil)
+      case SchemaCompatibility =>
+        (if (SchemaCompatibilities.contains(get(name).toUpperCase(Locale.ROOT)))
+           Nil
+         else Seq(s"unknown $SchemaCompatibility '${get(name)}'; valid " +
+           s"values are ${SchemaCompatibilities.mkString(", ")}"),
+          SchemaCompatibilities)
       case _ => (Nil, Nil)
     }
     val defined = Defaults.keySet + FlushSize
@@ -243,7 +256,8 @@ object GraftConfig {
       timezone = m(Timezone),
       topicsDir = m(TopicsDir),
       directoryDelim = m(DirectoryDelim),
-      fileDelim = m(FileDelim))
+      fileDelim = m(FileDelim),
+      schemaCompatibility = m(SchemaCompatibility).toUpperCase(Locale.ROOT))
   }
 }
 
@@ -266,7 +280,8 @@ final case class GraftConfig(
     timezone: String,
     topicsDir: String,
     directoryDelim: String,
-    fileDelim: String) {
+    fileDelim: String,
+    schemaCompatibility: String) {
 
   /** The store's data root under `topics.dir` — the reference's
     * `<url>/<topics.dir>/<topic>/...` layout (`FileUtils.java:39-64`,

@@ -1,10 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.ingest.{AvroSink, BatchWriter, CommitLog, FileNaming, GraftConfig, Retry}
+import graft.schema.SchemaEvolution
 
 /** Streaming ingest (SURVEY §7 M5): the reference's continuously-running
   * exactly-once pipeline (`HdfsSinkTask.put` → buffer → rotate → WAL →
@@ -135,6 +137,69 @@ object StreamIngest {
           manifest.map(c => relPath(outDir, topic, c.path))))
   }
 
+  /** Restart schema re-inference — the reference's recover-time
+    * re-read of the current schema from the file with the max
+    * committed offset (`TopicPartitionWriter.java:334-350`): the
+    * content schema of that file from the topic's COMMIT LOG, returned
+    * in the stream shape (`part` re-prepended where the layout encodes
+    * it into directories). Parquet/orc read their footer, json infers,
+    * avro decodes the container header writer schema
+    * ([[AvroSink.readSchemaOf]]/[[AvroSink.structTypeFor]]); text/csv
+    * carry no schema — their recovery is offsets-only (None). None
+    * also for a fresh topic. */
+  def committedSchema(spark: SparkSession, outDir: String, topic: String,
+                      format: String = "parquet"): Option[StructType] = {
+    if (format != "avro" && !Set("parquet", "orc", "json")(format)) return None
+    val re = FileNaming.CommittedFilenameRegex.r
+    val files = CommitLog.snapshot(spark, outDir, topic).flatMap { rel =>
+      rel.split('/').last match {
+        case re(t, _, _, e, _) if t == topic => Some(e.toLong -> rel)
+        case _ => None
+      }
+    }
+    if (files.isEmpty) return None
+    val rel = files.maxBy(identity)._2
+    val path = s"$outDir/$topic/$rel"
+    val content =
+      if (format == "avro")
+        AvroSink.structTypeFor(AvroSink.readSchemaOf(spark, path))
+      else spark.read.format(format).load(path).schema
+    Some(
+      if (content.fieldNames.contains("part")) content
+      else StructType(StructField("part", LongType, nullable = false) +:
+        content.fields))
+  }
+
+  /** The per-batch schema policy a config-driven restart applies —
+    * `schema.compatibility` over the recovered [[committedSchema]],
+    * resolved ONCE at query start (the reference's recover-on-start).
+    * A stream has one static schema where the reference sees per-record
+    * schema versions, so "newer" is inferred structurally: a stream
+    * that ADDS columns over the committed schema is an evolution.
+    *
+    *  - NONE: no re-inference (the reference skips recovery under NONE,
+    *    `TopicPartitionWriter.java:335`); the stream's schema is
+    *    adopted as-is.
+    *  - BACKWARD/FULL: an evolved (column-adding) stream adopts its
+    *    new schema — new files carry it, the catalog widens via
+    *    ADD COLUMNS; otherwise the stream projects UP onto the
+    *    committed schema (missing nullable fields null-filled).
+    *  - FORWARD: the committed schema stays current — the stream
+    *    always projects onto it (new columns dropped, the reference's
+    *    down-projection). */
+  private def recoveryProjector(spark: SparkSession, outDir: String,
+                                topic: String,
+                                cfg: GraftConfig): DataFrame => DataFrame =
+    if (cfg.schemaCompatibility == "NONE") identity
+    else committedSchema(spark, outDir, topic, cfg.format) match {
+      case None => identity
+      case Some(cur) => batch => {
+        val adds = batch.columns.exists(c => !cur.fieldNames.contains(c))
+        if (adds && cfg.schemaCompatibility != "FORWARD") batch
+        else SchemaEvolution.project(batch, cur)
+      }
+    }
+
   private def cfgTrigger(cfg: GraftConfig): Option[Trigger] =
     if (cfg.rotateScheduleIntervalMs > 0)
       Some(Trigger.ProcessingTime(cfg.rotateScheduleIntervalMs))
@@ -161,10 +226,11 @@ object StreamIngest {
                   cfg: GraftConfig, checkpoint: String): StreamingQuery = {
     val spark = stream.sparkSession
     val root = cfg.topicsRoot(outDir)
+    val reproject = recoveryProjector(spark, root, topic, cfg)
     commitLoop(stream, checkpoint, cfgTrigger(cfg),
       initial = CommitLog.maxOffsets(spark, root, topic),
       writeFn = b => Retry.withBackoff(2, cfg.retryBackoffMs)(
-        cfg.write(b, outDir, topic)),
+        cfg.write(reproject(b), outDir, topic)),
       afterWrite = manifest =>
         CommitLog.publish(spark, root, topic,
           manifest.map(c => relPath(root, topic, c.path))))

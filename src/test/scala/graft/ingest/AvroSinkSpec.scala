@@ -110,6 +110,31 @@ class AvroSinkSpec extends SparkSuite {
     assert(rows.map(_("s")) === Seq("v0", "v1", "v2"), "fresh data committed")
   }
 
+  test("structTypeFor inverts avroSchemaFor across the type lattice (restart re-inference)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("b", BooleanType, nullable = false),
+      StructField("i", IntegerType),
+      StructField("l", LongType, nullable = false),
+      StructField("f", FloatType),
+      StructField("d", DoubleType),
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("ts", TimestampType))) // long + timestamp-micros tag
+    val back = AvroSink.structTypeFor(AvroSink.avroSchemaFor(schema, "r"))
+    assert(back === schema)
+  }
+
+  test("readSchemaOf recovers the writer schema from a committed container header") {
+    val out = Files.createTempDirectory("avro-schemaof").toString
+    val m = AvroSink.write(records(2), out, "t", flushSize = 2)
+    val got = AvroSink.readSchemaOf(spark, m.head.path)
+    val want = AvroSink.avroSchemaFor(
+      org.apache.spark.sql.types.StructType(
+        records(2).schema.fields), "t")
+    assert(got === want)
+  }
+
   test("unknown codec and unsupported column types fail fast") {
     val out = Files.createTempDirectory("avro-bad").toString
     intercept[IllegalArgumentException] {

@@ -344,6 +344,19 @@ class GraftConfigSpec extends SparkSuite {
     assert(e.getMessage.contains("file.delim supports only '+'"))
   }
 
+  test("schema.compatibility validates against the reference lattice") {
+    assert(GraftConfig(base).schemaCompatibility === "NONE")
+    assert(GraftConfig(base + ("schema.compatibility" -> "backward"))
+      .schemaCompatibility === "BACKWARD")
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("schema.compatibility" -> "SIDEWAYS"))
+    }
+    assert(e.getMessage.contains("NONE, BACKWARD, FORWARD, FULL"))
+    val vs = GraftConfig.validate(base).map(v => v.name -> v).toMap
+    assert(vs("schema.compatibility").recommended ===
+      Seq("NONE", "BACKWARD", "FORWARD", "FULL"))
+  }
+
   test("topics.dir roots the layout (reference FileUtils path scheme) and is validated") {
     import spark.implicits._
     val df = Seq((0L, 0L, "a")).toDF("part", "off", "payload")

@@ -248,6 +248,92 @@ class StreamIngestSpec extends SparkSuite {
     assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
   }
 
+  test("FORWARD restart re-infers the committed schema and projects the stream onto it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-stream-fwd").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-fwd1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2",
+      "schema.compatibility" -> "FORWARD"))
+    val root = cfg.topicsRoot(out)
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // recovery sees the committed content schema + the layout-encoded part
+    assert(StreamIngest.committedSchema(spark, root, "t").map(_.fieldNames.toSeq)
+      === Some(Seq("part", "off", "payload")))
+
+    // restart with a WIDENED stream (an extra column the committed
+    // schema lacks): FORWARD keeps the committed schema current, so
+    // the replay + new offsets project DOWN onto it
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-fwd2").toString
+    val s2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "payload", "extra"), out, "t", cfg, ckpt2)
+    s2.addData((0L, 0L, "a", "x0"), (0L, 1L, "b", "x1"),
+      (0L, 2L, "c", "x2"), (0L, 3L, "d", "x3"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() === 4) // exactly-once across the replay
+    // rotation-correct, schema-consistent output: no file carries the
+    // projected-away column
+    assert(!back.schema.fieldNames.contains("extra"))
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
+  }
+
+  test("BACKWARD restart adopts a widened stream schema instead of projecting") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.GraftConfig
+    val out = Files.createTempDirectory("graft-stream-bwd").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-bwd1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2",
+      "schema.compatibility" -> "BACKWARD"))
+    val root = cfg.topicsRoot(out)
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // a column-adding stream IS the backward-compatible evolution —
+    // the new schema is adopted, new files carry the new column
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-bwd2").toString
+    val s2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "payload", "extra"), out, "t", cfg, ckpt2)
+    s2.addData((0L, 2L, "c", "x2"), (0L, 3L, "d", "x3"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val back = spark.read.option("mergeSchema", "true").parquet(s"$root/t")
+    assert(back.count() === 4)
+    assert(back.schema.fieldNames.contains("extra"))
+    assert(back.filter(col("extra").isNotNull).count() === 2)
+    // and a SHRUNKEN restart (missing nullable column) projects UP:
+    // the committed schema (now with extra) null-fills it
+    val ckpt3 = Files.createTempDirectory("graft-ckpt-bwd3").toString
+    val s3 = MemoryStream[(Long, Long, String)]
+    val q3 = StreamIngest.startLogged(
+      s3.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt3)
+    s3.addData((0L, 4L, "e"))
+    q3.processAllAvailable()
+    q3.stop()
+    val all = spark.read.option("mergeSchema", "true").parquet(s"$root/t")
+    assert(all.count() === 5)
+    assert(all.filter(col("off") === 4L).select(col("extra")).collect()
+      .head.isNullAt(0))
+  }
+
   test("windowed counts emit only watermark-closed buckets (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
