@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.functions.NativeExpressions
 
 /** Distributed Lloyd k-means over quantized integer vectors — the
-  * trainer for the IVF coarse quantizer that `sim_ivf_centroid_topk`
-  * deliberately stubs with "first K ids" (its contract: production
-  * swaps the centroid table, nothing else; this is what produces that
-  * table).
+  * trainer for the IVF coarse quantizer. Every IVF query runs the one
+  * shared assign→probe→score construction over a centroid table;
+  * `sim_ivf_centroid_topk` passes the untrained [[initFirstK]] table,
+  * `sim_ivf_trained_topk` the [[fit]]ted one — production swaps the
+  * table, nothing else.
   *
   * Scale shape (the same one Spark MLlib's k-means uses): the centroid
   * set is O(K·d) — independent of corpus size — so it lives on the
@@ -117,8 +118,8 @@ object KMeans {
     require(nprobe > 0 && nprobe <= cents.size)
     require(cents.size <= LiteralAssignMaxK,
       s"probeCells embeds centroids as plan literals; beyond " +
-        s"$LiteralAssignMaxK cells use the window-ranked broadcast-join " +
-        "probe (the sim_ivf_centroid_topk shape)")
+        s"$LiteralAssignMaxK cells probe via a broadcast join + " +
+        "rank over (d2, cell), the assignViaJoin shape")
     NativeExpressions.register(vecs.sparkSession)
     val probes = slice(sort_array(cellDists(col("v"), cents)), 1, nprobe)
     vecs.select(col("id"), col("v"), explode(probes).as("p"))

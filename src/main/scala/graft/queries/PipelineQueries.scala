@@ -296,19 +296,20 @@ object PipelineQueries {
        |  GROUP BY id)""".stripMargin
   }
 
-  /** Train → assign → multiprobe → bounded-heap top-k: the shared body
-    * of `sim_ivf_trained_topk` and the recall evaluation. Unordered
-    * output (q_id, neighbor_id, dot, rnk). */
-  private def trainedIvfTopk(s: org.apache.spark.sql.SparkSession,
-                             d: String): org.apache.spark.sql.DataFrame = {
-    NativeExpressions.register(s)
-    val vecs = Tables.embeddings(s, d).select(col("vec_id").as("id"),
-      SF.quantize(col("embedding")).as("v"))
-    val cents = KMeans.fit(vecs, k = 8, iters = 2)
+  /** THE IVF search construction — assign → multiprobe → bounded-heap
+    * top-k over a given centroid table. Every IVF query variant
+    * (`sim_ivf_centroid_topk`'s untrained first-K table,
+    * `sim_ivf_trained_topk`/`sim_ivf_recall`'s Lloyd-fitted table)
+    * differs ONLY in the centroid set it passes — one construction,
+    * swappable quantizer, exactly the production contract. Unordered
+    * output (q_id, neighbor_id, dot, rnk ≤ k). */
+  private def ivfTopk(vecs: org.apache.spark.sql.DataFrame,
+                      cents: Seq[KMeans.Centroid], queryIds: Seq[Long],
+                      nprobe: Int, k: Int): org.apache.spark.sql.DataFrame = {
     val assigned = KMeans.assign(vecs, cents)
       .select(col("id"), col("v"), col("cell"))
     val probes = KMeans.probeCells(
-        vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
+        vecs.filter(col("id").isin(queryIds: _*)), cents, nprobe)
       .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
     // a vector lives in one cell and probe cells are distinct, so
     // (q, neighbor) pairs are already unique
@@ -318,11 +319,46 @@ object PipelineQueries {
         call_function("dot_i64", col("qv"), col("v")).as("dot"))
       .groupBy(col("q_id"))
       .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
-        lit(5)).as("top"))
+        lit(k)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("q_id"), col("p.id").as("neighbor_id"),
         col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  private def embVecs(s: org.apache.spark.sql.SparkSession,
+                      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("id"),
+      SF.quantize(col("embedding")).as("v"))
+
+  /** [[ivfTopk]] under the Lloyd-trained quantizer — the shared body
+    * of `sim_ivf_trained_topk` and the recall evaluation. */
+  private def trainedIvfTopk(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    NativeExpressions.register(s)
+    val vecs = embVecs(s, d)
+    ivfTopk(vecs, KMeans.fit(vecs, k = 8, iters = 2), Seq(0L, 1L, 2L),
+      nprobe = 2, k = 5)
+  }
+
+  /** The oracle's IVF SEARCH half, shared by every variant: given the
+    * final assignment CTEs `<asg>`/`<asg>_d` (from [[kmAssignSql]]),
+    * rank each query's `nprobe` nearest cells and score candidates —
+    * ends in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ k). */
+  private def ivfSearchSql(asg: String, nprobe: Int, k: Int): String =
+    s"""pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
+       |    ORDER BY d2 ASC, c_id ASC) AS rnk
+       |  FROM ${asg}_d WHERE id IN (0, 1, 2)),
+       |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
+       |  FROM pr WHERE rnk <= $nprobe),
+       |cand AS (SELECT q_id, a.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+       |      p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM $asg a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.id <> p.q_id),
+       |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand),
+       |ivf AS (SELECT q_id, neighbor_id, dot, rnk FROM ivf_r
+       |  WHERE rnk <= $k)""".stripMargin
 
   /** The trained-IVF oracle CTE chain (training + probe + search),
     * ending in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ 5). */
@@ -336,20 +372,7 @@ object PipelineQueries {
        |${kmAssignSql("qv", "c1", "a2")},
        |${kmUpdateSql("a2", "c2", EmbDims)},
        |${kmAssignSql("qv", "c2", "a3")},
-       |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
-       |    ORDER BY d2 ASC, c_id ASC) AS rnk
-       |  FROM a3_d WHERE id IN (0, 1, 2)),
-       |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
-       |  FROM pr WHERE rnk <= 2),
-       |cand AS (SELECT q_id, a.id AS neighbor_id,
-       |    CAST(list_sum(list_transform(list_zip(qv, a.v),
-       |      p -> p[1] * p[2])) AS BIGINT) AS dot
-       |  FROM a3 a JOIN probes p ON a.cell = p.cell
-       |  WHERE a.id <> p.q_id),
-       |ivf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand),
-       |ivf AS (SELECT q_id, neighbor_id, dot, rnk FROM ivf_r
-       |  WHERE rnk <= 5)""".stripMargin
+       |${ivfSearchSql("a3", nprobe = 2, k = 5)}""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -1040,77 +1063,30 @@ object PipelineQueries {
               |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
       bench = true),
 
-    // ---- IVF with a real coarse quantizer: K centroid vectors (the
-    //      first K ids as a deterministic stand-in for a k-means pass —
-    //      production swaps the centroid table, nothing else), every
-    //      vector assigned to its best cell by one broadcast-K pass,
-    //      queries probing their NProbe best cells. Candidates are
-    //      bounded by ~nprobe/K of the corpus; all dots are the native
-    //      codegen'd dot_i64 and ties break on id, so both engines
-    //      rank identically. ----
+    // ---- IVF with an UNTRAINED coarse quantizer: the first-K vectors
+    //      as the centroid table (the deterministic stand-in a
+    //      production deployment replaces with a fitted table — and
+    //      `sim_ivf_trained_topk` does replace, passing KMeans.fit to
+    //      the SAME ivfTopk construction; the two queries differ only
+    //      in the centroid set). Assignment/probing are KMeans'
+    //      shuffle-free literal-centroid projections, scoring the
+    //      bounded-heap topk_pairs aggregate. ----
     QuerySpec("sim_ivf_centroid_topk",
       (s, d) => {
         NativeExpressions.register(s)
-        val K = 16
-        val NProbe = 2
-        val qv = Tables.embeddings(s, d).select(col("vec_id"),
-          SF.quantize(col("embedding")).as("v"))
-        val cents = qv.filter(col("vec_id") < K)
-          .select(col("vec_id").as("c_id"), col("v").as("cv"))
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cdot").desc, col("c_id").asc)
-        val assigned = qv.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("v"), col("c_id"),
-            call_function("dot_i64", col("v"), col("cv")).as("cdot"))
-          .withColumn("rnk", row_number().over(wAssign))
-          .filter(col("rnk") === 1)
-          .select(col("vec_id"), col("v"), col("c_id").as("cell"))
-        val q = qv.filter(col("vec_id").isin(0L, 1L, 2L))
-          .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        val wProbe = Window.partitionBy(col("q_id"))
-          .orderBy(col("cdot").desc, col("c_id").asc)
-        val probes = q.crossJoin(broadcast(cents))
-          .select(col("q_id"), col("qv"), col("c_id"),
-            call_function("dot_i64", col("qv"), col("cv")).as("cdot"))
-          .withColumn("rnk", row_number().over(wProbe))
-          .filter(col("rnk") <= NProbe)
-          .select(col("q_id"), col("qv"), col("c_id").as("cell"))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("dot").desc, col("neighbor_id").asc)
-        // a vector lives in exactly one cell and probe cells are
-        // distinct, so (q, neighbor) pairs are already unique
-        assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            call_function("dot_i64", col("qv"), col("v")).as("dot"))
-          .withColumn("rnk", row_number().over(wTop))
-          .filter(col("rnk") <= 5)
+        val vecs = embVecs(s, d)
+        ivfTopk(vecs, KMeans.initFirstK(vecs, 16), Seq(0L, 1L, 2L),
+            nprobe = 2, k = 5)
           .orderBy(col("q_id"), col("rnk"))
       },
       Some(
-        s"""WITH qv AS (SELECT vec_id,
+        s"""WITH qv AS (SELECT vec_id AS id,
            |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
            |  FROM embeddings),
-           |cents AS (SELECT vec_id AS c_id, v AS cv FROM qv WHERE vec_id < 16),
-           |ad AS (SELECT a.vec_id, a.v, c_id,
-           |    CAST(list_sum(list_transform(list_zip(a.v, cv), p -> p[1] * p[2])) AS BIGINT) AS cdot
-           |  FROM qv a CROSS JOIN cents),
-           |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY cdot DESC, c_id ASC) AS rnk FROM ad),
-           |assigned AS (SELECT vec_id, v, c_id AS cell FROM ar WHERE rnk = 1),
-           |q AS (SELECT vec_id AS q_id, v AS qv FROM qv WHERE vec_id IN (0, 1, 2)),
-           |pd AS (SELECT q_id, qv, c_id,
-           |    CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS BIGINT) AS cdot
-           |  FROM q CROSS JOIN cents),
-           |pr AS (SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY cdot DESC, c_id ASC) AS rnk FROM pd),
-           |probes AS (SELECT q_id, qv, c_id AS cell FROM pr WHERE rnk <= 2),
-           |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
-           |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
-           |  FROM assigned a JOIN probes p ON a.cell = p.cell WHERE a.vec_id <> p.q_id),
-           |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
-           |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
+           |c0 AS (SELECT id AS c_id, v AS cv FROM qv ORDER BY id LIMIT 16),
+           |${kmAssignSql("qv", "c0", "a0")},
+           |${ivfSearchSql("a0", nprobe = 2, k = 5)}
+           |SELECT q_id, neighbor_id, dot, rnk FROM ivf
            |ORDER BY q_id, rnk""".stripMargin)),
 
     // ---- IVF centroid TRAINING: 2 Lloyd updates of 8 centroids over
