@@ -288,6 +288,47 @@ class StreamIngestSpec extends SparkSuite {
     assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
   }
 
+  test("FORWARD restart recovers the avro container schema and projects onto it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{AvroSink, GraftConfig}
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft-stream-avrofwd").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-avrofwd1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2", "format.class" -> "avro",
+      "schema.compatibility" -> "FORWARD"))
+    val root = cfg.topicsRoot(out)
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // recovery decodes the container header writer schema (avro files
+    // carry part in content, so nothing is re-prepended)
+    assert(StreamIngest.committedSchema(spark, root, "t", "avro")
+      .map(_.fieldNames.toSeq) === Some(Seq("part", "off", "payload")))
+
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-avrofwd2").toString
+    val s2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "payload", "extra"), out, "t", cfg, ckpt2)
+    s2.addData((0L, 2L, "c", "x2"), (0L, 3L, "d", "x3"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val schema = StructType(Seq(StructField("part", LongType),
+      StructField("off", LongType), StructField("payload", StringType)))
+    val back = AvroSink.readDataFrame(spark, s"$root/t", schema)
+    assert(back.count() === 4)
+    // the widened stream projected down: the newest container's writer
+    // schema still has exactly the committed fields
+    val latest = BatchWriter.listCommitted(spark, root, "t").last
+    val got = AvroSink.readSchemaOf(spark, s"$root/t/partition=0/$latest")
+    assert(got.getFields.size === 3)
+  }
+
   test("BACKWARD restart adopts a widened stream schema instead of projecting") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
