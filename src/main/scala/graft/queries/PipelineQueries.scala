@@ -119,6 +119,68 @@ object PipelineQueries {
     keys.mkString("[", ",\n    ", "]")
   }
 
+  /** Banded-LSH blocked, exact-cosine-verified near-dup pairs over the
+    * embedding corpus (vec_a, vec_b, cosine ≥ 0.35), unordered —
+    * shared by `dedup_embedding_cosine` (reports the pairs) and
+    * `dedup_embedding_clusters` (connected components over them). The
+    * signature frame is persisted (referenced by both self-join sides
+    * and the verify join-back); the returned thunk releases it once
+    * the pairs have been materialized. */
+  private def embNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                              d: String)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    NativeExpressions.register(s)
+    val rows = embRows(Tables.embeddings(s, d).count())
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      SF.quantize(col("embedding")).as("v"))
+    val withB = qv.select(col("vec_id"), col("v"),
+      SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+        EmbMaxRows).as("keys"),
+      SF.intDot(col("v"), col("v")).as("n2")).persist()
+    val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val joined = cand
+      .join(withB.as("x"), col("vec_a") === col("x.vec_id"))
+      .join(withB.as("y"), col("vec_b") === col("y.vec_id"))
+    // per-pair dot is the native codegen'd DotI64 expression — a
+    // tight getLong loop per candidate pair (the HOF intDot stays
+    // the portable fallback; a per-dimension element_at expansion
+    // measured 3× slower than even the HOF in join context)
+    val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
+      (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
+    val pairs = joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
+      .filter(col("cosine") >= 0.35)
+    (pairs, () => { withB.unpersist(); () })
+  }
+
+  /** DuckDB mirror of [[embNearDupPairs]]: the CTE chain (prepend
+    * `WITH`, or `WITH RECURSIVE` when chaining a recursive consumer),
+    * ending in CTE `vp` = (vec_a, vec_b, cosine). */
+  private def embPairsSql: String =
+    s"""$embPrmSql,
+       |qv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |wb AS (SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+       |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
+       |  FROM qv CROSS JOIN prm),
+       |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
+       |pd AS (SELECT vec_a, vec_b,
+       |    CAST(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+       |    x.n2 AS na2, y.n2 AS nb2
+       |  FROM cand JOIN wb x ON x.vec_id = vec_a JOIN wb y ON y.vec_id = vec_b),
+       |vp AS (SELECT vec_a, vec_b,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
+       |  FROM pd
+       |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)"""
+      .stripMargin
+
   private val mmP = DF.MinhashPrime
 
   /** Native hash60 (same md5 value as `TF.hash60`, no hex-string
@@ -888,56 +950,46 @@ object PipelineQueries {
     //      the deliverable). ----
     QuerySpec("dedup_embedding_cosine",
       (s, d) => {
-        val rows = embRows(Tables.embeddings(s, d).count())
-        val qv = Tables.embeddings(s, d).select(col("vec_id"),
-          SF.quantize(col("embedding")).as("v"))
-        // persisted: referenced by both self-join sides and the verify
-        // join-back — otherwise the quantize+sign pipeline re-runs 4×
-        val withB = qv.select(col("vec_id"), col("v"),
-          SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
-            EmbMaxRows).as("keys"),
-          SF.intDot(col("v"), col("v")).as("n2")).persist()
-        val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
-        val cand = bk.as("a").join(bk.as("b"),
-            col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .distinct()
-        val joined = cand
-          .join(withB.as("x"), col("vec_a") === col("x.vec_id"))
-          .join(withB.as("y"), col("vec_b") === col("y.vec_id"))
-        // per-pair dot is the native codegen'd DotI64 expression — a
-        // tight getLong loop per candidate pair (the HOF intDot stays
-        // the portable fallback; a per-dimension element_at expansion
-        // measured 3× slower than even the HOF in join context)
-        NativeExpressions.register(s)
-        val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
-          (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
-        joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
-          .filter(col("cosine") >= 0.35)
-          .orderBy(col("vec_a"), col("vec_b"))
+        val (pairs, _) = embNearDupPairs(s, d)
+        pairs.orderBy(col("vec_a"), col("vec_b"))
       },
       Some(
-        s"""WITH $embPrmSql,
-           |qv AS (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-           |  FROM embeddings),
-           |wb AS (SELECT vec_id, v,
-           |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
-           |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
-           |  FROM qv CROSS JOIN prm),
-           |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
-           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
-           |p AS (SELECT vec_a, vec_b,
-           |    CAST(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
-           |    x.n2 AS na2, y.n2 AS nb2
-           |  FROM cand JOIN wb x ON x.vec_id = vec_a JOIN wb y ON y.vec_id = vec_b)
-           |SELECT vec_a, vec_b,
-           |  CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
-           |FROM p
-           |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35
+        s"""WITH $embPairsSql
+           |SELECT vec_a, vec_b, cosine FROM vp
            |ORDER BY vec_a, vec_b""".stripMargin),
       bench = true),
+
+    // ---- Embedding-cosine dedup CLUSTERS: connected components over
+    //      the verified near-dup pairs — the embedding twin of
+    //      dedup_clusters (same CC operator, O(log n) rounds, edges
+    //      stay the LSH-blocked pair set, never all-pairs). The output
+    //      assigns every vector its cluster's min id; production keeps
+    //      one representative per cluster (dedup_canonical_docs'
+    //      selection applies unchanged). ----
+    QuerySpec("dedup_embedding_clusters",
+      (s, d) => {
+        val (pairs, release) = embNearDupPairs(s, d)
+        val comp = graft.operators.ConnectedComponents.run(
+          Tables.embeddings(s, d).select(col("vec_id").as("id")),
+          pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        // run() materialized every round (localCheckpoint) — the cached
+        // signature frame is no longer reachable from the result
+        release()
+        comp.select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH RECURSIVE $embPairsSql,
+           |ed AS (SELECT vec_a AS src, vec_b AS dst FROM vp
+           |  UNION SELECT vec_b, vec_a FROM vp),
+           |reach(id, comp) AS (
+           |  SELECT vec_id, vec_id FROM embeddings
+           |  UNION
+           |  SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id),
+           |clusters AS (SELECT id AS vec_id, min(comp) AS cluster_id
+           |  FROM reach GROUP BY id)
+           |SELECT vec_id, cluster_id FROM clusters
+           |ORDER BY vec_id""".stripMargin)),
 
     // ---- IVF-style ANN with banded multiprobe: each band key is a
     //      coarse-quantizer cell and a query probes all `EmbBands` of
