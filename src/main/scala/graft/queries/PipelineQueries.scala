@@ -181,6 +181,66 @@ object PipelineQueries {
        |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)"""
       .stripMargin
 
+  /** Banded-multiprobe ANN search (q_id, neighbor_id, dot, rnk ≤ 5),
+    * unordered — each band key is a coarse cell and a query probes all
+    * `EmbBands` of its cells; candidates dedup BEFORE scoring, top-k
+    * through the bounded-heap aggregate (candidates reduce map-side to
+    * ≤k rows per partition before the exchange). Shared by
+    * `sim_ivf_topk` and the `sim_lsh_recall` evaluation. */
+  private def bandedTopk(s: org.apache.spark.sql.SparkSession,
+                         d: String): org.apache.spark.sql.DataFrame = {
+    val rows = embRows(Tables.embeddings(s, d).count())
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      SF.quantize(col("embedding")).as("v"))
+    val withK = qv.select(col("vec_id"), col("v"),
+      SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+        EmbMaxRows).as("keys"))
+      .persist()
+    val bk = withK.select(col("vec_id"), explode(col("keys")).as("k"))
+    val qk = bk.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("q_id"), col("k"))
+    val cand = bk.join(broadcast(qk), Seq("k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val q = withK.filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    NativeExpressions.register(s)
+    cand.join(withK, col("neighbor_id") === col("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        call_function("dot_i64", col("qv"), col("v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(5)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** DuckDB mirror of [[bandedTopk]]: CTE chain (prepend `WITH`),
+    * ending in CTE `lsh` = (q_id, neighbor_id, dot, rnk ≤ 5); `qv`
+    * stays in scope for consumers needing the quantized corpus. */
+  private def bandedTopkSql: String =
+    s"""$embPrmSql,
+       |qv AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |wk AS (SELECT vec_id, v,
+       |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
+       |  FROM qv CROSS JOIN prm),
+       |bk AS (SELECT vec_id, unnest(keys) AS k FROM wk),
+       |lcand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS neighbor_id
+       |  FROM bk a JOIN bk q ON a.k = q.k
+       |  WHERE q.vec_id IN (0, 1, 2) AND a.vec_id <> q.vec_id),
+       |ldots AS (SELECT q_id, neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qq.v, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM lcand JOIN qv a ON a.vec_id = neighbor_id JOIN qv qq ON qq.vec_id = q_id),
+       |lr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM ldots),
+       |lsh AS (SELECT q_id, neighbor_id, dot, rnk FROM lr WHERE rnk <= 5)"""
+      .stripMargin
+
   private val mmP = DF.MinhashPrime
 
   /** Native hash60 (same md5 value as `TF.hash60`, no hex-string
@@ -997,58 +1057,65 @@ object PipelineQueries {
     //      single-bucket version lacked). Candidates are deduped BEFORE
     //      the dot products, so each survivor is scored once. ----
     QuerySpec("sim_ivf_topk",
+      (s, d) => bandedTopk(s, d).orderBy(col("q_id"), col("rnk")),
+      Some(
+        s"""WITH $bandedTopkSql
+           |SELECT q_id, neighbor_id, dot, rnk FROM lsh
+           |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- Recall@5 of the banded multiprobe search vs exact brute
+    //      force — the adaptive-width twin of sim_ivf_recall: the
+    //      derived rows-per-band trades candidates for recall, so the
+    //      trade is MEASURED and oracle-checked, not assumed. On this
+    //      synthetic corpus the measured recall is LOW (0.0–0.6) and
+    //      that is the correct reading: the "nearest" neighbors sit at
+    //      cosine ≈ 0.4 ≈ 66°, where per-band collision probability
+    //      (1 − θ/π)^r is inherently small — hyperplane LSH is built
+    //      for near-dup angles (θ→0, collision→1). This monitor is
+    //      what tells an operator their data's neighbor angles need
+    //      the IVF path (sim_ivf_recall) instead of banding. ----
+    QuerySpec("sim_lsh_recall",
       (s, d) => {
-        val rows = embRows(Tables.embeddings(s, d).count())
-        val qv = Tables.embeddings(s, d).select(col("vec_id"),
-          SF.quantize(col("embedding")).as("v"))
-        val withK = qv.select(col("vec_id"), col("v"),
-          SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
-            EmbMaxRows).as("keys"))
-          .persist()
-        val bk = withK.select(col("vec_id"), explode(col("keys")).as("k"))
-        val qk = bk.filter(col("vec_id").isin(0L, 1L, 2L))
-          .select(col("vec_id").as("q_id"), col("k"))
-        val cand = bk.join(broadcast(qk), Seq("k"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("neighbor_id"))
-          .distinct()
-        val q = withK.filter(col("vec_id").isin(0L, 1L, 2L))
+        val lsh = bandedTopk(s, d).select(col("q_id"), col("neighbor_id"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
-        NativeExpressions.register(s)
-        // final top-k through the bounded-heap aggregate: candidates
-        // reduce map-side to ≤k rows per partition before the exchange
-        // (the row_number window form would shuffle and sort them all)
-        cand.join(withK, col("neighbor_id") === col("vec_id"))
-          .join(broadcast(q), Seq("q_id"))
-          .select(col("q_id"), col("neighbor_id"),
+        val bf = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
             call_function("dot_i64", col("qv"), col("v")).as("dot"))
           .groupBy(col("q_id"))
           .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
             lit(5)).as("top"))
-          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
-          .select(col("q_id"), col("p.id").as("neighbor_id"),
-            col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
-          .orderBy(col("q_id"), col("rnk"))
+          .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+        val hits = lsh.join(bf, Seq("q_id", "neighbor_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        bf.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / 5.0)
+          .orderBy(col("q_id"))
       },
-      Some(
-        s"""WITH $embPrmSql,
-           |qv AS (SELECT vec_id,
-           |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
-           |  FROM embeddings),
-           |wk AS (SELECT vec_id, v,
-           |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
-           |  FROM qv CROSS JOIN prm),
-           |bk AS (SELECT vec_id, unnest(keys) AS k FROM wk),
-           |cand AS (SELECT DISTINCT q.vec_id AS q_id, a.vec_id AS neighbor_id
-           |  FROM bk a JOIN bk q ON a.k = q.k
-           |  WHERE q.vec_id IN (0, 1, 2) AND a.vec_id <> q.vec_id),
-           |dots AS (SELECT q_id, neighbor_id,
-           |    CAST(list_sum(list_transform(list_zip(qq.v, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
-           |  FROM cand JOIN qv a ON a.vec_id = neighbor_id JOIN qv qq ON qq.vec_id = q_id),
-           |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
-           |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
-           |ORDER BY q_id, rnk""".stripMargin)),
+      Some(s"""WITH $bandedTopkSql,
+              |bf_d AS (SELECT q.q_id, a.vec_id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.qv, a.v),
+              |      p -> p[1] * p[2])) AS BIGINT) AS dot
+              |  FROM qv a CROSS JOIN (SELECT vec_id AS q_id, v AS qv FROM qv
+              |    WHERE vec_id IN (0, 1, 2)) q
+              |  WHERE a.vec_id <> q.q_id),
+              |bf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM bf_d),
+              |bf AS (SELECT q_id, neighbor_id FROM bf_r WHERE rnk <= 5),
+              |hits AS (SELECT i.q_id, count(*) AS n_hit
+              |  FROM lsh i JOIN bf b
+              |    ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+              |  GROUP BY 1)
+              |SELECT q.q_id, coalesce(n_hit, 0) AS n_hit,
+              |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 5.0 AS recall
+              |FROM (SELECT DISTINCT q_id FROM bf) q
+              |LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
 
     // ---- Benchmark decontamination: flag training docs sharing any
     //      8-gram with the eval set (docs 0-24 stand in for a held-out
