@@ -118,6 +118,14 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("sim_ivf_topk's candidate and scoring joins stay keyed — never all-pairs") {
+    val p = plan("sim_ivf_topk")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"banded multiprobe must plan equi-joins:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+  }
+
   test("dedup_incremental is a fingerprint anti-join, no nested loop") {
     val p = plan("dedup_incremental")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
