@@ -53,11 +53,44 @@ object GraftConfig {
   val DirectoryDelim = "directory.delim"
   val FileDelim = "file.delim"
   val SchemaCompatibility = "schema.compatibility"
+  val StoreUrl = "store.url"
+  val HdfsUrl = "hdfs.url"
+  val TimestampExtractorKey = "timestamp.extractor"
+  val LogsDir = "logs.dir"
+  val HiveIntegration = "hive.integration"
+  val SchemaCacheSize = "schema.cache.size"
 
   /** The reference's `schema.compatibility` lattice
     * (`docs/configuration_options.rst:273-274`). */
   val SchemaCompatibilities: Seq[String] =
     Seq("NONE", "BACKWARD", "FORWARD", "FULL")
+
+  /** The reference's `timestamp.extractor` roster (short names for the
+    * `partitioner.TimestampExtractor` classes). The reference defaults
+    * to Wallclock; this engine defaults to RecordField — wallclock
+    * routing makes a replayed batch land in different directories than
+    * its first run, which breaks the deterministic-replay contract the
+    * commit protocol is built on, so the deterministic extractor is
+    * the default and Wallclock is opt-in. */
+  val TimestampExtractors: Seq[String] = Seq("Wallclock", "Record", "RecordField")
+
+  /** Reference keys whose PLANE this engine deliberately replaces with
+    * a Spark-native mechanism — configured values have no consumer by
+    * design, so setting one fails fast with the replacement named
+    * (a friendlier answer than the generic unknown-key error). */
+  private val ReplacedPlane: Map[String, String] = Map(
+    "hadoop.conf.dir" -> "Spark's own Hadoop configuration",
+    "hadoop.home" -> "Spark's own Hadoop configuration",
+    "hdfs.authentication.kerberos" -> "Spark's Kerberos deployment (spark.kerberos.*)",
+    "hdfs.namenode.principal" -> "Spark's Kerberos deployment (spark.kerberos.*)",
+    "connect.hdfs.keytab" -> "Spark's Kerberos deployment (spark.kerberos.*)",
+    "connect.hdfs.principal" -> "Spark's Kerberos deployment (spark.kerberos.*)",
+    "kerberos.ticket.renew.period.ms" -> "Spark's Kerberos deployment (spark.kerberos.*)",
+    "hive.metastore.uris" -> "the Spark session catalog (graft.catalog.TableCatalog)",
+    "hive.conf.dir" -> "the Spark session catalog (graft.catalog.TableCatalog)",
+    "hive.home" -> "the Spark session catalog (graft.catalog.TableCatalog)",
+    "hive.database" -> "the Spark session catalog (graft.catalog.TableCatalog)",
+    "storage.class" -> "Spark's Hadoop FileSystem abstraction")
 
   /** Formats this engine writes (BatchWriter + AvroSink — the
     * reference's `format.class` recommender list). */
@@ -90,7 +123,13 @@ object GraftConfig {
     TopicsDir -> "topics",
     DirectoryDelim -> "/",
     FileDelim -> "+",
-    SchemaCompatibility -> "NONE")
+    SchemaCompatibility -> "NONE",
+    StoreUrl -> "",
+    HdfsUrl -> "",
+    TimestampExtractorKey -> "RecordField",
+    LogsDir -> "logs",
+    HiveIntegration -> "false",
+    SchemaCacheSize -> "1000")
 
   private def asLong(v: String): Either[String, Long] =
     try Right(v.trim.toLong) catch {
@@ -206,6 +245,33 @@ object GraftConfig {
          else Seq(s"unknown $SchemaCompatibility '${get(name)}'; valid " +
            s"values are ${SchemaCompatibilities.mkString(", ")}"),
           SchemaCompatibilities)
+      case TimestampExtractorKey =>
+        (if (TimestampExtractors.contains(get(name))) Nil
+         else Seq(s"unknown $TimestampExtractorKey '${get(name)}'; valid " +
+           s"values are ${TimestampExtractors.mkString(", ")}"),
+          TimestampExtractors)
+      case LogsDir =>
+        (if (get(name) == "logs") Nil
+         else Seq(s"$LogsDir is not relocatable: the transactional " +
+           "commit log lives at <topic>/_commitlog (CommitLog replaces " +
+           s"the reference's WAL directory), got '${get(name)}'"), Nil)
+      case HiveIntegration =>
+        (get(name) match {
+          case "false" => Nil
+          case "true" => Seq(s"$HiveIntegration is built in: tables " +
+            "register through the Spark session catalog " +
+            "(graft.catalog.TableCatalog) — the flag has no consumer")
+          case v => Seq(s"$HiveIntegration must be true or false, got '$v'")
+        }, Seq("false", "true"))
+      case SchemaCacheSize =>
+        (asInt(get(name)) match {
+          case Right(1000) => Nil
+          case Right(n) if n > 0 => Seq(s"$SchemaCacheSize is not " +
+            "tunable: the engine does not cache converted schemas " +
+            s"(leave at the default 1000), got $n")
+          case Right(n) => Seq(s"$SchemaCacheSize must be positive, got $n")
+          case Left(e) => Seq(e)
+        }, Nil)
       case _ => (Nil, Nil)
     }
     val defined = Defaults.keySet + FlushSize
@@ -223,8 +289,13 @@ object GraftConfig {
       Validated(name, get(name), errors, recommended, visible)
     }
     val unknown = (props.keySet -- defined).toSeq.sorted.map { name =>
-      Validated(name, props(name),
-        Seq(s"unknown configuration key '$name'"), Nil, visible = true)
+      val err = ReplacedPlane.get(name) match {
+        case Some(replacement) =>
+          s"'$name' configures a plane this engine replaces with " +
+            s"$replacement — the key has no consumer here"
+        case scala.None => s"unknown configuration key '$name'"
+      }
+      Validated(name, props(name), Seq(err), Nil, visible = true)
     }
     known ++ unknown
   }
@@ -257,7 +328,11 @@ object GraftConfig {
       topicsDir = m(TopicsDir),
       directoryDelim = m(DirectoryDelim),
       fileDelim = m(FileDelim),
-      schemaCompatibility = m(SchemaCompatibility).toUpperCase(Locale.ROOT))
+      schemaCompatibility = m(SchemaCompatibility).toUpperCase(Locale.ROOT),
+      // store.url overrides hdfs.url, the reference's own precedence
+      // (DataWriter.java:129-137)
+      storeUrl = Seq(m(StoreUrl), m(HdfsUrl)).find(_.nonEmpty),
+      timestampExtractor = m(TimestampExtractorKey))
   }
 }
 
@@ -281,7 +356,9 @@ final case class GraftConfig(
     topicsDir: String,
     directoryDelim: String,
     fileDelim: String,
-    schemaCompatibility: String) {
+    schemaCompatibility: String,
+    storeUrl: Option[String],
+    timestampExtractor: String) {
 
   /** The store's data root under `topics.dir` — the reference's
     * `<url>/<topics.dir>/<topic>/...` layout (`FileUtils.java:39-64`,
@@ -319,7 +396,7 @@ final case class GraftConfig(
     if (partitioner == "default" && rotateIntervalMs <= 0)
       return BatchWriter.write(df, root, topic, flushSize, zeroPadWidth, format)
 
-    val ts = col(timestampField)
+    val ts = recordTime(col)
     val withEnc = df.withColumn("__enc",
       partitionPath(col("part"), ts, col))
     val grouped =
@@ -341,8 +418,42 @@ final case class GraftConfig(
     // second payload column (dropped AFTER grouping — the rotation
     // expressions read it)
     val sized =
-      if (format == "text") grouped.drop(timestampField) else grouped
+      if (format == "text") grouped.drop(recordTimeColumn.toSeq: _*)
+      else grouped
     BatchWriter.writeAssignedEncoded(sized, root, topic, zeroPadWidth, format)
+  }
+
+  /** [[write]] against the configured store root — the consumer of
+    * `store.url`/`hdfs.url` (store.url wins, the reference's own
+    * precedence, `DataWriter.java:129-137`). */
+  def write(df: org.apache.spark.sql.DataFrame,
+            topic: String): Seq[BatchWriter.CommittedFile] =
+    write(df, storeUrl.getOrElse(throw new IllegalArgumentException(
+      "no store root configured: set store.url (or hdfs.url), or call " +
+        "write(df, outDir, topic)")), topic)
+
+  /** The record-time Column the configured `timestamp.extractor`
+    * yields (the reference's `partitioner.TimestampExtractor` family):
+    * RecordField reads `timestamp.field`, Record reads the stream
+    * envelope's `ts` (KafkaSource.normalize), Wallclock stamps the
+    * write time. Consumed by the time-partitioner family and
+    * `rotate.interval.ms`. */
+  def recordTime(field: String => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.current_timestamp
+    timestampExtractor match {
+      case "RecordField" => field(timestampField)
+      case "Record" => field("ts")
+      case "Wallclock" => current_timestamp()
+    }
+  }
+
+  /** The stream column [[recordTime]] consumes, if any (None for
+    * Wallclock — nothing to drop from a text payload). */
+  private def recordTimeColumn: Option[String] = timestampExtractor match {
+    case "RecordField" => Some(timestampField)
+    case "Record" => Some("ts")
+    case "Wallclock" => scala.None
   }
 
   /** The configured partitioner as a path Column — `partitioner.class`

@@ -357,6 +357,80 @@ class GraftConfigSpec extends SparkSuite {
       Seq("NONE", "BACKWARD", "FORWARD", "FULL"))
   }
 
+  test("timestamp.extractor selects the record-time source (Wallclock/Record/RecordField)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // RecordField (the engine default) reads timestamp.field; Record
+    // reads the stream envelope's ts — same rows, different routing
+    val df = Seq((0L, 0L, t("2026-03-01 10:00:00"), t("2027-07-04 10:00:00"), "a"))
+      .toDF("part", "off", "timestamp", "ts", "payload")
+    val outF = Files.createTempDirectory("cfg-exfield").toString
+    GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "daily"))
+      .write(df, outF, "t")
+    assert(new java.io.File(s"$outF/topics/t/year=2026/month=03/day=01").exists())
+    val outR = Files.createTempDirectory("cfg-exrecord").toString
+    GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "daily",
+      "timestamp.extractor" -> "Record")).write(df, outR, "t")
+    assert(new java.io.File(s"$outR/topics/t/year=2027/month=07/day=04").exists())
+    // Wallclock stamps the write time: the record lands under today
+    val outW = Files.createTempDirectory("cfg-exwall").toString
+    GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "daily",
+      "timestamp.extractor" -> "Wallclock")).write(df, outW, "t")
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    assert(new java.io.File(f"$outW/topics/t/year=${today.getYear}%04d/" +
+      f"month=${today.getMonthValue}%02d/day=${today.getDayOfMonth}%02d").exists())
+    // unknown extractor fails with the roster
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("timestamp.extractor" -> "Sundial"))
+    }
+    assert(e.getMessage.contains("Wallclock, Record, RecordField"))
+  }
+
+  test("store.url is consumed as the write root, overriding hdfs.url") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, "a")).toDF("part", "off", "payload")
+    val s1 = Files.createTempDirectory("cfg-store").toString
+    val s2 = Files.createTempDirectory("cfg-hdfsurl").toString
+    GraftConfig(Map("flush.size" -> "2", "store.url" -> s1,
+      "hdfs.url" -> s2)).write(df, "t")
+    assert(BatchWriter.listCommitted(spark, s"$s1/topics", "t").nonEmpty)
+    assert(BatchWriter.listCommitted(spark, s"$s2/topics", "t").isEmpty)
+    // hdfs.url alone also works (the deprecated spelling)
+    GraftConfig(Map("flush.size" -> "2", "hdfs.url" -> s2)).write(df, "t")
+    assert(BatchWriter.listCommitted(spark, s"$s2/topics", "t").nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base).write(df, "t")
+    }
+    assert(e.getMessage.contains("no store root configured"))
+  }
+
+  test("plane-replacing and pinned reference keys fail fast with the replacement named") {
+    val e1 = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("hive.metastore.uris" -> "thrift://x:9083"))
+    }
+    assert(e1.getMessage.contains("graft.catalog.TableCatalog"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("connect.hdfs.keytab" -> "/k.keytab"))
+    }
+    assert(e2.getMessage.contains("spark.kerberos"))
+    val e3 = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("logs.dir" -> "wal"))
+    }
+    assert(e3.getMessage.contains("_commitlog"))
+    val e4 = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("hive.integration" -> "true"))
+    }
+    assert(e4.getMessage.contains("TableCatalog"))
+    val e5 = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("schema.cache.size" -> "500"))
+    }
+    assert(e5.getMessage.contains("not tunable"))
+    // defaults of the pinned keys construct fine
+    GraftConfig(base ++ Map("logs.dir" -> "logs",
+      "hive.integration" -> "false", "schema.cache.size" -> "1000"))
+  }
+
   test("topics.dir roots the layout (reference FileUtils path scheme) and is validated") {
     import spark.implicits._
     val df = Seq((0L, 0L, "a")).toDF("part", "off", "payload")
