@@ -237,18 +237,15 @@ object StreamIngest {
   }
 
   /** [[startLoggedMulti]] driven by a validated [[GraftConfig]]:
-    * flush size, format, zero-pad width, `topics.dir` root,
+    * flush size, format (including Avro with its codec, via the
+    * per-topic AvroSink fan-out), zero-pad width, `topics.dir` root,
     * `retry.backoff.ms` and the schedule trigger are consumed; the
-    * knobs the multi-topic committer does not support (Avro, encoded
+    * knobs the multi-topic committer does not support (encoded
     * partitioners, interval rotation) fail fast here instead of being
     * silently ignored — run those topics through the single-topic
     * [[startLogged]] config overload. */
   def startLoggedMulti(stream: DataFrame, outDir: String, cfg: GraftConfig,
                        checkpoint: String): StreamingQuery = {
-    require(cfg.format != "avro",
-      "multi-topic streaming writes one dynamic-partitioned staging " +
-        "job, which the avro sink does not join; run avro topics " +
-        "through the single-topic startLogged(cfg) overload")
     require(cfg.partitioner == "default" && cfg.rotateIntervalMs <= 0,
       "multi-topic streaming supports the default layout without " +
         "interval rotation; run encoded/rotated topics through the " +
@@ -256,7 +253,7 @@ object StreamIngest {
     startLoggedMulti(stream, cfg.topicsRoot(outDir), cfg.flushSize,
       checkpoint, trigger = cfgTrigger(cfg), format = cfg.format,
       pad = cfg.zeroPadWidth, writeRetries = 2,
-      retryBackoffMs = cfg.retryBackoffMs)
+      retryBackoffMs = cfg.retryBackoffMs, avroCodec = cfg.avroCodec)
   }
 
   /** Stop a streaming query within the configured shutdown budget —
@@ -299,13 +296,21 @@ object StreamIngest {
     * dynamic-partitioned by (topic, part, file_idx)
     * (`BatchWriter.writeMulti`), one manifest aggregate. Only the
     * COMMIT stays per-topic — each topic's log is its own atomicity
-    * domain, and those publishes are driver-side metadata ops. */
+    * domain, and those publishes are driver-side metadata ops.
+    *
+    * Avro is the exception to O(1): the avro-core sink cannot join the
+    * dynamic-partitioned staging job, so `format = "avro"` slices the
+    * pinned batch per topic and commits each through [[AvroSink]] —
+    * O(topics) jobs per micro-batch over the CACHED batch (no source
+    * re-scan), the same per-writer fan-out the reference's demux runs.
+    * Commit/replay semantics are identical. */
   def startLoggedMulti(stream: DataFrame, outDir: String, flushSize: Int,
                        checkpoint: String, trigger: Option[Trigger] = None,
                        format: String = "parquet",
                        pad: Int = FileNaming.DefaultZeroPadWidth,
                        writeRetries: Int = 1,
-                       retryBackoffMs: Long = 0L): StreamingQuery = {
+                       retryBackoffMs: Long = 0L,
+                       avroCodec: String = "null"): StreamingQuery = {
     val spark = stream.sparkSession
     val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
     batchQuery(stream, checkpoint, trigger) { batch =>
@@ -329,7 +334,14 @@ object StreamIngest {
         try {
           if (!fresh.isEmpty) {
             val manifest = Retry.withBackoff(writeRetries, retryBackoffMs)(
-              BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format))
+              if (format == "avro")
+                topics.toSeq.flatMap { t =>
+                  val slice = fresh.filter(col("topic") === t).drop("topic")
+                  if (slice.isEmpty) Seq.empty
+                  else AvroSink.write(slice, outDir, t, flushSize, pad, avroCodec)
+                }
+              else
+                BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format))
             manifest.groupBy(_.topic).toSeq.sortBy(_._1)
               .foreach { case (topic, files) =>
                 CommitLog.publish(spark, outDir, topic, files.map { c =>

@@ -116,6 +116,52 @@ class StreamIngestSpec extends SparkSuite {
       Set("b0", "b1", "b2"))
   }
 
+  test("multi-topic avro demux: per-topic container files, codec, crash-replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{AvroSink, CommitLog, GraftConfig}
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft-stream-multiavro").toString
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-mavro1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2",
+      "format.class" -> "avro", "avro.codec" -> "snappy"))
+    val root = cfg.topicsRoot(out)
+
+    val s1 = MemoryStream[(String, Long, Long, String)]
+    val q1 = StreamIngest.startLoggedMulti(
+      s1.toDF().toDF("topic", "part", "off", "payload"), out, cfg, ckpt1)
+    s1.addData(("alpha", 0L, 0L, "a0"), ("alpha", 0L, 1L, "a1"),
+      ("beta", 0L, 0L, "b0"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(CommitLog.maxOffsets(spark, root, "alpha") === Map(0L -> 1L))
+    assert(CommitLog.maxOffsets(spark, root, "beta") === Map(0L -> 0L))
+    assert(BatchWriter.listCommitted(spark, root, "alpha") ===
+      Seq("alpha+0+0000000000+0000000001.avro"))
+
+    // crash-restart with full replay + new data on both topics
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-mavro2").toString
+    val s2 = MemoryStream[(String, Long, Long, String)]
+    val q2 = StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "payload"), out, cfg, ckpt2)
+    s2.addData(("alpha", 0L, 0L, "a0"), ("alpha", 0L, 1L, "a1"),
+      ("alpha", 0L, 2L, "a2"),
+      ("beta", 0L, 0L, "b0"), ("beta", 0L, 1L, "b1"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val schema = StructType(Seq(StructField("part", LongType),
+      StructField("off", LongType), StructField("payload", StringType)))
+    val alpha = AvroSink.readDataFrame(spark, s"$root/alpha", schema)
+    val beta = AvroSink.readDataFrame(spark, s"$root/beta", schema)
+    assert(alpha.count() === 3) // no dup from the replay
+    assert(beta.count() === 2)
+    assert(alpha.select(col("payload")).as[String].collect().toSet ===
+      Set("a0", "a1", "a2"))
+    assert(beta.select(col("payload")).as[String].collect().toSet ===
+      Set("b0", "b1"))
+  }
+
   test("scheduled rotation commits a partial file when the trigger fires (A13)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
