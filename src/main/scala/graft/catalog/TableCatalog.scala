@@ -13,7 +13,20 @@ import org.apache.spark.sql.types.StructType
   */
 object TableCatalog {
 
-  private def q(ident: String): String = s"`${ident.replace("`", "``")}`"
+  /** Quote a possibly-qualified identifier part-wise, so callers can
+    * target a database the way the reference's `hive.database` key
+    * does — pass `"analytics.events"` anywhere a table name is taken
+    * (each dot-separated part is quoted on its own; see
+    * [[createDatabase]] for the db itself). */
+  private def q(ident: String): String =
+    ident.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+
+  /** The `hive.database` analog: create the namespace tables target
+    * via qualified names (`CREATE DATABASE IF NOT EXISTS`). */
+  def createDatabase(spark: SparkSession, database: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(database)}")
+    ()
+  }
 
   /** Single-quoted SQL string literal with quote escaping — partition
     * VALUES and locations are data, not identifiers. */

@@ -143,6 +143,26 @@ class TableCatalogSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("avro"))
   }
 
+  test("tables register into a target database via qualified names (hive.database analog)") {
+    val out = Files.createTempDirectory("graft-cat-db").toString
+    val df = Seq((0L, 0L, "x")).toDF("part", "off", "payload")
+    BatchWriter.write(df, out, "tdb", flushSize = 2)
+    TableCatalog.createDatabase(spark, "graft_db")
+    spark.sql("DROP TABLE IF EXISTS graft_db.events_db")
+    TableCatalog.createExternalTable(spark, "graft_db.events_db", s"$out/tdb",
+      dataSchema = StructType(Seq(
+        StructField("off", LongType), StructField("payload", StringType))),
+      partitionCols = Seq("partition" -> "BIGINT"))
+    TableCatalog.syncPartitions(spark, "graft_db.events_db")
+    assert(spark.sql("SELECT count(*) FROM graft_db.events_db")
+      .as[Long].head() === 1)
+    // the table lives in the target namespace, not default
+    assert(spark.sql("SHOW TABLES IN graft_db").collect()
+      .map(_.getString(1)).contains("events_db"))
+    spark.sql("DROP TABLE graft_db.events_db")
+    spark.sql("DROP DATABASE graft_db")
+  }
+
   test("partition values with quotes are escaped, not injected") {
     val loc = Files.createTempDirectory("graft-cat-esc").toString
     spark.sql("DROP TABLE IF EXISTS esc_tab")
