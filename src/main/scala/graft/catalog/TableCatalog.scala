@@ -13,16 +13,21 @@ import org.apache.spark.sql.types.StructType
   */
 object TableCatalog {
 
-  /** Quote a possibly-qualified identifier part-wise, so callers can
-    * target a database the way the reference's `hive.database` key
-    * does — pass `"analytics.events"` anywhere a table name is taken
-    * (each dot-separated part is quoted on its own; see
-    * [[createDatabase]] for the db itself). */
-  private def q(ident: String): String =
-    ident.split('.').map(p => s"`${p.replace("`", "``")}`").mkString(".")
+  /** One identifier part, backtick-quoted. Deliberately NOT dot-split:
+    * legal Kafka topic names contain dots (`events.v2`), so a table
+    * named after one must stay a single identifier — database
+    * targeting is explicit via [[qualified]], never inferred from
+    * dots. */
+  private def q(ident: String): String = s"`${ident.replace("`", "``")}`"
+
+  /** `db`.`table` when a database is given, bare `table` otherwise —
+    * how every entry point consumes its `database` parameter (the
+    * reference's `hive.database` key, `HiveConfig`). */
+  private def qualified(database: Option[String], table: String): String =
+    database.map(d => s"${q(d)}.${q(table)}").getOrElse(q(table))
 
   /** The `hive.database` analog: create the namespace tables target
-    * via qualified names (`CREATE DATABASE IF NOT EXISTS`). */
+    * (`CREATE DATABASE IF NOT EXISTS`). */
   def createDatabase(spark: SparkSession, database: String): Unit = {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${q(database)}")
     ()
@@ -36,11 +41,12 @@ object TableCatalog {
     * directory. Data columns from `schema`, partition columns listed
     * separately (the partitioner's fields). */
   def createExternalTable(spark: SparkSession, table: String, location: String,
-                          dataSchema: StructType, partitionCols: Seq[(String, String)]): Unit = {
+                          dataSchema: StructType, partitionCols: Seq[(String, String)],
+                          database: Option[String] = None): Unit = {
     val dataDdl = dataSchema.toDDL
     val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
     spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS ${q(table)} ($dataDdl)
+      s"""CREATE TABLE IF NOT EXISTS ${qualified(database, table)} ($dataDdl)
          |USING PARQUET
          |PARTITIONED BY ($partDdl)
          |LOCATION ${lit(location)}""".stripMargin)
@@ -61,11 +67,12 @@ object TableCatalog {
     * plane can't drift. */
   def avroTableDdl(table: String, location: String, dataSchema: StructType,
                    partitionCols: Seq[(String, String)],
-                   recordName: String = "record"): String = {
+                   recordName: String = "record",
+                   database: Option[String] = None): String = {
     val avroJson =
       graft.ingest.AvroSink.avroSchemaFor(dataSchema, recordName).toString
     val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
-    s"""CREATE TABLE IF NOT EXISTS ${q(table)} (${dataSchema.toDDL})
+    s"""CREATE TABLE IF NOT EXISTS ${qualified(database, table)} (${dataSchema.toDDL})
        |USING AVRO
        |OPTIONS ('avroSchema' = ${lit(avroJson)})
        |PARTITIONED BY ($partDdl)
@@ -94,25 +101,28 @@ object TableCatalog {
     * StructType→Avro mapping, same as creation. */
   def alterAvroSchemaDdl(table: String, current: StructType,
                          evolved: StructType,
-                         recordName: String = "record"): Seq[String] = {
+                         recordName: String = "record",
+                         database: Option[String] = None): Seq[String] = {
     val avroJson =
       graft.ingest.AvroSink.avroSchemaFor(evolved, recordName).toString
     val added = newColumnsOf(current, evolved)
+    val t = qualified(database, table)
     val addDdl =
       if (added.isEmpty) Seq.empty
-      else Seq(s"ALTER TABLE ${q(table)} ADD COLUMNS (${added.toDDL})")
+      else Seq(s"ALTER TABLE $t ADD COLUMNS (${added.toDDL})")
     addDdl ++ Seq(
-      s"ALTER TABLE ${q(table)} SET SERDEPROPERTIES " +
+      s"ALTER TABLE $t SET SERDEPROPERTIES " +
         s"('avroSchema' = ${lit(avroJson)})",
-      s"ALTER TABLE ${q(table)} SET TBLPROPERTIES " +
+      s"ALTER TABLE $t SET TBLPROPERTIES " +
         s"('avro.schema.literal' = ${lit(avroJson)})")
   }
 
   /** Execute [[alterAvroSchemaDdl]] against the session catalog. */
   def alterAvroSchema(spark: SparkSession, table: String,
                       current: StructType, evolved: StructType,
-                      recordName: String = "record"): Unit =
-    alterAvroSchemaDdl(table, current, evolved, recordName)
+                      recordName: String = "record",
+                      database: Option[String] = None): Unit =
+    alterAvroSchemaDdl(table, current, evolved, recordName, database)
       .foreach(spark.sql(_))
 
   /** Execute [[avroTableDdl]]. Needs the spark-avro module on the
@@ -121,34 +131,41 @@ object TableCatalog {
   def createAvroExternalTable(spark: SparkSession, table: String, location: String,
                               dataSchema: StructType,
                               partitionCols: Seq[(String, String)],
-                              recordName: String = "record"): Unit = {
-    spark.sql(avroTableDdl(table, location, dataSchema, partitionCols, recordName))
+                              recordName: String = "record",
+                              database: Option[String] = None): Unit = {
+    spark.sql(avroTableDdl(table, location, dataSchema, partitionCols,
+      recordName, database))
     ()
   }
 
   /** C4 — bootstrap sync: discover on-disk partitions into the
     * metastore (the reference's leaf-dir diff, `DataWriter.java:400-414`;
     * Hive's MSCK REPAIR). */
-  def syncPartitions(spark: SparkSession, table: String): Unit =
-    spark.sql(s"MSCK REPAIR TABLE ${q(table)}")
+  def syncPartitions(spark: SparkSession, table: String,
+                     database: Option[String] = None): Unit =
+    spark.sql(s"MSCK REPAIR TABLE ${qualified(database, table)}")
 
   /** C3 — register one encoded partition explicitly (the first-write
     * hook, `TopicPartitionWriter.java:787-800`). */
   def addPartition(spark: SparkSession, table: String,
-                   partitionSpec: Map[String, Any]): Unit = {
+                   partitionSpec: Map[String, Any],
+                   database: Option[String] = None): Unit = {
     val spec = partitionSpec.map {
       case (k, v: String) => s"${q(k)}=${lit(v)}"
       case (k, v) => s"${q(k)}=$v"
     }.mkString(", ")
-    spark.sql(s"ALTER TABLE ${q(table)} ADD IF NOT EXISTS PARTITION ($spec)")
+    spark.sql(s"ALTER TABLE ${qualified(database, table)} " +
+      s"ADD IF NOT EXISTS PARTITION ($spec)")
   }
 
   /** C2 — schema evolution DDL: append newly-added (nullable) columns,
     * the BACKWARD-compatible evolution the reference pushes to Hive
     * (`AvroHiveUtil.java:63-71`). */
-  def addColumns(spark: SparkSession, table: String, newCols: StructType): Unit =
+  def addColumns(spark: SparkSession, table: String, newCols: StructType,
+                 database: Option[String] = None): Unit =
     if (newCols.nonEmpty)
-      spark.sql(s"ALTER TABLE ${q(table)} ADD COLUMNS (${newCols.toDDL})")
+      spark.sql(s"ALTER TABLE ${qualified(database, table)} " +
+        s"ADD COLUMNS (${newCols.toDDL})")
 
   /** Convenience: columns in `evolved` that `current` lacks. */
   def newColumnsOf(current: StructType, evolved: StructType): StructType =

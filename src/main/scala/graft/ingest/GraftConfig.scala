@@ -416,9 +416,13 @@ final case class GraftConfig(
     // text files carry only the payload line; the routing timestamp was
     // consumed by the encoder/rotation above and must not count as a
     // second payload column (dropped AFTER grouping — the rotation
-    // expressions read it)
+    // expressions read it). `timestamp.field` is dropped even when a
+    // different extractor routed the batch, so switching the extractor
+    // knob never turns a working text layout into a payload-count
+    // failure (drop ignores absent columns)
     val sized =
-      if (format == "text") grouped.drop(recordTimeColumn.toSeq: _*)
+      if (format == "text")
+        grouped.drop((recordTimeColumn.toSeq :+ timestampField).distinct: _*)
       else grouped
     BatchWriter.writeAssignedEncoded(sized, root, topic, zeroPadWidth, format)
   }

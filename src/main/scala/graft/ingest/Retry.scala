@@ -13,12 +13,20 @@ object Retry {
 
   /** Run `f`, retrying up to `attempts` total tries with `backoffMs`
     * sleep between them; rethrows the last failure. `attempts` <= 1
-    * means no retry. */
+    * means no retry.
+    *
+    * `IllegalArgumentException` (configuration/validation failures,
+    * including `SchemaProjectionException`) is NOT retried — it is
+    * deterministic, so a retry only repeats the failed work and delays
+    * the identical error. This is the analog of the reference's
+    * retriable-vs-fatal exception gate: only environment failures get
+    * the backoff path. */
   def withBackoff[T](attempts: Int, backoffMs: Long)(f: => T): T = {
     var tried = 0
     while (true) {
       try return f
       catch {
+        case e: IllegalArgumentException => throw e
         case NonFatal(e) =>
           tried += 1
           if (tried >= math.max(1, attempts)) throw e

@@ -82,9 +82,13 @@ object PipelineQueries {
   private val EmbTargetBucket = 16L
   private val EmbDims = 64
 
-  /** Data-derived rows-per-band (one cheap count against the corpus). */
+  /** Data-derived rows-per-band (one cheap count against the corpus).
+    * An empty corpus gets width 1 — matching the SQL mirror's CASE
+    * chain (q=0 ≤ 2 → 1), which must agree so both engines emit the
+    * same (empty) result instead of the Spark side throwing. */
   private def embRows(n: Long): Int =
-    math.min(EmbMaxRows, SF.recommendedRowsPerBand(n, EmbTargetBucket))
+    if (n == 0) 1
+    else math.min(EmbMaxRows, SF.recommendedRowsPerBand(n, EmbTargetBucket))
 
   /** SQL mirror of [[embRows]]: ceil(log2(ceil(n/target))) capped at
     * `EmbMaxRows`, as an exact integer CASE chain (no floating log —

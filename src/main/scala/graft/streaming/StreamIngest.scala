@@ -138,28 +138,32 @@ object StreamIngest {
   }
 
   /** Restart schema re-inference — the reference's recover-time
-    * re-read of the current schema from the file with the max
-    * committed offset (`TopicPartitionWriter.java:334-350`): the
-    * content schema of that file from the topic's COMMIT LOG, returned
-    * in the stream shape (`part` re-prepended where the layout encodes
-    * it into directories). Parquet/orc read their footer, json infers,
-    * avro decodes the container header writer schema
+    * re-read of the current schema from the latest committed file
+    * (`TopicPartitionWriter.java:334-350`, which reads each
+    * partition's max-offset file because every partition has its own
+    * writer). A stream has ONE schema across partitions, and offsets
+    * are per-partition sequences — comparing them across partitions
+    * would let an idle high-offset partition's stale pre-evolution
+    * file win — so "latest" here is by COMMIT ORDER: the newest
+    * append version in the topic's commit log (swap versions are
+    * compaction rewrites of older data and never carry new schema).
+    * The content schema is returned in the stream shape (`part`
+    * re-prepended where the layout encodes it into directories).
+    * Parquet/orc read their footer, json infers, avro decodes the
+    * container header writer schema
     * ([[AvroSink.readSchemaOf]]/[[AvroSink.structTypeFor]]); text/csv
     * carry no schema — their recovery is offsets-only (None). None
     * also for a fresh topic. */
   def committedSchema(spark: SparkSession, outDir: String, topic: String,
                       format: String = "parquet"): Option[StructType] = {
     if (format != "avro" && !Set("parquet", "orc", "json")(format)) return None
-    val re = FileNaming.CommittedFilenameRegex.r
-    val files = CommitLog.snapshot(spark, outDir, topic).flatMap { rel =>
-      rel.split('/').last match {
-        case re(t, _, _, e, _) if t == topic => Some(e.toLong -> rel)
-        case _ => None
-      }
-    }
-    if (files.isEmpty) return None
-    val rel = files.maxBy(identity)._2
-    val path = s"$outDir/$topic/$rel"
+    val latest = CommitLog.latestVersion(spark, outDir, topic)
+    val newestAppend = (latest to 0L by -1).iterator
+      .map(v => CommitLog.changesAt(spark, outDir, topic, v))
+      .collectFirst { case (adds, removes) if removes.isEmpty && adds.nonEmpty =>
+        adds.max } // all files of one append share a batch's schema
+    if (newestAppend.isEmpty) return None
+    val path = s"$outDir/$topic/${newestAppend.get}"
     val content =
       if (format == "avro")
         AvroSink.structTypeFor(AvroSink.readSchemaOf(spark, path))
@@ -195,8 +199,21 @@ object StreamIngest {
       case None => identity
       case Some(cur) => batch => {
         val adds = batch.columns.exists(c => !cur.fieldNames.contains(c))
-        if (adds && cfg.schemaCompatibility != "FORWARD") batch
-        else SchemaEvolution.project(batch, cur)
+        if (adds && cfg.schemaCompatibility != "FORWARD") {
+          // adopting means new files carry the stream's schema — a
+          // stream that ALSO drops committed columns is a rename or
+          // deletion masquerading as an addition, and adopting it
+          // would silently vanish a column mid-topic (the reference's
+          // projector fails such records instead)
+          val drops = cur.fieldNames.filterNot(batch.columns.contains)
+          if (drops.nonEmpty)
+            throw new SchemaEvolution.SchemaProjectionException(
+              s"stream schema adds columns but also drops committed " +
+                s"column(s) ${drops.mkString(", ")} — not a " +
+                s"${cfg.schemaCompatibility}-compatible evolution; " +
+                "project explicitly or use schema.compatibility=NONE")
+          batch
+        } else SchemaEvolution.project(batch, cur)
       }
     }
 
@@ -250,6 +267,11 @@ object StreamIngest {
       "multi-topic streaming supports the default layout without " +
         "interval rotation; run encoded/rotated topics through the " +
         "single-topic startLogged(cfg) overload")
+    require(cfg.schemaCompatibility == "NONE",
+      "multi-topic streaming does not run restart schema recovery " +
+        "(each topic would need its own recovered schema); run " +
+        "schema.compatibility topics through the single-topic " +
+        "startLogged(cfg) overload")
     startLoggedMulti(stream, cfg.topicsRoot(outDir), cfg.flushSize,
       checkpoint, trigger = cfgTrigger(cfg), format = cfg.format,
       pad = cfg.zeroPadWidth, writeRetries = 2,
@@ -258,11 +280,23 @@ object StreamIngest {
 
   /** Stop a streaming query within the configured shutdown budget —
     * the consumer of `shutdown.timeout.ms` (the reference bounds its
-    * writer-close on task stop, `DataWriter.java:close`). Returns
-    * whether the query terminated inside the budget. */
+    * writer-close on task stop, `DataWriter.java:close`). The budget
+    * is enforced through Spark's own `spark.sql.streaming.stopTimeout`
+    * (a bare `stop()` under the default 0 waits indefinitely for the
+    * execution thread, so an awaitTermination afterwards could never
+    * time out). Returns whether the query terminated inside the
+    * budget; a `false` leaves the query draining in the background. */
   def stop(query: StreamingQuery, cfg: GraftConfig): Boolean = {
-    query.stop()
-    query.awaitTermination(cfg.shutdownTimeoutMs)
+    val conf = query.sparkSession.conf
+    val key = "spark.sql.streaming.stopTimeout"
+    val prev = conf.getOption(key)
+    conf.set(key, cfg.shutdownTimeoutMs.toString)
+    try { query.stop(); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+    finally prev match {
+      case Some(v) => conf.set(key, v)
+      case scala.None => conf.unset(key)
+    }
   }
 
   /** Multi-topic orchestration — the reference's `DataWriter.write`

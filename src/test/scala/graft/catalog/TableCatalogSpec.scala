@@ -143,17 +143,18 @@ class TableCatalogSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("avro"))
   }
 
-  test("tables register into a target database via qualified names (hive.database analog)") {
+  test("tables register into a target database (hive.database analog); dotted names stay single identifiers") {
     val out = Files.createTempDirectory("graft-cat-db").toString
     val df = Seq((0L, 0L, "x")).toDF("part", "off", "payload")
     BatchWriter.write(df, out, "tdb", flushSize = 2)
     TableCatalog.createDatabase(spark, "graft_db")
     spark.sql("DROP TABLE IF EXISTS graft_db.events_db")
-    TableCatalog.createExternalTable(spark, "graft_db.events_db", s"$out/tdb",
+    TableCatalog.createExternalTable(spark, "events_db", s"$out/tdb",
       dataSchema = StructType(Seq(
         StructField("off", LongType), StructField("payload", StringType))),
-      partitionCols = Seq("partition" -> "BIGINT"))
-    TableCatalog.syncPartitions(spark, "graft_db.events_db")
+      partitionCols = Seq("partition" -> "BIGINT"),
+      database = Some("graft_db"))
+    TableCatalog.syncPartitions(spark, "events_db", database = Some("graft_db"))
     assert(spark.sql("SELECT count(*) FROM graft_db.events_db")
       .as[Long].head() === 1)
     // the table lives in the target namespace, not default
@@ -161,6 +162,20 @@ class TableCatalogSpec extends SparkSuite {
       .map(_.getString(1)).contains("events_db"))
     spark.sql("DROP TABLE graft_db.events_db")
     spark.sql("DROP DATABASE graft_db")
+
+    // a DOTTED table name (legal Kafka topic charset) stays ONE quoted
+    // identifier — Spark's catalog then rejects it with its own
+    // invalid-name error. The guarded regression: dot-splitting the
+    // name would instead emit `events`.`v2` and either fail with a
+    // misleading missing-database error or land the table in a foreign
+    // namespace.
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      TableCatalog.createExternalTable(spark, "events.v2", s"$out/tdb",
+        dataSchema = StructType(Seq(
+          StructField("off", LongType), StructField("payload", StringType))),
+        partitionCols = Seq("partition" -> "BIGINT"))
+    }
+    assert(e.getMessage.contains("not a valid name"), e.getMessage)
   }
 
   test("partition values with quotes are escaped, not injected") {

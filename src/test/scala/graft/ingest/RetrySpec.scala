@@ -32,6 +32,16 @@ class RetrySpec extends AnyFunSuite {
     assert(e.getMessage === "boom 3") // the LAST failure propagates
   }
 
+  test("IllegalArgumentException is deterministic — never retried") {
+    var calls = 0
+    intercept[IllegalArgumentException] {
+      Retry.withBackoff(attempts = 3, backoffMs = 0) {
+        calls += 1; throw new IllegalArgumentException("bad config")
+      }
+    }
+    assert(calls === 1)
+  }
+
   test("attempts <= 1 means no retry") {
     var calls = 0
     intercept[RuntimeException] {
