@@ -245,6 +245,36 @@ object PipelineQueries {
        |lsh AS (SELECT q_id, neighbor_id, dot, rnk FROM lr WHERE rnk <= 5)"""
       .stripMargin
 
+  /** Connected components over the verified embedding near-dup pairs
+    * (vec_id, cluster_id = min reachable id), unordered — shared by
+    * `dedup_embedding_clusters` and the canonical-representative
+    * selection. */
+  private def embClustersFrame(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    val (pairs, release) = embNearDupPairs(s, d)
+    val comp = graft.operators.ConnectedComponents.run(
+      Tables.embeddings(s, d).select(col("vec_id").as("id")),
+      pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
+    // run() materialized every round (localCheckpoint) — the cached
+    // signature frame is no longer reachable from the result
+    release()
+    comp.select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+  }
+
+  /** DuckDB mirror of [[embClustersFrame]]: CTE chain (prepend
+    * `WITH RECURSIVE`), ending in `eclusters` = (vec_id, cluster_id);
+    * `qv` (quantized vectors) stays in scope for consumers. */
+  private def embClustersSql: String =
+    s"""$embPairsSql,
+       |ed AS (SELECT vec_a AS src, vec_b AS dst FROM vp
+       |  UNION SELECT vec_b, vec_a FROM vp),
+       |reach(id, comp) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id),
+       |eclusters AS (SELECT id AS vec_id, min(comp) AS cluster_id
+       |  FROM reach GROUP BY id)""".stripMargin
+
   private val mmP = DF.MinhashPrime
 
   /** Native hash60 (same md5 value as `TF.hash60`, no hex-string
@@ -1031,29 +1061,74 @@ object PipelineQueries {
     //      one representative per cluster (dedup_canonical_docs'
     //      selection applies unchanged). ----
     QuerySpec("dedup_embedding_clusters",
+      (s, d) => embClustersFrame(s, d).orderBy(col("vec_id")),
+      Some(
+        s"""WITH RECURSIVE $embClustersSql
+           |SELECT vec_id, cluster_id FROM eclusters
+           |ORDER BY vec_id""".stripMargin)),
+
+    // ---- Canonical-representative selection for the embedding
+    //      clusters — the lifecycle step after clustering: per cluster,
+    //      the member nearest the cluster's floor-mean centroid
+    //      (integer-exact, the k-means update's arithmetic), ties to
+    //      the lower id. Documents have a quality score to keep
+    //      (dedup_canonical_docs); embeddings keep the most CENTRAL
+    //      member. Scale shape: the centroid is a (cluster, dim)
+    //      partial-sum aggregate (map-side combined, like
+    //      KMeans.recompute but fully distributed — clusters are
+    //      data-scale, so NO driver collect), and the pick is a
+    //      lexicographic min-struct aggregate — no window over the
+    //      corpus. ----
+    QuerySpec("dedup_embedding_canonical",
       (s, d) => {
-        val (pairs, release) = embNearDupPairs(s, d)
-        val comp = graft.operators.ConnectedComponents.run(
-          Tables.embeddings(s, d).select(col("vec_id").as("id")),
-          pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
-        // run() materialized every round (localCheckpoint) — the cached
-        // signature frame is no longer reachable from the result
-        release()
-        comp.select(col("id").as("vec_id"), col("comp").as("cluster_id"))
-          .orderBy(col("vec_id"))
+        NativeExpressions.register(s)
+        val qv = Tables.embeddings(s, d).select(col("vec_id"),
+          SF.quantize(col("embedding")).as("v"))
+        val j = embClustersFrame(s, d).join(qv, Seq("vec_id")).persist()
+        val cents = j
+          .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cluster_id"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("cluster_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
+            max(col("n")).as("n"))
+          .selectExpr("cluster_id",
+            "transform(ps, p -> ((p.s - ((p.s % n) + n) % n) div n)) AS cv",
+            "n AS n_members")
+        val d2 = call_function("dot_i64", col("v"), col("v")) -
+          lit(2L) * call_function("dot_i64", col("v"), col("cv")) +
+          call_function("dot_i64", col("cv"), col("cv"))
+        val out = j.join(cents, Seq("cluster_id"))
+          .select(col("cluster_id"), col("n_members"),
+            struct(d2.as("d2"), col("vec_id").as("id")).as("cand"))
+          .groupBy(col("cluster_id"))
+          .agg(min(col("cand")).as("best"), max(col("n_members")).as("n_members"))
+          .select(col("cluster_id"), col("best.id").as("rep_id"),
+            col("best.d2").as("rep_d2"), col("n_members"))
+          .orderBy(col("cluster_id"))
+        j.unpersist()
+        out
       },
       Some(
-        s"""WITH RECURSIVE $embPairsSql,
-           |ed AS (SELECT vec_a AS src, vec_b AS dst FROM vp
-           |  UNION SELECT vec_b, vec_a FROM vp),
-           |reach(id, comp) AS (
-           |  SELECT vec_id, vec_id FROM embeddings
-           |  UNION
-           |  SELECT e.dst, r.comp FROM reach r JOIN ed e ON e.src = r.id),
-           |clusters AS (SELECT id AS vec_id, min(comp) AS cluster_id
-           |  FROM reach GROUP BY id)
-           |SELECT vec_id, cluster_id FROM clusters
-           |ORDER BY vec_id""".stripMargin)),
+        s"""WITH RECURSIVE $embClustersSql,
+           |jv AS (SELECT cluster_id, c.vec_id, v
+           |  FROM eclusters c JOIN qv ON qv.vec_id = c.vec_id),
+           |cj AS (SELECT cluster_id, j, CAST(sum(v[j]) AS BIGINT) AS s,
+           |    count(*) AS n
+           |  FROM jv CROSS JOIN range(1, ${EmbDims + 1}) t(j) GROUP BY 1, 2),
+           |cent AS (SELECT cluster_id,
+           |    list(((s - ((s % n) + n) % n) // n) ORDER BY j) AS cv,
+           |    max(n) AS n_members
+           |  FROM cj GROUP BY cluster_id),
+           |dd AS (SELECT jv.cluster_id, vec_id, n_members,
+           |    CAST(list_sum(list_transform(list_zip(v, cv),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+           |  FROM jv JOIN cent ON cent.cluster_id = jv.cluster_id),
+           |rr AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           |    ORDER BY d2 ASC, vec_id ASC) AS rnk FROM dd)
+           |SELECT cluster_id, vec_id AS rep_id, d2 AS rep_d2, n_members
+           |FROM rr WHERE rnk = 1
+           |ORDER BY cluster_id""".stripMargin)),
 
     // ---- IVF-style ANN with banded multiprobe: each band key is a
     //      coarse-quantizer cell and a query probes all `EmbBands` of
