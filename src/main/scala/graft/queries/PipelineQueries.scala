@@ -160,10 +160,10 @@ object PipelineQueries {
     (pairs, () => { withB.unpersist(); () })
   }
 
-  /** DuckDB mirror of [[embNearDupPairs]]: the CTE chain (prepend
-    * `WITH`, or `WITH RECURSIVE` when chaining a recursive consumer),
-    * ending in CTE `vp` = (vec_a, vec_b, cosine). */
-  private def embPairsSql: String =
+  /** DuckDB CTE prefix shared by every banded-blocking consumer:
+    * `prm` (derived width), `qv` (quantized vectors) and `wb`
+    * (vec_id, v, n2, keys). Prepend `WITH`/`WITH RECURSIVE`. */
+  private def embWbSql: String =
     s"""$embPrmSql,
        |qv AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
@@ -171,7 +171,13 @@ object PipelineQueries {
        |wb AS (SELECT vec_id, v,
        |    CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
        |    ${bandedKeysMaskedSql(EmbBands, EmbDims, "v")} AS keys
-       |  FROM qv CROSS JOIN prm),
+       |  FROM qv CROSS JOIN prm)""".stripMargin
+
+  /** DuckDB mirror of [[embNearDupPairs]]: the CTE chain (prepend
+    * `WITH`, or `WITH RECURSIVE` when chaining a recursive consumer),
+    * ending in CTE `vp` = (vec_a, vec_b, cosine). */
+  private def embPairsSql: String =
+    s"""$embWbSql,
        |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
@@ -1129,6 +1135,59 @@ object PipelineQueries {
            |SELECT cluster_id, vec_id AS rep_id, d2 AS rep_d2, n_members
            |FROM rr WHERE rnk = 1
            |ORDER BY cluster_id""".stripMargin)),
+
+    // ---- Incremental embedding dedup: admit only the NEW vectors
+    //      (vec_id < 50, the arriving batch) with no verified near-dup
+    //      in the existing corpus — the ingestion-time gate a training
+    //      pipeline runs before appending, the embedding twin of
+    //      dedup_incremental's fingerprint anti-join. Scale shape: the
+    //      new batch's band keys BROADCAST into the corpus keys (a
+    //      batch is tiny next to a corpus — the corpus never shuffles
+    //      for the join), exact cosine verifies candidates only, and
+    //      the admit decision is a broadcast anti-join. ----
+    QuerySpec("dedup_embedding_incremental",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val rows = embRows(Tables.embeddings(s, d).count())
+        val qv = Tables.embeddings(s, d).select(col("vec_id"),
+          SF.quantize(col("embedding")).as("v"))
+        val withB = qv.select(col("vec_id"), col("v"),
+          SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+            EmbMaxRows).as("keys"),
+          SF.intDot(col("v"), col("v")).as("n2")).persist()
+        val nk = withB.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("new_id"), explode(col("keys")).as("k"))
+        val ck = withB.filter(col("vec_id") >= 50)
+          .select(col("vec_id").as("c_id"), explode(col("keys")).as("k"))
+        val cand = ck.join(broadcast(nk), Seq("k"))
+          .select(col("new_id"), col("c_id")).distinct()
+        val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
+          (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
+        val dupNew = cand
+          .join(withB.as("x"), col("new_id") === col("x.vec_id"))
+          .join(withB.as("y"), col("c_id") === col("y.vec_id"))
+          .filter(cos >= 0.35)
+          .select(col("new_id")).distinct()
+        withB.filter(col("vec_id") < 50).select(col("vec_id"))
+          .join(broadcast(dupNew), col("vec_id") === col("new_id"), "left_anti")
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH $embWbSql,
+           |nk AS (SELECT vec_id AS new_id, unnest(keys) AS k FROM wb
+           |  WHERE vec_id < 50),
+           |ck AS (SELECT vec_id AS c_id, unnest(keys) AS k FROM wb
+           |  WHERE vec_id >= 50),
+           |cand AS (SELECT DISTINCT new_id, c_id FROM nk JOIN ck USING (k)),
+           |pd AS (SELECT new_id, c_id,
+           |    CAST(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+           |    x.n2 AS na2, y.n2 AS nb2
+           |  FROM cand JOIN wb x ON x.vec_id = new_id JOIN wb y ON y.vec_id = c_id),
+           |dup AS (SELECT DISTINCT new_id FROM pd
+           |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id < 50 AND vec_id NOT IN (SELECT new_id FROM dup)
+           |ORDER BY vec_id""".stripMargin)),
 
     // ---- IVF-style ANN with banded multiprobe: each band key is a
     //      coarse-quantizer cell and a query probes all `EmbBands` of

@@ -253,6 +253,17 @@ object StreamIngest {
           manifest.map(c => relPath(root, topic, c.path))))
   }
 
+  /** [[startLogged]] against the configured store root — the streaming
+    * consumer of `store.url`/`hdfs.url` (same precedence as
+    * `GraftConfig.write(df, topic)`). */
+  def startLogged(stream: DataFrame, topic: String, cfg: GraftConfig,
+                  checkpoint: String): StreamingQuery =
+    startLogged(stream, cfg.storeUrl.getOrElse(
+      throw new IllegalArgumentException(
+        "no store root configured: set store.url (or hdfs.url), or " +
+          "call startLogged(stream, outDir, topic, cfg, checkpoint)")),
+      topic, cfg, checkpoint)
+
   /** [[startLoggedMulti]] driven by a validated [[GraftConfig]]:
     * flush size, format (including Avro with its codec, via the
     * per-topic AvroSink fan-out), zero-pad width, `topics.dir` root,

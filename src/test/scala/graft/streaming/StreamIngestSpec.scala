@@ -294,6 +294,27 @@ class StreamIngestSpec extends SparkSuite {
     assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
   }
 
+  test("startLogged(topic, cfg) streams against the configured store root") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-stream-storeurl").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-storeurl").toString
+    val cfg = GraftConfig(Map("flush.size" -> "2", "store.url" -> out))
+    val s = MemoryStream[(Long, Long, String)]
+    val q = StreamIngest.startLogged(
+      s.toDF().toDF("part", "off", "payload"), "t", cfg, ckpt)
+    s.addData((0L, 0L, "a"))
+    q.processAllAvailable()
+    q.stop()
+    assert(CommitLog.maxOffsets(spark, cfg.topicsRoot(out), "t") === Map(0L -> 0L))
+    val e = intercept[IllegalArgumentException] {
+      StreamIngest.startLogged(s.toDF().toDF("part", "off", "payload"), "t",
+        GraftConfig(Map("flush.size" -> "2")), ckpt)
+    }
+    assert(e.getMessage.contains("no store root configured"))
+  }
+
   test("FORWARD restart re-infers the committed schema and projects the stream onto it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
