@@ -95,9 +95,15 @@ object AvroSink {
                    path: String): Schema = {
     val p = new Path(path)
     val f = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    val ds = new org.apache.avro.file.DataFileStream[GenericRecord](
-      f.open(p), new GenericDatumReader[GenericRecord]())
-    try ds.getSchema finally ds.close()
+    // open the raw stream first so a corrupt/truncated container (the
+    // DataFileStream constructor throwing before the val is assigned)
+    // still closes the handle — recovery probes a file per restart
+    val in = f.open(p)
+    try {
+      val ds = new org.apache.avro.file.DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try ds.getSchema finally ds.close()
+    } finally in.close()
   }
 
   private def toAvro(v: Any): Any = v match {
