@@ -51,6 +51,7 @@ object Bench {
           }
         // outside the timer: drop intermediates the query persist()ed so
         // they can't pressure later queries' memory (or run 2's timing)
+        graft.queries.TrackedCache.releaseAll()
         spark.catalog.clearCache()
         sec
       }

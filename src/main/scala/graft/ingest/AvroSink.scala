@@ -171,8 +171,10 @@ object AvroSink {
       val destDir = new Path(s"$outDir/$topic/partition=$p")
       fs.mkdirs(destDir)
       val dest = new Path(destDir, FileNaming.encodeName(topic, p.toInt, s, e, ".avro", pad))
-      if (!fs.exists(dest))
-        require(fs.rename(src, dest), s"rename failed: $src -> $dest")
+      // environment failure → IOException so Retry.withBackoff re-runs
+      // it (require/IAE is reserved for deterministic config errors)
+      if (!fs.exists(dest) && !fs.rename(src, dest))
+        throw new java.io.IOException(s"rename failed: $src -> $dest")
       BatchWriter.CommittedFile(topic, p, i, s, e, dest.toString)
     }
     fs.delete(new Path(staged), true)

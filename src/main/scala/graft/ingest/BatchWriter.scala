@@ -196,8 +196,11 @@ object BatchWriter {
       // rename failure returns false (it does not throw) — surfacing it
       // here is what keeps "committed" truthful; swallowing it would
       // advance the stream checkpoint past data that never landed.
-      if (!fs.exists(dest))
-        require(fs.rename(srcs.head.getPath, dest),
+      // IOException, not require: this is an ENVIRONMENT failure, the
+      // class Retry.withBackoff re-runs (IllegalArgumentException is
+      // its deterministic-config fast-fail).
+      if (!fs.exists(dest) && !fs.rename(srcs.head.getPath, dest))
+        throw new java.io.IOException(
           s"rename failed: ${srcs.head.getPath} -> $dest")
       CommittedFile(t, p, i, s, e, dest.toString)
     }

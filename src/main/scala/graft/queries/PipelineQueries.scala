@@ -133,14 +133,7 @@ object PipelineQueries {
   private def embNearDupPairs(s: org.apache.spark.sql.SparkSession,
                               d: String)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
-    NativeExpressions.register(s)
-    val rows = embRows(Tables.embeddings(s, d).count())
-    val qv = Tables.embeddings(s, d).select(col("vec_id"),
-      SF.quantize(col("embedding")).as("v"))
-    val withB = qv.select(col("vec_id"), col("v"),
-      SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
-        EmbMaxRows).as("keys"),
-      SF.intDot(col("v"), col("v")).as("n2")).persist()
+    val (withB, release) = embSignatureFrame(s, d)
     val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
     val cand = bk.as("a").join(bk.as("b"),
         col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
@@ -157,7 +150,26 @@ object PipelineQueries {
       (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
     val pairs = joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
       .filter(col("cosine") >= 0.35)
-    (pairs, () => { withB.unpersist(); () })
+    (pairs, release)
+  }
+
+  /** The PERSISTED banded-signature frame (vec_id, v, keys, n2) every
+    * embedding blocking consumer shares — quantized vector, derived-
+    * width band keys, squared norm. Eagerly-materializing callers
+    * release via the thunk; lazy callers leave it to the harness's
+    * [[TrackedCache.releaseAll]] after the query materializes. */
+  private def embSignatureFrame(s: org.apache.spark.sql.SparkSession,
+                                d: String)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    NativeExpressions.register(s)
+    val rows = embRows(Tables.embeddings(s, d).count())
+    val qv = Tables.embeddings(s, d).select(col("vec_id"),
+      SF.quantize(col("embedding")).as("v"))
+    val withB = TrackedCache.persist(qv.select(col("vec_id"), col("v"),
+      SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
+        EmbMaxRows).as("keys"),
+      SF.intDot(col("v"), col("v")).as("n2")))
+    (withB, () => TrackedCache.release(withB))
   }
 
   /** DuckDB CTE prefix shared by every banded-blocking consumer:
@@ -199,13 +211,7 @@ object PipelineQueries {
     * `sim_ivf_topk` and the `sim_lsh_recall` evaluation. */
   private def bandedTopk(s: org.apache.spark.sql.SparkSession,
                          d: String): org.apache.spark.sql.DataFrame = {
-    val rows = embRows(Tables.embeddings(s, d).count())
-    val qv = Tables.embeddings(s, d).select(col("vec_id"),
-      SF.quantize(col("embedding")).as("v"))
-    val withK = qv.select(col("vec_id"), col("v"),
-      SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
-        EmbMaxRows).as("keys"))
-      .persist()
+    val (withK, _) = embSignatureFrame(s, d)
     val bk = withK.select(col("vec_id"), explode(col("keys")).as("k"))
     val qk = bk.filter(col("vec_id").isin(0L, 1L, 2L))
       .select(col("vec_id").as("q_id"), col("k"))
@@ -575,8 +581,8 @@ object PipelineQueries {
         // persist before the self-join: both join sides would otherwise
         // re-run the whole shingle→hash→signature pipeline; bands is
         // tiny relative to the documents (4 short strings per doc)
-        val bands = sig.select(col("doc_id"),
-          explode(DF.bandKeys(sigCols, 4)).as("band")).persist()
+        val bands = TrackedCache.persist(sig.select(col("doc_id"),
+          explode(DF.bandKeys(sigCols, 4)).as("band")))
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -743,7 +749,7 @@ object PipelineQueries {
     QuerySpec("dedup_simhash_pairs",
       (s, d) => {
         NativeExpressions.register(s)
-        val sig = simhash64Bands(s, d).persist()
+        val sig = TrackedCache.persist(simhash64Bands(s, d))
         val nBands = 4
         val bands = sig.select(
           col("doc_id") +: (0 until nBands).map(b => col(s"band$b")) :+
@@ -1090,7 +1096,11 @@ object PipelineQueries {
         NativeExpressions.register(s)
         val qv = Tables.embeddings(s, d).select(col("vec_id"),
           SF.quantize(col("embedding")).as("v"))
-        val j = embClustersFrame(s, d).join(qv, Seq("vec_id")).persist()
+        // tracked, not released here: the lambda returns `out` LAZY, so
+        // an unpersist before the harness materializes it would make
+        // this cache a silent no-op for both consumers below
+        val j = TrackedCache.persist(
+          embClustersFrame(s, d).join(qv, Seq("vec_id")))
         val cents = j
           .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("cluster_id"), col("pos"))
@@ -1112,7 +1122,6 @@ object PipelineQueries {
           .select(col("cluster_id"), col("best.id").as("rep_id"),
             col("best.d2").as("rep_d2"), col("n_members"))
           .orderBy(col("cluster_id"))
-        j.unpersist()
         out
       },
       Some(
@@ -1147,14 +1156,7 @@ object PipelineQueries {
     //      the admit decision is a broadcast anti-join. ----
     QuerySpec("dedup_embedding_incremental",
       (s, d) => {
-        NativeExpressions.register(s)
-        val rows = embRows(Tables.embeddings(s, d).count())
-        val qv = Tables.embeddings(s, d).select(col("vec_id"),
-          SF.quantize(col("embedding")).as("v"))
-        val withB = qv.select(col("vec_id"), col("v"),
-          SF.bandedLshKeysQ(col("v"), EmbBands, rows, EmbDims,
-            EmbMaxRows).as("keys"),
-          SF.intDot(col("v"), col("v")).as("n2")).persist()
+        val (withB, _) = embSignatureFrame(s, d)
         val nk = withB.filter(col("vec_id") < 50)
           .select(col("vec_id").as("new_id"), explode(col("keys")).as("k"))
         val ck = withB.filter(col("vec_id") >= 50)
@@ -1263,9 +1265,9 @@ object PipelineQueries {
     //      streams through a semi-join, no shuffle of the corpus. ----
     QuerySpec("decontaminate_eval_overlap",
       (s, d) => {
-        val grams = Tables.documents(s, d).select(col("doc_id"),
-          explode(TF.shingles(TF.tokens(col("text")), 8)).as("g"))
-          .persist() // shared by the eval and training branches
+        val grams = TrackedCache.persist( // shared by eval + training branches
+          Tables.documents(s, d).select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 8)).as("g")))
         val evalGrams = grams.filter(col("doc_id") < 25)
           .select(col("g")).distinct()
         grams.filter(col("doc_id") >= 25)

@@ -37,6 +37,29 @@ private[queries] object OracleSql {
   }
 }
 
+/** Session-lifetime cache ledger for query-built frames. A QuerySpec
+  * lambda returns a LAZY DataFrame (plan pins inspect it unexecuted),
+  * so a frame it persists for multi-consumer reuse cannot be released
+  * inside the lambda — the harness calls [[releaseAll]] AFTER
+  * materializing each query, closing what would otherwise leak cache
+  * blocks into a long-lived session. Eagerly-materializing builders
+  * (connected components) still release early via [[release]];
+  * double-release is a no-op. */
+object TrackedCache {
+  private val frames =
+    scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+  def persist(df: DataFrame): DataFrame = synchronized { frames += df; df.persist() }
+  def release(df: DataFrame): Unit = synchronized {
+    df.unpersist()
+    frames -= df
+    ()
+  }
+  def releaseAll(): Unit = synchronized {
+    frames.foreach(_.unpersist())
+    frames.clear()
+  }
+}
+
 object QuerySpec {
   /** The derived "Kafka stream at rest" view of the `events` table:
     * topic/partition/offset columns synthesized deterministically so

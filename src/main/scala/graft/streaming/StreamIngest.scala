@@ -158,10 +158,25 @@ object StreamIngest {
                       format: String = "parquet"): Option[StructType] = {
     if (format != "avro" && !Set("parquet", "orc", "json")(format)) return None
     val latest = CommitLog.latestVersion(spark, outDir, topic)
-    val newestAppend = (latest to 0L by -1).iterator
+    // only still-LIVE files are readable: a later compaction swap may
+    // have removed an append's files and vacuum physically deleted
+    // them — resolving one of those would wedge every restart
+    val live = CommitLog.snapshot(spark, outDir, topic).toSet
+    val perVersion = (latest to 0L by -1).iterator
       .map(v => CommitLog.changesAt(spark, outDir, topic, v))
-      .collectFirst { case (adds, removes) if removes.isEmpty && adds.nonEmpty =>
-        adds.max } // all files of one append share a batch's schema
+      .map { case (adds, removes) => (adds.filter(live), removes) }
+    var appendPick = Option.empty[String] // newest live append file
+    var anyPick = Option.empty[String] // newest live file of any kind
+    perVersion.takeWhile(_ => appendPick.isEmpty).foreach {
+      case (liveAdds, removes) if liveAdds.nonEmpty =>
+        if (anyPick.isEmpty) anyPick = Some(liveAdds.max)
+        // all files of one append share a batch's schema
+        if (removes.isEmpty) appendPick = Some(liveAdds.max)
+      case _ => ()
+    }
+    // every append compacted away → the swap's rewrite carries the
+    // same rows (and at least as new a schema as what it replaced)
+    val newestAppend = appendPick.orElse(anyPick)
     if (newestAppend.isEmpty) return None
     val path = s"$outDir/$topic/${newestAppend.get}"
     val content =
@@ -301,7 +316,9 @@ object StreamIngest {
     val conf = query.sparkSession.conf
     val key = "spark.sql.streaming.stopTimeout"
     val prev = conf.getOption(key)
-    conf.set(key, cfg.shutdownTimeoutMs.toString)
+    // Spark reads stopTimeout 0 as WAIT INDEFINITELY — the inverse of
+    // a zero budget; clamp to the smallest finite wait instead
+    conf.set(key, math.max(1L, cfg.shutdownTimeoutMs).toString)
     try { query.stop(); true }
     catch { case _: java.util.concurrent.TimeoutException => false }
     finally prev match {

@@ -373,13 +373,18 @@ class GraftConfigSpec extends SparkSuite {
     GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "daily",
       "timestamp.extractor" -> "Record")).write(df, outR, "t")
     assert(new java.io.File(s"$outR/topics/t/year=2027/month=07/day=04").exists())
-    // Wallclock stamps the write time: the record lands under today
+    // Wallclock stamps the write time: the record lands under today —
+    // captured BEFORE and AFTER the write, accepting either, so a run
+    // straddling UTC midnight can't flake
     val outW = Files.createTempDirectory("cfg-exwall").toString
+    val before = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
     GraftConfig(Map("flush.size" -> "10", "partitioner.class" -> "daily",
       "timestamp.extractor" -> "Wallclock")).write(df, outW, "t")
-    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
-    assert(new java.io.File(f"$outW/topics/t/year=${today.getYear}%04d/" +
-      f"month=${today.getMonthValue}%02d/day=${today.getDayOfMonth}%02d").exists())
+    val after = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+    def dayDir(d: java.time.LocalDate) =
+      new java.io.File(f"$outW/topics/t/year=${d.getYear}%04d/" +
+        f"month=${d.getMonthValue}%02d/day=${d.getDayOfMonth}%02d")
+    assert(dayDir(before).exists() || dayDir(after).exists())
     // unknown extractor fails with the roster
     val e = intercept[IllegalArgumentException] {
       GraftConfig(base + ("timestamp.extractor" -> "Sundial"))

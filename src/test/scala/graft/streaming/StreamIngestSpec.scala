@@ -355,6 +355,30 @@ class StreamIngestSpec extends SparkSuite {
     assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
   }
 
+  test("schema recovery survives compaction + vacuum of the appends it would read") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-stream-compactrec").toString
+    val cfg = GraftConfig(Map("flush.size" -> "1"))
+    val root = cfg.topicsRoot(out)
+    val ckpt = Files.createTempDirectory("graft-ckpt-compactrec").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = StreamIngest.startLogged(
+      s.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt)
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // compaction swallows every append's files into one swap rewrite,
+    // vacuum physically deletes them (grace 0) — recovery must resolve
+    // a LIVE file, not the newest append's deleted one
+    CommitLog.compactLogged(spark, root, "t", targetRecords = 100L)
+    val deleted = CommitLog.vacuum(spark, root, "t", graceMs = 0L)
+    assert(deleted.nonEmpty, "vacuum should have reclaimed the compacted appends")
+    assert(StreamIngest.committedSchema(spark, root, "t").map(_.fieldNames.toSeq)
+      === Some(Seq("part", "off", "payload")))
+  }
+
   test("FORWARD restart recovers the avro container schema and projects onto it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
