@@ -26,6 +26,11 @@ object CurationQueries {
   private val PackShard = 64L
   /** Token-window width for chunk_documents. */
   private val ChunkW = 32
+  /** shuffle_shards: hash-range bucket count (at corpus scale set
+    * ~4096 so each ranking task sees ~n/buckets rows — see
+    * `operators/Shuffle`) and rows per training shard. */
+  private val ShufBuckets = 16
+  private val ShufShardDocs = 64L
 
   /** Mixture-rebalancing core (shared by `sample_balanced_sources` and
     * its skewed-source unit test): downsample every source to the
@@ -215,6 +220,34 @@ object CurationQueries {
               |SELECT doc_id, n_tokens, tok_start,
               |  (tok_start // $PackCtx)::BIGINT AS bin
               |FROM c ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- Deterministic corpus shuffle + sharding: the global shuffle
+    //      every pretraining run does before cutting training shards —
+    //      order by an epoch-salted id-keyed hash (reproducible across
+    //      runs, engines, and re-partitioning; re-salt for the next
+    //      epoch) and assign each doc its shuffled position and shard.
+    //      Position via operators/Shuffle's two-level ranking over
+    //      uniform hash-range buckets — the oracle is the single-window
+    //      global rank the distributed form must equal exactly. ----
+    QuerySpec("shuffle_shards",
+      (s, d) => {
+        val h = Tables.documents(s, d).select(col("doc_id"),
+          TF.hash60(concat(lit("shuf0:"), col("doc_id").cast("string")))
+            .as("h"))
+        graft.operators.Shuffle
+          .withShards(h, "h", "doc_id", ShufBuckets, ShufShardDocs)
+          .select(col("doc_id"), col("h"), col("pos"), col("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+              |    ${h60("'shuf0:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |r AS (SELECT doc_id, h,
+              |    (row_number() OVER (ORDER BY h, doc_id) - 1)::BIGINT AS pos
+              |  FROM h)
+              |SELECT doc_id, h, pos, (pos // $ShufShardDocs)::BIGINT AS shard
+              |FROM r ORDER BY doc_id""".stripMargin),
       bench = true),
 
     // ---- Document chunking: split each document into fixed 32-token
