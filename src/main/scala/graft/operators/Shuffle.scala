@@ -41,15 +41,21 @@ object Shuffle {
   def withShufflePosition(df: DataFrame, hashCol: String, tieCol: String,
                           buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!df.columns.contains("pos"),
+      "input already has a 'pos' column — rename it before ranking")
     val span = (1L << 60) / buckets
     // least() guards the degenerate top-of-range value; collision-safe
-    // internal names so a caller's own columns survive untouched
+    // internal names so the caller's OTHER columns survive untouched
     val b = df.withColumn("__shuf_bucket",
       least(expr(s"$hashCol div ${span}L"), lit(buckets - 1L)))
+    // exclusive running count, not row_number(): RowNumber is
+    // int-typed and would silently wrap past 2^31-1 rows in a bucket —
+    // the sum stays long-exact at any per-bucket size (Packing's rule)
     val wLocal = Window.partitionBy(col("__shuf_bucket"))
       .orderBy(col(hashCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = b.withColumn("__shuf_local",
-      row_number().over(wLocal).cast("long") - 1L)
+      coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
     // bucket counts: one row per bucket — the metadata-scale frame
     val wBucket = Window.orderBy(col("__shuf_bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -69,6 +75,8 @@ object Shuffle {
   def withShards(df: DataFrame, hashCol: String, tieCol: String,
                  buckets: Int, rowsPerShard: Long): DataFrame = {
     require(rowsPerShard > 0, s"rowsPerShard must be positive, got $rowsPerShard")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it before sharding")
     withShufflePosition(df, hashCol, tieCol, buckets)
       .withColumn("shard", expr(s"pos div ${rowsPerShard}L"))
   }

@@ -145,8 +145,9 @@ object StreamIngest {
     * are per-partition sequences — comparing them across partitions
     * would let an idle high-offset partition's stale pre-evolution
     * file win — so "latest" here is by COMMIT ORDER: the newest
-    * append version in the topic's commit log (swap versions are
-    * compaction rewrites of older data and never carry new schema).
+    * append version in the log names the newest committed record, and
+    * the LIVE file covering that record's offset is read (the file
+    * itself when still present, its compaction rewrite otherwise).
     * The content schema is returned in the stream shape (`part`
     * re-prepended where the layout encodes it into directories).
     * Parquet/orc read their footer, json infers, avro decodes the
@@ -157,26 +158,43 @@ object StreamIngest {
   def committedSchema(spark: SparkSession, outDir: String, topic: String,
                       format: String = "parquet"): Option[StructType] = {
     if (format != "avro" && !Set("parquet", "orc", "json")(format)) return None
+    // ONE log replay: per-version (adds, removes) feed both the live
+    // set and the newest-append walk (snapshot() would re-read every
+    // version file a second time — per-restart metadata reads double)
     val latest = CommitLog.latestVersion(spark, outDir, topic)
-    // only still-LIVE files are readable: a later compaction swap may
-    // have removed an append's files and vacuum physically deleted
-    // them — resolving one of those would wedge every restart
-    val live = CommitLog.snapshot(spark, outDir, topic).toSet
-    val perVersion = (latest to 0L by -1).iterator
-      .map(v => CommitLog.changesAt(spark, outDir, topic, v))
-      .map { case (adds, removes) => (adds.filter(live), removes) }
-    var appendPick = Option.empty[String] // newest live append file
-    var anyPick = Option.empty[String] // newest live file of any kind
-    perVersion.takeWhile(_ => appendPick.isEmpty).foreach {
-      case (liveAdds, removes) if liveAdds.nonEmpty =>
-        if (anyPick.isEmpty) anyPick = Some(liveAdds.max)
-        // all files of one append share a batch's schema
-        if (removes.isEmpty) appendPick = Some(liveAdds.max)
-      case _ => ()
-    }
-    // every append compacted away → the swap's rewrite carries the
-    // same rows (and at least as new a schema as what it replaced)
-    val newestAppend = appendPick.orElse(anyPick)
+    val changes = (0L to latest).map(v =>
+      CommitLog.changesAt(spark, outDir, topic, v))
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    changes.foreach { case (adds, removes) => live ++= adds; live --= removes }
+    val re = FileNaming.CommittedFilenameRegex.r
+    def parse(rel: String): Option[(Long, Long, Long)] =
+      rel.split('/').last match {
+        case re(t, p, s, e, _) if t == topic => Some((p.toLong, s.toLong, e.toLong))
+        case _ => None
+      }
+    // The newest committed RECORD names the schema carrier, located by
+    // OFFSET, not by file liveness: the newest append's file NAMES
+    // survive in the log even after a compaction swap removed (and
+    // vacuum deleted) the files, and version order among appends IS
+    // data order — where liveness order is not (an old single-file
+    // partition stays live forever while newer appends get rewritten
+    // into swaps; preferring "newest live append" would regress the
+    // recovered schema to that stale file's).
+    val newestRec = changes.reverseIterator
+      .collectFirst { case (adds, removes)
+          if removes.isEmpty && adds.flatMap(parse).nonEmpty =>
+        adds.flatMap(parse).maxBy(t => (t._3, t._1)) }
+    if (newestRec.isEmpty) return None
+    val (recPart, _, recEnd) = newestRec.get
+    // the LIVE file holding that record: same partition, range covers
+    // it — the newest append's own file when still live, else the
+    // compaction rewrite that absorbed it (swaps preserve every row,
+    // and a rewrite's merged read carries a schema at least as new as
+    // any file it replaced). Ranges never overlap within a partition
+    // (log invariant), so the carrier is unique.
+    val newestAppend = live.toSeq.find(rel => parse(rel).exists {
+      case (p, s, e) => p == recPart && s <= recEnd && recEnd <= e
+    })
     if (newestAppend.isEmpty) return None
     val path = s"$outDir/$topic/${newestAppend.get}"
     val content =

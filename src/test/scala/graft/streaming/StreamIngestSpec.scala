@@ -379,6 +379,43 @@ class StreamIngestSpec extends SparkSuite {
       === Some(Seq("part", "off", "payload")))
   }
 
+  test("schema recovery reads the compaction rewrite, not an older live append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-stream-partialrec").toString
+    val cfg = GraftConfig(Map("flush.size" -> "1",
+      "schema.compatibility" -> "BACKWARD"))
+    val root = cfg.topicsRoot(out)
+    // partition 0: ONE pre-evolution file (a single-file group no
+    // compaction ever rewrites — it stays live forever)
+    val ckpt1 = Files.createTempDirectory("graft-ckpt-partialrec1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", cfg, ckpt1)
+    s1.addData((0L, 0L, "a"))
+    q1.processAllAvailable()
+    q1.stop()
+    // partition 1: NEWER appends under a widened (BACKWARD-adopted)
+    // schema, then compacted into one rewrite and vacuumed
+    val ckpt2 = Files.createTempDirectory("graft-ckpt-partialrec2").toString
+    val s2 = MemoryStream[(Long, Long, String, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "payload", "extra"), out, "t", cfg, ckpt2)
+    s2.addData((1L, 0L, "b", "x0"), (1L, 1L, "c", "x1"), (1L, 2L, "d", "x2"))
+    q2.processAllAvailable()
+    q2.stop()
+    CommitLog.compactLogged(spark, root, "t", targetRecords = 100L)
+    CommitLog.vacuum(spark, root, "t", graceMs = 0L)
+    // the old partition-0 file is still live, the evolved appends are
+    // not — recovery must follow the newest RECORD into its rewrite,
+    // not prefer the stale live append (which would silently project
+    // the evolved column out of every restarted batch)
+    val got = StreamIngest.committedSchema(spark, root, "t")
+    assert(got.map(_.fieldNames.toSet)
+      === Some(Set("part", "off", "payload", "extra")))
+  }
+
   test("FORWARD restart recovers the avro container schema and projects onto it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
