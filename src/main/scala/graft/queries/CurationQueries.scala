@@ -81,6 +81,40 @@ object CurationQueries {
           lit(1000000000000L).cast("decimal(38,0)"))
   }
 
+  /** Target-mixture core (shared by `sample_target_mix` and its skewed
+    * unit test): sample the corpus toward PRESCRIBED per-source mixture
+    * weights (the static DoReMi-style mix a pretraining run configures)
+    * — scaled to the largest feasible corpus, i.e. the limiting source
+    * (argmin n/w) keeps everything and every other source downsamples
+    * to w_i·n_lim/w_lim docs. Weights derive from the source NAME
+    * (w ∈ 1..4), so the op is total over any source roster. All
+    * decisions are integer-exact: the argmin compares n·(12 div w)
+    * (12 = lcm of the weight range, so the rational order is exact),
+    * and the keep gate cross-multiplies in decimal(38,0) —
+    * `(h%10⁶)·w_lim·n_src < w·n_lim·10⁶` — no division ever. */
+  private[graft] def targetMixBySource(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        (TF.hash60(concat(lit("w:"), col("source"))) % 4L) + 1L)
+    // the limiting source: per-source counts are metadata-scale, so
+    // the 1-row orderBy/limit is a driver-side decision, not a sort
+    // of data
+    val lim = perSource
+      .orderBy(expr("n_src * (12 div w)"), col("source")).limit(1)
+      .select(col("n_src").as("n_lim"), col("w").as("w_lim"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = dec(TF.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+      % 1000000L)
+    docs.join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(lim))
+      .filter(g * dec(col("w_lim")) * dec(col("n_src")) <
+        dec(col("w")) * dec(col("n_lim")) * dec(lit(1000000L)))
+      .groupBy(col("source"), col("n_src"), col("w"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- PII scrub: typed placeholders for emails / IPv4s / phone
@@ -399,6 +433,27 @@ object CurationQueries {
            |      * c.n_src) < m.mn::HUGEINT * 1000000000000)
            |SELECT source, n_src, count(*) AS n_kept FROM k
            |GROUP BY source, n_src ORDER BY source""".stripMargin
+      }),
+
+    // ---- Prescribed-mixture sampling: downsample each source toward
+    //      configured mixture WEIGHTS (the static pretraining mix),
+    //      scaled so the limiting source keeps everything — see
+    //      targetMixBySource for the integer-exact argmin + gate. ----
+    QuerySpec("sample_target_mix",
+      (s, d) => targetMixBySource(Tables.documents(s, d)),
+      Some {
+        val gate = h60("'mix:' || CAST(doc_id AS VARCHAR)")
+        val w = s"((${h60("'w:' || source")} % 4) + 1)"
+        s"""WITH c AS (SELECT source, count(*) AS n_src, $w AS w
+           |  FROM documents GROUP BY source),
+           |lim AS (SELECT n_src AS n_lim, w AS w_lim FROM c
+           |  ORDER BY n_src * (12 // w), source LIMIT 1),
+           |k AS (SELECT d.source, c.n_src, c.w
+           |  FROM documents d JOIN c ON d.source = c.source CROSS JOIN lim
+           |  WHERE ($gate % 1000000)::HUGEINT * w_lim * c.n_src
+           |      < c.w::HUGEINT * n_lim * 1000000)
+           |SELECT source, n_src, w, count(*) AS n_kept FROM k
+           |GROUP BY source, n_src, w ORDER BY source""".stripMargin
       }),
 
     // ---- The corpus card: one-row summary every curation run logs.

@@ -55,4 +55,30 @@ class CurationSpec extends SparkSuite {
     assert(expectedBig > 15L && expectedBig < 50L,
       s"sqrt damping should keep ~32 of 100, got $expectedBig")
   }
+
+  test("targetMixBySource keeps everything in the limiting source and tracks weights elsewhere") {
+    val docs = ((0L until 100L).map(i => (i, "big")) ++
+      (100L until 110L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val wOf = (s: String) => TextFunctions.hash60(s"w:$s") % 4L + 1L
+    val (wBig, wSmall) = (wOf("big"), wOf("small"))
+    // limiting source = argmin n/w, ratio ties to the lower source
+    // NAME ("big" < "small"); replay the cross-multiplied gate
+    // driver-side: (h%10⁶)·w_lim·n < w·n_lim·10⁶
+    val limIsSmall = BigInt(10) * wBig < BigInt(100) * wSmall
+    val (nLim, wLim) = if (limIsSmall) (10L, wSmall) else (100L, wBig)
+    def kept(ids: Range, nSrc: Long, w: Long): Long = ids.count { i =>
+      BigInt(TextFunctions.hash60(s"mix:$i") % 1000000L) * wLim * nSrc <
+        BigInt(w) * nLim * 1000000L
+    }.toLong
+    val got = CurationQueries.targetMixBySource(docs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      "big" -> ((100L, wBig, kept(0 until 100, 100L, wBig))),
+      "small" -> ((10L, wSmall, kept(100 until 110, 10L, wSmall)))))
+    // the limiting source's gate is rate 1 — it keeps every doc
+    if (limIsSmall) assert(got("small")._3 === 10L)
+    else assert(got("big")._3 === 100L)
+  }
 }
