@@ -49,7 +49,7 @@ object StreamIngest {
     * format in its core streaming loop,
     * `avro/AvroRecordWriterProvider.java:51-103`), everything else
     * through [[BatchWriter]]. */
-  private def writerFor(outDir: String, topic: String, flushSize: Int,
+  private[streaming] def writerFor(outDir: String, topic: String, flushSize: Int,
                         format: String, avroCodec: String,
                         pad: Int = FileNaming.DefaultZeroPadWidth)
       : DataFrame => Seq[BatchWriter.CommittedFile] =
@@ -61,7 +61,7 @@ object StreamIngest {
   /** A committed file's topic-relative path (what [[CommitLog]]
     * stores) — works for the default `partition=<p>` layout and any
     * encoded-partition layout, at any nesting depth. */
-  private def relPath(outDir: String, topic: String, path: String): String = {
+  private[streaming] def relPath(outDir: String, topic: String, path: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$outDir/$topic").toUri.getPath
     val p = new org.apache.hadoop.fs.Path(path).toUri.getPath
     require(p.startsWith(root), s"committed file $p outside topic root $root")
@@ -70,7 +70,7 @@ object StreamIngest {
 
   /** The foreachBatch query scaffolding every commit loop shares:
     * checkpoint + optional trigger + start. */
-  private def batchQuery(stream: DataFrame, checkpoint: String,
+  private[streaming] def batchQuery(stream: DataFrame, checkpoint: String,
                          trigger: Option[Trigger])
                         (body: DataFrame => Unit): StreamingQuery = {
     val writer = stream.writeStream

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ingest.CommitLog
+
+/** The content-dedup admission gate: duplicate payloads are dropped at
+  * ingestion (within a batch, across batches, and across restarts),
+  * and the fingerprint index stays consistent with the commit log
+  * through the crash window between data publish and index install. */
+class DedupIngestSpec extends SparkSuite {
+
+  private def readAll(root: String) =
+    spark.read.parquet(s"$root/t").select("off", "payload")
+      .as[(Long, String)](org.apache.spark.sql.Encoders.product[(Long, String)])
+      .collect().toSet
+
+  test("duplicate payloads are dropped within and across batches, lowest offset wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-stream").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = DedupIngest.startLoggedDeduped(
+      s.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt)
+    // batch 1: "a" duplicated in-batch — offset 0 must be the survivor
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "a"))
+    q.processAllAvailable()
+    // batch 2: "b" duplicated across batches, "c" novel
+    s.addData((0L, 3L, "b"), (0L, 4L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b"), (4L, "c")))
+    // one fingerprint file per published version, fps match content
+    val latest = CommitLog.latestVersion(spark, out, "t")
+    assert(latest === 1L)
+    val fps = DedupIngest.fingerprintIndex(spark, out, "t").collect()
+    assert(fps.length === 3)
+  }
+
+  test("the gate holds across a restart with full source replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-restart").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-ckpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = DedupIngest.startLoggedDeduped(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // "crash": fresh checkpoint, source replays old offsets
+    // (resume-filtered) plus a duplicate payload at a NEW offset
+    // (fingerprint-filtered) plus one novel record
+    val ckpt2 = Files.createTempDirectory("graft-dedup-ckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt2)
+    s2.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "a"), (0L, 3L, "z"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b"), (3L, "z")))
+  }
+
+  test("reconcileFingerprints rebuilds the missing version from committed data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-reconcile").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-rckpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = DedupIngest.startLoggedDeduped(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // simulate the crash window: the version published but its
+    // fingerprint file was never installed
+    val fp0 = new Path(s"$out/t/_fp/v0.parquet")
+    val fs = fp0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(fp0, false))
+    assert(DedupIngest.fingerprintIndex(spark, out, "t").count() === 0)
+    // a restarted gate reconciles before consuming — the duplicate
+    // payload at a new offset is rejected again
+    val ckpt2 = Files.createTempDirectory("graft-dedup-rckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt2)
+    s2.addData((0L, 2L, "a"), (0L, 3L, "c"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b"), (3L, "c")))
+    assert(DedupIngest.fingerprintIndex(spark, out, "t").count() === 3)
+  }
+
+  test("a topic written without the gate can be upgraded by reconciliation (avro too)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-upgrade").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-uckpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t",
+      flushSize = 10, ckpt1, format = "avro", avroCodec = "deflate")
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(DedupIngest.reconcileFingerprints(spark, out, "t", "avro") === Seq(0L))
+    // second reconcile is a no-op; the index now gates a deduped stream
+    assert(DedupIngest.reconcileFingerprints(spark, out, "t", "avro") === Seq.empty)
+    val ckpt2 = Files.createTempDirectory("graft-dedup-uckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t",
+      flushSize = 10, ckpt2, format = "avro", avroCodec = "deflate")
+    s2.addData((0L, 2L, "b"), (0L, 3L, "c"))
+    q2.processAllAvailable()
+    q2.stop()
+    val idx = DedupIngest.fingerprintIndex(spark, out, "t").count()
+    assert(idx === 3)
+  }
+}
