@@ -262,7 +262,7 @@ object BatchWriter {
   /** Formats compaction can read back with their own schema and the
     * `off` column intact (csv drops names without a header; text
     * carries offsets only in the filename). */
-  private[ingest] val SelfDescribing = Set("parquet", "json", "orc")
+  private[graft] val SelfDescribing = Set("parquet", "json", "orc")
 
   /** One committed file in the compaction manifest (offsets parsed
     * from its name). */

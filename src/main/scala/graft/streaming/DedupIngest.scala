@@ -16,38 +16,46 @@ import graft.ingest.{AvroSink, BatchWriter, CommitLog}
   * the corpus later).
   *
   * Scale shape per micro-batch: the corpus is represented by a
-  * fingerprint INDEX (16-byte md5 per committed record, one parquet
-  * file per commit-log version — fingerprints shuffle, documents never
-  * do). The batch's fingerprints BROADCAST into a semi-join against the
-  * index (the index never shuffles; its scan is the only corpus-sized
-  * read), the resulting known-set broadcasts back into an anti-join
-  * against the batch, and only novel records reach the committer.
+  * fingerprint INDEX (16-byte md5 per committed record, parquet files
+  * under `_fp/` — fingerprints shuffle, documents never do). The
+  * batch's fingerprints BROADCAST into a semi-join against the index
+  * (the index never shuffles; its scan is the only corpus-sized read),
+  * the resulting known-set broadcasts back into an anti-join against
+  * the batch, and only novel records reach the committer.
   *
-  * Exactly-once composes with the fingerprint index through version
-  * numbering: each batch's novel fingerprints are written to
-  * `_fp/v<version>.parquet` AFTER the data's atomic log publish, named
-  * by that publish's version. A crash between publish and fingerprint
-  * write leaves a version without its index file —
-  * [[reconcileFingerprints]] (run at every start) rebuilds exactly the
-  * missing versions from their committed data files, so the index is
-  * always consistent with the log when the stream begins. The `_fp`
-  * directory never collides with the data plane: its names match no
-  * committed-file pattern, so compaction, vacuum, and max-offset
-  * listings all ignore it.
+  * Index consistency composes with exactly-once through WATERMARK
+  * naming: a file `v<N>.parquet` asserts the index covers every commit
+  * version ≤ N, and each batch installs its novel fingerprints under
+  * the version its data publish returned. A crash between publish and
+  * install leaves versions above the watermark —
+  * [[reconcileFingerprints]] (run at every start) rebuilds them from
+  * their committed files, falling back to one full-snapshot rebuild
+  * when compaction+vacuum already reclaimed those files. The `_fp`
+  * directory never collides with the data plane: underscore-prefixed,
+  * so partition discovery, compaction, vacuum, and max-offset listings
+  * all ignore it.
   */
 object DedupIngest {
 
   /** Content fingerprint: md5 over the canonical JSON of every column
     * EXCEPT the stream envelope (`part`, `off`), in name order — the
     * same payload at a different offset is a duplicate. Matches the
-    * committed files' content on redo: parquet/orc/json encode `part`
-    * into the directory layout (so content is payload + off), avro
+    * committed files' content on read-back: parquet/orc/json encode
+    * `part` into the directory layout (content is payload + off), avro
     * keeps it in content; both sides exclude the envelope. */
   def fingerprint(df: DataFrame): Column = {
     val payload = df.columns.filterNot(Set("part", "off")).sorted
     require(payload.nonEmpty, "no payload columns to fingerprint")
     md5(to_json(struct(payload.map(col): _*)).cast("binary"))
   }
+
+  /** Formats whose committed files can be read back with their column
+    * names intact — csv/text rename columns (`_c0`, `value`) and would
+    * rebuild garbage fingerprints after a crash repair. */
+  private def requireRereadable(format: String): Unit =
+    require(format == "avro" || BatchWriter.SelfDescribing(format),
+      s"content dedup needs a re-readable format (parquet/orc/json/" +
+        s"avro) for crash-window index rebuilds, got: $format")
 
   private def fpDirPath(outDir: String, topic: String) =
     new Path(s"$outDir/$topic/_fp")
@@ -57,37 +65,44 @@ object DedupIngest {
       spark.sparkContext.hadoopConfiguration)
 
   private val FpSchema = StructType(Seq(StructField("fp", StringType)))
+  private val FpName = "v(\\d+)\\.parquet".r
+
+  private def fpFiles(f: FileSystem, dir: Path): Seq[(Long, Path)] =
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case FpName(v) => Some((v.toLong, s.getPath))
+      case _ => None
+    })
 
   /** The committed-corpus fingerprint set (column `fp`) — empty frame
-    * when nothing has been committed yet. */
+    * when nothing has been committed yet. May carry duplicate rows
+    * after a full-snapshot rebuild; the gate's semi-join is
+    * insensitive to that. */
   def fingerprintIndex(spark: SparkSession, outDir: String,
                        topic: String): DataFrame = {
-    val dir = fpDirPath(outDir, topic)
-    val f = hfs(spark, outDir)
     // explicit FILE paths, not the directory root: `_fp` is
     // underscore-prefixed so the data plane's discovery skips it, but
     // handing it to a reader as the root makes Spark log a spurious
     // "all paths were ignored" warning on every micro-batch
-    val files =
-      if (!f.exists(dir)) Array.empty[String]
-      else f.listStatus(dir).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val files = fpFiles(hfs(spark, outDir), fpDirPath(outDir, topic))
+      .map(_._2.toString)
     if (files.nonEmpty)
-      spark.read.schema(FpSchema).parquet(files.toIndexedSeq: _*).select(col("fp"))
+      spark.read.schema(FpSchema).parquet(files: _*).select(col("fp"))
     else
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], FpSchema)
   }
 
-  /** Atomically install one version's fingerprint file (idempotent —
-    * a replayed batch that reproduces the version skips the write). */
+  /** Atomically install one watermark file (idempotent — a replayed
+    * batch that reproduces the version skips the write; a stale temp
+    * dir from a crash mid-install is reclaimed either way). */
   private def writeFpFile(spark: SparkSession, outDir: String, topic: String,
                           version: Long, fps: DataFrame): Unit = {
     val dir = fpDirPath(outDir, topic)
     val f = hfs(spark, outDir)
     val dest = new Path(dir, s"v$version.parquet")
-    if (f.exists(dest)) return
     val tmp = new Path(dir, s".tmp-v$version")
+    if (f.exists(dest)) { f.delete(tmp, true); return }
     fps.select(col("fp")).distinct().coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val part = f.listStatus(tmp).map(_.getPath)
@@ -99,47 +114,99 @@ object DedupIngest {
     ()
   }
 
-  /** Rebuild missing per-version fingerprint files from their committed
-    * data (the crash-repair between data publish and fingerprint
-    * install, and the upgrade path for a topic written without the
-    * gate). Swap (compaction) versions rewrite existing rows and carry
-    * no new content, so only append versions need files. Returns the
-    * versions rebuilt. */
+  /** Committed files read back in content shape — the per-version and
+    * full-snapshot rebuild reader (self-describing formats via Spark,
+    * avro via the container decoder). */
+  private def readCommitted(spark: SparkSession, outDir: String,
+                            topic: String, format: String,
+                            rels: Seq[String]): DataFrame = {
+    val paths = rels.map(rel => s"$outDir/$topic/$rel")
+    format match {
+      case "avro" =>
+        val schema = AvroSink.structTypeFor(
+          AvroSink.readSchemaOf(spark, paths.head))
+        paths.map(p => AvroSink.readDataFrame(spark, p, schema))
+          .reduce(_.union(_))
+      case _ => spark.read.format(format).load(paths: _*)
+    }
+  }
+
+  /** Advance the index watermark to the commit log's latest version,
+    * rebuilding whatever is missing (the crash-repair between data
+    * publish and index install, and the upgrade path for a topic
+    * written without the gate). Versions above the watermark rebuild
+    * per-version from their own committed files; if compaction+vacuum
+    * already reclaimed any of those, ONE full-snapshot rebuild covers
+    * everything instead (swaps preserve every row, so the live
+    * snapshot's fingerprints are exactly the committed content's).
+    * Swap versions carry no new content and need no file — a trailing
+    * swap simply leaves the watermark below `latest` with nothing to
+    * do. Returns the versions whose fingerprints were (re)built. */
   def reconcileFingerprints(spark: SparkSession, outDir: String,
                             topic: String,
                             format: String = "parquet"): Seq[Long] = {
+    requireRereadable(format)
     val latest = CommitLog.latestVersion(spark, outDir, topic)
     if (latest < 0) return Seq.empty
     val f = hfs(spark, outDir)
     val dir = fpDirPath(outDir, topic)
-    val VName = "v(\\d+)\\.parquet".r
-    val have: Set[Long] =
-      if (!f.exists(dir)) Set.empty
-      else f.listStatus(dir).flatMap(_.getPath.getName match {
-        case VName(v) => Some(v.toLong)
-        case _ => None
-      }).toSet
-    (0L to latest).flatMap { v =>
-      if (have(v)) None
-      else {
-        val (adds, removes) = CommitLog.changesAt(spark, outDir, topic, v)
-        if (removes.nonEmpty || adds.isEmpty) None
-        else {
-          val paths = adds.map(rel => s"$outDir/$topic/$rel")
-          val df = format match {
-            case "avro" =>
-              val schema = AvroSink.structTypeFor(
-                AvroSink.readSchemaOf(spark, paths.head))
-              paths.map(p => AvroSink.readDataFrame(spark, p, schema))
-                .reduce(_.union(_))
-            case _ => spark.read.format(format).load(paths: _*)
-          }
-          writeFpFile(spark, outDir, topic, v,
-            df.select(fingerprint(df).as("fp")))
-          Some(v)
-        }
-      }
+    val watermark = (fpFiles(f, dir).map(_._1) :+ -1L).max
+    val missing = ((watermark + 1) to latest).flatMap { v =>
+      val (adds, removes) = CommitLog.changesAt(spark, outDir, topic, v)
+      if (removes.isEmpty && adds.nonEmpty) Some(v -> adds) else None
     }
+    if (missing.isEmpty) return Seq.empty
+    val live = CommitLog.snapshot(spark, outDir, topic).toSet
+    if (missing.forall { case (_, adds) => adds.forall(live) }) {
+      missing.map { case (v, adds) =>
+        val df = readCommitted(spark, outDir, topic, format, adds)
+        writeFpFile(spark, outDir, topic, v,
+          df.select(fingerprint(df).as("fp")))
+        v
+      }
+    } else {
+      val fps =
+        if (live.isEmpty) // remove-only history: nothing committed survives
+          spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], FpSchema)
+        else {
+          val df = readCommitted(spark, outDir, topic, format, live.toSeq.sorted)
+          df.select(fingerprint(df).as("fp"))
+        }
+      writeFpFile(spark, outDir, topic, latest, fps)
+      missing.map(_._1)
+    }
+  }
+
+  /** Index maintenance (the `_fp` twin of the data plane's small-files
+    * compaction): merge every per-version file into ONE at the current
+    * watermark. A long-lived stream otherwise accumulates a tiny file
+    * per micro-batch and the gate's per-batch index scan degrades with
+    * stream age. Crash mid-merge is repaired by the next
+    * [[reconcileFingerprints]] (worst case: one full-snapshot
+    * rebuild). Run offline or between batches — not concurrently with
+    * an active gate. */
+  def compactFingerprints(spark: SparkSession, outDir: String,
+                          topic: String): Long = {
+    val f = hfs(spark, outDir)
+    val dir = fpDirPath(outDir, topic)
+    val files = fpFiles(f, dir)
+    if (files.size <= 1) return files.size
+    val watermark = files.map(_._1).max
+    val merged = fingerprintIndex(spark, outDir, topic)
+    val tmp = new Path(dir, ".tmp-compact")
+    merged.distinct().coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = f.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"no parquet part under $tmp"))
+    // delete the watermark file LAST: a crash mid-delete regresses the
+    // watermark and reconcile rebuilds, never admits duplicates
+    files.sortBy(_._1).foreach { case (_, p) => f.delete(p, false) }
+    if (!f.rename(part, new Path(dir, s"v$watermark.parquet")))
+      throw new java.io.IOException(s"rename failed installing v$watermark")
+    f.delete(tmp, true)
+    1L
   }
 
   /** [[StreamIngest.startLogged]] with the content-dedup admission
@@ -153,49 +220,43 @@ object DedupIngest {
                          trigger: Option[Trigger] = None,
                          format: String = "parquet",
                          avroCodec: String = "null"): StreamingQuery = {
+    requireRereadable(format)
     val spark = stream.sparkSession
     reconcileFingerprints(spark, outDir, topic, format)
     val write = StreamIngest.writerFor(outDir, topic, flushSize, format, avroCodec)
-    var committed = CommitLog.maxOffsets(spark, outDir, topic)
-    StreamIngest.batchQuery(stream, checkpoint, trigger) { batch =>
-      val deduped = batch.dropDuplicates("part", "off")
-      val fresh = BatchWriter.resumeFrom(deduped, committed)
-        .withColumn("__fp", fingerprint(deduped))
-        .persist()
-      try {
-        if (!fresh.isEmpty) {
-          // deterministic in-batch survivor: lowest (part, off) per fp
-          val first = fresh.groupBy(col("__fp"))
-            .agg(min(struct(col("part"), col("off"))).as("k"))
-            .select(col("__fp"), col("k.part").as("part"),
-              col("k.off").as("off"))
-          val survivors = fresh.join(first, Seq("__fp", "part", "off"),
-            "left_semi")
-          // corpus gate: the index never shuffles — the batch's
-          // fingerprints broadcast INTO it, the (small) known-set
-          // broadcasts back
-          val batchFps = survivors.select(col("__fp").as("fp")).distinct()
-          val known = fingerprintIndex(spark, outDir, topic)
-            .join(broadcast(batchFps), Seq("fp"), "left_semi").distinct()
-          val novel = survivors
-            .join(broadcast(known), survivors("__fp") === known("fp"),
-              "left_anti")
-            .persist()
-          try {
-            if (!novel.isEmpty) {
-              val novelFps = novel.select(col("__fp").as("fp")).distinct()
-              val manifest = write(novel.drop("__fp"))
-              val version = CommitLog.publish(spark, outDir, topic,
-                manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
-              writeFpFile(spark, outDir, topic, version, novelFps)
-              committed = manifest.foldLeft(committed) { (m, c) =>
-                m.updated(c.partition,
-                  math.max(m.getOrElse(c.partition, -1L), c.endOffset))
-              }
-            }
-          } finally { novel.unpersist(); () }
-        }
-      } finally { fresh.unpersist(); () }
-    }
+    StreamIngest.commitLoop(stream, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, outDir, topic),
+      writeFn = fresh => {
+        val withFp = fresh.withColumn("__fp", fingerprint(fresh))
+        // deterministic in-batch survivor: lowest (part, off) per fp
+        val first = withFp.groupBy(col("__fp"))
+          .agg(min(struct(col("part"), col("off"))).as("k"))
+          .select(col("__fp"), col("k.part").as("part"),
+            col("k.off").as("off"))
+        val survivors = withFp.join(first, Seq("__fp", "part", "off"),
+          "left_semi")
+        // corpus gate: the index never shuffles — the batch's
+        // fingerprints broadcast INTO it, the (small) known-set
+        // broadcasts back
+        val batchFps = survivors.select(col("__fp").as("fp")).distinct()
+        val known = fingerprintIndex(spark, outDir, topic)
+          .join(broadcast(batchFps), Seq("fp"), "left_semi").distinct()
+        val novel = survivors
+          .join(broadcast(known), survivors("__fp") === known("fp"),
+            "left_anti")
+          .persist()
+        try {
+          if (novel.isEmpty) Seq.empty
+          else {
+            val novelFps = novel.select(col("__fp").as("fp")).distinct()
+            val manifest = write(novel.drop("__fp"))
+            val version = CommitLog.publish(spark, outDir, topic,
+              manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
+            writeFpFile(spark, outDir, topic, version, novelFps)
+            manifest
+          }
+        } finally { novel.unpersist(); () }
+      },
+      afterWrite = _ => ())
   }
 }

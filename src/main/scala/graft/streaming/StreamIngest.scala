@@ -85,7 +85,7 @@ object StreamIngest {
     * `afterWrite` runs after the batch's files are durably renamed and
     * before the in-memory offsets advance — the logged path publishes
     * there. */
-  private def commitLoop(stream: DataFrame, checkpoint: String,
+  private[streaming] def commitLoop(stream: DataFrame, checkpoint: String,
                          trigger: Option[Trigger],
                          initial: Map[Long, Long],
                          writeFn: DataFrame => Seq[BatchWriter.CommittedFile],

@@ -97,6 +97,84 @@ class DedupIngestSpec extends SparkSuite {
     assert(DedupIngest.fingerprintIndex(spark, out, "t").count() === 3)
   }
 
+  test("reconciliation over a compacted+vacuumed topic falls back to a snapshot rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-compacted").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-cckpt1").toString
+    // pre-gate topic: three 1-record appends, compacted into one swap
+    // rewrite, originals vacuumed — the per-version rebuild's source
+    // files no longer exist
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 1, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"), (0L, 2L, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 100L)
+    CommitLog.vacuum(spark, out, "t", graceMs = 0L)
+    // the gate starts anyway: one full-snapshot rebuild, then dups
+    // rejected and novel records admitted
+    val ckpt2 = Files.createTempDirectory("graft-dedup-cckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt2)
+    s2.addData((0L, 3L, "b"), (0L, 4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b"), (2L, "c"), (4L, "d")))
+  }
+
+  test("compactFingerprints merges the index into one watermark file; the gate still holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-fpcompact").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-fckpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = DedupIngest.startLoggedDeduped(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt1)
+    s1.addData((0L, 0L, "a"))
+    q1.processAllAvailable()
+    s1.addData((0L, 1L, "b"))
+    q1.processAllAvailable()
+    s1.addData((0L, 2L, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    val dir = new Path(s"$out/t/_fp")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) === 3)
+    DedupIngest.compactFingerprints(spark, out, "t")
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+    assert(names.toSeq === Seq("v2.parquet"))
+    assert(DedupIngest.fingerprintIndex(spark, out, "t").count() === 3)
+    // nothing to reconcile (watermark == latest), and dups still gated
+    assert(DedupIngest.reconcileFingerprints(spark, out, "t") === Seq.empty)
+    val ckpt2 = Files.createTempDirectory("graft-dedup-fckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt2)
+    s2.addData((0L, 3L, "b"), (0L, 4L, "e"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b"), (2L, "c"), (4L, "e")))
+  }
+
+  test("non-re-readable formats are rejected up front") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = intercept[IllegalArgumentException] {
+      val s = MemoryStream[(Long, Long, String)]
+      DedupIngest.startLoggedDeduped(
+        s.toDF().toDF("part", "off", "payload"),
+        Files.createTempDirectory("graft-dedup-csv").toString, "t",
+        flushSize = 10,
+        Files.createTempDirectory("graft-dedup-csvck").toString,
+        format = "csv")
+    }
+    assert(e.getMessage.contains("re-readable format"))
+  }
+
   test("a topic written without the gate can be upgraded by reconciliation (avro too)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
