@@ -699,6 +699,65 @@ object PipelineQueries {
               |FROM tot t LEFT JOIN hit USING (doc_id)
               |ORDER BY t.doc_id""".stripMargin)),
 
+    // ---- Duplicated-span REMOVAL — the transform dedup_span_fraction
+    //      only measures (the ExactSubstr-style cleanup: rewrite each
+    //      doc dropping every token covered by a cross-doc duplicated
+    //      8-gram). Scale shape: the global duplicate set is an 8-byte
+    //      gram-hash shuffle (text never shuffles); duplicated start
+    //      positions come back per doc as one small array, and the
+    //      rewrite is a row-local index-aware filter — token i is
+    //      dropped iff some duplicated gram starts in [i-7, i]. The
+    //      per-token exists() is O(dup_starts) worst case; spam-heavy
+    //      docs stay bounded because starts holds only THIS doc's
+    //      duplicated grams. ----
+    QuerySpec("remove_duplicate_spans",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val gh = tok
+          .select(col("doc_id"),
+            posexplode(TF.shingles(col("toks"), 8)).as(Seq("pos", "g")))
+          .select(col("doc_id"), col("pos"), h60n(col("g")).as("h"))
+        val dup = gh.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select(col("h"))
+        val starts = gh.join(dup, Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(collect_list(col("pos")).as("starts"))
+        tok.join(starts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("toks"),
+            coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+            expr("filter(toks, (t, i) -> NOT exists(starts, " +
+              "s -> s <= i AND i <= s + 7))").as("kept"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("n_tokens") - size(col("kept"))).cast("long").as("n_dropped"),
+            concat_ws(" ", col("kept")).as("cleaned_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |shd AS (SELECT doc_id, ${shinglesSql(8)} AS sh
+              |  FROM tok),
+              |gh AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM
+              |  (SELECT doc_id, unnest(list_transform(sh,
+              |      (g, i) -> {'pos': i - 1, 'h': ${h60("g")}})) AS u
+              |    FROM shd WHERE len(sh) > 0)),
+              |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+              |  FROM gh GROUP BY h) WHERE nd >= 2),
+              |ds AS (SELECT doc_id, list(pos) AS starts FROM gh
+              |  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+              |k AS (SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+              |    list_filter(toks, (tk, i) -> len(list_filter(
+              |      coalesce(starts, []::BIGINT[]),
+              |      s -> s <= i - 1 AND i - 1 <= s + 7)) = 0) AS kept
+              |  FROM tok t LEFT JOIN ds USING (doc_id))
+              |SELECT doc_id, n_tokens,
+              |  n_tokens - len(kept)::BIGINT AS n_dropped,
+              |  coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+              |FROM k ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ---- SimHash signatures (16-bit), via per-bit set-count agg. ----
     QuerySpec("dedup_simhash",
       (s, d) => {

@@ -126,6 +126,14 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("remove_duplicate_spans joins stay keyed — never all-pairs") {
+    val p = plan("remove_duplicate_spans")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"gram-hash dedup must plan equi-joins:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+  }
+
   test("dedup_incremental is a fingerprint anti-join, no nested loop") {
     val p = plan("dedup_incremental")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
