@@ -404,7 +404,7 @@ object BatchWriter {
     * (`partition=` dir value → long `part`). Shared by the two compact
     * paths and the CommitLog snapshot reader — the rename/cast pair is
     * subtle enough to exist exactly once. */
-  private[ingest] def loadCommitted(spark: SparkSession, baseDir: String,
+  private[graft] def loadCommitted(spark: SparkSession, baseDir: String,
                                     format: String,
                                     paths: Seq[String]): DataFrame =
     spark.read.option("basePath", baseDir).format(format).load(paths: _*)

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.ingest.{AvroSink, BatchWriter, CommitLog}
 
@@ -37,25 +37,27 @@ import graft.ingest.{AvroSink, BatchWriter, CommitLog}
   */
 object DedupIngest {
 
-  /** Content fingerprint: md5 over the canonical JSON of every column
-    * EXCEPT the stream envelope (`part`, `off`), in name order — the
-    * same payload at a different offset is a duplicate. Matches the
-    * committed files' content on read-back: parquet/orc/json encode
-    * `part` into the directory layout (content is payload + off), avro
-    * keeps it in content; both sides exclude the envelope. */
+  /** Content fingerprint: the 16-byte md5 of the canonical JSON of
+    * every column EXCEPT the stream envelope (`part`, `off`), in name
+    * order — the same payload at a different offset is a duplicate.
+    * Matches the committed files' content on read-back: parquet/orc
+    * encode `part` into the directory layout, avro keeps it in
+    * content; both sides exclude the envelope. */
   def fingerprint(df: DataFrame): Column = {
     val payload = df.columns.filterNot(Set("part", "off")).sorted
     require(payload.nonEmpty, "no payload columns to fingerprint")
-    md5(to_json(struct(payload.map(col): _*)).cast("binary"))
+    unhex(md5(to_json(struct(payload.map(col): _*)).cast("binary")))
   }
 
-  /** Formats whose committed files can be read back with their column
-    * names intact — csv/text rename columns (`_c0`, `value`) and would
-    * rebuild garbage fingerprints after a crash repair. */
+  /** Formats whose committed files round-trip EXACTLY — csv/text
+    * rename columns on read-back (`_c0`, `value`) and json re-infers
+    * types (a decimal payload comes back double), so a crash-window
+    * rebuild would index fingerprints that never match the gate's and
+    * silently re-admit duplicates. */
   private def requireRereadable(format: String): Unit =
-    require(format == "avro" || BatchWriter.SelfDescribing(format),
-      s"content dedup needs a re-readable format (parquet/orc/json/" +
-        s"avro) for crash-window index rebuilds, got: $format")
+    require(format == "avro" || format == "parquet" || format == "orc",
+      s"content dedup needs an exactly-round-tripping format " +
+        s"(parquet/orc/avro) for crash-window index rebuilds, got: $format")
 
   private def fpDirPath(outDir: String, topic: String) =
     new Path(s"$outDir/$topic/_fp")
@@ -64,7 +66,8 @@ object DedupIngest {
     FileSystem.get(new Path(outDir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  private val FpSchema = StructType(Seq(StructField("fp", StringType)))
+  private val FpSchema =
+    StructType(Seq(StructField("fp", org.apache.spark.sql.types.BinaryType)))
   private val FpName = "v(\\d+)\\.parquet".r
 
   private def fpFiles(f: FileSystem, dir: Path): Seq[(Long, Path)] =
@@ -93,6 +96,18 @@ object DedupIngest {
         .emptyRDD[org.apache.spark.sql.Row], FpSchema)
   }
 
+  /** Materialize `fps` as ONE parquet part file under a hidden temp
+    * dir; returns the part's path. The single subtle stage-and-locate
+    * dance, shared by the per-version install and the index merge. */
+  private def stageSingleParquet(f: FileSystem, tmp: Path,
+                                 fps: DataFrame): Path = {
+    fps.select(col("fp")).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    f.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new java.io.IOException(s"no parquet part under $tmp"))
+  }
+
   /** Atomically install one watermark file (idempotent — a replayed
     * batch that reproduces the version skips the write; a stale temp
     * dir from a crash mid-install is reclaimed either way). */
@@ -103,11 +118,7 @@ object DedupIngest {
     val dest = new Path(dir, s"v$version.parquet")
     val tmp = new Path(dir, s".tmp-v$version")
     if (f.exists(dest)) { f.delete(tmp, true); return }
-    fps.select(col("fp")).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = f.listStatus(tmp).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new java.io.IOException(s"no parquet part under $tmp"))
+    val part = stageSingleParquet(f, tmp, fps)
     if (!f.exists(dest) && !f.rename(part, dest))
       throw new java.io.IOException(s"rename failed: $part -> $dest")
     f.delete(tmp, true)
@@ -115,8 +126,10 @@ object DedupIngest {
   }
 
   /** Committed files read back in content shape — the per-version and
-    * full-snapshot rebuild reader (self-describing formats via Spark,
-    * avro via the container decoder). */
+    * full-snapshot rebuild reader (self-describing formats via the one
+    * canonical committed-file reader, avro via the container decoder).
+    * Fingerprinting excludes the envelope either way, so the readers'
+    * differing `part` handling cannot skew the rebuilt index. */
   private def readCommitted(spark: SparkSession, outDir: String,
                             topic: String, format: String,
                             rels: Seq[String]): DataFrame = {
@@ -127,7 +140,8 @@ object DedupIngest {
           AvroSink.readSchemaOf(spark, paths.head))
         paths.map(p => AvroSink.readDataFrame(spark, p, schema))
           .reduce(_.union(_))
-      case _ => spark.read.format(format).load(paths: _*)
+      case _ =>
+        BatchWriter.loadCommitted(spark, s"$outDir/$topic", format, paths)
     }
   }
 
@@ -157,7 +171,12 @@ object DedupIngest {
     }
     if (missing.isEmpty) return Seq.empty
     val live = CommitLog.snapshot(spark, outDir, topic).toSet
-    if (missing.forall { case (_, adds) => adds.forall(live) }) {
+    // per-version rebuild suits the normal crash window (1-2 missing
+    // versions, read only their files); a LARGE backlog — the pre-gate
+    // upgrade path — is one snapshot read + one file instead of a
+    // Spark job and a tiny index file per historical micro-batch
+    if (missing.size <= 4 &&
+      missing.forall { case (_, adds) => adds.forall(live) }) {
       missing.map { case (v, adds) =>
         val df = readCommitted(spark, outDir, topic, format, adds)
         writeFpFile(spark, outDir, topic, v,
@@ -193,19 +212,18 @@ object DedupIngest {
     val files = fpFiles(f, dir)
     if (files.size <= 1) return files.size
     val watermark = files.map(_._1).max
-    val merged = fingerprintIndex(spark, outDir, topic)
-    val tmp = new Path(dir, ".tmp-compact")
-    merged.distinct().coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = f.listStatus(tmp).map(_.getPath)
-      .find(_.getName.startsWith("part-"))
-      .getOrElse(throw new java.io.IOException(s"no parquet part under $tmp"))
-    // delete the watermark file LAST: a crash mid-delete regresses the
-    // watermark and reconcile rebuilds, never admits duplicates
-    files.sortBy(_._1).foreach { case (_, p) => f.delete(p, false) }
+    val part = stageSingleParquet(f, new Path(dir, ".tmp-compact"),
+      fingerprintIndex(spark, outDir, topic))
+    // delete DESCENDING — the watermark file goes first, so every
+    // crash point leaves the surviving max-version file with index
+    // coverage at least up to its own number: either the merged file
+    // is installed (full coverage) or the watermark has regressed and
+    // reconcile rebuilds the tail. Ascending would strand the old
+    // watermark file alone, asserting coverage its content lacks.
+    files.sortBy(-_._1).foreach { case (_, p) => f.delete(p, false) }
     if (!f.rename(part, new Path(dir, s"v$watermark.parquet")))
       throw new java.io.IOException(s"rename failed installing v$watermark")
-    f.delete(tmp, true)
+    f.delete(new Path(dir, ".tmp-compact"), true)
     1L
   }
 

@@ -172,7 +172,7 @@ class DedupIngestSpec extends SparkSuite {
         Files.createTempDirectory("graft-dedup-csvck").toString,
         format = "csv")
     }
-    assert(e.getMessage.contains("re-readable format"))
+    assert(e.getMessage.contains("round-tripping format"))
   }
 
   test("a topic written without the gate can be upgraded by reconciliation (avro too)") {
