@@ -1342,6 +1342,77 @@ object PipelineQueries {
               |WHERE doc_id >= 25 AND g IN (SELECT g FROM ev)
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- NEAR-dup decontamination: the fuzzy twin of the exact
+    //      8-gram overlap above — flag (train, eval) pairs whose
+    //      3-gram Jaccard ≥ 0.5, found through the same MinHash band
+    //      blocking dedup_minhash_lsh uses, but with the EVAL side
+    //      broadcast (benchmarks are tiny next to a training corpus:
+    //      the corpus's bands stream through one equi-join, never
+    //      shuffle for the pair search; exact Jaccard verifies
+    //      candidates only, killing banding false positives). Catches
+    //      the paraphrased/reformatted leakage exact n-gram matching
+    //      misses. ----
+    QuerySpec("decontaminate_neardup",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val sh = TrackedCache.persist(Tables.documents(s, d)
+          .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh")))
+        val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+          .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
+        val sig = hs.groupBy(col("doc_id")).agg(
+          DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
+        val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
+        val bands = sig.select(col("doc_id"),
+          explode(DF.bandKeys(sigCols, 4)).as("band"))
+        val evalB = bands.filter(col("doc_id") < 25)
+          .select(col("doc_id").as("eval_id"), col("band"))
+        val cand = bands.filter(col("doc_id") >= 25)
+          .join(broadcast(evalB), Seq("band"))
+          .select(col("doc_id").as("train_id"), col("eval_id")).distinct()
+        cand
+          .join(sh.as("x"), col("train_id") === col("x.doc_id"))
+          .join(sh.as("y"), col("eval_id") === col("y.doc_id"))
+          .select(col("train_id"), col("eval_id"),
+            DF.jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+          .orderBy(col("train_id"), col("eval_id"))
+      },
+      Some {
+        val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
+          case ((a, b), i) =>
+            s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
+        }.mkString(",\n    ")
+        val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
+          case (g, bi) =>
+            val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
+            s"concat_ws(':', '$bi', $elems)"
+        }.mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+           |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
+           |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
+           |  FROM sh WHERE len(sh) > 0),
+           |sig AS (SELECT doc_id,
+           |    $sigExprs
+           |  FROM hs),
+           |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+           |cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+           |  FROM bands t JOIN bands e ON t.band = e.band
+           |  WHERE t.doc_id >= 25 AND e.doc_id < 25),
+           |p AS (SELECT train_id, eval_id,
+           |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
+           |  FROM cand JOIN sh x ON x.doc_id = train_id
+           |    JOIN sh y ON y.doc_id = eval_id),
+           |jj AS (SELECT train_id, eval_id,
+           |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter,
+           |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
+           |  FROM p)
+           |SELECT train_id, eval_id,
+           |  CASE WHEN szsum - inter = 0.0 THEN 1.0 ELSE inter / (szsum - inter) END AS jaccard
+           |FROM jj
+           |WHERE (CASE WHEN szsum - inter = 0.0 THEN 1.0 ELSE inter / (szsum - inter) END) >= 0.5
+           |ORDER BY train_id, eval_id""".stripMargin
+      }),
+
     // ---- Deterministic train/val/test assignment: hash-bucket the
     //      content (NOT a random sample — reproducible across runs,
     //      engines, and re-partitioning; membership is a pure function
