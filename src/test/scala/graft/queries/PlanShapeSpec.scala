@@ -134,6 +134,17 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("decontaminate_neardup blocks on bands with the eval side broadcast") {
+    val p = plan("decontaminate_neardup")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"band blocking must plan equi-joins:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, s"the eval band side must broadcast:\n$p")
+  }
+
   test("dedup_incremental is a fingerprint anti-join, no nested loop") {
     val p = plan("dedup_incremental")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
