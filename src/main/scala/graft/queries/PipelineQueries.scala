@@ -394,19 +394,59 @@ object PipelineQueries {
   /** block → pair → verify → cluster: the shared body of
     * `dedup_clusters` and the canonical-doc rewrite. Unordered
     * (doc_id, cluster_id). */
-  private def dedupClustersFrame(s: org.apache.spark.sql.SparkSession,
-                                 d: String): org.apache.spark.sql.DataFrame = {
+  /** THE shingle → minhash-signature → band pipeline, shared by every
+    * MinHash consumer (clusters, pair search, near-dup decon). Returns
+    * LAZY (sh = (doc_id, sh), bands = (doc_id, band)) — each caller
+    * persists the frame(s) it actually reuses. One definition owns the
+    * banding parameters (3-gram shingles, 4 rows/band), so query and
+    * oracle can never drift per consumer. */
+  private def minhashShingleBands(s: org.apache.spark.sql.SparkSession,
+                                  d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     NativeExpressions.register(s)
-    val docs = Tables.documents(s, d)
-    val sh = docs.select(col("doc_id"),
-      TF.shingles(TF.tokens(col("text")), 3).as("sh")).persist()
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+    // one md5 per shingle (native digest read — no hex round-trip);
+    // map-side-combined min() per signature slot
     val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
     val sig = hs.groupBy(col("doc_id")).agg(
       DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
     val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
     val bands = sig.select(col("doc_id"),
-      explode(DF.bandKeys(sigCols, 4)).as("band")).persist()
+      explode(DF.bandKeys(sigCols, 4)).as("band"))
+    (sh, bands)
+  }
+
+  /** DuckDB mirror of [[minhashShingleBands]]: the `tok`/`sh`/`hs`/
+    * `sig`/`bands` CTE prefix every MinHash oracle chains from. */
+  private val minhashBandsSql: String = {
+    val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
+    }.mkString(",\n    ")
+    val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
+      case (g, bi) =>
+        val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
+        s"concat_ws(':', '$bi', $elems)"
+    }.mkString(", ")
+    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
+       |  FROM sh WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id,
+       |    $sigExprs
+       |  FROM hs),
+       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig)"""
+      .stripMargin
+  }
+
+  private def dedupClustersFrame(s: org.apache.spark.sql.SparkSession,
+                                 d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (sh0, bands0) = minhashShingleBands(s, d)
+    val sh = sh0.persist()
+    val bands = bands0.persist()
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
@@ -430,23 +470,7 @@ object PipelineQueries {
     * — callers prepend `WITH RECURSIVE`), ending in CTE `clusters` =
     * (doc_id, cluster_id). */
   private val dedupClustersSql: String = {
-    val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
-      case ((a, b), i) =>
-        s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
-    }.mkString(",\n    ")
-    val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
-      case (g, bi) =>
-        val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
-        s"concat_ws(':', '$bi', $elems)"
-    }.mkString(", ")
-    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-       |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
-       |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
-       |  FROM sh WHERE len(sh) > 0),
-       |sig AS (SELECT doc_id,
-       |    $sigExprs
-       |  FROM hs),
-       |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+    s"""$minhashBandsSql,
        |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
        |verified AS (SELECT src, dst FROM (
@@ -568,49 +592,21 @@ object PipelineQueries {
     // ---- MinHash + LSH banding → candidate duplicate pairs. ----
     QuerySpec("dedup_minhash_lsh",
       (s, d) => {
-        NativeExpressions.register(s)
-        val sh = Tables.documents(s, d).select(col("doc_id"),
-          TF.shingles(TF.tokens(col("text")), 3).as("sh"))
-        // one md5 per shingle (native digest read — no hex round-trip);
-        // map-side-combined min() per signature slot
-        val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-          .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
-        val sig = hs.groupBy(col("doc_id")).agg(
-          DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
-        val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
         // persist before the self-join: both join sides would otherwise
         // re-run the whole shingle→hash→signature pipeline; bands is
         // tiny relative to the documents (4 short strings per doc)
-        val bands = TrackedCache.persist(sig.select(col("doc_id"),
-          explode(DF.bandKeys(sigCols, 4)).as("band")))
+        val bands = TrackedCache.persist(minhashShingleBands(s, d)._2)
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      Some {
-        val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
-          case ((a, b), i) =>
-            s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
-        }.mkString(",\n    ")
-        val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
-          case (g, bi) =>
-            val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
-            s"concat_ws(':', '$bi', $elems)"
-        }.mkString(", ")
-        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-           |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
-           |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
-           |  FROM sh WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id,
-           |    $sigExprs
-           |  FROM hs),
-           |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig)
+      Some(
+        s"""WITH $minhashBandsSql
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-           |ORDER BY doc_a, doc_b""".stripMargin
-      },
+           |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true),
 
     // ---- Dedup clusters: the full production pipeline shape —
@@ -1354,16 +1350,8 @@ object PipelineQueries {
     //      misses. ----
     QuerySpec("decontaminate_neardup",
       (s, d) => {
-        NativeExpressions.register(s)
-        val sh = TrackedCache.persist(Tables.documents(s, d)
-          .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh")))
-        val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-          .select(col("doc_id"), (h60n(col("s")) % mmP).as("h"))
-        val sig = hs.groupBy(col("doc_id")).agg(
-          DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
-        val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
-        val bands = sig.select(col("doc_id"),
-          explode(DF.bandKeys(sigCols, 4)).as("band"))
+        val (sh0, bands) = minhashShingleBands(s, d)
+        val sh = TrackedCache.persist(sh0)
         val evalB = bands.filter(col("doc_id") < 25)
           .select(col("doc_id").as("eval_id"), col("band"))
         val cand = bands.filter(col("doc_id") >= 25)
@@ -1377,24 +1365,8 @@ object PipelineQueries {
           .filter(col("jaccard") >= 0.5)
           .orderBy(col("train_id"), col("eval_id"))
       },
-      Some {
-        val sigExprs = DF.MinhashA.zip(DF.MinhashB).zipWithIndex.map {
-          case ((a, b), i) =>
-            s"list_min(list_transform(hs, h -> ($a * h + $b) % $mmP)) AS s$i"
-        }.mkString(",\n    ")
-        val bandExprs = (0 until DF.numMinhashes).grouped(4).zipWithIndex.map {
-          case (g, bi) =>
-            val elems = g.map(i => s"s$i::VARCHAR").mkString(", ")
-            s"concat_ws(':', '$bi', $elems)"
-        }.mkString(", ")
-        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-           |sh AS (SELECT doc_id, ${shinglesSql(3)} AS sh FROM tok),
-           |hs AS (SELECT doc_id, list_transform(sh, s -> ${h60("s")} % $mmP) AS hs
-           |  FROM sh WHERE len(sh) > 0),
-           |sig AS (SELECT doc_id,
-           |    $sigExprs
-           |  FROM hs),
-           |bands AS (SELECT doc_id, unnest([$bandExprs]) AS band FROM sig),
+      Some(
+        s"""WITH $minhashBandsSql,
            |cand AS (SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
            |  FROM bands t JOIN bands e ON t.band = e.band
            |  WHERE t.doc_id >= 25 AND e.doc_id < 25),
@@ -1405,13 +1377,14 @@ object PipelineQueries {
            |jj AS (SELECT train_id, eval_id,
            |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter,
            |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
-           |  FROM p)
-           |SELECT train_id, eval_id,
-           |  CASE WHEN szsum - inter = 0.0 THEN 1.0 ELSE inter / (szsum - inter) END AS jaccard
-           |FROM jj
-           |WHERE (CASE WHEN szsum - inter = 0.0 THEN 1.0 ELSE inter / (szsum - inter) END) >= 0.5
-           |ORDER BY train_id, eval_id""".stripMargin
-      }),
+           |  FROM p),
+           |j AS (SELECT train_id, eval_id,
+           |    CASE WHEN szsum - inter = 0.0 THEN 1.0
+           |      ELSE inter / (szsum - inter) END AS jaccard
+           |  FROM jj)
+           |SELECT train_id, eval_id, jaccard FROM j
+           |WHERE jaccard >= 0.5
+           |ORDER BY train_id, eval_id""".stripMargin)),
 
     // ---- Deterministic train/val/test assignment: hash-bucket the
     //      content (NOT a random sample — reproducible across runs,

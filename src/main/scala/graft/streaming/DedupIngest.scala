@@ -141,7 +141,12 @@ object DedupIngest {
         paths.map(p => AvroSink.readDataFrame(spark, p, schema))
           .reduce(_.union(_))
       case _ =>
-        BatchWriter.loadCommitted(spark, s"$outDir/$topic", format, paths)
+        // NOT BatchWriter.loadCommitted: that reader reconstructs the
+        // long `part` from `partition=` directories and throws on
+        // encoded layouts (field/daily topics have no such dirs).
+        // Fingerprinting excludes the envelope, so a plain content
+        // read is correct for EVERY layout.
+        spark.read.format(format).load(paths: _*)
     }
   }
 
@@ -164,6 +169,15 @@ object DedupIngest {
     if (latest < 0) return Seq.empty
     val f = hfs(spark, outDir)
     val dir = fpDirPath(outDir, topic)
+    // index-format guard: an index written by an older fingerprint
+    // scheme (hex strings) would read back silently under the binary
+    // schema and never match the gate's fingerprints — wipe it and
+    // rebuild rather than admit every duplicate
+    fpFiles(f, dir).headOption.foreach { case (_, p) =>
+      val onDisk = spark.read.parquet(p.toString).schema
+      if (onDisk.fields.headOption.exists(_.dataType != FpSchema.head.dataType))
+        fpFiles(f, dir).foreach { case (_, fp) => f.delete(fp, false) }
+    }
     val watermark = (fpFiles(f, dir).map(_._1) :+ -1L).max
     val missing = ((watermark + 1) to latest).flatMap { v =>
       val (adds, removes) = CommitLog.changesAt(spark, outDir, topic, v)

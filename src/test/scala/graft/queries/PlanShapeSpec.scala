@@ -140,9 +140,15 @@ class PlanShapeSpec extends SparkSuite {
       s"band blocking must plan equi-joins:\n$p")
     assert(!p.toString.contains("CartesianProduct"),
       s"no all-pairs cross product:\n$p")
-    assert(collectAll(p) {
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-    }.nonEmpty, s"the eval band side must broadcast:\n$p")
+    // the BAND join specifically must be a broadcast hash join (eval
+    // side small) — any incidental broadcast elsewhere must not
+    // satisfy this pin
+    val bandJoins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("band")) => j
+    }
+    assert(bandJoins.nonEmpty,
+      s"the band equi-join must broadcast the eval side:\n$p")
   }
 
   test("dedup_incremental is a fingerprint anti-join, no nested loop") {

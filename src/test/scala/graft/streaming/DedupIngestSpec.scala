@@ -160,6 +160,40 @@ class DedupIngestSpec extends SparkSuite {
     assert(readAll(out) === Set((0L, "a"), (1L, "b"), (2L, "c"), (4L, "e")))
   }
 
+  test("a hex-era (string) index is wiped and rebuilt, not silently mismatched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-hexidx").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-hckpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = DedupIngest.startLoggedDeduped(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt1)
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // forge an index written by the old hex-string fingerprint scheme
+    val dir = new Path(s"$out/t/_fp")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir, "v0.parquet"), false)
+    val stage = Files.createTempDirectory("graft-dedup-hexstage").toString
+    Seq("0cc175b9c0f1b6a831c399e269772661").toDF("fp")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = fs.listStatus(new Path(stage)).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    fs.rename(part, new Path(dir, "v0.parquet"))
+    // reconcile detects the string schema, wipes, and rebuilds binary —
+    // the gate then still rejects duplicate payloads
+    assert(DedupIngest.reconcileFingerprints(spark, out, "t") === Seq(0L))
+    val ckpt2 = Files.createTempDirectory("graft-dedup-hckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt2)
+    s2.addData((0L, 2L, "a"), (0L, 3L, "z"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b"), (3L, "z")))
+  }
+
   test("non-re-readable formats are rejected up front") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
