@@ -711,10 +711,13 @@ object PipelineQueries {
         NativeExpressions.register(s)
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        val gh = tok
+        // persisted: the gram table feeds BOTH the duplicate-set
+        // aggregation and the per-doc starts semi-join — without the
+        // pin the tokenize+shingle+md5 pipeline runs twice
+        val gh = TrackedCache.persist(tok
           .select(col("doc_id"),
             posexplode(TF.shingles(col("toks"), 8)).as(Seq("pos", "g")))
-          .select(col("doc_id"), col("pos"), h60n(col("g")).as("h"))
+          .select(col("doc_id"), col("pos"), h60n(col("g")).as("h")))
         val dup = gh.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("h"))
