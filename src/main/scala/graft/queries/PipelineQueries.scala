@@ -664,10 +664,12 @@ object PipelineQueries {
     QuerySpec("dedup_span_fraction",
       (s, d) => {
         NativeExpressions.register(s)
-        val ex = Tables.documents(s, d)
+        // persisted: three consumers (duplicate set, per-doc totals,
+        // per-doc hits) would otherwise re-run tokenize+shingle+md5
+        val ex = TrackedCache.persist(Tables.documents(s, d)
           .select(col("doc_id"),
             explode(TF.shingles(TF.tokens(col("text")), 8)).as("g"))
-          .select(col("doc_id"), h60n(col("g")).as("h"))
+          .select(col("doc_id"), h60n(col("g")).as("h")))
         val dup = ex.groupBy(col("h"))
           .agg(countDistinct(col("doc_id")).as("nd"))
           .filter(col("nd") >= 2).select(col("h"))
