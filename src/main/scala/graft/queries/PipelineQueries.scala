@@ -711,6 +711,10 @@ object PipelineQueries {
     QuerySpec("remove_duplicate_spans",
       (s, d) => {
         NativeExpressions.register(s)
+        // tok intentionally NOT pinned: it feeds the gram build and the
+        // final rewrite join, but re-scan+tokenize measured free next
+        // to the shingle+md5 it avoids, and caching tokenized text is
+        // corpus-scale storage at the 100 TB tier
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
         // persisted: the gram table feeds BOTH the duplicate-set
