@@ -194,6 +194,36 @@ class DedupIngestSpec extends SparkSuite {
     assert(readAll(out) === Set((0L, "a"), (1L, "b"), (3L, "z")))
   }
 
+  test("the gate runs end-to-end on orc, including the crash-window rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-orc").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-ockpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = DedupIngest.startLoggedDeduped(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10,
+      ckpt1, format = "orc")
+    s1.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // crash window: drop the index, let the restart rebuild from orc
+    val fs = new Path(s"$out/t/_fp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$out/t/_fp/v0.parquet"), false))
+    val ckpt2 = Files.createTempDirectory("graft-dedup-ockpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10,
+      ckpt2, format = "orc")
+    s2.addData((0L, 2L, "a"), (0L, 3L, "c"))
+    q2.processAllAvailable()
+    q2.stop()
+    val back = spark.read.orc(s"$out/t").select("off", "payload")
+      .as[(Long, String)](org.apache.spark.sql.Encoders.product[(Long, String)])
+      .collect().toSet
+    assert(back === Set((0L, "a"), (1L, "b"), (3L, "c")))
+  }
+
   test("non-re-readable formats are rejected up front") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
