@@ -536,10 +536,11 @@ object PipelineQueries {
     * final assignment CTEs `<asg>`/`<asg>_d` (from [[kmAssignSql]]),
     * rank each query's `nprobe` nearest cells and score candidates —
     * ends in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ k). */
-  private def ivfSearchSql(asg: String, nprobe: Int, k: Int): String =
+  private def ivfSearchSql(asg: String, nprobe: Int, k: Int,
+                           queryIds: Seq[Long] = Seq(0L, 1L, 2L)): String =
     s"""pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
        |    ORDER BY d2 ASC, c_id ASC) AS rnk
-       |  FROM ${asg}_d WHERE id IN (0, 1, 2)),
+       |  FROM ${asg}_d WHERE id IN (${queryIds.mkString(", ")})),
        |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
        |  FROM pr WHERE rnk <= $nprobe),
        |cand AS (SELECT q_id, a.id AS neighbor_id,
@@ -1359,8 +1360,12 @@ object PipelineQueries {
     //      misses. ----
     QuerySpec("decontaminate_neardup",
       (s, d) => {
-        val (sh0, bands) = minhashShingleBands(s, d)
+        val (sh0, bands0) = minhashShingleBands(s, d)
         val sh = TrackedCache.persist(sh0)
+        // bands pinned too: the eval and training branches each consume
+        // it, and only the shingle frame below it is otherwise cached —
+        // the 16 min-aggregations would still run twice
+        val bands = TrackedCache.persist(bands0)
         val evalB = bands.filter(col("doc_id") < 25)
           .select(col("doc_id").as("eval_id"), col("band"))
         val cand = bands.filter(col("doc_id") >= 25)

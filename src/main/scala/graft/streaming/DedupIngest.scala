@@ -42,11 +42,29 @@ object DedupIngest {
     * order — the same payload at a different offset is a duplicate.
     * Matches the committed files' content on read-back: parquet/orc
     * encode `part` into the directory layout, avro keeps it in
-    * content; both sides exclude the envelope. */
+    * content; both sides exclude the envelope.
+    *
+    * Timestamp columns canonicalize to epoch MICROSECONDS first:
+    * to_json renders timestamps at millisecond precision in the
+    * SESSION time zone, which would (a) collide records distinct only
+    * in microseconds and (b) make a crash-window rebuild in a session
+    * with a different zone mismatch every gate-time fingerprint.
+    * Null-valued fields are omitted from the JSON (Spark's default),
+    * which is what keeps fingerprints stable across column-adding
+    * schema evolution: a pre-evolution row and its post-evolution
+    * (extra = null) read-back serialize identically. */
   def fingerprint(df: DataFrame): Column = {
     val payload = df.columns.filterNot(Set("part", "off")).sorted
     require(payload.nonEmpty, "no payload columns to fingerprint")
-    unhex(md5(to_json(struct(payload.map(col): _*)).cast("binary")))
+    val schema = df.schema
+    val canon = payload.map { name =>
+      schema(name).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(name)).as(name)
+        case _ => col(name)
+      }
+    }
+    unhex(md5(to_json(struct(canon: _*)).cast("binary")))
   }
 
   /** Formats whose committed files round-trip EXACTLY — csv/text
@@ -125,28 +143,33 @@ object DedupIngest {
     ()
   }
 
-  /** Committed files read back in content shape — the per-version and
-    * full-snapshot rebuild reader (self-describing formats via the one
-    * canonical committed-file reader, avro via the container decoder).
-    * Fingerprinting excludes the envelope either way, so the readers'
-    * differing `part` handling cannot skew the rebuilt index. */
-  private def readCommitted(spark: SparkSession, outDir: String,
-                            topic: String, format: String,
-                            rels: Seq[String]): DataFrame = {
+  /** Fingerprints of a committed-file set — the per-version and
+    * full-snapshot rebuild reader. Must reproduce GATE-TIME
+    * fingerprints even when the file set spans a schema evolution:
+    * parquet/orc read under the MERGED schema (old rows null-fill the
+    * added columns, which to_json omits — identical serialization to
+    * their own era); avro decodes each file with its OWN writer schema
+    * and fingerprints per file, so no single-schema read can drop a
+    * wide file's columns. Fingerprinting excludes the envelope, so
+    * layout differences (`partition=` vs encoded dirs) cannot skew the
+    * rebuilt index — hence a plain content read, NOT
+    * BatchWriter.loadCommitted (which reconstructs `part` from
+    * `partition=` dirs and throws on encoded layouts). */
+  private def fingerprintsOf(spark: SparkSession, outDir: String,
+                             topic: String, format: String,
+                             rels: Seq[String]): DataFrame = {
     val paths = rels.map(rel => s"$outDir/$topic/$rel")
     format match {
       case "avro" =>
-        val schema = AvroSink.structTypeFor(
-          AvroSink.readSchemaOf(spark, paths.head))
-        paths.map(p => AvroSink.readDataFrame(spark, p, schema))
-          .reduce(_.union(_))
+        paths.map { p =>
+          val df = AvroSink.readDataFrame(spark, p,
+            AvroSink.structTypeFor(AvroSink.readSchemaOf(spark, p)))
+          df.select(fingerprint(df).as("fp"))
+        }.reduce(_.union(_))
       case _ =>
-        // NOT BatchWriter.loadCommitted: that reader reconstructs the
-        // long `part` from `partition=` directories and throws on
-        // encoded layouts (field/daily topics have no such dirs).
-        // Fingerprinting excludes the envelope, so a plain content
-        // read is correct for EVERY layout.
-        spark.read.format(format).load(paths: _*)
+        val df = spark.read.option("mergeSchema", "true")
+          .format(format).load(paths: _*)
+        df.select(fingerprint(df).as("fp"))
     }
   }
 
@@ -192,9 +215,8 @@ object DedupIngest {
     if (missing.size <= 4 &&
       missing.forall { case (_, adds) => adds.forall(live) }) {
       missing.map { case (v, adds) =>
-        val df = readCommitted(spark, outDir, topic, format, adds)
         writeFpFile(spark, outDir, topic, v,
-          df.select(fingerprint(df).as("fp")))
+          fingerprintsOf(spark, outDir, topic, format, adds))
         v
       }
     } else {
@@ -202,10 +224,7 @@ object DedupIngest {
         if (live.isEmpty) // remove-only history: nothing committed survives
           spark.createDataFrame(spark.sparkContext
             .emptyRDD[org.apache.spark.sql.Row], FpSchema)
-        else {
-          val df = readCommitted(spark, outDir, topic, format, live.toSeq.sorted)
-          df.select(fingerprint(df).as("fp"))
-        }
+        else fingerprintsOf(spark, outDir, topic, format, live.toSeq.sorted)
       writeFpFile(spark, outDir, topic, latest, fps)
       missing.map(_._1)
     }

@@ -330,20 +330,25 @@ object StreamIngest {
     * execution thread, so an awaitTermination afterwards could never
     * time out). Returns whether the query terminated inside the
     * budget; a `false` leaves the query draining in the background. */
-  def stop(query: StreamingQuery, cfg: GraftConfig): Boolean = {
-    val conf = query.sparkSession.conf
-    val key = "spark.sql.streaming.stopTimeout"
-    val prev = conf.getOption(key)
-    // Spark reads stopTimeout 0 as WAIT INDEFINITELY — the inverse of
-    // a zero budget; clamp to the smallest finite wait instead
-    conf.set(key, math.max(1L, cfg.shutdownTimeoutMs).toString)
-    try { query.stop(); true }
-    catch { case _: java.util.concurrent.TimeoutException => false }
-    finally prev match {
-      case Some(v) => conf.set(key, v)
-      case scala.None => conf.unset(key)
+  def stop(query: StreamingQuery, cfg: GraftConfig): Boolean =
+    // serialized: the budget travels through the SESSION-scoped
+    // stopTimeout conf (Spark offers no per-call form), so two
+    // concurrent stops with different budgets would race on the
+    // set/restore pair and could leave the conf at a transient value
+    synchronized {
+      val conf = query.sparkSession.conf
+      val key = "spark.sql.streaming.stopTimeout"
+      val prev = conf.getOption(key)
+      // Spark reads stopTimeout 0 as WAIT INDEFINITELY — the inverse of
+      // a zero budget; clamp to the smallest finite wait instead
+      conf.set(key, math.max(1L, cfg.shutdownTimeoutMs).toString)
+      try { query.stop(); true }
+      catch { case _: java.util.concurrent.TimeoutException => false }
+      finally prev match {
+        case Some(v) => conf.set(key, v)
+        case scala.None => conf.unset(key)
+      }
     }
-  }
 
   /** Multi-topic orchestration — the reference's `DataWriter.write`
     * demultiplexes one record stream across every topic's writers in a

@@ -224,6 +224,72 @@ class DedupIngestSpec extends SparkSuite {
     assert(back === Set((0L, "a"), (1L, "b"), (3L, "c")))
   }
 
+  test("timestamp payloads distinct only in microseconds are NOT collided") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-ts").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-tsck").toString
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00.123456")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00.123999")
+    val s = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = DedupIngest.startLoggedDeduped(
+      s.toDF().toDF("part", "off", "ts"), out, "t", flushSize = 10, ckpt)
+    // to_json alone renders both as .123 — the micros canonicalization
+    // is what keeps these two distinct records distinct
+    s.addData((0L, 0L, t1), (0L, 1L, t2), (0L, 2L, t1))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$out/t").count() === 2)
+  }
+
+  test("snapshot rebuild across a schema evolution reproduces gate-time fingerprints") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-evorec").toString
+    // era 1: narrow schema, one version
+    val ckpt1 = Files.createTempDirectory("graft-dedup-eck1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = DedupIngest.startLoggedDeduped(
+      s1.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt1)
+    s1.addData((0L, 0L, "a"))
+    q1.processAllAvailable()
+    q1.stop()
+    // era 2: widened schema, four more versions (pushes the missing
+    // count past the per-version threshold so reconcile takes the
+    // SNAPSHOT branch over the mixed-schema file set)
+    val ckpt2 = Files.createTempDirectory("graft-dedup-eck2").toString
+    val s2 = MemoryStream[(Long, Long, String, Option[String])]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload", "extra"), out, "t",
+      flushSize = 10, ckpt2)
+    (1 to 4).foreach { i =>
+      s2.addData((0L, i.toLong, s"w$i", Some(s"x$i")))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    // wipe the whole index: reconcile must rebuild from the mixed
+    // narrow+wide files without reading the narrow rows under a
+    // single dropped-column schema
+    val dir = new Path(s"$out/t/_fp")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val ckpt3 = Files.createTempDirectory("graft-dedup-eck3").toString
+    val s3 = MemoryStream[(Long, Long, String, Option[String])]
+    val q3 = DedupIngest.startLoggedDeduped(
+      s3.toDF().toDF("part", "off", "payload", "extra"), out, "t",
+      flushSize = 10, ckpt3)
+    // (payload="a", extra=null) serializes identically to era 1's
+    // narrow "a" (null fields omitted) — must be REJECTED as a dup;
+    // the genuinely new record is admitted
+    s3.addData((0L, 9L, "a", None), (0L, 10L, "new", Some("x")))
+    q3.processAllAvailable()
+    q3.stop()
+    val back = spark.read.option("mergeSchema", "true").parquet(s"$out/t")
+      .select("off").as[Long].collect().toSet
+    assert(back === Set(0L, 1L, 2L, 3L, 4L, 10L))
+  }
+
   test("non-re-readable formats are rejected up front") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
