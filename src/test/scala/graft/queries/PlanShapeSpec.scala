@@ -126,6 +126,25 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("sample_target_mix never windows the corpus; exchanges stay bounded") {
+    val p = plan("sample_target_mix")
+    val s = p.toString
+    assert(!s.contains("Window"), s"no corpus window allowed:\n$s")
+    // per-source counts agg + final per-source agg + presentation
+    // orderBy; the 1-row limiting-source frame must not add a shuffle
+    // of data
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 4, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("shuffle_shards ranks inside hash-range buckets — never a global corpus window") {
+    val p = plan("shuffle_shards").toString
+    // the only unpartitioned window may be the bucket-counts frame; a
+    // global rank over the raw hash would sort the corpus in one task
+    assert(!p.contains("windowspecdefinition(h#"),
+      s"found an unpartitioned corpus window:\n$p")
+  }
+
   test("remove_duplicate_spans joins stay keyed — never all-pairs") {
     val p = plan("remove_duplicate_spans")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
