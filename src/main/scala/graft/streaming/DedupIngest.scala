@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StructField, StructType}
 
+import graft.functions.{NativeExpressions, SimilarityFunctions => SF}
 import graft.ingest.{AvroSink, BatchWriter, CommitLog}
 
 /** Content-exact dedup at the ingestion gate: [[StreamIngest.startLogged]]
@@ -258,6 +259,82 @@ object DedupIngest {
       throw new java.io.IOException(s"rename failed installing v$watermark")
     f.delete(new Path(dir, ".tmp-compact"), true)
     1L
+  }
+
+  /** Embedding NEAR-dup admission gate — the streaming twin of the
+    * `dedup_embedding_incremental` batch query: drop any record whose
+    * vector has cosine ≥ `threshold` against a COMMITTED vector, before
+    * it ever lands. Unlike the exact gate there is no side index: the
+    * committed vectors ARE the data, read back per batch through the
+    * commit log's live snapshot with every other column pruned — the
+    * same corpus-scan cost class as the fingerprint index (bigger
+    * constant: d quantized longs vs 16 bytes), with no extra crash
+    * window because the log's atomic publish is the only state.
+    *
+    * Per batch: band width derives from the CURRENT corpus size (the
+    * module's sizing rule — both sides key at the same width, so the
+    * widening corpus can never go quadratic), the batch's band keys
+    * BROADCAST into the corpus keys (the corpus never shuffles), and
+    * exact quantized cosine verifies candidates only (`dot ≥ τ·|a||b|`
+    * compared multiplicatively — no division). Batch-internal
+    * near-dups land together (the batch checks against the COMMITTED
+    * corpus — the documented `dedup_embedding_incremental` contract);
+    * replays are idempotent via the offset resume filter. Parquet
+    * only (the vector column round-trips exactly). */
+  def startLoggedEmbDeduped(stream: DataFrame, outDir: String, topic: String,
+                            flushSize: Int, checkpoint: String,
+                            vecCol: String, dims: Int,
+                            threshold: Double = 0.85,
+                            bands: Int = 4, maxRows: Int = 16,
+                            targetBucket: Long = 16L,
+                            trigger: Option[Trigger] = None): StreamingQuery = {
+    require(threshold > 0,
+      "threshold must be positive: the verify compares dot >= t*|a||b|," +
+        " which only encodes cosine >= t for t > 0")
+    val spark = stream.sparkSession
+    NativeExpressions.register(spark)
+    val write = StreamIngest.writerFor(outDir, topic, flushSize, "parquet", "null")
+    StreamIngest.commitLoop(stream, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, outDir, topic),
+      writeFn = fresh => {
+        // `fresh` is already persisted by commitLoop — derivations
+        // below re-read the cache, not the source
+        val admitted =
+          if (CommitLog.latestVersion(spark, outDir, topic) < 0) fresh
+          else {
+            val corpus = CommitLog.read(spark, outDir, topic)
+              .select(col("part").as("c_part"), col("off").as("c_off"),
+                SF.quantize(col(vecCol)).as("cv"))
+            val rows = math.min(maxRows, SF.recommendedRowsPerBand(
+              math.max(1L, corpus.count()), targetBucket))
+            def keysOf(v: Column) =
+              SF.bandedLshKeysQ(v, bands, rows, dims, maxRows)
+            val fq = fresh.withColumn("__qv", SF.quantize(col(vecCol)))
+            val nk = fq.select(col("part"), col("off"), col("__qv"),
+              SF.intDot(col("__qv"), col("__qv")).as("__n2"),
+              explode(keysOf(col("__qv"))).as("k"))
+            val ck = corpus.select(col("c_part"), col("c_off"), col("cv"),
+              explode(keysOf(col("cv"))).as("k"))
+            val dupNew = ck.join(broadcast(nk), Seq("k"))
+              .select(col("part"), col("off"), col("__qv"), col("__n2"),
+                col("cv")).distinct()
+              .filter(call_function("dot_i64", col("__qv"), col("cv"))
+                .cast("double") >= lit(threshold) *
+                sqrt(col("__n2").cast("double")) *
+                sqrt(SF.intDot(col("cv"), col("cv")).cast("double")))
+              .select(col("part"), col("off")).distinct()
+            fq.join(broadcast(dupNew), Seq("part", "off"), "left_anti")
+              .drop("__qv")
+          }
+        if (admitted.isEmpty) Seq.empty
+        else {
+          val manifest = write(admitted)
+          CommitLog.publish(spark, outDir, topic,
+            manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
+          manifest
+        }
+      },
+      afterWrite = _ => ())
   }
 
   /** [[StreamIngest.startLogged]] with the content-dedup admission

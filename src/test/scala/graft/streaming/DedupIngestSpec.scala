@@ -224,6 +224,42 @@ class DedupIngestSpec extends SparkSuite {
     assert(back === Set((0L, "a"), (1L, "b"), (3L, "c")))
   }
 
+  test("embedding near-dup gate rejects committed-cosine matches across batches and restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-emb").toString
+    val ckpt1 = Files.createTempDirectory("graft-dedup-embck1").toString
+    val s1 = MemoryStream[(Long, Long, Seq[Double])]
+    val q1 = DedupIngest.startLoggedEmbDeduped(
+      s1.toDF().toDF("part", "off", "vec"), out, "t", flushSize = 10,
+      ckpt1, vecCol = "vec", dims = 4)
+    // batch 1: empty corpus — both admitted
+    s1.addData((0L, 0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (0L, 1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    q1.processAllAvailable()
+    // batch 2: a scaled copy of a committed vector (cosine 1.0) is
+    // rejected; an orthogonal one is admitted
+    s1.addData((0L, 2L, Seq(2.0, 0.0, 0.0, 0.0)),
+      (0L, 3L, Seq(0.0, 0.0, 3.0, 0.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart with full replay plus one near-dup and one novel vector
+    val ckpt2 = Files.createTempDirectory("graft-dedup-embck2").toString
+    val s2 = MemoryStream[(Long, Long, Seq[Double])]
+    val q2 = DedupIngest.startLoggedEmbDeduped(
+      s2.toDF().toDF("part", "off", "vec"), out, "t", flushSize = 10,
+      ckpt2, vecCol = "vec", dims = 4)
+    s2.addData((0L, 0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (0L, 1L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (0L, 4L, Seq(0.0, 2.0, 0.0, 0.0)),
+      (0L, 5L, Seq(0.0, 0.0, 0.0, 5.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val back = spark.read.parquet(s"$out/t").select("off")
+      .as[Long].collect().toSet
+    assert(back === Set(0L, 1L, 3L, 5L))
+  }
+
   test("timestamp payloads distinct only in microseconds are NOT collided") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
