@@ -297,14 +297,18 @@ object DedupIngest {
     StreamIngest.commitLoop(stream, checkpoint, trigger,
       initial = CommitLog.maxOffsets(spark, outDir, topic),
       writeFn = fresh => {
+        // snapshot emptiness, not latestVersion: a remove-only history
+        // has versions but no live files, and the empty-corpus answer
+        // (admit everything) is the correct one there too
+        val liveFiles = CommitLog.snapshot(spark, outDir, topic)
         // `fresh` is already persisted by commitLoop — derivations
         // below re-read the cache, not the source
-        val admitted =
-          if (CommitLog.latestVersion(spark, outDir, topic) < 0) fresh
+        val admitted = (
+          if (liveFiles.isEmpty) fresh
           else {
-            val corpus = CommitLog.read(spark, outDir, topic)
-              .select(col("part").as("c_part"), col("off").as("c_off"),
-                SF.quantize(col(vecCol)).as("cv"))
+            val corpus = BatchWriter.loadCommitted(spark, s"$outDir/$topic",
+                "parquet", liveFiles.map(rel => s"$outDir/$topic/$rel"))
+              .select(SF.quantize(col(vecCol)).as("cv"))
             val rows = math.min(maxRows, SF.recommendedRowsPerBand(
               math.max(1L, corpus.count()), targetBucket))
             def keysOf(v: Column) =
@@ -313,26 +317,30 @@ object DedupIngest {
             val nk = fq.select(col("part"), col("off"), col("__qv"),
               SF.intDot(col("__qv"), col("__qv")).as("__n2"),
               explode(keysOf(col("__qv"))).as("k"))
-            val ck = corpus.select(col("c_part"), col("c_off"), col("cv"),
-              explode(keysOf(col("cv"))).as("k"))
+            val ck = corpus.select(col("cv"), explode(keysOf(col("cv"))).as("k"))
+            val d = call_function("dot_i64", col("__qv"), col("cv"))
             val dupNew = ck.join(broadcast(nk), Seq("k"))
               .select(col("part"), col("off"), col("__qv"), col("__n2"),
                 col("cv")).distinct()
-              .filter(call_function("dot_i64", col("__qv"), col("cv"))
-                .cast("double") >= lit(threshold) *
+              // d > 0 guards the zero-quantized degenerate (norm 0 makes
+              // the RHS 0 and 0 >= 0 would spuriously reject — the batch
+              // twin's division form yields NaN there and admits)
+              .filter(d > 0 && d.cast("double") >= lit(threshold) *
                 sqrt(col("__n2").cast("double")) *
                 sqrt(SF.intDot(col("cv"), col("cv")).cast("double")))
               .select(col("part"), col("off")).distinct()
             fq.join(broadcast(dupNew), Seq("part", "off"), "left_anti")
               .drop("__qv")
+          }).persist() // isEmpty + write would re-run the corpus verify
+        try {
+          if (admitted.isEmpty) Seq.empty
+          else {
+            val manifest = write(admitted)
+            CommitLog.publish(spark, outDir, topic,
+              manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
+            manifest
           }
-        if (admitted.isEmpty) Seq.empty
-        else {
-          val manifest = write(admitted)
-          CommitLog.publish(spark, outDir, topic,
-            manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
-          manifest
-        }
+        } finally { admitted.unpersist(); () }
       },
       afterWrite = _ => ())
   }

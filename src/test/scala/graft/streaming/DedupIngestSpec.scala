@@ -252,12 +252,15 @@ class DedupIngestSpec extends SparkSuite {
     s2.addData((0L, 0L, Seq(1.0, 0.0, 0.0, 0.0)),
       (0L, 1L, Seq(0.0, 1.0, 0.0, 0.0)),
       (0L, 4L, Seq(0.0, 2.0, 0.0, 0.0)),
-      (0L, 5L, Seq(0.0, 0.0, 0.0, 5.0)))
+      (0L, 5L, Seq(0.0, 0.0, 0.0, 5.0)),
+      // zero-quantized degenerate (all components < 1/scale): norm 0 —
+      // must be ADMITTED, not spuriously matched via the 0 >= 0 edge
+      (0L, 6L, Seq(0.0001, 0.0, 0.0, 0.0)))
     q2.processAllAvailable()
     q2.stop()
     val back = spark.read.parquet(s"$out/t").select("off")
       .as[Long].collect().toSet
-    assert(back === Set(0L, 1L, 3L, 5L))
+    assert(back === Set(0L, 1L, 3L, 5L, 6L))
   }
 
   test("timestamp payloads distinct only in microseconds are NOT collided") {
