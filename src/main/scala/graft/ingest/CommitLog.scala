@@ -139,10 +139,18 @@ object CommitLog {
            format: String = "parquet",
            asOf: Long = Long.MaxValue): DataFrame = {
     val files = snapshot(spark, outDir, topic, asOf)
-      .map(rel => s"$outDir/$topic/$rel")
     require(files.nonEmpty, s"empty commit log for $topic")
-    BatchWriter.loadCommitted(spark, s"$outDir/$topic", format, files)
+    readFiles(spark, outDir, topic, files, format)
   }
+
+  /** Read an explicit topic-relative file list (e.g. a pinned snapshot
+    * a caller already holds) in the stream shape — the one
+    * rel-path-to-reader mapping [[read]]/[[readAddedSince]] and the
+    * streaming dedup gate share. */
+  def readFiles(spark: SparkSession, outDir: String, topic: String,
+                rels: Seq[String], format: String = "parquet"): DataFrame =
+    BatchWriter.loadCommitted(spark, s"$outDir/$topic", format,
+      rels.map(rel => s"$outDir/$topic/$rel"))
 
   /** The incremental feed: rows in files ADDED after `sinceVersion`
     * (exclusive), skipping compaction rewrites. Detection rests on the
@@ -168,8 +176,7 @@ object CommitLog {
       if (removes.isEmpty) adds else Seq.empty // swaps rewrite, appends add
     }.distinct
     require(fresh.nonEmpty, s"no new files after version $sinceVersion")
-    BatchWriter.loadCommitted(spark, s"$outDir/$topic", format,
-      fresh.map(rel => s"$outDir/$topic/$rel"))
+    readFiles(spark, outDir, topic, fresh, format)
   }
 
   /** Offset restore from the log alone (the filename-as-metadata

@@ -146,9 +146,15 @@ object PipelineQueries {
     // tight getLong loop per candidate pair (the HOF intDot stays
     // the portable fallback; a per-dimension element_at expansion
     // measured 3× slower than even the HOF in join context)
-    val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
+    val dt = call_function("dot_i64", col("x.v"), col("y.v"))
+    val cos = dt.cast("double") /
       (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
-    val pairs = joined.select(col("vec_a"), col("vec_b"), cos.as("cosine"))
+    // dt > 0 excludes the zero-quantized degenerate: its cosine is
+    // 0/0 = NaN, which BOTH engines compare as greater-than-threshold
+    // — an undefined similarity must not report a pair (mirrored in
+    // the oracle, and in the streaming gate's multiplicative form)
+    val pairs = joined.filter(dt > 0)
+      .select(col("vec_a"), col("vec_b"), cos.as("cosine"))
       .filter(col("cosine") >= 0.35)
     (pairs, release)
   }
@@ -200,7 +206,8 @@ object PipelineQueries {
        |vp AS (SELECT vec_a, vec_b,
        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) AS cosine
        |  FROM pd
-       |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)"""
+       |  WHERE dot > 0
+       |    AND CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)"""
       .stripMargin
 
   /** Banded-multiprobe ANN search (q_id, neighbor_id, dot, rnk ≤ 5),
@@ -1228,12 +1235,16 @@ object PipelineQueries {
           .select(col("vec_id").as("c_id"), explode(col("keys")).as("k"))
         val cand = ck.join(broadcast(nk), Seq("k"))
           .select(col("new_id"), col("c_id")).distinct()
-        val cos = call_function("dot_i64", col("x.v"), col("y.v")).cast("double") /
+        val dt = call_function("dot_i64", col("x.v"), col("y.v"))
+        val cos = dt.cast("double") /
           (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
+        // dt > 0: a zero-quantized vector's cosine is NaN (> any
+        // threshold in both engines) — an undefined similarity must
+        // not block admission; same guard as the streaming gate
         val dupNew = cand
           .join(withB.as("x"), col("new_id") === col("x.vec_id"))
           .join(withB.as("y"), col("c_id") === col("y.vec_id"))
-          .filter(cos >= 0.35)
+          .filter(dt > 0 && cos >= 0.35)
           .select(col("new_id")).distinct()
         withB.filter(col("vec_id") < 50).select(col("vec_id"))
           .join(broadcast(dupNew), col("vec_id") === col("new_id"), "left_anti")
@@ -1251,7 +1262,8 @@ object PipelineQueries {
            |    x.n2 AS na2, y.n2 AS nb2
            |  FROM cand JOIN wb x ON x.vec_id = new_id JOIN wb y ON y.vec_id = c_id),
            |dup AS (SELECT DISTINCT new_id FROM pd
-           |  WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)
+           |  WHERE dot > 0
+           |    AND CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)
            |SELECT vec_id FROM embeddings
            |WHERE vec_id < 50 AND vec_id NOT IN (SELECT new_id FROM dup)
            |ORDER BY vec_id""".stripMargin)),

@@ -302,12 +302,15 @@ object DedupIngest {
         // (admit everything) is the correct one there too
         val liveFiles = CommitLog.snapshot(spark, outDir, topic)
         // `fresh` is already persisted by commitLoop — derivations
-        // below re-read the cache, not the source
-        val admitted = (
-          if (liveFiles.isEmpty) fresh
-          else {
-            val corpus = BatchWriter.loadCommitted(spark, s"$outDir/$topic",
-                "parquet", liveFiles.map(rel => s"$outDir/$topic/$rel"))
+        // below re-read the cache, not the source. Only the GATED
+        // frame gets its own pin: in the empty-corpus branch admitted
+        // IS fresh, and persisting/unpersisting it here would evict
+        // commitLoop's own cache entry out from under it.
+        val gated =
+          if (liveFiles.isEmpty) None
+          else Some {
+            val corpus = CommitLog
+              .readFiles(spark, outDir, topic, liveFiles)
               .select(SF.quantize(col(vecCol)).as("cv"))
             val rows = math.min(maxRows, SF.recommendedRowsPerBand(
               math.max(1L, corpus.count()), targetBucket))
@@ -322,16 +325,22 @@ object DedupIngest {
             val dupNew = ck.join(broadcast(nk), Seq("k"))
               .select(col("part"), col("off"), col("__qv"), col("__n2"),
                 col("cv")).distinct()
-              // d > 0 guards the zero-quantized degenerate (norm 0 makes
-              // the RHS 0 and 0 >= 0 would spuriously reject — the batch
-              // twin's division form yields NaN there and admits)
+              // d > 0 guards the zero-quantized degenerate: norm 0
+              // makes the RHS 0 and 0 >= 0 would spuriously reject a
+              // vector whose cosine to everything is UNDEFINED (both
+              // engines treat the division form's NaN as greater-than,
+              // so an unguarded twin rejects too — the batch
+              // dedup_embedding_incremental carries the same dot > 0
+              // guard to keep the contracts aligned)
               .filter(d > 0 && d.cast("double") >= lit(threshold) *
                 sqrt(col("__n2").cast("double")) *
                 sqrt(SF.intDot(col("cv"), col("cv")).cast("double")))
               .select(col("part"), col("off")).distinct()
             fq.join(broadcast(dupNew), Seq("part", "off"), "left_anti")
               .drop("__qv")
-          }).persist() // isEmpty + write would re-run the corpus verify
+              .persist() // isEmpty + write would re-run the corpus verify
+          }
+        val admitted = gated.getOrElse(fresh)
         try {
           if (admitted.isEmpty) Seq.empty
           else {
@@ -340,7 +349,7 @@ object DedupIngest {
               manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
             manifest
           }
-        } finally { admitted.unpersist(); () }
+        } finally { gated.foreach(_.unpersist()); () }
       },
       afterWrite = _ => ())
   }
