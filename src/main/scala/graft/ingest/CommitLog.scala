@@ -148,9 +148,13 @@ object CommitLog {
     * rel-path-to-reader mapping [[read]]/[[readAddedSince]] and the
     * streaming dedup gate share. */
   def readFiles(spark: SparkSession, outDir: String, topic: String,
-                rels: Seq[String], format: String = "parquet"): DataFrame =
+                rels: Seq[String], format: String = "parquet"): DataFrame = {
+    // fail fast with the cause — zero paths would surface as an
+    // unrelated UNABLE_TO_INFER_SCHEMA deep inside the reader
+    require(rels.nonEmpty, s"empty file list for $topic")
     BatchWriter.loadCommitted(spark, s"$outDir/$topic", format,
       rels.map(rel => s"$outDir/$topic/$rel"))
+  }
 
   /** The incremental feed: rows in files ADDED after `sinceVersion`
     * (exclusive), skipping compaction rewrites. Detection rests on the

@@ -149,10 +149,13 @@ object PipelineQueries {
     val dt = call_function("dot_i64", col("x.v"), col("y.v"))
     val cos = dt.cast("double") /
       (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
-    // dt > 0 excludes the zero-quantized degenerate: its cosine is
-    // 0/0 = NaN, which BOTH engines compare as greater-than-threshold
-    // — an undefined similarity must not report a pair (mirrored in
-    // the oracle, and in the streaming gate's multiplicative form)
+    // dt > 0 excludes the zero-quantized degenerate, where cosine is
+    // 0/0 and the ENGINES DISAGREE: Spark under its default ANSI mode
+    // throws DIVIDE_BY_ZERO (NULL with ANSI off — pair dropped), while
+    // DuckDB yields NaN, which compares greater-than-threshold and
+    // reports the pair. The guard makes both sides agree that an
+    // undefined similarity is no pair (mirrored in the oracle and in
+    // the streaming gate's multiplicative form).
     val pairs = joined.filter(dt > 0)
       .select(col("vec_a"), col("vec_b"), cos.as("cosine"))
       .filter(col("cosine") >= 0.35)
@@ -1238,9 +1241,11 @@ object PipelineQueries {
         val dt = call_function("dot_i64", col("x.v"), col("y.v"))
         val cos = dt.cast("double") /
           (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
-        // dt > 0: a zero-quantized vector's cosine is NaN (> any
-        // threshold in both engines) — an undefined similarity must
-        // not block admission; same guard as the streaming gate
+        // dt > 0: a zero-quantized vector's cosine is 0/0 — a
+        // DIVIDE_BY_ZERO crash under Spark's default ANSI mode, a
+        // NaN-reported "duplicate" in DuckDB. The guard makes an
+        // undefined similarity block nothing; same as the streaming
+        // gate
         val dupNew = cand
           .join(withB.as("x"), col("new_id") === col("x.vec_id"))
           .join(withB.as("y"), col("c_id") === col("y.vec_id"))

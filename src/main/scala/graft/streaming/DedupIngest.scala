@@ -326,12 +326,13 @@ object DedupIngest {
               .select(col("part"), col("off"), col("__qv"), col("__n2"),
                 col("cv")).distinct()
               // d > 0 guards the zero-quantized degenerate: norm 0
-              // makes the RHS 0 and 0 >= 0 would spuriously reject a
-              // vector whose cosine to everything is UNDEFINED (both
-              // engines treat the division form's NaN as greater-than,
-              // so an unguarded twin rejects too — the batch
-              // dedup_embedding_incremental carries the same dot > 0
-              // guard to keep the contracts aligned)
+              // makes the RHS 0, and 0 >= 0 would spuriously reject a
+              // vector whose cosine to everything is UNDEFINED. The
+              // batch dedup_embedding_incremental carries the same
+              // dot > 0 guard (its division form would instead throw
+              // DIVIDE_BY_ZERO under Spark's default ANSI mode), so
+              // both gates agree an undefined similarity blocks
+              // nothing.
               .filter(d > 0 && d.cast("double") >= lit(threshold) *
                 sqrt(col("__n2").cast("double")) *
                 sqrt(SF.intDot(col("cv"), col("cv")).cast("double")))
