@@ -1273,6 +1273,80 @@ object PipelineQueries {
            |WHERE vec_id < 50 AND vec_id NOT IN (SELECT new_id FROM dup)
            |ORDER BY vec_id""".stripMargin)),
 
+    // ---- SemDeDup-style semantic pruning: cluster the corpus with the
+    //      Lloyd-trained coarse quantizer (same k=8/iters=2 replayable
+    //      training as sim_ivf_trained_topk), then prune a vector iff a
+    //      LOWER-id near-dup (cosine ≥ 0.35) exists in its OWN semantic
+    //      cell — near-dup candidates never cross cluster boundaries,
+    //      which is the SemDeDup economy: pairwise work is scoped to
+    //      semantically-coherent cells. Scale shape: the cluster count
+    //      alone does NOT bound the in-cell self-join (n²/K is still
+    //      quadratic), so candidates additionally require a shared
+    //      derived-width LSH band key — the same auto-sized banding as
+    //      dedup_embedding_cosine — making the candidate set ~linear in
+    //      n regardless of K; the cell conjunct then only SHRINKS it.
+    //      Output: every vector with its cell and keep/prune verdict
+    //      (keepers are the per-dup-group min id, the deterministic
+    //      representative). ----
+    QuerySpec("semdedup_prune",
+      (s, d) => {
+        val (withB, _) = embSignatureFrame(s, d)
+        val vecs = withB.select(col("vec_id").as("id"), col("v"))
+        val cents = KMeans.fit(vecs, k = 8, iters = 2)
+        val asg = KMeans.assign(vecs, cents)
+          .select(col("id").as("vec_id"), col("cell"))
+        val tagged = TrackedCache.persist(withB.join(asg, Seq("vec_id")))
+        val bk = tagged.select(col("vec_id"), col("cell"),
+          explode(col("keys")).as("k"))
+        val cand = bk.as("a").join(bk.as("b"),
+            col("a.k") === col("b.k") && col("a.cell") === col("b.cell") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .distinct()
+        val dt = call_function("dot_i64", col("x.v"), col("y.v"))
+        val cos = dt.cast("double") /
+          (sqrt(col("x.n2").cast("double")) * sqrt(col("y.n2").cast("double")))
+        // dt > 0: the undefined 0/0 cosine of a zero-quantized vector
+        // prunes nothing — same guard as every embedding consumer
+        val pruned = cand
+          .join(tagged.as("x"), col("vec_a") === col("x.vec_id"))
+          .join(tagged.as("y"), col("vec_b") === col("y.vec_id"))
+          .filter(dt > 0 && cos >= 0.35)
+          .select(col("vec_b"), lit(true).as("pr")).distinct()
+        // no broadcast hint: the pruned set is data-scale (a heavily
+        // duplicated corpus prunes most of itself) — equi-join on the
+        // key and let the planner choose
+        tagged.select(col("vec_id"), col("cell"))
+          .join(pruned, col("vec_id") === col("vec_b"), "left")
+          .select(col("vec_id"), col("cell"), col("pr").isNull.as("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some(
+        s"""WITH $embWbSql,
+           |xv AS (SELECT vec_id AS id, v FROM qv),
+           |c0 AS (SELECT id AS c_id, v AS cv FROM xv ORDER BY id LIMIT 8),
+           |${kmAssignSql("xv", "c0", "a1")},
+           |${kmUpdateSql("a1", "c1", EmbDims)},
+           |${kmAssignSql("xv", "c1", "a2")},
+           |${kmUpdateSql("a2", "c2", EmbDims)},
+           |${kmAssignSql("xv", "c2", "a3")},
+           |bkc AS (SELECT w.vec_id, a3.cell AS cell, unnest(w.keys) AS k
+           |  FROM wb w JOIN a3 ON a3.id = w.vec_id),
+           |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM bkc a JOIN bkc b
+           |  ON a.k = b.k AND a.cell = b.cell AND a.vec_id < b.vec_id),
+           |pd AS (SELECT vec_a, vec_b,
+           |    CAST(list_sum(list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])) AS BIGINT) AS dot,
+           |    x.n2 AS na2, y.n2 AS nb2
+           |  FROM cand JOIN wb x ON x.vec_id = vec_a JOIN wb y ON y.vec_id = vec_b),
+           |pruned AS (SELECT DISTINCT vec_b FROM pd
+           |  WHERE dot > 0
+           |    AND CAST(dot AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))) >= 0.35)
+           |SELECT id AS vec_id, cell,
+           |  (id NOT IN (SELECT vec_b FROM pruned)) AS kept
+           |FROM a3 ORDER BY vec_id""".stripMargin),
+      bench = true),
+
     // ---- IVF-style ANN with banded multiprobe: each band key is a
     //      coarse-quantizer cell and a query probes all `EmbBands` of
     //      its cells (nprobe = bands — the recall knob the fixed

@@ -153,6 +153,14 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("semdedup_prune candidates stay (band, cell)-keyed — never all-pairs") {
+    val p = plan("semdedup_prune")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"cluster-scoped near-dup blocking must plan equi-joins:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+  }
+
   test("decontaminate_neardup blocks on bands with the eval side broadcast") {
     val p = plan("decontaminate_neardup")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
