@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{StructField, StructType}
 
-import graft.functions.{NativeExpressions, SimilarityFunctions => SF}
+import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
 import graft.ingest.{AvroSink, BatchWriter, CommitLog}
 
 /** Content-exact dedup at the ingestion gate: [[StreamIngest.startLogged]]
@@ -115,34 +115,39 @@ object DedupIngest {
         .emptyRDD[org.apache.spark.sql.Row], FpSchema)
   }
 
-  /** Materialize `fps` as ONE parquet part file under a hidden temp
-    * dir; returns the part's path. The single subtle stage-and-locate
-    * dance, shared by the per-version install and the index merge. */
+  /** Materialize the pre-shaped (projected + deduped) frame as ONE
+    * parquet part file under a hidden temp dir; returns the part's
+    * path. The single subtle stage-and-locate dance, shared by the
+    * per-version installs and the index merges of BOTH index planes. */
   private def stageSingleParquet(f: FileSystem, tmp: Path,
-                                 fps: DataFrame): Path = {
-    fps.select(col("fp")).distinct().coalesce(1)
+                                 shaped: DataFrame): Path = {
+    shaped.distinct().coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     f.listStatus(tmp).map(_.getPath)
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new java.io.IOException(s"no parquet part under $tmp"))
   }
 
-  /** Atomically install one watermark file (idempotent — a replayed
-    * batch that reproduces the version skips the write; a stale temp
-    * dir from a crash mid-install is reclaimed either way). */
-  private def writeFpFile(spark: SparkSession, outDir: String, topic: String,
-                          version: Long, fps: DataFrame): Unit = {
-    val dir = fpDirPath(outDir, topic)
-    val f = hfs(spark, outDir)
+  /** Atomically install one watermark file into an index plane
+    * directory (idempotent — a replayed batch that reproduces the
+    * version skips the write; a stale temp dir from a crash
+    * mid-install is reclaimed either way). */
+  private def installVersionFile(f: FileSystem, dir: Path,
+                                 version: Long, shaped: DataFrame): Unit = {
     val dest = new Path(dir, s"v$version.parquet")
     val tmp = new Path(dir, s".tmp-v$version")
     if (f.exists(dest)) { f.delete(tmp, true); return }
-    val part = stageSingleParquet(f, tmp, fps)
+    val part = stageSingleParquet(f, tmp, shaped)
     if (!f.exists(dest) && !f.rename(part, dest))
       throw new java.io.IOException(s"rename failed: $part -> $dest")
     f.delete(tmp, true)
     ()
   }
+
+  private def writeFpFile(spark: SparkSession, outDir: String, topic: String,
+                          version: Long, fps: DataFrame): Unit =
+    installVersionFile(hfs(spark, outDir), fpDirPath(outDir, topic), version,
+      fps.select(col("fp")))
 
   /** Fingerprints of a committed-file set — the per-version and
     * full-snapshot rebuild reader. Must reproduce GATE-TIME
@@ -259,6 +264,220 @@ object DedupIngest {
       throw new java.io.IOException(s"rename failed installing v$watermark")
     f.delete(new Path(dir, ".tmp-compact"), true)
     1L
+  }
+
+  // ===== MinHash NEAR-dup admission gate =====================================
+
+  private def mhDirPath(outDir: String, topic: String) =
+    new Path(s"$outDir/$topic/_mh")
+
+  private val MhSchema = StructType(Seq(StructField("sig",
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))))
+
+  /** The committed-corpus MinHash signature index (column `sig`, one
+    * `numMinhashes`-slot array per distinct committed signature) —
+    * empty frame when nothing has been committed yet. ~16 longs per
+    * doc: corpus-scale but orders of magnitude smaller than re-reading
+    * and re-shingling committed TEXT every micro-batch. */
+  def minhashIndex(spark: SparkSession, outDir: String,
+                   topic: String): DataFrame = {
+    val files = fpFiles(hfs(spark, outDir), mhDirPath(outDir, topic))
+      .map(_._2.toString)
+    if (files.nonEmpty)
+      spark.read.schema(MhSchema).parquet(files: _*).select(col("sig"))
+    else
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], MhSchema)
+  }
+
+  /** Per-record MinHash signature over 3-gram token shingles, keyed by
+    * `keyCols`: one native md5 per shingle, map-side-combined `min` per
+    * slot (the batch pipeline's scale shape — never 16 digests per
+    * shingle). Records with FEWER THAN 3 TOKENS have no shingles and
+    * are ABSENT from the result — they bypass the near-dup gate (the
+    * exact gate is the right tool for degenerate payloads) and index
+    * nothing. */
+  private def sigOf(df: DataFrame, textCol: String,
+                    keyCols: Seq[String]): DataFrame = {
+    val ks = keyCols.map(col)
+    val h = call_function("hash60_md5",
+      col("__s").cast("binary")) % DF.MinhashPrime
+    df.select(ks :+ explode(
+        TF.shingles(TF.tokens(col(textCol)), 3)).as("__s"): _*)
+      .select(ks :+ h.as("__h"): _*)
+      .groupBy(ks: _*)
+      .agg(DF.minhashAggExprs(col("__h")).head,
+        DF.minhashAggExprs(col("__h")).tail: _*)
+      .select(ks :+ array((0 until DF.numMinhashes)
+        .map(i => col(s"sig$i")): _*).as("sig"): _*)
+  }
+
+  /** Signatures of a committed-file set — the per-version and
+    * full-snapshot rebuild reader (the `_mh` twin of
+    * [[fingerprintsOf]]; same per-file avro / merged-schema parquet
+    * discipline, but only `textCol` is ever decoded). */
+  private def sigsOf(spark: SparkSession, outDir: String, topic: String,
+                     format: String, textCol: String,
+                     rels: Seq[String]): DataFrame = {
+    val paths = rels.map(rel => s"$outDir/$topic/$rel")
+    val texts = format match {
+      case "avro" =>
+        paths.map { p =>
+          AvroSink.readDataFrame(spark, p,
+            AvroSink.structTypeFor(AvroSink.readSchemaOf(spark, p)))
+            .select(col(textCol))
+        }.reduce(_.union(_))
+      case _ =>
+        spark.read.option("mergeSchema", "true").format(format)
+          .load(paths: _*).select(col(textCol))
+    }
+    sigOf(texts.withColumn("__rid", monotonically_increasing_id()),
+      textCol, Seq("__rid")).select(col("sig"))
+  }
+
+  /** Advance the `_mh` watermark to the commit log's latest version —
+    * the signature plane's [[reconcileFingerprints]]: per-version
+    * rebuild from committed files for the normal 1–2-version crash
+    * window, one full-snapshot rebuild for large backlogs or when
+    * compaction+vacuum reclaimed the per-version source files. An
+    * index whose on-disk schema predates the signature scheme is wiped
+    * and rebuilt rather than silently admitting every near-dup. */
+  def reconcileSignatures(spark: SparkSession, outDir: String,
+                          topic: String, textCol: String,
+                          format: String = "parquet"): Seq[Long] = {
+    requireRereadable(format)
+    NativeExpressions.register(spark)
+    val latest = CommitLog.latestVersion(spark, outDir, topic)
+    if (latest < 0) return Seq.empty
+    val f = hfs(spark, outDir)
+    val dir = mhDirPath(outDir, topic)
+    fpFiles(f, dir).headOption.foreach { case (_, p) =>
+      val onDisk = spark.read.parquet(p.toString).schema
+      if (onDisk.fields.headOption.exists(_.dataType != MhSchema.head.dataType))
+        fpFiles(f, dir).foreach { case (_, fp) => f.delete(fp, false) }
+    }
+    val watermark = (fpFiles(f, dir).map(_._1) :+ -1L).max
+    val missing = ((watermark + 1) to latest).flatMap { v =>
+      val (adds, removes) = CommitLog.changesAt(spark, outDir, topic, v)
+      if (removes.isEmpty && adds.nonEmpty) Some(v -> adds) else None
+    }
+    if (missing.isEmpty) return Seq.empty
+    val live = CommitLog.snapshot(spark, outDir, topic).toSet
+    if (missing.size <= 4 &&
+      missing.forall { case (_, adds) => adds.forall(live) }) {
+      missing.map { case (v, adds) =>
+        installVersionFile(f, dir, v,
+          sigsOf(spark, outDir, topic, format, textCol, adds))
+        v
+      }
+    } else {
+      val sigs =
+        if (live.isEmpty)
+          spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], MhSchema)
+        else sigsOf(spark, outDir, topic, format, textCol, live.toSeq.sorted)
+      installVersionFile(f, dir, latest, sigs)
+      missing.map(_._1)
+    }
+  }
+
+  /** `_mh` index maintenance — [[compactFingerprints]] for the
+    * signature plane: merge every per-version file into ONE at the
+    * current watermark, same descending-delete crash discipline. */
+  def compactSignatures(spark: SparkSession, outDir: String,
+                        topic: String): Long = {
+    val f = hfs(spark, outDir)
+    val dir = mhDirPath(outDir, topic)
+    val files = fpFiles(f, dir)
+    if (files.size <= 1) return files.size
+    val watermark = files.map(_._1).max
+    val part = stageSingleParquet(f, new Path(dir, ".tmp-compact"),
+      minhashIndex(spark, outDir, topic))
+    files.sortBy(-_._1).foreach { case (_, p) => f.delete(p, false) }
+    if (!f.rename(part, new Path(dir, s"v$watermark.parquet")))
+      throw new java.io.IOException(s"rename failed installing v$watermark")
+    f.delete(new Path(dir, ".tmp-compact"), true)
+    1L
+  }
+
+  /** Textual NEAR-dup admission gate — the fuzzy twin of
+    * [[startLoggedDeduped]] (which only stops byte-identical payloads):
+    * drop any record whose `textCol` is MinHash-similar to a COMMITTED
+    * record, before it ever lands. The committed corpus is represented
+    * by the `_mh` signature INDEX (16 longs per doc — signatures
+    * shuffle, documents never do, and committed text is never re-read
+    * at gate time), maintained under the same watermark/reconcile/
+    * compaction contract as the fingerprint index.
+    *
+    * Per batch: the batch's band keys BROADCAST into the index's band
+    * keys (the index never shuffles; candidates are banding-blocked,
+    * never all-pairs), and a candidate is a duplicate when ≥ `minAgree`
+    * of the `numMinhashes` signature slots agree — the standard
+    * signature estimate of Jaccard (minAgree/16 ≈ the Jaccard
+    * threshold; 8 ≈ the batch pipeline's 0.5 verify), decided entirely
+    * from the index with no text round-trip. Like the batch
+    * `dedup_minhash_lsh`, recall is banding-bounded: a near-dup
+    * sharing no band key is admitted (tune `rowsPerBand` down for
+    * higher recall). Batch-internal near-dups land together (the gate
+    * checks the COMMITTED corpus — same contract as the embedding
+    * gate); records with fewer than 3 tokens bypass the gate entirely.
+    * Replays are idempotent via the offset resume filter; the crash
+    * window between data publish and index install is repaired by
+    * [[reconcileSignatures]] at every start. */
+  def startLoggedMinhashDeduped(stream: DataFrame, outDir: String,
+                                topic: String, flushSize: Int,
+                                checkpoint: String, textCol: String,
+                                minAgree: Int = 8, rowsPerBand: Int = 4,
+                                format: String = "parquet",
+                                avroCodec: String = "null",
+                                trigger: Option[Trigger] = None): StreamingQuery = {
+    require(minAgree >= 1 && minAgree <= DF.numMinhashes,
+      s"minAgree must be in [1, ${DF.numMinhashes}], got $minAgree")
+    require(rowsPerBand >= 1 && DF.numMinhashes % rowsPerBand == 0,
+      s"rowsPerBand must divide ${DF.numMinhashes}, got $rowsPerBand")
+    requireRereadable(format)
+    val spark = stream.sparkSession
+    NativeExpressions.register(spark)
+    reconcileSignatures(spark, outDir, topic, textCol, format)
+    val write = StreamIngest.writerFor(outDir, topic, flushSize, format, avroCodec)
+    val sigSlots = (0 until DF.numMinhashes).map(i => col("sig")(i))
+    def withBands(df: DataFrame): DataFrame =
+      df.withColumn("band", explode(DF.bandKeys(sigSlots, rowsPerBand)))
+    StreamIngest.commitLoop(stream, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, outDir, topic),
+      writeFn = fresh => {
+        val bsig = sigOf(fresh, textCol, Seq("part", "off"))
+        val nb = withBands(bsig)
+          .select(col("part"), col("off"), col("sig").as("nsig"), col("band"))
+        val ib = withBands(minhashIndex(spark, outDir, topic))
+        val agree = aggregate(
+          zip_with(col("nsig"), col("sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        val dup = ib.join(broadcast(nb), Seq("band"))
+          .select(col("part"), col("off"), col("nsig"), col("sig")).distinct()
+          .filter(agree >= minAgree)
+          .select(col("part"), col("off")).distinct()
+        // `fresh` is persisted by commitLoop; only the gated frame
+        // needs its own pin (isEmpty + write + re-sig would otherwise
+        // re-run the gate)
+        val admitted = fresh
+          .join(broadcast(dup), Seq("part", "off"), "left_anti").persist()
+        try {
+          if (admitted.isEmpty) Seq.empty
+          else {
+            val manifest = write(admitted)
+            val version = CommitLog.publish(spark, outDir, topic,
+              manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
+            installVersionFile(hfs(spark, outDir), mhDirPath(outDir, topic),
+              version, sigOf(admitted, textCol, Seq("part", "off"))
+                .select(col("sig")))
+            manifest
+          }
+        } finally { admitted.unpersist(); () }
+      },
+      afterWrite = _ => ())
   }
 
   /** Embedding NEAR-dup admission gate — the streaming twin of the
