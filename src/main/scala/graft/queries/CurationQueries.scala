@@ -387,6 +387,58 @@ object CurationQueries {
               |SELECT big, n_ab, lift FROM j
               |ORDER BY lift DESC, big ASC LIMIT 20""".stripMargin)),
 
+    // ---- LM-novelty quality filter: the integer-exact core of
+    //      KenLM/CCNet-style perplexity filtering. The corpus itself is
+    //      the language model (bigram document frequencies); a doc's
+    //      novelty is the fraction of its bigram INSTANCES unsupported
+    //      by any OTHER document (df = 1 — leave-one-out OOV), and the
+    //      keep gate drops docs whose text is mostly corpus-unique
+    //      (> 80% novel instances — gibberish/noise under an LM filter,
+    //      exactly what high perplexity flags). No float log-probs:
+    //      counts compare cross-multiplied, so both engines agree at
+    //      any corpus size. Scale shape: bigrams shuffle as 8-byte
+    //      hashes (never text), df is a map-side-combined count over
+    //      the distinct (doc, gram) pairs, and the per-doc verdict is
+    //      one hash-keyed join back — the same gram-hash economy as
+    //      dedup_span_fraction, pointed at LM quality instead of
+    //      duplication. ----
+    QuerySpec("lm_novelty_filter",
+      (s, d) => {
+        graft.functions.NativeExpressions.register(s)
+        val db = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 2)).as("big"))
+          .select(col("doc_id"),
+            call_function("hash60_md5", col("big").cast("binary")).as("g"))
+        val dfq = db.distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        val per = db.join(dfq, Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nb"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("nn"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+            coalesce(col("nn"), lit(0L)).as("n_novel"),
+            (coalesce(col("nn"), lit(0L)) * 50 <=
+              coalesce(col("nb"), lit(0L))).as("lm_keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |bg AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS big FROM tok),
+              |db AS (SELECT doc_id, ${h60("big")} AS g FROM bg),
+              |dfq AS (SELECT g, count(DISTINCT doc_id) AS df FROM db GROUP BY 1),
+              |per AS (SELECT doc_id, count(*) AS n_bigrams,
+              |    sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+              |  FROM db JOIN dfq USING (g) GROUP BY doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+              |  coalesce(n_novel, 0)::BIGINT AS n_novel,
+              |  (coalesce(n_novel, 0) * 50 <= coalesce(n_bigrams, 0)) AS lm_keep
+              |FROM documents d LEFT JOIN per USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- Stratified corpus sampling: per-language keep rates applied
     //      via the deterministic content-hash gate (pure function of
     //      the row — reproducible across runs, engines, partitionings;
