@@ -392,9 +392,12 @@ object CurationQueries {
     //      the language model (bigram document frequencies); a doc's
     //      novelty is the fraction of its bigram INSTANCES unsupported
     //      by any OTHER document (df = 1 — leave-one-out OOV), and the
-    //      keep gate drops docs whose text is mostly corpus-unique
-    //      (> 80% novel instances — gibberish/noise under an LM filter,
-    //      exactly what high perplexity flags). No float log-probs:
+    //      keep gate drops docs whose text is unusually corpus-unique
+    //      (gibberish/noise under an LM filter — exactly what high
+    //      perplexity flags). The threshold here is 2%, tuned to this
+    //      synthetic corpus's novelty range of 0–9% so both branches
+    //      are exercised; a real diverse corpus runs the same gate
+    //      nearer 80%. No float log-probs:
     //      counts compare cross-multiplied, so both engines agree at
     //      any corpus size. Scale shape: bigrams shuffle as 8-byte
     //      hashes (never text), df is a map-side-combined count over
@@ -405,11 +408,15 @@ object CurationQueries {
     QuerySpec("lm_novelty_filter",
       (s, d) => {
         graft.functions.NativeExpressions.register(s)
-        val db = Tables.documents(s, d)
+        // pinned: the tokenize→shingle→md5 frame feeds BOTH the df
+        // aggregate and the per-doc join — unpersisted it would run
+        // the dominant gram pipeline twice (same reasoning as
+        // dedup_span_fraction's pinned gram table)
+        val db = TrackedCache.persist(Tables.documents(s, d)
           .select(col("doc_id"),
             explode(TF.shingles(TF.tokens(col("text")), 2)).as("big"))
           .select(col("doc_id"),
-            call_function("hash60_md5", col("big").cast("binary")).as("g"))
+            call_function("hash60_md5", col("big").cast("binary")).as("g")))
         val dfq = db.distinct()
           .groupBy(col("g")).agg(count(lit(1)).as("df"))
         val per = db.join(dfq, Seq("g"))

@@ -194,17 +194,30 @@ object DedupIngest {
                             topic: String,
                             format: String = "parquet"): Seq[Long] = {
     requireRereadable(format)
+    reconcileIndex(spark, outDir, topic, fpDirPath(outDir, topic), FpSchema,
+      rels => fingerprintsOf(spark, outDir, topic, format, rels))
+  }
+
+  /** The ONE watermark-reconcile skeleton both index planes (`_fp`
+    * fingerprints, `_mh` MinHash signatures) run — any fix to the
+    * crash-repair logic lands in both by construction. Versions above
+    * the watermark rebuild per-version via `rebuild` on their own
+    * committed files; a format-era mismatch on the on-disk schema
+    * wipes the plane (silently admitting every duplicate is the
+    * failure mode a wipe+rebuild avoids). */
+  private def reconcileIndex(spark: SparkSession, outDir: String,
+                             topic: String, dir: Path, schema: StructType,
+                             rebuild: Seq[String] => DataFrame): Seq[Long] = {
     val latest = CommitLog.latestVersion(spark, outDir, topic)
     if (latest < 0) return Seq.empty
     val f = hfs(spark, outDir)
-    val dir = fpDirPath(outDir, topic)
-    // index-format guard: an index written by an older fingerprint
-    // scheme (hex strings) would read back silently under the binary
-    // schema and never match the gate's fingerprints — wipe it and
-    // rebuild rather than admit every duplicate
+    // index-format guard: an index written by an older scheme (hex
+    // strings, scalar sigs) would read back silently under the current
+    // schema and never match the gate's values — wipe it and rebuild
+    // rather than admit every duplicate
     fpFiles(f, dir).headOption.foreach { case (_, p) =>
       val onDisk = spark.read.parquet(p.toString).schema
-      if (onDisk.fields.headOption.exists(_.dataType != FpSchema.head.dataType))
+      if (onDisk.fields.headOption.exists(_.dataType != schema.head.dataType))
         fpFiles(f, dir).foreach { case (_, fp) => f.delete(fp, false) }
     }
     val watermark = (fpFiles(f, dir).map(_._1) :+ -1L).max
@@ -221,17 +234,16 @@ object DedupIngest {
     if (missing.size <= 4 &&
       missing.forall { case (_, adds) => adds.forall(live) }) {
       missing.map { case (v, adds) =>
-        writeFpFile(spark, outDir, topic, v,
-          fingerprintsOf(spark, outDir, topic, format, adds))
+        installVersionFile(f, dir, v, rebuild(adds))
         v
       }
     } else {
-      val fps =
+      val rows =
         if (live.isEmpty) // remove-only history: nothing committed survives
           spark.createDataFrame(spark.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row], FpSchema)
-        else fingerprintsOf(spark, outDir, topic, format, live.toSeq.sorted)
-      writeFpFile(spark, outDir, topic, latest, fps)
+            .emptyRDD[org.apache.spark.sql.Row], schema)
+        else rebuild(live.toSeq.sorted)
+      installVersionFile(f, dir, latest, rows)
       missing.map(_._1)
     }
   }
@@ -245,14 +257,18 @@ object DedupIngest {
     * rebuild). Run offline or between batches — not concurrently with
     * an active gate. */
   def compactFingerprints(spark: SparkSession, outDir: String,
-                          topic: String): Long = {
+                          topic: String): Long =
+    compactIndex(spark, outDir, fpDirPath(outDir, topic),
+      fingerprintIndex(spark, outDir, topic))
+
+  /** The ONE index-merge skeleton both planes run. */
+  private def compactIndex(spark: SparkSession, outDir: String,
+                           dir: Path, frame: => DataFrame): Long = {
     val f = hfs(spark, outDir)
-    val dir = fpDirPath(outDir, topic)
     val files = fpFiles(f, dir)
     if (files.size <= 1) return files.size
     val watermark = files.map(_._1).max
-    val part = stageSingleParquet(f, new Path(dir, ".tmp-compact"),
-      fingerprintIndex(spark, outDir, topic))
+    val part = stageSingleParquet(f, new Path(dir, ".tmp-compact"), frame)
     // delete DESCENDING — the watermark file goes first, so every
     // crash point leaves the surviving max-version file with index
     // coverage at least up to its own number: either the merged file
@@ -348,58 +364,17 @@ object DedupIngest {
                           format: String = "parquet"): Seq[Long] = {
     requireRereadable(format)
     NativeExpressions.register(spark)
-    val latest = CommitLog.latestVersion(spark, outDir, topic)
-    if (latest < 0) return Seq.empty
-    val f = hfs(spark, outDir)
-    val dir = mhDirPath(outDir, topic)
-    fpFiles(f, dir).headOption.foreach { case (_, p) =>
-      val onDisk = spark.read.parquet(p.toString).schema
-      if (onDisk.fields.headOption.exists(_.dataType != MhSchema.head.dataType))
-        fpFiles(f, dir).foreach { case (_, fp) => f.delete(fp, false) }
-    }
-    val watermark = (fpFiles(f, dir).map(_._1) :+ -1L).max
-    val missing = ((watermark + 1) to latest).flatMap { v =>
-      val (adds, removes) = CommitLog.changesAt(spark, outDir, topic, v)
-      if (removes.isEmpty && adds.nonEmpty) Some(v -> adds) else None
-    }
-    if (missing.isEmpty) return Seq.empty
-    val live = CommitLog.snapshot(spark, outDir, topic).toSet
-    if (missing.size <= 4 &&
-      missing.forall { case (_, adds) => adds.forall(live) }) {
-      missing.map { case (v, adds) =>
-        installVersionFile(f, dir, v,
-          sigsOf(spark, outDir, topic, format, textCol, adds))
-        v
-      }
-    } else {
-      val sigs =
-        if (live.isEmpty)
-          spark.createDataFrame(spark.sparkContext
-            .emptyRDD[org.apache.spark.sql.Row], MhSchema)
-        else sigsOf(spark, outDir, topic, format, textCol, live.toSeq.sorted)
-      installVersionFile(f, dir, latest, sigs)
-      missing.map(_._1)
-    }
+    reconcileIndex(spark, outDir, topic, mhDirPath(outDir, topic), MhSchema,
+      rels => sigsOf(spark, outDir, topic, format, textCol, rels))
   }
 
   /** `_mh` index maintenance — [[compactFingerprints]] for the
     * signature plane: merge every per-version file into ONE at the
     * current watermark, same descending-delete crash discipline. */
   def compactSignatures(spark: SparkSession, outDir: String,
-                        topic: String): Long = {
-    val f = hfs(spark, outDir)
-    val dir = mhDirPath(outDir, topic)
-    val files = fpFiles(f, dir)
-    if (files.size <= 1) return files.size
-    val watermark = files.map(_._1).max
-    val part = stageSingleParquet(f, new Path(dir, ".tmp-compact"),
+                        topic: String): Long =
+    compactIndex(spark, outDir, mhDirPath(outDir, topic),
       minhashIndex(spark, outDir, topic))
-    files.sortBy(-_._1).foreach { case (_, p) => f.delete(p, false) }
-    if (!f.rename(part, new Path(dir, s"v$watermark.parquet")))
-      throw new java.io.IOException(s"rename failed installing v$watermark")
-    f.delete(new Path(dir, ".tmp-compact"), true)
-    1L
-  }
 
   /** Textual NEAR-dup admission gate — the fuzzy twin of
     * [[startLoggedDeduped]] (which only stops byte-identical payloads):
