@@ -565,7 +565,10 @@ object PipelineQueries {
 
   /** The trained-IVF oracle CTE chain (training + probe + search),
     * ending in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ 5). */
-  private def trainedIvfSql: String =
+  /** The Lloyd-training replay alone (k=8, iters=2), ending in the
+    * final assignment CTE `a3` = (id, v, cell, d2) — shared by the
+    * trained-IVF search and the outlier scorer. */
+  private def kmTrainSql: String =
     s"""qv AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings),
@@ -574,7 +577,10 @@ object PipelineQueries {
        |${kmUpdateSql("a1", "c1", EmbDims)},
        |${kmAssignSql("qv", "c1", "a2")},
        |${kmUpdateSql("a2", "c2", EmbDims)},
-       |${kmAssignSql("qv", "c2", "a3")},
+       |${kmAssignSql("qv", "c2", "a3")}""".stripMargin
+
+  private def trainedIvfSql: String =
+    s"""$kmTrainSql,
        |${ivfSearchSql("a3", nprobe = 2, k = 5)}""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
@@ -1680,6 +1686,35 @@ object PipelineQueries {
               |FROM (SELECT DISTINCT q_id FROM bf) q
               |LEFT JOIN hits USING (q_id)
               |ORDER BY q_id""".stripMargin)),
+
+    // ---- Embedding OUTLIER detection — the OOD-filtering stage of an
+    //      embedding-quality pipeline (SemDeDup prunes what's too
+    //      close; this surfaces what's too FAR): per trained cell, the
+    //      k members farthest from their own centroid, integer-exact
+    //      squared distance straight off the assignment. Scale shape:
+    //      assignment is the shuffle-free literal-centroid projection
+    //      and the per-cell ranking runs through the bounded-heap
+    //      topk_pairs aggregate — the exchange carries O(cells×k),
+    //      never a corpus window. ----
+    QuerySpec("outlier_embedding_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val vecs = embVecs(s, d)
+        KMeans.assign(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+          .groupBy(col("cell"))
+          .agg(call_function("topk_pairs", col("d2"), col("id"),
+            lit(3)).as("top"))
+          .select(col("cell"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("cell"), col("p.id").as("vec_id"),
+            col("p.ord").as("d2"), (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy(col("cell"), col("rnk"))
+      },
+      Some(s"""WITH $kmTrainSql,
+              |r AS (SELECT cell, id, d2, row_number() OVER (
+              |    PARTITION BY cell ORDER BY d2 DESC, id ASC) AS rnk
+              |  FROM a3)
+              |SELECT cell, id AS vec_id, d2, rnk FROM r WHERE rnk <= 3
+              |ORDER BY cell, rnk""".stripMargin)),
 
     // ---- Contrastive pair mining: per query, one positive (exact
     //      nearest neighbor through the bounded-heap aggregate) and
