@@ -26,6 +26,9 @@ object CurationQueries {
   private val PackShard = 64L
   /** Token-window width for chunk_documents. */
   private val ChunkW = 32
+  /** Merge rules learned by bpe_train_merges (driver state is O(this),
+    * like KMeans' centroid table). */
+  private val BpeMerges = 4
   /** shuffle_shards: hash-range bucket count (at corpus scale set
     * ~4096 so each ranking task sees ~n/buckets rows — see
     * `operators/Shuffle`) and rows per training shard. */
@@ -445,6 +448,89 @@ object CurationQueries {
               |  (coalesce(n_novel, 0) * 50 <= coalesce(n_bigrams, 0)) AS lm_keep
               |FROM documents d LEFT JOIN per USING (doc_id)
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE tokenizer training — the first `BpeMerges` merge rules
+    //      learned from the corpus, replayed bit-for-bit by the oracle.
+    //      Scale shape (how HF/SentencePiece trainers actually
+    //      distribute): ONE corpus pass reduces the data to the
+    //      vocabulary-scale (word, count) table; every merge iteration
+    //      then runs over DISTINCT words weighted by count — pair
+    //      counting is a map-side-combined sum, and only the single
+    //      argmax rule row ever reaches the driver per step (O(M)
+    //      driver state, like KMeans' centroids). Greedy left-to-right
+    //      merge application is encoded ONCE for both engines: symbols
+    //      live in a sym-marked string, so non-regex
+    //      `replace` — left-to-right, non-overlapping in Spark and
+    //      DuckDB alike — IS the BPE merge rule, with marker-delimited
+    //      symbol boundaries making cross-symbol false matches
+    //      impossible ("aaaa" + (a,a) → "(aa)(aa)", the canonical
+    //      greedy answer). Ties break on (count DESC, lhs, rhs) —
+    //      binary string order in both engines. ----
+    QuerySpec("bpe_train_merges",
+      (s, d) => {
+        // symbol markers (chr(1)/chr(2) in the oracle) as escapes, so
+        // the source diffs as text (the Rotation.scala NUL lesson)
+        val (soh, stx) = ("\u0001", "\u0002")
+        val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        val wf0 = TrackedCache.persist(Tables.documents(s, d)
+          .select(explode(TF.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .select(concat(lit(soh), concat_ws(stx + soh, chars),
+            lit(stx)).as("m"), col("n")))
+        var wf: org.apache.spark.sql.DataFrame = wf0
+        val rules = Seq.newBuilder[(Long, String, String, Long)]
+        for (step <- 1 to BpeMerges) {
+          val best = wf
+            .select(col("n"), split(expr("substring(m, 2, length(m)-2)"),
+              stx + soh).as("s"))
+            .filter(size(col("s")) >= 2)
+            .select(col("n"), explode(expr(
+              "transform(sequence(1, size(s)-1), i -> struct(s[i-1] AS a, s[i] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()(0)
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          rules += ((step.toLong, a, b, cnt))
+          wf = wf.select(replace(col("m"),
+            lit(soh + a + stx + soh + b + stx),
+            lit(soh + a + b + stx)).as("m"), col("n"))
+        }
+        val sess = s
+        import sess.implicits._
+        rules.result().toDF("step", "lhs", "rhs", "cnt")
+          .select(col("step"), col("lhs"), col("rhs"),
+            concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+          .orderBy(col("step"))
+      },
+      Some {
+        val stepSql = (k: Int) =>
+          s"""s$k AS (SELECT n, string_split(substr(m, 2, length(m)-2), chr(2)||chr(1)) AS s
+             |  FROM w${k - 1}),
+             |p$k AS (SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM
+             |    (SELECT n, unnest(list_transform(range(1, len(s)),
+             |        i -> {'a': s[i], 'b': s[i + 1]})) AS p
+             |     FROM s$k WHERE len(s) >= 2)
+             |  GROUP BY 1, 2),
+             |b$k AS (SELECT a, b, cnt FROM p$k
+             |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+             |w$k AS (SELECT replace(m, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+             |    chr(1)||a||b||chr(2)) AS m, n
+             |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+        val rows = (1 to BpeMerges).map(k =>
+          s"SELECT $k::BIGINT AS step, a AS lhs, b AS rhs, a||b AS merged, cnt FROM b$k")
+          .mkString("\n  UNION ALL ")
+        s"""WITH w0 AS (SELECT chr(1) ||
+           |    array_to_string(list_transform(range(1, len(w) + 1),
+           |      i -> substr(w, i, 1)), chr(2)||chr(1)) || chr(2) AS m, n
+           |  FROM (SELECT w, count(*) AS n FROM
+           |      (SELECT unnest(${toksSql("text")}) AS w FROM documents)
+           |    GROUP BY w)),
+           |${(1 to BpeMerges).map(stepSql).mkString(",\n")}
+           |SELECT * FROM (
+           |  $rows)
+           |ORDER BY step""".stripMargin
+      }),
 
     // ---- Stratified corpus sampling: per-language keep rates applied
     //      via the deterministic content-hash gate (pure function of
