@@ -200,4 +200,31 @@ object TextFunctions {
     * stand-in for locality-sensitive prefix dedup). */
   def prefixFingerprint(text: Column): Column =
     md5(substring(lower(text), 1, 64).cast("binary"))
+
+  // ===== BPE primitives (bpe_train_merges / bpe_encode_tokens) ========
+
+  /** BPE symbol markers (chr(1)/chr(2) in the DuckDB mirrors) — as
+    * escapes so the source diffs as text. A symbol sequence is stored
+    * as the single string `⟨s1⟩⟨s2⟩…` with each symbol wrapped in
+    * SOH…STX, so merge application is ONE non-regex `replace`:
+    * left-to-right and non-overlapping in Spark and DuckDB alike,
+    * which IS the greedy BPE rule, and marker-delimited boundaries
+    * make cross-symbol false matches impossible. */
+  val BpeSoh = "\u0001"
+  val BpeStx = "\u0002"
+
+  /** A word as its marked single-character symbol sequence. */
+  def bpeMarked(w: Column): Column =
+    concat(lit(BpeSoh), concat_ws(BpeStx + BpeSoh,
+      transform(sequence(lit(1), length(w)), i => substr(w, i, lit(1)))),
+      lit(BpeStx))
+
+  /** Marked sequence → symbol array. */
+  def bpeSymbols(m: Column): Column =
+    split(substr(m, lit(2), length(m) - 2), BpeStx + BpeSoh)
+
+  /** Apply ONE merge rule (a, b) → ab greedily left-to-right. */
+  def bpeApply(m: Column, a: String, b: String): Column =
+    replace(m, lit(BpeSoh + a + BpeStx + BpeSoh + b + BpeStx),
+      lit(BpeSoh + a + b + BpeStx))
 }

@@ -118,6 +118,64 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** The BPE trainer shared by `bpe_train_merges` (reports the rules)
+    * and `bpe_encode_tokens` (applies them): one corpus pass to the
+    * vocabulary-scale (word, count) table, then [[BpeMerges]] greedy
+    * merge rounds via [[TF.bpeApply]]'s marked-string replace. Returns
+    * the fully-merged word table (m, n) and the learned rules
+    * (step, lhs, rhs, weighted pair count). The per-step argmax is ONE
+    * collected row — O(M) driver state, like KMeans' centroid table. */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
+    val wf0 = TrackedCache.persist(Tables.documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(TF.bpeMarked(col("w")).as("m"), col("n")))
+    var wf: org.apache.spark.sql.DataFrame = wf0
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to BpeMerges) {
+      val best = wf
+        .select(col("n"), TF.bpeSymbols(col("m")).as("s"))
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(s)-1), i -> struct(s[i-1] AS a, s[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      rules += ((step.toLong, a, b, cnt))
+      wf = wf.select(TF.bpeApply(col("m"), a, b).as("m"), col("n"))
+    }
+    (wf, rules.result())
+  }
+
+  /** DuckDB mirror of [[bpeTrain]]: CTE chain `w0, s1, p1, b1, w1, …`
+    * up to `w\$BpeMerges`, where each `b\$k` is step k's learned rule
+    * (a, b, cnt) and each `w\$k` the word table after applying it. */
+  private def bpeChainSql: String = {
+    val stepSql = (k: Int) =>
+      s"""s$k AS (SELECT n, string_split(substr(m, 2, length(m)-2), chr(2)||chr(1)) AS s
+         |  FROM w${k - 1}),
+         |p$k AS (SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM
+         |    (SELECT n, unnest(list_transform(range(1, len(s)),
+         |        i -> {'a': s[i], 'b': s[i + 1]})) AS p
+         |     FROM s$k WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS (SELECT a, b, cnt FROM p$k
+         |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |w$k AS (SELECT replace(m, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+         |    chr(1)||a||b||chr(2)) AS m, n
+         |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+    s"""w0 AS (SELECT chr(1) ||
+       |    array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> substr(w, i, 1)), chr(2)||chr(1)) || chr(2) AS m, n
+       |  FROM (SELECT w, count(*) AS n FROM
+       |      (SELECT unnest(${toksSql("text")}) AS w FROM documents)
+       |    GROUP BY w)),
+       |${(1 to BpeMerges).map(stepSql).mkString(",\n")}""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- PII scrub: typed placeholders for emails / IPv4s / phone
@@ -468,69 +526,44 @@ object CurationQueries {
     //      binary string order in both engines. ----
     QuerySpec("bpe_train_merges",
       (s, d) => {
-        // symbol markers (chr(1)/chr(2) in the oracle) as escapes, so
-        // the source diffs as text (the Rotation.scala NUL lesson)
-        val (soh, stx) = ("\u0001", "\u0002")
-        val chars = expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-        val wf0 = TrackedCache.persist(Tables.documents(s, d)
-          .select(explode(TF.tokens(col("text"))).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("n"))
-          .select(concat(lit(soh), concat_ws(stx + soh, chars),
-            lit(stx)).as("m"), col("n")))
-        var wf: org.apache.spark.sql.DataFrame = wf0
-        val rules = Seq.newBuilder[(Long, String, String, Long)]
-        for (step <- 1 to BpeMerges) {
-          val best = wf
-            .select(col("n"), split(expr("substring(m, 2, length(m)-2)"),
-              stx + soh).as("s"))
-            .filter(size(col("s")) >= 2)
-            .select(col("n"), explode(expr(
-              "transform(sequence(1, size(s)-1), i -> struct(s[i-1] AS a, s[i] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("n")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()(0)
-          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-          rules += ((step.toLong, a, b, cnt))
-          wf = wf.select(replace(col("m"),
-            lit(soh + a + stx + soh + b + stx),
-            lit(soh + a + b + stx)).as("m"), col("n"))
-        }
+        val (_, rules) = bpeTrain(s, d)
         val sess = s
         import sess.implicits._
-        rules.result().toDF("step", "lhs", "rhs", "cnt")
+        rules.toDF("step", "lhs", "rhs", "cnt")
           .select(col("step"), col("lhs"), col("rhs"),
             concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
           .orderBy(col("step"))
       },
       Some {
-        val stepSql = (k: Int) =>
-          s"""s$k AS (SELECT n, string_split(substr(m, 2, length(m)-2), chr(2)||chr(1)) AS s
-             |  FROM w${k - 1}),
-             |p$k AS (SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM
-             |    (SELECT n, unnest(list_transform(range(1, len(s)),
-             |        i -> {'a': s[i], 'b': s[i + 1]})) AS p
-             |     FROM s$k WHERE len(s) >= 2)
-             |  GROUP BY 1, 2),
-             |b$k AS (SELECT a, b, cnt FROM p$k
-             |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-             |w$k AS (SELECT replace(m, chr(1)||a||chr(2)||chr(1)||b||chr(2),
-             |    chr(1)||a||b||chr(2)) AS m, n
-             |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
         val rows = (1 to BpeMerges).map(k =>
           s"SELECT $k::BIGINT AS step, a AS lhs, b AS rhs, a||b AS merged, cnt FROM b$k")
           .mkString("\n  UNION ALL ")
-        s"""WITH w0 AS (SELECT chr(1) ||
-           |    array_to_string(list_transform(range(1, len(w) + 1),
-           |      i -> substr(w, i, 1)), chr(2)||chr(1)) || chr(2) AS m, n
-           |  FROM (SELECT w, count(*) AS n FROM
-           |      (SELECT unnest(${toksSql("text")}) AS w FROM documents)
-           |    GROUP BY w)),
-           |${(1 to BpeMerges).map(stepSql).mkString(",\n")}
+        s"""WITH $bpeChainSql
            |SELECT * FROM (
            |  $rows)
            |ORDER BY step""".stripMargin
       }),
+
+    // ---- BPE encoding — the trained tokenizer APPLIED: corpus token
+    //      statistics after the learned merges (top symbols by weighted
+    //      count), i.e. the vocabulary a pipeline would actually pack
+    //      and train on. Same vocabulary-scale economy as training; the
+    //      final ranking is a TakeOrdered top-k, never a global sort of
+    //      the symbol table. ----
+    QuerySpec("bpe_encode_tokens",
+      (s, d) => {
+        val (wf, _) = bpeTrain(s, d)
+        wf.select(col("n"), explode(TF.bpeSymbols(col("m"))).as("sym"))
+          .groupBy(col("sym")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("sym").asc)
+          .limit(20)
+      },
+      Some(s"""WITH $bpeChainSql,
+              |sy AS (SELECT unnest(string_split(substr(m, 2, length(m)-2),
+              |    chr(2)||chr(1))) AS sym, n
+              |  FROM w$BpeMerges)
+              |SELECT sym, sum(n) AS cnt FROM sy GROUP BY sym
+              |ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin)),
 
     // ---- Stratified corpus sampling: per-language keep rates applied
     //      via the deterministic content-hash gate (pure function of

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{TextFunctions => TF}
+
+/** Pins the BPE primitives' greedy-merge semantics — the properties
+  * that make the marked-string `replace` encoding correct BPE:
+  * left-to-right non-overlapping application, and marker-delimited
+  * symbol boundaries that make cross-symbol false matches impossible. */
+class BpeSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def symsAfter(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val m0 = Seq(word).toDF("w").select(TF.bpeMarked(col("w")).as("m"))
+    val mN = merges.foldLeft(m0) { case (df, (a, b)) =>
+      df.select(TF.bpeApply(col("m"), a, b).as("m"))
+    }
+    mN.select(TF.bpeSymbols(col("m")).as("s"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("marked round-trip: a word's symbols start as its characters") {
+    assert(symsAfter("abc", Nil) === Seq("a", "b", "c"))
+    assert(symsAfter("a", Nil) === Seq("a"))
+  }
+
+  test("overlapping self-pair merges greedily left-to-right (canonical BPE)") {
+    // "aaaa" + (a,a): non-overlapping left-to-right → (aa)(aa)
+    assert(symsAfter("aaaa", Seq(("a", "a"))) === Seq("aa", "aa"))
+    // "aaa": (aa) then a lone a — never the overlapping middle pair
+    assert(symsAfter("aaa", Seq(("a", "a"))) === Seq("aa", "a"))
+  }
+
+  test("merges never match across symbol boundaries") {
+    // after (c,a) the word is symbols [ca, b]; the text "ab" spans the
+    // boundary and (a,b) must NOT fire on it
+    assert(symsAfter("cab", Seq(("c", "a"), ("a", "b"))) === Seq("ca", "b"))
+    // but (ca,b) on the actual symbol pair does fire
+    assert(symsAfter("cab", Seq(("c", "a"), ("ca", "b"))) === Seq("cab"))
+  }
+
+  test("sequential merges compose: learned symbols merge again") {
+    // (a,b) then (ab,ab): "abab" → [ab, ab] → [abab]
+    assert(symsAfter("abab", Seq(("a", "b"), ("ab", "ab"))) === Seq("abab"))
+  }
+}

@@ -153,6 +153,14 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("lm_novelty_filter joins stay gram-hash/doc-keyed — never all-pairs") {
+    val p = plan("lm_novelty_filter")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"LM scoring must plan equi-joins:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+  }
+
   test("semdedup_prune candidates stay (band, cell)-keyed — never all-pairs") {
     val p = plan("semdedup_prune")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
