@@ -505,7 +505,8 @@ object CurationQueries {
               |  coalesce(n_novel, 0)::BIGINT AS n_novel,
               |  (coalesce(n_novel, 0) * 50 <= coalesce(n_bigrams, 0)) AS lm_keep
               |FROM documents d LEFT JOIN per USING (doc_id)
-              |ORDER BY doc_id""".stripMargin)),
+              |ORDER BY doc_id""".stripMargin),
+      bench = true),
 
     // ---- BPE tokenizer training — the first `BpeMerges` merge rules
     //      learned from the corpus, replayed bit-for-bit by the oracle.
@@ -542,7 +543,8 @@ object CurationQueries {
            |SELECT * FROM (
            |  $rows)
            |ORDER BY step""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- BPE encoding — the trained tokenizer APPLIED: corpus token
     //      statistics after the learned merges (top symbols by weighted
