@@ -209,7 +209,10 @@ object TextFunctions {
     * SOH…STX, so merge application is ONE non-regex `replace`:
     * left-to-right and non-overlapping in Spark and DuckDB alike,
     * which IS the greedy BPE rule, and marker-delimited boundaries
-    * make cross-symbol false matches impossible. */
+    * make cross-symbol false matches impossible — PROVIDED symbol
+    * text never contains the markers themselves (the trainer excludes
+    * such tokens from its vocabulary; merged symbols then can't
+    * reintroduce them). */
   val BpeSoh = "\u0001"
   val BpeStx = "\u0002"
 

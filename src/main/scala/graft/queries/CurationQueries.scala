@@ -127,14 +127,23 @@ object CurationQueries {
     * collected row — O(M) driver state, like KMeans' centroid table. */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
+    // tokens containing the marker controls would corrupt symbol
+    // framing — excluded from training in BOTH engines (control-char
+    // "words" are not vocabulary)
     val wf0 = TrackedCache.persist(Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("w"))
+      .filter(!col("w").contains(TF.BpeSoh) && !col("w").contains(TF.BpeStx))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(TF.bpeMarked(col("w")).as("m"), col("n")))
     var wf: org.apache.spark.sql.DataFrame = wf0
     val rules = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1 to BpeMerges) {
-      val best = wf
+    var exhausted = false
+    for (step <- 1 to BpeMerges if !exhausted) {
+      // a corpus can run out of mergeable pairs before BpeMerges steps
+      // (every word a single symbol) — stop with the rules that exist;
+      // the oracle's empty b$k rows contribute nothing to its UNION,
+      // so both engines report exactly the learned prefix
+      val rows = wf
         .select(col("n"), TF.bpeSymbols(col("m")).as("s"))
         .filter(size(col("s")) >= 2)
         .select(col("n"), explode(expr(
@@ -142,10 +151,14 @@ object CurationQueries {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      rules += ((step.toLong, a, b, cnt))
-      wf = wf.select(TF.bpeApply(col("m"), a, b).as("m"), col("n"))
+        .limit(1).collect()
+      if (rows.isEmpty) exhausted = true
+      else {
+        val best = rows(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        rules += ((step.toLong, a, b, cnt))
+        wf = wf.select(TF.bpeApply(col("m"), a, b).as("m"), col("n"))
+      }
     }
     (wf, rules.result())
   }
@@ -164,14 +177,17 @@ object CurationQueries {
          |  GROUP BY 1, 2),
          |b$k AS (SELECT a, b, cnt FROM p$k
          |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |w$k AS (SELECT replace(m, chr(1)||a||chr(2)||chr(1)||b||chr(2),
-         |    chr(1)||a||b||chr(2)) AS m, n
-         |  FROM w${k - 1} CROSS JOIN b$k)""".stripMargin
+         |w$k AS (SELECT CASE WHEN a IS NULL THEN m
+         |    ELSE replace(m, chr(1)||a||chr(2)||chr(1)||b||chr(2),
+         |      chr(1)||a||b||chr(2)) END AS m, n
+         |  FROM w${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
     s"""w0 AS (SELECT chr(1) ||
        |    array_to_string(list_transform(range(1, len(w) + 1),
        |      i -> substr(w, i, 1)), chr(2)||chr(1)) || chr(2) AS m, n
        |  FROM (SELECT w, count(*) AS n FROM
        |      (SELECT unnest(${toksSql("text")}) AS w FROM documents)
+       |    WHERE w NOT LIKE '%' || chr(1) || '%'
+       |      AND w NOT LIKE '%' || chr(2) || '%'
        |    GROUP BY w)),
        |${(1 to BpeMerges).map(stepSql).mkString(",\n")}""".stripMargin
   }

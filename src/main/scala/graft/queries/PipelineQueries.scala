@@ -563,8 +563,6 @@ object PipelineQueries {
        |ivf AS (SELECT q_id, neighbor_id, dot, rnk FROM ivf_r
        |  WHERE rnk <= $k)""".stripMargin
 
-  /** The trained-IVF oracle CTE chain (training + probe + search),
-    * ending in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ 5). */
   /** The Lloyd-training replay alone (k=8, iters=2), ending in the
     * final assignment CTE `a3` = (id, v, cell, d2) — shared by the
     * trained-IVF search and the outlier scorer. */
@@ -579,6 +577,8 @@ object PipelineQueries {
        |${kmUpdateSql("a2", "c2", EmbDims)},
        |${kmAssignSql("qv", "c2", "a3")}""".stripMargin
 
+  /** The trained-IVF oracle CTE chain (training + probe + search),
+    * ending in CTE `ivf` = (q_id, neighbor_id, dot, rnk ≤ 5). */
   private def trainedIvfSql: String =
     s"""$kmTrainSql,
        |${ivfSearchSql("a3", nprobe = 2, k = 5)}""".stripMargin

@@ -46,4 +46,24 @@ class BpeSpec extends SparkSuite {
     // (a,b) then (ab,ab): "abab" → [ab, ab] → [abab]
     assert(symsAfter("abab", Seq(("a", "b"), ("ab", "ab"))) === Seq("abab"))
   }
+
+  test("pair exhaustion stops training with the learned prefix, encode still total") {
+    // 'ab ab ab': step 1 learns (a,b); every word is then one symbol,
+    // so steps 2..M find no pair — the trainer must report exactly the
+    // learned prefix and the encoder the post-merge vocabulary, not
+    // crash (and the oracle's LEFT-JOIN no-op steps agree)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-exhaust")
+    Seq((0L, "ab ab ab", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = graft.SparkEntry.queries("bpe_train_merges")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    graft.queries.TrackedCache.releaseAll()
+    assert(merges.toSeq === Seq((1L, "a", "b", "ab", 3L)))
+    val vocab = graft.SparkEntry.queries("bpe_encode_tokens")(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.queries.TrackedCache.releaseAll()
+    assert(vocab.toSeq === Seq(("ab", 3L)))
+  }
 }
