@@ -51,7 +51,11 @@ class BpeSpec extends SparkSuite {
     // 'ab ab ab': step 1 learns (a,b); every word is then one symbol,
     // so steps 2..M find no pair — the trainer must report exactly the
     // learned prefix and the encoder the post-merge vocabulary, not
-    // crash (and the oracle's LEFT-JOIN no-op steps agree)
+    // crash. This spec covers the Spark side only; the DuckDB mirror's
+    // LEFT-JOIN no-op branch (empty b$k) is argued by fixpoint — an
+    // empty p$j keeps w unchanged, so every later b$k is empty too and
+    // contributes no UNION row — and was checked end-to-end against
+    // this exact corpus through Verify + the DuckDB comparator
     val dir = java.nio.file.Files.createTempDirectory("graft-bpe-exhaust")
     Seq((0L, "ab ab ab", "en", "s", 8L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -64,4 +64,37 @@ class ShardExportSpec extends SparkSuite {
     assert(c.map(_._3) === a.map(_._3))
     assert(c !== a)
   }
+
+  test("re-export into a committed topic is rejected — stale-bytes hazard") {
+    val out = Files.createTempDirectory("graft-shards-re").toString
+    val docs = Tables.documents(spark, d)
+    ShardExport.exportShards(docs, out, "train", "doc_id",
+      epoch = 0L, buckets = 8, rowsPerShard = 16L)
+    val e = intercept[IllegalArgumentException] {
+      ShardExport.exportShards(docs, out, "train", "doc_id",
+        epoch = 1L, buckets = 8, rowsPerShard = 16L)
+    }
+    assert(e.getMessage.contains("fresh topic"))
+  }
+
+  test("null ids, reserved payload columns, and empty input fail fast / no-op") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-shards-guard").toString
+    val withNull = Seq((Some(1L), "x"), (None, "y"))
+      .toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      ShardExport.exportShards(withNull, out, "t1", "doc_id", 0L, 4, 16L)
+    }
+    assert(e1.getMessage.contains("null doc_id"))
+    val e2 = intercept[IllegalArgumentException] {
+      ShardExport.exportShards(
+        Seq((1L, "x")).toDF("doc_id", "partition"), out, "t2", "doc_id",
+        0L, 4, 16L)
+    }
+    assert(e2.getMessage.contains("reserved"))
+    // empty curated input: documented no-op, nothing published
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(ShardExport.exportShards(empty, out, "t3", "doc_id", 0L, 4, 16L) === -1L)
+    assert(graft.ingest.CommitLog.latestVersion(spark, out, "t3") === -1L)
+  }
 }
