@@ -534,7 +534,7 @@ object CurationQueries {
     //      argmax rule row ever reaches the driver per step (O(M)
     //      driver state, like KMeans' centroids). Greedy left-to-right
     //      merge application is encoded ONCE for both engines: symbols
-    //      live in a sym-marked string, so non-regex
+    //      live in a marker-delimited string, so non-regex
     //      `replace` — left-to-right, non-overlapping in Spark and
     //      DuckDB alike — IS the BPE merge rule, with marker-delimited
     //      symbol boundaries making cross-symbol false matches
