@@ -11,6 +11,27 @@ import graft.functions.TextFunctions
 class CurationSpec extends SparkSuite {
   import spark.implicits._
 
+  test("lm_novelty_filter drops gibberish, keeps supported and sub-bigram docs") {
+    // the sf corpora exercise the gate only at the margin (novelty
+    // 0–9%); this crafted corpus pins both branches squarely: three
+    // mutually-supporting docs (every bigram df=3 → 0% novel), one
+    // gibberish doc (every bigram df=1 → 100% novel → dropped), one
+    // sub-bigram doc (0 bigrams → vacuously kept)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-crafted")
+    Seq((0L, "the cat sat on the mat"), (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"), (3L, "zxqv wkjh qpmz nvbt lkjd"),
+      (4L, "hi"))
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.SparkEntry.queries("lm_novelty_filter")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    TrackedCache.releaseAll()
+    assert(got.toSeq === Seq((0L, 5L, 0L, true), (1L, 5L, 0L, true),
+      (2L, 5L, 0L, true), (3L, 4L, 4L, false), (4L, 0L, 0L, true)))
+  }
+
   test("balancedBySource downsamples a skewed source to the smallest source's rate") {
     // source "big": ids 0..99, source "small": ids 100..109 → mn = 10
     val docs = ((0L until 100L).map(i => (i, "big")) ++
