@@ -2,11 +2,14 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -162,6 +165,80 @@ case class Hash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Membership probe against a serialized `BloomFilter` — the scan-side
+  * prefilter for set-membership joins whose build side outgrows an
+  * exact broadcast (decontamination against a large eval suite). The
+  * filter bytes must be a plan-time constant (a literal produced by
+  * `DataFrameStatFunctions.bloomFilter`'s distributed build); they are
+  * deserialized ONCE per expression instance and enter generated code
+  * as a referenced object, so the per-row cost is the probe's few hash
+  * multiplies — never a per-row deserialize. Guarantees follow the
+  * sketch: no false negatives (safe as a prefilter ahead of an exact
+  * verify join), bounded false-positive rate. */
+case class BloomMightContainLong(bloom: Expression, value: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = bloom
+  override def right: Expression = value
+  override def prettyName: String = "bloom_might_contain_long"
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!bloom.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain_long needs a constant (foldable) filter argument")
+    else if (bloom.dataType != BinaryType || value.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain_long needs (binary, bigint), got " +
+          s"${bloom.dataType.sql} and ${value.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  /** Deserialized once per instance (and once per task after codegen
+    * reference-object ship), NOT once per row. */
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = bloom.eval(null).asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def nullable: Boolean = bloom.nullable || value.nullable
+
+  // custom eval/codegen instead of nullSafeEval: the bloom child must
+  // not be re-evaluated (let alone re-parsed) per row
+  override def eval(input: InternalRow): Any = {
+    if (filter == null) return null
+    val v = value.eval(input)
+    if (v == null) null else filter.mightContainLong(v.asInstanceOf[Long])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (filter == null) {
+      ev.copy(
+        code = code"""
+          |boolean ${ev.isNull} = true;
+          |boolean ${ev.value} = false;
+        """.stripMargin,
+        isNull = ev.isNull, value = ev.value)
+    } else {
+      val bf = ctx.addReferenceObj("bloomFilter", filter,
+        classOf[BloomFilter].getName)
+      val v = value.genCode(ctx)
+      ev.copy(
+        code = code"""
+          |${v.code}
+          |boolean ${ev.isNull} = ${v.isNull};
+          |boolean ${ev.value} = false;
+          |if (!${ev.isNull}) { ${ev.value} = $bf.mightContainLong(${v.value}); }
+        """.stripMargin,
+        isNull = ev.isNull, value = ev.value)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(bloom = newLeft, value = newRight)
+}
+
 object NativeExpressions {
 
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -182,6 +259,14 @@ object NativeExpressions {
       { children: Seq[Expression] =>
         require(children.size == 1, "hash64_md5 takes exactly 1 argument")
         Hash64(children.head)
+      }),
+    (FunctionIdentifier("bloom_might_contain_long"),
+      new ExpressionInfo(classOf[BloomMightContainLong].getName,
+        "bloom_might_contain_long"),
+      { children: Seq[Expression] =>
+        require(children.size == 2,
+          "bloom_might_contain_long takes (filterBytes, value)")
+        BloomMightContainLong(children.head, children(1))
       }),
     (FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),

@@ -93,6 +93,17 @@ object KMeans {
     } else assignViaJoin(vecs, cents)
   }
 
+  /** [[assign]]'s argmin as a bare COLUMN over an arbitrary vector
+    * expression — for encoders that assign several independent
+    * quantizers in one projection (product quantization: M subspace
+    * codes per row, zero joins). Same total order as [[assign]]
+    * (d2 ASC, cell ASC), literal-centroid path only. */
+  def cellOf(v: Column, cents: Seq[Centroid]): Column = {
+    require(cents.nonEmpty && cents.size <= LiteralAssignMaxK,
+      s"cellOf embeds centroids as plan literals (≤ $LiteralAssignMaxK)")
+    bestCell(v, cents).getField("cell")
+  }
+
   private[graft] def assignViaJoin(vecs: DataFrame, cents: Seq[Centroid]): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._

@@ -583,6 +583,88 @@ object PipelineQueries {
     s"""$kmTrainSql,
        |${ivfSearchSql("a3", nprobe = 2, k = 5)}""".stripMargin
 
+  /** Scalar (int8) quantization of the embedding corpus: per-dimension
+    * affine codes in [0, 255], ranges learned from the data in one
+    * map-side-combined aggregate (≤ d rows per partition reach the
+    * exchange) and entering the encode projection as plan literals.
+    * The division is made integer-exact by subtracting the remainder
+    * first (the kmUpdateSql trick), so any engine's division agrees
+    * and the DuckDB mirror (`//` on a non-negative numerator) replays
+    * codes bit-for-bit. Returns (id, c: array<long> of 64 codes). */
+  private def sq8Codes(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val vecs = embVecs(s, d)
+    val ranges = vecs.select(posexplode(col("v")).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("j")).collect() // d rows — metadata-scale
+    val lo = ranges.map(_.getLong(1))
+    val span = ranges.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val loLit = array(lo.map(lit).toSeq: _*)
+    val spanLit = array(span.map(lit).toSeq: _*)
+    vecs.select(col("id"), transform(col("v"), (x, i) => {
+      val l = element_at(loLit, i + 1)
+      val sp = element_at(spanLit, i + 1)
+      val a = (x - l) * lit(255L)
+      ((a - (a % sp)) / sp).cast("long")
+    }).as("c"))
+  }
+
+  /** DuckDB mirror of [[sq8Codes]], ending in CTE `codes(id, c)`. */
+  private def sq8Sql: String =
+    s"""qv AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |rj AS (SELECT j, min(v[j]) AS lo, max(v[j]) AS hi
+       |  FROM qv CROSS JOIN range(1, ${EmbDims + 1}) t(j) GROUP BY j),
+       |aff AS (SELECT list(lo ORDER BY j) AS lo,
+       |    list(GREATEST(hi - lo, 1) ORDER BY j) AS sp FROM rj),
+       |codes AS (SELECT id, list_transform(range(1, ${EmbDims + 1}),
+       |    j -> ((v[j] - lo[j]) * 255) // sp[j]) AS c
+       |  FROM qv CROSS JOIN aff)""".stripMargin
+
+  /** Product-quantization geometry: M subspaces of EmbDims/M dims,
+    * K centroids each — codebooks are O(M·K·subdims) driver literals,
+    * codes are M small ints per vector (the 100 TB memory story: 4
+    * code bytes standing in for 512 vector bytes at search time). */
+  private val PqM = 4
+  private val PqSubDims = EmbDims / PqM
+  private val PqK = 8
+
+  /** One fitted codebook per subspace (Lloyd, 1 iteration, first-K
+    * init) — each fit is the shuffle-free literal-assignment path. */
+  private def pqCodebooks(vecs: org.apache.spark.sql.DataFrame)
+      : Seq[Seq[KMeans.Centroid]] =
+    (0 until PqM).map { m =>
+      KMeans.fit(vecs.select(col("id"),
+        slice(col("v"), m * PqSubDims + 1, PqSubDims).as("v")),
+        k = PqK, iters = 1)
+    }
+
+  /** DuckDB replay of [[pqCodebooks]] + encoding: per subspace the
+    * first-K init / assign / floor-mean update / final assign chain,
+    * ending in CTEs `codes(id, m, code)` and `cb(m, code, cv)`. */
+  private def pqSql: String = {
+    val perSub = (0 until PqM).map { m =>
+      s"""s$m AS (SELECT id, array_slice(v, ${m * PqSubDims + 1}, ${(m + 1) * PqSubDims}) AS v FROM qv),
+         |c0_$m AS (SELECT id AS c_id, v AS cv FROM s$m ORDER BY id LIMIT $PqK),
+         |${kmAssignSql(s"s$m", s"c0_$m", s"a1_$m")},
+         |${kmUpdateSql(s"a1_$m", s"c1_$m", PqSubDims)},
+         |${kmAssignSql(s"s$m", s"c1_$m", s"e$m")}""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until PqM)
+      .map(m => s"SELECT id, $m AS m, cell AS code FROM e$m")
+      .mkString(" UNION ALL ")
+    val cbUnion = (0 until PqM)
+      .map(m => s"SELECT $m AS m, c_id AS code, cv FROM c1_$m")
+      .mkString(" UNION ALL ")
+    s"""qv AS (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |$perSub,
+       |codes AS ($codesUnion),
+       |cb AS ($cbUnion)""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ---- Exact dedup: hash-aggregate on a 16-byte fingerprint. ----
@@ -1497,6 +1579,57 @@ object PipelineQueries {
            |WHERE jaccard >= 0.5
            |ORDER BY train_id, eval_id""".stripMargin)),
 
+    // ---- Bloom-prefiltered decontamination: the scale path for when
+    //      the eval-gram set outgrows an exact broadcast (a full eval
+    //      SUITE of benchmarks against a 100 TB corpus). The sketch is
+    //      built DISTRIBUTED (treeAggregate, no driver collect of
+    //      items) and is KB-scale regardless of item count; the probe
+    //      runs scan-side through the native codegen'd
+    //      bloom_might_contain_long — zero shuffle, zero join — and
+    //      discards ~(1 − fpp) of the corpus's grams before the exact
+    //      verify join ever shuffles a row. Bloom has NO false
+    //      negatives and the verify join kills its false positives, so
+    //      the output — and the oracle — are IDENTICAL to the exact
+    //      broadcast variant (decontaminate_eval_overlap): same
+    //      answer, different asymptotics. The verify join carries no
+    //      broadcast hint on purpose: its build side is the very set
+    //      assumed too big to broadcast; AQE may still pick broadcast
+    //      when it fits (as at test SF). ----
+    QuerySpec("decontaminate_bloom",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val grams = TrackedCache.persist( // shared: eval build + corpus probe
+          Tables.documents(s, d).select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 8)).as("g")))
+        val evalGrams = grams.filter(col("doc_id") < 25)
+          .select(col("g")).distinct()
+        val hashed = evalGrams.select(
+          call_function("hash60_md5", col("g").cast("binary")).as("gh"))
+        // one metadata-scale count to size the sketch, then the
+        // distributed build (the two eval-side jobs price like the
+        // exact variant's broadcast build)
+        val bf = hashed.stat.bloomFilter("gh",
+          math.max(hashed.count(), 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val probe = call_function("bloom_might_contain_long",
+          lit(bos.toByteArray),
+          call_function("hash60_md5", col("g").cast("binary")))
+        grams.filter(col("doc_id") >= 25)
+          .filter(probe)
+          .join(evalGrams, Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM tok),
+              |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 25)
+              |SELECT DISTINCT doc_id FROM g
+              |WHERE doc_id >= 25 AND g IN (SELECT g FROM ev)
+              |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ---- Deterministic train/val/test assignment: hash-bucket the
     //      content (NOT a random sample — reproducible across runs,
     //      engines, and re-partitioning; membership is a pure function
@@ -1535,6 +1668,47 @@ object PipelineQueries {
               |SELECT token, count(*) AS n FROM t GROUP BY 1
               |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin),
       bench = true),
+
+    // ---- Heavy hitters through a COUNT-MIN SKETCH — the one-pass,
+    //      bounded-memory alternative to the exact aggregate above for
+    //      when even the distinct-token shuffle is too much (top_tokens
+    //      shuffles the vocabulary; the sketch shuffles one fixed
+    //      O(width × depth) blob per partition, merged associatively —
+    //      corpus-size-independent). Exactness is probabilistic, so the
+    //      checkable output is the accuracy CONTRACT, the
+    //      agg_approx_users pattern: for each of the exact top-20
+    //      tokens, the sketch estimate must lie in
+    //      [true_count, true_count + eps·N] — never under (CMS
+    //      guarantees one-sided error), and over by at most the eps
+    //      bound. Estimates are deterministic for a fixed seed, so the
+    //      contract is reproducible, not flaky. The exact top-20
+    //      candidate list reuses the TakeOrdered shape; the 20 driver
+    //      probes are metadata-scale. ----
+    QuerySpec("heavy_hitters_cms",
+      (s, d) => {
+        val toks = TrackedCache.persist(Tables.documents(s, d)
+          .select(explode(TF.tokens(col("text"))).as("token")))
+        val skBytes = toks
+          .select(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val bound = (0.001 * sk.totalCount()).toLong
+        val top = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token").asc).limit(20).collect()
+        import s.implicits._
+        top.toSeq.map { r =>
+          val (t, n) = (r.getString(0), r.getLong(1))
+          val est = sk.estimateCount(t)
+          (t, n, est >= n && est <= n + bound)
+        }.toDF("token", "n", "cms_ok")
+          .orderBy(col("n").desc, col("token").asc)
+      },
+      Some(s"""WITH tok AS (SELECT ${toksSql("text")} AS toks FROM documents),
+              |t AS (SELECT unnest(toks) AS token FROM tok)
+              |SELECT token, count(*) AS n, true AS cms_ok
+              |FROM t GROUP BY token
+              |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
 
     // ---- IVF with an UNTRAINED coarse quantizer: the first-K vectors
     //      as the centroid table (the deterministic stand-in a

@@ -145,4 +145,65 @@ class NativeExpressionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("dot_i64"))
   }
+
+  private def bloomBytesOf(items: Seq[Long], fpp: Double = 0.01): Array[Byte] = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(items.size.toLong, fpp)
+    items.foreach(bf.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  test("bloom_might_contain_long: no false negatives; fp rate bounded") {
+    NativeExpressions.register(spark)
+    val rnd = new scala.util.Random(41)
+    val members = Seq.fill(500)(rnd.nextLong()).distinct
+    val bytes = bloomBytesOf(members, fpp = 0.01)
+    val memberSet = members.toSet
+    // disjoint probe population 20x the member count
+    val probes = Iterator.continually(rnd.nextLong())
+      .filterNot(memberSet).take(10000).toSeq
+    val hits = (members ++ probes).toDF("x")
+      .filter(call_function("bloom_might_contain_long", lit(bytes), col("x")))
+      .as[Long].collect().toSet
+    assert(members.forall(hits), "bloom dropped a true member")
+    val fps = hits.size - members.size
+    assert(fps <= 300, s"false-positive count $fps way above the 1% target")
+  }
+
+  test("bloom_might_contain_long survives codegen with a referenced filter (no per-row parse)") {
+    NativeExpressions.register(spark)
+    val bytes = bloomBytesOf(Seq(3L, 5L))
+    val df = spark.range(8)
+      .select(call_function("bloom_might_contain_long",
+        lit(bytes), col("id")).as("hit"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val got = spark.range(8).toDF("id")
+      .filter(call_function("bloom_might_contain_long", lit(bytes), col("id")))
+      .as[Long].collect().toSet
+    assert(Set(3L, 5L).subsetOf(got))
+    assert(got.size < 8) // a 2-item sketch must not read as all-true
+  }
+
+  test("bloom_might_contain_long null semantics and analysis checks") {
+    NativeExpressions.register(spark)
+    val bytes = bloomBytesOf(Seq(1L))
+    // null value -> null; null filter -> null
+    val r = Seq((Option(1L), Option.empty[Long])).toDF("a", "b")
+      .select(
+        call_function("bloom_might_contain_long", lit(bytes), col("b")).as("nv"),
+        call_function("bloom_might_contain_long",
+          lit(null).cast("binary"), col("a")).as("nf"),
+        call_function("bloom_might_contain_long", lit(bytes), col("a")).as("hit"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getBoolean(2))
+    // non-constant filter argument rejected at analysis
+    val e = intercept[Exception] {
+      Seq((Array[Byte](1), 2L)).toDF("f", "x")
+        .select(call_function("bloom_might_contain_long", col("f"), col("x")))
+        .collect()
+    }
+    assert(e.getMessage.contains("bloom_might_contain_long"))
+  }
 }
