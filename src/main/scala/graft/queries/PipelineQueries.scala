@@ -583,29 +583,29 @@ object PipelineQueries {
     s"""$kmTrainSql,
        |${ivfSearchSql("a3", nprobe = 2, k = 5)}""".stripMargin
 
-  /** Scalar (int8) quantization of the embedding corpus: per-dimension
-    * affine codes in [0, 255], ranges learned from the data in one
-    * map-side-combined aggregate (≤ d rows per partition reach the
-    * exchange) and entering the encode projection as plan literals.
-    * The division is made integer-exact by subtracting the remainder
-    * first (the kmUpdateSql trick), so any engine's division agrees
-    * and the DuckDB mirror (`//` on a non-negative numerator) replays
-    * codes bit-for-bit. Returns (id, c: array<long> of 64 codes). */
+  /** Scalar (int8) quantization of the embedding corpus: SYMMETRIC
+    * absmax codes `floor(x·127 / g)` in [-127, 127] under one GLOBAL
+    * scale g = max|component| — symmetric-no-offset on purpose: an
+    * affine per-dim code (x−lo)·255/span would add a constant offset
+    * whose cross terms dominate the code dot product and destroy
+    * inner-product ranking (measured recall@5 of exactly 0); absmax
+    * scales the dot by the constant (127/g)², preserving order up to
+    * rounding. The scale is learned in one map-side-combined aggregate
+    * (one scalar out) and enters the encode projection as a plan
+    * literal. Flooring goes through the subtract-the-remainder trick
+    * in BOTH engines (pmod, the kmUpdateSql pattern): the numerator
+    * becomes an exact multiple of g before dividing, so every
+    * division convention agrees (DuckDB's `//` truncates toward zero,
+    * not floor) and the oracle replays codes bit-for-bit.
+    * Returns (id, c: array<long> of 64 codes). */
   private def sq8Codes(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame = {
     val vecs = embVecs(s, d)
-    val ranges = vecs.select(posexplode(col("v")).as(Seq("j", "x")))
-      .groupBy(col("j")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
-      .orderBy(col("j")).collect() // d rows — metadata-scale
-    val lo = ranges.map(_.getLong(1))
-    val span = ranges.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
-    val loLit = array(lo.map(lit).toSeq: _*)
-    val spanLit = array(span.map(lit).toSeq: _*)
-    vecs.select(col("id"), transform(col("v"), (x, i) => {
-      val l = element_at(loLit, i + 1)
-      val sp = element_at(spanLit, i + 1)
-      val a = (x - l) * lit(255L)
-      ((a - (a % sp)) / sp).cast("long")
+    val g = math.max(vecs.select(posexplode(col("v")).as(Seq("j", "x")))
+      .agg(max(abs(col("x")))).head().getLong(0), 1L) // one scalar
+    vecs.select(col("id"), transform(col("v"), x => {
+      val a = x * lit(127L)
+      ((a - pmod(a, lit(g))) / lit(g)).cast("long")
     }).as("c"))
   }
 
@@ -614,13 +614,11 @@ object PipelineQueries {
     s"""qv AS (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
        |  FROM embeddings),
-       |rj AS (SELECT j, min(v[j]) AS lo, max(v[j]) AS hi
-       |  FROM qv CROSS JOIN range(1, ${EmbDims + 1}) t(j) GROUP BY j),
-       |aff AS (SELECT list(lo ORDER BY j) AS lo,
-       |    list(GREATEST(hi - lo, 1) ORDER BY j) AS sp FROM rj),
-       |codes AS (SELECT id, list_transform(range(1, ${EmbDims + 1}),
-       |    j -> ((v[j] - lo[j]) * 255) // sp[j]) AS c
-       |  FROM qv CROSS JOIN aff)""".stripMargin
+       |gs AS (SELECT GREATEST(max(abs(v[j])), 1) AS g
+       |  FROM qv CROSS JOIN range(1, ${EmbDims + 1}) t(j)),
+       |codes AS (SELECT id, list_transform(v,
+       |    x -> ((x * 127) - (((x * 127) % g) + g) % g) // g) AS c
+       |  FROM qv CROSS JOIN gs)""".stripMargin
 
   /** Product-quantization geometry: M subspaces of EmbDims/M dims,
     * K centroids each — codebooks are O(M·K·subdims) driver literals,
@@ -1889,6 +1887,170 @@ object PipelineQueries {
               |  FROM a3)
               |SELECT cell, id AS vec_id, d2, rnk FROM r WHERE rnk <= 3
               |ORDER BY cell, rnk""".stripMargin)),
+
+    // ---- Scalar-quantized (int8) ANN: the memory-compression scale
+    //      path — 64 byte-range codes stand in for 64 longs, an 8×
+    //      smaller scan at search time on a 100 TB corpus. The global
+    //      absmax scale is learned in one map-side-combined aggregate
+    //      (a single scalar) and enters the encode projection as a
+    //      plan literal (zero joins); ranking runs the same
+    //      broadcast-queries + bounded-heap shape as sim_topk_agg,
+    //      just over codes. The remainder-subtraction trick makes the
+    //      floor division integer-exact, so the oracle replays the
+    //      codes bit-for-bit — quantization is deterministic
+    //      compression, not noise. ----
+    QuerySpec("sim_sq8_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val codes = TrackedCache.persist(sq8Codes(s, d))
+        val q = codes.filter(col("id").isin(0L, 1L, 2L))
+          .select(col("id").as("q_id"), col("c").as("qc"))
+        codes.crossJoin(broadcast(q))
+          .filter(col("id") =!= col("q_id"))
+          .select(col("q_id"), col("id").as("neighbor_id"),
+            call_function("dot_i64", col("qc"), col("c")).as("qdot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("qdot"), col("neighbor_id"),
+            lit(5)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("qdot"), (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $sq8Sql,
+              |qd AS (SELECT q.id AS q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.c, a.c),
+              |      p -> p[1] * p[2])) AS BIGINT) AS qdot
+              |  FROM codes a CROSS JOIN
+              |    (SELECT id, c FROM codes WHERE id IN (0, 1, 2)) q
+              |  WHERE a.id <> q.id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY qdot DESC, neighbor_id ASC) AS rnk FROM qd)
+              |SELECT q_id, neighbor_id, qdot, rnk FROM r WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
+
+    // ---- Measure, don't guess: recall@5 of the int8-quantized search
+    //      against the exact integer dot — the number that tells you
+    //      whether 8× compression actually costs accuracy on this
+    //      corpus. Both rankings replayed exactly by the oracle. ----
+    QuerySpec("sim_sq8_recall",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val vecs = TrackedCache.persist(embVecs(s, d))
+        val codes = TrackedCache.persist(sq8Codes(s, d))
+        def top5(frame: org.apache.spark.sql.DataFrame, vc: String) = {
+          val q = frame.filter(col("id").isin(0L, 1L, 2L))
+            .select(col("id").as("q_id"), col(vc).as("qx"))
+          frame.crossJoin(broadcast(q))
+            .filter(col("id") =!= col("q_id"))
+            .select(col("q_id"), col("id").as("neighbor_id"),
+              call_function("dot_i64", col("qx"), col(vc)).as("ord"))
+            .groupBy(col("q_id"))
+            .agg(call_function("topk_pairs", col("ord"), col("neighbor_id"),
+              lit(5)).as("top"))
+            .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+        }
+        val sq = top5(codes, "c")
+        val exact = top5(vecs, "v")
+        val hits = sq.join(exact, Seq("q_id", "neighbor_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        exact.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / 5.0)
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH $sq8Sql,
+              |sqd AS (SELECT q.id AS q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.c, a.c),
+              |      p -> p[1] * p[2])) AS BIGINT) AS ord
+              |  FROM codes a CROSS JOIN
+              |    (SELECT id, c FROM codes WHERE id IN (0, 1, 2)) q
+              |  WHERE a.id <> q.id),
+              |sqr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ord DESC, neighbor_id ASC) AS rnk FROM sqd),
+              |sqt AS (SELECT q_id, neighbor_id FROM sqr WHERE rnk <= 5),
+              |exd AS (SELECT q.id AS q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.v, a.v),
+              |      p -> p[1] * p[2])) AS BIGINT) AS ord
+              |  FROM qv a CROSS JOIN
+              |    (SELECT id, v FROM qv WHERE id IN (0, 1, 2)) q
+              |  WHERE a.id <> q.id),
+              |exr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ord DESC, neighbor_id ASC) AS rnk FROM exd),
+              |ext AS (SELECT q_id, neighbor_id FROM exr WHERE rnk <= 5),
+              |hits AS (SELECT s.q_id, count(*) AS n_hit
+              |  FROM sqt s JOIN ext e
+              |    ON s.q_id = e.q_id AND s.neighbor_id = e.neighbor_id
+              |  GROUP BY 1)
+              |SELECT q.q_id, coalesce(n_hit, 0) AS n_hit,
+              |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 5.0 AS recall
+              |FROM (SELECT DISTINCT q_id FROM ext) q
+              |LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
+
+    // ---- Product quantization with ADC (asymmetric distance) search
+    //      — the standard billion-scale ANN index layout: M=4 subspace
+    //      codebooks (trained Lloyd per subspace, replayed bit-for-bit
+    //      by the oracle), each vector encoded to M small codes in ONE
+    //      shuffle-free projection (KMeans.cellOf per subspace — no
+    //      per-subspace join). Search never touches vectors: the query
+    //      side precomputes a (query × subspace × centroid) partial-dot
+    //      LUT — O(Q·M·K) rows, broadcast — and candidate scores are
+    //      re-assembled from code lookups alone: explode codes to
+    //      (id, m, code), broadcast-join the LUT, two map-side-combined
+    //      aggregates ((q,id) sum then per-q bounded heap). At 100 TB
+    //      the scan is M bytes per vector and the exchanges carry
+    //      O(n·M) skinny rows then O(q·k). ----
+    QuerySpec("sim_pq_adc_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        import s.implicits._
+        val vecs = TrackedCache.persist(embVecs(s, d))
+        val books = pqCodebooks(vecs)
+        val codes = vecs.select(col("id"),
+          posexplode(array(books.zipWithIndex.map { case (cents, m) =>
+            KMeans.cellOf(slice(col("v"), m * PqSubDims + 1, PqSubDims), cents)
+          }.toSeq: _*)).as(Seq("m", "code")))
+        val cdf = books.zipWithIndex.flatMap { case (cents, m) =>
+          cents.map(c => (m, c.id, c.v))
+        }.toDF("m", "code", "cv")
+        val q = vecs.filter(col("id").isin(0L, 1L, 2L))
+          .select(col("id").as("q_id"), col("v").as("qv"))
+        val lut = q.crossJoin(broadcast(cdf))
+          .select(col("q_id"), col("m"), col("code"),
+            call_function("dot_i64",
+              slice(col("qv"), col("m") * lit(PqSubDims) + lit(1), lit(PqSubDims)),
+              col("cv")).as("partial"))
+        codes.join(broadcast(lut), Seq("m", "code"))
+          .filter(col("id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("id"))
+          .agg(sum(col("partial")).as("adc"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("adc"), col("id"),
+            lit(5)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("adc"), (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $pqSql,
+              |q AS (SELECT id AS q_id, v AS qv FROM qv WHERE id IN (0, 1, 2)),
+              |lut AS (SELECT q_id, m, code,
+              |    CAST(list_sum(list_transform(
+              |      list_zip(array_slice(qv, m * $PqSubDims + 1, (m + 1) * $PqSubDims), cv),
+              |      p -> p[1] * p[2])) AS BIGINT) AS partial
+              |  FROM q CROSS JOIN cb),
+              |adc AS (SELECT q_id, c.id AS neighbor_id,
+              |    CAST(sum(partial) AS BIGINT) AS adc
+              |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+              |  WHERE c.id <> l.q_id GROUP BY 1, 2),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY adc DESC, neighbor_id ASC) AS rnk FROM adc)
+              |SELECT q_id, neighbor_id, adc, rnk FROM r WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
 
     // ---- Contrastive pair mining: per query, one positive (exact
     //      nearest neighbor through the bounded-heap aggregate) and

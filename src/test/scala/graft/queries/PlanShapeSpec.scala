@@ -192,4 +192,50 @@ class PlanShapeSpec extends SparkSuite {
       s"anti-join must stay keyed:\n$p")
     assert(p.toString.contains("LeftAnti"), p.toString)
   }
+
+  test("decontaminate_bloom probes the sketch scan-side, below the verify join") {
+    val p = plan("decontaminate_bloom")
+    val s = p.toString
+    // the bloom probe must be a Filter in the plan (scan-side), and
+    // the exact verify must still be a semi-join after it
+    assert(s.contains("bloom_might_contain_long"), s"probe missing:\n$s")
+    assert(s.contains("LeftSemi"), s"exact verify join missing:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    // the probe filter must sit BELOW the semi-join: walking down from
+    // the first semi-join, its corpus-side subtree contains the probe
+    val semi = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semi.nonEmpty, s)
+    assert(semi.head.left.toString.contains("bloom_might_contain_long") ||
+      semi.head.right.toString.contains("bloom_might_contain_long"),
+      s"bloom probe must prefilter the join input, not postfilter:\n$s")
+  }
+
+  test("sim_pq_adc_topk: ADC lookup is a broadcast equi-join on (m, code); no corpus window") {
+    val p = plan("sim_pq_adc_topk")
+    val s = p.toString
+    // the CORPUS-side join (codes → LUT) must be a broadcast hash
+    // join keyed on the code — the only tolerated nested loop is the
+    // 3-row query × 32-row codebook LUT build
+    val codeJoins = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("code")) => j
+    }
+    assert(codeJoins.nonEmpty, s"ADC lookup must equi-join on (m, code):\n$s")
+    assert(!s.contains("CartesianProduct"), s"no unhinted all-pairs:\n$s")
+    assert(s.contains("topk_pairs"), s"final ranking via bounded heap:\n$s")
+    assert(!s.contains("Window"), s"no corpus window allowed:\n$s")
+  }
+
+  test("sim_sq8_topk ranks codes via the bounded heap over a broadcast query side") {
+    val p = plan("sim_sq8_topk")
+    val s = p.toString
+    assert(s.contains("topk_pairs"), s)
+    assert(!s.contains("Window"), s"no corpus window allowed:\n$s")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // partial topk_pairs combine + presentation orderBy only
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$p")
+  }
 }
