@@ -1714,14 +1714,17 @@ object PipelineQueries {
           call_function("hash60_md5", col("g").cast("binary")).as("gh"))
         // one metadata-scale count to size the sketch, then the
         // distributed build (the two eval-side jobs price like the
-        // exact variant's broadcast build)
-        val bf = hashed.stat.bloomFilter("gh",
-          math.max(hashed.count(), 1L), 0.01)
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        val probe = call_function("bloom_might_contain_long",
-          lit(bos.toByteArray),
-          call_function("hash60_md5", col("g").cast("binary")))
+        // exact variant's broadcast build); an empty eval side
+        // short-circuits — the sketch aggregate yields null on empty
+        // input, and nothing can overlap anyway
+        val nEval = hashed.count()
+        val probe = if (nEval == 0) lit(false) else {
+          val bf = hashed.stat.bloomFilter("gh", nEval, 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          call_function("bloom_might_contain_long", lit(bos.toByteArray),
+            call_function("hash60_md5", col("g").cast("binary")))
+        }
         grams.filter(col("doc_id") >= 25)
           .filter(probe)
           .join(evalGrams, Seq("g"), "left_semi")

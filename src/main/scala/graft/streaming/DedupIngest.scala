@@ -599,4 +599,86 @@ object DedupIngest {
       },
       afterWrite = _ => ())
   }
+
+  /** Blocklist admission gate: drop any record whose content
+    * fingerprint appears in a caller-supplied blocklist (retracted or
+    * policy-removed documents, known-contaminated benchmark text,
+    * revoked-license content) and commit only the rest — the streaming
+    * twin of `decontaminate_bloom`'s two-phase shape.
+    *
+    * A production blocklist can be far beyond broadcast size, so the
+    * per-batch gate never joins the full list: a `BloomFilter` over
+    * the blocklist fingerprints — built ONCE at stream start by the
+    * distributed sketch aggregate (KB–MB blob regardless of item
+    * count) — probes every record scan-side through the native
+    * codegen'd `bloom_might_contain_long`, and only the flagged
+    * subset (true hits + the fpp sliver) is verified against the
+    * exact list. Bloom has no false negatives, so nothing blocked can
+    * slip through; the exact verify kills false positives, so nothing
+    * clean is over-dropped. The verify join's batch side is tiny and
+    * broadcasts; the blocklist never shuffles for the join.
+    *
+    * The blocklist frame (column `fp`: the 16-byte [[fingerprint]]
+    * md5) is snapshotted into the sketch at START — a list updated
+    * mid-stream needs a restart to take effect (documented contract;
+    * the alternative, re-sketching per batch, prices a full blocklist
+    * scan into every micro-batch). A batch whose every record is
+    * blocked publishes nothing and still advances the checkpoint.
+    * Replays are idempotent via the offset resume filter. */
+  def startLoggedBlocklisted(stream: DataFrame, outDir: String,
+                             topic: String, blocklist: DataFrame,
+                             flushSize: Int, checkpoint: String,
+                             fpp: Double = 0.01,
+                             trigger: Option[Trigger] = None,
+                             format: String = "parquet",
+                             avroCodec: String = "null"): StreamingQuery = {
+    val spark = stream.sparkSession
+    NativeExpressions.register(spark)
+    require(blocklist.columns.contains("fp"),
+      s"blocklist needs an `fp` column, got: ${blocklist.columns.mkString(", ")}")
+    val bl = blocklist.select(col("fp"))
+    // one count to size the sketch + the distributed build — two
+    // list-side jobs at stream START, zero per batch. An empty list
+    // short-circuits to a constant-false probe (the sketch aggregate
+    // returns null on empty input).
+    val nBl = bl.count()
+    val probeOf: Column => Column =
+      if (nBl == 0) _ => lit(false)
+      else {
+        val bf = bl.select(xxhash64(col("fp")).as("h"))
+          .stat.bloomFilter("h", nBl, fpp)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val blBytes = bos.toByteArray
+        fp => call_function("bloom_might_contain_long",
+          lit(blBytes), xxhash64(fp))
+      }
+    val write = StreamIngest.writerFor(outDir, topic, flushSize, format, avroCodec)
+    StreamIngest.commitLoop(stream, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, outDir, topic),
+      writeFn = fresh => {
+        val withFp = fresh.withColumn("__fp", fingerprint(fresh))
+        val probe = probeOf(col("__fp"))
+        // exact verify on the flagged sliver only: its distinct fps
+        // are bounded by the batch and BROADCAST into the list (the
+        // blocklist never shuffles — the index-gate idiom); what comes
+        // back is ⊆ batch, so it broadcasts again for the anti-join
+        val flagged = withFp.filter(probe)
+          .select(col("__fp").as("fp")).distinct()
+        val blocked = bl.join(broadcast(flagged), Seq("fp"), "left_semi")
+        val admitted = withFp
+          .join(broadcast(blocked), withFp("__fp") === blocked("fp"),
+            "left_anti").persist()
+        try {
+          if (admitted.isEmpty) Seq.empty
+          else {
+            val manifest = write(admitted.drop("__fp"))
+            CommitLog.publish(spark, outDir, topic,
+              manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
+            manifest
+          }
+        } finally { admitted.unpersist(); () }
+      },
+      afterWrite = _ => ())
+  }
 }

@@ -67,6 +67,75 @@ class DedupIngestSpec extends SparkSuite {
     assert(readAll(out) === Set((0L, "a"), (1L, "b"), (3L, "z")))
   }
 
+  test("blocklist gate: listed payloads never land, bloom false positives are rescued") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-bl-stream").toString
+    val ckpt = Files.createTempDirectory("graft-bl-ckpt").toString
+    val badDf = Seq("bad0", "bad1").toDF("payload")
+    val blocklist = badDf.select(DedupIngest.fingerprint(badDf).as("fp"))
+    val s = MemoryStream[(Long, Long, String)]
+    // fpp = 0.5: at this rate clean payloads WILL flag in the sketch —
+    // the exact verify must rescue every one of them (the invariant is
+    // deterministic: nothing clean may be over-dropped at ANY fpp)
+    val q = DedupIngest.startLoggedBlocklisted(
+      s.toDF().toDF("part", "off", "payload"), out, "t", blocklist,
+      flushSize = 10, ckpt, fpp = 0.5)
+    s.addData((0L, 0L, "bad0"), (0L, 1L, "ok0"), (0L, 2L, "bad1"), (0L, 3L, "ok1"))
+    q.processAllAvailable()
+    // across batches too, and a blocked payload at a new offset
+    s.addData((0L, 4L, "ok2"), (0L, 5L, "bad0"))
+    q.processAllAvailable()
+    q.stop()
+    assert(readAll(out) === Set((1L, "ok0"), (3L, "ok1"), (4L, "ok2")))
+  }
+
+  test("blocklist gate: all-blocked batch publishes nothing; restart resumes and keeps blocking") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-bl-replay").toString
+    val badDf = Seq("bad").toDF("payload")
+    val blocklist = badDf.select(DedupIngest.fingerprint(badDf).as("fp"))
+    def start(ckpt: String, src: MemoryStream[(Long, Long, String)]) =
+      DedupIngest.startLoggedBlocklisted(
+        src.toDF().toDF("part", "off", "payload"), out, "t", blocklist,
+        flushSize = 10, ckpt)
+    val ckpt1 = Files.createTempDirectory("graft-bl-ckpt1").toString
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = start(ckpt1, s1)
+    s1.addData((0L, 0L, "bad"), (0L, 1L, "bad"))
+    q1.processAllAvailable() // nothing publishable
+    s1.addData((0L, 2L, "keep"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(readAll(out) === Set((2L, "keep")))
+    // "crash": fresh checkpoint, full replay plus new data — committed
+    // offsets resume-filter out, the blocked payload stays blocked
+    val ckpt2 = Files.createTempDirectory("graft-bl-ckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = start(ckpt2, s2)
+    s2.addData((0L, 0L, "bad"), (0L, 2L, "keep"), (0L, 3L, "bad"), (0L, 4L, "new"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((2L, "keep"), (4L, "new")))
+  }
+
+  test("blocklist gate: an empty blocklist admits everything") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-bl-empty").toString
+    val ckpt = Files.createTempDirectory("graft-bl-empty-ckpt").toString
+    val blocklist = Seq.empty[Array[Byte]].toDF("fp")
+    val s = MemoryStream[(Long, Long, String)]
+    val q = DedupIngest.startLoggedBlocklisted(
+      s.toDF().toDF("part", "off", "payload"), out, "t", blocklist,
+      flushSize = 10, ckpt)
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(readAll(out) === Set((0L, "a"), (1L, "b")))
+  }
+
   test("reconcileFingerprints rebuilds the missing version from committed data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
