@@ -118,6 +118,19 @@ object DedupFunctions {
     when(union === 0.0, lit(1.0)).otherwise(inter / union)
   }
 
+  /** Directed set containment |A∩B| / min(|A|, |B|) — the
+    * near-superset signal Jaccard dilutes: a document embedded
+    * verbatim in one 10× its size has Jaccard ≤ 0.1 but containment
+    * 1.0 (the boilerplate / quoted-reply / template shape). Both
+    * empty → 1.0, mirroring [[jaccard]]'s empty-set convention. */
+  def containment(tokensA: Column, tokensB: Column): Column = {
+    val a = array_distinct(tokensA)
+    val b = array_distinct(tokensB)
+    val inter = size(array_intersect(a, b)).cast("double")
+    val m = least(size(a), size(b)).cast("double")
+    when(m === 0.0, lit(1.0)).otherwise(inter / m)
+  }
+
   /** Exact dedup: one row per distinct fingerprint with the surviving
     * (minimum) id and the duplicate count. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =

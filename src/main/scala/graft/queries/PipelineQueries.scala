@@ -1115,6 +1115,65 @@ object PipelineQueries {
               |  CASE WHEN szsum - inter = 0.0 THEN 1.0 ELSE inter / (szsum - inter) END AS jaccard
               |FROM j ORDER BY doc_a""".stripMargin)),
 
+    // ---- CONTAINMENT pairs — the near-superset signal Jaccard
+    //      dilutes (a doc quoted verbatim inside one 10× its size has
+    //      Jaccard ≤ 0.1 but containment 1.0): boilerplate, quoted
+    //      replies, templated wrappers. Candidates come from the same
+    //      MinHash band blocking as the symmetric near-dup search;
+    //      banding recall is Jaccard-driven, so EXTREME size-ratio
+    //      supersets can evade the bands — exhaustive containment
+    //      would block on shared gram hashes instead (the
+    //      dedup_span_fraction equi-join plane); this query is the
+    //      moderate-ratio member of that family, with candidates
+    //      verified by the exact set ratio. The smaller (contained)
+    //      side is reported as inner_id, ties to the lower id. ----
+    QuerySpec("dedup_containment_pairs",
+      (s, d) => {
+        val (sh0, bands0) = minhashShingleBands(s, d)
+        val sh = TrackedCache.persist(sh0)
+        val bands = TrackedCache.persist(bands0)
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+        cand.join(sh.as("x"), col("ia") === col("x.doc_id"))
+          .join(sh.as("y"), col("ib") === col("y.doc_id"))
+          .select(col("ia"), col("ib"),
+            size(array_distinct(col("x.sh"))).cast("long").as("la"),
+            size(array_distinct(col("y.sh"))).cast("long").as("lb"),
+            DF.containment(col("x.sh"), col("y.sh")).as("containment"))
+          .filter(col("containment") >= 0.8)
+          .select(
+            when(col("la") <= col("lb"), col("ia")).otherwise(col("ib"))
+              .as("inner_id"),
+            when(col("la") <= col("lb"), col("ib")).otherwise(col("ia"))
+              .as("outer_id"),
+            col("containment"))
+          .orderBy(col("inner_id"), col("outer_id"))
+      },
+      Some(s"""WITH $minhashBandsSql,
+              |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.doc_id < b.doc_id),
+              |p AS (SELECT ia, ib,
+              |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
+              |  FROM cand JOIN sh x ON x.doc_id = ia
+              |    JOIN sh y ON y.doc_id = ib),
+              |cc AS (SELECT ia, ib,
+              |    len(da)::BIGINT AS la, len(db)::BIGINT AS lb,
+              |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter
+              |  FROM p),
+              |r AS (SELECT ia, ib, la, lb,
+              |    CASE WHEN least(la, lb) = 0 THEN 1.0
+              |      ELSE inter / CAST(least(la, lb) AS DOUBLE) END AS containment
+              |  FROM cc)
+              |SELECT CASE WHEN la <= lb THEN ia ELSE ib END AS inner_id,
+              |  CASE WHEN la <= lb THEN ib ELSE ia END AS outer_id,
+              |  containment
+              |FROM r WHERE containment >= 0.8
+              |ORDER BY inner_id, outer_id""".stripMargin)),
+
     // ---- Text analysis: tokens, BPE-ish units, punctuation, lang-ID,
     //      stopword ratio, composite quality score. Tokenize-once
     //      shape: the base projection scans the text exactly 8 times

@@ -69,6 +69,24 @@ class DedupFunctionsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment: subset=1 regardless of size ratio, disjoint=0, both-empty=1") {
+    val df = Seq(
+      // "a b" ⊂ a 6-token superset: jaccard is diluted, containment is 1
+      (Seq("a", "b"), Seq("a", "b", "c", "d", "e", "f")),
+      (Seq("a", "b"), Seq("x", "y")),
+      (Seq.empty[String], Seq.empty[String]),
+      // dup-insensitive: multiset noise must not change the ratio
+      (Seq("a", "a", "b"), Seq("b", "a", "a", "a", "c"))).toDF("a", "b")
+    val got = df.select(
+        DedupFunctions.containment(col("a"), col("b")).as("c"),
+        DedupFunctions.jaccard(col("a"), col("b")).as("j"))
+      .as[(Double, Double)].collect()
+    assert(got(0)._1 === 1.0 && got(0)._2 < 0.5) // the signal jaccard dilutes
+    assert(got(1)._1 === 0.0)
+    assert(got(2)._1 === 1.0)
+    assert(got(3)._1 === 1.0)
+  }
+
   test("simhash: identical token bags equal; signature fits requested bits") {
     val df = Seq(
       (1L, "spark catalyst optimizer"),
