@@ -680,5 +680,43 @@ object CurationQueries {
               |  count(DISTINCT md5(text)) AS n_unique,
               |  CAST(1.0 AS DOUBLE) - CAST(count(DISTINCT md5(text)) AS DOUBLE)
               |    / CAST(count(*) AS DOUBLE) AS dup_rate
-              |FROM documents""".stripMargin)))
+              |FROM documents""".stripMargin)),
+
+    // ---- EXACT distributed quantiles of the doc-length distribution
+    //      — the corpus-card percentiles (p25/p50/p75/p95 of tokens
+    //      per doc) computed WITHOUT sorting the corpus and WITHOUT an
+    //      approximation contract: lengths collapse to a value
+    //      HISTOGRAM (one map-side-combined aggregate; cardinality =
+    //      distinct lengths, value-domain-scale), the cumulative sum
+    //      runs over that tiny histogram (the Packing metadata-window
+    //      pattern), and each target rank ceil(pct·n/100) — integer
+    //      arithmetic, no float ranks — picks its value by min-over-
+    //      qualifying. The histogram × 4-rank non-equi join is
+    //      histogram-scale, never corpus-scale. The same shape serves
+    //      any integer-valued distribution (chunk counts, shard
+    //      sizes). ----
+    QuerySpec("token_length_quantiles",
+      (s, d) => {
+        val lens = Tables.documents(s, d)
+          .select(TF.tokenCount(col("text")).cast("long").as("len"))
+        val hist = lens.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+        val cum = hist.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("len"))))
+        val n = lens.count()
+        val targets = Seq(25, 50, 75, 95)
+          .map(pct => (pct, (pct * n + 99) / 100)) // exact ceil, no floats
+        import s.implicits._
+        cum.join(broadcast(targets.toDF("pct", "r")), col("cum") >= col("r"))
+          .groupBy(col("pct")).agg(min(col("len")).as("value"))
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH lens AS (SELECT len(${toksSql("text")})::BIGINT AS len
+              |    FROM documents),
+              |h AS (SELECT len, count(*) AS cnt FROM lens GROUP BY 1),
+              |c AS (SELECT len, sum(cnt) OVER (ORDER BY len) AS cum FROM h),
+              |n AS (SELECT count(*) AS n FROM lens),
+              |tr AS (SELECT pct, (pct * n + 99) // 100 AS r
+              |  FROM (SELECT unnest([25, 50, 75, 95]) AS pct) CROSS JOIN n)
+              |SELECT pct, min(len) AS value FROM c JOIN tr ON cum >= r
+              |GROUP BY pct ORDER BY pct""".stripMargin)))
 }
