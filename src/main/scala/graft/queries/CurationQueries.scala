@@ -699,10 +699,15 @@ object CurationQueries {
       (s, d) => {
         val lens = Tables.documents(s, d)
           .select(TF.tokenCount(col("text")).cast("long").as("len"))
-        val hist = lens.groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+        // the histogram is persisted so n derives from it — the
+        // corpus tokenizes ONCE, not once per consumer (n is the
+        // histogram's weight sum, not a second corpus count)
+        val hist = TrackedCache.persist(
+          lens.groupBy(col("len")).agg(count(lit(1)).as("cnt")))
         val cum = hist.withColumn("cum",
           sum(col("cnt")).over(Window.orderBy(col("len"))))
-        val n = lens.count()
+        val n = hist.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .head().getLong(0)
         val targets = Seq(25, 50, 75, 95)
           .map(pct => (pct, (pct * n + 99) / 100)) // exact ceil, no floats
         import s.implicits._

@@ -451,16 +451,33 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** THE band-blocked candidate generation every MinHash consumer
+    * shares: distinct (lo, hi) doc-id pairs sharing a band key,
+    * lo < hi. One definition owns the blocking contract (the same
+    * reason [[minhashShingleBands]] owns the banding parameters), so
+    * the four consumers — pair search, clusters, containment, the e2e
+    * pipeline — can never drift on candidate generation. */
+  private def candidatePairs(bands: org.apache.spark.sql.DataFrame,
+                             loCol: String, hiCol: String)
+      : org.apache.spark.sql.DataFrame =
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as(loCol), col("b.doc_id").as(hiCol))
+      .distinct()
+
+  /** DuckDB mirror of [[candidatePairs]] — a parenthesized subquery
+    * (callers wrap it in their own CTE). */
+  private def candPairsSql(lo: String, hi: String): String =
+    s"""(SELECT DISTINCT a.doc_id AS $lo, b.doc_id AS $hi
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
   private def dedupClustersFrame(s: org.apache.spark.sql.SparkSession,
                                  d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
     val (sh0, bands0) = minhashShingleBands(s, d)
     val sh = sh0.persist()
     val bands = bands0.persist()
-    val pairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
+    val pairs = candidatePairs(bands, "src", "dst")
     val verified = pairs
       .join(sh.as("x"), col("src") === col("x.doc_id"))
       .join(sh.as("y"), col("dst") === col("y.doc_id"))
@@ -481,8 +498,7 @@ object PipelineQueries {
     * (doc_id, cluster_id). */
   private val dedupClustersSql: String = {
     s"""$minhashBandsSql,
-       |pairs AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |pairs AS ${candPairsSql("src", "dst")},
        |verified AS (SELECT src, dst FROM (
        |  SELECT src, dst,
        |    CAST(len(list_filter(list_distinct(x.sh), s0 -> list_contains(list_distinct(y.sh), s0))) AS DOUBLE) AS inter,
@@ -601,8 +617,12 @@ object PipelineQueries {
   private def sq8Codes(s: org.apache.spark.sql.SparkSession,
                        d: String): org.apache.spark.sql.DataFrame = {
     val vecs = embVecs(s, d)
-    val g = math.max(vecs.select(posexplode(col("v")).as(Seq("j", "x")))
-      .agg(max(abs(col("x")))).head().getLong(0), 1L) // one scalar
+    // one scalar; NULL on an empty corpus → g=1, codes frame is empty
+    // anyway (engine-parity guard: the oracle emits an empty result,
+    // so the Spark side must not throw — the embRows convention)
+    val gRow = vecs.select(posexplode(col("v")).as(Seq("j", "x")))
+      .agg(max(abs(col("x")))).head()
+    val g = if (gRow.isNullAt(0)) 1L else math.max(gRow.getLong(0), 1L)
     vecs.select(col("id"), transform(col("v"), x => {
       val a = x * lit(127L)
       ((a - pmod(a, lit(g))) / lit(g)).cast("long")
@@ -741,6 +761,13 @@ object PipelineQueries {
                           vecs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // engine-parity guard (the embRows convention): an empty corpus
+    // has no codebooks to train — KMeans.assign would reject the
+    // empty centroid set — while the oracle's empty CTE chain yields
+    // an empty result; return the same empty (typed) frame instead
+    if (vecs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "adc", "rnk")
     val books = pqCodebooks(vecs)
     val codes = vecs.select(col("id"),
       posexplode(array(books.zipWithIndex.map { case (cents, m) =>
@@ -814,16 +841,13 @@ object PipelineQueries {
         // re-run the whole shingle→hash→signature pipeline; bands is
         // tiny relative to the documents (4 short strings per doc)
         val bands = TrackedCache.persist(minhashShingleBands(s, d)._2)
-        bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        candidatePairs(bands, "doc_a", "doc_b")
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(
-        s"""WITH $minhashBandsSql
-           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        s"""WITH $minhashBandsSql,
+           |cand AS ${candPairsSql("doc_a", "doc_b")}
+           |SELECT doc_a, doc_b FROM cand
            |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true),
 
@@ -1132,11 +1156,7 @@ object PipelineQueries {
         val (sh0, bands0) = minhashShingleBands(s, d)
         val sh = TrackedCache.persist(sh0)
         val bands = TrackedCache.persist(bands0)
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-          .distinct()
+        val cand = candidatePairs(bands, "ia", "ib")
         cand.join(sh.as("x"), col("ia") === col("x.doc_id"))
           .join(sh.as("y"), col("ib") === col("y.doc_id"))
           .select(col("ia"), col("ib"),
@@ -1153,9 +1173,7 @@ object PipelineQueries {
           .orderBy(col("inner_id"), col("outer_id"))
       },
       Some(s"""WITH $minhashBandsSql,
-              |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.doc_id < b.doc_id),
+              |cand AS ${candPairsSql("ia", "ib")},
               |p AS (SELECT ia, ib,
               |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
               |  FROM cand JOIN sh x ON x.doc_id = ia
@@ -2322,11 +2340,7 @@ object PipelineQueries {
         val sh = TrackedCache.persist(sh0.join(ids, Seq("doc_id"), "left_semi"))
         val bands = TrackedCache.persist(
           bands0.join(ids, Seq("doc_id"), "left_semi"))
-        val cand = bands.as("a").join(bands.as("b"),
-            col("a.band") === col("b.band") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-          .distinct()
+        val cand = candidatePairs(bands, "ia", "ib")
         val pruned = cand
           .join(sh.as("x"), col("ia") === col("x.doc_id"))
           .join(sh.as("y"), col("ib") === col("y.doc_id"))
@@ -2354,11 +2368,9 @@ object PipelineQueries {
               |fp AS (SELECT *, md5(text) AS fp FROM sq),
               |ke AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY 1),
               |se AS (SELECT f.* FROM fp f JOIN ke USING (fp, doc_id)),
-              |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-              |  FROM bands a JOIN bands b
-              |    ON a.band = b.band AND a.doc_id < b.doc_id
-              |  WHERE a.doc_id IN (SELECT doc_id FROM se)
-              |    AND b.doc_id IN (SELECT doc_id FROM se)),
+              |cand AS (SELECT ia, ib FROM ${candPairsSql("ia", "ib")}
+              |  WHERE ia IN (SELECT doc_id FROM se)
+              |    AND ib IN (SELECT doc_id FROM se)),
               |p AS (SELECT ia, ib,
               |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
               |  FROM cand JOIN sh x ON x.doc_id = ia

@@ -636,6 +636,13 @@ object DedupIngest {
     NativeExpressions.register(spark)
     require(blocklist.columns.contains("fp"),
       s"blocklist needs an `fp` column, got: ${blocklist.columns.mkString(", ")}")
+    // type, not just presence: a hex-STRING fingerprint list (Spark's
+    // bare md5()) would hash differently from the binary [[fingerprint]]
+    // and the gate would silently block nothing
+    require(blocklist.schema("fp").dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      s"blocklist.fp must be the 16-byte BINARY fingerprint " +
+        s"(DedupIngest.fingerprint), got: ${blocklist.schema("fp").dataType.sql}")
     val bl = blocklist.select(col("fp"))
     // one count to size the sketch + the distributed build — two
     // list-side jobs at stream START, zero per batch. An empty list
@@ -665,7 +672,12 @@ object DedupIngest {
         // back is ⊆ batch, so it broadcasts again for the anti-join
         val flagged = withFp.filter(probe)
           .select(col("__fp").as("fp")).distinct()
-        val blocked = bl.join(broadcast(flagged), Seq("fp"), "left_semi")
+        // skip the full-list verify scan when the bloom flagged
+        // nothing — the common case per batch; the isEmpty probe is
+        // batch-bounded (fresh is persisted by commitLoop)
+        val blocked =
+          if (flagged.isEmpty) flagged
+          else bl.join(broadcast(flagged), Seq("fp"), "left_semi")
         val admitted = withFp
           .join(broadcast(blocked), withFp("__fp") === blocked("fp"),
             "left_anti").persist()

@@ -229,6 +229,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("Window"), s"no corpus window allowed:\n$s")
   }
 
+  test("curation_pipeline_e2e: stages stay keyed — band equi-join, no cartesian, no corpus window") {
+    val p = plan("curation_pipeline_e2e")
+    val s = p.toString
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"every stage join must stay keyed:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("Window"), s"no corpus window:\n$s")
+  }
+
   test("sim_sq8_topk ranks codes via the bounded heap over a broadcast query side") {
     val p = plan("sim_sq8_topk")
     val s = p.toString
