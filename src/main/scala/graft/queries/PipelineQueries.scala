@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
-import graft.operators.KMeans
+import graft.operators.{KMeans, Winnowing}
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -1191,6 +1191,60 @@ object PipelineQueries {
               |  containment
               |FROM r WHERE containment >= 0.8
               |ORDER BY inner_id, outer_id""".stripMargin)),
+
+    // ---- Winnowing fingerprints (the MOSS algorithm) — the LOCAL
+    //      fingerprint family: min-of-each-window over token-3-gram
+    //      hashes, guaranteeing any shared run of ≥ W+K-1 tokens
+    //      leaves a shared fingerprint (operators/Winnowing). Scale
+    //      shape: 8-byte gram hashes shuffle (never text) and the
+    //      sliding min is a window frame keyed by doc_id. ----
+    QuerySpec("winnow_fingerprints",
+      (s, d) => Winnowing.fingerprints(Tables.documents(s, d))
+        .orderBy(col("doc_id"), col("fp")),
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |shd AS (SELECT doc_id, ${shinglesSql(Winnowing.K)} AS sh FROM tok),
+              |h AS (SELECT doc_id,
+              |    list_transform(sh, g -> ${h60("'win:' || g")}) AS hs
+              |  FROM shd WHERE len(sh) > 0),
+              |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              |    range(1, greatest(len(hs) - ${Winnowing.W - 1}, 1) + 1),
+              |    i -> list_min(hs[i:i+${Winnowing.W - 1}])))) AS fp FROM h)
+              |SELECT doc_id, fp FROM f
+              |ORDER BY doc_id, fp""".stripMargin)),
+
+    // ---- Near-dup pairs from shared winnowed fingerprints — catches
+    //      long verbatim overlaps (quotes, boilerplate, license
+    //      blocks) between documents whole-set Jaccard dilutes below
+    //      its threshold. The document-frequency cut (df ≤ 20) drops
+    //      corpus-wide boilerplate fingerprints BEFORE the equi-join,
+    //      the same stop-the-heavy-hitter discipline as the LSH band
+    //      monitors: no posting list ever squares. ----
+    QuerySpec("dedup_winnow_pairs",
+      (s, d) => {
+        val fps = TrackedCache.persist(
+          Winnowing.fingerprints(Tables.documents(s, d)))
+        Winnowing.sharedPairs(fps, maxDf = 20L, minShared = 2L)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |shd AS (SELECT doc_id, ${shinglesSql(Winnowing.K)} AS sh FROM tok),
+              |h AS (SELECT doc_id,
+              |    list_transform(sh, g -> ${h60("'win:' || g")}) AS hs
+              |  FROM shd WHERE len(sh) > 0),
+              |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              |    range(1, greatest(len(hs) - ${Winnowing.W - 1}, 1) + 1),
+              |    i -> list_min(hs[i:i+${Winnowing.W - 1}])))) AS fp FROM h),
+              |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
+              |  FROM f GROUP BY fp) WHERE df <= 20),
+              |k AS (SELECT doc_id, fp FROM f
+              |  WHERE fp IN (SELECT fp FROM rare)),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    count(*) AS n_shared
+              |  FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+              |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = true),
 
     // ---- Text analysis: tokens, BPE-ish units, punctuation, lang-ID,
     //      stopword ratio, composite quality score. Tokenize-once

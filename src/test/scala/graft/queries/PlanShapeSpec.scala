@@ -238,6 +238,34 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("Window"), s"no corpus window:\n$s")
   }
 
+  test("dedup_winnow_pairs: keyed sliding-min windows, fp equi-join, no all-pairs") {
+    val p = plan("dedup_winnow_pairs")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"pair search must stay an fp equi-join:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"no all-pairs:\n$p")
+    // the fingerprint frame itself is persisted inside the query (its
+    // windows hide in the InMemoryRelation), so pin its shape on the
+    // operator's own plan — after dropping the cache entry the plan()
+    // call above registered, or this plan would match straight into
+    // the same InMemoryRelation leaf
+    graft.queries.TrackedCache.releaseAll()
+    spark.catalog.clearCache()
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    val fp =
+      try graft.operators.Winnowing
+        .fingerprints(graft.tables.Tables.documents(spark, d))
+        .queryExecution.executedPlan
+      finally conf.set("spark.sql.adaptive.enabled", prev)
+    val wins = collectAll(fp) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected the sliding-min window:\n$fp")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"every window must be keyed by doc_id, never corpus-wide:\n$fp")
+  }
+
   test("sim_sq8_topk ranks codes via the bounded heap over a broadcast query side") {
     val p = plan("sim_sq8_topk")
     val s = p.toString
