@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
-import graft.operators.{KMeans, Winnowing}
+import graft.operators.{KMeans, LinearClassifier, Winnowing}
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -400,6 +400,65 @@ object PipelineQueries {
   }
 
   private val textStatsCoreSql: String = textStatsSql("")
+
+  // ---- Linear quality classifier (train_quality_classifier /
+  //      quality_classifier_score): hashed bag-of-words features,
+  //      heuristic-quality teacher labels, batch-perceptron sweeps ----
+
+  // 256 buckets and 2 sweeps, picked by measurement: sweep 2 with the
+  // bias feature is the agreement peak (353/500 vs the 264/500
+  // majority floor); later sweeps cycle — the classic perceptron
+  // oscillation on non-separable data — so more iterations only
+  // deepen the lineage for worse weights
+  private val QcBuckets = 256
+  private val QcIters = 2
+
+  /** The classifier's (features, labels) pair, both persisted: every
+    * sweep consumes each of them twice. Teacher labels are the
+    * heuristic quality score's keep decision (±1). */
+  private def qcFeatLabels(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val feat = TrackedCache.persist(
+      LinearClassifier.hashedFeatures(Tables.documents(s, d), QcBuckets))
+    val labels = TrackedCache.persist(
+      textStatsFrame(s, d).select(col("doc_id").as("id"),
+        when(col("quality") >= 0.5, 1L).otherwise(-1L).as("y")))
+    (feat, labels)
+  }
+
+  /** CTE chain `lbl`, `feat`, `w1`..`w[[QcIters]]` replaying
+    * `LinearClassifier.fit` exactly: sweep 1 closes to Σ y·x (zero
+    * initial weights), each later sweep recomputes margins, selects
+    * y·margin ≤ 0, and adds Σ y·x over the misclassified. */
+  private def qcTrainSql: String = {
+    val steps = (2 to QcIters).map { i =>
+      s"""m$i AS (SELECT f.id, CAST(sum(f.cnt * coalesce(w.w, 0))
+         |    AS BIGINT) AS margin
+         |  FROM feat f LEFT JOIN w${i - 1} w USING (bucket)
+         |  GROUP BY f.id),
+         |mis$i AS (SELECT id, y FROM m$i JOIN lbl USING (id)
+         |  WHERE y * margin <= 0),
+         |dw$i AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS dw
+         |  FROM feat JOIN mis$i USING (id) GROUP BY bucket),
+         |w$i AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |    coalesce(a.w, 0) + coalesce(b.dw, 0) AS w
+         |  FROM w${i - 1} a FULL JOIN dw$i b ON a.bucket = b.bucket)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""lbl AS (SELECT doc_id AS id,
+       |    CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE -1 END AS BIGINT) AS y
+       |  FROM ($textStatsCoreSql)),
+       |feat AS (SELECT doc_id AS id,
+       |    ${h60("'qcf:' || t")} % $QcBuckets AS bucket,
+       |    count(*)::BIGINT AS cnt
+       |  FROM (SELECT doc_id, unnest(${toksSql("text")}) AS t FROM documents)
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id AS id, -1 AS bucket, 1::BIGINT AS cnt FROM documents),
+       |w1 AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS w
+       |  FROM feat JOIN lbl USING (id) GROUP BY bucket)${
+        if (QcIters > 1) ",\n" + steps else ""}""".stripMargin
+  }
 
   /** block → pair → verify → cluster: the shared body of
     * `dedup_clusters` and the canonical-doc rewrite. Unordered
@@ -1273,6 +1332,52 @@ object PipelineQueries {
               |  AND n_tokens BETWEEN 10 AND 5000
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- TRAIN a linear quality classifier on-cluster — the
+    //      fasttext-style shape (hashed bag-of-words → linear model)
+    //      every production quality/domain filter applies, with the
+    //      heuristic quality score as the teacher. Batch perceptron:
+    //      each sweep is two map-side-combined shuffles and the whole
+    //      run is integer-exact, so the oracle replays training
+    //      bit-for-bit — the KMeans determinism contract, for a
+    //      classifier (operators/LinearClassifier). ----
+    QuerySpec("train_quality_classifier",
+      (s, d) => {
+        val (feat, labels) = qcFeatLabels(s, d)
+        LinearClassifier.fit(feat, labels, iters = QcIters)
+          .filter(col("w") =!= 0L)
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH $qcTrainSql
+              |SELECT bucket, w FROM w$QcIters WHERE w <> 0
+              |ORDER BY bucket""".stripMargin)),
+
+    // ---- APPLY the trained classifier: per-document margin and keep
+    //      decision, alongside the teacher label it was trained
+    //      against. Scoring is one broadcast join against the
+    //      bucket-count weight vector plus a per-document sum —
+    //      nothing corpus-scale ever sits on the driver. ----
+    QuerySpec("quality_classifier_score",
+      (s, d) => {
+        val (feat, labels) = qcFeatLabels(s, d)
+        val w = LinearClassifier.fit(feat, labels, iters = QcIters)
+        labels.join(LinearClassifier.margins(feat, w), Seq("id"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("margin"), lit(0L)).as("margin"),
+            (coalesce(col("margin"), lit(0L)) > 0L).as("keep"),
+            col("y").as("teacher_y"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $qcTrainSql,
+              |sc AS (SELECT f.id, CAST(sum(f.cnt * coalesce(w.w, 0))
+              |    AS BIGINT) AS margin
+              |  FROM feat f LEFT JOIN w$QcIters w USING (bucket)
+              |  GROUP BY f.id)
+              |SELECT l.id AS doc_id, coalesce(margin, 0) AS margin,
+              |  coalesce(margin, 0) > 0 AS keep, y AS teacher_y
+              |FROM lbl l LEFT JOIN sc USING (id)
+              |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ---- Incremental dedup: the daily-increment shape — which docs
     //      of the incoming batch (source src0) are NOT already in the
     //      standing corpus. An anti-join that shuffles 16-byte
@@ -2142,6 +2247,49 @@ object PipelineQueries {
               |  FROM a3)
               |SELECT cell, id AS vec_id, d2, rnk FROM r WHERE rnk <= 3
               |ORDER BY cell, rnk""".stripMargin)),
+
+    // ---- Cluster-balanced sampling: select an EMBEDDING-SPACE
+    //      balanced subset — per trained k-means cell, up to B vectors
+    //      by deterministic hash rank. Where sample_balanced_sources
+    //      equalizes a metadata column, this equalizes semantic
+    //      regions: over-represented content modes (one cell = one
+    //      mode) are capped instead of dominating the mix, the
+    //      diversity-selection stage of an embedding curation
+    //      pipeline. Scale shape: assignment is the shuffle-free
+    //      literal-centroid projection, the hash gives every vector a
+    //      reproducible rank with no RNG state, and the per-cell cap
+    //      runs through the bounded-heap topk_pairs aggregate — the
+    //      exchange carries O(cells × B), never a corpus sort or
+    //      window. ----
+    QuerySpec("sample_cluster_balanced",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val vecs = embVecs(s, d)
+        val asg = KMeans.assign(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+        // topk_pairs ranks (ord DESC, id ASC); negating the hash makes
+        // that (hash ASC, id ASC) — the smallest-hash B per cell
+        val h = call_function("hash60_md5",
+          concat(lit("cb:"), col("id").cast("string")).cast("binary"))
+        asg.select(col("cell"), col("id"), (-h).as("nh"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_cell"),
+            call_function("topk_pairs", col("nh"), col("id"),
+              lit(8)).as("top"))
+          .select(col("cell"), col("n_cell"),
+            posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("cell"), col("n_cell"), col("p.id").as("vec_id"),
+            (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy(col("cell"), col("rnk"))
+      },
+      Some(s"""WITH $kmTrainSql,
+              |nc AS (SELECT cell, count(*) AS n_cell FROM a3 GROUP BY 1),
+              |r AS (SELECT cell, id, row_number() OVER (
+              |    PARTITION BY cell
+              |    ORDER BY ${h60("'cb:' || CAST(id AS VARCHAR)")} ASC, id ASC
+              |  ) AS rnk FROM a3)
+              |SELECT r.cell, n_cell, id AS vec_id, rnk FROM r
+              |JOIN nc ON r.cell = nc.cell WHERE rnk <= 8
+              |ORDER BY r.cell, rnk""".stripMargin)),
 
     // ---- Scalar-quantized (int8) ANN: the memory-compression scale
     //      path — 64 byte-range codes stand in for 64 longs, an 8×

@@ -266,6 +266,15 @@ class PlanShapeSpec extends SparkSuite {
       s"every window must be keyed by doc_id, never corpus-wide:\n$fp")
   }
 
+  test("quality_classifier_score: weight joins stay keyed, no corpus window") {
+    val p = plan("quality_classifier_score")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"every weight/label join must stay an equi-join:\n$p")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("Window"), s"no corpus window:\n$s")
+  }
+
   test("sim_sq8_topk ranks codes via the bounded heap over a broadcast query side") {
     val p = plan("sim_sq8_topk")
     val s = p.toString
