@@ -460,6 +460,31 @@ object PipelineQueries {
         if (QcIters > 1) ",\n" + steps else ""}""".stripMargin
   }
 
+  /** CTE suffix `h` for the evaluation queries: the (margin → pos/neg
+    * count) histogram of the trained classifier's scores against the
+    * teacher. Appended after [[qcTrainSql]]. */
+  private def qcHistSql: String =
+    s"""sc AS (SELECT f.id, CAST(sum(f.cnt * coalesce(w.w, 0))
+       |    AS BIGINT) AS margin
+       |  FROM feat f LEFT JOIN w$QcIters w USING (bucket)
+       |  GROUP BY f.id),
+       |h AS (SELECT margin,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM lbl JOIN sc USING (id) GROUP BY margin)""".stripMargin
+
+  /** The Spark side of [[qcHistSql]]: one map-side-combined aggregate
+    * whose cardinality is the number of DISTINCT integer margins —
+    * value-domain-scale, never corpus-scale. */
+  private def qcMarginHist(feat: org.apache.spark.sql.DataFrame,
+                           labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    labels.join(LinearClassifier.margins(feat,
+        LinearClassifier.fit(feat, labels, iters = QcIters)), Seq("id"))
+      .groupBy(col("margin"))
+      .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+
   /** block → pair → verify → cluster: the shared body of
     * `dedup_clusters` and the canonical-doc rewrite. Unordered
     * (doc_id, cluster_id). */
@@ -1377,6 +1402,86 @@ object PipelineQueries {
               |FROM lbl l LEFT JOIN sc USING (id)
               |ORDER BY doc_id""".stripMargin),
       bench = true),
+
+    // ---- EVALUATE the trained classifier: exact tie-aware ROC-AUC
+    //      against the teacher, computed WITHOUT a corpus sort.
+    //      Margins collapse to a (margin → pos/neg count) histogram —
+    //      one map-side-combined aggregate, cardinality = distinct
+    //      integer margins — and the below-cumulative runs over that
+    //      tiny frame (the token_length_quantiles metadata-window
+    //      pattern). The Mann–Whitney numerator is doubled so
+    //      half-credit ties stay integer: auc_num = Σ_v np·(2·nn_below
+    //      + nn), auc_den = 2·P·N, and the ppm division goes through
+    //      DECIMAL(38,0) ↔ HUGEINT so the rounding is identical in
+    //      both engines (the big-integer-gate pattern). ----
+    QuerySpec("classifier_eval_auc",
+      (s, d) => {
+        val (feat, labels) = qcFeatLabels(s, d)
+        val cum = qcMarginHist(feat, labels).withColumn("nn_below",
+          coalesce(sum(col("nn")).over(Window.orderBy(col("margin"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        cum.agg(
+            coalesce(sum(col("np")), lit(0L)).as("n_pos"),
+            coalesce(sum(col("nn")), lit(0L)).as("n_neg"),
+            coalesce(sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))),
+              lit(0L)).as("auc_num"))
+          .select(col("n_pos"), col("n_neg"), col("auc_num"),
+            (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"),
+            expr("CAST((CAST(auc_num AS DECIMAL(38,0)) * 1000000) div " +
+              "nullif(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg, 0) AS BIGINT)")
+              .as("auc_ppm"))
+      },
+      Some(s"""WITH $qcTrainSql,
+              |$qcHistSql,
+              |c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY margin
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    AS nn_below FROM h),
+              |t AS (SELECT coalesce(sum(np), 0)::BIGINT AS n_pos,
+              |    coalesce(sum(nn), 0)::BIGINT AS n_neg,
+              |    coalesce(sum(np * (2 * nn_below + nn)), 0)::BIGINT AS auc_num
+              |  FROM c)
+              |SELECT n_pos, n_neg, auc_num,
+              |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+              |  CAST((auc_num::HUGEINT * 1000000)
+              |    // nullif(2::HUGEINT * n_pos * n_neg, 0) AS BIGINT) AS auc_ppm
+              |FROM t""".stripMargin)),
+
+    // ---- The classifier's full precision/recall CURVE: one row per
+    //      DISTINCT margin threshold t (predict keep iff margin ≥ t),
+    //      tp/fp by a descending cumulative over the same margin
+    //      histogram, fn against a broadcast 1-row positive total —
+    //      the whole curve costs one value-domain-scale window, never
+    //      a per-threshold corpus pass. ppm columns are exact integer
+    //      rationals (tp ≤ ~9×10¹² before the ×10⁶ needs the decimal
+    //      widening auc_ppm uses). ----
+    QuerySpec("classifier_pr_curve",
+      (s, d) => {
+        val (feat, labels) = qcFeatLabels(s, d)
+        val hist = TrackedCache.persist(qcMarginHist(feat, labels))
+        val desc = Window.orderBy(col("margin").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val totals = broadcast(hist.agg(
+          coalesce(sum(col("np")), lit(0L)).as("p_total")))
+        hist.withColumn("tp", sum(col("np")).over(desc))
+          .withColumn("fp", sum(col("nn")).over(desc))
+          .crossJoin(totals)
+          .select(col("margin").as("threshold"), col("tp"), col("fp"),
+            (col("p_total") - col("tp")).as("fn"),
+            expr("(tp * 1000000) div (tp + fp)").as("precision_ppm"),
+            expr("(tp * 1000000) div nullif(p_total, 0)").as("recall_ppm"))
+          .orderBy(col("threshold"))
+      },
+      Some(s"""WITH $qcTrainSql,
+              |$qcHistSql,
+              |c AS (SELECT margin, sum(np) OVER w AS tp, sum(nn) OVER w AS fp
+              |  FROM h WINDOW w AS (ORDER BY margin DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |t AS (SELECT coalesce(sum(np), 0)::BIGINT AS p_total FROM h)
+              |SELECT margin AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+              |  CAST(p_total - tp AS BIGINT) AS fn,
+              |  (tp * 1000000) // (tp + fp) AS precision_ppm,
+              |  (tp * 1000000) // nullif(p_total, 0) AS recall_ppm
+              |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin)),
 
     // ---- Incremental dedup: the daily-increment shape — which docs
     //      of the incoming batch (source src0) are NOT already in the
