@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NativeExpressions, TextFunctions => TF}
@@ -96,5 +96,34 @@ object LinearClassifier {
       .groupBy(col("bucket"))
       .agg(sum(col("y") * col("cnt")).as("w"))
     (2 to iters).foldLeft(w1)((w, _) => step(feat, labels, w))
+  }
+
+  /** A fitted weight frame collected to a plan-literal map — the
+    * deployment form: `buckets`+1 entries of driver metadata, like
+    * `KMeans.fit`'s centroid literals. */
+  def collectWeights(w: DataFrame): Map[Long, Long] =
+    w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The margin of one text column under literal weights, as a pure
+    * PROJECTION: tokenize, hash each token into its bucket, look the
+    * bucket up in the literal map, sum, add the bias weight. No join,
+    * no shuffle, no state — the scan-side scoring form a streaming
+    * admission gate or a 100 TB batch filter wants. Integer-identical
+    * to [[margins]] over [[hashedFeatures]]: Σ_token w(bucket(token))
+    * = Σ_bucket cnt·w. Callers must have `NativeExpressions.register`ed
+    * the session (the portable md5 bucket hash). */
+  def scoreLiteral(text: Column, w: Map[Long, Long], buckets: Int): Column = {
+    require(buckets >= 1, s"need at least one bucket, got $buckets")
+    val tokenPart =
+      if (w.isEmpty) lit(0L)
+      else {
+        val wmap = typedLit(w)
+        aggregate(TF.tokens(text), lit(0L), (acc, t) =>
+          acc + coalesce(element_at(wmap,
+            pmod(call_function("hash60_md5",
+                concat(lit("qcf:"), t).cast("binary")),
+              lit(buckets.toLong))), lit(0L)))
+      }
+    tokenPart + lit(w.getOrElse(BiasBucket, 0L))
   }
 }

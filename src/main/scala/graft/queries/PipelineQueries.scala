@@ -1483,6 +1483,47 @@ object PipelineQueries {
               |  (tp * 1000000) // nullif(p_total, 0) AS recall_ppm
               |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin)),
 
+    // ---- CALIBRATE the keep threshold to a target keep RATE — the
+    //      production deployment step: a corpus filter is budgeted
+    //      ("keep the best 25%"), not thresholded at the perceptron's
+    //      raw 0. Per target fraction, the answer is the most
+    //      permissive margin threshold whose kept-count stays within
+    //      floor(pct·n/100) — exact integer ranks over the descending
+    //      cumulative of the margin histogram, the token_length_
+    //      quantiles shape pointed backwards. The histogram × 3-target
+    //      non-equi join is histogram-scale; n derives from the
+    //      persisted histogram, so the corpus is scored ONCE. ----
+    QuerySpec("classifier_threshold_for_rate",
+      (s, d) => {
+        val (feat, labels) = qcFeatLabels(s, d)
+        val hist = TrackedCache.persist(qcMarginHist(feat, labels))
+        val kept = hist.withColumn("kept",
+          sum(col("np") + col("nn")).over(Window.orderBy(col("margin").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val n = hist.agg(coalesce(sum(col("np") + col("nn")), lit(0L)))
+          .head().getLong(0)
+        import s.implicits._
+        val targets = Seq(10, 25, 50).map(pct => (pct, pct * n / 100))
+        kept.join(broadcast(targets.toDF("pct", "target_n")),
+            col("kept") <= col("target_n"))
+          .groupBy(col("pct"), col("target_n"))
+          .agg(min(col("margin")).as("threshold"),
+            max(col("kept")).as("n_kept"))
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH $qcTrainSql,
+              |$qcHistSql,
+              |c AS (SELECT margin, sum(np + nn) OVER (ORDER BY margin DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kept
+              |  FROM h),
+              |n AS (SELECT coalesce(sum(np + nn), 0) AS n FROM h),
+              |tr AS (SELECT pct, (pct * n) // 100 AS target_n
+              |  FROM (SELECT unnest([10, 25, 50]) AS pct) CROSS JOIN n)
+              |SELECT pct, target_n::BIGINT AS target_n,
+              |  min(margin) AS threshold, max(kept)::BIGINT AS n_kept
+              |FROM c JOIN tr ON kept <= target_n
+              |GROUP BY pct, target_n ORDER BY pct""".stripMargin)),
+
     // ---- Incremental dedup: the daily-increment shape — which docs
     //      of the incoming batch (source src0) are NOT already in the
     //      standing corpus. An anti-join that shuffles 16-byte

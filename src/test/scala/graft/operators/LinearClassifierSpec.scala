@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSuite
 
@@ -74,5 +75,37 @@ class LinearClassifierSpec extends SparkSuite {
     def w = LinearClassifier.fit(feats(docs: _*), l, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(w.sameElements(w))
+  }
+
+  test("literal scoring is integer-identical to the join-margins path") {
+    val docs = Seq(1L -> goodText, 2L -> badText,
+      3L -> "alpha omega gamma psi", 4L -> "")
+    val f = feats(docs: _*)
+    val wf = LinearClassifier.fit(f,
+      lbls(1L -> 1L, 2L -> -1L, 3L -> 1L, 4L -> -1L), iters = 2)
+    val viaJoin = LinearClassifier.margins(f, wf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLit = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), LinearClassifier.scoreLiteral(col("text"),
+        LinearClassifier.collectWeights(wf), Buckets).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLit == viaJoin, s"$viaLit vs $viaJoin")
+  }
+
+  test("literal scoring plans as a pure projection — no shuffle") {
+    graft.functions.NativeExpressions.register(spark)
+    val w = Map(0L -> 3L, LinearClassifier.BiasBucket -> 2L)
+    val plan = Seq(1L -> "a b").toDF("doc_id", "text")
+      .select(LinearClassifier.scoreLiteral(col("text"), w, 16))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("empty weights score to the zero margin everywhere") {
+    val m = Seq(1L -> goodText).toDF("doc_id", "text")
+      .select(LinearClassifier.scoreLiteral(col("text"),
+        Map.empty[Long, Long], 16))
+      .head().getLong(0)
+    assert(m == 0L)
   }
 }
