@@ -2002,6 +2002,55 @@ object PipelineQueries {
               |LEFT JOIN hits USING (q_id)
               |ORDER BY q_id""".stripMargin)),
 
+    // ---- Full-corpus kNN graph: every vector's top-3 neighbors among
+    //      its banded-LSH candidates — the all-pairs construction that
+    //      feeds graph clustering, agglomerative dedup, and
+    //      diversity-aware selection, where `sim_ivf_topk`'s shape
+    //      (a handful of query vectors probing the corpus) doesn't
+    //      apply because EVERY vector is a query. No broadcast side
+    //      exists; the scale story is the band equi-join (candidates
+    //      ~linear in n by the derived width) followed by the
+    //      bounded-heap top-k (map-side reduction to ≤k rows per
+    //      vector per partition, so the final exchange carries
+    //      O(n·k), never the candidate set). Vectors whose candidate
+    //      set is empty (no shared band key) are absent — the graph
+    //      reports reachable neighbors, not padded rows. ----
+    QuerySpec("knn_graph",
+      (s, d) => {
+        val (withB, _) = embSignatureFrame(s, d)
+        val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
+        val cand = bk.as("a").join(bk.as("b"),
+            col("a.k") === col("b.k") && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"))
+          .distinct()
+        cand
+          .join(withB.as("x"), col("q_id") === col("x.vec_id"))
+          .join(withB.as("y"), col("neighbor_id") === col("y.vec_id"))
+          .select(col("q_id"), col("neighbor_id"),
+            call_function("dot_i64", col("x.v"), col("y.v")).as("dot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(3)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(
+        s"""WITH $embWbSql,
+           |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
+           |gc AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
+           |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id <> b.vec_id),
+           |gd AS (SELECT q_id, neighbor_id,
+           |    CAST(list_sum(list_transform(list_zip(x.v, y.v),
+           |      p -> p[1] * p[2])) AS BIGINT) AS dot
+           |  FROM gc JOIN wb x ON x.vec_id = q_id
+           |          JOIN wb y ON y.vec_id = neighbor_id),
+           |gr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM gd)
+           |SELECT q_id, neighbor_id, dot, rnk FROM gr WHERE rnk <= 3
+           |ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- Benchmark decontamination: flag training docs sharing any
     //      8-gram with the eval set (docs 0-24 stand in for a held-out
     //      benchmark). The eval side collapses to a small distinct-gram

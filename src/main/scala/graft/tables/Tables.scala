@@ -16,10 +16,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. We read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-    * microseconds — identical to what a micro-precision engine does.
+  /** `events.ts` has shipped under two parquet encodings across
+    * test-data generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so it is read as raw nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to
+    * microseconds — and TIMESTAMP(MICROS), which decodes natively as
+    * TIMESTAMP_NTZ. Both normalize to the same session-TZ-anchored
+    * micro-precision TimestampType column (every engine entry point
+    * runs UTC, so the NTZ→LTZ cast is value-identical), keeping the
+    * loaded schema one thing downstream of here regardless of which
+    * generation is on disk.
     *
     * The conf is SCOPED to this read (set, infer, restore): the
     * relation captures it at schema-inference time, so later actions
@@ -35,10 +41,17 @@ object Tables {
       val key = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      finally prev match {
+      try {
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case org.apache.spark.sql.types.TimestampType => raw
+          case _ => // TIMESTAMP_NTZ: anchor to the (UTC) session zone
+            raw.withColumn(
+              "ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        }
+      } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }

@@ -118,6 +118,20 @@ class PlanShapeSpec extends SparkSuite {
       s"no all-pairs cross product:\n$p")
   }
 
+  test("knn_graph blocks via a band equi-join and ranks via topk_pairs") {
+    val p = plan("knn_graph")
+    val s = p.toString
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"banded LSH blocking must plan equi-joins:\n$p")
+    assert(!s.contains("CartesianProduct"),
+      s"no all-pairs cross product:\n$p")
+    assert(s.contains("topk_pairs"),
+      s"per-vector ranking must use the bounded-heap aggregate:\n$s")
+    // the presentation orderBy is the only full sort allowed; the
+    // ranking itself must never sort the candidate set globally
+    assert(!s.contains("Window"), s"no corpus window allowed:\n$s")
+  }
+
   test("sim_ivf_topk's candidate and scoring joins stay keyed — never all-pairs") {
     val p = plan("sim_ivf_topk")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
