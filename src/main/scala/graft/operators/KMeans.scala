@@ -200,6 +200,53 @@ object KMeans {
     cents
   }
 
+  /** M independent per-subspace Lloyd trainings (product-quantization
+    * codebooks) fused into ONE distributed pass per step: assignment
+    * is M literal-centroid argmins in a single scan, recompute
+    * shuffles (m, cell, dim) partial sums in one aggregate. Results
+    * are bit-identical to calling [[fit]] on each subspace slice
+    * (same first-k init ids, same (d2, cell) total order, same
+    * floor-mean update) — but the job count is O(1 + iters), not
+    * O(M·(1 + iters)). At M=8 the per-job fixed overhead WAS the PQ
+    * trainer's cost profile; the data-side work is unchanged. */
+  def fitSubspaces(vecs: DataFrame, m: Int, subDims: Int, k: Int,
+                   iters: Int): Seq[Seq[Centroid]] = {
+    require(m > 0 && subDims > 0 && k > 0 && iters >= 0)
+    NativeExpressions.register(vecs.sparkSession)
+    val first = vecs.orderBy(col("id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    var books: Seq[Seq[Centroid]] = (0 until m).map { mi =>
+      first.toSeq.map { case (id, v) =>
+        Centroid(id, v.slice(mi * subDims, (mi + 1) * subDims))
+      }
+    }
+    for (_ <- 1 to iters) {
+      val subs = array((0 until m).map { mi =>
+        val sv = slice(col("v"), mi * subDims + 1, subDims)
+        struct(lit(mi).as("m"), cellOf(sv, books(mi)).as("cell"),
+          sv.as("sv"))
+      }: _*)
+      val rows = vecs.select(explode(subs).as("s"))
+        .select(col("s.m").as("m"), col("s.cell").as("cell"),
+          posexplode(col("s.sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("m"), col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
+          max(col("n")).as("n"))
+        .selectExpr("m", "cell",
+          "transform(ps, p -> ((p.s - ((p.s % n) + n) % n) div n)) AS cv")
+        .collect()
+      books = (0 until m).map { mi =>
+        rows.filter(_.getInt(0) == mi)
+          .map(r => Centroid(r.getLong(1), r.getSeq[Long](2)))
+          .sortBy(_.id).toSeq
+      }
+    }
+    books
+  }
+
   /** Per-cell population and inertia (Σ d2) under a centroid set. */
   def cellStats(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
     assign(vecs, cents)

@@ -746,11 +746,10 @@ object PipelineQueries {
   private def pqCodebooks(vecs: org.apache.spark.sql.DataFrame)
       : Seq[Seq[KMeans.Centroid]] = {
     val sample = vecs.filter(col("id") % PqTrainMod === 0)
-    (0 until PqM).map { m =>
-      KMeans.fit(sample.select(col("id"),
-        slice(col("v"), m * PqSubDims + 1, PqSubDims).as("v")),
-        k = PqK, iters = 1)
-    }
+    // all M subspace trainings in one fused pass per Lloyd step —
+    // bit-identical to per-subspace KMeans.fit (KMeansSpec pins it),
+    // O(1 + iters) jobs instead of O(M·(1 + iters))
+    KMeans.fitSubspaces(sample, PqM, PqSubDims, k = PqK, iters = 1)
   }
 
   /** DuckDB replay of [[pqCodebooks]] + encoding: per subspace the

@@ -42,6 +42,26 @@ class KMeansSpec extends SparkSuite {
     assert(KMeans.fit(d, 3, 2) === KMeans.fit(d, 3, 2))
   }
 
+  test("fitSubspaces is bit-identical to fitting each subspace slice") {
+    // 4 subspaces × 2 dims, values spread so cells differ per subspace
+    val m = 4
+    val subDims = 2
+    val d = df((0L until 24L).map { i =>
+      i -> (0 until m * subDims).map(j => (i * (j * 2 + 13) % 67) - 30L)
+    }: _*)
+    for (iters <- 0 to 2) {
+      val fused = KMeans.fitSubspaces(d, m, subDims, k = 3, iters = iters)
+      val perSub = (0 until m).map { mi =>
+        import org.apache.spark.sql.functions.{col, slice}
+        KMeans.fit(
+          d.select(col("id"),
+            slice(col("v"), mi * subDims + 1, subDims).as("v")),
+          k = 3, iters = iters)
+      }
+      assert(fused === perSub, s"diverged at iters=$iters")
+    }
+  }
+
   test("a cell that loses all members drops out; ids stay stable") {
     // init picks ids 0,1,2; ids 0 and 1 are duplicate points, so the
     // distance tie breaks to the lower cell id and cell 1 gets nothing
