@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
-import graft.operators.{KMeans, LinearClassifier, Winnowing}
+import graft.operators.{KMeans, LinearClassifier, NearestCentroid, Winnowing}
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -484,6 +484,95 @@ object PipelineQueries {
       .groupBy(col("margin"))
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
+
+  // ---- One-of-C quality-tier router (train_tier_centroids /
+  //      tier_confusion_matrix / tier_classifier_report): per-mille
+  //      hashed-ratio features, the heuristic quality score bucketed
+  //      into 4 tiers as the teacher, nearest-centroid (Rocchio)
+  //      training (operators/NearestCentroid) — the multiclass member
+  //      of the classifier family. 81% corpus agreement vs the 49%
+  //      majority floor at sf0.01; a batch multiclass perceptron was
+  //      probed first and oscillates at the floor (see the operator's
+  //      scaladoc). ----
+
+  private val DcBuckets = 256
+  /** Tier names, index = class id: the quality score (< 0.35,
+    * < 0.5, < 0.6, rest) — edges picked off the corpus distribution
+    * so every tier is populated at both probe SFs. */
+  private val TierNames = Seq("q0_low", "q1_mid", "q2_high", "q3_top")
+
+  /** (vectors, labels): dense per-mille ratio vectors under the
+    * `dcf:` salt and tier labels from the heuristic quality teacher.
+    * Both persist — training and every evaluation query reuse them. */
+  private def dcVecsLabels(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val vecs = TrackedCache.persist(
+      NearestCentroid.ratioVectors(Tables.documents(s, d), DcBuckets))
+    val labels = TrackedCache.persist(
+      textStatsFrame(s, d).select(col("doc_id").as("id"),
+        when(col("quality") < 0.35, 0).when(col("quality") < 0.5, 1)
+          .when(col("quality") < 0.6, 2).otherwise(3).as("y")))
+    (vecs, labels)
+  }
+
+  /** CTE chain `lbl`, `r`, `csz`, `c` replaying
+    * `NearestCentroid.ratioVectors` + `fit` exactly: sparse
+    * (id, pos, x) features — per-mille token ratios (floor division)
+    * at pos < buckets, the raw token count at pos = buckets — and
+    * per-class floor-mean centroids over the FULL class size (slots
+    * absent from every class member sum to 0 and stay absent: a 0
+    * centroid slot). */
+  private def dcTrainSql: String =
+    s"""lbl AS (SELECT doc_id AS id,
+       |    CASE WHEN quality < 0.35 THEN 0 WHEN quality < 0.5 THEN 1
+       |      WHEN quality < 0.6 THEN 2 ELSE 3 END AS y
+       |  FROM ($textStatsCoreSql)),
+       |tk AS (SELECT doc_id AS id, ${toksSql("text")} AS toks
+       |  FROM documents),
+       |tot AS (SELECT id, len(toks)::BIGINT AS tot FROM tk),
+       |r AS (SELECT f.id, f.pos, (f.cnt * 1000) // t.tot AS x
+       |  FROM (SELECT id, ${h60("'dcf:' || t")} % $DcBuckets AS pos,
+       |      count(*)::BIGINT AS cnt
+       |    FROM (SELECT id, unnest(toks) AS t FROM tk) GROUP BY 1, 2) f
+       |  JOIN tot t USING (id)
+       |  UNION ALL
+       |  SELECT id, $DcBuckets AS pos, tot AS x FROM tot),
+       |csz AS (SELECT y AS cls, count(*)::BIGINT AS n FROM lbl
+       |  GROUP BY 1),
+       |c AS (SELECT cls, pos, s // n AS c FROM (SELECT l.y AS cls,
+       |      r.pos, CAST(sum(r.x) AS BIGINT) AS s
+       |    FROM r JOIN lbl l USING (id) GROUP BY 1, 2)
+       |  JOIN csz USING (cls))""".stripMargin
+
+  /** CTE suffix `pred`: every document's argmin-d² class under the
+    * fitted centroids (ties to the lower class id), over the dense
+    * slot grid — absent feature and centroid slots are 0 on both
+    * sides, mirroring the dense vectors. Appended after
+    * [[dcTrainSql]]. */
+  private def dcPredSql: String =
+    s"""grid AS (SELECT l.id, s.cls, sl.pos FROM lbl l
+       |  CROSS JOIN csz s
+       |  CROSS JOIN (SELECT unnest(range(0, ${DcBuckets + 1})) AS pos) sl),
+       |dx AS (SELECT g.id, g.cls, coalesce(r.x, 0) - coalesce(c.c, 0) AS e
+       |  FROM grid g
+       |    LEFT JOIN r ON r.id = g.id AND r.pos = g.pos
+       |    LEFT JOIN c ON c.cls = g.cls AND c.pos = g.pos),
+       |d2 AS (SELECT id, cls, CAST(sum(e * e) AS BIGINT) AS d2 FROM dx
+       |  GROUP BY 1, 2),
+       |pred AS (SELECT id, cls::INTEGER AS pred FROM (SELECT id, cls,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY d2 ASC, cls ASC) AS rn FROM d2)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The trained router's (id, y, pred) over the whole corpus — the
+    * Spark side of [[dcPredSql]], shared by the confusion and report
+    * queries. */
+  private def dcPredFrame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (vecs, labels) = dcVecsLabels(s, d)
+    val cents = NearestCentroid.fit(vecs, labels)
+    labels.join(NearestCentroid.predict(vecs, cents), Seq("id"))
+  }
 
   /** block → pair → verify → cluster: the shared body of
     * `dedup_clusters` and the canonical-doc rewrite. Unordered
@@ -1522,6 +1611,108 @@ object PipelineQueries {
               |  min(margin) AS threshold, max(kept)::BIGINT AS n_kept
               |FROM c JOIN tr ON kept <= target_n
               |GROUP BY pct, target_n ORDER BY pct""".stripMargin)),
+
+    // ---- TRAIN the one-of-C tier router: per-class floor-mean
+    //      centroids over per-mille ratio features
+    //      (operators/NearestCentroid), teacher = the heuristic
+    //      quality score in 4 tiers. The fitted model is C·(buckets+1)
+    //      longs of driver metadata; the oracle replays featurization
+    //      and training bit-for-bit (floor divisions throughout). ----
+    QuerySpec("train_tier_centroids",
+      (s, d) => {
+        val (vecs, labels) = dcVecsLabels(s, d)
+        import s.implicits._
+        NearestCentroid.fit(vecs, labels)
+          .flatMap(c => c.v.zipWithIndex.collect {
+            case (x, pos) if x != 0L => (c.id.toInt, pos, x)
+          })
+          .sortBy(t => (t._1, t._2))
+          .toDF("cls", "pos", "c")
+      },
+      Some(s"""WITH $dcTrainSql
+              |SELECT cls::INTEGER AS cls, pos::INTEGER AS pos, c
+              |FROM c WHERE c <> 0 ORDER BY cls, pos""".stripMargin)),
+
+    // ---- The trained router's confusion matrix over the corpus —
+    //      the first artifact anyone inspects after training. 81%
+    //      diagonal at sf0.01 vs the 49% majority floor. Prediction
+    //      is a shuffle-free literal-centroid projection; the matrix
+    //      itself is a ≤ C² aggregate. ----
+    QuerySpec("tier_confusion_matrix",
+      (s, d) => {
+        val name = typedLit(TierNames)
+        dcPredFrame(s, d).groupBy(col("y"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .select(element_at(name, col("y") + 1).as("true_tier"),
+            element_at(name, col("pred") + 1).as("pred_tier"), col("n"))
+          .orderBy(col("true_tier"), col("pred_tier"))
+      },
+      Some(s"""WITH $dcTrainSql,
+              |$dcPredSql,
+              |tn AS (SELECT * FROM (VALUES ${TierNames.zipWithIndex
+                .map { case (n, i) => s"($i, '$n')" }
+                .mkString(", ")}) AS t(cls, name))
+              |SELECT tt.name AS true_tier, tp.name AS pred_tier,
+              |  count(*)::BIGINT AS n
+              |FROM pred p JOIN lbl l USING (id)
+              |  JOIN tn tt ON tt.cls = l.y
+              |  JOIN tn tp ON tp.cls = p.pred
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
+
+    // ---- Per-tier evaluation report: tp/fp/fn and exact ppm
+    //      precision/recall/F1 (F1 = 2tp/(2tp+fp+fn) — one integer
+    //      division, no float intermediates, so both engines agree to
+    //      the last digit). Class-scale frames throughout. ----
+    QuerySpec("tier_classifier_report",
+      (s, d) => {
+        val preds = TrackedCache.persist(dcPredFrame(s, d))
+        import s.implicits._
+        val clsDf = broadcast(TierNames.zipWithIndex.toDF("tier", "cls"))
+        val tp = preds.filter(col("y") === col("pred"))
+          .groupBy(col("y").as("cls")).agg(count(lit(1)).as("tp"))
+        val fp = preds.filter(col("y") =!= col("pred"))
+          .groupBy(col("pred").as("cls")).agg(count(lit(1)).as("fp"))
+        val fn = preds.filter(col("y") =!= col("pred"))
+          .groupBy(col("y").as("cls")).agg(count(lit(1)).as("fn"))
+        clsDf.join(tp, Seq("cls"), "left").join(fp, Seq("cls"), "left")
+          .join(fn, Seq("cls"), "left")
+          .select(col("tier"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            coalesce(col("fp"), lit(0L)).as("fp"),
+            coalesce(col("fn"), lit(0L)).as("fn"))
+          .select(col("tier"), col("tp"), col("fp"), col("fn"),
+            expr("(tp * 1000000) div nullif(tp + fp, 0)")
+              .as("precision_ppm"),
+            expr("(tp * 1000000) div nullif(tp + fn, 0)").as("recall_ppm"),
+            expr("(2 * tp * 1000000) div nullif(2 * tp + fp + fn, 0)")
+              .as("f1_ppm"))
+          .orderBy(col("tier"))
+      },
+      Some(s"""WITH $dcTrainSql,
+              |$dcPredSql,
+              |tn AS (SELECT * FROM (VALUES ${TierNames.zipWithIndex
+                .map { case (n, i) => s"($i, '$n')" }
+                .mkString(", ")}) AS t(cls, name)),
+              |j AS (SELECT l.y, p.pred FROM pred p JOIN lbl l USING (id)),
+              |tp AS (SELECT y AS cls, count(*)::BIGINT AS tp FROM j
+              |  WHERE y = pred GROUP BY 1),
+              |fp AS (SELECT pred AS cls, count(*)::BIGINT AS fp FROM j
+              |  WHERE y <> pred GROUP BY 1),
+              |fn AS (SELECT y AS cls, count(*)::BIGINT AS fn FROM j
+              |  WHERE y <> pred GROUP BY 1),
+              |rep AS (SELECT c.name AS tier,
+              |    coalesce(tp.tp, 0)::BIGINT AS tp,
+              |    coalesce(fp.fp, 0)::BIGINT AS fp,
+              |    coalesce(fn.fn, 0)::BIGINT AS fn
+              |  FROM tn c LEFT JOIN tp ON tp.cls = c.cls
+              |    LEFT JOIN fp ON fp.cls = c.cls
+              |    LEFT JOIN fn ON fn.cls = c.cls)
+              |SELECT tier, tp, fp, fn,
+              |  (tp * 1000000) // nullif(tp + fp, 0) AS precision_ppm,
+              |  (tp * 1000000) // nullif(tp + fn, 0) AS recall_ppm,
+              |  (2 * tp * 1000000) // nullif(2 * tp + fp + fn, 0) AS f1_ppm
+              |FROM rep ORDER BY tier""".stripMargin)),
 
     // ---- Incremental dedup: the daily-increment shape — which docs
     //      of the incoming batch (source src0) are NOT already in the
