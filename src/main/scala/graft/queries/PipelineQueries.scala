@@ -267,6 +267,48 @@ object PipelineQueries {
        |lsh AS (SELECT q_id, neighbor_id, dot, rnk FROM lr WHERE rnk <= 5)"""
       .stripMargin
 
+  /** Full-corpus kNN edges (q_id, neighbor_id, dot, rnk ≤ 3),
+    * unordered: every vector's top-3 among its banded-LSH candidates —
+    * band equi-join candidates (~linear in n by the derived width),
+    * bounded-heap top-k (exchange O(n·k), never the candidate set).
+    * Shared by `knn_graph` and the kNN label vote. */
+  private def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val (withB, _) = embSignatureFrame(s, d)
+    val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
+    val cand = bk.as("a").join(bk.as("b"),
+        col("a.k") === col("b.k") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    cand
+      .join(withB.as("x"), col("q_id") === col("x.vec_id"))
+      .join(withB.as("y"), col("neighbor_id") === col("y.vec_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        call_function("dot_i64", col("x.v"), col("y.v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(3)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** DuckDB mirror of [[knnGraphEdges]]: CTE chain appended after
+    * [[embWbSql]] (prepend `WITH`), ending in `gr` — filter
+    * `rnk <= 3` for the edge set. */
+  private def knnGraphSql: String =
+    s"""bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
+       |gc AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
+       |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id <> b.vec_id),
+       |gd AS (SELECT q_id, neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(x.v, y.v),
+       |      p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM gc JOIN wb x ON x.vec_id = q_id
+       |          JOIN wb y ON y.vec_id = neighbor_id),
+       |gr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM gd)"""
+      .stripMargin
+
   /** Connected components over the verified embedding near-dup pairs
     * (vec_id, cluster_id = min reachable id), unordered — shared by
     * `dedup_embedding_clusters` and the canonical-representative
@@ -2206,40 +2248,55 @@ object PipelineQueries {
     //      set is empty (no shared band key) are absent — the graph
     //      reports reachable neighbors, not padded rows. ----
     QuerySpec("knn_graph",
+      (s, d) => knnGraphEdges(s, d).orderBy(col("q_id"), col("rnk")),
+      Some(
+        s"""WITH $embWbSql,
+           |$knnGraphSql
+           |SELECT q_id, neighbor_id, dot, rnk FROM gr WHERE rnk <= 3
+           |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- kNN label propagation over the graph above: each vector's
+    //      class by MAJORITY VOTE of its ≤3 nearest neighbors' labels
+    //      (ties to the smaller label) — the semi-supervised transfer
+    //      step that spreads a small labeled set across an unlabeled
+    //      corpus, evaluated here against the embeddings table's own
+    //      labels as a confusion matrix. Votes are a (vector, label)
+    //      aggregate off the O(n·k) edge set; the argmax folds
+    //      row-locally through the same min-struct total order every
+    //      deterministic ranking here uses. Vectors with no banded
+    //      candidates are absent — the vote reports reachable vectors,
+    //      not padded rows. ----
+    QuerySpec("knn_label_confusion",
       (s, d) => {
-        val (withB, _) = embSignatureFrame(s, d)
-        val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
-        val cand = bk.as("a").join(bk.as("b"),
-            col("a.k") === col("b.k") && col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"))
-          .distinct()
-        cand
-          .join(withB.as("x"), col("q_id") === col("x.vec_id"))
-          .join(withB.as("y"), col("neighbor_id") === col("y.vec_id"))
-          .select(col("q_id"), col("neighbor_id"),
-            call_function("dot_i64", col("x.v"), col("y.v")).as("dot"))
+        val lb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val pred = knnGraphEdges(s, d)
+          .join(lb.withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"))
+          .groupBy(col("q_id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
           .groupBy(col("q_id"))
-          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
-            lit(3)).as("top"))
-          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
-          .select(col("q_id"), col("p.id").as("neighbor_id"),
-            col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
-          .orderBy(col("q_id"), col("rnk"))
+          .agg(min(struct((-col("cnt")).as("neg"), col("label").as("l")))
+            .as("best"))
+          .select(col("q_id"), col("best.l").as("pred"))
+        pred.join(lb.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+          .groupBy(col("label").as("true_label"), col("pred").as("pred_label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("true_label"), col("pred_label"))
       },
       Some(
         s"""WITH $embWbSql,
-           |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
-           |gc AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
-           |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id <> b.vec_id),
-           |gd AS (SELECT q_id, neighbor_id,
-           |    CAST(list_sum(list_transform(list_zip(x.v, y.v),
-           |      p -> p[1] * p[2])) AS BIGINT) AS dot
-           |  FROM gc JOIN wb x ON x.vec_id = q_id
-           |          JOIN wb y ON y.vec_id = neighbor_id),
-           |gr AS (SELECT *, row_number() OVER (PARTITION BY q_id
-           |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM gd)
-           |SELECT q_id, neighbor_id, dot, rnk FROM gr WHERE rnk <= 3
-           |ORDER BY q_id, rnk""".stripMargin)),
+           |$knnGraphSql,
+           |vc AS (SELECT e.q_id, l.label, count(*)::BIGINT AS cnt
+           |  FROM gr e JOIN embeddings l ON l.vec_id = e.neighbor_id
+           |  WHERE e.rnk <= 3 GROUP BY 1, 2),
+           |vp AS (SELECT q_id, label AS pred FROM (SELECT q_id, label,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cnt DESC, label ASC) AS rn FROM vc)
+           |  WHERE rn = 1)
+           |SELECT t.label AS true_label, vp.pred AS pred_label,
+           |  count(*)::BIGINT AS n
+           |FROM vp JOIN embeddings t ON t.vec_id = vp.q_id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- Benchmark decontamination: flag training docs sharing any
     //      8-gram with the eval set (docs 0-24 stand in for a held-out
