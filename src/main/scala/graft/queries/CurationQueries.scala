@@ -118,6 +118,42 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** Epoch-plan core shared by `epoch_plan` and the upsampler: per
+    * source — count, the prescribed weight (same source-name-derived
+    * roster as [[targetMixBySource]], total over any source set), the
+    * doc target under a 2×-corpus budget, and its split into full
+    * epochs + remainder. Source-scale aggregates and ONE broadcast
+    * 1-row totals cross-join; every division is integer. */
+  private[graft] def epochPlanFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w",
+        (TF.hash60(concat(lit("w:"), col("source"))) % 4L) + 1L)
+    val totals = broadcast(perSource.agg(sum(col("n_src")).as("n_tot"),
+      sum(col("w")).as("sw")))
+    perSource.crossJoin(totals)
+      .withColumn("target_docs", expr("(2 * n_tot * w) div sw"))
+      .withColumn("full_epochs", expr("target_docs div n_src"))
+      .withColumn("rem", expr("target_docs % n_src"))
+  }
+
+  /** DuckDB mirror of [[epochPlanFrame]]: CTE chain (prepend `WITH`),
+    * ending in `pl` = (source, n_src, w, target_docs, full_epochs,
+    * rem). */
+  private def epochPlanSql: String = {
+    val w = s"((${h60("'w:' || source")} % 4) + 1)"
+    s"""ps AS (SELECT source, count(*)::BIGINT AS n_src, $w AS w
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_tot,
+       |    CAST(sum(w) AS BIGINT) AS sw FROM ps),
+       |pl AS (SELECT source, n_src, w,
+       |    (2 * n_tot * w) // sw AS target_docs,
+       |    ((2 * n_tot * w) // sw) // n_src AS full_epochs,
+       |    ((2 * n_tot * w) // sw) % n_src AS rem
+       |  FROM ps CROSS JOIN tot)""".stripMargin
+  }
+
   /** The BPE trainer shared by `bpe_train_merges` (reports the rules)
     * and `bpe_encode_tokens` (applies them): one corpus pass to the
     * vocabulary-scale (word, count) table, then [[BpeMerges]] greedy
@@ -651,6 +687,63 @@ object CurationQueries {
            |SELECT source, n_src, w, count(*) AS n_kept FROM k
            |GROUP BY source, n_src, w ORDER BY source""".stripMargin
       }),
+
+    // ---- Mixture EPOCH PLANNING: the report every data-mixing run
+    //      derives before training — given the prescribed per-source
+    //      weights (the sample_target_mix roster) and a total token
+    //      budget of 2× the corpus (so repetition is forced), how many
+    //      full passes over each source does the mix imply, and what
+    //      fraction of one more? target_docs = (B·w) div Σw,
+    //      full_epochs = target div n, frac_ppm exact — all integer
+    //      divisions over source-scale aggregates + ONE broadcast
+    //      1-row totals cross-join (never an unpartitioned window). ----
+    QuerySpec("epoch_plan",
+      (s, d) => epochPlanFrame(Tables.documents(s, d))
+        .select(col("source"), col("n_src"), col("w"), col("target_docs"),
+          col("full_epochs"),
+          expr("(rem * 1000000) div n_src").as("frac_ppm"))
+        .orderBy(col("source")),
+      Some(s"""WITH $epochPlanSql
+              |SELECT source, n_src, w, target_docs, full_epochs,
+              |  (rem * 1000000) // n_src AS frac_ppm
+              |FROM pl ORDER BY source""".stripMargin)),
+
+    // ---- REALIZE the epoch plan: the upsampling member of the
+    //      sampling family (everything else here downsamples). Each
+    //      document emits one row per full epoch plus a hash-gated
+    //      fractional-epoch row — pmod(h60, n_src) < rem keeps ~rem of
+    //      the source's n_src docs in the last partial pass, the
+    //      deterministic stratified-gate discipline (decision exact
+    //      and replayable per (doc, epoch); the realized count is the
+    //      gate's expectation, like sample_stratified). One generator
+    //      expression over a broadcast source-plan join: no shuffle,
+    //      no window, no self-join — repetition at 100 TB is a scan
+    //      that writes more than it reads, and nothing else. ----
+    QuerySpec("sample_epoch_upsample",
+      (s, d) => Tables.documents(s, d)
+        .join(broadcast(epochPlanFrame(Tables.documents(s, d))
+          .select(col("source"), col("n_src"), col("full_epochs"),
+            col("rem"))), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("full_epochs") + 1L)).as("epoch"),
+          col("n_src"), col("full_epochs"), col("rem"))
+        .filter(col("epoch") <= col("full_epochs") ||
+          pmod(TF.hash60(concat(lit("ep:"), col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))), col("n_src"))
+            < col("rem"))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("source"), col("epoch"), col("doc_id")),
+      Some(s"""WITH $epochPlanSql,
+              |e AS (SELECT d.doc_id, d.source, pl.n_src, pl.full_epochs,
+              |    pl.rem, u.epoch
+              |  FROM documents d JOIN pl ON d.source = pl.source,
+              |    unnest(range(1, pl.full_epochs + 2)) AS u(epoch)),
+              |g AS (SELECT doc_id, source, epoch, n_src, full_epochs, rem,
+              |    ${h60("'ep:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)")} AS gate
+              |  FROM e)
+              |SELECT doc_id, source, epoch FROM g
+              |WHERE epoch <= full_epochs OR gate % n_src < rem
+              |ORDER BY source, epoch, doc_id""".stripMargin)),
 
     // ---- The corpus card: one-row summary every curation run logs.
     //      All aggregates are order-independent (counts, long sums,

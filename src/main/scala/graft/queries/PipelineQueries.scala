@@ -1108,6 +1108,24 @@ object PipelineQueries {
               |FROM r JOIN n USING (cluster_id) WHERE rnk = 1
               |ORDER BY cluster_id""".stripMargin)),
 
+    // ---- Cluster-size histogram: the dedup-impact report (how much
+    //      of the corpus sits in duplicate groups of what size) every
+    //      dedup run logs — singletons dominate a healthy corpus, a
+    //      fat tail means boilerplate. Two metadata-scale aggregates
+    //      over the cluster assignment; the histogram's cardinality is
+    //      the number of DISTINCT cluster sizes, value-domain-scale
+    //      like token_length_quantiles' frame. ----
+    QuerySpec("cluster_size_histogram",
+      (s, d) => dedupClustersFrame(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz")),
+      Some(s"""WITH RECURSIVE $dedupClustersSql,
+              |szs AS (SELECT cluster_id, count(*)::BIGINT AS sz
+              |  FROM clusters GROUP BY 1)
+              |SELECT sz, count(*)::BIGINT AS n_clusters FROM szs
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Duplicated-span fraction: the distributed approximation of
     //      exact substring dedup (suffix-array style). Per doc, the
     //      share of its 8-gram instances that also occur in OTHER

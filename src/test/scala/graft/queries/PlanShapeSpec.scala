@@ -298,4 +298,37 @@ class PlanShapeSpec extends SparkSuite {
     // partial topk_pairs combine + presentation orderBy only
     assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$p")
   }
+
+  test("sample_epoch_upsample repeats via a generator over a broadcast plan join") {
+    val p = plan("sample_epoch_upsample")
+    val s = p.toString
+    // the corpus side: scan → broadcast-hash plan join → generate →
+    // filter; exchanges belong to the source-scale plan aggregates and
+    // the presentation sort only
+    assert(s.contains("BroadcastHashJoin"), s"plan join must broadcast:\n$s")
+    assert(s.contains("Generate"), s"epoch repetition must be a generator:\n$s")
+    assert(!s.contains("Window"), s"no corpus window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 4, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("knn_label_confusion votes via aggregates, never a corpus window") {
+    val p = plan("knn_label_confusion")
+    val s = p.toString
+    assert(!s.contains("Window"),
+      s"the vote argmax must fold through min-struct aggregation:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"band and label joins must stay equi-joins:\n$p")
+  }
+
+  test("tier router: prediction is a literal-centroid projection, training a (class, slot) aggregate") {
+    val p = plan("tier_confusion_matrix")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    // the one Window allowed is none: confusion is aggregates over the
+    // shuffle-free prediction projection
+    assert(!s.contains("WindowExec"), s"no corpus window:\n$s")
+  }
 }
