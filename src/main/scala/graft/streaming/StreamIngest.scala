@@ -395,14 +395,20 @@ object StreamIngest {
                        pad: Int = FileNaming.DefaultZeroPadWidth,
                        writeRetries: Int = 1,
                        retryBackoffMs: Long = 0L,
-                       avroCodec: String = "null"): StreamingQuery = {
+                       avroCodec: String = "null",
+                       prepare: DataFrame => DataFrame = identity)
+      : StreamingQuery = {
     val spark = stream.sparkSession
     val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
     batchQuery(stream, checkpoint, trigger) { batch =>
       // one dedup keyed (topic, part, off) — offsets are per-topic
       // sequences, so the same (part, off) on two topics is two
-      // distinct records
-      val deduped = batch.dropDuplicates("topic", "part", "off").persist()
+      // distinct records. `prepare` runs first: a router that ASSIGNS
+      // the topic column per batch (TierRouter) must be deterministic
+      // in the record — replay correctness hangs on a replayed record
+      // re-routing to the topic whose log already holds it.
+      val deduped = prepare(batch).dropDuplicates("topic", "part", "off")
+        .persist()
       try {
         // the topic roster of THIS batch is metadata-scale (the
         // reference holds one writer map per assigned topic too);
