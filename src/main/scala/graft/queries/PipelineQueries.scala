@@ -1672,6 +1672,65 @@ object PipelineQueries {
               |FROM c JOIN tr ON kept <= target_n
               |GROUP BY pct, target_n ORDER BY pct""".stripMargin)),
 
+    // ---- Per-SOURCE threshold calibration: the per-domain deployment
+    //      budget ("keep each domain's best 25%") — the global
+    //      calibration above lets a strong domain crowd out weak ones;
+    //      real mixes budget per source. Label-free: margins + the
+    //      source column only. The cumulative runs over per-source
+    //      margin HISTOGRAMS (keyed window, histogram-scale frame —
+    //      never the corpus), targets are exact integer ranks, and a
+    //      source whose single top histogram bucket overshoots its
+    //      budget reports threshold NULL / n_kept 0 instead of
+    //      vanishing. ----
+    QuerySpec("threshold_by_source",
+      (s, d) => {
+        val (feat, labels) = qcFeatLabels(s, d)
+        val w = LinearClassifier.fit(feat, labels, QcIters)
+        val src = Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("source"))
+        val hist = TrackedCache.persist(
+          LinearClassifier.margins(feat, w).join(src, Seq("id"))
+            .groupBy(col("source"), col("margin"))
+            .agg(count(lit(1)).as("n")))
+        val tot = broadcast(hist.groupBy(col("source"))
+          .agg(sum(col("n")).as("n_src"))
+          .withColumn("target_n", expr("(25 * n_src) div 100")))
+        val kept = hist.withColumn("kept",
+          sum(col("n")).over(Window.partitionBy(col("source"))
+            .orderBy(col("margin").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val q = kept.join(tot, Seq("source"))
+          .filter(col("kept") <= col("target_n"))
+          .groupBy(col("source"))
+          .agg(min(col("margin")).as("threshold"),
+            max(col("kept")).as("n_kept"))
+        tot.join(q, Seq("source"), "left")
+          .select(col("source"), col("n_src"), col("target_n"),
+            col("threshold"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $qcTrainSql,
+              |$qcHistSql,
+              |hs AS (SELECT d.source, sc.margin, count(*)::BIGINT AS n
+              |  FROM sc JOIN documents d ON d.doc_id = sc.id
+              |  GROUP BY 1, 2),
+              |stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_src,
+              |    (25 * CAST(sum(n) AS BIGINT)) // 100 AS target_n
+              |  FROM hs GROUP BY 1),
+              |sc2 AS (SELECT source, margin, sum(n) OVER (
+              |    PARTITION BY source ORDER BY margin DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS kept
+              |  FROM hs),
+              |sq AS (SELECT source, min(margin) AS threshold,
+              |    max(kept)::BIGINT AS n_kept
+              |  FROM sc2 JOIN stot USING (source)
+              |  WHERE kept <= target_n GROUP BY 1)
+              |SELECT t.source, t.n_src, t.target_n, sq.threshold,
+              |  coalesce(sq.n_kept, 0)::BIGINT AS n_kept
+              |FROM stot t LEFT JOIN sq USING (source)
+              |ORDER BY source""".stripMargin)),
+
     // ---- TRAIN the one-of-C tier router: per-class floor-mean
     //      centroids over per-mille ratio features
     //      (operators/NearestCentroid), teacher = the heuristic
