@@ -1672,6 +1672,65 @@ object PipelineQueries {
               |FROM c JOIN tr ON kept <= target_n
               |GROUP BY pct, target_n ORDER BY pct""".stripMargin)),
 
+    // ---- TOKEN-budget selection: the budgeted-selection primitive —
+    //      "fill a B-token training budget with the best documents" —
+    //      which doc-rate calibration cannot express, because what a
+    //      pretraining run spends is tokens, not documents. Per budget
+    //      (25/50/75% of corpus tokens): the most permissive quality
+    //      threshold (micro-units) whose kept TOKEN mass stays within
+    //      budget, plus the exact kept doc/token counts. One corpus
+    //      pass builds a (quality → Σtokens, docs) histogram; the
+    //      cumulative runs over that value-domain frame (the Packing
+    //      metadata-window pattern), budgets derive from the same
+    //      histogram via a broadcast 1-row totals cross-join, and the
+    //      histogram × 3-budget non-equi join is histogram-scale. ----
+    QuerySpec("token_budget_threshold",
+      (s, d) => {
+        val hist = TrackedCache.persist(textStatsFrame(s, d)
+          .select(floor(col("quality") * 1000000.0).cast("long").as("q"),
+            col("n_tokens").cast("long").as("t"))
+          .groupBy(col("q"))
+          .agg(sum(col("t")).as("toks"), count(lit(1)).as("docs")))
+        val tot = broadcast(hist.agg(
+          coalesce(sum(col("toks")), lit(0L)).as("total_toks")))
+        val cum = hist
+          .withColumn("cum_toks", sum(col("toks")).over(
+            Window.orderBy(col("q").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cum_docs", sum(col("docs")).over(
+            Window.orderBy(col("q").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        import s.implicits._
+        val budgets = broadcast(Seq(25, 50, 75).toDF("pct"))
+        cum.crossJoin(tot).join(budgets,
+            col("cum_toks") * 100 <= col("pct") * col("total_toks"))
+          .groupBy(col("pct"))
+          .agg(expr("any_value((pct * total_toks) div 100)")
+            .as("budget_toks"),
+            min(col("q")).as("q_threshold"),
+            max(col("cum_docs")).as("n_docs"),
+            max(col("cum_toks")).as("n_tokens"))
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH h AS (SELECT CAST(floor(quality * 1000000.0) AS BIGINT)
+              |    AS q, CAST(sum(n_tokens) AS BIGINT) AS toks,
+              |    count(*)::BIGINT AS docs
+              |  FROM ($textStatsCoreSql) GROUP BY 1),
+              |t AS (SELECT coalesce(sum(toks), 0)::BIGINT AS total_toks
+              |  FROM h),
+              |c AS (SELECT q,
+              |    sum(toks) OVER w AS cum_toks, sum(docs) OVER w AS cum_docs
+              |  FROM h WINDOW w AS (ORDER BY q DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+              |b AS (SELECT unnest([25, 50, 75]) AS pct)
+              |SELECT pct,
+              |  any_value((pct * total_toks) // 100)::BIGINT AS budget_toks,
+              |  min(q) AS q_threshold,
+              |  max(cum_docs)::BIGINT AS n_docs,
+              |  max(cum_toks)::BIGINT AS n_tokens
+              |FROM c CROSS JOIN t JOIN b ON cum_toks * 100 <= pct * total_toks
+              |GROUP BY pct ORDER BY pct""".stripMargin)),
+
     // ---- Per-SOURCE threshold calibration: the per-domain deployment
     //      budget ("keep each domain's best 25%") — the global
     //      calibration above lets a strong domain crowd out weak ones;
