@@ -227,12 +227,22 @@ object BatchWriter {
     * it by `.topic` and publish per topic. */
   def writeMulti(df: DataFrame, outDir: String, flushSize: Int,
                  pad: Int = FileNaming.DefaultZeroPadWidth,
-                 format: String = "parquet"): Seq[CommittedFile] = {
+                 format: String = "parquet",
+                 rotationBucket: Option[org.apache.spark.sql.Column] = None)
+      : Seq[CommittedFile] = {
     if (format == "avro")
       throw new IllegalArgumentException(
         "avro multi-topic writes go through AvroSink per topic")
-    val sized = Rotation.withSizeFileIndex(df,
-      Seq(col("topic"), col("part")), col("off"), flushSize)
+    // rotation: the same bucket-CHANGE file split the single-topic
+    // encoded path runs (disjoint contiguous offset ranges even under
+    // out-of-order event time), keyed per (topic, part) — each task
+    // still sees one writer-unit's slice of the batch
+    val sized = rotationBucket match {
+      case Some(bucket) => Rotation.withBucketChangeFileIndex(df,
+        Seq(col("topic"), col("part")), col("off"), bucket, flushSize)
+      case scala.None => Rotation.withSizeFileIndex(df,
+        Seq(col("topic"), col("part")), col("off"), flushSize)
+    }
     // fixed staging path, like the per-topic `+tmp/<topic>` dirs: the
     // overwrite-mode staging write wipes a crashed predecessor's
     // leftovers instead of leaking uuid dirs. Discipline: one

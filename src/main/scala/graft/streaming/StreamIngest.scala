@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.ingest.{AvroSink, BatchWriter, CommitLog, FileNaming, GraftConfig, Retry}
+import graft.ingest.{AvroSink, BatchWriter, CommitLog, FileNaming, GraftConfig, Retry, Rotation}
 import graft.schema.SchemaEvolution
 
 /** Streaming ingest (SURVEY §7 M5): the reference's continuously-running
@@ -307,19 +307,37 @@ object StreamIngest {
     * [[startLogged]] config overload. */
   def startLoggedMulti(stream: DataFrame, outDir: String, cfg: GraftConfig,
                        checkpoint: String): StreamingQuery = {
-    require(cfg.partitioner == "default" && cfg.rotateIntervalMs <= 0,
-      "multi-topic streaming supports the default layout without " +
-        "interval rotation; run encoded/rotated topics through the " +
-        "single-topic startLogged(cfg) overload")
+    require(cfg.partitioner == "default",
+      "multi-topic streaming supports the default layout; run " +
+        "encoded-partitioner topics through the single-topic " +
+        "startLogged(cfg) overload")
+    require(cfg.rotateIntervalMs <= 0 ||
+        (cfg.format != "avro" && cfg.format != "text"),
+      "multi-topic interval rotation needs a BatchWriter format that " +
+        "carries the record-time column (avro fans out unrotated, " +
+        "text cannot keep the timestamp as payload); run such topics " +
+        "through the single-topic startLogged(cfg) overload")
     require(cfg.schemaCompatibility == "NONE",
       "multi-topic streaming does not run restart schema recovery " +
         "(each topic would need its own recovered schema); run " +
         "schema.compatibility topics through the single-topic " +
         "startLogged(cfg) overload")
+    // rotate.interval.ms in the demux plane: the reference rotates per
+    // TopicPartitionWriter regardless of how many topics one consumer
+    // carries (TopicPartitionWriter.java:516-519); the bucket reads
+    // record time through the configured timestamp extractor, exactly
+    // like the single-topic cfg.write path
+    val bucket =
+      if (cfg.rotateIntervalMs > 0)
+        Some(Rotation.longDiv(
+          org.apache.spark.sql.functions.unix_millis(cfg.recordTime(col)),
+          org.apache.spark.sql.functions.lit(cfg.rotateIntervalMs)))
+      else scala.None
     startLoggedMulti(stream, cfg.topicsRoot(outDir), cfg.flushSize,
       checkpoint, trigger = cfgTrigger(cfg), format = cfg.format,
       pad = cfg.zeroPadWidth, writeRetries = 2,
-      retryBackoffMs = cfg.retryBackoffMs, avroCodec = cfg.avroCodec)
+      retryBackoffMs = cfg.retryBackoffMs, avroCodec = cfg.avroCodec,
+      rotationBucket = bucket)
   }
 
   /** Stop a streaming query within the configured shutdown budget —
@@ -396,8 +414,13 @@ object StreamIngest {
                        writeRetries: Int = 1,
                        retryBackoffMs: Long = 0L,
                        avroCodec: String = "null",
-                       prepare: DataFrame => DataFrame = identity)
+                       prepare: DataFrame => DataFrame = identity,
+                       rotationBucket: Option[org.apache.spark.sql.Column] =
+                         scala.None)
       : StreamingQuery = {
+    require(rotationBucket.isEmpty || format != "avro",
+      "interval rotation is a BatchWriter-format feature; the avro " +
+        "multi-topic fan-out writes unrotated files")
     val spark = stream.sparkSession
     val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
     batchQuery(stream, checkpoint, trigger) { batch =>
@@ -432,7 +455,8 @@ object StreamIngest {
                   else AvroSink.write(slice, outDir, t, flushSize, pad, avroCodec)
                 }
               else
-                BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format))
+                BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format,
+                  rotationBucket))
             manifest.groupBy(_.topic).toSeq.sortBy(_._1)
               .foreach { case (topic, files) =>
                 CommitLog.publish(spark, outDir, topic, files.map { c =>

@@ -588,4 +588,79 @@ class StreamIngestSpec extends SparkSuite {
     q.stop()
     assert(spark.table("dd").count() === 2)
   }
+
+  test("multi-topic interval rotation: per-topic record-time splits + crash-replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-multi-rotate").toString
+    val ckpt1 = Files.createTempDirectory("graft-mrot-ckpt1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "100",
+      "rotate.interval.ms" -> "60000"))
+    val root = cfg.topicsRoot(out)
+    def t(s: String) = Timestamp.valueOf(s)
+
+    // alpha: offsets 0-3 straddle a 60s bucket boundary → two files
+    // despite flushSize 100; beta: one bucket → one file. Rotation is
+    // per (topic, part), exactly the reference's per-writer rotation.
+    val s1 = MemoryStream[(String, Long, Long, Timestamp, String)]
+    val q1 = StreamIngest.startLoggedMulti(
+      s1.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+      out, cfg, ckpt1)
+    s1.addData(
+      ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+      ("alpha", 0L, 1L, t("2026-03-01 10:00:30"), "a1"),
+      ("alpha", 0L, 2L, t("2026-03-01 10:01:10"), "a2"),
+      ("alpha", 0L, 3L, t("2026-03-01 10:01:40"), "a3"),
+      ("beta", 0L, 0L, t("2026-03-01 10:00:10"), "b0"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+      "alpha+0+0000000000+0000000001.parquet",
+      "alpha+0+0000000002+0000000003.parquet"))
+    assert(BatchWriter.listCommitted(spark, root, "beta") === Seq(
+      "beta+0+0000000000+0000000000.parquet"))
+    assert(CommitLog.read(spark, root, "alpha").count() === 4)
+
+    // crash-restart with full replay + one new record in a new bucket:
+    // replayed offsets fall to each topic's resume filter, the new
+    // record rotates into its own file
+    val ckpt2 = Files.createTempDirectory("graft-mrot-ckpt2").toString
+    val s2 = MemoryStream[(String, Long, Long, Timestamp, String)]
+    val q2 = StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+      out, cfg, ckpt2)
+    s2.addData(
+      ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+      ("alpha", 0L, 1L, t("2026-03-01 10:00:30"), "a1"),
+      ("alpha", 0L, 4L, t("2026-03-01 10:02:30"), "a4"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+      "alpha+0+0000000000+0000000001.parquet",
+      "alpha+0+0000000002+0000000003.parquet",
+      "alpha+0+0000000004+0000000004.parquet"))
+    val alpha = CommitLog.read(spark, root, "alpha")
+    assert(alpha.count() === 5)
+    assert(alpha.select(countDistinct(col("part"), col("off")))
+      .as[Long].head() === 5)
+  }
+
+  test("multi-topic rotation rejects avro and text formats fail-fast") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.GraftConfig
+    val s = MemoryStream[(String, Long, Long, String)]
+    val stream = s.toDF().toDF("topic", "part", "off", "payload")
+    for (fmt <- Seq("avro", "text")) {
+      val cfg = GraftConfig(Map("flush.size" -> "2",
+        "rotate.interval.ms" -> "60000", "format.class" -> fmt))
+      val e = intercept[IllegalArgumentException] {
+        StreamIngest.startLoggedMulti(stream, "/tmp/x", cfg, "/tmp/ck")
+      }
+      assert(e.getMessage.contains("BatchWriter format"), e.getMessage)
+    }
+  }
 }
