@@ -274,12 +274,30 @@ object PipelineQueries {
     * Shared by `knn_graph` and the kNN label vote. */
   private def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
                             d: String): org.apache.spark.sql.DataFrame = {
+    val (cand, withB) = knnCandidates(s, d)
+    knnScoreTopk(cand, withB, k = 3)
+  }
+
+  /** The all-vectors banded candidate pairs (q_id, neighbor_id),
+    * deduped, plus the signature frame — shared by the kNN graph and
+    * hard-negative mining. */
+  private def knnCandidates(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (withB, _) = embSignatureFrame(s, d)
     val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
     val cand = bk.as("a").join(bk.as("b"),
         col("a.k") === col("b.k") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
+    (cand, withB)
+  }
+
+  /** Score candidate pairs with the codegen'd integer dot and keep
+    * each q_id's top-k through the bounded heap: (q_id, neighbor_id,
+    * dot, rnk ≤ k), unordered. */
+  private def knnScoreTopk(cand: org.apache.spark.sql.DataFrame,
+                           withB: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
     cand
       .join(withB.as("x"), col("q_id") === col("x.vec_id"))
       .join(withB.as("y"), col("neighbor_id") === col("y.vec_id"))
@@ -287,11 +305,10 @@ object PipelineQueries {
         call_function("dot_i64", col("x.v"), col("y.v")).as("dot"))
       .groupBy(col("q_id"))
       .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
-        lit(3)).as("top"))
+        lit(k)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("q_id"), col("p.id").as("neighbor_id"),
         col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
-  }
 
   /** DuckDB mirror of [[knnGraphEdges]]: CTE chain appended after
     * [[embWbSql]] (prepend `WITH`), ending in `gr` — filter
@@ -2433,6 +2450,46 @@ object PipelineQueries {
            |  count(*)::BIGINT AS n
            |FROM vp JOIN embeddings t ON t.vec_id = vp.q_id
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Hard-negative mining: per anchor, the MOST SIMILAR banded
+    //      candidate carrying a DIFFERENT label — the contrastive-
+    //      training sampler that actually moves metrics, where
+    //      `contrastive_pairs`' hash negatives are easy by
+    //      construction. The label filter runs BEFORE the bounded-heap
+    //      top-1 (a same-label top-3 must not mask the best negative),
+    //      so the exchange still carries O(n) rows; anchors whose
+    //      candidates all share their label are absent, like the kNN
+    //      graph's unreachable vectors. ----
+    QuerySpec("hard_negatives",
+      (s, d) => {
+        val (cand, withB) = knnCandidates(s, d)
+        val lb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        val diff = cand
+          .join(lb.toDF("q_id", "ql"), Seq("q_id"))
+          .join(lb.toDF("neighbor_id", "nl"), Seq("neighbor_id"))
+          .filter(col("ql") =!= col("nl"))
+          .select(col("q_id"), col("neighbor_id"))
+        knnScoreTopk(diff, withB, k = 1)
+          .select(col("q_id"), col("neighbor_id").as("negative_id"),
+            col("dot"))
+          .orderBy(col("q_id"))
+      },
+      Some(
+        s"""WITH $embWbSql,
+           |$knnGraphSql,
+           |hn AS (SELECT g.q_id, g.neighbor_id FROM gc g
+           |  JOIN embeddings a ON a.vec_id = g.q_id
+           |  JOIN embeddings b ON b.vec_id = g.neighbor_id
+           |  WHERE a.label <> b.label),
+           |hd AS (SELECT q_id, neighbor_id,
+           |    CAST(list_sum(list_transform(list_zip(x.v, y.v),
+           |      p -> p[1] * p[2])) AS BIGINT) AS dot
+           |  FROM hn JOIN wb x ON x.vec_id = q_id
+           |          JOIN wb y ON y.vec_id = neighbor_id),
+           |hr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY dot DESC, neighbor_id ASC) AS rn FROM hd)
+           |SELECT q_id, neighbor_id AS negative_id, dot FROM hr
+           |WHERE rn = 1 ORDER BY q_id""".stripMargin)),
 
     // ---- Benchmark decontamination: flag training docs sharing any
     //      8-gram with the eval set (docs 0-24 stand in for a held-out
