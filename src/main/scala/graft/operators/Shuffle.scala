@@ -69,6 +69,41 @@ object Shuffle {
       .drop("__shuf_bucket", "__shuf_local", "__shuf_off")
   }
 
+  /** Curriculum ordering: the 0-based global rank of
+    * `(stageCol ASC, hashCol, tieCol)` — stages in order, a
+    * deterministic shuffle WITHIN each stage. The two-level shape
+    * generalizes: buckets are (stage, hash-range), per-bucket ranks
+    * stay bounded windows, and the only unpartitioned window runs over
+    * the (stages × buckets) count frame — still metadata-scale (a
+    * curriculum has a handful of stages). `stageCol` must be a
+    * non-null integer; same hash/tie contract as
+    * [[withShufflePosition]]. */
+  def withStagedPosition(df: DataFrame, stageCol: String, hashCol: String,
+                         tieCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(!df.columns.contains("pos"),
+      "input already has a 'pos' column — rename it before ranking")
+    val span = (1L << 60) / buckets
+    val b = df.withColumn("__shuf_bucket",
+      least(expr(s"$hashCol div ${span}L"), lit(buckets - 1L)))
+    val wLocal = Window
+      .partitionBy(col(stageCol), col("__shuf_bucket"))
+      .orderBy(col(hashCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = b.withColumn("__shuf_local",
+      coalesce(sum(lit(1L)).over(wLocal), lit(0L)))
+    val wBucket = Window.orderBy(col(stageCol), col("__shuf_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = b.groupBy(col(stageCol), col("__shuf_bucket"))
+      .agg(count(lit(1)).as("__shuf_n"))
+      .withColumn("__shuf_off",
+        coalesce(sum(col("__shuf_n")).over(wBucket), lit(0L)))
+      .select(col(stageCol), col("__shuf_bucket"), col("__shuf_off"))
+    withLocal.join(broadcast(offsets), Seq(stageCol, "__shuf_bucket"))
+      .withColumn("pos", col("__shuf_off") + col("__shuf_local"))
+      .drop("__shuf_bucket", "__shuf_local", "__shuf_off")
+  }
+
   /** [[withShufflePosition]] plus the shard cut:
     * `shard = pos div rowsPerShard` — equal-size shards in shuffled
     * order, the unit a training job reads. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
-import graft.operators.{KMeans, LinearClassifier, NearestCentroid, Winnowing}
+import graft.operators.{KMeans, LinearClassifier, NearestCentroid, Shuffle, Winnowing}
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -1747,6 +1747,40 @@ object PipelineQueries {
               |  max(cum_toks)::BIGINT AS n_tokens
               |FROM c CROSS JOIN t JOIN b ON cum_toks * 100 <= pct * total_toks
               |GROUP BY pct ORDER BY pct""".stripMargin)),
+
+    // ---- Curriculum ordering: the data ORDER for quality-staged
+    //      training — highest tier first, a deterministic shuffle
+    //      WITHIN each tier (anti-curriculum = flip the stage sign).
+    //      Runs through Shuffle.withStagedPosition: per-(stage,
+    //      hash-bucket) bounded windows, ONE metadata-scale offsets
+    //      window over stages × buckets rows, broadcast join back —
+    //      the corpus is never sorted in one task. The oracle states
+    //      the SPEC (a single global row_number) that the distributed
+    //      ranking must equal exactly. ----
+    QuerySpec("curriculum_order",
+      (s, d) => {
+        val tiers = textStatsFrame(s, d).select(col("doc_id"),
+          when(col("quality") < 0.35, 0).when(col("quality") < 0.5, 1)
+            .when(col("quality") < 0.6, 2).otherwise(3).as("tier"))
+        val staged = tiers
+          .withColumn("stage", lit(3) - col("tier"))
+          .withColumn("h",
+            TF.hash60(concat(lit("cur:"), col("doc_id").cast("string"))))
+        Shuffle.withStagedPosition(staged, "stage", "h", "doc_id",
+            buckets = 32)
+          .select(col("doc_id"), col("tier"), col("pos"))
+          .orderBy(col("pos"))
+      },
+      Some(s"""WITH lbl AS (SELECT doc_id,
+              |    CASE WHEN quality < 0.35 THEN 0 WHEN quality < 0.5 THEN 1
+              |      WHEN quality < 0.6 THEN 2 ELSE 3 END AS tier
+              |  FROM ($textStatsCoreSql)),
+              |st AS (SELECT doc_id, tier, 3 - tier AS stage,
+              |    ${h60("'cur:' || CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM lbl)
+              |SELECT doc_id, tier,
+              |  row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS pos
+              |FROM st ORDER BY pos""".stripMargin)),
 
     // ---- Per-SOURCE threshold calibration: the per-domain deployment
     //      budget ("keep each domain's best 25%") — the global

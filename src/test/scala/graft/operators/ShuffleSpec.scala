@@ -38,6 +38,21 @@ class ShuffleSpec extends SparkSuite {
     }
   }
 
+  test("staged ranking equals the global (stage, h, id) row_number at any bucket count") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 211L).map(i =>
+      (i, rnd.nextInt(4).toLong, rnd.nextLong() & ((1L << 60) - 1)))
+    val expected = rows.sortBy { case (id, st, h) => (st, h, id) }
+      .zipWithIndex.map { case ((id, _, _), p) => id -> p.toLong }.toMap
+    for (buckets <- Seq(1, 5, 64)) {
+      val got = Shuffle.withStagedPosition(
+          rows.toDF("id", "stage", "h").repartition(3), "stage", "h", "id",
+          buckets)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      assert(got === expected, s"buckets=$buckets")
+    }
+  }
+
   test("duplicate hashes break ties by the tie column") {
     val rows = Seq((5L, 10L), (1L, 10L), (3L, 10L), (2L, 99L))
     val got = Shuffle.withShufflePosition(rows.toDF("id", "h"), "h", "id", 4)
