@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{NativeExpressions, TextFunctions => TF}
 import graft.operators.Packing
 import graft.tables.Tables
 
@@ -642,6 +642,33 @@ object CurationQueries {
            |WHERE $gate % 100 < CASE WHEN lang = 'en' THEN 80
            |  WHEN lang IN ('de', 'fr') THEN 60
            |  WHEN lang = 'es' THEN 40 ELSE 20 END
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- EXACT-k uniform sample: every hash gate here is rate-based
+    //      (size correct only in expectation) — audits, eval pools,
+    //      and labeling batches need exactly k. k smallest values of a
+    //      deterministic per-doc hash ARE a uniform without-replacement
+    //      sample, and the bounded-heap aggregate collects them with
+    //      an exchange carrying O(k) rows per partition — no corpus
+    //      sort, no window, no second pass. ----
+    QuerySpec("sample_exact_k",
+      (s, d) => {
+        NativeExpressions.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TF.hash60(concat(lit("uni:"), col("doc_id").cast("string")))
+              .as("h"))
+          .agg(call_function("topk_pairs", -col("h"), col("doc_id"),
+            lit(100)).as("top"))
+          .select(explode(col("top")).as("p"))
+          .select(col("p.id").as("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val h = h60("'uni:' || CAST(doc_id AS VARCHAR)")
+        s"""SELECT doc_id FROM (SELECT doc_id FROM documents
+           |  ORDER BY $h ASC, doc_id ASC LIMIT 100)
            |ORDER BY doc_id""".stripMargin
       }),
 
