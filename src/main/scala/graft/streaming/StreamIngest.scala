@@ -474,6 +474,36 @@ object StreamIngest {
     }
   }
 
+  /** Dead-letter routing — the Kafka Connect runtime's
+    * `errors.tolerance=all` + `errors.deadletterqueue.topic.name`
+    * contract around the reference connector: records failing the
+    * caller's validity predicate are not dropped and do not poison
+    * the stream; they land in `<topic>.dlq` with the same
+    * exactly-once commit guarantees as the main topic, for later
+    * inspection/repair/replay. Both routes ride the multi-topic
+    * plane: per-topic transactional logs, ONE staging job per
+    * micro-batch, independent offset recovery — a crash between the
+    * main and DLQ publishes replays the batch and each side's resume
+    * filter drops only its own committed offsets.
+    *
+    * `isValid` must be deterministic in the record (the router
+    * family's replay contract): a replayed record re-routes to the
+    * side whose log already holds it. */
+  def startLoggedDlq(stream: DataFrame, outDir: String, topic: String,
+                     isValid: org.apache.spark.sql.Column, flushSize: Int,
+                     checkpoint: String,
+                     trigger: Option[Trigger] = None,
+                     format: String = "parquet",
+                     pad: Int = FileNaming.DefaultZeroPadWidth)
+      : StreamingQuery = {
+    require(!stream.columns.contains("topic"),
+      "dead-letter routing assigns `topic` itself — drop the stream's column")
+    startLoggedMulti(stream, outDir, flushSize, checkpoint, trigger,
+      format, pad,
+      prepare = _.withColumn("topic",
+        when(isValid, lit(topic)).otherwise(lit(s"$topic.dlq"))))
+  }
+
   /** A13 — wallclock scheduled rotation in the streaming plane
     * (`rotate.schedule.interval.ms`, `TopicPartitionWriter.java:297-310`
     * + partial-file flush test `DataWriterAvroTest.java:356-403`): the

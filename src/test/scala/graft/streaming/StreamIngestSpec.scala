@@ -648,6 +648,51 @@ class StreamIngestSpec extends SparkSuite {
       .as[Long].head() === 5)
   }
 
+  test("dead-letter routing: invalid records land in <topic>.dlq, replay exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.CommitLog
+    val out = Files.createTempDirectory("graft-dlq").toString
+    val ckpt1 = Files.createTempDirectory("graft-dlq-ckpt1").toString
+    val valid = get_json_object(col("payload"), "$.k").isNotNull
+
+    val s1 = MemoryStream[(Long, Long, String)]
+    val q1 = StreamIngest.startLoggedDlq(
+      s1.toDF().toDF("part", "off", "payload"), out, "ev", valid,
+      flushSize = 2, checkpoint = ckpt1)
+    s1.addData((0L, 0L, """{"k":1}"""), (0L, 1L, "corrupt"),
+      (0L, 2L, """{"k":3}"""), (1L, 0L, "{broken"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val main = CommitLog.read(spark, out, "ev")
+    val dlq = CommitLog.read(spark, out, "ev.dlq")
+    assert(main.count() === 2 && dlq.count() === 2)
+    assert(dlq.select(col("payload")).as[String].collect().toSet ===
+      Set("corrupt", "{broken"))
+    assert(CommitLog.maxOffsets(spark, out, "ev") === Map(0L -> 2L))
+    assert(CommitLog.maxOffsets(spark, out, "ev.dlq") ===
+      Map(0L -> 1L, 1L -> 0L))
+
+    // crash-restart with replay + one new bad record: each side's
+    // resume filter drops only its own committed offsets
+    val ckpt2 = Files.createTempDirectory("graft-dlq-ckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = StreamIngest.startLoggedDlq(
+      s2.toDF().toDF("part", "off", "payload"), out, "ev", valid,
+      flushSize = 2, checkpoint = ckpt2)
+    s2.addData((0L, 0L, """{"k":1}"""), (0L, 1L, "corrupt"),
+      (0L, 3L, "also bad"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(CommitLog.read(spark, out, "ev").count() === 2)
+    val dlq2 = CommitLog.read(spark, out, "ev.dlq")
+    assert(dlq2.count() === 3)
+    assert(dlq2.select(countDistinct(col("part"), col("off")))
+      .as[Long].head() === 3)
+  }
+
   test("multi-topic rotation rejects avro and text formats fail-fast") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
