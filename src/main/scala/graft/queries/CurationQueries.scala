@@ -843,5 +843,66 @@ object CurationQueries {
               |tr AS (SELECT pct, (pct * n + 99) // 100 AS r
               |  FROM (SELECT unnest([25, 50, 75, 95]) AS pct) CROSS JOIN n)
               |SELECT pct, min(len) AS value FROM c JOIN tr ON cum >= r
+              |GROUP BY pct ORDER BY pct""".stripMargin)),
+
+    // ---- The APPROXIMATE scale path next to the exact quantiles: at
+    //      100 TB a value histogram over a high-cardinality measure
+    //      stops being metadata, and the right tool is Spark's
+    //      approx_percentile (Greenwald–Khanna partial sketches, fixed
+    //      size, merged associatively — corpus-size-independent like
+    //      the CMS/HLL/Bloom rows). GK's guarantee is a RANK error
+    //      bound (≤ n/accuracy), and that contract is what gets
+    //      oracle-checked, the agg_approx_users discipline: the
+    //      checkable output is `approx_ok` — the sketch value's true
+    //      rank interval (from the exact histogram) intersects the
+    //      target rank ± tolerance — which the guarantee makes
+    //      deterministically TRUE however partitions merge, while the
+    //      sketch VALUE itself may legally vary. ----
+    QuerySpec("token_length_quantiles_approx",
+      (s, d) => {
+        val lens = Tables.documents(s, d)
+          .select(TF.tokenCount(col("text")).cast("long").as("len"))
+        val hist = TrackedCache.persist(
+          lens.groupBy(col("len")).agg(count(lit(1)).as("cnt")))
+        val cum = TrackedCache.persist(hist.withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col("len")))))
+        val n = hist.agg(coalesce(sum(col("cnt")), lit(0L)))
+          .head().getLong(0)
+        val pcts = Seq(25, 50, 75, 95)
+        val tol = n / 100 + 2 // GK rank bound at accuracy=100, + slack
+        val targets = pcts.map(pct => (pct, (pct * n + 99) / 100))
+        import s.implicits._
+        val exact = cum
+          .join(broadcast(targets.toDF("pct", "r")), col("cum") >= col("r"))
+          .groupBy(col("pct"), col("r"))
+          .agg(min(col("len")).as("exact_len"))
+        val approx = lens.agg(percentile_approx(col("len"),
+            typedLit(pcts.map(_ / 100.0)), lit(100)).as("ap"))
+          .select(posexplode(col("ap")).as(Seq("i", "av")))
+          .select((element_at(typedLit(pcts), col("i") + 1)).as("pct"),
+            col("av").cast("long").as("av"))
+        // true rank interval of the sketch's value from the exact
+        // histogram: r_hi = #{x ≤ v}, r_lo = #{x < v}
+        val rhi = approx.join(cum, col("len") <= col("av"), "left")
+          .groupBy(col("pct"), col("av"))
+          .agg(coalesce(max(col("cum")), lit(0L)).as("r_hi"))
+        val rlo = approx.join(cum, col("len") < col("av"), "left")
+          .groupBy(col("pct"))
+          .agg(coalesce(max(col("cum")), lit(0L)).as("r_lo"))
+        exact.join(rhi, Seq("pct")).join(rlo, Seq("pct"))
+          .select(col("pct"), col("exact_len"),
+            (col("r_hi") >= col("r") - tol &&
+              col("r_lo") + 1 <= col("r") + tol).as("approx_ok"))
+          .orderBy(col("pct"))
+      },
+      Some(s"""WITH lens AS (SELECT len(${toksSql("text")})::BIGINT AS len
+              |    FROM documents),
+              |h AS (SELECT len, count(*) AS cnt FROM lens GROUP BY 1),
+              |c AS (SELECT len, sum(cnt) OVER (ORDER BY len) AS cum FROM h),
+              |n AS (SELECT count(*) AS n FROM lens),
+              |tr AS (SELECT pct, (pct * n + 99) // 100 AS r
+              |  FROM (SELECT unnest([25, 50, 75, 95]) AS pct) CROSS JOIN n)
+              |SELECT pct, min(len) AS exact_len, TRUE AS approx_ok
+              |FROM c JOIN tr ON cum >= r
               |GROUP BY pct ORDER BY pct""".stripMargin)))
 }
