@@ -59,6 +59,7 @@ object GraftConfig {
   val LogsDir = "logs.dir"
   val HiveIntegration = "hive.integration"
   val SchemaCacheSize = "schema.cache.size"
+  val Transforms = "transforms"
 
   /** The reference's `schema.compatibility` lattice
     * (`docs/configuration_options.rst:273-274`). */
@@ -129,7 +130,8 @@ object GraftConfig {
     TimestampExtractorKey -> "RecordField",
     LogsDir -> "logs",
     HiveIntegration -> "false",
-    SchemaCacheSize -> "1000")
+    SchemaCacheSize -> "1000",
+    Transforms -> "")
 
   private def asLong(v: String): Either[String, Long] =
     try Right(v.trim.toLong) catch {
@@ -272,6 +274,10 @@ object GraftConfig {
           case Right(n) => Seq(s"$SchemaCacheSize must be positive, got $n")
           case Left(e) => Seq(e)
         }, Nil)
+      case Transforms =>
+        // the whole transforms.* family validates as one unit — alias
+        // declarations, types, per-type params, reserved columns
+        (Smt.parse(props, get(TimestampField)).left.getOrElse(Nil), Nil)
       case _ => (Nil, Nil)
     }
     val defined = Defaults.keySet + FlushSize
@@ -288,7 +294,10 @@ object GraftConfig {
       val (errors, recommended) = check(name)
       Validated(name, get(name), errors, recommended, visible)
     }
-    val unknown = (props.keySet -- defined).toSeq.sorted.map { name =>
+    // transforms.<alias>.<param> keys are validated as a family under
+    // the `transforms` entry above, not as unknown keys
+    val unknown = (props.keySet -- defined)
+      .filterNot(_.startsWith("transforms.")).toSeq.sorted.map { name =>
       val err = ReplacedPlane.get(name) match {
         case Some(replacement) =>
           s"'$name' configures a plane this engine replaces with " +
@@ -332,7 +341,9 @@ object GraftConfig {
       // store.url overrides hdfs.url, the reference's own precedence
       // (DataWriter.java:129-137)
       storeUrl = Seq(m(StoreUrl), m(HdfsUrl)).find(_.nonEmpty),
-      timestampExtractor = m(TimestampExtractorKey))
+      timestampExtractor = m(TimestampExtractorKey),
+      smts = Smt.parse(props, m(TimestampField))
+        .getOrElse(Seq.empty)) // errors already thrown above
   }
 }
 
@@ -358,7 +369,21 @@ final case class GraftConfig(
     fileDelim: String,
     schemaCompatibility: String,
     storeUrl: Option[String],
-    timestampExtractor: String) {
+    timestampExtractor: String,
+    smts: Seq[Smt] = Seq.empty) {
+
+  /** Apply the configured SMT chain (`transforms=`) to one batch, in
+    * declared order — the Connect runtime's record transforms, run
+    * before the sink logic sees the batch. Routers (topic rewrites)
+    * only compose with the multi-topic plane; single-topic callers
+    * pass `includeRouters = false` and must have rejected router
+    * configs up front. */
+  def applySmts(df: org.apache.spark.sql.DataFrame,
+                includeRouters: Boolean): org.apache.spark.sql.DataFrame = {
+    require(includeRouters || smts.forall(!_.routesTopic),
+      "router SMTs configured on a single-topic stream")
+    smts.foldLeft(df)((d, t) => t.apply(d))
+  }
 
   /** The store's data root under `topics.dir` — the reference's
     * `<url>/<topics.dir>/<topic>/...` layout (`FileUtils.java:39-64`,

@@ -274,13 +274,20 @@ object StreamIngest {
     * listing-based resume, not to the log. */
   def startLogged(stream: DataFrame, outDir: String, topic: String,
                   cfg: GraftConfig, checkpoint: String): StreamingQuery = {
+    require(cfg.smts.forall(!_.routesTopic),
+      "router SMTs (RegexRouter/TimestampRouter) rewrite the topic " +
+        "column — run them through the multi-topic startLoggedMulti(cfg) " +
+        "overload")
     val spark = stream.sparkSession
     val root = cfg.topicsRoot(outDir)
     val reproject = recoveryProjector(spark, root, topic, cfg)
+    // SMTs run FIRST (the Connect runtime applies transforms before
+    // the sink), then schema recovery projects the transformed shape
     commitLoop(stream, checkpoint, cfgTrigger(cfg),
       initial = CommitLog.maxOffsets(spark, root, topic),
       writeFn = b => Retry.withBackoff(2, cfg.retryBackoffMs)(
-        cfg.write(reproject(b), outDir, topic)),
+        cfg.write(reproject(cfg.applySmts(b, includeRouters = false)),
+          outDir, topic)),
       afterWrite = manifest =>
         CommitLog.publish(spark, root, topic,
           manifest.map(c => relPath(root, topic, c.path))))
@@ -337,7 +344,11 @@ object StreamIngest {
       checkpoint, trigger = cfgTrigger(cfg), format = cfg.format,
       pad = cfg.zeroPadWidth, writeRetries = 2,
       retryBackoffMs = cfg.retryBackoffMs, avroCodec = cfg.avroCodec,
-      rotationBucket = bucket)
+      rotationBucket = bucket,
+      // the Connect runtime's record transforms, routers included —
+      // a routed topic IS the directory here, as record.topic() is
+      // in Connect
+      prepare = cfg.applySmts(_, includeRouters = true))
   }
 
   /** Stop a streaming query within the configured shutdown budget —
