@@ -323,6 +323,16 @@ class PlanShapeSpec extends SparkSuite {
       s"band and label joins must stay equi-joins:\n$p")
   }
 
+  test("hard_negatives ranks through the bounded heap with equi-joins only") {
+    val p = plan("hard_negatives")
+    val s = p.toString
+    assert(s.contains("topk_pairs"), s)
+    assert(!s.contains("Window"), s"no corpus window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"band and label joins must stay equi-joins:\n$p")
+  }
+
   test("tier router: prediction is a literal-centroid projection, training a (class, slot) aggregate") {
     val p = plan("tier_confusion_matrix")
     val s = p.toString
