@@ -324,11 +324,15 @@ object StreamIngest {
         "carries the record-time column (avro fans out unrotated, " +
         "text cannot keep the timestamp as payload); run such topics " +
         "through the single-topic startLogged(cfg) overload")
-    require(cfg.schemaCompatibility == "NONE",
-      "multi-topic streaming does not run restart schema recovery " +
-        "(each topic would need its own recovered schema); run " +
-        "schema.compatibility topics through the single-topic " +
-        "startLogged(cfg) overload")
+    require(cfg.schemaCompatibility == "NONE" ||
+        cfg.schemaCompatibility == "FORWARD",
+      "multi-topic streaming runs restart schema recovery only under " +
+        "FORWARD (pure per-topic down-projection); BACKWARD/FULL " +
+        "adoption is per-topic schema state — run those topics " +
+        "through the single-topic startLogged(cfg) overload")
+    require(cfg.schemaCompatibility == "NONE" || cfg.rotateIntervalMs <= 0,
+      "FORWARD recovery writes per-topic (no rotation); combine " +
+        "rotation with schema recovery via the single-topic overload")
     // rotate.interval.ms in the demux plane: the reference rotates per
     // TopicPartitionWriter regardless of how many topics one consumer
     // carries (TopicPartitionWriter.java:516-519); the bucket reads
@@ -340,7 +344,20 @@ object StreamIngest {
           org.apache.spark.sql.functions.unix_millis(cfg.recordTime(col)),
           org.apache.spark.sql.functions.lit(cfg.rotateIntervalMs)))
       else scala.None
-    startLoggedMulti(stream, cfg.topicsRoot(outDir), cfg.flushSize,
+    // FORWARD: each topic's projector resolves from ITS committed
+    // files at first sighting (the reference's per-writer recovery,
+    // TopicPartitionWriter.java:334-350) and is cached for the
+    // stream's life — the single-topic resolve-once contract, per
+    // topic
+    val root = cfg.topicsRoot(outDir)
+    val projection: Option[String => DataFrame => DataFrame] =
+      if (cfg.schemaCompatibility == "FORWARD") Some {
+        val cache =
+          scala.collection.mutable.Map.empty[String, DataFrame => DataFrame]
+        (t: String) => cache.getOrElseUpdate(t,
+          recoveryProjector(stream.sparkSession, root, t, cfg))
+      } else scala.None
+    startLoggedMulti(stream, root, cfg.flushSize,
       checkpoint, trigger = cfgTrigger(cfg), format = cfg.format,
       pad = cfg.zeroPadWidth, writeRetries = 2,
       retryBackoffMs = cfg.retryBackoffMs, avroCodec = cfg.avroCodec,
@@ -348,7 +365,8 @@ object StreamIngest {
       // the Connect runtime's record transforms, routers included —
       // a routed topic IS the directory here, as record.topic() is
       // in Connect
-      prepare = cfg.applySmts(_, includeRouters = true))
+      prepare = cfg.applySmts(_, includeRouters = true),
+      perTopicProjection = projection)
   }
 
   /** Stop a streaming query within the configured shutdown budget —
@@ -427,11 +445,18 @@ object StreamIngest {
                        avroCodec: String = "null",
                        prepare: DataFrame => DataFrame = identity,
                        rotationBucket: Option[org.apache.spark.sql.Column] =
-                         scala.None)
+                         scala.None,
+                       perTopicProjection:
+                         Option[String => DataFrame => DataFrame] =
+                           scala.None)
       : StreamingQuery = {
     require(rotationBucket.isEmpty || format != "avro",
       "interval rotation is a BatchWriter-format feature; the avro " +
         "multi-topic fan-out writes unrotated files")
+    require(rotationBucket.isEmpty || perTopicProjection.isEmpty,
+      "per-topic schema projection writes through the per-topic " +
+        "fan-out, which does not rotate; run rotated+projected topics " +
+        "through the single-topic overload")
     val spark = stream.sparkSession
     val committed = scala.collection.mutable.Map.empty[String, Map[Long, Long]]
     batchQuery(stream, checkpoint, trigger) { batch =>
@@ -459,11 +484,21 @@ object StreamIngest {
         try {
           if (!fresh.isEmpty) {
             val manifest = Retry.withBackoff(writeRetries, retryBackoffMs)(
-              if (format == "avro")
+              // avro cannot join the dynamic-partitioned staging job;
+              // per-topic schema projection makes slices structurally
+              // DIFFERENT frames — both take the per-topic fan-out
+              // (O(topics) jobs over the cached batch, the reference's
+              // own per-writer shape)
+              if (format == "avro" || perTopicProjection.isDefined)
                 topics.toSeq.flatMap { t =>
-                  val slice = fresh.filter(col("topic") === t).drop("topic")
+                  val slice0 = fresh.filter(col("topic") === t).drop("topic")
+                  val slice = perTopicProjection
+                    .map(p => p(t)(slice0)).getOrElse(slice0)
                   if (slice.isEmpty) Seq.empty
-                  else AvroSink.write(slice, outDir, t, flushSize, pad, avroCodec)
+                  else if (format == "avro")
+                    AvroSink.write(slice, outDir, t, flushSize, pad, avroCodec)
+                  else
+                    BatchWriter.write(slice, outDir, t, flushSize, pad, format)
                 }
               else
                 BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format,

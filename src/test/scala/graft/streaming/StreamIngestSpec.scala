@@ -693,6 +693,47 @@ class StreamIngestSpec extends SparkSuite {
       .as[Long].head() === 3)
   }
 
+  test("multi-topic FORWARD restart: per-topic down-projection, new topics adopt") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-multi-fwd").toString
+    val ckpt1 = Files.createTempDirectory("graft-mfwd-ckpt1").toString
+    val root = GraftConfig(Map("flush.size" -> "2")).topicsRoot(out)
+
+    // phase 1: t1 commits files with column a only
+    val s1 = MemoryStream[(String, Long, Long, String)]
+    val q1 = StreamIngest.startLoggedMulti(
+      s1.toDF().toDF("topic", "part", "off", "a"), out,
+      GraftConfig(Map("flush.size" -> "2")), ckpt1)
+    s1.addData(("t1", 0L, 0L, "a0"), ("t1", 0L, 1L, "a1"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2 under FORWARD: the restarted stream carries an extra
+    // column b; t1 projects DOWN onto its committed schema (b
+    // dropped), the never-seen t2 adopts the full stream schema
+    val ckpt2 = Files.createTempDirectory("graft-mfwd-ckpt2").toString
+    val s2 = MemoryStream[(String, Long, Long, String, String)]
+    val q2 = StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "a", "b"), out,
+      GraftConfig(Map("flush.size" -> "2",
+        "schema.compatibility" -> "FORWARD")), ckpt2)
+    s2.addData(("t1", 0L, 2L, "a2", "b2"), ("t1", 0L, 3L, "a3", "b3"),
+      ("t2", 0L, 0L, "x0", "y0"), ("t2", 0L, 1L, "x1", "y1"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val t1 = CommitLog.read(spark, root, "t1")
+    val t2 = CommitLog.read(spark, root, "t2")
+    assert(t1.count() === 4 && t2.count() === 2)
+    assert(!t1.columns.contains("b"),
+      s"t1 must stay on its committed schema: ${t1.columns.mkString(",")}")
+    assert(t2.columns.contains("b"),
+      s"t2 adopts the stream schema: ${t2.columns.mkString(",")}")
+    assert(CommitLog.maxOffsets(spark, root, "t1") === Map(0L -> 3L))
+  }
+
   test("multi-topic rotation rejects avro and text formats fail-fast") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
