@@ -28,7 +28,9 @@ object CurationQueries {
   private val ChunkW = 32
   /** Merge rules learned by bpe_train_merges (driver state is O(this),
     * like KMeans' centroid table). */
-  private val BpeMerges = 4
+  private val BpeMerges = 24
+  /** Merge steps between lineage truncations in [[bpeTrain]]. */
+  private val BpeCheckpointEvery = 8
   /** shuffle_shards: hash-range bucket count (at corpus scale set
     * ~4096 so each ranking task sees ~n/buckets rows — see
     * `operators/Shuffle`) and rows per training shard. */
@@ -194,6 +196,14 @@ object CurationQueries {
         val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
         rules += ((step.toLong, a, b, cnt))
         wf = wf.select(TF.bpeApply(col("m"), a, b).as("m"), col("n"))
+        // Without truncation, step k's plan replays all k-1 prior
+        // bpeApply projections from wf0 — O(M²) projection passes and
+        // an O(M)-deep lineage for an M-merge vocabulary. Periodic
+        // localCheckpoint keeps both O(M): each step costs one pass
+        // over the materialized word table. (On a cluster with a
+        // reliable checkpoint dir, `checkpoint()` plays this role —
+        // same pattern as [[graft.operators.ConnectedComponents]].)
+        if (step % BpeCheckpointEvery == 0) wf = wf.localCheckpoint()
       }
     }
     (wf, rules.result())
@@ -203,21 +213,27 @@ object CurationQueries {
     * up to `w\$BpeMerges`, where each `b\$k` is step k's learned rule
     * (a, b, cnt) and each `w\$k` the word table after applying it. */
   private def bpeChainSql: String = {
+    // Every w$k / b$k is referenced more than once downstream; DuckDB
+    // inlines plain CTEs per reference, which makes a 24-step chain's
+    // plan EXPONENTIAL (2^24 copies of the w0 scan — "too many open
+    // files" long before it finishes). MATERIALIZED forces each step
+    // to evaluate once, keeping the oracle linear in BpeMerges like
+    // the Spark side.
     val stepSql = (k: Int) =>
-      s"""s$k AS (SELECT n, string_split(substr(m, 2, length(m)-2), chr(2)||chr(1)) AS s
+      s"""s$k AS MATERIALIZED (SELECT n, string_split(substr(m, 2, length(m)-2), chr(2)||chr(1)) AS s
          |  FROM w${k - 1}),
-         |p$k AS (SELECT p.a AS a, p.b AS b, sum(n) AS cnt FROM
+         |p$k AS MATERIALIZED (SELECT p.a AS a, p.b AS b, sum(n)::BIGINT AS cnt FROM
          |    (SELECT n, unnest(list_transform(range(1, len(s)),
          |        i -> {'a': s[i], 'b': s[i + 1]})) AS p
          |     FROM s$k WHERE len(s) >= 2)
          |  GROUP BY 1, 2),
-         |b$k AS (SELECT a, b, cnt FROM p$k
+         |b$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k
          |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-         |w$k AS (SELECT CASE WHEN a IS NULL THEN m
+         |w$k AS MATERIALIZED (SELECT CASE WHEN a IS NULL THEN m
          |    ELSE replace(m, chr(1)||a||chr(2)||chr(1)||b||chr(2),
          |      chr(1)||a||b||chr(2)) END AS m, n
          |  FROM w${k - 1} LEFT JOIN b$k ON TRUE)""".stripMargin
-    s"""w0 AS (SELECT chr(1) ||
+    s"""w0 AS MATERIALIZED (SELECT chr(1) ||
        |    array_to_string(list_transform(range(1, len(w) + 1),
        |      i -> substr(w, i, 1)), chr(2)||chr(1)) || chr(2) AS m, n
        |  FROM (SELECT w, count(*) AS n FROM
@@ -616,7 +632,7 @@ object CurationQueries {
               |sy AS (SELECT unnest(string_split(substr(m, 2, length(m)-2),
               |    chr(2)||chr(1))) AS sym, n
               |  FROM w$BpeMerges)
-              |SELECT sym, sum(n) AS cnt FROM sy GROUP BY sym
+              |SELECT sym, sum(n)::BIGINT AS cnt FROM sy GROUP BY sym
               |ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin)),
 
     // ---- Stratified corpus sampling: per-language keep rates applied

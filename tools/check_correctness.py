@@ -23,6 +23,30 @@ def canon(rows, colnames):
     return [colnames[i] for i in order], out
 
 
+# Integer widths <= 64 bits hash identically driver-side (values go
+# through a lossless int64 path); HUGEINT / DECIMAL / FLOAT-vs-DOUBLE
+# do NOT — the driver's hash is type-sensitive there (r7 shipped three
+# hash-red rows whose values matched but whose oracle columns were
+# int128). Normalize the narrow-int family, treat everything else
+# verbatim so wide-type drift fails locally before the driver sees it.
+NARROW_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def canon_type(t):
+    return "INT64" if t in NARROW_INTS else t
+
+
+def type_mismatches(con, sql, parquet_glob):
+    otypes = {c: canon_type(t) for c, t, *_ in
+              con.execute(f"DESCRIBE {sql}").fetchall()}
+    stypes = {c: canon_type(t) for c, t, *_ in
+              con.execute(
+                  f"DESCRIBE SELECT * FROM '{parquet_glob}'").fetchall()}
+    return [(c, stypes[c], otypes[c]) for c in sorted(otypes)
+            if c in stypes and stypes[c] != otypes[c]]
+
+
 def cells_equal(a, b):
     if a is None and b is None:
         return True
@@ -60,6 +84,11 @@ def main(sf_dir, out_dir):
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            n_fail += 1
+            continue
+        mism = type_mismatches(con, sql, f"{out_dir}/{name}/*.parquet")
+        if mism:
+            print(f"FAIL {name}: type drift (col, spark, oracle): {mism}")
             n_fail += 1
             continue
         _, so = canon(srows, scols)
