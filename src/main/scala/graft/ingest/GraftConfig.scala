@@ -101,10 +101,18 @@ object GraftConfig {
   val AvroCodecs: Seq[String] = Seq("null", "deflate", "snappy", "bzip2")
 
   /** Partitioner roster (graft.partition.Partitioners — the
-    * reference's partitioner.class recommender list). */
+    * reference's partitioner.class recommender list). A value
+    * containing '.' is instead treated as a fully-qualified class name
+    * and loaded by reflection — the reference's custom-partitioner
+    * extension point (`DataWriter.java:537-558`,
+    * `docs/hdfs_connector.rst:205-208`); see
+    * [[graft.partition.PluggablePartitioner]]. */
   val Partitioners: Seq[String] = Seq("default", "field", "time", "daily", "hourly")
 
   private val TimeBased = Set("time", "daily", "hourly")
+
+  /** Roster names never contain '.'; a dotted value is a user class. */
+  private def isCustom(v: String): Boolean = v.contains(".")
 
   private val Defaults: Map[String, String] = Map(
     RotateIntervalMs -> "-1",
@@ -196,9 +204,15 @@ object GraftConfig {
          else Seq(s"unknown $AvroCodec '${get(name)}'; valid values are " +
            AvroCodecs.mkString(", ")), AvroCodecs)
       case PartitionerClass =>
-        (if (Partitioners.contains(get(name))) Nil
-         else Seq(s"unknown partitioner '${get(name)}'; valid values are " +
-           Partitioners.mkString(", ")), Partitioners)
+        val v = get(name)
+        (if (Partitioners.contains(v)) Nil
+         else if (isCustom(v))
+           graft.partition.Plugins.load(v,
+               classOf[graft.partition.PluggablePartitioner])
+             .left.toSeq.map(e => s"$PartitionerClass: $e")
+         else Seq(s"unknown partitioner '$v'; valid values are " +
+           Partitioners.mkString(", ") + ", or a fully-qualified class " +
+           "implementing graft.partition.PluggablePartitioner"), Partitioners)
       case PartitionField =>
         (if (partitioner == "field" && get(name).isEmpty)
            Seq(s"$PartitionField is required by the field partitioner")
@@ -210,8 +224,12 @@ object GraftConfig {
       case PathFormat =>
         // the engine renders the reference's long format natively
         // (year=.../month=<name>/day=.../hour=...); a custom Joda
-        // pattern has no consumer — reject rather than silently ignore
-        (if (get(name).isEmpty) Nil
+        // pattern has no consumer — reject rather than silently ignore.
+        // A CUSTOM partitioner class receives the full property map in
+        // configure() and may consume path.format itself, so the key
+        // is free there (the reference hands its config to the loaded
+        // partitioner the same way).
+        (if (get(name).isEmpty || isCustom(partitioner)) Nil
          else Seq(s"$PathFormat is not configurable: the time partitioner " +
            "renders the reference's long format (year=/month=/day=/hour=)"),
           Nil)
@@ -248,9 +266,16 @@ object GraftConfig {
            s"values are ${SchemaCompatibilities.mkString(", ")}"),
           SchemaCompatibilities)
       case TimestampExtractorKey =>
-        (if (TimestampExtractors.contains(get(name))) Nil
-         else Seq(s"unknown $TimestampExtractorKey '${get(name)}'; valid " +
-           s"values are ${TimestampExtractors.mkString(", ")}"),
+        val v = get(name)
+        (if (TimestampExtractors.contains(v)) Nil
+         else if (isCustom(v))
+           graft.partition.Plugins.load(v,
+               classOf[graft.partition.PluggableTimestampExtractor])
+             .left.toSeq.map(e => s"$TimestampExtractorKey: $e")
+         else Seq(s"unknown $TimestampExtractorKey '$v'; valid " +
+           s"values are ${TimestampExtractors.mkString(", ")}, or a " +
+           "fully-qualified class implementing " +
+           "graft.partition.PluggableTimestampExtractor"),
           TimestampExtractors)
       case LogsDir =>
         (if (get(name) == "logs") Nil
@@ -283,12 +308,16 @@ object GraftConfig {
     val defined = Defaults.keySet + FlushSize
     val known = defined.toSeq.sorted.map { name =>
       val visible = name match {
-        case PartitionField => partitioner == "field"
+        // a custom partitioner class may consume any dependent key
+        // (it gets the full property map), so all stay visible there
+        case PartitionField => partitioner == "field" || isCustom(partitioner)
         // duration and path format are free knobs only on the generic
         // time partitioner; daily/hourly derive both (the reference's
         // visibility matrix)
-        case PartitionDurationMs | PathFormat => partitioner == "time"
-        case LocaleKey | Timezone => TimeBased(partitioner)
+        case PartitionDurationMs | PathFormat =>
+          partitioner == "time" || isCustom(partitioner)
+        case LocaleKey | Timezone =>
+          TimeBased(partitioner) || isCustom(partitioner)
         case _ => true
       }
       val (errors, recommended) = check(name)
@@ -343,8 +372,24 @@ object GraftConfig {
       storeUrl = Seq(m(StoreUrl), m(HdfsUrl)).find(_.nonEmpty),
       timestampExtractor = m(TimestampExtractorKey),
       smts = Smt.parse(props, m(TimestampField))
-        .getOrElse(Seq.empty)) // errors already thrown above
+        .getOrElse(Seq.empty), // errors already thrown above
+      customPartitioner = loadConfigured(m(PartitionerClass),
+        classOf[graft.partition.PluggablePartitioner], props),
+      customTimestampExtractor = loadConfigured(m(TimestampExtractorKey),
+        classOf[graft.partition.PluggableTimestampExtractor], props))
   }
+
+  /** Instantiate + configure a custom plug-in class, or None for a
+    * roster name. Load errors were already raised by validate(). */
+  private def loadConfigured[T <: graft.partition.Pluggable](
+      v: String, iface: Class[T], props: Map[String, String]): Option[T] =
+    if (!isCustom(v)) scala.None
+    else {
+      val inst = graft.partition.Plugins.load(v, iface)
+        .fold(e => throw new IllegalArgumentException(e), identity)
+      inst.configure(props)
+      Some(inst)
+    }
 }
 
 /** The validated, typed view the writer components consume. */
@@ -370,7 +415,11 @@ final case class GraftConfig(
     schemaCompatibility: String,
     storeUrl: Option[String],
     timestampExtractor: String,
-    smts: Seq[Smt] = Seq.empty) {
+    smts: Seq[Smt] = Seq.empty,
+    customPartitioner: Option[graft.partition.PluggablePartitioner] =
+      scala.None,
+    customTimestampExtractor:
+      Option[graft.partition.PluggableTimestampExtractor] = scala.None) {
 
   /** Apply the configured SMT chain (`transforms=`) to one batch, in
     * declared order — the Connect runtime's record transforms, run
@@ -474,6 +523,8 @@ final case class GraftConfig(
       case "RecordField" => field(timestampField)
       case "Record" => field("ts")
       case "Wallclock" => current_timestamp()
+      // a dotted name loaded a user class (validated at construction)
+      case _ => customTimestampExtractor.get.recordTime(field)
     }
   }
 
@@ -482,7 +533,9 @@ final case class GraftConfig(
   private def recordTimeColumn: Option[String] = timestampExtractor match {
     case "RecordField" => Some(timestampField)
     case "Record" => Some("ts")
-    case "Wallclock" => scala.None
+    // Wallclock reads no payload column; a custom extractor's inputs
+    // are unknowable here, so nothing extra is dropped for it either
+    case _ => scala.None
   }
 
   /** The configured partitioner as a path Column — `partitioner.class`
@@ -508,6 +561,10 @@ final case class GraftConfig(
         timezone,
         if (locale.isEmpty) Locale.US
         else Locale.forLanguageTag(locale.replace('_', '-')))
+      // a dotted name loaded a user class (validated at construction):
+      // its Column is built once at plan time, exactly like the
+      // built-ins — a custom layout costs nothing extra per record
+      case _ => customPartitioner.get.encode(kafkaPartition, ts, field)
     }
   }
 }

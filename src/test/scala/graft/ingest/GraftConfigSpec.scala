@@ -471,4 +471,105 @@ class GraftConfigSpec extends SparkSuite {
     val (_, rows) = AvroSink.readFile(m.head.path.stripPrefix("file:"))
     assert(rows.map(_("payload")) === Seq("v0", "v1", "v2", "v3"))
   }
+
+  // ---- custom plug-in classes (the reference's reflection extension
+  //      point, DataWriter.java:537-558 / docs/hdfs_connector.rst:205-208) ----
+
+  test("a custom partitioner.class loads, configures, and shapes the layout") {
+    import spark.implicits._
+    val df = (0L until 4L).map(o => (o % 3, o, s"v$o"))
+      .toDF("part", "off", "payload")
+    val out = Files.createTempDirectory("cfg-custom-part").toString
+    // path.format doubles as the plug-in's own knob — the full
+    // property map reaches configure(), as in Connect
+    GraftConfig(Map("flush.size" -> "10",
+      "partitioner.class" -> "graft.ingest.ModPartitioner",
+      "path.format" -> "2")).write(df, out, "t")
+    assert(new java.io.File(s"$out/topics/t").listFiles().map(_.getName).toSet ===
+      Set("mod=0", "mod=1"))
+    // parts {0, 2} land even, part 1 odd under mod 2
+    assert(spark.read.parquet(s"$out/topics/t/mod=0")
+      .select("payload").as[String].collect().toSet === Set("v0", "v2", "v3"))
+    assert(BatchWriter.maxCommittedOffsets(spark, s"$out/topics", "t") ===
+      Map(0L -> 3L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("a custom timestamp.extractor drives the time-partitioner family") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, "v0")).toDF("part", "off", "payload")
+    val out = Files.createTempDirectory("cfg-custom-ts").toString
+    GraftConfig(Map("flush.size" -> "10",
+      "partitioner.class" -> "daily",
+      "timestamp.extractor" -> "graft.ingest.FixedTimestampExtractor"))
+      .write(df, out, "t")
+    // the extractor's constant routes the record regardless of payload
+    assert(new java.io.File(s"$out/topics/t/year=2020/month=01/day=05").exists())
+  }
+
+  test("plug-in load failures are config-validation errors, not stack traces") {
+    val missing = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("partitioner.class" -> "no.such.Clazz"))
+    }
+    assert(missing.getMessage.contains(
+      "class 'no.such.Clazz' not found on the classpath"))
+
+    val wrongIface = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("partitioner.class" -> "graft.ingest.NotAPartitioner"))
+    }
+    assert(wrongIface.getMessage.contains(
+      "does not implement graft.partition.PluggablePartitioner"))
+
+    val wrongIfaceTs = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("timestamp.extractor" -> "graft.ingest.ModPartitioner"))
+    }
+    assert(wrongIfaceTs.getMessage.contains(
+      "does not implement graft.partition.PluggableTimestampExtractor"))
+
+    // a roster typo (no dot) still gets the roster message + the
+    // extension hint, never a reflection attempt
+    val typo = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("partitioner.class" -> "daly"))
+    }
+    assert(typo.getMessage.contains("unknown partitioner 'daly'"))
+    assert(typo.getMessage.contains("PluggablePartitioner"))
+  }
+
+  test("dependent keys stay visible and path.format free under a custom partitioner") {
+    val vs = GraftConfig.validate(base ++ Map(
+        "partitioner.class" -> "graft.ingest.ModPartitioner",
+        "path.format" -> "3"))
+      .map(v => v.name -> v).toMap
+    for (k <- Seq("partition.field.name", "partition.duration.ms",
+        "path.format", "locale", "timezone"))
+      assert(vs(k).visible, s"$k hidden under a custom partitioner")
+    assert(vs("path.format").errors.isEmpty,
+      "path.format rejected under a custom partitioner")
+  }
 }
+
+/** Test plug-in: `mod=<part % N>` layout, N read from `path.format`
+  * in configure() — exercises both the reflection load and the
+  * Connect-style configure handshake. */
+class ModPartitioner extends graft.partition.PluggablePartitioner {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{concat, lit, pmod}
+  private var mod = 2L
+  override def configure(props: Map[String, String]): Unit =
+    mod = props.get("path.format").filter(_.nonEmpty).fold(2L)(_.toLong)
+  def encode(kafkaPartition: Column, ts: Column,
+             field: String => Column): Column =
+    concat(lit("mod="), pmod(kafkaPartition, lit(mod)).cast("string"))
+}
+
+/** Test plug-in: a constant record time — makes time-routing
+  * assertions deterministic. */
+class FixedTimestampExtractor
+    extends graft.partition.PluggableTimestampExtractor {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.lit
+  def recordTime(field: String => Column): Column =
+    lit(java.sql.Timestamp.valueOf("2020-01-05 07:00:00"))
+}
+
+/** Deliberately implements neither SPI. */
+class NotAPartitioner
