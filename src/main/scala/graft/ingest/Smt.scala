@@ -37,10 +37,60 @@ object Smt {
   /** Roster of supported `transforms.<alias>.type` values (Connect's
     * classic built-ins; the unqualified class names). */
   val Types: Seq[String] =
-    Seq("InsertField", "MaskField", "RegexRouter", "ReplaceField",
+    Seq("Cast", "ExtractField", "Flatten", "InsertField", "MaskField",
+      "RegexRouter", "ReplaceField", "TimestampConverter",
       "TimestampRouter")
 
   private val Reserved = Set("part", "off", "topic")
+
+  /** Connect `Cast.spec` type names → Spark types. */
+  val CastTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Map("int8" -> ByteType, "int16" -> ShortType, "int32" -> IntegerType,
+      "int64" -> LongType, "float32" -> FloatType, "float64" -> DoubleType,
+      "boolean" -> BooleanType, "string" -> StringType,
+      "bytes" -> BinaryType)
+  }
+
+  /** Connect's zero value for a masked field (`MaskField` with no
+    * replacement): the type's zero, NOT SQL NULL — a carried-over
+    * Connect config must keep producing empty strings/zeros where
+    * downstream code assumes non-null. Types Connect's primitive
+    * mapping does not cover fail at apply, like Connect's
+    * DataException. */
+  private def zeroValue(dt: org.apache.spark.sql.types.DataType,
+                        alias: String, f: String): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case _: NumericType => lit(0).cast(dt)
+      case BinaryType => lit(Array.emptyByteArray)
+      // Connect masks logical time types through their physical int64
+      // zero — epoch 0 — which is what this renders
+      case TimestampType | DateType => lit(0L).cast("timestamp").cast(dt)
+      case other => throw new IllegalArgumentException(
+        s"transforms.$alias (MaskField): masking a ${other.simpleString} " +
+          s"column '$f' with no replacement is not supported (Connect " +
+          "masks primitive types only)")
+    }
+  }
+
+  /** Parse-time validation of a datetime render pattern under SPARK's
+    * pattern rules (not SimpleDateFormat's — e.g. week-year 'Y' is
+    * rejected): constructing the session formatter and rendering one
+    * instant forces every lazily-checked element, so an illegal
+    * pattern fails config validation instead of mid-stream. */
+  private def patternError(fmt: String): Option[String] =
+    try {
+      org.apache.spark.sql.catalyst.util.TimestampFormatter(
+        fmt, java.time.ZoneId.of("UTC"), isParsing = false).format(0L)
+      scala.None
+    } catch {
+      case e: Throwable =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.next())
+    }
 
   /** Connect's `InsertField` with a static field: adds a constant
     * string column. */
@@ -63,8 +113,9 @@ object Smt {
     }
   }
 
-  /** Connect's `MaskField`: null out the listed fields (type
-    * preserved), or substitute a literal replacement. */
+  /** Connect's `MaskField`: mask the listed fields to the type's ZERO
+    * value (empty string / 0 / false — Connect's documented masking),
+    * or substitute a literal replacement. */
   final case class MaskField(alias: String, fields: Seq[String],
                              replacement: Option[String]) extends Smt {
     val routesTopic = false
@@ -75,10 +126,120 @@ object Smt {
         val dt = d.schema(f).dataType
         val masked: Column = replacement match {
           case Some(v) => lit(v).cast(dt)
-          case scala.None => lit(null).cast(dt)
+          case scala.None => zeroValue(dt, alias, f)
         }
         d.withColumn(f, masked)
       }
+  }
+
+  /** Connect's `Cast`: per-field type casts from a `spec` of
+    * `field:type` pairs (the whole-value form has no analog here —
+    * records are structured). Spark's `cast` is Connect's cast
+    * semantics: numeric widening/narrowing, string round-trips,
+    * boolean ↔ numeric. */
+  final case class CastField(alias: String,
+                             spec: Seq[(String, org.apache.spark.sql.types.DataType)])
+      extends Smt {
+    val routesTopic = false
+    def apply(df: DataFrame): DataFrame =
+      spec.foldLeft(df) { case (d, (f, dt)) =>
+        require(d.columns.contains(f),
+          s"transforms.$alias (Cast): no column '$f' in the stream")
+        d.withColumn(f, col(f).cast(dt))
+      }
+  }
+
+  /** Connect's `ExtractField` (value form): replace the record value
+    * with ONE of its fields. Flattened to columns: the stream envelope
+    * (part/off/topic) survives, the payload becomes the extracted
+    * field — expanded to its subfields when it is a struct, a single
+    * column otherwise. */
+  final case class ExtractField(alias: String, field: String) extends Smt {
+    val routesTopic = false
+    def apply(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.StructType
+      require(df.columns.contains(field),
+        s"transforms.$alias (ExtractField): no column '$field' in the stream")
+      val envelope = df.columns.filter(Reserved).toSeq
+      df.schema(field).dataType match {
+        case st: StructType =>
+          val clash = st.fieldNames.filter(Reserved)
+          require(clash.isEmpty,
+            s"transforms.$alias (ExtractField): subfield(s) " +
+              s"${clash.mkString(", ")} of '$field' collide with the " +
+              "stream envelope")
+          df.select(envelope.map(col) ++
+            st.fieldNames.toSeq.map(n => col(s"$field.$n").as(n)): _*)
+        case _ => df.select(envelope.map(col) :+ col(field): _*)
+      }
+    }
+  }
+
+  /** Connect's `Flatten`: recursively hoist nested struct fields to
+    * top-level columns named `outer<delim>inner` (delimiter '.' by
+    * default, as in Connect). A pure projection — Catalyst prunes the
+    * unreferenced subtrees at the scan. */
+  final case class Flatten(alias: String, delimiter: String) extends Smt {
+    val routesTopic = false
+    def apply(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      def expand(name: String, c: Column, dt: DataType): Seq[(String, Column)] =
+        dt match {
+          case st: StructType => st.fields.toSeq.flatMap(f =>
+            expand(s"$name$delimiter${f.name}", c.getField(f.name), f.dataType))
+          case _ => Seq(name -> c)
+        }
+      val cols = df.schema.fields.toSeq.flatMap(f =>
+        expand(f.name, col(s"`${f.name}`"), f.dataType))
+      df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    }
+  }
+
+  /** Connect's `TimestampConverter`: convert a time-valued field
+    * between representations. The source column may be a timestamp/
+    * date, a string (parsed with `format`), or a number (epoch at
+    * `unix.precision`); `target.type` picks the output — Timestamp,
+    * Date, string (rendered with `format`), or unix (epoch at
+    * `unix.precision`). Connect's `Time` target has no Spark type and
+    * is rejected at parse. */
+  final case class TimestampConverter(alias: String, field: String,
+                                      targetType: String,
+                                      format: Option[String],
+                                      unixPrecision: String) extends Smt {
+    val routesTopic = false
+    def apply(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.types._
+      require(df.columns.contains(field),
+        s"transforms.$alias (TimestampConverter): no column '$field' " +
+          "in the stream")
+      val asTs: Column = df.schema(field).dataType match {
+        case TimestampType => col(field)
+        case DateType => col(field).cast(TimestampType)
+        case StringType => format match {
+          case Some(f) => to_timestamp(col(field), f)
+          case scala.None => to_timestamp(col(field))
+        }
+        case _: NumericType => unixPrecision match {
+          case "seconds" => timestamp_seconds(col(field).cast("long"))
+          case "microseconds" => timestamp_micros(col(field).cast("long"))
+          case _ => timestamp_millis(col(field).cast("long"))
+        }
+        case other => throw new IllegalArgumentException(
+          s"transforms.$alias (TimestampConverter): cannot read a " +
+            s"${other.simpleString} column '$field' as a timestamp")
+      }
+      val out: Column = targetType match {
+        case "Timestamp" => asTs
+        case "Date" => asTs.cast(DateType)
+        case "string" => date_format(asTs, format.get) // required at parse
+        case "unix" => unixPrecision match {
+          case "seconds" => unix_seconds(asTs)
+          case "microseconds" => unix_micros(asTs)
+          case _ => unix_millis(asTs)
+        }
+      }
+      df.withColumn(field, out)
+    }
   }
 
   /** Connect's `RegexRouter`: when the WHOLE topic matches `regex`,
@@ -108,13 +269,20 @@ object Smt {
       require(df.columns.contains(tsField),
         s"transforms.$alias (TimestampRouter): no record-time column " +
           s"'$tsField' in the stream")
+      // Connect throws on a record with no timestamp; a silent NULL
+      // here would null-propagate into the topic and misroute the
+      // record, so the row errors instead (lazily — only a null
+      // record time evaluates the raise)
+      val rendered = when(col(tsField).isNotNull,
+          date_format(col(tsField), tsFormat))
+        .otherwise(raise_error(lit(s"transforms.$alias (TimestampRouter): " +
+          s"null record time in '$tsField'")).cast("string"))
       val token = "(\\$\\{topic\\}|\\$\\{timestamp\\})".r
       val parts = scala.collection.mutable.ListBuffer.empty[Column]
       var at = 0
       token.findAllMatchIn(topicFormat).foreach { m =>
         if (m.start > at) parts += lit(topicFormat.substring(at, m.start))
-        parts += (if (m.matched == "${topic}") col("topic")
-                  else date_format(col(tsField), tsFormat))
+        parts += (if (m.matched == "${topic}") col("topic") else rendered)
         at = m.end
       }
       if (at < topicFormat.length) parts += lit(topicFormat.substring(at))
@@ -149,14 +317,30 @@ object Smt {
       "ReplaceField" -> Set("renames", "exclude"),
       "MaskField" -> Set("fields", "replacement"),
       "RegexRouter" -> Set("regex", "replacement"),
-      "TimestampRouter" -> Set("topic.format", "timestamp.format"))
+      "TimestampRouter" -> Set("topic.format", "timestamp.format"),
+      "Cast" -> Set("spec"),
+      "ExtractField" -> Set("field"),
+      "Flatten" -> Set("delimiter"),
+      "TimestampConverter" -> Set("field", "target.type", "format",
+        "unix.precision"))
     def p(alias: String, param: String): Option[String] =
       props.get(s"$prefix$alias.$param").map(_.trim).filter(_.nonEmpty)
+    // when a TimestampRouter is anywhere in the chain, the record-time
+    // field it reads is part of the routing contract — a field edit
+    // that masks/renames/drops it would null- or miss-route records,
+    // so it joins the reserved set chain-wide
+    val hasTsRouter = declared.exists(a =>
+      p(a, "type").contains("TimestampRouter"))
+    val reserved: Set[String] =
+      if (hasTsRouter && tsField.nonEmpty) Reserved + tsField else Reserved
     def reservedIn(alias: String, what: String, names: Seq[String]): Unit =
-      names.filter(Reserved).foreach { n =>
+      names.filter(reserved).foreach { n =>
         errors += s"transforms.$alias: $what must not touch the stream " +
           s"envelope column '$n' (part/off are offset identity; only " +
-          "routers rewrite topic)"
+          "routers rewrite topic" +
+          (if (hasTsRouter && n == tsField)
+             s"; '$tsField' is read by the TimestampRouter in this chain"
+           else "") + ")"
       }
     val chain = declared.flatMap { alias =>
       p(alias, "type") match {
@@ -239,12 +423,99 @@ object Smt {
                   scala.None
               }
             case "TimestampRouter" =>
-              (p(alias, "topic.format"), p(alias, "timestamp.format")) match {
-                case (Some(f), Some(tf)) =>
-                  Some(TimestampRouter(alias, f, tf, tsField))
-                case _ =>
-                  errors += s"transforms.$alias (TimestampRouter) requires " +
-                    "topic.format and timestamp.format"
+              // Connect's documented defaults apply when the params are
+              // absent — a carried-over config relying on them works
+              val f = p(alias, "topic.format")
+                .getOrElse("${topic}-${timestamp}")
+              val tf = p(alias, "timestamp.format").getOrElse("yyyyMMdd")
+              patternError(tf).foreach { e =>
+                errors += s"transforms.$alias: timestamp.format '$tf' is " +
+                  s"not a valid Spark datetime pattern ($e)"
+              }
+              Some(TimestampRouter(alias, f, tf, tsField))
+            case "Cast" =>
+              p(alias, "spec") match {
+                case Some(specStr) =>
+                  val pairs = specStr.split(",").map(_.trim)
+                    .filter(_.nonEmpty).toSeq.flatMap { entry =>
+                      entry.split(":") match {
+                        case Array(f, t)
+                            if f.trim.nonEmpty && t.trim.nonEmpty =>
+                          CastTypes.get(t.trim) match {
+                            case Some(dt) => Some(f.trim -> dt)
+                            case scala.None =>
+                              errors += s"transforms.$alias (Cast): " +
+                                s"unknown type '${t.trim}' in spec; valid " +
+                                s"types are ${CastTypes.keys.toSeq.sorted.mkString(", ")}"
+                              scala.None
+                          }
+                        case _ =>
+                          errors += s"transforms.$alias (Cast): spec " +
+                            s"entry '$entry' must be field:type (the " +
+                            "whole-value form has no analog — records " +
+                            "are structured)"
+                          scala.None
+                      }
+                    }
+                  reservedIn(alias, "spec", pairs.map(_._1))
+                  if (pairs.isEmpty) scala.None
+                  else Some(CastField(alias, pairs))
+                case scala.None =>
+                  errors += s"transforms.$alias (Cast) requires spec"
+                  scala.None
+              }
+            case "ExtractField" =>
+              p(alias, "field") match {
+                case Some(f) =>
+                  reservedIn(alias, "field", Seq(f))
+                  Some(ExtractField(alias, f))
+                case scala.None =>
+                  errors += s"transforms.$alias (ExtractField) requires field"
+                  scala.None
+              }
+            case "Flatten" =>
+              Some(Flatten(alias, p(alias, "delimiter").getOrElse(".")))
+            case "TimestampConverter" =>
+              val target = p(alias, "target.type")
+              val fmt = p(alias, "format")
+              val precision = p(alias, "unix.precision")
+                .getOrElse("milliseconds")
+              val validTargets = Seq("Timestamp", "Date", "string", "unix")
+              target match {
+                case scala.None =>
+                  errors += s"transforms.$alias (TimestampConverter) " +
+                    s"requires target.type (one of ${validTargets.mkString(", ")})"
+                case Some("Time") =>
+                  errors += s"transforms.$alias (TimestampConverter): " +
+                    "target.type Time has no Spark type; use string with " +
+                    "a time-of-day format"
+                case Some(t) if !validTargets.contains(t) =>
+                  errors += s"transforms.$alias (TimestampConverter): " +
+                    s"unknown target.type '$t'; valid values are " +
+                    validTargets.mkString(", ")
+                case _ => ()
+              }
+              if (target.contains("string") && fmt.isEmpty)
+                errors += s"transforms.$alias (TimestampConverter): " +
+                  "target.type string requires format"
+              fmt.foreach(f => patternError(f).foreach { e =>
+                errors += s"transforms.$alias: format '$f' is not a " +
+                  s"valid Spark datetime pattern ($e)"
+              })
+              if (!Seq("milliseconds", "seconds", "microseconds")
+                  .contains(precision))
+                errors += s"transforms.$alias (TimestampConverter): " +
+                  s"unknown unix.precision '$precision'; valid values " +
+                  "are milliseconds, seconds, microseconds"
+              p(alias, "field") match {
+                case Some(f) if target.exists(validTargets.contains) =>
+                  reservedIn(alias, "field", Seq(f))
+                  Some(TimestampConverter(alias, f, target.get, fmt,
+                    precision))
+                case Some(_) => scala.None // target errors already added
+                case scala.None =>
+                  errors += s"transforms.$alias (TimestampConverter) " +
+                    "requires field"
                   scala.None
               }
           }

@@ -23,7 +23,7 @@ class SmtSpec extends SparkSuite {
     assert(e1.exists(_.contains("'x' is not declared")))
 
     val Left(e2) = parse("transforms" -> "t",
-      "transforms.t.type" -> "Flatten")
+      "transforms.t.type" -> "HoistField")
     assert(e2.exists(_.contains("unknown")))
 
     val Left(e3) = parse("transforms" -> "t",
@@ -77,7 +77,27 @@ class SmtSpec extends SparkSuite {
     val r = out.head()
     assert(r.getAs[String]("origin") === "cdc")
     assert(r.getAs[String]("body") === "x")
-    assert(r.isNullAt(r.fieldIndex("secret"))) // masked, type preserved
+    // Connect's MaskField masks to the type's ZERO value, not NULL —
+    // downstream non-null assumptions keep holding
+    assert(r.getAs[String]("secret") === "")
+  }
+
+  test("MaskField zero values follow the field type (Connect's primitive mapping)") {
+    val df = Seq(("s", 7L, 1.5, true))
+      .toDF("str", "num", "dbl", "flag")
+    val Right(Seq(m)) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "str, num, dbl, flag")
+    val r = m.apply(df).head()
+    assert(r.getAs[String]("str") === "")
+    assert(r.getAs[Long]("num") === 0L)
+    assert(r.getAs[Double]("dbl") === 0.0)
+    assert(r.getAs[Boolean]("flag") === false)
+
+    // non-primitive columns refuse masking, like Connect's DataException
+    val arr = Seq((Seq(1, 2), 0L)).toDF("xs", "n")
+    val e = intercept[IllegalArgumentException] { m.apply(arr.withColumnRenamed("xs", "str")) }
+    assert(e.getMessage.contains("not supported"))
   }
 
   test("RegexRouter: whole-topic match with groups; non-matches pass through") {
@@ -102,6 +122,148 @@ class SmtSpec extends SparkSuite {
       "transforms.t.timestamp.format" -> "yyyyMMdd")
     assert(r.apply(df).select(col("topic")).as[String].head() ===
       "ev-20260301")
+  }
+
+  test("TimestampRouter: Connect defaults apply; null record time errors; bad pattern rejected") {
+    // defaults: topic.format=${topic}-${timestamp}, timestamp.format=yyyyMMdd
+    val df = Seq(("ev", 0L, 0L,
+        java.sql.Timestamp.valueOf("2026-03-01 10:30:00")))
+      .toDF("topic", "part", "off", "timestamp")
+    val Right(Seq(r)) = parse("transforms" -> "t",
+      "transforms.t.type" -> "TimestampRouter")
+    assert(r.apply(df).select(col("topic")).as[String].head() ===
+      "ev-20260301")
+
+    // a null record time raises (Connect throws on a missing record
+    // timestamp) instead of silently routing to a NULL topic
+    val withNull = Seq(("ev", 0L, 0L,
+        null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("topic", "part", "off", "timestamp")
+    val e = intercept[Exception] {
+      r.apply(withNull).select(col("topic")).as[String].head()
+    }
+    assert(e.getMessage.contains("null record time") ||
+      Option(e.getCause).exists(_.getMessage.contains("null record time")))
+
+    // week-year 'Y' is legal SimpleDateFormat but not a Spark pattern —
+    // rejected at parse, not mid-stream
+    val Left(errs) = parse("transforms" -> "t",
+      "transforms.t.type" -> "TimestampRouter",
+      "transforms.t.timestamp.format" -> "YYYYMMdd")
+    assert(errs.exists(_.contains("not a valid Spark datetime pattern")))
+
+    // the router's record-time field is reserved chain-wide: masking
+    // it would misroute every record after the mask
+    val Left(errs2) = parse("transforms" -> "m, t",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "timestamp",
+      "transforms.t.type" -> "TimestampRouter")
+    assert(errs2.exists(_.contains("read by the TimestampRouter")))
+  }
+
+  test("Cast: per-field spec casts; whole-value and unknown types rejected") {
+    val df = Seq(("41", 1L, 2.9)).toDF("s", "n", "d")
+    val Right(Seq(c)) = parse("transforms" -> "c",
+      "transforms.c.type" -> "Cast",
+      "transforms.c.spec" -> "s:int32, n:string, d:int64")
+    val out = c.apply(df)
+    assert(out.schema("s").dataType.simpleString === "int")
+    assert(out.schema("n").dataType.simpleString === "string")
+    val r = out.head()
+    assert(r.getAs[Int]("s") === 41)
+    assert(r.getAs[String]("n") === "1")
+    assert(r.getAs[Long]("d") === 2L) // cast truncates, like Connect
+
+    val Left(e1) = parse("transforms" -> "c",
+      "transforms.c.type" -> "Cast", "transforms.c.spec" -> "int64")
+    assert(e1.exists(_.contains("must be field:type")))
+    val Left(e2) = parse("transforms" -> "c",
+      "transforms.c.type" -> "Cast", "transforms.c.spec" -> "s:varchar")
+    assert(e2.exists(_.contains("unknown type 'varchar'")))
+    val Left(e3) = parse("transforms" -> "c",
+      "transforms.c.type" -> "Cast", "transforms.c.spec" -> "off:string")
+    assert(e3.exists(_.contains("stream envelope")))
+  }
+
+  test("ExtractField: struct expands to its subfields, primitive stays one column") {
+    val df = Seq((0L, 1L, ("alice", 30), "noise"))
+      .toDF("part", "off", "user", "extra")
+      .withColumn("user", col("user").cast("struct<name:string,age:int>"))
+    val Right(Seq(x)) = parse("transforms" -> "x",
+      "transforms.x.type" -> "ExtractField",
+      "transforms.x.field" -> "user")
+    val out = x.apply(df)
+    assert(out.columns.toSeq === Seq("part", "off", "name", "age"))
+    assert(out.select(col("name")).as[String].head() === "alice")
+
+    val Right(Seq(x2)) = parse("transforms" -> "x",
+      "transforms.x.type" -> "ExtractField",
+      "transforms.x.field" -> "extra")
+    assert(x2.apply(df).columns.toSeq === Seq("part", "off", "extra"))
+  }
+
+  test("Flatten hoists nested structs with the configured delimiter") {
+    val df = Seq((0L, (("a", 1), "z")))
+      .toDF("off", "rec")
+      .withColumn("rec", col("rec")
+        .cast("struct<inner:struct<s:string,n:int>,tag:string>"))
+    val Right(Seq(f)) = parse("transforms" -> "f",
+      "transforms.f.type" -> "Flatten",
+      "transforms.f.delimiter" -> "_")
+    val out = f.apply(df)
+    assert(out.columns.toSeq === Seq("off", "rec_inner_s", "rec_inner_n", "rec_tag"))
+    assert(out.select(col("rec_inner_n")).as[Int].head() === 1)
+
+    // default delimiter is Connect's '.'
+    val Right(Seq(fDot)) = parse("transforms" -> "f",
+      "transforms.f.type" -> "Flatten")
+    assert(fDot.apply(df).columns.toSeq ===
+      Seq("off", "rec.inner.s", "rec.inner.n", "rec.tag"))
+  }
+
+  test("TimestampConverter: string/unix/Date/Timestamp conversions by source type") {
+    val ts = java.sql.Timestamp.valueOf("2026-03-01 10:30:00")
+    val df = Seq((ts, "2026-03-01 10:30:00", ts.getTime))
+      .toDF("t", "s", "ms")
+
+    def conv(field: String, extra: (String, String)*) = {
+      val Right(Seq(c)) = parse(Seq("transforms" -> "c",
+        "transforms.c.type" -> "TimestampConverter",
+        "transforms.c.field" -> field) ++ extra: _*)
+      c.apply(df)
+    }
+
+    // timestamp → string via format
+    assert(conv("t", "transforms.c.target.type" -> "string",
+        "transforms.c.format" -> "yyyy-MM-dd")
+      .select(col("t")).as[String].head() === "2026-03-01")
+    // string → Timestamp via format
+    assert(conv("s", "transforms.c.target.type" -> "Timestamp",
+        "transforms.c.format" -> "yyyy-MM-dd HH:mm:ss")
+      .select(col("s")).as[java.sql.Timestamp].head() === ts)
+    // epoch millis → Timestamp; timestamp → unix millis round-trip
+    assert(conv("ms", "transforms.c.target.type" -> "Timestamp")
+      .select(col("ms")).as[java.sql.Timestamp].head() === ts)
+    assert(conv("t", "transforms.c.target.type" -> "unix")
+      .select(col("t")).as[Long].head() === ts.getTime)
+    // seconds precision
+    assert(conv("t", "transforms.c.target.type" -> "unix",
+        "transforms.c.unix.precision" -> "seconds")
+      .select(col("t")).as[Long].head() === ts.getTime / 1000)
+    // timestamp → Date
+    assert(conv("t", "transforms.c.target.type" -> "Date")
+      .select(col("t")).as[java.sql.Date].head().toString === "2026-03-01")
+
+    val Left(e1) = parse("transforms" -> "c",
+      "transforms.c.type" -> "TimestampConverter",
+      "transforms.c.field" -> "t",
+      "transforms.c.target.type" -> "string")
+    assert(e1.exists(_.contains("requires format")))
+    val Left(e2) = parse("transforms" -> "c",
+      "transforms.c.type" -> "TimestampConverter",
+      "transforms.c.field" -> "t",
+      "transforms.c.target.type" -> "Time")
+    assert(e2.exists(_.contains("has no Spark type")))
   }
 
   test("config surface: transforms validate as a family; router rejected on single-topic") {
