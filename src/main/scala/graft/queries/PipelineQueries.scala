@@ -1728,14 +1728,23 @@ object PipelineQueries {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         import s.implicits._
         val budgets = broadcast(Seq(25, 50, 75).toDF("pct"))
-        cum.crossJoin(tot).join(budgets,
+        // LEFT join from the budget frame: a budget the single most
+        // permissive bucket already overshoots has no qualifying rows —
+        // it reports threshold NULL / counts 0 (threshold_by_source's
+        // convention) instead of silently dropping the pct row
+        val qualifying = cum.crossJoin(tot).join(budgets,
             col("cum_toks") * 100 <= col("pct") * col("total_toks"))
           .groupBy(col("pct"))
-          .agg(expr("any_value((pct * total_toks) div 100)")
-            .as("budget_toks"),
-            min(col("q")).as("q_threshold"),
-            max(col("cum_docs")).as("n_docs"),
-            max(col("cum_toks")).as("n_tokens"))
+          .agg(min(col("q")).as("q_threshold"),
+            max(col("cum_docs")).as("qual_docs"),
+            max(col("cum_toks")).as("qual_toks"))
+        budgets.crossJoin(tot)
+          .select(col("pct"),
+            expr("(pct * total_toks) div 100").as("budget_toks"))
+          .join(broadcast(qualifying), Seq("pct"), "left")
+          .select(col("pct"), col("budget_toks"), col("q_threshold"),
+            coalesce(col("qual_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("qual_toks"), lit(0L)).as("n_tokens"))
           .orderBy(col("pct"))
       },
       Some(s"""WITH h AS (SELECT CAST(floor(quality * 1000000.0) AS BIGINT)
@@ -1748,14 +1757,19 @@ object PipelineQueries {
               |    sum(toks) OVER w AS cum_toks, sum(docs) OVER w AS cum_docs
               |  FROM h WINDOW w AS (ORDER BY q DESC
               |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-              |b AS (SELECT unnest([25, 50, 75]) AS pct)
-              |SELECT pct,
-              |  any_value((pct * total_toks) // 100)::BIGINT AS budget_toks,
-              |  min(q) AS q_threshold,
-              |  max(cum_docs)::BIGINT AS n_docs,
-              |  max(cum_toks)::BIGINT AS n_tokens
-              |FROM c CROSS JOIN t JOIN b ON cum_toks * 100 <= pct * total_toks
-              |GROUP BY pct ORDER BY pct""".stripMargin)),
+              |b AS (SELECT unnest([25, 50, 75]) AS pct),
+              |f AS (SELECT pct, ((pct * total_toks) // 100)::BIGINT
+              |    AS budget_toks FROM b CROSS JOIN t),
+              |a AS (SELECT pct, min(q) AS q_threshold,
+              |    max(cum_docs)::BIGINT AS qual_docs,
+              |    max(cum_toks)::BIGINT AS qual_toks
+              |  FROM c CROSS JOIN t JOIN b ON cum_toks * 100 <= pct * total_toks
+              |  GROUP BY pct)
+              |SELECT f.pct, f.budget_toks, a.q_threshold,
+              |  coalesce(a.qual_docs, 0)::BIGINT AS n_docs,
+              |  coalesce(a.qual_toks, 0)::BIGINT AS n_tokens
+              |FROM f LEFT JOIN a ON f.pct = a.pct
+              |ORDER BY f.pct""".stripMargin)),
 
     // ---- Curriculum ordering: the data ORDER for quality-staged
     //      training — highest tier first, a deterministic shuffle
