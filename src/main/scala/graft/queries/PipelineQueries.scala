@@ -469,6 +469,87 @@ object PipelineQueries {
 
   private val textStatsCoreSql: String = textStatsSql("")
 
+  // ---- DSIR-style importance resampling (hashed n-gram importance
+  //      weights, after Xie et al.'s Data Selection via Importance
+  //      Resampling): bag-of-hashed-bigram models of a TARGET
+  //      distribution (the heuristic-quality top slice — the usual
+  //      "looks like wiki/books" stand-in) and the RAW corpus; a doc's
+  //      weight is Σ n_b · log(p_target(b)/p_raw(b)) over its feature
+  //      buckets. Log-ratios are quantized to WHOLE BITS computed from
+  //      binary-string lengths (floor-log2 sums), so the whole
+  //      pipeline — histograms, weights, scores, the keep decision —
+  //      is integer-exact in both engines with no float log anywhere;
+  //      finer fixed-point is a real deployment's tuning knob. ----
+
+  private val DsirBuckets = 1024L
+  private val DsirTargetQuality = 0.6
+
+  /** floor(log2 x) + 1 for x ≥ 1 — the binary-string length. The +1s
+    * cancel in any num-vs-den difference of equal term count. */
+  private def bitsOf(c: org.apache.spark.sql.Column) =
+    length(bin(c)).cast("long")
+
+  /** (doc_id, bucket) per bigram occurrence — the hashed feature
+    * stream both the weight histograms and the per-doc scorer
+    * consume. Callers persist (two consumers). */
+  private def dsirGrams(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    NativeExpressions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TF.shingles(TF.tokens(col("text")), 2)).as("big"))
+      .select(col("doc_id"),
+        (h60n(concat(lit("dsir:"), col("big"))) % DsirBuckets).as("bucket"))
+  }
+
+  /** Per-bucket weight table (bucket, target_cnt, raw_cnt, llr_bits) —
+    * B rows, the broadcast side of every scoring join. Smoothing is
+    * +1 per bucket (so the sum-of-floor-log2 form never sees zero);
+    * totals enter as (tot + B), the add-one-normalized denominator. */
+  private def dsirWeightsFrame(s: org.apache.spark.sql.SparkSession,
+                               d: String,
+                               grams: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val target = textStatsFrame(s, d)
+      .filter(col("quality") >= DsirTargetQuality).select(col("doc_id"))
+    val raw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("raw_cnt"))
+    val tgt = grams.join(target, Seq("doc_id"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("target_cnt"))
+    val jw = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("target_cnt"), lit(0L)).as("target_cnt"),
+        col("raw_cnt"))
+    val tot = broadcast(jw.agg(sum(col("target_cnt")).as("t_tot"),
+      sum(col("raw_cnt")).as("r_tot")))
+    jw.crossJoin(tot).select(col("bucket"), col("target_cnt"),
+      col("raw_cnt"),
+      (bitsOf(col("target_cnt") + 1) + bitsOf(col("r_tot") + DsirBuckets)
+        - bitsOf(col("raw_cnt") + 1) - bitsOf(col("t_tot") + DsirBuckets))
+        .as("llr_bits"))
+  }
+
+  /** DuckDB mirror of [[dsirGrams]] + [[dsirWeightsFrame]]: CTE chain
+    * ending in `w(bucket, target_cnt, raw_cnt, llr_bits)` (plus `gb`,
+    * the gram stream, for scoring consumers). */
+  private def dsirWeightsSql: String =
+    s"""tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS big FROM tok),
+       |gb AS (SELECT doc_id, ${h60("'dsir:' || big")} % $DsirBuckets AS bucket FROM bg),
+       |tdoc AS (SELECT doc_id FROM ($textStatsCoreSql)
+       |  WHERE quality >= $DsirTargetQuality),
+       |draw AS (SELECT bucket, count(*)::BIGINT AS raw_cnt FROM gb GROUP BY 1),
+       |dtgt AS (SELECT bucket, count(*)::BIGINT AS target_cnt
+       |  FROM gb JOIN tdoc USING (doc_id) GROUP BY 1),
+       |jw AS (SELECT bucket, coalesce(target_cnt, 0)::BIGINT AS target_cnt,
+       |    raw_cnt FROM draw LEFT JOIN dtgt USING (bucket)),
+       |wtot AS (SELECT sum(target_cnt)::BIGINT AS t_tot,
+       |    sum(raw_cnt)::BIGINT AS r_tot FROM jw),
+       |w AS (SELECT bucket, target_cnt, raw_cnt,
+       |    (length(bin(target_cnt + 1)) + length(bin(r_tot + $DsirBuckets))
+       |     - length(bin(raw_cnt + 1)) - length(bin(t_tot + $DsirBuckets)))::BIGINT
+       |      AS llr_bits
+       |  FROM jw CROSS JOIN wtot)""".stripMargin
+
   // ---- Linear quality classifier (train_quality_classifier /
   //      quality_classifier_score): hashed bag-of-words features,
   //      heuristic-quality teacher labels, batch-perceptron sweeps ----
@@ -2760,6 +2841,155 @@ object PipelineQueries {
               |SELECT token, count(*) AS n, true AS cms_ok
               |FROM t GROUP BY token
               |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
+
+    // ---- DSIR weight table: the trained importance model itself —
+    //      per-bucket target/raw counts and the quantized log-ratio.
+    //      Two shuffles to the B-bucket histograms (map-side combined;
+    //      the shuffle is bucket-cardinality, not corpus-cardinality),
+    //      a 1-row totals cross-join, integer bit-length arithmetic.
+    //      At 100 TB nothing grows: the weight table stays B rows. ----
+    QuerySpec("dsir_bucket_weights",
+      (s, d) => {
+        val grams = TrackedCache.persist(dsirGrams(s, d))
+        dsirWeightsFrame(s, d, grams).orderBy(col("bucket"))
+      },
+      Some(s"""WITH $dsirWeightsSql
+              |SELECT bucket, target_cnt, raw_cnt, llr_bits FROM w
+              |ORDER BY bucket""".stripMargin),
+      bench = true),
+
+    // ---- DSIR selection: score every doc by Σ n_b · llr_bits(b) over
+    //      its buckets (one broadcast join against the B-row weight
+    //      table — the corpus never shuffles for scoring), then keep
+    //      the top 25% via the score-HISTOGRAM threshold (the
+    //      classifier_threshold_for_rate shape: the cumulative runs
+    //      over distinct scores, never a corpus sort). Deterministic:
+    //      kept = score ≥ t where t is the most permissive score whose
+    //      keep count stays within budget; an over-budget-at-the-top
+    //      degenerate keeps nothing (coalesce false), the
+    //      threshold_by_source convention. ----
+    QuerySpec("sample_dsir",
+      (s, d) => {
+        val grams = TrackedCache.persist(dsirGrams(s, d))
+        val w = broadcast(dsirWeightsFrame(s, d, grams))
+        val perDoc = grams.groupBy(col("doc_id"), col("bucket"))
+          .agg(count(lit(1)).as("nb"))
+          .join(w, Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("nb") * col("llr_bits")).as("score"))
+        val ds = Tables.documents(s, d).select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("score"), lit(0L)).as("dsir_score"))
+        val hist = TrackedCache.persist(
+          ds.groupBy(col("dsir_score")).agg(count(lit(1)).as("nd")))
+        val n = hist.agg(coalesce(sum(col("nd")), lit(0L)))
+          .head().getLong(0)
+        val cum = hist.withColumn("cum", sum(col("nd")).over(
+          Window.orderBy(col("dsir_score").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val thr = broadcast(cum.filter(col("cum") <= n / 4)
+          .agg(min(col("dsir_score")).as("thr")))
+        ds.crossJoin(thr)
+          .select(col("doc_id"), col("dsir_score"),
+            coalesce(col("dsir_score") >= col("thr"), lit(false))
+              .as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $dsirWeightsSql,
+              |nb AS (SELECT doc_id, bucket, count(*)::BIGINT AS nb
+              |  FROM gb GROUP BY 1, 2),
+              |sc AS (SELECT doc_id, sum(nb * llr_bits)::BIGINT AS score
+              |  FROM nb JOIN w USING (bucket) GROUP BY doc_id),
+              |ds AS (SELECT d.doc_id, coalesce(score, 0)::BIGINT AS dsir_score
+              |  FROM documents d LEFT JOIN sc USING (doc_id)),
+              |hist AS (SELECT dsir_score, count(*) AS nd FROM ds GROUP BY 1),
+              |nn AS (SELECT coalesce(sum(nd), 0)::BIGINT AS n FROM hist),
+              |cum AS (SELECT dsir_score, sum(nd) OVER (ORDER BY dsir_score DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              |  FROM hist),
+              |thr AS (SELECT min(dsir_score) AS thr
+              |  FROM cum CROSS JOIN nn WHERE cum <= n // 4)
+              |SELECT doc_id, dsir_score,
+              |  coalesce(dsir_score >= thr, false) AS kept
+              |FROM ds CROSS JOIN thr ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- Zipf diagnostic: freq(r) / freq(10r) per top rank — a pure
+    //      power law renders every decade ratio as the same 10^s. The
+    //      rank table is VOCABULARY-scale (the one global row_number
+    //      runs over distinct tokens, not the corpus; a 1e7-term
+    //      vocabulary still ranks in one task — beyond that, the
+    //      two-level Shuffle.withStagedPosition ranking applies). ----
+    QuerySpec("zipf_decade_ratios",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(explode(TF.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        val ranked = TrackedCache.persist(tf.select(col("token"), col("n"),
+          row_number().over(Window.orderBy(col("n").desc,
+            col("token").asc)).cast("long").as("rnk")))
+        ranked.as("a")
+          .join(ranked.as("b"), col("b.rnk") === col("a.rnk") * 10)
+          .filter(col("a.rnk") <= 10)
+          .select(col("a.rnk").as("r"), col("a.n").as("freq_r"),
+            col("b.n").as("freq_10r"))
+          .withColumn("ratio_ppm", expr("(freq_r * 1000000) div freq_10r"))
+          .orderBy(col("r"))
+      },
+      Some(s"""WITH tok AS (SELECT ${toksSql("text")} AS toks FROM documents),
+              |t AS (SELECT unnest(toks) AS token FROM tok),
+              |tf AS (SELECT token, count(*)::BIGINT AS n FROM t GROUP BY 1),
+              |rk AS (SELECT token, n, row_number() OVER (ORDER BY n DESC,
+              |    token ASC) AS rnk FROM tf)
+              |SELECT a.rnk AS r, a.n AS freq_r, b.n AS freq_10r,
+              |  ((a.n * 1000000) // b.n)::BIGINT AS ratio_ppm
+              |FROM rk a JOIN rk b ON b.rnk = a.rnk * 10
+              |WHERE a.rnk <= 10 ORDER BY r""".stripMargin)),
+
+    // ---- Heaps-law curve: cumulative vocabulary vs cumulative tokens
+    //      across 20 doc_id-range prefixes of the corpus. The
+    //      first-occurrence trick makes it one pass: a token's
+    //      contribution to the vocabulary curve is min(bucket) over
+    //      its occurrences — a vocabulary-scale aggregate — and the
+    //      cumulations run over the 20-row bucket frame (metadata
+    //      windows), never the corpus. ----
+    QuerySpec("vocab_growth",
+      (s, d) => {
+        val mx = broadcast(Tables.documents(s, d)
+          .agg(max(col("doc_id")).as("mx")))
+        val tb = TrackedCache.persist(Tables.documents(s, d).crossJoin(mx)
+          .select(expr("(doc_id * 20) div (mx + 1)").as("bucket"),
+            explode(TF.tokens(col("text"))).as("t")))
+        val toksPer = tb.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("toks"))
+        val newVocab = tb.groupBy(col("t")).agg(min(col("bucket")).as("fb"))
+          .groupBy(col("fb")).agg(count(lit(1)).as("nv"))
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toksPer.join(newVocab, col("bucket") === col("fb"), "left")
+          .select(col("bucket"), col("toks"),
+            coalesce(col("nv"), lit(0L)).as("nv"))
+          .select(col("bucket"),
+            sum(col("toks")).over(w).as("cum_tokens"),
+            sum(col("nv")).over(w).as("cum_vocab"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+              |db AS (SELECT (doc_id * 20) // (mx + 1) AS bucket, text
+              |  FROM documents CROSS JOIN mx),
+              |tb AS (SELECT bucket, unnest(${toksSql("text")}) AS t FROM db),
+              |tp AS (SELECT bucket, count(*)::BIGINT AS toks FROM tb GROUP BY 1),
+              |fo AS (SELECT t, min(bucket) AS fb FROM tb GROUP BY 1),
+              |nv AS (SELECT fb AS bucket, count(*)::BIGINT AS nv FROM fo GROUP BY 1),
+              |j AS (SELECT tp.bucket AS bucket, toks,
+              |    coalesce(nv, 0)::BIGINT AS nv
+              |  FROM tp LEFT JOIN nv ON tp.bucket = nv.bucket)
+              |SELECT bucket, (sum(toks) OVER w)::BIGINT AS cum_tokens,
+              |  (sum(nv) OVER w)::BIGINT AS cum_vocab
+              |FROM j WINDOW w AS (ORDER BY bucket
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |ORDER BY bucket""".stripMargin)),
 
     // ---- IVF with an UNTRAINED coarse quantizer: the first-K vectors
     //      as the centroid table (the deterministic stand-in a

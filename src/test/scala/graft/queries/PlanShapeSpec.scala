@@ -341,4 +341,45 @@ class PlanShapeSpec extends SparkSuite {
     // shuffle-free prediction projection
     assert(!s.contains("WindowExec"), s"no corpus window:\n$s")
   }
+
+  test("dsir_bucket_weights: bucket-histogram aggregates, no corpus window") {
+    val p = plan("dsir_bucket_weights")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window at all:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    // (the 1-row totals frame legitimately attaches via a broadcast
+    // nested loop — nothing to hash on)
+  }
+
+  test("sample_dsir scores via a broadcast join; cumulation stays on the score histogram") {
+    val p = plan("sample_dsir")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"the B-row weight table must broadcast into the scoring join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size <= 1,
+      s"only the score-histogram cumulation may window:\n$p")
+  }
+
+  test("vocab_growth cumulates over the 20-bucket frame, never the corpus") {
+    val p = plan("vocab_growth")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size <= 1,
+      s"one metadata-scale bucket cumulation only:\n$p")
+  }
+
+  test("zipf_decade_ratios joins ranks as an equi-join") {
+    val p = plan("zipf_decade_ratios")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"the decade join must be an equi-join on rank:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
 }
