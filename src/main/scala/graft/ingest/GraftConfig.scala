@@ -60,6 +60,7 @@ object GraftConfig {
   val HiveIntegration = "hive.integration"
   val SchemaCacheSize = "schema.cache.size"
   val Transforms = "transforms"
+  val Predicates = "predicates"
 
   /** The reference's `schema.compatibility` lattice
     * (`docs/configuration_options.rst:273-274`). */
@@ -139,7 +140,8 @@ object GraftConfig {
     LogsDir -> "logs",
     HiveIntegration -> "false",
     SchemaCacheSize -> "1000",
-    Transforms -> "")
+    Transforms -> "",
+    Predicates -> "")
 
   private def asLong(v: String): Either[String, Long] =
     try Right(v.trim.toLong) catch {
@@ -300,9 +302,11 @@ object GraftConfig {
           case Left(e) => Seq(e)
         }, Nil)
       case Transforms =>
-        // the whole transforms.* family validates as one unit — alias
-        // declarations, types, per-type params, reserved columns
+        // the whole transforms.* + predicates.* family validates as
+        // one unit — alias declarations, types, per-type params,
+        // predicate references, reserved columns
         (Smt.parse(props, get(TimestampField)).left.getOrElse(Nil), Nil)
+      case Predicates => (Nil, Nil) // validated with Transforms above
       case _ => (Nil, Nil)
     }
     val defined = Defaults.keySet + FlushSize
@@ -323,10 +327,12 @@ object GraftConfig {
       val (errors, recommended) = check(name)
       Validated(name, get(name), errors, recommended, visible)
     }
-    // transforms.<alias>.<param> keys are validated as a family under
-    // the `transforms` entry above, not as unknown keys
+    // transforms.<alias>.<param> / predicates.<alias>.<param> keys are
+    // validated as a family under the `transforms` entry above, not as
+    // unknown keys
     val unknown = (props.keySet -- defined)
-      .filterNot(_.startsWith("transforms.")).toSeq.sorted.map { name =>
+      .filterNot(k => k.startsWith("transforms.") ||
+        k.startsWith("predicates.")).toSeq.sorted.map { name =>
       val err = ReplacedPlane.get(name) match {
         case Some(replacement) =>
           s"'$name' configures a plane this engine replaces with " +

@@ -30,6 +30,68 @@ sealed trait Smt {
     * plane (a single-topic stream has no `topic` column to rewrite). */
   def routesTopic: Boolean
   def apply(df: DataFrame): DataFrame
+
+  /** Row-conditional application under predicate column `p` (Connect's
+    * `transforms.<alias>.predicate` gating): transform rows where `p`,
+    * pass the rest through unchanged. None for schema-reshaping
+    * transforms — a relational batch has ONE schema, so a per-row
+    * drop/rename/flatten cannot be conditional (rejected at parse). */
+  def applyWhen(df: DataFrame, p: Column): Option[DataFrame] = {
+    val _ = (df, p); scala.None
+  }
+}
+
+/** Connect's `predicates.<alias>` family: named row predicates the
+  * transform chain gates on. */
+sealed trait SmtPredicate {
+  def name: String
+  /** The predicate as a Column over the stream's rows. */
+  def test(df: DataFrame): Column
+}
+
+object SmtPredicate {
+  /** Predicate type roster (Connect's built-ins; HasHeaderKey is
+    * rejected at parse — this engine's stream envelope carries no
+    * headers plane). */
+  val Types: Seq[String] = Seq("RecordIsTombstone", "TopicNameMatches")
+
+  /** True when the WHOLE topic matches `pattern` (Connect's
+    * `matcher.matches()`). Needs the multi-topic plane's `topic`
+    * column. */
+  final case class TopicNameMatches(name: String, pattern: String)
+      extends SmtPredicate {
+    def test(df: DataFrame): Column = {
+      require(df.columns.contains("topic"),
+        s"predicates.$name (TopicNameMatches): no 'topic' column — " +
+          "this predicate needs the multi-topic plane")
+      col("topic").rlike(s"^(?:$pattern)$$")
+    }
+  }
+
+  /** True when the record value is a tombstone — in the flattened
+    * relational envelope: every payload (non-envelope) column NULL. */
+  final case class RecordIsTombstone(name: String) extends SmtPredicate {
+    def test(df: DataFrame): Column = {
+      val payload = df.columns.filterNot(Smt.EnvelopeColumns)
+      if (payload.isEmpty) lit(true)
+      else payload.map(col(_).isNull).reduce(_ && _)
+    }
+  }
+}
+
+/** A transform gated by a predicate (optionally negated) — Connect's
+  * `transforms.<alias>.predicate` / `.negate`. Parse admits only
+  * row-conditional inner transforms. */
+final case class Predicated(inner: Smt, pred: SmtPredicate,
+                            negate: Boolean) extends Smt {
+  def alias: String = inner.alias
+  def routesTopic: Boolean = inner.routesTopic
+  def apply(df: DataFrame): DataFrame = {
+    val p = if (negate) !pred.test(df) else pred.test(df)
+    inner.applyWhen(df, p).getOrElse(throw new IllegalStateException(
+      s"transforms.$alias: inner transform cannot be row-conditional " +
+        "(parse should have rejected this)"))
+  }
 }
 
 object Smt {
@@ -41,7 +103,16 @@ object Smt {
       "RegexRouter", "ReplaceField", "TimestampConverter",
       "TimestampRouter")
 
-  private val Reserved = Set("part", "off", "topic")
+  /** The stream envelope: offset identity + routing. */
+  val EnvelopeColumns: Set[String] = Set("part", "off", "topic")
+  private val Reserved = EnvelopeColumns
+
+  /** Transform types whose effect is a pure VALUE edit and so can be
+    * row-conditional under a predicate; schema-reshaping types
+    * (drop/rename/flatten/cast/extract) cannot — a relational batch
+    * has one schema. */
+  val RowConditionalTypes: Set[String] =
+    Set("InsertField", "MaskField", "RegexRouter", "TimestampRouter")
 
   /** Connect `Cast.spec` type names → Spark types. */
   val CastTypes: Map[String, org.apache.spark.sql.types.DataType] = {
@@ -98,6 +169,12 @@ object Smt {
       extends Smt {
     val routesTopic = false
     def apply(df: DataFrame): DataFrame = df.withColumn(field, lit(value))
+    override def applyWhen(df: DataFrame, p: Column): Option[DataFrame] = {
+      val orig: Column =
+        if (df.columns.contains(field)) col(field)
+        else lit(null).cast("string")
+      Some(df.withColumn(field, when(p, lit(value)).otherwise(orig)))
+    }
   }
 
   /** Connect's `ReplaceField`: drop `exclude` fields, then apply
@@ -119,7 +196,10 @@ object Smt {
   final case class MaskField(alias: String, fields: Seq[String],
                              replacement: Option[String]) extends Smt {
     val routesTopic = false
-    def apply(df: DataFrame): DataFrame =
+    def apply(df: DataFrame): DataFrame = applyGated(df, scala.None)
+    override def applyWhen(df: DataFrame, p: Column): Option[DataFrame] =
+      Some(applyGated(df, Some(p)))
+    private def applyGated(df: DataFrame, p: Option[Column]): DataFrame =
       fields.foldLeft(df) { (d, f) =>
         require(d.columns.contains(f),
           s"transforms.$alias (MaskField): no column '$f' in the stream")
@@ -128,7 +208,8 @@ object Smt {
           case Some(v) => lit(v).cast(dt)
           case scala.None => zeroValue(dt, alias, f)
         }
-        d.withColumn(f, masked)
+        d.withColumn(f,
+          p.fold(masked)(c => when(c, masked).otherwise(col(f))))
       }
   }
 
@@ -250,11 +331,12 @@ object Smt {
                                replacement: String) extends Smt {
     val routesTopic = true
     private def anchored = s"^(?:$regex)$$"
-    def apply(df: DataFrame): DataFrame =
-      df.withColumn("topic",
-        when(col("topic").rlike(anchored),
+    def apply(df: DataFrame): DataFrame = applyWhen(df, lit(true)).get
+    override def applyWhen(df: DataFrame, p: Column): Option[DataFrame] =
+      Some(df.withColumn("topic",
+        when(p && col("topic").rlike(anchored),
           regexp_replace(col("topic"), anchored, replacement))
-          .otherwise(col("topic")))
+          .otherwise(col("topic"))))
   }
 
   /** Connect's `TimestampRouter`: topic = `topic.format` with
@@ -265,7 +347,8 @@ object Smt {
                                    tsFormat: String, tsField: String)
       extends Smt {
     val routesTopic = true
-    def apply(df: DataFrame): DataFrame = {
+    def apply(df: DataFrame): DataFrame = applyWhen(df, lit(true)).get
+    override def applyWhen(df: DataFrame, p: Column): Option[DataFrame] = {
       require(df.columns.contains(tsField),
         s"transforms.$alias (TimestampRouter): no record-time column " +
           s"'$tsField' in the stream")
@@ -286,7 +369,10 @@ object Smt {
         at = m.end
       }
       if (at < topicFormat.length) parts += lit(topicFormat.substring(at))
-      df.withColumn("topic", concat(parts.toSeq: _*))
+      // when() keeps both the rewrite and the null-time raise lazy —
+      // gated-out rows route (and validate) nothing
+      Some(df.withColumn("topic",
+        when(p, concat(parts.toSeq: _*)).otherwise(col("topic"))))
     }
   }
 
@@ -312,6 +398,67 @@ object Smt {
       errors += s"transforms.$a.* configured but '$a' is not declared " +
         s"in transforms (${if (declared.isEmpty) "empty" else declared.mkString(", ")})"
     }
+    // ---- the predicates.<alias> family (Connect's named predicates) ----
+    val predPrefix = "predicates."
+    val predDeclared = props.getOrElse("predicates", "").split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    if (predDeclared.distinct.size != predDeclared.size)
+      errors += "predicates declares duplicate aliases: " +
+        predDeclared.diff(predDeclared.distinct).distinct.mkString(", ")
+    val predByAlias = props.keySet.filter(_.startsWith(predPrefix))
+      .groupBy(_.stripPrefix(predPrefix).split("\\.", 2)(0))
+    (predByAlias.keySet -- predDeclared).toSeq.sorted.foreach { a =>
+      errors += s"predicates.$a.* configured but '$a' is not declared in " +
+        s"predicates (${if (predDeclared.isEmpty) "empty"
+          else predDeclared.mkString(", ")})"
+    }
+    def pp(alias: String, param: String): Option[String] =
+      props.get(s"$predPrefix$alias.$param").map(_.trim).filter(_.nonEmpty)
+    val predKnown: Map[String, Set[String]] = Map(
+      "TopicNameMatches" -> Set("pattern"),
+      "RecordIsTombstone" -> Set.empty)
+    val predicates: Map[String, SmtPredicate] = predDeclared.flatMap { a =>
+      pp(a, "type") match {
+        case scala.None =>
+          errors += s"predicates.$a.type is required (one of " +
+            s"${SmtPredicate.Types.mkString(", ")})"
+          scala.None
+        case Some("HasHeaderKey") =>
+          errors += s"predicates.$a: HasHeaderKey has no consumer — " +
+            "this engine's stream envelope carries no headers plane"
+          scala.None
+        case Some(t) if !SmtPredicate.Types.contains(t) =>
+          errors += s"predicates.$a.type '$t' is unknown; valid values " +
+            s"are ${SmtPredicate.Types.mkString(", ")}"
+          scala.None
+        case Some(t) =>
+          predByAlias.getOrElse(a, Set.empty)
+            .map(_.stripPrefix(s"$predPrefix$a."))
+            .filterNot(param => param == "type" || predKnown(t)(param))
+            .toSeq.sorted.foreach { param =>
+              errors += s"predicates.$a.$param is not a $t parameter" +
+                (if (predKnown(t).nonEmpty)
+                   s" (known: ${predKnown(t).toSeq.sorted.mkString(", ")})"
+                 else "")
+            }
+          t match {
+            case "TopicNameMatches" => pp(a, "pattern") match {
+              case Some(r) =>
+                try { java.util.regex.Pattern.compile(r) } catch {
+                  case e: Exception =>
+                    errors += s"predicates.$a: invalid pattern '$r' " +
+                      s"(${e.getMessage.linesIterator.next()})"
+                }
+                Some(SmtPredicate.TopicNameMatches(a, r))
+              case scala.None =>
+                errors += s"predicates.$a (TopicNameMatches) requires pattern"
+                scala.None
+            }
+            case _ => Some(SmtPredicate.RecordIsTombstone(a))
+          }
+      }
+    }.map(p => p.name -> p).toMap
+
     val knownParams: Map[String, Set[String]] = Map(
       "InsertField" -> Set("static.field", "static.value"),
       "ReplaceField" -> Set("renames", "exclude"),
@@ -355,12 +502,13 @@ object Smt {
         case Some(t) =>
           val extra = byAlias.getOrElse(alias, Set.empty)
             .map(_.stripPrefix(s"$prefix$alias."))
-            .filterNot(param => param == "type" || knownParams(t)(param))
+            .filterNot(param => param == "type" || param == "predicate" ||
+              param == "negate" || knownParams(t)(param))
           extra.toSeq.sorted.foreach { param =>
             errors += s"transforms.$alias.$param is not a $t parameter " +
               s"(known: ${knownParams(t).toSeq.sorted.mkString(", ")})"
           }
-          t match {
+          val built: Option[Smt] = t match {
             case "InsertField" =>
               (p(alias, "static.field"), p(alias, "static.value")) match {
                 case (Some(f), Some(v)) =>
@@ -518,6 +666,37 @@ object Smt {
                     "requires field"
                   scala.None
               }
+          }
+          // ---- predicate gating (transforms.<alias>.predicate/.negate) ----
+          val negate = p(alias, "negate") match {
+            case scala.None => false
+            case Some("true") => true
+            case Some("false") => false
+            case Some(v) =>
+              errors += s"transforms.$alias.negate must be true or " +
+                s"false, got '$v'"
+              false
+          }
+          p(alias, "predicate") match {
+            case scala.None =>
+              if (p(alias, "negate").nonEmpty)
+                errors += s"transforms.$alias.negate set without a predicate"
+              built
+            case Some(ref) if !RowConditionalTypes.contains(t) =>
+              errors += s"transforms.$alias: a $t cannot be gated by a " +
+                "predicate — it reshapes the schema, and a relational " +
+                "batch has one schema per micro-batch (gate " +
+                s"${RowConditionalTypes.toSeq.sorted.mkString("/")}, or " +
+                "split the stream instead)"
+              scala.None
+            case Some(ref) => predicates.get(ref) match {
+              case Some(pr) => built.map(Predicated(_, pr, negate))
+              case scala.None =>
+                errors += s"transforms.$alias.predicate '$ref' is not " +
+                  s"declared in predicates (${if (predDeclared.isEmpty)
+                    "empty" else predDeclared.mkString(", ")})"
+                scala.None
+            }
           }
       }
     }

@@ -266,6 +266,85 @@ class SmtSpec extends SparkSuite {
     assert(e2.exists(_.contains("has no Spark type")))
   }
 
+  test("predicates: TopicNameMatches gates a transform; negate flips it") {
+    val df = Seq(("orders", 0L, 0L, "alice"), ("audit", 0L, 1L, "bob"))
+      .toDF("topic", "part", "off", "pii")
+    val Right(Seq(m)) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "pii",
+      "transforms.m.predicate" -> "isOrders",
+      "predicates" -> "isOrders",
+      "predicates.isOrders.type" -> "TopicNameMatches",
+      "predicates.isOrders.pattern" -> "orders")
+    val out = m.apply(df).select(col("topic"), col("pii"))
+      .as[(String, String)].collect().toMap
+    assert(out === Map("orders" -> "", "audit" -> "bob"))
+
+    val Right(Seq(mNeg)) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "pii",
+      "transforms.m.predicate" -> "isOrders",
+      "transforms.m.negate" -> "true",
+      "predicates" -> "isOrders",
+      "predicates.isOrders.type" -> "TopicNameMatches",
+      "predicates.isOrders.pattern" -> "orders")
+    val outNeg = mNeg.apply(df).select(col("topic"), col("pii"))
+      .as[(String, String)].collect().toMap
+    assert(outNeg === Map("orders" -> "alice", "audit" -> ""))
+  }
+
+  test("predicates: RecordIsTombstone sees all-null payloads; gated router only reroutes tombstones") {
+    val df = Seq(("ev", 0L, 0L, Some("x")), ("ev", 0L, 1L, scala.None))
+      .toDF("topic", "part", "off", "body")
+    val Right(Seq(r)) = parse("transforms" -> "r",
+      "transforms.r.type" -> "RegexRouter",
+      "transforms.r.regex" -> "(.*)",
+      "transforms.r.replacement" -> "$1.tombstones",
+      "transforms.r.predicate" -> "tomb",
+      "predicates" -> "tomb",
+      "predicates.tomb.type" -> "RecordIsTombstone")
+    val topics = r.apply(df).select(col("off"), col("topic"))
+      .as[(Long, String)].collect().toMap
+    assert(topics === Map(0L -> "ev", 1L -> "ev.tombstones"))
+  }
+
+  test("predicates: validation — unknown refs, headers plane, schema-reshapers refuse gating") {
+    val Left(e1) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "a",
+      "transforms.m.predicate" -> "nope")
+    assert(e1.exists(_.contains("'nope' is not declared in predicates")))
+
+    val Left(e2) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "a",
+      "predicates" -> "h",
+      "predicates.h.type" -> "HasHeaderKey")
+    assert(e2.exists(_.contains("no headers plane")))
+
+    val Left(e3) = parse("transforms" -> "f",
+      "transforms.f.type" -> "Flatten",
+      "transforms.f.predicate" -> "tomb",
+      "predicates" -> "tomb",
+      "predicates.tomb.type" -> "RecordIsTombstone")
+    assert(e3.exists(_.contains("cannot be gated")))
+
+    val Left(e4) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "a",
+      "transforms.m.negate" -> "true")
+    assert(e4.exists(_.contains("negate set without a predicate")))
+
+    val Left(e5) = parse("transforms" -> "m",
+      "transforms.m.type" -> "MaskField",
+      "transforms.m.fields" -> "a",
+      "predicates" -> "t",
+      "predicates.t.type" -> "TopicNameMatches",
+      "predicates.t.pattern" -> "x",
+      "predicates.t.bogus" -> "1")
+    assert(e5.exists(_.contains("predicates.t.bogus is not a TopicNameMatches parameter")))
+  }
+
   test("config surface: transforms validate as a family; router rejected on single-topic") {
     val e = intercept[IllegalArgumentException] {
       GraftConfig(Map("flush.size" -> "2",
