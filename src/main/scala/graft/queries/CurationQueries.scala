@@ -635,6 +635,64 @@ object CurationQueries {
               |SELECT sym, sum(n)::BIGINT AS cnt FROM sy GROUP BY sym
               |ORDER BY cnt DESC, sym ASC LIMIT 20""".stripMargin)),
 
+    // ---- Tokenizer FERTILITY report: after training the BPE merges,
+    //      how well does the tokenizer compress each source — tokens
+    //      emitted per word (fertility) and characters covered per
+    //      token. The standard tokenizer-quality metric a pretraining
+    //      team checks per language/domain before committing a vocab
+    //      (high-fertility sources pay more sequence length for the
+    //      same text). Scale shape: the trained word table is
+    //      vocabulary-scale; per-source word counts shuffle on
+    //      (source, word) — also vocabulary-scale after the map-side
+    //      combine — and the word-keyed equi-join never touches raw
+    //      documents again; the final aggregate is one row per
+    //      source. ----
+    QuerySpec("bpe_fertility",
+      (s, d) => {
+        val (wf, _) = bpeTrain(s, d)
+        // marked form → (original word, symbols after all merges):
+        // stripping the SOH/STX framing recovers the word exactly
+        // because control-char words were excluded from training
+        val words = wf.select(
+          translate(col("m"), TF.BpeSoh + TF.BpeStx, "").as("w"),
+          size(TF.bpeSymbols(col("m"))).cast("long").as("n_sym"))
+        val perSrc = Tables.documents(s, d)
+          .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+          .filter(!col("w").contains(TF.BpeSoh) &&
+            !col("w").contains(TF.BpeStx))
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        perSrc.join(words, Seq("w"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("n_words"),
+            sum(col("c") * col("n_sym")).as("n_bpe_tokens"),
+            sum(col("c") * length(col("w")).cast("long")).as("n_chars"))
+          .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+            (col("n_bpe_tokens").cast("double") /
+              col("n_words").cast("double")).as("fertility"),
+            (col("n_chars").cast("double") /
+              col("n_bpe_tokens").cast("double")).as("chars_per_token"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH $bpeChainSql,
+              |ws AS (SELECT replace(replace(m, chr(1), ''), chr(2), '') AS w,
+              |    len(string_split(substr(m, 2, length(m)-2),
+              |      chr(2)||chr(1)))::BIGINT AS n_sym
+              |  FROM w$BpeMerges),
+              |pw AS (SELECT source, unnest(${toksSql("text")}) AS w
+              |  FROM documents),
+              |pc AS (SELECT source, w, count(*)::BIGINT AS c FROM pw
+              |  WHERE w NOT LIKE '%' || chr(1) || '%'
+              |    AND w NOT LIKE '%' || chr(2) || '%'
+              |  GROUP BY 1, 2),
+              |ag AS (SELECT source, sum(c)::BIGINT AS n_words,
+              |    sum(c * n_sym)::BIGINT AS n_bpe_tokens,
+              |    sum(c * len(w))::BIGINT AS n_chars
+              |  FROM pc JOIN ws USING (w) GROUP BY 1)
+              |SELECT source, n_words, n_bpe_tokens,
+              |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+              |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
+              |FROM ag ORDER BY source""".stripMargin)),
+
     // ---- Stratified corpus sampling: per-language keep rates applied
     //      via the deterministic content-hash gate (pure function of
     //      the row — reproducible across runs, engines, partitionings;

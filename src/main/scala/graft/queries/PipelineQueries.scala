@@ -3518,5 +3518,183 @@ object PipelineQueries {
               |SELECT doc_id, source, n_tokens FROM sn
               |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
               |ORDER BY doc_id""".stripMargin),
-      bench = true))
+      bench = true),
+
+    // ---- Gopher-style rule-based quality flags (Rae et al. 2021,
+    //      "Scaling Language Models", table A1 — the published
+    //      heuristic filter suite every pretraining pipeline runs
+    //      before model-based scoring): per-document word-count
+    //      bounds, mean-word-length bounds, stopword floor,
+    //      alphabetic-word ratio, and duplicate-2-gram ceiling.
+    //      Unlike filter_quality_docs (a learned-score gate), these
+    //      are auditable per-rule booleans — the report a curation
+    //      run ships alongside its keep decisions. Scale shape: every
+    //      metric is computed list-locally from one tokens array
+    //      (aggregate/filter/array_distinct higher-order ops), so the
+    //      whole query is a single scan projection — zero shuffles
+    //      besides the verify-output sort; at 100 TB it is exactly one
+    //      pass over the corpus. Rule bounds are corpus-calibrated
+    //      (10–99-token synthetic docs); Gopher's published 50–100k
+    //      word window would vacuously fail everything here. ----
+    QuerySpec("quality_gopher_rules",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            TF.shingles(col("toks"), 2).as("g2"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_tokens"),
+            (expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
+              .cast("double") /
+              greatest(size(col("toks")), lit(1)).cast("double"))
+              .as("mean_word_len"),
+            size(expr(s"filter(toks, t -> t IN (${TF.stopwords
+              .map(w => s"'$w'").mkString(", ")}))")).cast("long")
+              .as("n_stops"),
+            (size(expr("filter(toks, t -> t RLIKE '^[a-z]+$')"))
+              .cast("double") /
+              greatest(size(col("toks")), lit(1)).cast("double"))
+              .as("alpha_ratio"),
+            size(col("g2")).cast("long").as("n_2grams"),
+            size(array_distinct(col("g2"))).cast("long").as("nd_2grams"))
+          .withColumn("dup_2gram_frac",
+            when(col("n_2grams") > 0,
+              lit(1.0) - col("nd_2grams").cast("double") /
+                col("n_2grams").cast("double"))
+              .otherwise(lit(0.0)))
+        base.select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+            col("n_stops"), col("alpha_ratio"), col("dup_2gram_frac"),
+            col("n_tokens").between(20L, 80L).as("rule_len"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+              .as("rule_word_len"),
+            (col("n_stops") >= 2L).as("rule_stops"),
+            (col("alpha_ratio") >= 0.8).as("rule_alpha"),
+            (col("dup_2gram_frac") <= 0.2).as("rule_rep"))
+          .withColumn("pass",
+            col("rule_len") && col("rule_word_len") && col("rule_stops") &&
+              col("rule_alpha") && col("rule_rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val stopsIn = TF.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+           |g AS (SELECT doc_id, toks, ${shinglesSql(2)} AS g2 FROM tok),
+           |m AS (SELECT doc_id,
+           |    len(toks)::BIGINT AS n_tokens,
+           |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+           |    len(list_filter(toks, t -> t IN ($stopsIn)))::BIGINT AS n_stops,
+           |    CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+           |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_ratio,
+           |    len(g2)::BIGINT AS n_2grams,
+           |    len(list_distinct(g2))::BIGINT AS nd_2grams
+           |  FROM g),
+           |f AS (SELECT *,
+           |    CASE WHEN n_2grams > 0
+           |      THEN CAST(1.0 AS DOUBLE) - CAST(nd_2grams AS DOUBLE) / CAST(n_2grams AS DOUBLE)
+           |      ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_frac
+           |  FROM m)
+           |SELECT doc_id, n_tokens, mean_word_len, n_stops, alpha_ratio,
+           |  dup_2gram_frac,
+           |  (n_tokens BETWEEN 20 AND 80) AS rule_len,
+           |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
+           |  (n_stops >= 2) AS rule_stops,
+           |  (alpha_ratio >= 0.8) AS rule_alpha,
+           |  (dup_2gram_frac <= 0.2) AS rule_rep,
+           |  ((n_tokens BETWEEN 20 AND 80) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+           |    AND (n_stops >= 2) AND (alpha_ratio >= 0.8)
+           |    AND (dup_2gram_frac <= 0.2)) AS pass
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
+      bench = true),
+
+    // ---- Cross-source contamination report: for every pair of
+    //      sources, how many bag-of-words content fingerprints they
+    //      SHARE — the mirror-site / syndication audit a corpus
+    //      assembler runs before weighting sources (double-counted
+    //      content inflates a source's effective mixing weight).
+    //      Scale shape: one fingerprint projection, one
+    //      (fp, source)-distinct aggregate, then a fingerprint-keyed
+    //      self equi-join — the join input is one row per distinct
+    //      (fp, source), so the shuffle carries dedup'd keys, never
+    //      raw documents; the pair aggregate is source²-bounded
+    //      (metadata-scale). ----
+    QuerySpec("dedup_cross_source_overlap",
+      (s, d) => {
+        // persisted: both self-join sides would otherwise re-run the
+        // fingerprint scan + distinct
+        val fp = TrackedCache.persist(Tables.documents(s, d)
+          .select(TF.contentFingerprint(col("text")).as("fp"),
+            col("source"))
+          .distinct())
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"),
+            col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH fp AS (SELECT DISTINCT
+              |    md5(array_to_string(list_sort(list_distinct(${toksSql("text")})), ' ')) AS fp,
+              |    source
+              |  FROM documents)
+              |SELECT a.source AS src_a, b.source AS src_b,
+              |  count(*)::BIGINT AS n_shared
+              |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Retrieval-quality MRR: where sim_ivf_recall asks "how many
+    //      of the true top-5 does the index return", this asks the
+    //      ranking question — at what POSITION does the index surface
+    //      the single true nearest neighbor (reciprocal rank, 0 when
+    //      missed). The standard retrieval-eval companion metric;
+    //      both sides are deterministic integer rankings so the
+    //      evaluation itself is oracle-checked. Scale shape: the
+    //      ground truth is the broadcast-query brute-force pass
+    //      through the bounded-heap top-1 aggregate; the join back to
+    //      the IVF ranking is (q_id, neighbor_id)-keyed over O(q)
+    //      rows. ----
+    QuerySpec("sim_ivf_mrr",
+      (s, d) => {
+        val ivf = trainedIvfTopk(s, d)
+          .select(col("q_id"), col("neighbor_id"),
+            col("rnk").cast("long").as("found_rank"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val bf1 = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(1)).as("top"))
+          .select(col("q_id"), explode(col("top.id")).as("true_id"))
+        bf1.join(ivf,
+            bf1("q_id") === ivf("q_id") &&
+              col("true_id") === col("neighbor_id"), "left")
+          .select(bf1("q_id"), col("true_id"), col("found_rank"),
+            coalesce(lit(1.0) / col("found_rank").cast("double"),
+              lit(0.0)).as("rr"))
+          .orderBy(bf1("q_id"))
+      },
+      Some(s"""WITH $trainedIvfSql,
+              |bf_d AS (SELECT q.q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.qv, a.v),
+              |      p -> p[1] * p[2])) AS BIGINT) AS dot
+              |  FROM qv a CROSS JOIN (SELECT id AS q_id, v AS qv FROM qv
+              |    WHERE id IN (0, 1, 2)) q
+              |  WHERE a.id <> q.q_id),
+              |bf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM bf_d),
+              |bf1 AS (SELECT q_id, neighbor_id AS true_id FROM bf_r
+              |  WHERE rnk = 1)
+              |SELECT b.q_id, b.true_id, i.rnk::BIGINT AS found_rank,
+              |  coalesce(CAST(1.0 AS DOUBLE) / CAST(i.rnk AS DOUBLE),
+              |    CAST(0.0 AS DOUBLE)) AS rr
+              |FROM bf1 b LEFT JOIN ivf i
+              |  ON i.q_id = b.q_id AND i.neighbor_id = b.true_id
+              |ORDER BY b.q_id""".stripMargin)))
 }

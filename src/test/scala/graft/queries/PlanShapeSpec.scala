@@ -382,4 +382,48 @@ class PlanShapeSpec extends SparkSuite {
       s"the decade join must be an equi-join on rank:\n$s")
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
   }
+
+  test("quality_gopher_rules is one scan projection — no shuffle besides the output sort") {
+    val p = plan("quality_gopher_rules")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // every rule metric is list-local over one tokens array; the only
+    // exchange allowed is the presentation-only orderBy(doc_id)
+    assert(shuffles.size <= 1, s"got ${shuffles.size} exchanges:\n$p")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+    assert(!p.toString.contains("WindowExec"), s"no window:\n$p")
+  }
+
+  test("dedup_cross_source_overlap self-joins on the fingerprint — never all-pairs") {
+    val p = plan("dedup_cross_source_overlap")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"fingerprint self-join must be an equi-join:\n$s")
+    assert(!s.contains("WindowExec"), s"no corpus window:\n$s")
+  }
+
+  test("sim_ivf_mrr ranks via bounded heaps and keyed joins — no corpus window outside the q-row frames") {
+    val p = plan("sim_ivf_mrr")
+    val s = p.toString
+    assert(s.contains("topk_pairs"),
+      s"brute-force truth must use the bounded-heap aggregate:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no unbroadcast all-pairs:\n$s")
+    // the IVF side's per-query candidate ranking windows over O(q·k)
+    // rows (q = 3 probes) — corpus-scale frames must not appear
+    val windows = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(
+      _.toString.contains("windowspecdefinition(q_id")),
+      s"every window must be q_id-partitioned (candidate-scale):\n$p")
+  }
+
+  test("bpe_fertility joins the vocabulary-scale word tables as equi-joins") {
+    val p = plan("bpe_fertility")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"the word join must be an equi-join:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+  }
 }
