@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -156,23 +158,112 @@ object CurationQueries {
        |  FROM ps CROSS JOIN tot)""".stripMargin
   }
 
+  /** Word tables up to this many distinct words train driver-side; a
+    * larger vocabulary falls back to the distributed merge loop. Real
+    * whitespace vocabularies at corpus scale are 10⁵–10⁷ distinct
+    * words — a few MB to a few hundred MB of (string, count) pairs —
+    * so the common case is the local loop. */
+  private val BpeDriverVocabMax = 1L << 20
+
   /** The BPE trainer shared by `bpe_train_merges` (reports the rules)
-    * and `bpe_encode_tokens` (applies them): one corpus pass to the
-    * vocabulary-scale (word, count) table, then [[BpeMerges]] greedy
-    * merge rounds via [[TF.bpeApply]]'s marked-string replace. Returns
-    * the fully-merged word table (m, n) and the learned rules
-    * (step, lhs, rhs, weighted pair count). The per-step argmax is ONE
-    * collected row — O(M) driver state, like KMeans' centroid table. */
+    * and `bpe_encode_tokens` / `bpe_fertility` (apply them): ONE
+    * corpus pass aggregates to the vocabulary-scale (word, count)
+    * table, then [[BpeMerges]] greedy merge rounds run over it.
+    * Returns the fully-merged word table (m, n) and the learned rules
+    * (step, lhs, rhs, weighted pair count).
+    *
+    * This is the KMeans shape: the corpus is touched once, and the
+    * model-sized state (the word table — what every real tokenizer
+    * trainer loops on) lives where iteration is cheap. Under
+    * [[BpeDriverVocabMax]] distinct words that is the DRIVER — M merge
+    * steps cost zero Spark jobs instead of 2M scheduler round-trips,
+    * and the merged table re-enters the plan as a local (broadcastable)
+    * relation for the downstream joins. Past the bound the same greedy
+    * loop runs distributed (per-step argmax is ONE collected row;
+    * periodic localCheckpoint keeps lineage and recompute O(M)). The
+    * two paths are step-for-step identical — argmax tie-break is
+    * (count desc, a asc, b asc) with UTF-8 byte string order both
+    * engines use, and merge application is the same literal
+    * left-to-right marked-string replace ([[TF.bpeApply]] ≡
+    * `String.replace`); `BpeSpec` pins path equality. */
   private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
     // tokens containing the marker controls would corrupt symbol
     // framing — excluded from training in BOTH engines (control-char
     // "words" are not vocabulary)
-    val wf0 = TrackedCache.persist(Tables.documents(s, d)
+    val wf0 = bpeWordTable(s, d)
+    if (wf0.count() <= BpeDriverVocabMax) bpeTrainLocal(s, wf0)
+    else bpeTrainDistributed(wf0)
+  }
+
+  /** The one corpus pass: marked (word, count) vocabulary table. */
+  private[queries] def bpeWordTable(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame =
+    TrackedCache.persist(Tables.documents(s, d)
       .select(explode(TF.tokens(col("text"))).as("w"))
       .filter(!col("w").contains(TF.BpeSoh) && !col("w").contains(TF.BpeStx))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .select(TF.bpeMarked(col("w")).as("m"), col("n")))
+
+  /** Driver-side greedy merge loop over the collected word table —
+    * exact mirror of the distributed path (see [[bpeTrain]]). */
+  private[queries] def bpeTrainLocal(s: org.apache.spark.sql.SparkSession,
+                            wf0: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
+    val sep = TF.BpeStx + TF.BpeSoh
+    // UTF-8 byte order — the string comparison BOTH engines' ORDER BY
+    // uses (Spark UTF8String, DuckDB binary collation); JVM
+    // compareTo's UTF-16 order diverges on supplementary characters
+    def u8lt(x: String, y: String): Boolean = {
+      val (a, b) = (x.getBytes(StandardCharsets.UTF_8),
+        y.getBytes(StandardCharsets.UTF_8))
+      var i = 0
+      while (i < a.length && i < b.length) {
+        if (a(i) != b(i)) return (a(i) & 0xff) < (b(i) & 0xff)
+        i += 1
+      }
+      a.length < b.length
+    }
+    var tbl = wf0.collect().map(r => (r.getString(0), r.getLong(1)))
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to BpeMerges if !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      tbl.foreach { case (m, n) =>
+        // mirror of TF.bpeSymbols: strip the outer markers, split on
+        // the STX+SOH seam (literal, no regex metachars in controls)
+        val syms = m.substring(1, m.length - 1).split(sep, -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = counts.reduceLeft { (x, y) =>
+          val (((xa, xb), xc), ((ya, yb), yc)) = (x, y)
+          if (xc != yc) { if (xc > yc) x else y }
+          else if (xa != ya) { if (u8lt(xa, ya)) x else y }
+          else if (u8lt(xb, yb)) x else y
+        }
+        rules += ((step.toLong, a, b, cnt))
+        val (from, to) = (TF.BpeSoh + a + TF.BpeStx + TF.BpeSoh + b + TF.BpeStx,
+          TF.BpeSoh + a + b + TF.BpeStx)
+        tbl = tbl.map { case (m, n) => (m.replace(from, to), n) }
+      }
+    }
+    val sess = s
+    import sess.implicits._
+    (tbl.toSeq.toDF("m", "n"), rules.result())
+  }
+
+  /** Distributed greedy merge loop — the over-[[BpeDriverVocabMax]]
+    * path (see [[bpeTrain]]). */
+  private[queries] def bpeTrainDistributed(wf0: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Seq[(Long, String, String, Long)]) = {
     var wf: org.apache.spark.sql.DataFrame = wf0
     val rules = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
