@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) curve utilities for multi-dimensional data
+  * clustering — the file-layout lever behind min/max-stats scan
+  * pruning when queries filter on MORE than the partition column.
+  *
+  * A sink partitioned only by time (the reference's TimeBased
+  * partitioner family) prunes time predicates perfectly and everything
+  * else not at all: a `user BETWEEN …` clause still reads every file
+  * of the selected hours. Laying files out along a Z-curve over
+  * (user, time) gives every file a tight bounding box in BOTH
+  * dimensions, so per-file min/max statistics (parquet footers, or a
+  * table-format manifest) prune 2-D boxes multiplicatively. This is
+  * the standard practice in public lakehouse engines; here it is a
+  * pure column expression, so it composes with the write plane as
+  * just another partition path column.
+  *
+  * Everything is a static, codegen-friendly bit-arithmetic expression
+  * — no UDF, no shuffle: assigning a file is a projection, and the
+  * per-file statistics are one map-side-combined aggregate.
+  */
+object ZOrder {
+
+  /** Bit-interleave two `bits`-bit non-negative coordinates into a
+    * `2·bits`-bit Morton code: x occupies even bit positions, y odd.
+    * Coordinates must already be folded into [0, 2^bits). */
+  def interleave(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The file a record lands in under Z-layout: the top `fileBits`
+    * bits of the Morton code — records sharing a Z-prefix are
+    * co-located, which is Z-order clustering without a global sort
+    * (each file is a Z-range, i.e. a bounding box). */
+  def zFile(z: Column, bits: Int, fileBits: Int): Column =
+    shiftright(z, 2 * bits - fileBits)
+
+  /** DuckDB mirror of [[interleave]] over columns named `x`/`y`. */
+  def interleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+}

@@ -367,5 +367,80 @@ object IngestQueries {
              |  CASE WHEN json_valid(payload)
              |    THEN json_extract_string(payload, '$.k')::BIGINT
              |    ELSE NULL END AS k
-             |FROM p ORDER BY event_id""".stripMargin)))
+             |FROM p ORDER BY event_id""".stripMargin)),
+
+    // ---- Z-order layout vs time-linear layout, measured: how many
+    //      files (and rows) must a 2-D predicate read under each? The
+    //      reference's sink partitions by time only (A5/A6) — perfect
+    //      hour pruning, zero user pruning. `operators/ZOrder` folds
+    //      (user, hour) onto a Morton curve and assigns files by
+    //      Z-PREFIX, so every file is a bounding box in both
+    //      dimensions and min/max footer stats prune the box query
+    //      multiplicatively. The report quantifies the layout choice:
+    //      per layout, total files, files a fixed (user × hour) box
+    //      predicate must open, rows inside those files, and the exact
+    //      matching rows (identical across layouts — layout changes
+    //      cost, never results). Scale shape: coordinates, Morton code
+    //      and file id are pure bit-arithmetic projections (no UDF,
+    //      codegen'd); per-file stats are one map-side-combined
+    //      aggregate per layout; everything after is file-count-scale
+    //      metadata. ----
+    QuerySpec("zorder_scan_pruning",
+      (s, d) => {
+        val (uLo, uHi, hLo, hHi) = (0L, 127L, 400L, 527L)
+        // 10-bit folds keep sf0.1's 720 distinct hours unwrapped and
+        // make the demo SF-independent
+        val base = TrackedCache.persist(Tables.events(s, d).select(
+          pmod(col("user_id"), lit(1024L)).as("u"),
+          pmod(expr("unix_millis(ts) div 3600000"), lit(1024L)).as("h")))
+        val matched = base
+          .filter(col("u").between(uLo, uHi) && col("h").between(hLo, hHi))
+          .agg(count(lit(1)).as("rows_matched"))
+        def report(layout: String, file: org.apache.spark.sql.Column) = {
+          val hit = col("hu") >= uLo && col("lu") <= uHi &&
+            col("hh") >= hLo && col("lh") <= hHi
+          base.groupBy(file.as("f"))
+            .agg(count(lit(1)).as("n"), min(col("u")).as("lu"),
+              max(col("u")).as("hu"), min(col("h")).as("lh"),
+              max(col("h")).as("hh"))
+            .agg(count(lit(1)).as("files_total"),
+              sum(when(hit, 1L).otherwise(0L)).as("files_read"),
+              sum(when(hit, col("n")).otherwise(0L)).as("rows_read"))
+            .select(lit(layout).as("layout"), col("files_total"),
+              col("files_read"), col("rows_read"))
+        }
+        val z = graft.operators.ZOrder.interleave(col("u"), col("h"), 10)
+        report("linear_time", shiftright(col("h"), 4))
+          .unionByName(report("zorder",
+            graft.operators.ZOrder.zFile(z, bits = 10, fileBits = 6)))
+          .crossJoin(broadcast(matched))
+          .orderBy(col("layout"))
+      },
+      Some {
+        val z = graft.operators.ZOrder.interleaveSql("u", "h", 10)
+        val hit = "hu >= 0 AND lu <= 127 AND hh >= 400 AND lh <= 527"
+        s"""WITH b AS (SELECT user_id % 1024 AS u,
+           |    (epoch_ms(ts) // 3600000) % 1024 AS h FROM events),
+           |zb AS (SELECT u, h, ($z) AS z FROM b),
+           |zs AS (SELECT z >> 14 AS f, count(*)::BIGINT AS n,
+           |    min(u) AS lu, max(u) AS hu, min(h) AS lh, max(h) AS hh
+           |  FROM zb GROUP BY 1),
+           |ls AS (SELECT h >> 4 AS f, count(*)::BIGINT AS n,
+           |    min(u) AS lu, max(u) AS hu, min(h) AS lh, max(h) AS hh
+           |  FROM b GROUP BY 1),
+           |m AS (SELECT count(*)::BIGINT AS rows_matched FROM b
+           |  WHERE u BETWEEN 0 AND 127 AND h BETWEEN 400 AND 527),
+           |r AS (SELECT 'linear_time' AS layout,
+           |    count(*)::BIGINT AS files_total,
+           |    sum(CASE WHEN $hit THEN 1 ELSE 0 END)::BIGINT AS files_read,
+           |    sum(CASE WHEN $hit THEN n ELSE 0 END)::BIGINT AS rows_read
+           |  FROM ls
+           |  UNION ALL
+           |  SELECT 'zorder', count(*)::BIGINT,
+           |    sum(CASE WHEN $hit THEN 1 ELSE 0 END)::BIGINT,
+           |    sum(CASE WHEN $hit THEN n ELSE 0 END)::BIGINT
+           |  FROM zs)
+           |SELECT layout, files_total, files_read, rows_read, rows_matched
+           |FROM r CROSS JOIN m ORDER BY layout""".stripMargin
+      }))
 }

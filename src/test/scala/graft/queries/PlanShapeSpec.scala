@@ -418,6 +418,17 @@ class PlanShapeSpec extends SparkSuite {
       s"every window must be q_id-partitioned (candidate-scale):\n$p")
   }
 
+  test("zorder_scan_pruning is bit-arithmetic projections + two aggregates — no window, no corpus cartesian") {
+    val p = plan("zorder_scan_pruning")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    // only the 1-row rows_matched frame may attach via a broadcast
+    // nested loop (nothing to hash on); both layout reports aggregate
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 5, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
   test("bpe_fertility joins the vocabulary-scale word tables as equi-joins") {
     val p = plan("bpe_fertility")
     val s = p.toString
