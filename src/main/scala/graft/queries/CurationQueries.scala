@@ -476,6 +476,81 @@ object CurationQueries {
               |FROM c ORDER BY doc_id""".stripMargin),
       bench = true),
 
+    // ---- Packing-efficiency report: the waste-vs-splitting tradeoff
+    //      behind the context-packing choice, quantified. Streaming
+    //      concatenation (pack_sequences' strategy) wastes only the
+    //      tail of the last context but SPLITS documents across
+    //      context boundaries (truncated attention); padding each doc
+    //      to its own context splits nothing but pays
+    //      ctx − n_tokens of pad waste per document. One pass over
+    //      the packed frame computes both strategies' bin counts,
+    //      waste, and split/overflow document counts — the numbers a
+    //      pipeline owner weighs before committing a context-fill
+    //      policy. Scale shape: everything is ONE aggregate over the
+    //      packing frame (whose own windows are shard-bounded — see
+    //      operators/Packing); the two report rows are projections of
+    //      that single row. ----
+    QuerySpec("packing_efficiency",
+      (s, d) => {
+        val counted = Tables.documents(s, d)
+          .select(col("doc_id"),
+            TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val packed = Packing
+          .packBins(counted, "doc_id", "n_tokens", PackCtx, PackShard)
+          .select(col("n_tokens"), col("tok_start"))
+        val agg = packed.agg(
+          sum(col("n_tokens")).as("total_tokens"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_tokens") > 0 &&
+              expr(s"tok_start div $PackCtx") =!=
+                expr(s"(tok_start + n_tokens - 1) div $PackCtx"), 1L)
+            .otherwise(0L)).as("n_crossing"),
+          sum(when(col("n_tokens") > PackCtx, 1L).otherwise(0L))
+            .as("n_over"),
+          sum(greatest(lit(0L), lit(PackCtx) - col("n_tokens")))
+            .as("pad_waste"))
+        val concat_ = agg.select(
+          lit("concat_stream").as("strategy"),
+          expr(s"(total_tokens + $PackCtx - 1) div $PackCtx").as("n_bins"),
+          col("total_tokens"),
+          (expr(s"(total_tokens + $PackCtx - 1) div $PackCtx") * PackCtx -
+            col("total_tokens")).as("waste_tokens"),
+          col("n_crossing").as("n_split_docs"))
+        val padded = agg.select(
+          lit("pad_per_doc").as("strategy"),
+          col("n_docs").as("n_bins"),
+          col("total_tokens"),
+          col("pad_waste").as("waste_tokens"),
+          col("n_over").as("n_split_docs"))
+        concat_.unionByName(padded).orderBy(col("strategy"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    len(${toksSql("text")})::BIGINT AS n_tokens FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+              |  FROM tok),
+              |a AS (SELECT sum(n_tokens)::BIGINT AS total_tokens,
+              |    count(*)::BIGINT AS n_docs,
+              |    sum(CASE WHEN n_tokens > 0 AND tok_start // $PackCtx
+              |        <> (tok_start + n_tokens - 1) // $PackCtx
+              |      THEN 1 ELSE 0 END)::BIGINT AS n_crossing,
+              |    sum(CASE WHEN n_tokens > $PackCtx THEN 1 ELSE 0 END)::BIGINT AS n_over,
+              |    sum(greatest(0, $PackCtx - n_tokens))::BIGINT AS pad_waste
+              |  FROM c)
+              |SELECT * FROM (
+              |  SELECT 'concat_stream' AS strategy,
+              |    (total_tokens + $PackCtx - 1) // $PackCtx AS n_bins,
+              |    total_tokens,
+              |    ((total_tokens + $PackCtx - 1) // $PackCtx) * $PackCtx
+              |      - total_tokens AS waste_tokens,
+              |    n_crossing AS n_split_docs
+              |  FROM a
+              |  UNION ALL
+              |  SELECT 'pad_per_doc', n_docs, total_tokens, pad_waste, n_over
+              |  FROM a)
+              |ORDER BY strategy""".stripMargin)),
+
     // ---- Deterministic corpus shuffle + sharding: the global shuffle
     //      every pretraining run does before cutting training shards —
     //      order by an epoch-salted id-keyed hash (reproducible across
@@ -606,6 +681,60 @@ object CurationQueries {
               |  CROSS JOIN tot)
               |SELECT big, n_ab, lift FROM j
               |ORDER BY lift DESC, big ASC LIMIT 20""".stripMargin)),
+
+    // ---- Character-level surprisal — the char-LM quality signal
+    //      orthogonal to the word-level novelty filter below: encoding
+    //      noise, wrong-script text, and base64/hex blobs score high
+    //      against a corpus character model even when a word model
+    //      never sees their "words" twice. Surprisal is quantized to
+    //      WHOLE BITS via binary-representation lengths
+    //      (bitlen(n_total) − bitlen(n_c) = floor-log2 of the
+    //      frequency ratio — the DSIR trick), so the model is
+    //      integer-exact in both engines with no libm log anywhere.
+    //      Scale shape: the per-doc char histogram shuffle carries at
+    //      most doc×alphabet rows after map-side combine; the
+    //      frequency and bits tables are alphabet-scale broadcasts;
+    //      nothing corpus-scale ever sorts or windows. ----
+    QuerySpec("char_surprisal_stats",
+      (s, d) => {
+        // pinned: the (doc, char) histogram feeds BOTH the corpus
+        // frequency table and the per-doc surprisal join
+        val dc = TrackedCache.persist(Tables.documents(s, d)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("c"))
+          .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt")))
+        val cf = dc.groupBy(col("c")).agg(sum(col("cnt")).as("n_c"))
+        val bits = cf
+          .crossJoin(broadcast(cf.agg(sum(col("n_c")).as("n_tot"))))
+          .select(col("c"),
+            (length(conv(col("n_tot"), 10, 2)) -
+              length(conv(col("n_c"), 10, 2))).cast("long").as("bits"))
+        dc.join(broadcast(bits), Seq("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n_chars"),
+            sum(col("cnt") * col("bits")).as("surprisal_bits"))
+          .select(col("doc_id"), col("n_chars"), col("surprisal_bits"),
+            (col("surprisal_bits").cast("double") /
+              col("n_chars").cast("double")).as("bits_per_char"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(text) + 1),
+             |      i -> substr(text, i, 1))) AS c
+             |  FROM documents),
+             |dc AS (SELECT doc_id, c, count(*)::BIGINT AS cnt
+             |  FROM ch GROUP BY 1, 2),
+             |cf AS (SELECT c, sum(cnt)::BIGINT AS n_c FROM dc GROUP BY 1),
+             |tot AS (SELECT sum(n_c)::BIGINT AS n_tot FROM cf),
+             |b AS (SELECT c,
+             |    (length(bin(n_tot)) - length(bin(n_c)))::BIGINT AS bits
+             |  FROM cf CROSS JOIN tot)
+             |SELECT dc.doc_id, sum(cnt)::BIGINT AS n_chars,
+             |  sum(cnt * bits)::BIGINT AS surprisal_bits,
+             |  CAST(sum(cnt * bits)::BIGINT AS DOUBLE)
+             |    / CAST(sum(cnt)::BIGINT AS DOUBLE) AS bits_per_char
+             |FROM dc JOIN b USING (c) GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- LM-novelty quality filter: the integer-exact core of
     //      KenLM/CCNet-style perplexity filtering. The corpus itself is
