@@ -2784,6 +2784,53 @@ object PipelineQueries {
               |  count(*) AS n_docs
               |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Leakage-safe split: hash-split by NEAR-DUP CLUSTER, not by
+    //      document — the standard guard against train/test leakage
+    //      (a near-duplicate pair split across train and test inflates
+    //      eval scores; a per-doc hash split does exactly that).
+    //      Reuses the verified dedup clustering (band-blocked
+    //      candidates → exact-Jaccard verify → connected components,
+    //      singletons = their own cluster) and routes every member of
+    //      a cluster by the hash of its CLUSTER id, so no group can
+    //      span splits by construction. `docs_moved` counts documents
+    //      whose naive per-doc split would have differed — the
+    //      leakage the group split repaired. Scale shape: the
+    //      clustering is the one-shuffle-per-round CC plane; the split
+    //      itself is a pure hash projection plus one 3-group
+    //      aggregate. ----
+    QuerySpec("split_leakage_safe",
+      (s, d) => {
+        def splitOf(b: org.apache.spark.sql.Column) =
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        dedupClustersFrame(s, d)
+          .select(col("cluster_id"),
+            splitOf(TF.hash60(concat(lit("split:"),
+              col("cluster_id").cast("string"))) % 100).as("split"),
+            splitOf(TF.hash60(concat(lit("split:"),
+              col("doc_id").cast("string"))) % 100).as("naive"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_groups"),
+            sum(when(col("split") =!= col("naive"), 1L).otherwise(0L))
+              .as("docs_moved"))
+          .orderBy(col("split"))
+      },
+      Some {
+        val gb = h60("'split:' || CAST(cluster_id AS VARCHAR)")
+        val nb = h60("'split:' || CAST(doc_id AS VARCHAR)")
+        s"""WITH RECURSIVE $dedupClustersSql,
+           |cs AS (SELECT cluster_id,
+           |    CASE WHEN $gb % 100 < 80 THEN 'train'
+           |      WHEN $gb % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+           |    CASE WHEN $nb % 100 < 80 THEN 'train'
+           |      WHEN $nb % 100 < 90 THEN 'val' ELSE 'test' END AS naive
+           |  FROM clusters)
+           |SELECT split, count(*)::BIGINT AS n_docs,
+           |  count(DISTINCT cluster_id)::BIGINT AS n_groups,
+           |  sum(CASE WHEN split <> naive THEN 1 ELSE 0 END)::BIGINT AS docs_moved
+           |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ---- Corpus heavy hitters: global top-20 tokens. Partial (map-
     //      side) counting shrinks the shuffle to distinct tokens per
     //      input partition; the final top-k is TakeOrdered, never a
