@@ -2784,6 +2784,66 @@ object PipelineQueries {
               |  count(*) AS n_docs
               |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Banding-recall monitor: does MinHash-LSH blocking actually
+    //      SURFACE the true near-dup pairs? Exact all-pairs ground
+    //      truth is impossible at corpus scale, but on a bounded,
+    //      deterministic sample it is one broadcast self-join — the
+    //      standard recall probe an operator runs alongside
+    //      `lsh_band_stats` (which watches the cost side; this
+    //      watches the quality side). Reports true pairs (exact
+    //      3-gram Jaccard ≥ 0.5 on the sample), banding candidates,
+    //      hits, and recall. The ANN-recall discipline
+    //      (sim_ivf_recall), applied to the dedup blocking scheme. ----
+    QuerySpec("minhash_banding_recall",
+      (s, d) => {
+        // deterministic 200-doc sample from the top of the id range
+        // (where this corpus's near-dup mass sits) — SF-independent
+        val lo = broadcast(Tables.documents(s, d)
+          .agg((max(col("doc_id")) - 199L).as("lo")))
+        val (sh0, bands0) = minhashShingleBands(s, d)
+        val sh = TrackedCache.persist(sh0.crossJoin(lo)
+          .filter(col("doc_id") >= col("lo")).drop("lo"))
+        val truth = TrackedCache.persist(sh.as("x")
+          .join(broadcast(sh.as("y")), col("x.doc_id") < col("y.doc_id"))
+          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+          .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")))
+        val cand = TrackedCache.persist(
+          candidatePairs(bands0.crossJoin(lo)
+            .filter(col("doc_id") >= col("lo")).drop("lo"),
+            "ia", "ib"))
+        val hit = truth.join(cand, Seq("ia", "ib"), "left_semi")
+        truth.agg(count(lit(1)).as("n_true"))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .select(col("n_true"), col("n_hit"), col("n_candidates"),
+            when(col("n_true") > 0,
+              col("n_hit").cast("double") / col("n_true").cast("double"))
+              .otherwise(lit(1.0)).as("recall"))
+      },
+      Some(s"""WITH $minhashBandsSql,
+              |lo AS (SELECT max(doc_id) - 199 AS lo FROM documents),
+              |ss AS (SELECT doc_id, sh FROM sh CROSS JOIN lo
+              |  WHERE doc_id >= lo),
+              |tp AS (SELECT ia, ib FROM (
+              |  SELECT x.doc_id AS ia, y.doc_id AS ib,
+              |    CAST(len(list_filter(list_distinct(x.sh), s0 -> list_contains(list_distinct(y.sh), s0))) AS DOUBLE) AS inter,
+              |    CAST(len(list_distinct(x.sh)) + len(list_distinct(y.sh)) AS DOUBLE) AS szsum
+              |  FROM ss x JOIN ss y ON x.doc_id < y.doc_id)
+              |  WHERE inter / (szsum - inter) >= 0.5),
+              |sb AS (SELECT bands.* FROM bands CROSS JOIN lo
+              |  WHERE doc_id >= lo),
+              |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |  FROM sb a JOIN sb b ON a.band = b.band AND a.doc_id < b.doc_id),
+              |h AS (SELECT count(*)::BIGINT AS n_hit FROM tp
+              |  WHERE (ia, ib) IN (SELECT (ia, ib) FROM cand)),
+              |t AS (SELECT count(*)::BIGINT AS n_true FROM tp),
+              |c AS (SELECT count(*)::BIGINT AS n_candidates FROM cand)
+              |SELECT n_true, n_hit, n_candidates,
+              |  CASE WHEN n_true > 0
+              |    THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+              |    ELSE CAST(1.0 AS DOUBLE) END AS recall
+              |FROM t CROSS JOIN h CROSS JOIN c""".stripMargin)),
+
     // ---- Leakage-safe split: hash-split by NEAR-DUP CLUSTER, not by
     //      document — the standard guard against train/test leakage
     //      (a near-duplicate pair split across train and test inflates
