@@ -55,6 +55,46 @@ class ZOrderPartitionerSpec extends SparkSuite {
       Map(0L -> 1L))
   }
 
+  test("drives the streaming commit loop's layout, exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ingest.CommitLog
+    import graft.streaming.StreamIngest
+    val out = Files.createTempDirectory("stream-zorder").toString
+    val ckpt = Files.createTempDirectory("stream-zorder-ckpt").toString
+    val cfg = GraftConfig(Map("flush.size" -> "10",
+      "partitioner.class" -> "graft.partition.ZOrderPartitioner",
+      "partition.field.name" -> "user_id"))
+    val s1 = MemoryStream[(Long, Long, Long, java.sql.Timestamp, String)]
+    val q1 = StreamIngest.startLogged(
+      s1.toDF().toDF("part", "off", "user_id", "timestamp", "payload"),
+      out, "t", cfg, ckpt)
+    s1.addData((0L, 0L, 5L, t0, "a"), (0L, 1L, 900L, t0, "b"),
+      (0L, 2L, 5L, t0, "c"))
+    q1.processAllAvailable()
+    q1.stop()
+    val root = cfg.topicsRoot(out)
+    val dirs = new java.io.File(s"$root/t").listFiles()
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    assert(dirs === Set("zfile=8", "zfile=29"))
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 2L))
+
+    // restart with a full replay + one new record: the Z layout holds
+    // exactly-once like the built-in encoders
+    val ckpt2 = Files.createTempDirectory("stream-zorder-ckpt2").toString
+    val s2 = MemoryStream[(Long, Long, Long, java.sql.Timestamp, String)]
+    val q2 = StreamIngest.startLogged(
+      s2.toDF().toDF("part", "off", "user_id", "timestamp", "payload"),
+      out, "t", cfg, ckpt2)
+    s2.addData((0L, 0L, 5L, t0, "a"), (0L, 1L, 900L, t0, "b"),
+      (0L, 2L, 5L, t0, "c"), (0L, 3L, 7L, t0, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() === 4)
+    assert(CommitLog.maxOffsets(spark, root, "t") === Map(0L -> 3L))
+  }
+
   test("missing partition.field.name and malformed path.format fail validation") {
     val missing = intercept[IllegalArgumentException] {
       GraftConfig(Map("flush.size" -> "3",
