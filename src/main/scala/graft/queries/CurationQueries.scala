@@ -614,6 +614,72 @@ object CurationQueries {
               |    least(n, chunk_idx * $ChunkW + $ChunkW)), ' ') AS chunk_text
               |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
 
+    // ---- Span corruption (the T5/UL2 denoising objective's data
+    //      side): mask ~15% of each document in 3-token spans, emit
+    //      the corrupted input with numbered sentinels and the target
+    //      that restores the masked spans. Mask decisions are the
+    //      deterministic content-hash gate per (doc, block) — the
+    //      split/sampling discipline applied to objective
+    //      construction, so every epoch, engine, and replay corrupts
+    //      identically (re-salt for fresh masks). Scale shape:
+    //      entirely ROW-LOCAL higher-order expressions over one
+    //      tokens array — zero shuffles besides the output sort; the
+    //      sentinel numbering is a per-row prefix count, never a
+    //      window. ----
+    QuerySpec("span_corruption_pairs",
+      (s, d) => {
+        val B = 3
+        val h = "cast(conv(substring(md5(cast(concat('mask:', doc_id, " +
+          "':', i) as binary)), 1, 15), 16, 10) as bigint)"
+        Tables.documents(s, d)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("nb",
+            expr(s"cast((size(toks) + ${B - 1}) div $B as int)"))
+          .withColumn("mask",
+            expr(s"transform(sequence(0, nb - 1), i -> $h % 100 < 15)"))
+          .withColumn("sent", expr("transform(sequence(0, nb - 1), " +
+            "i -> size(filter(slice(mask, 1, i), m -> m)))"))
+          .select(col("doc_id"), col("nb").cast("long").as("n_blocks"),
+            expr("size(filter(mask, m -> m))").cast("long").as("n_masked"),
+            expr(s"""concat_ws(' ', transform(sequence(0, nb - 1), i ->
+                    | CASE WHEN element_at(mask, i + 1)
+                    |   THEN concat('<extra_id_', element_at(sent, i + 1), '>')
+                    |   ELSE array_join(slice(toks, i * $B + 1, $B), ' ')
+                    | END))""".stripMargin).as("input_text"),
+            expr(s"""concat_ws(' ', transform(
+                    | filter(sequence(0, nb - 1), i -> element_at(mask, i + 1)),
+                    | i -> concat('<extra_id_', element_at(sent, i + 1), '> ',
+                    |   array_join(slice(toks, i * $B + 1, $B), ' '))))""".stripMargin)
+              .as("target_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val h = h60("'mask:' || doc_id || ':' || i")
+        s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+           |nz AS (SELECT doc_id, toks, (len(toks) + 2) // 3 AS nb FROM tok
+           |  WHERE len(toks) > 0),
+           |m1 AS (SELECT doc_id, toks, nb,
+           |    list_transform(range(0, nb), i -> $h % 100 < 15) AS mask
+           |  FROM nz),
+           |m2 AS (SELECT *, list_transform(range(0, nb),
+           |    i -> len(list_filter(list_slice(mask, 1, i), x -> x))) AS sent
+           |  FROM m1)
+           |SELECT doc_id, nb::BIGINT AS n_blocks,
+           |  len(list_filter(mask, x -> x))::BIGINT AS n_masked,
+           |  array_to_string(list_transform(range(0, nb), i ->
+           |    CASE WHEN mask[i + 1]
+           |      THEN '<extra_id_' || sent[i + 1] || '>'
+           |      ELSE array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ')
+           |    END), ' ') AS input_text,
+           |  coalesce(array_to_string(list_transform(
+           |    list_filter(range(0, nb), i -> mask[i + 1]),
+           |    i -> '<extra_id_' || sent[i + 1] || '> ' ||
+           |      array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ')), ' '),
+           |    '') AS target_text
+           |FROM m2 ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- Mixture rebalancing: downsample every source to the
     //      smallest source's size, so the corpus mixture comes out
     //      ~uniform. Per-source counts are a tiny aggregate; the
