@@ -2102,6 +2102,54 @@ object PipelineQueries {
               |SELECT source, rnk, doc_id, q FROM r WHERE rnk <= 10
               |ORDER BY source, rnk""".stripMargin)),
 
+    // ---- Preference-pair mining — reward-model / DPO data prep from
+    //      quality signals: per source, pair its best documents
+    //      (chosen) against its worst (rejected), within-source so the
+    //      pair isolates QUALITY rather than domain. Both extremes
+    //      come off the bounded-heap aggregate (top-2 on q, top-2 on
+    //      −q), so the exchange carries O(sources×k) rows at any
+    //      corpus size; the strict chosen_q > rejected_q guard drops
+    //      degenerate equal-quality pairs. ----
+    QuerySpec("preference_pairs",
+      (s, d) => {
+        NativeExpressions.register(s)
+        // persisted: the quality frame feeds both extremes
+        val q = TrackedCache.persist(textStatsFrame(s, d, withSource = true)
+          .select(col("source"), col("doc_id"),
+            floor(col("quality") * 1000000.0).cast("long").as("q")))
+        val top = q.groupBy(col("source"))
+          .agg(call_function("topk_pairs", col("q"), col("doc_id"),
+            lit(2)).as("t"))
+          .select(col("source"), explode(col("t")).as("p"))
+          .select(col("source"), col("p.id").as("chosen_id"),
+            col("p.ord").as("chosen_q"))
+        val bot = q.groupBy(col("source"))
+          .agg(call_function("topk_pairs", -col("q"), col("doc_id"),
+            lit(2)).as("t"))
+          .select(col("source"), explode(col("t")).as("p"))
+          .select(col("source"), col("p.id").as("rejected_id"),
+            (-col("p.ord")).as("rejected_q"))
+        top.join(bot, Seq("source"))
+          .filter(col("chosen_q") > col("rejected_q"))
+          .orderBy(col("source"), col("chosen_id"), col("rejected_id"))
+      },
+      Some(s"""WITH st AS (${textStatsSql(", source")}),
+              |q AS (SELECT source, doc_id,
+              |    CAST(floor(quality * 1000000.0) AS BIGINT) AS q FROM st),
+              |rt AS (SELECT *, row_number() OVER (PARTITION BY source
+              |    ORDER BY q DESC, doc_id ASC) AS rnk FROM q),
+              |rb AS (SELECT *, row_number() OVER (PARTITION BY source
+              |    ORDER BY q ASC, doc_id ASC) AS rnk FROM q),
+              |t AS (SELECT source, doc_id AS chosen_id, q AS chosen_q
+              |  FROM rt WHERE rnk <= 2),
+              |b AS (SELECT source, doc_id AS rejected_id, q AS rejected_q
+              |  FROM rb WHERE rnk <= 2)
+              |SELECT t.source AS source, chosen_id, chosen_q,
+              |  rejected_id, rejected_q
+              |FROM t JOIN b ON t.source = b.source
+              |WHERE chosen_q > rejected_q
+              |ORDER BY t.source, chosen_id, rejected_id""".stripMargin)),
+
     // ---- ANN baseline: brute-force top-10 neighbors for 3 query
     //      vectors, integer-exact via fixed-point quantization. ----
     QuerySpec("sim_topk_bruteforce",
@@ -3150,6 +3198,55 @@ object PipelineQueries {
               |  CAST(sum(d2) AS BIGINT) AS inertia
               |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin),
       bench = true),
+
+    // ---- Embedding drift monitor: assign BOTH corpus halves (a
+    //      stand-in for two corpus snapshots — swap in yesterday's
+    //      vs today's batch at ingestion time) to the SAME trained
+    //      cells and compare per-cell mass in exact ppm. A cell whose
+    //      share moves is a content mode growing or dying — the
+    //      distribution-shift alarm an embedding-curation pipeline
+    //      watches between crawls. Integer-exact (ppm by integer
+    //      division, no float ratios), so the whole monitor is
+    //      oracle-replayed. Scale shape: assignment is the
+    //      shuffle-free literal-centroid projection; the half/cell
+    //      counts are one map-side-combined aggregate; everything
+    //      after is K-row metadata. ----
+    QuerySpec("embedding_drift_cells",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val vecs = embVecs(s, d)
+        val assigned = KMeans.assign(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+        val n = broadcast(vecs.agg(count(lit(1)).as("n")))
+        val counts = assigned.crossJoin(n)
+          .groupBy(col("cell")).agg(
+            sum(when(col("id") * 2 < col("n"), 1L).otherwise(0L))
+              .as("n_old"),
+            sum(when(col("id") * 2 >= col("n"), 1L).otherwise(0L))
+              .as("n_new"))
+        val tots = broadcast(counts.agg(sum(col("n_old")).as("t_old"),
+          sum(col("n_new")).as("t_new")))
+        counts.crossJoin(tots)
+          .select(col("cell"), col("n_old"), col("n_new"),
+            expr("(n_old * 1000000) div t_old").as("ppm_old"),
+            expr("(n_new * 1000000) div t_new").as("ppm_new"),
+            abs(expr("(n_old * 1000000) div t_old") -
+              expr("(n_new * 1000000) div t_new")).as("drift_ppm"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH $kmTrainSql,
+              |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+              |c AS (SELECT cell,
+              |    sum(CASE WHEN id * 2 < n THEN 1 ELSE 0 END)::BIGINT AS n_old,
+              |    sum(CASE WHEN id * 2 >= n THEN 1 ELSE 0 END)::BIGINT AS n_new
+              |  FROM a3 CROSS JOIN nn GROUP BY 1),
+              |t AS (SELECT sum(n_old)::BIGINT AS t_old,
+              |    sum(n_new)::BIGINT AS t_new FROM c)
+              |SELECT cell, n_old, n_new,
+              |  ((n_old * 1000000) // t_old)::BIGINT AS ppm_old,
+              |  ((n_new * 1000000) // t_new)::BIGINT AS ppm_new,
+              |  abs((n_old * 1000000) // t_old
+              |    - (n_new * 1000000) // t_new)::BIGINT AS drift_ppm
+              |FROM c CROSS JOIN t ORDER BY cell""".stripMargin)),
 
     // ---- The same trainer from the farthest-first (k-center) init:
     //      every init step is ALSO replayed by the oracle (assign to
