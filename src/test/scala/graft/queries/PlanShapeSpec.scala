@@ -437,4 +437,48 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
     assert(!s.contains("WindowExec"), s"no window:\n$s")
   }
+
+  test("span_corruption_pairs is row-local — no shuffle besides the output sort") {
+    val p = plan("span_corruption_pairs")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1, s"got ${shuffles.size} exchanges:\n$p")
+    assert(!p.toString.contains("WindowExec"), s"no window:\n$p")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+  }
+
+  test("preference_pairs ranks both extremes through bounded heaps, joined on source") {
+    val p = plan("preference_pairs")
+    val s = p.toString
+    assert(s.contains("topk_pairs"), s"extremes must use topk_pairs:\n$s")
+    assert(!s.contains("WindowExec"), s"no corpus window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
+
+  test("char_surprisal_stats broadcasts the alphabet-scale model back into the histogram") {
+    val p = plan("char_surprisal_stats")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"the bits table must broadcast into the per-doc join:\n$s")
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+  }
+
+  test("embedding_drift_cells never windows or cross-joins the corpus") {
+    val p = plan("embedding_drift_cells")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    // assignment must stay the literal-centroid projection — the only
+    // exchanges are the corpus count, the (cell) aggregate, the K-row
+    // totals aggregate, and the output sort
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 4, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("minhash_banding_recall's exact truth runs on the broadcast bounded sample") {
+    val p = plan("minhash_banding_recall")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      s"sample self-join must be broadcast, not a corpus cartesian:\n$s")
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+  }
 }
