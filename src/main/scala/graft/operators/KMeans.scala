@@ -150,14 +150,14 @@ object KMeans {
         "transform(ps, p -> ((p.s - ((p.s % n) + n) % n) div n)) AS cv")
       .collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_.id)
+      .toIndexedSeq.sortBy(_.id)
 
   /** Deterministic init: the k vectors with the smallest ids (a k-row
     * TakeOrdered — k driver rows, never a data-scale collect). */
   def initFirstK(vecs: DataFrame, k: Int): Seq[Centroid] =
     vecs.orderBy(col("id")).limit(k).collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Long](1)))
-      .sortBy(_.id)
+      .toIndexedSeq.sortBy(_.id)
 
   /** Farthest-first (k-center) init: seed with the smallest id, then
     * k−1 times add the vector farthest from its nearest centroid
@@ -198,6 +198,33 @@ object KMeans {
     var cents = initFirstK(vecs, k)
     for (_ <- 1 to iters) cents = recompute(assign(vecs, cents))
     cents
+  }
+
+  /** Persist a fitted centroid table as a parquet artifact — the
+    * train-once / search-many lifecycle: an ingestion-time trainer
+    * publishes the quantizer, every later assignment / IVF search /
+    * drift monitor loads it instead of re-running Lloyd. The artifact
+    * is K rows of (c_id, cv), so one file regardless of the corpus
+    * that trained it. */
+  def save(model: Seq[Centroid], spark: org.apache.spark.sql.SparkSession,
+           path: String): Unit = {
+    require(model.nonEmpty, "refusing to save an empty centroid table")
+    import spark.implicits._
+    model.map(c => (c.id, c.v)).toDF("c_id", "cv")
+      .coalesce(1).write.mode("errorifexists").parquet(path)
+  }
+
+  /** Load a [[save]]d centroid table. Round-trips exactly: quantized
+    * components are longs, so load(save(m)) == m and every assignment
+    * made with the loaded model is bit-identical. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+           path: String): Seq[Centroid] = {
+    val m = spark.read.parquet(path).select(col("c_id"), col("cv"))
+      .collect()
+      .map(r => Centroid(r.getLong(0), r.getSeq[Long](1)))
+      .toIndexedSeq.sortBy(_.id)
+    require(m.nonEmpty, s"no centroids at $path")
+    m
   }
 
   /** M independent per-subspace Lloyd trainings (product-quantization

@@ -65,7 +65,7 @@ object DedupIngest {
         case _ => col(name)
       }
     }
-    unhex(md5(to_json(struct(canon: _*)).cast("binary")))
+    unhex(md5(to_json(struct(canon.toIndexedSeq: _*)).cast("binary")))
   }
 
   /** Formats whose committed files round-trip EXACTLY — csv/text

@@ -147,4 +147,24 @@ class KMeansSpec extends SparkSuite {
     assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
       s"assignment must not exchange:\n$plan")
   }
+
+  test("a saved model round-trips and assigns bit-identically") {
+    val vecs = df(
+      0L -> Seq(0L, 1L), 1L -> Seq(100L, 99L),
+      2L -> Seq(1L, 0L), 3L -> Seq(99L, 100L))
+    val model = KMeans.fit(vecs, k = 2, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("kmeans-model").toString + "/m"
+    KMeans.save(model, spark, path)
+    val loaded = KMeans.load(spark, path)
+    assert(loaded === model)
+    val a = KMeans.assign(vecs, model)
+      .select("id", "cell", "d2").as[(Long, Long, Long)].collect().sorted
+    val b = KMeans.assign(vecs, loaded)
+      .select("id", "cell", "d2").as[(Long, Long, Long)].collect().sorted
+    assert(a === b)
+    // publishing over an existing artifact must fail, not overwrite
+    intercept[Exception] { KMeans.save(model, spark, path) }
+    ()
+  }
 }
