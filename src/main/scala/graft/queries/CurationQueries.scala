@@ -678,7 +678,8 @@ object CurationQueries {
            |      array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' ')), ' '),
            |    '') AS target_text
            |FROM m2 ORDER BY doc_id""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- Mixture rebalancing: downsample every source to the
     //      smallest source's size, so the corpus mixture comes out
@@ -800,7 +801,8 @@ object CurationQueries {
              |  sum(cnt * bits)::BIGINT AS surprisal_bits,
              |  CAST(sum(cnt * bits)::BIGINT AS DOUBLE)
              |    / CAST(sum(cnt)::BIGINT AS DOUBLE) AS bits_per_char
-             |FROM dc JOIN b USING (c) GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |FROM dc JOIN b USING (c) GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
 
     // ---- LM-novelty quality filter: the integer-exact core of
     //      KenLM/CCNet-style perplexity filtering. The corpus itself is
@@ -978,6 +980,51 @@ object CurationQueries {
               |  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
               |  CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE) AS chars_per_token
               |FROM ag ORDER BY source""".stripMargin)),
+
+    // ---- BPE compression curve: corpus token count after 0/8/16/24
+    //      merges — the measurement behind "how many merges are worth
+    //      training": the marginal compression of each merge tranche,
+    //      per-corpus. Replays the learned rule prefix over the
+    //      vocabulary-scale word table (4 sample points × ≤24
+    //      projection folds over vocab rows — never a corpus pass
+    //      beyond the one that built the table), so the curve is
+    //      identical whichever trainer path learned the rules. ----
+    QuerySpec("bpe_compression_curve",
+      (s, d) => {
+        val (_, rules) = bpeTrain(s, d)
+        val wf0 = bpeWordTable(s, d)
+        val steps = Seq(0, 8, 16, 24)
+        val frames = steps.map { k =>
+          val wfk = rules.take(k).foldLeft(wf0) { case (df, (_, a, b, _)) =>
+            df.select(TF.bpeApply(col("m"), a, b).as("m"), col("n"))
+          }
+          wfk.agg(
+            lit(k.toLong).as("step"),
+            sum(col("n") * size(TF.bpeSymbols(col("m"))).cast("long"))
+              .as("corpus_tokens"),
+            sum(col("n")).as("corpus_words"))
+        }
+        frames.reduce(_ unionByName _)
+          .select(col("step"), col("corpus_tokens"), col("corpus_words"),
+            (col("corpus_tokens").cast("double") /
+              col("corpus_words").cast("double")).as("tokens_per_word"))
+          .orderBy(col("step"))
+      },
+      Some {
+        val rows = Seq(0, 8, 16, 24).map { k =>
+          s"""SELECT $k::BIGINT AS step,
+             |  sum(n * len(string_split(substr(m, 2, length(m)-2),
+             |    chr(2)||chr(1))))::BIGINT AS corpus_tokens,
+             |  sum(n)::BIGINT AS corpus_words
+             |FROM w$k""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $bpeChainSql
+           |SELECT step, corpus_tokens, corpus_words,
+           |  CAST(corpus_tokens AS DOUBLE) / CAST(corpus_words AS DOUBLE)
+           |    AS tokens_per_word
+           |FROM ($rows)
+           |ORDER BY step""".stripMargin
+      }),
 
     // ---- Stratified corpus sampling: per-language keep rates applied
     //      via the deterministic content-hash gate (pure function of
