@@ -474,6 +474,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles.size <= 4, s"got ${shuffles.size} exchanges:\n$p")
   }
 
+  test("zorder_scan_pruning prunes the events scan to its two coordinates") {
+    val p = plan("zorder_scan_pruning").toString
+    // a layout report that read every column would be reading the
+    // table to decide how not to read the table
+    assert(!p.contains("props") && !p.contains("event_type"),
+      s"scan must prune to (user_id, ts):\n$p")
+  }
+
   test("minhash_banding_recall's exact truth runs on the broadcast bounded sample") {
     val p = plan("minhash_banding_recall")
     val s = p.toString
