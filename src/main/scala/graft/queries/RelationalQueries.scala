@@ -415,5 +415,85 @@ object RelationalQueries {
              |  FROM orders),
              |m AS (SELECT * FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2)
              |SELECT o_custkey, CAST(sum(p) AS DOUBLE) / count(*) AS median_price
-             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Ordered funnel conversion (view → click → purchase): the classic
+    // product-analytics query — per user, each stage's earliest
+    // occurrence must FOLLOW the previous stage's. Sequential mins
+    // compose as three user-keyed aggregates chained by equi-joins
+    // (map-side combined, never a per-user event sort); timestamps
+    // compare as epoch millis so both engines order identically.
+    QuerySpec("funnel_conversion",
+      (s, d) => {
+        val ev = TrackedCache.persist(Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms")))
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, Seq("user_id"))
+          .filter(col("ms") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, Seq("user_id"))
+          .filter(col("ms") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ms")).as("t3"))
+        t1.agg(count(lit(1)).as("n_users")).select(
+            lit("1_view").as("stage"), col("n_users"))
+          .unionByName(t2.agg(count(lit(1)).as("n_users")).select(
+            lit("2_view_click").as("stage"), col("n_users")))
+          .unionByName(t3.agg(count(lit(1)).as("n_users")).select(
+            lit("3_view_click_purchase").as("stage"), col("n_users")))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+             |  FROM events),
+             |t1 AS (SELECT user_id, min(ms) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (SELECT e.user_id, min(ms) AS t2 FROM ev e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE event_type = 'click' AND ms > t1 GROUP BY 1),
+             |t3 AS (SELECT e.user_id, min(ms) AS t3 FROM ev e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE event_type = 'purchase' AND ms > t2 GROUP BY 1)
+             |SELECT stage, n_users FROM (
+             |  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM t1
+             |  UNION ALL
+             |  SELECT '2_view_click', count(*)::BIGINT FROM t2
+             |  UNION ALL
+             |  SELECT '3_view_click_purchase', count(*)::BIGINT FROM t3)
+             |ORDER BY stage""".stripMargin)),
+
+    // Retention cohorts: users by signup day × activity-day offset —
+    // the engagement triangle every events warehouse reports. Days are
+    // integer epoch-days (no calendar/timezone rendering to diverge
+    // on); shape is two user-keyed aggregates and one user-keyed
+    // equi-join, with the final (cohort, offset) aggregate
+    // metadata-scale.
+    QuerySpec("retention_cohorts",
+      (s, d) => {
+        val ev = TrackedCache.persist(Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("unix_millis(ts) div 86400000").as("day")))
+        val cohort = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val active = ev.select(col("user_id"), col("day")).distinct()
+        cohort.join(active, Seq("user_id"))
+          .select(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .filter(col("day_offset").between(0L, 7L))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |    epoch_ms(ts) // 86400000 AS day FROM events),
+             |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |active AS (SELECT DISTINCT user_id, day FROM ev)
+             |SELECT cohort_day, day - cohort_day AS day_offset,
+             |  count(*)::BIGINT AS n_users
+             |FROM cohort JOIN active USING (user_id)
+             |WHERE day - cohort_day BETWEEN 0 AND 7
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
