@@ -1179,6 +1179,76 @@ object CurationQueries {
               |WHERE epoch <= full_epochs OR gate % n_src < rem
               |ORDER BY source, epoch, doc_id""".stripMargin)),
 
+    // ---- UniMax language allocation (Chung et al. 2023): spread a
+    //      token budget as UNIFORMLY as possible across languages,
+    //      capped at E epochs of each language's corpus — the
+    //      published fix for temperature sampling's starve-the-tail /
+    //      overcook-the-head tradeoff. The sequential waterfill has a
+    //      closed form over the cap-ascending order: a language is
+    //      FULLY allocated iff cap·langs_left ≤ budget − Σ smaller
+    //      caps (monotone, so one boundary), and every language past
+    //      the boundary gets the boundary's equal share. All integer
+    //      (floor-div share, like the engine's other gates). Scale
+    //      shape: one corpus pass to per-language token counts; the
+    //      waterfill windows run over the |languages|-row frame —
+    //      value-domain scale, the documented metadata-window
+    //      pattern. ----
+    QuerySpec("unimax_allocation",
+      (s, d) => {
+        val E = 2L
+        val perLang = Tables.documents(s, d)
+          .select(col("lang"), size(TF.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("lang")).agg(sum(col("nt")).as("n_tokens"))
+          .withColumn("cap", col("n_tokens") * E)
+        // budget = 1.5× corpus with a 2-epoch cap: sits BETWEEN "every
+        // language fits its cap" and "nobody does", so the waterfill
+        // boundary is genuinely exercised — small languages run their
+        // full 2 epochs, the largest is clipped to the equal share
+        val tot = broadcast(perLang.agg(
+          expr("(3 * sum(n_tokens)) div 2").as("budget"),
+          count(lit(1)).as("n_langs")))
+        val asc = Window.orderBy(col("cap"), col("lang"))
+        val en = perLang.crossJoin(tot)
+          .withColumn("cum_before", coalesce(sum(col("cap"))
+            .over(asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("idx", row_number().over(asc))
+          .withColumn("lft", col("n_langs") - col("idx") + 1L)
+          .withColumn("sat",
+            col("cap") * col("lft") <= col("budget") - col("cum_before"))
+        val boundary = broadcast(en.filter(!col("sat"))
+          .orderBy(col("idx")).limit(1)
+          .select(expr("(budget - cum_before) div lft").as("share")))
+        en.join(boundary, lit(true), "left")
+          .select(col("lang"), col("n_tokens"), col("cap"),
+            when(col("sat"), col("cap"))
+              .otherwise(col("share")).as("alloc_tokens"))
+          .withColumn("epochs_ppm",
+            expr("(alloc_tokens * 1000000) div n_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH pl AS (SELECT lang, sum(len(${toksSql("text")}))::BIGINT
+              |    AS n_tokens FROM documents GROUP BY lang),
+              |cp AS (SELECT lang, n_tokens, n_tokens * 2 AS cap FROM pl),
+              |tot AS (SELECT ((3 * sum(n_tokens)) // 2)::BIGINT AS budget,
+              |    count(*)::BIGINT AS n_langs FROM cp),
+              |en AS (SELECT cp.*, tot.budget, tot.n_langs,
+              |    coalesce(sum(cap) OVER (ORDER BY cap, lang
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before,
+              |    row_number() OVER (ORDER BY cap, lang) AS idx
+              |  FROM cp CROSS JOIN tot),
+              |en2 AS (SELECT *, n_langs - idx + 1 AS lft,
+              |    cap * (n_langs - idx + 1) <= budget - cum_before AS sat
+              |  FROM en),
+              |bd AS (SELECT (budget - cum_before) // lft AS share FROM en2
+              |  WHERE NOT sat ORDER BY idx LIMIT 1)
+              |SELECT lang, n_tokens, cap,
+              |  (CASE WHEN sat THEN cap ELSE share END)::BIGINT
+              |    AS alloc_tokens,
+              |  (((CASE WHEN sat THEN cap ELSE share END) * 1000000)
+              |    // n_tokens)::BIGINT AS epochs_ppm
+              |FROM en2 LEFT JOIN bd ON TRUE ORDER BY lang""".stripMargin)),
+
     // ---- The corpus card: one-row summary every curation run logs.
     //      All aggregates are order-independent (counts, long sums,
     //      distinct counts over md5 fingerprints), so the row is

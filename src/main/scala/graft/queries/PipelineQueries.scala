@@ -2997,6 +2997,156 @@ object PipelineQueries {
               |FROM t GROUP BY token
               |ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)),
 
+    // ---- K-MINIMUM-VALUES distinct sketch per source — the third
+    //      sketch family (CMS counts frequencies, GK ranks, KMV counts
+    //      DISTINCTS) and, unlike HLL, one whose estimate is exactly
+    //      reproducible in plain SQL: keep the k smallest distinct
+    //      hash values; est = (k−1)·2⁶⁰ / h_k. The estimate, the exact
+    //      truth, AND the error contract (±20 % ≈ 3σ at k=256) are all
+    //      emitted and oracle-checked — both engines compute the SAME
+    //      sketch, so this checks values, not just a bound. Scale
+    //      shape: the corpus pass is one (source, hash) distinct
+    //      (vocabulary-scale shuffle, map-side combined); the rank
+    //      window runs per source over distinct hashes and the k-row
+    //      sketches are metadata-scale. At 100 TB swap the window for
+    //      the bounded-heap min-k aggregate — the sketch property
+    //      (mergeable, fixed size) is exactly why it scales. ----
+    QuerySpec("kmv_distinct_by_source",
+      (s, d) => {
+        val k = 256
+        // 3-gram shingles, not tokens: the synthetic vocabulary is a
+        // few dozen words, which would never leave the exact m<k
+        // branch — shingle cardinality actually exercises the
+        // estimator (and is the realistic KMV use: distinct n-grams
+        // is precisely what exact counting can't afford at scale)
+        val hashed = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TF.shingles(TF.tokens(col("text")), 3)).as("g"))
+          .select(col("source"),
+            TF.hash60(concat(lit("kmv:"), col("g"))).as("h"))
+          .distinct()
+        val rn = Window.partitionBy(col("source")).orderBy(col("h"))
+        val sk = hashed
+          .withColumn("rn", row_number().over(rn))
+          .filter(col("rn") <= k)
+          .groupBy(col("source"))
+          .agg(max(col("h")).as("h_k"), count(lit(1)).as("m"))
+        val exact = hashed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_exact"))
+        sk.join(exact, Seq("source"))
+          .select(col("source"), col("n_exact"),
+            when(col("m") < k, col("m"))
+              // (k−1)·2⁶⁰ overflows int64 — the widening goes through
+              // DECIMAL(38,0) ↔ HUGEINT, the classifier_eval_auc gate
+              .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                s"${1L << 60}) div h_k AS BIGINT)"))
+              .as("n_est"))
+          .withColumn("within_20pct",
+            abs(col("n_est") - col("n_exact")) * 5 <= col("n_exact"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val k = 256
+        s"""WITH tok AS (SELECT source, ${toksSql("text")} AS toks
+           |  FROM documents),
+           |t AS (SELECT source, unnest(${shinglesSql(3)}) AS g FROM tok),
+           |h AS (SELECT DISTINCT source,
+           |    ${h60("'kmv:' || g")} AS h FROM t),
+           |r AS (SELECT source, h, row_number() OVER
+           |    (PARTITION BY source ORDER BY h) AS rn FROM h),
+           |sk AS (SELECT source, max(h) AS h_k, count(*)::BIGINT AS m
+           |  FROM r WHERE rn <= $k GROUP BY source),
+           |ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM h
+           |  GROUP BY source),
+           |est AS (SELECT source, m, h_k,
+           |    (CASE WHEN m < $k THEN m::HUGEINT
+           |      ELSE (${k - 1}::HUGEINT * ${1L << 60}) // h_k END)::BIGINT
+           |      AS n_est FROM sk)
+           |SELECT source, n_exact, n_est,
+           |  abs(n_est - n_exact) * 5 <= n_exact AS within_20pct
+           |FROM est JOIN ex USING (source) ORDER BY source""".stripMargin
+      }),
+
+    // ---- KMV set-operation estimates: pairwise source shingle-set
+    //      Jaccard from the SKETCHES ALONE — the union trick (the k
+    //      smallest of sketch(A) ∪ sketch(B) are exactly the union's
+    //      KMV sketch; the fraction of them present in both is the
+    //      Jaccard estimate). What HLL fundamentally can't do
+    //      (intersections) and exact distinct-counting pays a full
+    //      cross-source shuffle for, KMV answers from 5 × k rows.
+    //      After the per-source sketch pass (shared shape with
+    //      kmv_distinct_by_source), every frame here is
+    //      (pairs × k)-scale — the 100 TB cost is the one sketch
+    //      build, amortized across all O(|sources|²) pair queries. ----
+    QuerySpec("kmv_source_jaccard",
+      (s, d) => {
+        val k = 256
+        val rn = Window.partitionBy(col("source")).orderBy(col("h"))
+        val sk = TrackedCache.persist(Tables.documents(s, d)
+          .select(col("source"),
+            explode(TF.shingles(TF.tokens(col("text")), 3)).as("g"))
+          .select(col("source"),
+            TF.hash60(concat(lit("kmv:"), col("g"))).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(rn))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("h")))
+        val pairs = sk.select(col("source").as("src_a")).distinct()
+          .join(sk.select(col("source").as("src_b")).distinct(),
+            col("src_a") < col("src_b"))
+        val uni = pairs
+          .join(sk.withColumnRenamed("source", "src_a"), Seq("src_a"))
+          .select(col("src_a"), col("src_b"), col("h"), lit(1).as("in_a"),
+            lit(0).as("in_b"))
+          .unionByName(pairs
+            .join(sk.withColumnRenamed("source", "src_b"), Seq("src_b"))
+            .select(col("src_a"), col("src_b"), col("h"), lit(0).as("in_a"),
+              lit(1).as("in_b")))
+          .groupBy(col("src_a"), col("src_b"), col("h"))
+          .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        val byPair = Window.partitionBy(col("src_a"), col("src_b"))
+          .orderBy(col("h"))
+        uni.withColumn("rn", row_number().over(byPair))
+          .filter(col("rn") <= k)
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("k_used"),
+            sum((col("in_a") * col("in_b")).cast("long")).as("n_shared"))
+          .select(col("src_a"), col("src_b"), col("k_used"), col("n_shared"),
+            expr("(n_shared * 1000000) div k_used").as("jaccard_ppm"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        val k = 256
+        s"""WITH tok AS (SELECT source, ${toksSql("text")} AS toks
+           |  FROM documents),
+           |t AS (SELECT source, unnest(${shinglesSql(3)}) AS g FROM tok),
+           |hh AS (SELECT DISTINCT source,
+           |    ${h60("'kmv:' || g")} AS h FROM t),
+           |sk AS (SELECT source, h FROM (SELECT source, h, row_number()
+           |    OVER (PARTITION BY source ORDER BY h) AS rn FROM hh)
+           |  WHERE rn <= $k),
+           |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+           |  FROM (SELECT DISTINCT source FROM sk) a,
+           |       (SELECT DISTINCT source FROM sk) b
+           |  WHERE a.source < b.source),
+           |uni AS (SELECT src_a, src_b, h, max(in_a) AS in_a,
+           |    max(in_b) AS in_b FROM (
+           |  SELECT p.src_a, p.src_b, s.h, 1 AS in_a, 0 AS in_b
+           |    FROM pairs p JOIN sk s ON s.source = p.src_a
+           |  UNION ALL
+           |  SELECT p.src_a, p.src_b, s.h, 0, 1
+           |    FROM pairs p JOIN sk s ON s.source = p.src_b)
+           |  GROUP BY 1, 2, 3),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+           |    ORDER BY h) AS rn FROM uni),
+           |ag AS (SELECT src_a, src_b, count(*)::BIGINT AS k_used,
+           |    sum(in_a * in_b)::BIGINT AS n_shared
+           |  FROM r WHERE rn <= $k GROUP BY 1, 2)
+           |SELECT src_a, src_b, k_used, n_shared,
+           |  (n_shared * 1000000) // k_used AS jaccard_ppm
+           |FROM ag ORDER BY src_a, src_b""".stripMargin
+      }),
+
     // ---- DSIR weight table: the trained importance model itself —
     //      per-bucket target/raw counts and the quantized log-ratio.
     //      Two shuffles to the B-bucket histograms (map-side combined;

@@ -495,5 +495,113 @@ object RelationalQueries {
              |  count(*)::BIGINT AS n_users
              |FROM cohort JOIN active USING (user_id)
              |WHERE day - cohort_day BETWEEN 0 AND 7
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SCD2 dimension build: collapse each user's event stream into
+    // type-2 validity intervals of their "current state" (the latest
+    // event_type), the warehouse-standard history table a batch
+    // pipeline derives from a change stream. Consecutive repeats
+    // collapse (an SCD2 row is a CHANGE, not an event); valid_to is
+    // the next change's valid_from, NULL while current. Scale shape:
+    // both windows partition by user_id — per-user cardinality, never
+    // a global sort — and (ms, event_id) ordering makes tie order
+    // engine-exact.
+    QuerySpec("scd2_user_state",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type"), unix_millis(col("ts")).as("ms"))
+        val changes = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        changes
+          .withColumn("valid_to_ms", lead(col("ms"), 1).over(byUser))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ms").as("valid_from_ms"), col("valid_to_ms"),
+            col("valid_to_ms").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("valid_from_ms"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type,
+             |    epoch_ms(ts) AS ms FROM events),
+             |ch AS (SELECT *, lag(event_type) OVER w AS prev FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+             |cg AS (SELECT user_id, event_id, event_type, ms FROM ch
+             |  WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS state, ms AS valid_from_ms,
+             |  lead(ms) OVER w AS valid_to_ms,
+             |  lead(ms) OVER w IS NULL AS is_current
+             |FROM cg WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+             |ORDER BY user_id, valid_from_ms""".stripMargin)),
+
+    // PageRank over the event-type transition graph: per-user lag
+    // windows derive (src → dst) transition edges from the stream, and
+    // five unrolled power iterations run in integer PPM arithmetic
+    // (rank' = 150000/n + 0.85·Σ rank_u·w/out_u, every division a
+    // floor div) so both engines agree bit-for-bit — the float-free
+    // discipline the sampling gates use, applied to an iterative graph
+    // algorithm. Scale shape: the corpus-scale work is ONE user-keyed
+    // window + one (src, dst) aggregate; the iterations run over the
+    // value-domain-scale edge list (|event types|² max), broadcast
+    // joins only. At 100 TB with a billion-node graph the same loop
+    // holds with the edge list disk-backed and each iteration one
+    // shuffle — lineage is truncated per round the way
+    // dedup_clusters' connected-components loop does.
+    QuerySpec("pagerank_event_graph",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val edges = TrackedCache.persist(Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("dst"), unix_millis(col("ts")).as("ms"))
+          .withColumn("src", lag(col("dst"), 1).over(byUser))
+          .filter(col("src").isNotNull)
+          .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+        val outW = edges.groupBy(col("src"))
+          .agg(sum(col("w")).as("out_w"))
+        val nodes = TrackedCache.persist(
+          edges.select(col("src").as("event_type"))
+            .union(edges.select(col("dst")))
+            .distinct())
+        val n = nodes.count()
+        val r0 = nodes.withColumn("rank_ppm", lit(1000000L / n))
+        val rFinal = (1 to 5).foldLeft(r0) { (r, _) =>
+          val contrib = edges
+            .join(broadcast(r.withColumnRenamed("event_type", "src")), Seq("src"))
+            .join(broadcast(outW), Seq("src"))
+            .groupBy(col("dst"))
+            .agg(sum(expr("(rank_ppm * w) div out_w")).as("in_ppm"))
+          nodes.join(broadcast(contrib.withColumnRenamed("dst", "event_type")),
+              Seq("event_type"), "left")
+            .select(col("event_type"),
+              (lit(150000L / n) +
+                expr("850 * coalesce(in_ppm, 0L) div 1000")).as("rank_ppm"))
+        }
+        rFinal.orderBy(col("rank_ppm").desc, col("event_type"))
+      },
+      Some {
+        val iter = (k: Int) =>
+          s"""c$k AS (SELECT e.dst, sum((r.rank_ppm * e.w) // o.out_w) AS in_ppm
+             |  FROM edges e JOIN r${k - 1} r ON e.src = r.event_type
+             |  JOIN outw o ON e.src = o.src GROUP BY e.dst),
+             |r$k AS (SELECT n.event_type,
+             |    (150000 // nn.n) + 850 * coalesce(c.in_ppm, 0) // 1000 AS rank_ppm
+             |  FROM nodes n CROSS JOIN nn LEFT JOIN c$k c ON n.event_type = c.dst)""".stripMargin
+        s"""WITH ev AS (SELECT user_id, event_id, event_type AS dst,
+           |    epoch_ms(ts) AS ms FROM events),
+           |tr AS (SELECT dst, lag(dst) OVER (PARTITION BY user_id
+           |    ORDER BY ms, event_id) AS src FROM ev),
+           |edges AS (SELECT src, dst, count(*)::BIGINT AS w FROM tr
+           |  WHERE src IS NOT NULL GROUP BY 1, 2),
+           |outw AS (SELECT src, sum(w)::BIGINT AS out_w FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS event_type FROM edges
+           |  UNION SELECT DISTINCT dst FROM edges),
+           |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+           |r0 AS (SELECT event_type, 1000000 // nn.n AS rank_ppm
+           |  FROM nodes CROSS JOIN nn),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT event_type, rank_ppm::BIGINT AS rank_ppm FROM r5
+           |ORDER BY rank_ppm DESC, event_type""".stripMargin
+      }))
 }

@@ -489,4 +489,46 @@ class PlanShapeSpec extends SparkSuite {
       s"sample self-join must be broadcast, not a corpus cartesian:\n$s")
     assert(!s.contains("WindowExec"), s"no window:\n$s")
   }
+
+  test("scd2_user_state windows are user-partitioned, never global") {
+    val p = plan("scd2_user_state")
+    val s = p.toString
+    assert(s.contains("windowspecdefinition(user_id"),
+      s"change/interval windows must partition by user:\n$s")
+    // both windows share the (user_id → (ms, event_id)) partitioning,
+    // so Catalyst reuses one exchange; +1 for the presentation sort
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
+  test("pagerank_event_graph: corpus work is one user window + one edge agg; iterations broadcast") {
+    val p = plan("pagerank_event_graph")
+    val s = p.toString
+    assert(s.contains("windowspecdefinition(user_id"),
+      s"transition lag must partition by user:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"iteration joins run over the value-domain edge list — broadcast only:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
+
+  test("kmv sketches rank per source — no corpus-global window, no sort-merge join") {
+    for (q <- Seq("kmv_distinct_by_source", "kmv_source_jaccard")) {
+      val s = plan(q).toString
+      assert(s.contains("windowspecdefinition(source"),
+        s"$q: the min-k rank must partition by source:\n$s")
+      assert(!s.contains("windowspecdefinition(h#"),
+        s"$q: no global hash-ordered window:\n$s")
+    }
+  }
+
+  test("unimax_allocation touches the corpus once — the per-language aggregate") {
+    val p = plan("unimax_allocation")
+    // everything past the (lang) aggregate is the |languages|-row
+    // frame; the waterfill windows/joins may not add corpus exchanges
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 4,
+      s"want: lang agg + metadata window/sort only, got ${shuffles.size}:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"boundary share must broadcast:\n$p")
+  }
 }
