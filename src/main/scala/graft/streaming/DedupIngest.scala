@@ -81,7 +81,7 @@ object DedupIngest {
   private def fpDirPath(outDir: String, topic: String) =
     new Path(s"$outDir/$topic/_fp")
 
-  private def hfs(spark: SparkSession, outDir: String): FileSystem =
+  private[streaming] def hfs(spark: SparkSession, outDir: String): FileSystem =
     FileSystem.get(new Path(outDir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
@@ -89,7 +89,7 @@ object DedupIngest {
     StructType(Seq(StructField("fp", org.apache.spark.sql.types.BinaryType)))
   private val FpName = "v(\\d+)\\.parquet".r
 
-  private def fpFiles(f: FileSystem, dir: Path): Seq[(Long, Path)] =
+  private[streaming] def fpFiles(f: FileSystem, dir: Path): Seq[(Long, Path)] =
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
       case FpName(v) => Some((v.toLong, s.getPath))
@@ -132,7 +132,7 @@ object DedupIngest {
     * directory (idempotent — a replayed batch that reproduces the
     * version skips the write; a stale temp dir from a crash
     * mid-install is reclaimed either way). */
-  private def installVersionFile(f: FileSystem, dir: Path,
+  private[streaming] def installVersionFile(f: FileSystem, dir: Path,
                                  version: Long, shaped: DataFrame): Unit = {
     val dest = new Path(dir, s"v$version.parquet")
     val tmp = new Path(dir, s".tmp-v$version")
@@ -161,7 +161,7 @@ object DedupIngest {
     * rebuilt index — hence a plain content read, NOT
     * BatchWriter.loadCommitted (which reconstructs `part` from
     * `partition=` dirs and throws on encoded layouts). */
-  private def fingerprintsOf(spark: SparkSession, outDir: String,
+  private[streaming] def fingerprintsOf(spark: SparkSession, outDir: String,
                              topic: String, format: String,
                              rels: Seq[String]): DataFrame = {
     val paths = rels.map(rel => s"$outDir/$topic/$rel")
@@ -205,7 +205,7 @@ object DedupIngest {
     * committed files; a format-era mismatch on the on-disk schema
     * wipes the plane (silently admitting every duplicate is the
     * failure mode a wipe+rebuild avoids). */
-  private def reconcileIndex(spark: SparkSession, outDir: String,
+  private[streaming] def reconcileIndex(spark: SparkSession, outDir: String,
                              topic: String, dir: Path, schema: StructType,
                              rebuild: Seq[String] => DataFrame): Seq[Long] = {
     val latest = CommitLog.latestVersion(spark, outDir, topic)
