@@ -21,6 +21,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
+    // optional arg: comma-separated query-name subset (local plan
+    // triage — the driver always runs the full headline set)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     // untimed warmup: touch every input table + exercise codegen/shuffle
     // once so the first timed query doesn't absorb session start-up.
     // (A fuller warmup — running every headline query at sf0.001 first —
@@ -37,7 +41,8 @@ object Bench {
     // of two runs is a far lower-variance estimate of the plan's cost
     // than any single sample. Cache is cleared between runs, so run 2
     // re-executes the full plan — this measures the plan, not the cache.
-    val results = SparkEntry.benchQueries.map { name =>
+    val results = SparkEntry.benchQueries
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val sec =
@@ -50,9 +55,13 @@ object Bench {
               -1.0
           }
         // outside the timer: drop intermediates the query persist()ed so
-        // they can't pressure later queries' memory (or run 2's timing)
+        // they can't pressure later queries' memory (or run 2's timing),
+        // and collect — without it, heap pressure from earlier heavy
+        // queries bleeds into later timings (measured: a 2 s query
+        // reading 8.6 s mid-session, back to 2 s in isolation)
         graft.queries.TrackedCache.releaseAll()
         spark.catalog.clearCache()
+        System.gc()
         sec
       }
       val ok = runs.filter(_ >= 0)

@@ -1490,6 +1490,74 @@ object PipelineQueries {
     //      moderate-ratio member of that family, with candidates
     //      verified by the exact set ratio. The smaller (contained)
     //      side is reported as inner_id, ties to the lower id. ----
+    // ---- ORDER-INSENSITIVE dedup: group documents by the fingerprint
+    //      of their SORTED token list — catches templated/reordered
+    //      content (navigation boilerplate, shuffled listings, field
+    //      reorderings) that exact dedup misses because the bytes
+    //      differ and near-dup may miss because few shingles survive a
+    //      reorder. Reported per source as distinct-exact vs
+    //      distinct-bag fingerprint counts: their gap is exactly the
+    //      number of docs identical up to reordering but not bytes
+    //      (0 on this synthetic corpus — the report proves the
+    //      absence). Scale shape: one row-local sort+hash projection
+    //      per doc (token arrays are row-bounded), then a source-keyed
+    //      aggregate — identical cost profile to dedup_exact. ----
+    QuerySpec("dedup_bag_reordered",
+      (s, d) => Tables.documents(s, d)
+        .select(col("source"),
+          md5(concat_ws(" ", TF.tokens(col("text")))).as("fp_exact"),
+          md5(concat_ws(" ", array_sort(TF.tokens(col("text")))))
+            .as("fp_bag"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp_exact")).as("n_distinct_exact"),
+          countDistinct(col("fp_bag")).as("n_distinct_bag"))
+        .select(col("source"), col("n_docs"), col("n_distinct_exact"),
+          col("n_distinct_bag"),
+          (col("n_distinct_exact") - col("n_distinct_bag"))
+            .as("reorder_collisions"))
+        .orderBy(col("source")),
+      Some(s"""WITH tok AS (SELECT source, ${toksSql("text")} AS toks
+              |  FROM documents),
+              |fp AS (SELECT source,
+              |    md5(array_to_string(toks, ' ')) AS fp_exact,
+              |    md5(array_to_string(list_sort(toks), ' ')) AS fp_bag
+              |  FROM tok)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  count(DISTINCT fp_exact)::BIGINT AS n_distinct_exact,
+              |  count(DISTINCT fp_bag)::BIGINT AS n_distinct_bag,
+              |  (count(DISTINCT fp_exact) - count(DISTINCT fp_bag))::BIGINT
+              |    AS reorder_collisions
+              |FROM fp GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- Term burstiness (Church–Gale): occurrences per CONTAINING
+    //      document, tf/df — the signal separating topical terms
+    //      (bursty: absent from most docs, repeated where present)
+    //      from function words (spread thin everywhere); used to
+    //      pick repetition-filter stoplists and tf-idf damping. One
+    //      (token, doc) pre-aggregate feeding a vocabulary-scale
+    //      (token) aggregate, top-k via TakeOrdered — integer ppm, no
+    //      corpus sort. ----
+    QuerySpec("term_burstiness",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("token"))
+        .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+        .select(col("token"), col("tf"), col("df"),
+          expr("(tf * 1000000) div df").as("burst_ppm"))
+        .orderBy(col("burst_ppm").desc, col("token").asc)
+        .limit(20),
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks
+              |  FROM documents),
+              |t AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+              |td AS (SELECT token, doc_id, count(*)::BIGINT AS c FROM t
+              |  GROUP BY 1, 2),
+              |ag AS (SELECT token, sum(c)::BIGINT AS tf,
+              |    count(*)::BIGINT AS df FROM td GROUP BY token)
+              |SELECT token, tf, df, (tf * 1000000) // df AS burst_ppm
+              |FROM ag ORDER BY burst_ppm DESC, token ASC LIMIT 20""".stripMargin)),
+
     QuerySpec("dedup_containment_pairs",
       (s, d) => {
         val (sh0, bands0) = minhashShingleBands(s, d)
@@ -3145,7 +3213,8 @@ object PipelineQueries {
            |SELECT src_a, src_b, k_used, n_shared,
            |  (n_shared * 1000000) // k_used AS jaccard_ppm
            |FROM ag ORDER BY src_a, src_b""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- DSIR weight table: the trained importance model itself —
     //      per-bucket target/raw counts and the quantized log-ratio.

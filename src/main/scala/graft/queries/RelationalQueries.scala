@@ -603,5 +603,6 @@ object RelationalQueries {
            |${(1 to 5).map(iter).mkString(",\n")}
            |SELECT event_type, rank_ppm::BIGINT AS rank_ppm FROM r5
            |ORDER BY rank_ppm DESC, event_type""".stripMargin
-      }))
+      },
+      bench = true))
 }

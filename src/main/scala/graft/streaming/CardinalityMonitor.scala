@@ -108,17 +108,36 @@ object CardinalityMonitor {
         .select(h60OfFp(col("fp")).as("h"))
         .distinct().orderBy(col("h")).limit(k))
 
-  /** Merged sketch: global k smallest distinct hashes across every
-    * version contribution — ≤ k·versions rows in, ≤ k out. */
-  def sketch(spark: SparkSession, outDir: String, topic: String,
-             k: Int = K): Seq[Long] = {
+  /** The merged-sketch frame: global k smallest distinct hashes
+    * across every version contribution — ≤ k·versions rows in, ≤ k
+    * out. Empty frame when nothing is committed. */
+  private def sketchFrame(spark: SparkSession, outDir: String,
+                          topic: String, k: Int): DataFrame = {
     val files = DedupIngest.fpFiles(DedupIngest.hfs(spark, outDir),
       kmvDirPath(outDir, topic)).map(_._2.toString)
-    if (files.isEmpty) Seq.empty
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], KmvSchema)
     else spark.read.schema(KmvSchema).parquet(files: _*)
       .distinct().orderBy(col("h")).limit(k)
-      .collect().map(_.getLong(0)).toSeq
   }
+
+  /** Merged sketch as driver values. */
+  def sketch(spark: SparkSession, outDir: String, topic: String,
+             k: Int = K): Seq[Long] =
+    sketchFrame(spark, outDir, topic, k)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** Fold the per-version contribution files into ONE ≤k-row file at
+    * the plane's watermark so [[estimate]] stays O(k) regardless of
+    * stream age — the min-k of a union IS the union's sketch, so the
+    * merged file covers every version ≤ watermark exactly as the
+    * contract requires. Same crash-ordered install as the dedup
+    * planes' compaction. Returns the resulting file count. */
+  def compact(spark: SparkSession, outDir: String, topic: String,
+              k: Int = K): Long =
+    DedupIngest.compactIndex(spark, outDir, kmvDirPath(outDir, topic),
+      sketchFrame(spark, outDir, topic, k))
 
   /** Distinct-committed-content estimate from the sketch alone:
     * exact below k, (k−1)·2⁶⁰/h_k at or above (BigInt — the product

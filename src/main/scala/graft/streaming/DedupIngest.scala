@@ -262,7 +262,7 @@ object DedupIngest {
       fingerprintIndex(spark, outDir, topic))
 
   /** The ONE index-merge skeleton both planes run. */
-  private def compactIndex(spark: SparkSession, outDir: String,
+  private[streaming] def compactIndex(spark: SparkSession, outDir: String,
                            dir: Path, frame: => DataFrame): Long = {
     val f = hfs(spark, outDir)
     val files = fpFiles(f, dir)

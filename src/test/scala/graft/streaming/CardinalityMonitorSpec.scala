@@ -100,6 +100,33 @@ class CardinalityMonitorSpec extends SparkSuite {
     assert(CardinalityMonitor.estimate(spark, out, "t") === 3L)
   }
 
+  test("compaction folds the plane to one file with the estimate unchanged, and the stream continues over it") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-kmv-compact").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt7").toString
+    val (s, q) = startOn(out, ckpt)
+    s.addData((0L, 0L, "a"), (0L, 1L, "b"))
+    q.processAllAvailable()
+    s.addData((0L, 2L, "c"))
+    q.processAllAvailable()
+    s.addData((0L, 3L, "d"))
+    q.processAllAvailable()
+    q.stop()
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(s"$out/t/_kmv")).length === 3)
+    assert(CardinalityMonitor.compact(spark, out, "t") === 1L)
+    assert(fs.listStatus(new Path(s"$out/t/_kmv")).length === 1)
+    assert(CardinalityMonitor.estimate(spark, out, "t") === 4L)
+    // the merged file sits at the watermark, so a restarted stream
+    // reconciles nothing and keeps installing above it
+    val ckpt2 = Files.createTempDirectory("graft-kmv-ckpt8").toString
+    val (s2, q2) = startOn(out, ckpt2)
+    s2.addData((0L, 4L, "e"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(CardinalityMonitor.estimate(spark, out, "t") === 5L)
+  }
+
   test("non-round-tripping formats are rejected up front") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
