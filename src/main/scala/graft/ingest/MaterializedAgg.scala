@@ -1,0 +1,155 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained keyed aggregates over a logged topic — the
+  * materialized-view side of the transactional commit plane. A view is
+  * `SELECT keys, count(*) AS n, sum(c) AS sum_c... GROUP BY keys` over
+  * everything the source topic has ever committed, kept current by
+  * folding in ONLY the files appended since the last refresh (the
+  * change feed `readAddedSince` exposes), never by re-aggregating the
+  * corpus.
+  *
+  * Consistency rests on two existing protocol facts and one naming
+  * rule:
+  *
+  *   1. **Append/swap commit-kind invariant** — a source version with
+  *      removes is a compaction rewrite of already-live offsets, never
+  *      new data, so the delta scan (`removes.isEmpty` appends in
+  *      `(W, S]`) can neither miss rows nor double-count them.
+  *   2. **Atomic swap publish** — each refresh publishes the new state
+  *      files and retracts the old ones in ONE log version
+  *      (rename-CAS), so readers see exactly one complete state.
+  *   3. **Watermark in the file name** (the engine's
+  *      filename-as-metadata contract, as offsets are for data files):
+  *      state files are `agg-<S>-<i>.parquet` where S is the source
+  *      version the state covers. State and watermark are therefore
+  *      one atomic unit — there is no sidecar to crash between. A
+  *      refresh that dies before its publish leaves only unreferenced
+  *      staging (rebuilt deterministically and adopted on retry); one
+  *      that dies after is simply complete.
+  *
+  * Scale shape: the per-refresh cost is (new files' rows → keyed
+  * aggregate) + (view rows → keyed merge) — the corpus is never
+  * rescanned, and the merge is a union of two partial-aggregate
+  * tables, map-side combined. Aggregates must be associative and
+  * order-independent: counts and sums of integral/decimal columns
+  * qualify; float sums would drift per merge order (cast to DECIMAL
+  * first, the relational queries' discipline).
+  *
+  * Retention caveat (shared with the change feed): refresh within the
+  * vacuum grace window of any source compaction overlapping the
+  * backlog, or the original append files may be gone.
+  */
+object MaterializedAgg {
+
+  private val ViewFile = "agg-(\\d+)-(\\d+)\\.parquet".r
+
+  /** Highest source version folded into the live view state, −1 when
+    * the view has never been refreshed. Derived from the live file
+    * names alone — the log snapshot IS the watermark store. */
+  def watermark(spark: SparkSession, outDir: String, viewTopic: String): Long =
+    CommitLog.snapshot(spark, outDir, viewTopic).flatMap {
+      case ViewFile(s, _) => Some(s.toLong)
+      case _ => None
+    }.maxOption.getOrElse(-1L)
+
+  /** The current view state (keys + `n` + `sum_<c>` columns). */
+  def read(spark: SparkSession, outDir: String, viewTopic: String): DataFrame = {
+    val rels = CommitLog.snapshot(spark, outDir, viewTopic)
+    require(rels.nonEmpty, s"view $viewTopic has never been refreshed")
+    spark.read.parquet(rels.map(r => s"$outDir/$viewTopic/$r"): _*)
+  }
+
+  /** Fold source appends in `(watermark, latest]` into the view and
+    * publish the refreshed state as one atomic swap. Returns the new
+    * watermark (the current one when there is nothing to apply).
+    * Re-running after a crash at any point converges — see the
+    * object doc. */
+  def refresh(spark: SparkSession, outDir: String, sourceTopic: String,
+              viewTopic: String, keys: Seq[String], sums: Seq[String],
+              format: String = "parquet", numFiles: Int = 1): Long = {
+    require(keys.nonEmpty, "at least one grouping key")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
+    val w = watermark(spark, outDir, viewTopic)
+    if (s1 <= w) return w
+    // appends only, pinned to (w, s1] — a publish racing this refresh
+    // lands above s1 and is the NEXT refresh's delta
+    val freshRels = ((w + 1) to s1).flatMap { v =>
+      val (adds, removes) = CommitLog.changesAt(spark, outDir, sourceTopic, v)
+      if (removes.isEmpty) adds else Seq.empty
+    }.distinct
+    if (freshRels.isEmpty) return w // only swaps in the window
+    val delta = aggregate(
+      CommitLog.readFiles(spark, outDir, sourceTopic, freshRels, format),
+      keys, sums)
+    // float sums would make the merged state depend on refresh
+    // cadence — reject at the source, not in the drifted numbers
+    delta.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
+      .foreach(f => require(
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType],
+        s"sum over float column — cast to DECIMAL first (${f.name})"))
+    val prior = CommitLog.snapshot(spark, outDir, viewTopic)
+    val merged =
+      if (prior.isEmpty) delta
+      else merge(read(spark, outDir, viewTopic).unionByName(delta), keys, sums)
+
+    // stage under a hidden dir, then adopt the parts under their
+    // watermark names; a crashed predecessor's identically-named
+    // orphans are deterministic rebuilds of the same state — replaced,
+    // not trusted
+    val f = CommitLog.fs(spark, outDir)
+    val root = new Path(s"$outDir/$viewTopic")
+    val tmp = new Path(root, s".tmp-refresh-$s1")
+    merged.coalesce(numFiles).write.mode("overwrite").parquet(tmp.toString)
+    val parts = f.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val adds = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"agg-$s1-$i.parquet"
+      val dest = new Path(root, name)
+      if (f.exists(dest)) f.delete(dest, false)
+      if (!f.rename(p, dest))
+        throw new java.io.IOException(s"rename failed installing $name")
+      name
+    }.toSeq
+    CommitLog.publish(spark, outDir, viewTopic, adds, removes = prior)
+    f.delete(tmp, true)
+    s1
+  }
+
+  /** Physically delete view-state files a past swap retracted (the
+    * data-plane vacuum skips them — they are not offset-named). Same
+    * grace contract: retain what pinned readers still need. */
+  def vacuumView(spark: SparkSession, outDir: String, viewTopic: String,
+                 graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
+    val f = CommitLog.fs(spark, outDir)
+    val root = new Path(s"$outDir/$viewTopic")
+    if (!f.exists(root)) return Seq.empty
+    val live = CommitLog.snapshot(spark, outDir, viewTopic).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val doomed = f.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => ViewFile.pattern.matcher(p.getName).matches())
+      .filter(p => !live.contains(p.getName))
+      .filter(p => f.getFileStatus(p).getModificationTime <= cutoff)
+    doomed.foreach(p => f.delete(p, false))
+    doomed.map(_.getName)
+  }
+
+  /** Base aggregate: count + per-column sums. */
+  private def aggregate(df: DataFrame, keys: Seq[String],
+                        sums: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sums.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
+  /** Merge partial-aggregate tables: counts and sums re-sum. */
+  private def merge(df: DataFrame, keys: Seq[String],
+                    sums: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+}

@@ -1,0 +1,112 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Materialized-view maintenance over the commit log: refreshes fold
+  * in only the appended files, swaps publish atomically, compaction
+  * rewrites never double-count, crashes at any point converge, and
+  * the watermark rides the state file names. */
+class MaterializedAggSpec extends SparkSuite {
+
+  private def src(rows: (Long, Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("part", "off", "k", "v")
+  }
+
+  private def state(out: String) =
+    MaterializedAgg.read(spark, out, "view")
+      .select("k", "n", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("first refresh aggregates the snapshot; incremental refreshes fold only the delta") {
+    val out = Files.createTempDirectory("graft-mv").toString
+    CommitLog.writeLogged(src((0L, 0L, "a", 1L), (0L, 1L, "b", 10L)),
+      out, "t", flushSize = 10)
+    val w1 = MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(w1 === 0L)
+    assert(state(out) === Set(("a", 1L, 1L), ("b", 1L, 10L)))
+    // two more appends
+    CommitLog.writeLogged(src((0L, 2L, "a", 2L)), out, "t", flushSize = 10)
+    CommitLog.writeLogged(src((0L, 3L, "c", 100L), (0L, 4L, "a", 3L)),
+      out, "t", flushSize = 10)
+    val w2 = MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(w2 === 2L)
+    assert(state(out) ===
+      Set(("a", 3L, 6L), ("b", 1L, 10L), ("c", 1L, 100L)))
+    // no new data: refresh is a watermark-preserving no-op
+    assert(MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v")) === 2L)
+    assert(state(out) ===
+      Set(("a", 3L, 6L), ("b", 1L, 10L), ("c", 1L, 100L)))
+  }
+
+  test("a source compaction between refreshes is skipped — rewrites never double-count") {
+    val out = Files.createTempDirectory("graft-mv-compact").toString
+    CommitLog.writeLogged(src((0L, 0L, "a", 1L)), out, "t", flushSize = 10)
+    CommitLog.writeLogged(src((0L, 1L, "a", 2L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) === Set(("a", 2L, 3L)))
+    // compact the two tiny files into one (a swap version), plus one
+    // genuinely new append
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 100)
+    CommitLog.writeLogged(src((0L, 2L, "b", 10L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    // "a" counted once despite its rows now living in a rewrite file
+    assert(state(out) === Set(("a", 2L, 3L), ("b", 1L, 10L)))
+  }
+
+  test("a refresh that crashed between staging and publish converges on retry") {
+    val out = Files.createTempDirectory("graft-mv-crash").toString
+    CommitLog.writeLogged(src((0L, 0L, "a", 1L)), out, "t", flushSize = 10)
+    // forge the crash artifact: an installed-but-unpublished state
+    // file under the name the next refresh will want
+    val f = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(s"$out/view"))
+    import spark.implicits._
+    Seq(("stale", 99L, 99L)).toDF("k", "n", "sum_v")
+      .coalesce(1).write.parquet(s"$out/view/.forge")
+    val part = f.listStatus(new Path(s"$out/view/.forge"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    f.rename(part, new Path(s"$out/view/agg-0-0.parquet"))
+    // retry: must rebuild deterministically, not adopt the orphan
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) === Set(("a", 1L, 1L)))
+  }
+
+  test("swapped-out state files are reclaimed by the view vacuum, live ones kept") {
+    val out = Files.createTempDirectory("graft-mv-vac").toString
+    CommitLog.writeLogged(src((0L, 0L, "a", 1L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    CommitLog.writeLogged(src((0L, 1L, "b", 2L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    val gone = MaterializedAgg.vacuumView(spark, out, "view", graceMs = 0L)
+    assert(gone === Seq("agg-0-0.parquet"))
+    assert(state(out) === Set(("a", 1L, 1L), ("b", 1L, 2L)))
+    assert(MaterializedAgg.vacuumView(spark, out, "view", graceMs = 0L).isEmpty)
+  }
+
+  test("float sum columns are rejected up front") {
+    val out = Files.createTempDirectory("graft-mv-float").toString
+    import spark.implicits._
+    CommitLog.writeLogged(
+      Seq((0L, 0L, "a", 1.5)).toDF("part", "off", "k", "v"),
+      out, "t", flushSize = 10)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, out, "t", "view",
+        keys = Seq("k"), sums = Seq("v"))
+    }
+    assert(e.getMessage.contains("DECIMAL"))
+  }
+}
