@@ -497,6 +497,150 @@ object RelationalQueries {
              |WHERE day - cohort_day BETWEEN 0 AND 7
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // TPC-H Q3 shape — the classic 3-way star join + top-k: unshipped
+    // high-revenue orders for one market segment. The segment filter
+    // reduces customer to a key set consumed as a SEMI join; revenue
+    // goes through the exact-rational DECIMAL(18,4) discipline
+    // (2dp × 2dp product); the top-10 plans as TakeOrdered, never a
+    // global sort.
+    QuerySpec("q3_shipping_priority",
+      (s, d) => {
+        val cutoff = to_timestamp(lit("1998-03-15 00:00:00"))
+        val cust = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("o_custkey"))
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") < cutoff)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > cutoff)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        // customer is fact-scale at 100 TB (no broadcast hint — AQE
+        // may still elect one at small SFs); the semi shape keeps the
+        // segment filter from widening the join output
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, Seq("o_custkey"), "left_semi")
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      bench = true),
+
+    // TPC-H Q5 shape — the 6-way snowflake join: revenue by nation for
+    // one region and one order year, with the local-supplier condition
+    // (customer and supplier in the SAME nation) expressed as an
+    // equi-join key, not a filter after a wider join. Dimension chain
+    // region→nation broadcasts; fact-side joins stay keyed.
+    QuerySpec("q5_local_supplier_revenue",
+      (s, d) => {
+        val asiaNations = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val supp = Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+        // customer is fact-scale (keyed join, AQE decides); supplier
+        // and the nation⨝region chain are dimension-scale broadcasts
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |    AND c_nationkey = s_nationkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      bench = true),
+
+    // RFM segmentation: the standard customer-value grid over the
+    // purchase stream — recency (days since last purchase, vs the
+    // corpus's latest day), frequency, monetary — bucketed by FIXED
+    // thresholds (a global-quantile ntile would window the full user
+    // set; fixed grids are what production scorecards pin anyway so
+    // segments stay comparable across runs). Monetary is exact:
+    // floor(value·100) cents per row (IEEE-identical in both
+    // engines), then integer sums. One user-keyed aggregate + a
+    // broadcast 1-row max-day; the segment rollup is grid-scale.
+    QuerySpec("rfm_segments",
+      (s, d) => {
+        val purch = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 86400000").as("day"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val maxDay = broadcast(purch.agg(max(col("day")).as("max_day")))
+        val perUser = purch.groupBy(col("user_id"))
+          .agg(max(col("day")).as("last_day"),
+            count(lit(1)).as("f"), sum(col("cents")).as("m"))
+          .crossJoin(maxDay)
+          .select((col("max_day") - col("last_day")).as("recency"),
+            col("f"), col("m"))
+        val rb = when(col("recency") <= 7, 1).when(col("recency") <= 30, 2)
+          .when(col("recency") <= 90, 3).otherwise(4)
+        val fb = when(col("f") <= 1, 1).when(col("f") <= 3, 2)
+          .when(col("f") <= 10, 3).otherwise(4)
+        val mb = when(col("m") < 1000L, 1).when(col("m") < 10000L, 2)
+          .when(col("m") < 100000L, 3).otherwise(4)
+        perUser.select(rb.as("r_bucket"), fb.as("f_bucket"), mb.as("m_bucket"))
+          .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      },
+      Some("""WITH p AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |mx AS (SELECT max(day) AS max_day FROM p),
+             |u AS (SELECT max_day - max(day) AS recency,
+             |    count(*)::BIGINT AS f, sum(cents)::BIGINT AS m
+             |  FROM p CROSS JOIN mx GROUP BY user_id, max_day),
+             |b AS (SELECT
+             |    CASE WHEN recency <= 7 THEN 1 WHEN recency <= 30 THEN 2
+             |      WHEN recency <= 90 THEN 3 ELSE 4 END AS r_bucket,
+             |    CASE WHEN f <= 1 THEN 1 WHEN f <= 3 THEN 2
+             |      WHEN f <= 10 THEN 3 ELSE 4 END AS f_bucket,
+             |    CASE WHEN m < 1000 THEN 1 WHEN m < 10000 THEN 2
+             |      WHEN m < 100000 THEN 3 ELSE 4 END AS m_bucket
+             |  FROM u)
+             |SELECT r_bucket, f_bucket, m_bucket, count(*)::BIGINT AS n_users
+             |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // SCD2 dimension build: collapse each user's event stream into
     // type-2 validity intervals of their "current state" (the latest
     // event_type), the warehouse-standard history table a batch

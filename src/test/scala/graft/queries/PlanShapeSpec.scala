@@ -521,6 +521,38 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q3_shipping_priority: semi-joined segment filter, TakeOrdered top-10") {
+    val p = plan("q3_shipping_priority")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$s")
+    assert(s.contains("LeftSemi"),
+      s"the segment filter must be a semi join:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no unkeyed joins:\n$s")
+  }
+
+  test("q5_local_supplier_revenue: all six joins are keyed; dimensions broadcast") {
+    val p = plan("q5_local_supplier_revenue")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"supplier/nation chain must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no unkeyed joins:\n$s")
+  }
+
+  test("rfm_segments: user-keyed aggregate, no window, grid-scale rollup") {
+    val p = plan("rfm_segments")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // user aggregate + grid rollup + presentation sort (+1 slack for
+    // the 1-row max-day aggregate's exchange)
+    assert(shuffles.size <= 4, s"got ${shuffles.size} exchanges:\n$p")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
