@@ -121,6 +121,23 @@ object MaterializedAgg {
     s1
   }
 
+  /** One registered view's definition, for the streaming composition. */
+  final case class ViewDef(viewTopic: String, keys: Seq[String],
+                           sums: Seq[String], numFiles: Int = 1)
+
+  /** Refresh every registered view against the source topic — the
+    * per-micro-batch hook the streaming committer calls after its
+    * publish. Each view advances independently off the log, so a view
+    * added later simply catches up on its first refresh, and a crash
+    * between the data publish and any refresh just leaves that view
+    * one version behind until the next batch (or a manual refresh)
+    * folds it forward — the watermark protocol makes the catch-up
+    * exact, never double-counted. */
+  def refreshAll(spark: SparkSession, outDir: String, sourceTopic: String,
+                 views: Seq[ViewDef], format: String = "parquet"): Unit =
+    views.foreach(v => refresh(spark, outDir, sourceTopic, v.viewTopic,
+      v.keys, v.sums, format, v.numFiles))
+
   /** Physically delete view-state files a past swap retracted (the
     * data-plane vacuum skips them — they are not offset-named). Same
     * grace contract: retain what pinned readers still need. */

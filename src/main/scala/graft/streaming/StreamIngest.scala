@@ -137,6 +137,32 @@ object StreamIngest {
           manifest.map(c => relPath(outDir, topic, c.path))))
   }
 
+  /** [[startLogged]] plus always-fresh materialized views: after each
+    * micro-batch's publish, every registered [[MaterializedAgg.ViewDef]]
+    * folds the batch's appends forward off the log. Ordering is the
+    * consistency story — the data publish happens FIRST, so a crash
+    * mid-refresh leaves views merely stale (each catches up exactly,
+    * never double-counted, on the next batch via its filename
+    * watermark), and a view registered on a long-lived topic back-fills
+    * itself on its first refresh. */
+  def startLoggedWithViews(stream: DataFrame, outDir: String, topic: String,
+                           flushSize: Int, checkpoint: String,
+                           views: Seq[graft.ingest.MaterializedAgg.ViewDef],
+                           trigger: Option[Trigger] = None,
+                           format: String = "parquet",
+                           avroCodec: String = "null"): StreamingQuery = {
+    val spark = stream.sparkSession
+    commitLoop(stream, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, outDir, topic),
+      writeFn = writerFor(outDir, topic, flushSize, format, avroCodec),
+      afterWrite = manifest => {
+        CommitLog.publish(spark, outDir, topic,
+          manifest.map(c => relPath(outDir, topic, c.path)))
+        graft.ingest.MaterializedAgg.refreshAll(spark, outDir, topic,
+          views, format)
+      })
+  }
+
   /** Restart schema re-inference — the reference's recover-time
     * re-read of the current schema from the latest committed file
     * (`TopicPartitionWriter.java:334-350`, which reads each

@@ -97,6 +97,42 @@ class MaterializedAggSpec extends SparkSuite {
     assert(MaterializedAgg.vacuumView(spark, out, "view", graceMs = 0L).isEmpty)
   }
 
+  test("streaming: views stay fresh per micro-batch, and a stale view back-fills on the next one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-mv-stream").toString
+    val ckpt = Files.createTempDirectory("graft-mv-sckpt").toString
+    val s = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val q = graft.streaming.StreamIngest.startLoggedWithViews(
+      s.toDF().toDF("part", "off", "k", "v"), out, "t",
+      flushSize = 100, ckpt,
+      views = Seq(MaterializedAgg.ViewDef("view", Seq("k"), Seq("v"))))
+    s.addData((0L, 0L, "a", 1L), (0L, 1L, "b", 10L))
+    q.processAllAvailable()
+    assert(state(out) === Set(("a", 1L, 1L), ("b", 1L, 10L)))
+    s.addData((0L, 2L, "a", 2L))
+    q.processAllAvailable()
+    q.stop()
+    assert(state(out) === Set(("a", 2L, 3L), ("b", 1L, 10L)))
+    // simulate a refresh that never ran (crash after publish): append
+    // via the batch committer, then the restarted stream's next batch
+    // back-fills the missed version too
+    CommitLog.writeLogged(src((0L, 3L, "c", 100L)), out, "t", flushSize = 10)
+    val ckpt2 = Files.createTempDirectory("graft-mv-sckpt2").toString
+    val s2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val q2 = graft.streaming.StreamIngest.startLoggedWithViews(
+      s2.toDF().toDF("part", "off", "k", "v"), out, "t",
+      flushSize = 100, ckpt2,
+      views = Seq(MaterializedAgg.ViewDef("view", Seq("k"), Seq("v"))))
+    s2.addData((0L, 4L, "b", 20L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state(out) ===
+      Set(("a", 2L, 3L), ("b", 2L, 30L), ("c", 1L, 100L)))
+  }
+
   test("float sum columns are rejected up front") {
     val out = Files.createTempDirectory("graft-mv-float").toString
     import spark.implicits._
