@@ -3216,6 +3216,74 @@ object PipelineQueries {
       },
       bench = true),
 
+    // ---- Per-source DATA CARDS: the one-row-per-source summary a
+    //      mixture decision actually reads — volume (docs/tokens),
+    //      shape (mean tokens, languages), redundancy (distinct exact
+    //      fingerprints), and content diversity as the KMV
+    //      distinct-3-gram ESTIMATE (the corpus-scale-safe stat; the
+    //      global card keeps exact distincts as the oracle reference
+    //      point). Two corpus passes — the per-source aggregate and
+    //      the shingle-hash distinct — both source-keyed; everything
+    //      after is |sources|-row metadata. ----
+    QuerySpec("source_cards",
+      (s, d) => {
+        val k = 256
+        val base = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            md5(col("text")).as("fp"),
+            size(TF.tokens(col("text"))).cast("long").as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            countDistinct(col("fp")).as("n_distinct_docs"))
+        val rn = Window.partitionBy(col("source")).orderBy(col("h"))
+        val sk = Tables.documents(s, d)
+          .select(col("source"),
+            explode(TF.shingles(TF.tokens(col("text")), 3)).as("g"))
+          .select(col("source"),
+            TF.hash60(concat(lit("kmv:"), col("g"))).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(rn))
+          .filter(col("rn") <= k)
+          .groupBy(col("source"))
+          .agg(max(col("h")).as("h_k"), count(lit(1)).as("m"))
+          .select(col("source"),
+            when(col("m") < k, col("m"))
+              .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+                s"${1L << 60}) div h_k AS BIGINT)"))
+              .as("est_distinct_3grams"))
+        base.join(sk, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            expr("(n_tokens * 1000000) div n_docs").as("mean_tokens_ppm"),
+            col("n_langs"), col("n_distinct_docs"),
+            col("est_distinct_3grams"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val k = 256
+        s"""WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
+           |    sum(len(${toksSql("text")}))::BIGINT AS n_tokens,
+           |    count(DISTINCT lang)::BIGINT AS n_langs,
+           |    count(DISTINCT md5(text))::BIGINT AS n_distinct_docs
+           |  FROM documents GROUP BY source),
+           |tok AS (SELECT source, ${toksSql("text")} AS toks FROM documents),
+           |t AS (SELECT source, unnest(${shinglesSql(3)}) AS g FROM tok),
+           |h AS (SELECT DISTINCT source, ${h60("'kmv:' || g")} AS h FROM t),
+           |r AS (SELECT source, h, row_number() OVER
+           |    (PARTITION BY source ORDER BY h) AS rn FROM h),
+           |sk AS (SELECT source, max(h) AS h_k, count(*)::BIGINT AS m
+           |  FROM r WHERE rn <= $k GROUP BY source),
+           |est AS (SELECT source,
+           |    (CASE WHEN m < $k THEN m::HUGEINT
+           |      ELSE (${k - 1}::HUGEINT * ${1L << 60}) // h_k END)::BIGINT
+           |      AS est_distinct_3grams FROM sk)
+           |SELECT source, n_docs, n_tokens,
+           |  (n_tokens * 1000000) // n_docs AS mean_tokens_ppm,
+           |  n_langs, n_distinct_docs, est_distinct_3grams
+           |FROM base JOIN est USING (source) ORDER BY source""".stripMargin
+      }),
+
     // ---- DSIR weight table: the trained importance model itself —
     //      per-bucket target/raw counts and the quantized log-ratio.
     //      Two shuffles to the B-bucket histograms (map-side combined;

@@ -641,6 +641,72 @@ object RelationalQueries {
              |SELECT r_bucket, f_bucket, m_bucket, count(*)::BIGINT AS n_users
              |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // TPC-H Q18 shape — the "large-volume customer" pattern: aggregate
+    // the fact table, HAVING-filter the groups, then join the
+    // surviving keys back to the dimensions. The having-filter runs on
+    // the (orderkey) aggregate BEFORE any dimension join touches it,
+    // so the join input is the filtered group list, not the fact
+    // table; quantities go through exact DECIMAL sums; top-20 is a
+    // TakeOrdered.
+    QuerySpec("q18_large_orders",
+      (s, d) => {
+        val big = Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(dec(col("l_quantity"))).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("total_qty").cast("double").as("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+             |  FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+             |SELECT o_orderkey, o_custkey, o_orderdate,
+             |  CAST(total_qty AS DOUBLE) AS total_qty
+             |FROM big JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
+
+    // Correlated-aggregate shape: customers spending above 2× the
+    // per-customer average, decided by CROSS-MULTIPLICATION
+    // (spend·n_cust > 2·total) so no division ever runs — the exact
+    // integer-rational gate discipline on a relational HAVING-vs-
+    // global-scalar query. Money is floor-cents int64 per row
+    // (IEEE-identical), widened through DECIMAL(38,0)/HUGEINT for the
+    // products; the global scalar is a broadcast 1-row aggregate, not
+    // a window.
+    QuerySpec("above_avg_spend_customers",
+      (s, d) => {
+        val spend = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("cents")).as("spend_cents"),
+            count(lit(1)).as("n_orders"))
+        val tot = broadcast(spend.agg(
+          sum(col("spend_cents")).as("total_cents"),
+          count(lit(1)).as("n_cust")))
+        spend.crossJoin(tot)
+          .filter(expr("CAST(spend_cents AS DECIMAL(38,0)) * n_cust > " +
+            "CAST(2 AS DECIMAL(38,0)) * total_cents"))
+          .select(col("o_custkey").as("custkey"), col("spend_cents"),
+            col("n_orders"))
+          .orderBy(col("spend_cents").desc, col("custkey"))
+      },
+      Some("""WITH sp AS (SELECT o_custkey,
+             |    sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
+             |      AS spend_cents,
+             |    count(*)::BIGINT AS n_orders
+             |  FROM orders GROUP BY o_custkey),
+             |t AS (SELECT sum(spend_cents)::BIGINT AS total_cents,
+             |    count(*)::BIGINT AS n_cust FROM sp)
+             |SELECT o_custkey AS custkey, spend_cents, n_orders
+             |FROM sp CROSS JOIN t
+             |WHERE spend_cents::HUGEINT * n_cust > 2::HUGEINT * total_cents
+             |ORDER BY spend_cents DESC, custkey""".stripMargin)),
+
     // SCD2 dimension build: collapse each user's event stream into
     // type-2 validity intervals of their "current state" (the latest
     // event_type), the warehouse-standard history table a batch

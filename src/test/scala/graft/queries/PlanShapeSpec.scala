@@ -553,6 +553,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles.size <= 4, s"got ${shuffles.size} exchanges:\n$p")
   }
 
+  test("q18_large_orders: having-filtered aggregate feeds a keyed join, top-20 is TakeOrdered") {
+    val p = plan("q18_large_orders")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
+
+  test("above_avg_spend_customers: global scalar is a broadcast 1-row, never a window") {
+    val p = plan("above_avg_spend_customers")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+    // the 1-row totals legitimately attach via a broadcast nested loop
+    // (nothing to hash on); what must NOT appear is a cartesian
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+  }
+
+  test("source_cards: both corpus passes aggregate by source; the KMV rank window stays source-partitioned") {
+    val p = plan("source_cards")
+    val s = p.toString
+    assert(s.contains("windowspecdefinition(source"),
+      s"min-k rank must partition by source:\n$s")
+    assert(!s.contains("windowspecdefinition(h#"),
+      s"no global hash window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
