@@ -1183,6 +1183,44 @@ object PipelineQueries {
               |SELECT doc_id, cluster_id FROM clusters
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Cluster-purity audit: do near-dup clusters respect the
+    //      language labels? A cluster mixing languages usually means
+    //      the shingle space is too coarse (or boilerplate dominates)
+    //      — THE sanity report before trusting cluster-level survivor
+    //      selection or leakage-safe splits. One doc-keyed join of
+    //      the cluster assignment to its lang, a (cluster, lang)
+    //      aggregate, and a cluster-scale majority pick through the
+    //      max(struct) idiom — no window, no second corpus pass. ----
+    QuerySpec("dedup_cluster_purity",
+      (s, d) => {
+        val assign = dedupClustersFrame(s, d)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+        val byLang = assign.groupBy(col("cluster_id"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+        byLang.groupBy(col("cluster_id"))
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            max(struct(col("n"), col("lang"))).getField("n")
+              .as("n_majority"))
+          .filter(col("n_docs") > 1)
+          .select(col("cluster_id"), col("n_docs"), col("n_langs"),
+            expr("(n_majority * 1000000) div n_docs").as("purity_ppm"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE $dedupClustersSql,
+              |al AS (SELECT c.doc_id, c.cluster_id, d.lang
+              |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id),
+              |bl AS (SELECT cluster_id, lang, count(*)::BIGINT AS n
+              |  FROM al GROUP BY 1, 2),
+              |ag AS (SELECT cluster_id, sum(n)::BIGINT AS n_docs,
+              |    count(*)::BIGINT AS n_langs,
+              |    (max(struct_pack(n := n, lang := lang))).n AS n_majority
+              |  FROM bl GROUP BY cluster_id)
+              |SELECT cluster_id, n_docs, n_langs,
+              |  ((n_majority * 1000000) // n_docs)::BIGINT AS purity_ppm
+              |FROM ag WHERE n_docs > 1 ORDER BY cluster_id""".stripMargin)),
+
     // ---- Canonical-document selection: per duplicate cluster, keep
     //      the BEST doc (quality micro-units, ties to the lower id) —
     //      the rewrite step real pipelines run after clustering, where
@@ -2771,6 +2809,48 @@ object PipelineQueries {
               |SELECT DISTINCT doc_id FROM g
               |WHERE doc_id >= 25 AND g IN (SELECT g FROM ev)
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Per-EVAL-DOC contamination coverage — the report the
+    //      benchmark owner reads (the flag list above is what the
+    //      training side consumes): for each eval document, what
+    //      fraction of its 8-grams appear anywhere in the training
+    //      split, in ppm. High coverage = the benchmark is compromised
+    //      regardless of which training docs carry the grams. Shape:
+    //      the training grams DEDUP to a distinct gram set first (the
+    //      heavy side collapses before any join), the eval side is
+    //      tiny and drives a semi-join per gram, and the per-doc
+    //      fraction is one eval-scale aggregate. ----
+    QuerySpec("decontaminate_coverage",
+      (s, d) => {
+        val grams = TrackedCache.persist(
+          Tables.documents(s, d).select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 8)).as("g")))
+        val trainGrams = grams.filter(col("doc_id") >= 25)
+          .select(col("g")).distinct()
+        val evalGrams = grams.filter(col("doc_id") < 25)
+          .select(col("doc_id"), col("g")).distinct()
+        evalGrams
+          .join(trainGrams.withColumn("hit", lit(1L)), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_contaminated"))
+          .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+            expr("(n_contaminated * 1000000) div n_grams")
+              .as("coverage_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+              |sh AS (SELECT doc_id, ${shinglesSql(8)} AS sh FROM tok),
+              |g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+              |tr AS (SELECT DISTINCT g FROM g WHERE doc_id >= 25),
+              |ev AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id < 25),
+              |j AS (SELECT ev.doc_id, ev.g,
+              |    CASE WHEN tr.g IS NULL THEN 0 ELSE 1 END AS hit
+              |  FROM ev LEFT JOIN tr ON ev.g = tr.g)
+              |SELECT doc_id, count(*)::BIGINT AS n_grams,
+              |  sum(hit)::BIGINT AS n_contaminated,
+              |  (sum(hit) * 1000000 // count(*))::BIGINT AS coverage_ppm
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- NEAR-dup decontamination: the fuzzy twin of the exact
     //      8-gram overlap above — flag (train, eval) pairs whose

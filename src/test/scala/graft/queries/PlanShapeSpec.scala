@@ -579,6 +579,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
   }
 
+  test("decontaminate_coverage: gram joins stay keyed; no window, no all-pairs") {
+    val p = plan("decontaminate_coverage")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      s"gram membership must be an equi-join:\n$s")
+  }
+
+  test("dedup_cluster_purity: majority via max(struct), never a per-cluster window") {
+    val p = plan("dedup_cluster_purity")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
