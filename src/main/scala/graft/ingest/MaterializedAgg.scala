@@ -70,7 +70,8 @@ object MaterializedAgg {
     * object doc. */
   def refresh(spark: SparkSession, outDir: String, sourceTopic: String,
               viewTopic: String, keys: Seq[String], sums: Seq[String],
-              format: String = "parquet", numFiles: Int = 1): Long = {
+              format: String = "parquet", numFiles: Int = 1,
+              derive: Seq[(String, String)] = Seq.empty): Long = {
     require(keys.nonEmpty, "at least one grouping key")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
@@ -83,9 +84,14 @@ object MaterializedAgg {
       if (removes.isEmpty) adds else Seq.empty
     }.distinct
     if (freshRels.isEmpty) return w // only swaps in the window
-    val delta = aggregate(
-      CommitLog.readFiles(spark, outDir, sourceTopic, freshRels, format),
-      keys, sums)
+    // derived keys (event-time buckets and the like) project onto the
+    // delta BEFORE aggregation; they must be deterministic row-local
+    // expressions, or replayed catch-ups would bucket differently
+    val raw = derive.foldLeft(
+      CommitLog.readFiles(spark, outDir, sourceTopic, freshRels, format)) {
+      case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))
+    }
+    val delta = aggregate(raw, keys, sums)
     // float sums would make the merged state depend on refresh
     // cadence — reject at the source, not in the drifted numbers
     delta.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
@@ -121,9 +127,13 @@ object MaterializedAgg {
     s1
   }
 
-  /** One registered view's definition, for the streaming composition. */
+  /** One registered view's definition, for the streaming composition.
+    * `derive` adds row-local derived key columns (name → SQL
+    * expression, e.g. `"day" → "unix_millis(ts) div 86400000"`) so
+    * event-time-bucketed views need no physical bucket column. */
   final case class ViewDef(viewTopic: String, keys: Seq[String],
-                           sums: Seq[String], numFiles: Int = 1)
+                           sums: Seq[String], numFiles: Int = 1,
+                           derive: Seq[(String, String)] = Seq.empty)
 
   /** Refresh every registered view against the source topic — the
     * per-micro-batch hook the streaming committer calls after its
@@ -136,7 +146,7 @@ object MaterializedAgg {
   def refreshAll(spark: SparkSession, outDir: String, sourceTopic: String,
                  views: Seq[ViewDef], format: String = "parquet"): Unit =
     views.foreach(v => refresh(spark, outDir, sourceTopic, v.viewTopic,
-      v.keys, v.sums, format, v.numFiles))
+      v.keys, v.sums, format, v.numFiles, v.derive))
 
   /** Physically delete view-state files a past swap retracted (the
     * data-plane vacuum skips them — they are not offset-named). Same

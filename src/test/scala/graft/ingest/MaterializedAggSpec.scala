@@ -133,6 +133,29 @@ class MaterializedAggSpec extends SparkSuite {
       Set(("a", 2L, 3L), ("b", 2L, 30L), ("c", 1L, 100L)))
   }
 
+  test("derived keys: an event-time-bucketed view maintains per-day sums incrementally") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-mv-derive").toString
+    def ev(rows: (Long, Long, java.sql.Timestamp, Long)*) =
+      rows.toDF("part", "off", "ts", "v")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 09:00:00")
+    CommitLog.writeLogged(ev((0L, 0L, t0, 5L), (0L, 1L, t1, 7L)),
+      out, "t", flushSize = 10)
+    val day = Seq("day" -> "unix_millis(ts) div 86400000")
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("day"), sums = Seq("v"), derive = day)
+    CommitLog.writeLogged(ev((0L, 2L, t0, 1L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("day"), sums = Seq("v"), derive = day)
+    val got = MaterializedAgg.read(spark, out, "view")
+      .select("day", "n", "sum_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d0 = t0.getTime / 86400000L
+    val d1 = t1.getTime / 86400000L
+    assert(got === Set((d0, 2L, 6L), (d1, 1L, 7L)))
+  }
+
   test("float sum columns are rejected up front") {
     val out = Files.createTempDirectory("graft-mv-float").toString
     import spark.implicits._
