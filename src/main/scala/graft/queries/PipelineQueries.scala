@@ -2328,6 +2328,52 @@ object PipelineQueries {
              |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
 
+    // ---- FILTERED vector search — the metadata-constrained ANN every
+    //      retrieval stack needs (lang/license/date predicates on
+    //      neighbors): candidates join their document metadata BY KEY
+    //      and the predicate prunes BEFORE any similarity math or
+    //      ranking state, so the heap never holds a filtered-out
+    //      neighbor (post-filtering a fixed top-k would silently
+    //      return < k). Same bounded-heap exchange economy as
+    //      sim_topk_agg — the filter only shrinks it. ----
+    QuerySpec("sim_filtered_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val meta = Tables.documents(s, d)
+          .filter(col("lang") === "en")
+          .select(col("doc_id").as("vec_id"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        NativeExpressions.register(s)
+        emb.join(meta, Seq("vec_id"), "left_semi")
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(10)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("dot"), (col("pos") + 1).cast("int").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some("""WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+             |qv AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, v AS qv FROM qv WHERE vec_id IN (0, 1, 2)),
+             |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
+             |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+             |  FROM qv a CROSS JOIN q
+             |  WHERE a.vec_id <> q_id
+             |    AND a.vec_id IN (SELECT doc_id FROM en)),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots)
+             |SELECT q_id, neighbor_id, dot, rnk::INT AS rnk FROM r WHERE rnk <= 10
+             |ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- ANN scale path: random-hyperplane LSH bucket histogram.
     //      Sign bits come from the single-pass codegen'd signBitsQ —
     //      one element_at read per dimension, not one re-zip of the
