@@ -3711,6 +3711,58 @@ object PipelineQueries {
               |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
 
+    // ---- Filtered search through the TRAINED IVF — the scale path of
+    //      sim_filtered_topk: the metadata predicate semi-joins the
+    //      ASSIGNED corpus (8-byte keys) before the probe join, so the
+    //      index scan itself shrinks — probes rank against the full
+    //      centroid geometry (the index is shared across predicates;
+    //      per-predicate re-training would defeat it), candidates are
+    //      filtered-then-scored, and the bounded heap never holds an
+    //      excluded neighbor. ----
+    QuerySpec("sim_filtered_ivf_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val vecs = embVecs(s, d)
+        val cents = KMeans.fit(vecs, k = 8, iters = 2)
+        val en = Tables.documents(s, d).filter(col("lang") === "en")
+          .select(col("doc_id").as("id"))
+        val assigned = KMeans.assign(vecs, cents)
+          .select(col("id"), col("v"), col("cell"))
+          .join(en, Seq("id"), "left_semi")
+        val probes = KMeans.probeCells(
+            vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
+          .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("id") =!= col("q_id"))
+          .select(col("q_id"), col("id").as("neighbor_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(5)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $kmTrainSql,
+              |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+              |af AS (SELECT * FROM a3
+              |  WHERE id IN (SELECT doc_id FROM en)),
+              |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
+              |    ORDER BY d2 ASC, c_id ASC) AS rnk
+              |  FROM a3_d WHERE id IN (0, 1, 2)),
+              |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
+              |  FROM pr WHERE rnk <= 2),
+              |cand AS (SELECT q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+              |      p -> p[1] * p[2])) AS BIGINT) AS dot
+              |  FROM af a JOIN probes p ON a.cell = p.cell
+              |  WHERE a.id <> p.q_id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)
+              |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- Measure, don't guess: recall@5 of the trained IVF against
     //      exact brute force, per query. Both sides are deterministic
     //      integer rankings, so even the evaluation is oracle-checked —

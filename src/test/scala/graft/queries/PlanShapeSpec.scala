@@ -603,6 +603,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("WindowExec"), s"no window:\n$s")
   }
 
+  test("sim_filtered_ivf_topk: predicate semi-joins the assignment before the probe join; heap ranking") {
+    val p = plan("sim_filtered_ivf_topk")
+    val s = p.toString
+    assert(s.contains("LeftSemi"), s"metadata predicate must be a semi join:\n$s")
+    assert(s.contains("topk_pairs"), s"ranking must use the bounded heap:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
