@@ -707,6 +707,38 @@ object RelationalQueries {
              |WHERE spend_cents::HUGEINT * n_cust > 2::HUGEINT * total_cents
              |ORDER BY spend_cents DESC, custkey""".stripMargin)),
 
+    // Skew-mitigated join: the hot-key fact⨝dim join run through
+    // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
+    // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
+    // oracle is the plain join. This is the explicit tool for
+    // aggregate-into-join pipelines where AQE can't see the skew; the
+    // post-join aggregate collapses the salt before anything reads it.
+    QuerySpec("join_salted_hot_user",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val dims = Tables.events(s, d)
+          .filter(col("event_type") === "signup")
+          .groupBy(col("user_id"))
+          .agg(min(expr("unix_millis(ts) div 86400000")).as("signup_day"))
+        graft.operators.ScaleJoins
+          .saltedJoin(ev, dims, "user_id", saltFactor = 8)
+          .groupBy(col("user_id"), col("signup_day"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH dims AS (SELECT user_id,
+             |    min(epoch_ms(ts) // 86400000) AS signup_day
+             |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |ev AS (SELECT user_id,
+             |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+             |SELECT ev.user_id, signup_day, count(*)::BIGINT AS n_events,
+             |  sum(cents)::BIGINT AS sum_cents
+             |FROM ev JOIN dims ON ev.user_id = dims.user_id
+             |GROUP BY ev.user_id, signup_day
+             |ORDER BY ev.user_id""".stripMargin)),
+
     // SCD2 dimension build: collapse each user's event stream into
     // type-2 validity intervals of their "current state" (the latest
     // event_type), the warehouse-standard history table a batch
