@@ -74,6 +74,11 @@ object MaterializedAgg {
               derive: Seq[(String, String)] = Seq.empty): Long = {
     require(keys.nonEmpty, "at least one grouping key")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // the state schema owns "n" and "sum_<c>"; a key with those names
+    // would silently collide with the merge columns
+    (keys ++ derive.map(_._1)).foreach(k => require(
+      k != "n" && !k.startsWith("sum_"),
+      s"key '$k' collides with the view's reserved aggregate columns"))
     val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
     val w = watermark(spark, outDir, viewTopic)
     if (s1 <= w) return w

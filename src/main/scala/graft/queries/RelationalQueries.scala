@@ -707,6 +707,28 @@ object RelationalQueries {
              |WHERE spend_cents::HUGEINT * n_cust > 2::HUGEINT * total_cents
              |ORDER BY spend_cents DESC, custkey""".stripMargin)),
 
+    // TPC-H Q6 shape — the forecast-revenue scan: every predicate
+    // sits directly on lineitem columns, so the whole query is one
+    // parquet scan with ALL THREE filters pushed (the pin below
+    // checks PushedFilters) and a single-row DECIMAL(18,4) sum — at
+    // 100 TB this is the query where pushdown IS the plan.
+    QuerySpec("q6_forecast_revenue",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      bench = true),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the

@@ -611,6 +611,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
   }
 
+  test("q6_forecast_revenue pushes all three predicates into the parquet scan") {
+    // the executedPlan's toString TRUNCATES the PushedFilters list, so
+    // read the scan's metadata directly instead of string-matching
+    val scans = collectAll(plan("q6_forecast_revenue")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata("PushedFilters")
+    for (want <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity"))
+      assert(pushed.contains(want), s"missing $want in $pushed")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
