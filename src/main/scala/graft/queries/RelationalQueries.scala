@@ -729,6 +729,47 @@ object RelationalQueries {
              |  AND l_quantity < 24""".stripMargin),
       bench = true),
 
+    // TPC-H Q10 shape — the returned-item customer report: which
+    // customers returned the most revenue in a quarter. Fact side
+    // filters (return flag + order quarter) run scan-side; the
+    // customer/nation dimension chain joins AFTER the per-customer
+    // revenue aggregate, so dimension columns never ride the fact
+    // shuffle; top-20 is a TakeOrdered.
+    QuerySpec("q10_returned_revenue",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        rev.join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"),
+            col("c_acctbal"), col("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+             |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_returnflag = 'R'
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY o_custkey)
+             |SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+             |FROM rev JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the

@@ -625,6 +625,15 @@ class PlanShapeSpec extends SparkSuite {
       assert(pushed.contains(want), s"missing $want in $pushed")
   }
 
+  test("q10_returned_revenue: dimensions join after the aggregate; top-20 is TakeOrdered") {
+    val p = plan("q10_returned_revenue")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no unkeyed joins:\n$s")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
