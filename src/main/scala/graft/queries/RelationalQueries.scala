@@ -770,6 +770,48 @@ object RelationalQueries {
              |  JOIN nation ON c_nationkey = n_nationkey
              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
 
+    // TPC-H Q14 shape — the promo-revenue share: one month of
+    // lineitem joined to part (broadcast dimension), conditional
+    // revenue as a CASE inside the same DECIMAL(18,4) sum, and ONE
+    // final division of two exact decimals cast double — bit-identical
+    // in both engines because a single IEEE op on identical inputs is
+    // deterministic (the discipline: never SUM floats, dividing two
+    // exact sums once is fine).
+    QuerySpec("q14_promo_revenue_share",
+      (s, d) => {
+        val disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_type"))),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "ECONOMY", disc)
+              .otherwise(lit(0).cast(DecimalType(18, 4)))).as("economy_rev"),
+            sum(disc).as("total_rev"))
+          .select(
+            col("economy_rev").cast("double").as("economy_revenue"),
+            col("total_rev").cast("double").as("total_revenue"),
+            (col("economy_rev").cast("double") * 100.0 /
+              col("total_rev").cast("double")).as("economy_pct"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+             |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS economy_revenue,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+             |  CAST(sum(CASE WHEN p_type = 'ECONOMY'
+             |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) * 100.0 /
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS economy_pct
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the

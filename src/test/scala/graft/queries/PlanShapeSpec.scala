@@ -634,6 +634,13 @@ class PlanShapeSpec extends SparkSuite {
       s"no unkeyed joins:\n$s")
   }
 
+  test("q14_promo_revenue_share: part broadcasts; one aggregate, no window") {
+    val p = plan("q14_promo_revenue_share")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"part must broadcast:\n$s")
+    assert(!s.contains("WindowExec") && !s.contains("CartesianProduct"), s)
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
