@@ -812,6 +812,52 @@ object RelationalQueries {
              |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
 
+    // Burst detection over the event stream: hours where an event
+    // type's volume exceeds 2× its median hourly volume — the
+    // monitoring query behind every traffic-anomaly alert. The
+    // corpus collapses to the (type, hour) count frame first
+    // (value-domain scale), the exact median comes from the
+    // middle-row idiom, and the burst decision cross-multiplies
+    // (n·cnt > 2·sum) so no division decides anything; the reported
+    // median is one exact-integer division rendered double.
+    QuerySpec("events_burst_hours",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 3600000").as("hour"))
+          .groupBy(col("event_type"), col("hour"))
+          .agg(count(lit(1)).as("n"))
+        val byType = Window.partitionBy(col("event_type"))
+        val ranked = hourly
+          .withColumn("rn", row_number().over(byType.orderBy(col("n"))))
+          .withColumn("cnt", count(lit(1)).over(byType))
+        val med = ranked.filter(col("rn") === expr("(cnt + 1) div 2") ||
+            col("rn") === expr("(cnt + 2) div 2"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("msum"), count(lit(1)).as("mcnt"))
+        hourly.join(broadcast(med), Seq("event_type"))
+          .filter(col("n") * col("mcnt") > lit(2L) * col("msum"))
+          .select(col("event_type"), col("hour"), col("n").as("n_events"),
+            (col("msum").cast("double") / col("mcnt")).as("median_hourly"))
+          .orderBy(col("event_type"), col("hour"))
+      },
+      Some("""WITH hourly AS (SELECT event_type,
+             |    epoch_ms(ts) // 3600000 AS hour, count(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             |      ORDER BY n) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS cnt
+             |  FROM hourly),
+             |med AS (SELECT event_type, sum(n)::BIGINT AS msum,
+             |    count(*)::BIGINT AS mcnt
+             |  FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+             |  GROUP BY event_type)
+             |SELECT h.event_type, h.hour, h.n AS n_events,
+             |  CAST(msum AS DOUBLE) / mcnt AS median_hourly
+             |FROM hourly h JOIN med USING (event_type)
+             |WHERE h.n * mcnt > 2 * msum
+             |ORDER BY h.event_type, h.hour""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
