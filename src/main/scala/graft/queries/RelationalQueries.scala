@@ -858,6 +858,45 @@ object RelationalQueries {
              |WHERE h.n * mcnt > 2 * msum
              |ORDER BY h.event_type, h.hour""".stripMargin)),
 
+    // Mergeable sketch COLUMNS — the 100 TB pattern for rollup-able
+    // distinct counts: per-day DataSketches HLL sketches built once
+    // (`hll_sketch_agg`), then UNIONED to any coarser grain
+    // (`hll_union_agg`) without touching rows again — what
+    // approx_count_distinct can't do (its estimate isn't a value you
+    // can re-aggregate). Emitted per day plus the unioned total row
+    // (day = −1), each contract-checked ±5 % against the exact
+    // distinct (DataSketches estimates are insertion-order-
+    // independent, so the booleans are deterministic, the
+    // agg_approx_users discipline).
+    QuerySpec("distinct_users_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("user_id"))
+        val daily = ev.groupBy(col("day")).agg(
+          expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+        val dailyChecked = daily.select(col("day"), col("n_exact"),
+          (abs(expr("hll_sketch_estimate(sk)") - col("n_exact")) * 20
+            <= col("n_exact")).as("hll_ok"))
+        val total = daily
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+          .crossJoin(broadcast(ev.agg(
+            countDistinct(col("user_id")).as("n_exact"))))
+          .select(lit(-1L).as("day"), col("n_exact"),
+            (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+              .as("hll_ok"))
+        dailyChecked.unionByName(total).orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, user_id
+             |  FROM events),
+             |d AS (SELECT day, count(DISTINCT user_id)::BIGINT AS n_exact
+             |  FROM e GROUP BY day)
+             |SELECT day, n_exact, true AS hll_ok FROM d
+             |UNION ALL
+             |SELECT -1, count(DISTINCT user_id)::BIGINT, true FROM e
+             |ORDER BY day""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
