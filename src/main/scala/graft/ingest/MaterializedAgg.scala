@@ -71,13 +71,14 @@ object MaterializedAgg {
   def refresh(spark: SparkSession, outDir: String, sourceTopic: String,
               viewTopic: String, keys: Seq[String], sums: Seq[String],
               format: String = "parquet", numFiles: Int = 1,
-              derive: Seq[(String, String)] = Seq.empty): Long = {
+              derive: Seq[(String, String)] = Seq.empty,
+              distincts: Seq[String] = Seq.empty): Long = {
     require(keys.nonEmpty, "at least one grouping key")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     // the state schema owns "n" and "sum_<c>"; a key with those names
     // would silently collide with the merge columns
     (keys ++ derive.map(_._1)).foreach(k => require(
-      k != "n" && !k.startsWith("sum_"),
+      k != "n" && !k.startsWith("sum_") && !k.startsWith("hll_"),
       s"key '$k' collides with the view's reserved aggregate columns"))
     val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
     val w = watermark(spark, outDir, viewTopic)
@@ -96,7 +97,7 @@ object MaterializedAgg {
       CommitLog.readFiles(spark, outDir, sourceTopic, freshRels, format)) {
       case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))
     }
-    val delta = aggregate(raw, keys, sums)
+    val delta = aggregate(raw, keys, sums, distincts)
     // float sums would make the merged state depend on refresh
     // cadence — reject at the source, not in the drifted numbers
     delta.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
@@ -107,7 +108,8 @@ object MaterializedAgg {
     val prior = CommitLog.snapshot(spark, outDir, viewTopic)
     val merged =
       if (prior.isEmpty) delta
-      else merge(read(spark, outDir, viewTopic).unionByName(delta), keys, sums)
+      else merge(read(spark, outDir, viewTopic).unionByName(delta),
+        keys, sums, distincts)
 
     // stage under a hidden dir, then adopt the parts under their
     // watermark names; a crashed predecessor's identically-named
@@ -138,7 +140,8 @@ object MaterializedAgg {
     * event-time-bucketed views need no physical bucket column. */
   final case class ViewDef(viewTopic: String, keys: Seq[String],
                            sums: Seq[String], numFiles: Int = 1,
-                           derive: Seq[(String, String)] = Seq.empty)
+                           derive: Seq[(String, String)] = Seq.empty,
+                           distincts: Seq[String] = Seq.empty)
 
   /** Refresh every registered view against the source topic — the
     * per-micro-batch hook the streaming committer calls after its
@@ -151,7 +154,7 @@ object MaterializedAgg {
   def refreshAll(spark: SparkSession, outDir: String, sourceTopic: String,
                  views: Seq[ViewDef], format: String = "parquet"): Unit =
     views.foreach(v => refresh(spark, outDir, sourceTopic, v.viewTopic,
-      v.keys, v.sums, format, v.numFiles, v.derive))
+      v.keys, v.sums, format, v.numFiles, v.derive, v.distincts))
 
   /** Physically delete view-state files a past swap retracted (the
     * data-plane vacuum skips them — they are not offset-named). Same
@@ -171,17 +174,35 @@ object MaterializedAgg {
     doomed.map(_.getName)
   }
 
-  /** Base aggregate: count + per-column sums. */
-  private def aggregate(df: DataFrame, keys: Seq[String],
-                        sums: Seq[String]): DataFrame =
+  /** Base aggregate: count + per-column sums + per-column HLL
+    * sketches. Distinct counts ride as MERGEABLE DataSketches HLL
+    * binaries (`hll_<c>`), not estimates — an estimate can't be
+    * re-aggregated across refreshes, a sketch can, which is the whole
+    * reason an incremental view can offer distincts at all. */
+  private def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String],
+                        distincts: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"),
-        sums.map(c => sum(col(c)).as(s"sum_$c")): _*)
+        sums.map(c => sum(col(c)).as(s"sum_$c")) ++
+          distincts.map(c =>
+            expr(s"hll_sketch_agg($c)").as(s"hll_$c")): _*)
 
-  /** Merge partial-aggregate tables: counts and sums re-sum. */
-  private def merge(df: DataFrame, keys: Seq[String],
-                    sums: Seq[String]): DataFrame =
+  /** Merge partial-aggregate tables: counts and sums re-sum, sketches
+    * re-union. */
+  private def merge(df: DataFrame, keys: Seq[String], sums: Seq[String],
+                    distincts: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"),
-        sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+        sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+          distincts.map(c =>
+            expr(s"hll_union_agg(hll_$c)").as(s"hll_$c")): _*)
+
+  /** [[read]] with each sketch column rendered as its estimate
+    * (`n_distinct_<c>`) — the consumer-facing face of the view. */
+  def readEstimated(spark: SparkSession, outDir: String, viewTopic: String,
+                    distincts: Seq[String]): DataFrame =
+    distincts.foldLeft(read(spark, outDir, viewTopic)) { (df, c) =>
+      df.withColumn(s"n_distinct_$c",
+        expr(s"hll_sketch_estimate(hll_$c)")).drop(s"hll_$c")
+    }
 }

@@ -156,6 +156,27 @@ class MaterializedAggSpec extends SparkSuite {
     assert(got === Set((d0, 2L, 6L), (d1, 1L, 7L)))
   }
 
+  test("sketch columns: incrementally maintained distinct counts re-union, never re-scan") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-mv-hll").toString
+    def rows(rs: (Long, Long, String, Long)*) =
+      rs.toDF("part", "off", "k", "u")
+    CommitLog.writeLogged(rows((0L, 0L, "a", 1L), (0L, 1L, "a", 2L),
+      (0L, 2L, "b", 1L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq.empty, distincts = Seq("u"))
+    // second batch: one repeat user (must not inflate), one new
+    CommitLog.writeLogged(rows((0L, 3L, "a", 2L), (0L, 4L, "a", 3L)),
+      out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq.empty, distincts = Seq("u"))
+    val got = MaterializedAgg.readEstimated(spark, out, "view", Seq("u"))
+      .select("k", "n", "n_distinct_u")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // HLL is exact at these cardinalities: a has users {1,2,3}, b {1}
+    assert(got === Set(("a", 4L, 3L), ("b", 1L, 1L)))
+  }
+
   test("float sum columns are rejected up front") {
     val out = Files.createTempDirectory("graft-mv-float").toString
     import spark.implicits._
