@@ -897,6 +897,40 @@ object RelationalQueries {
              |SELECT -1, count(DISTINCT user_id)::BIGINT, true FROM e
              |ORDER BY day""".stripMargin)),
 
+    // TPC-H Q4 shape — the EXISTS-correlated count: orders (by
+    // priority) having at least one line shipped more than 90 days
+    // after the order date. The correlation plans as one LEFT SEMI
+    // join on the order key with the date comparison as the join
+    // condition — never a per-order subquery; day arithmetic in epoch
+    // millis so both engines compare identically.
+    QuerySpec("q4_late_shipments",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            // the TPC-H dates are TIMESTAMP_NTZ; the session is pinned
+            // UTC, so the cast is wall-clock-identity in both engines
+            unix_millis(col("o_orderdate").cast("timestamp")).as("oms"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            unix_millis(col("l_shipdate").cast("timestamp")).as("sms"))
+        ord.join(li,
+            col("o_orderkey") === col("l_orderkey") &&
+              col("sms") > col("oms") + lit(90L * 86400000L),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |    epoch_ms(o_orderdate) AS oms FROM orders),
+             |l AS (SELECT l_orderkey, epoch_ms(l_shipdate) AS sms
+             |  FROM lineitem)
+             |SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+             |FROM o WHERE EXISTS (SELECT 1 FROM l
+             |  WHERE l.l_orderkey = o.o_orderkey
+             |    AND l.sms > o.oms + 90::BIGINT * 86400000)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the

@@ -641,6 +641,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("WindowExec") && !s.contains("CartesianProduct"), s)
   }
 
+  test("q4_late_shipments: the EXISTS correlation is one semi join, never a per-order probe") {
+    val p = plan("q4_late_shipments")
+    val s = p.toString
+    assert(s.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no unkeyed joins:\n$s")
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
