@@ -1703,6 +1703,29 @@ object PipelineQueries {
       Some(s"$textStatsCoreSql\nORDER BY doc_id"),
       bench = true),
 
+    // ---- Language-ID EVALUATION: the marker-heuristic's confusion
+    //      matrix against the corpus's labeled lang column — the
+    //      accuracy audit run before trusting lang-ID for stratified
+    //      sampling or filtering (text_stats predicts; this grades).
+    //      One doc-keyed join of prediction to label, then a
+    //      |langs|²-bounded aggregate. ----
+    QuerySpec("langid_confusion",
+      (s, d) => {
+        val pred = textStatsFrame(s, d)
+          .select(col("doc_id"), col("lang").as("predicted"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang").as("labeled"))
+          .join(pred, Seq("doc_id"))
+          .groupBy(col("labeled"), col("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("labeled"), col("predicted"))
+      },
+      Some(s"""SELECT d.lang AS labeled, st.lang AS predicted,
+              |  count(*)::BIGINT AS n_docs
+              |FROM documents d JOIN ($textStatsCoreSql) st
+              |  ON d.doc_id = st.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- The canonical pretraining quality filter on top of the same
     //      tokenize-once stats: keep fluent-English, mid-length docs.
     //      Filters compose with the stats projection in one pass —
