@@ -931,6 +931,33 @@ object RelationalQueries {
              |    AND l.sms > o.oms + 90::BIGINT * 86400000)
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Explicit GROUPING SETS (the rollup/cube queries' general form):
+    // brand-only, type-only, and grand-total aggregates in ONE pass —
+    // Catalyst plans one Expand over the scan, not three scans.
+    // grouping_id() disambiguates the all-null rows exactly as in the
+    // rollup query; money through the DECIMAL discipline.
+    QuerySpec("grouping_sets_part_mix",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("part_v")
+        s.sql("""SELECT p_brand, p_type,
+                |  CAST(grouping_id(p_brand, p_type) AS BIGINT) AS gid,
+                |  count(*) AS n_parts,
+                |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                |    AS sum_retail
+                |FROM part_v
+                |GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+                |ORDER BY gid, p_brand, p_type""".stripMargin)
+      },
+      Some("""SELECT p_brand, p_type,
+             |  CAST(grouping(p_brand) * 2 + grouping(p_type) AS BIGINT)
+             |    AS gid,
+             |  count(*)::BIGINT AS n_parts,
+             |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_retail
+             |FROM part
+             |GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+             |ORDER BY gid, p_brand, p_type""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
