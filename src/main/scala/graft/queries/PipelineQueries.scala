@@ -1172,6 +1172,68 @@ object PipelineQueries {
            |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true),
 
+    // ---- Dedup THRESHOLD TUNING curve: how many pairs (and docs)
+    //      would each candidate Jaccard threshold catch — the report
+    //      that decides where to set the near-dup bar before running
+    //      the full pipeline. Candidates come from the SAME one-pass
+    //      banding; exact Jaccard is computed once as integer ppm and
+    //      swept against a 3-row threshold frame (the non-equi join is
+    //      against 3 literals — broadcast, trivially); div-by-zero
+    //      (two empty shingle sets) nulls out identically via
+    //      div/nullif in the two engines. ----
+    QuerySpec("dedup_threshold_curve",
+      (s, d) => {
+        import s.implicits._
+        val (sh0, bands0) = minhashShingleBands(s, d)
+        val sh = TrackedCache.persist(sh0)
+        val bands = TrackedCache.persist(bands0)
+        val jp = candidatePairs(bands, "src", "dst")
+          .join(sh.as("x"), col("src") === col("x.doc_id"))
+          .join(sh.as("y"), col("dst") === col("y.doc_id"))
+          .select(col("src"), col("dst"),
+            size(array_intersect(array_distinct(col("x.sh")),
+              array_distinct(col("y.sh")))).cast("long").as("inter"),
+            size(array_distinct(col("x.sh"))).cast("long").as("la"),
+            size(array_distinct(col("y.sh"))).cast("long").as("lb"))
+          .select(col("src"), col("dst"),
+            expr("(inter * 1000000) div (la + lb - inter)").as("j_ppm"))
+        val thr = Seq(10000L, 100000L, 500000L, 900000L).toDF("t_ppm")
+        val hit = thr.join(jp, col("j_ppm") >= col("t_ppm"), "left")
+        val nPairs = hit.groupBy(col("t_ppm"))
+          .agg(count(col("src")).as("n_pairs"))
+        val nDocs = hit.filter(col("src").isNotNull)
+          .select(col("t_ppm"),
+            explode(array(col("src"), col("dst"))).as("id"))
+          .groupBy(col("t_ppm")).agg(countDistinct(col("id")).as("n_docs"))
+        nPairs.join(nDocs, Seq("t_ppm"), "left")
+          .select(col("t_ppm"), col("n_pairs"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+          .orderBy(col("t_ppm"))
+      },
+      Some(s"""WITH $minhashBandsSql,
+              |cand AS ${candPairsSql("src", "dst")},
+              |jp AS (SELECT src, dst,
+              |    (inter * 1000000) // nullif(la + lb - inter, 0) AS j_ppm
+              |  FROM (SELECT src, dst,
+              |    len(list_filter(list_distinct(x.sh),
+              |      s0 -> list_contains(list_distinct(y.sh), s0)))::BIGINT AS inter,
+              |    len(list_distinct(x.sh))::BIGINT AS la,
+              |    len(list_distinct(y.sh))::BIGINT AS lb
+              |  FROM cand JOIN sh x ON src = x.doc_id
+              |    JOIN sh y ON dst = y.doc_id)),
+              |thr AS (SELECT unnest([10000, 100000, 500000, 900000]) AS t_ppm),
+              |hit AS (SELECT t_ppm, src, dst FROM thr
+              |  LEFT JOIN jp ON j_ppm >= t_ppm),
+              |np AS (SELECT t_ppm, count(src)::BIGINT AS n_pairs
+              |  FROM hit GROUP BY t_ppm),
+              |nd AS (SELECT t_ppm, count(DISTINCT id)::BIGINT AS n_docs
+              |  FROM (SELECT t_ppm, unnest([src, dst]) AS id FROM hit
+              |    WHERE src IS NOT NULL) GROUP BY t_ppm)
+              |SELECT np.t_ppm::BIGINT AS t_ppm, n_pairs,
+              |  coalesce(n_docs, 0) AS n_docs
+              |FROM np LEFT JOIN nd ON np.t_ppm = nd.t_ppm
+              |ORDER BY t_ppm""".stripMargin)),
+
     // ---- Dedup clusters: the full production pipeline shape —
     //      block (LSH bands) → pair → VERIFY (true 3-gram Jaccard ≥ 0.5
     //      on candidates only; at sf0.01 this keeps the 25 real
