@@ -958,6 +958,42 @@ object RelationalQueries {
              |GROUP BY GROUPING SETS ((p_brand), (p_type), ())
              |ORDER BY gid, p_brand, p_type""".stripMargin)),
 
+    // Year-over-year revenue growth: the corpus collapses to the
+    // per-year cents total first (integer-exact), then ONE lag window
+    // over the |years|-row frame computes growth in exact ppm —
+    // division only by the prior year's integer total, truncating
+    // toward zero in both engines (verified on the down years).
+    QuerySpec("orders_yoy_growth",
+      (s, d) => {
+        val byYear = Tables.orders(s, d)
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy(col("yr"))
+          .agg(sum(col("cents")).as("rev_cents"),
+            count(lit(1)).as("n_orders"))
+        byYear
+          .withColumn("prev_cents",
+            lag(col("rev_cents"), 1).over(Window.orderBy(col("yr"))))
+          // negative growth: BOTH engines' integer division truncates
+          // toward zero (Spark div, DuckDB // on integers — verified
+          // against the 1998/2001 down years), so plain div matches
+          .select(col("yr"), col("n_orders"), col("rev_cents"),
+            expr("((rev_cents - prev_cents) * 1000000) div prev_cents")
+              .as("growth_ppm"))
+          .orderBy(col("yr"))
+      },
+      Some("""WITH y AS (SELECT year(o_orderdate)::BIGINT AS yr,
+             |    sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT
+             |      AS rev_cents,
+             |    count(*)::BIGINT AS n_orders
+             |  FROM orders GROUP BY 1),
+             |g AS (SELECT *, lag(rev_cents) OVER (ORDER BY yr)
+             |    AS prev_cents FROM y)
+             |SELECT yr, n_orders, rev_cents,
+             |  (((rev_cents - prev_cents) * 1000000) // prev_cents)::BIGINT
+             |    AS growth_ppm
+             |FROM g ORDER BY yr""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
