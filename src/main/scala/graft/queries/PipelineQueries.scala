@@ -2459,6 +2459,53 @@ object PipelineQueries {
              |SELECT q_id, neighbor_id, dot, rnk::INT AS rnk FROM r WHERE rnk <= 10
              |ORDER BY q_id, rnk""".stripMargin)),
 
+    // ---- Retrieval SERVING shape: the ranked neighbor list joined
+    //      back to its passage text — what a RAG endpoint actually
+    //      returns. Ranking stays the bounded-heap aggregate; the
+    //      text join happens AFTER top-k, so only queries×k rows ever
+    //      touch the (wide) text column — at 100 TB the fetch-side
+    //      join is the difference between reading k passages and
+    //      dragging the corpus text through the ranking shuffle. ----
+    QuerySpec("retrieval_passages",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        NativeExpressions.register(s)
+        val top = emb.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            call_function("dot_i64", col("qv"), col("v")).as("dot"))
+          .groupBy(col("q_id"))
+          .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+            lit(3)).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+          .select(col("q_id"), col("p.id").as("neighbor_id"),
+            (col("pos") + 1).cast("int").as("rnk"))
+        top.join(Tables.documents(s, d)
+            .select(col("doc_id").as("neighbor_id"),
+              concat_ws(" ", slice(TF.tokens(col("text")), 1, 12))
+                .as("snippet")),
+            Seq("neighbor_id"))
+          .select(col("q_id"), col("rnk"), col("neighbor_id"), col("snippet"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH qv AS (SELECT vec_id,
+              |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM qv WHERE vec_id IN (0, 1, 2)),
+              |dots AS (SELECT q_id, a.vec_id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(qv, a.v), p -> p[1] * p[2])) AS BIGINT) AS dot
+              |  FROM qv a CROSS JOIN q WHERE a.vec_id <> q_id),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM dots),
+              |tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+              |SELECT q_id, rnk::INT AS rnk, neighbor_id,
+              |  array_to_string(list_slice(toks, 1, 12), ' ') AS snippet
+              |FROM r JOIN tok ON neighbor_id = doc_id
+              |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin)),
+
     // ---- ANN scale path: random-hyperplane LSH bucket histogram.
     //      Sign bits come from the single-pass codegen'd signBitsQ —
     //      one element_at read per dimension, not one re-zip of the
