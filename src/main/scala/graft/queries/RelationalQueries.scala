@@ -994,6 +994,41 @@ object RelationalQueries {
              |    AS growth_ppm
              |FROM g ORDER BY yr""".stripMargin)),
 
+    // DAU/WAU stickiness: daily actives over trailing-7-day actives,
+    // the engagement ratio every product dashboard tracks. The
+    // trailing window is NOT a range join: each (user, day) pair
+    // contributes itself to the 7 window anchors it falls in (one
+    // generator, 7× the deduped pair count), then both sides are
+    // plain distinct aggregates — the bucketization discipline
+    // (range_join_signup_hour) applied to sliding engagement windows.
+    // Ratio in exact ppm.
+    QuerySpec("events_dau_wau",
+      (s, d) => {
+        val du = Tables.events(s, d)
+          .select(expr("unix_millis(ts) div 86400000").as("day"),
+            col("user_id")).distinct()
+        val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(explode(sequence(col("day"), col("day") + 6L))
+            .as("anchor"), col("user_id"))
+          .distinct()
+          .groupBy(col("anchor")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, col("day") === col("anchor"))
+          .select(col("day"), col("dau"), col("wau"),
+            expr("(dau * 1000000) div wau").as("stickiness_ppm"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+             |    user_id FROM events),
+             |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+             |c AS (SELECT DISTINCT anchor, user_id FROM (
+             |  SELECT unnest(range(day, day + 7)) AS anchor, user_id FROM du)),
+             |wau AS (SELECT anchor, count(*)::BIGINT AS wau FROM c GROUP BY 1)
+             |SELECT day, dau, wau,
+             |  ((dau * 1000000) // wau)::BIGINT AS stickiness_ppm
+             |FROM dau JOIN wau ON day = anchor
+             |ORDER BY day""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
