@@ -1803,6 +1803,34 @@ object PipelineQueries {
               |  AND n_tokens BETWEEN 10 AND 5000
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Quality × length HEATMAP: the 2-D profile read before
+    //      setting any filter threshold — where the corpus mass sits
+    //      jointly, not marginally. Buckets are fixed grids (quality
+    //      deciles via floor(q·10) — both engines compute the same
+    //      IEEE double from the same exact inputs, so the floor lands
+    //      identically; log-ish token buckets as CASE): one scan
+    //      projection plus a grid-bounded aggregate. ----
+    QuerySpec("quality_length_heatmap",
+      (s, d) => {
+        val st = textStatsFrame(s, d)
+        val qb = least(floor(col("quality") * 10).cast("long"), lit(9L))
+        val lb = when(col("n_tokens") < 32, 0)
+          .when(col("n_tokens") < 64, 1)
+          .when(col("n_tokens") < 128, 2)
+          .when(col("n_tokens") < 256, 3).otherwise(4)
+        st.select(qb.as("q_decile"), lb.as("len_bucket"))
+          .groupBy(col("q_decile"), col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("q_decile"), col("len_bucket"))
+      },
+      Some(s"""SELECT least(floor(quality * 10)::BIGINT, 9) AS q_decile,
+              |  CASE WHEN n_tokens < 32 THEN 0 WHEN n_tokens < 64 THEN 1
+              |    WHEN n_tokens < 128 THEN 2 WHEN n_tokens < 256 THEN 3
+              |    ELSE 4 END AS len_bucket,
+              |  count(*)::BIGINT AS n_docs
+              |FROM ($textStatsCoreSql)
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- TRAIN a linear quality classifier on-cluster — the
     //      fasttext-style shape (hashed bag-of-words → linear model)
     //      every production quality/domain filter applies, with the
