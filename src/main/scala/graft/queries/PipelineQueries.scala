@@ -2487,6 +2487,34 @@ object PipelineQueries {
              |SELECT q_id, neighbor_id, dot, rnk::INT AS rnk FROM r WHERE rnk <= 10
              |ORDER BY q_id, rnk""".stripMargin)),
 
+    // ---- Embedding-norm histogram — the vector hygiene check run
+    //      before ANY similarity work: collapsed or exploding norms
+    //      mean a broken encoder or un-normalized mix, and dot-product
+    //      rankings silently favor the long vectors. Quantized squared
+    //      norms (dot_i64(v, v), exact int64) bucket by decimal order
+    //      of magnitude — a scan projection plus a bucket-bounded
+    //      aggregate. ----
+    QuerySpec("emb_norm_histogram",
+      (s, d) => {
+        NativeExpressions.register(s)
+        Tables.embeddings(s, d)
+          .select(SF.quantize(col("embedding")).as("v"))
+          .select(call_function("dot_i64", col("v"), col("v")).as("sq"))
+          .select(length(col("sq").cast("string")).cast("long")
+            .as("sq_digits"))
+          .groupBy(col("sq_digits"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("sq_digits"))
+      },
+      Some("""WITH q AS (SELECT list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |n AS (SELECT CAST(list_sum(list_transform(list_zip(v, v),
+             |    p -> p[1] * p[2])) AS BIGINT) AS sq FROM q)
+             |SELECT length(sq::VARCHAR)::BIGINT AS sq_digits,
+             |  count(*)::BIGINT AS n_vectors
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Retrieval SERVING shape: the ranked neighbor list joined
     //      back to its passage text — what a RAG endpoint actually
     //      returns. Ranking stays the bounded-heap aggregate; the

@@ -1029,6 +1029,34 @@ object RelationalQueries {
              |FROM dau JOIN wau ON day = anchor
              |ORDER BY day""".stripMargin)),
 
+    // Repeat-purchase cadence: the distribution of day-gaps between a
+    // user's consecutive purchases — the metric behind replenishment
+    // and churn models. One user-partitioned lag window over the
+    // purchase subset, then a gap-bucket histogram (value-domain
+    // scale); (ms, event_id) ordering keeps tie order engine-exact.
+    QuerySpec("repeat_purchase_gaps",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ms"), col("event_id"))
+        val gaps = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("prev_ms", lag(col("ms"), 1).over(byUser))
+          .filter(col("prev_ms").isNotNull)
+          .select(expr("(ms - prev_ms) div 86400000").as("gap_days"))
+        gaps.groupBy(col("gap_days"))
+          .agg(count(lit(1)).as("n_gaps"))
+          .orderBy(col("gap_days"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+             |  FROM events WHERE event_type = 'purchase'),
+             |g AS (SELECT (ms - lag(ms) OVER (PARTITION BY user_id
+             |    ORDER BY ms, event_id)) // 86400000 AS gap_days FROM p)
+             |SELECT gap_days::BIGINT AS gap_days, count(*)::BIGINT AS n_gaps
+             |FROM g WHERE gap_days IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Skew-mitigated join: the hot-key fact⨝dim join run through
     // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
     // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
