@@ -259,4 +259,27 @@ class CommitLogSpec extends SparkSuite {
     assert(BatchWriter.listCommitted(spark, out, "t").size ===
       CommitLog.snapshot(spark, out, "t").size)
   }
+
+  test("cloneTopic: a pinned-version branch survives source retention; create-only") {
+    val out = Files.createTempDirectory("clog-clone").toString
+    CommitLog.writeLogged(frame(4), out, "t", flushSize = 2) // v0
+    CommitLog.writeLogged(
+      Seq((0L, 10L, "new")).toDF("part", "off", "payload"),
+      out, "t", flushSize = 2) // v1
+    // branch at v0: the clone must NOT see v1's record
+    CommitLog.cloneTopic(spark, out, "t", "t_v0", asOf = 0L)
+    assert(CommitLog.read(spark, out, "t_v0").count() === 4)
+    assert(CommitLog.latestVersion(spark, out, "t_v0") === 0L)
+    // source moves on: compaction + vacuum reclaim v0-era files —
+    // the clone's copies are untouched and still read cleanly
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 100)
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
+    assert(CommitLog.read(spark, out, "t_v0").count() === 4)
+    assert(CommitLog.read(spark, out, "t").count() === 5)
+    // clones are create-only: cloning onto an existing log refuses
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.cloneTopic(spark, out, "t", "t_v0")
+    }
+    assert(e.getMessage.contains("already has a commit log"))
+  }
 }
