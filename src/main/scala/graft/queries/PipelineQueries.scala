@@ -870,6 +870,59 @@ object PipelineQueries {
     Tables.embeddings(s, d).select(col("vec_id").as("id"),
       SF.quantize(col("embedding")).as("v"))
 
+  /** The filtered trained-IVF search — shared by
+    * `sim_filtered_ivf_topk` and its recall evaluation: the metadata
+    * predicate semi-joins the ASSIGNED corpus before the probe join;
+    * probes rank against the full shared centroid geometry. */
+  private def filteredIvfTopk(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    NativeExpressions.register(s)
+    val vecs = embVecs(s, d)
+    val cents = KMeans.fit(vecs, k = 8, iters = 2)
+    val en = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id").as("id"))
+    val assigned = KMeans.assign(vecs, cents)
+      .select(col("id"), col("v"), col("cell"))
+      .join(en, Seq("id"), "left_semi")
+    val probes = KMeans.probeCells(
+        vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        call_function("dot_i64", col("qv"), col("v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(5)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** The filtered trained-IVF oracle chain (training + en filter +
+    * probe + filtered search), ending in CTE `fivf` = (q_id,
+    * neighbor_id, dot, rnk ≤ 5); `af`/`qv` remain visible for the
+    * recall oracle's filtered brute-force side. */
+  private def filteredIvfSql: String =
+    s"""$kmTrainSql,
+       |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |af AS (SELECT * FROM a3
+       |  WHERE id IN (SELECT doc_id FROM en)),
+       |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
+       |    ORDER BY d2 ASC, c_id ASC) AS rnk
+       |  FROM a3_d WHERE id IN (0, 1, 2)),
+       |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
+       |  FROM pr WHERE rnk <= 2),
+       |fcand AS (SELECT q_id, a.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+       |      p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM af a JOIN probes p ON a.cell = p.cell
+       |  WHERE a.id <> p.q_id),
+       |fr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM fcand),
+       |fivf AS (SELECT q_id, neighbor_id, dot, rnk FROM fr
+       |  WHERE rnk <= 5)""".stripMargin
+
   /** [[ivfTopk]] under the Lloyd-trained quantizer — the shared body
     * of `sim_ivf_trained_topk` and the recall evaluation. */
   private def trainedIvfTopk(s: org.apache.spark.sql.SparkSession,
@@ -3908,48 +3961,63 @@ object PipelineQueries {
     //      filtered-then-scored, and the bounded heap never holds an
     //      excluded neighbor. ----
     QuerySpec("sim_filtered_ivf_topk",
+      (s, d) => filteredIvfTopk(s, d).orderBy(col("q_id"), col("rnk")),
+      Some(s"""WITH $filteredIvfSql
+              |SELECT q_id, neighbor_id, dot, rnk FROM fivf
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- Recall@5 of the FILTERED IVF against the filtered brute
+    //      force — the measured answer to the question every
+    //      pre-filtering index must face: does probing only nprobe
+    //      cells still find the true (predicate-respecting) neighbors?
+    //      Same deterministic-integer-ranking discipline as
+    //      sim_ivf_recall, with BOTH sides restricted to the
+    //      predicate, so the eval grades the index, not the filter. ----
+    QuerySpec("sim_filtered_recall",
       (s, d) => {
-        NativeExpressions.register(s)
-        val vecs = embVecs(s, d)
-        val cents = KMeans.fit(vecs, k = 8, iters = 2)
+        val ivf = filteredIvfTopk(s, d).select(col("q_id"), col("neighbor_id"))
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), SF.quantize(col("embedding")).as("v"))
         val en = Tables.documents(s, d).filter(col("lang") === "en")
-          .select(col("doc_id").as("id"))
-        val assigned = KMeans.assign(vecs, cents)
-          .select(col("id"), col("v"), col("cell"))
-          .join(en, Seq("id"), "left_semi")
-        val probes = KMeans.probeCells(
-            vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
-          .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
-        assigned.join(broadcast(probes), Seq("cell"))
-          .filter(col("id") =!= col("q_id"))
-          .select(col("q_id"), col("id").as("neighbor_id"),
+          .select(col("doc_id").as("vec_id"))
+        val q = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val bf = emb.join(en, Seq("vec_id"), "left_semi")
+          .crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
             call_function("dot_i64", col("qv"), col("v")).as("dot"))
           .groupBy(col("q_id"))
           .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
             lit(5)).as("top"))
-          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
-          .select(col("q_id"), col("p.id").as("neighbor_id"),
-            col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
-          .orderBy(col("q_id"), col("rnk"))
+          .select(col("q_id"), explode(col("top.id")).as("neighbor_id"))
+        val hits = ivf.join(bf, Seq("q_id", "neighbor_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+        bf.select(col("q_id")).distinct()
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("recall", col("n_hit").cast("double") / 5.0)
+          .orderBy(col("q_id"))
       },
-      Some(s"""WITH $kmTrainSql,
-              |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
-              |af AS (SELECT * FROM a3
-              |  WHERE id IN (SELECT doc_id FROM en)),
-              |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
-              |    ORDER BY d2 ASC, c_id ASC) AS rnk
-              |  FROM a3_d WHERE id IN (0, 1, 2)),
-              |probes AS (SELECT id AS q_id, v AS qv, c_id AS cell
-              |  FROM pr WHERE rnk <= 2),
-              |cand AS (SELECT q_id, a.id AS neighbor_id,
-              |    CAST(list_sum(list_transform(list_zip(qv, a.v),
+      Some(s"""WITH $filteredIvfSql,
+              |bf_d AS (SELECT q.q_id, a.id AS neighbor_id,
+              |    CAST(list_sum(list_transform(list_zip(q.qv, a.v),
               |      p -> p[1] * p[2])) AS BIGINT) AS dot
-              |  FROM af a JOIN probes p ON a.cell = p.cell
-              |  WHERE a.id <> p.q_id),
-              |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM cand)
-              |SELECT q_id, neighbor_id, dot, rnk FROM r WHERE rnk <= 5
-              |ORDER BY q_id, rnk""".stripMargin)),
+              |  FROM af a CROSS JOIN (SELECT id AS q_id, v AS qv FROM qv
+              |    WHERE id IN (0, 1, 2)) q
+              |  WHERE a.id <> q.q_id),
+              |bf_r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM bf_d),
+              |bf AS (SELECT q_id, neighbor_id FROM bf_r WHERE rnk <= 5),
+              |hits AS (SELECT i.q_id, count(*)::BIGINT AS n_hit
+              |  FROM fivf i JOIN bf b
+              |    ON i.q_id = b.q_id AND i.neighbor_id = b.neighbor_id
+              |  GROUP BY 1)
+              |SELECT q.q_id, coalesce(n_hit, 0) AS n_hit,
+              |  CAST(coalesce(n_hit, 0) AS DOUBLE) / 5.0 AS recall
+              |FROM (SELECT DISTINCT q_id FROM bf) q
+              |LEFT JOIN hits USING (q_id)
+              |ORDER BY q_id""".stripMargin)),
 
     // ---- Measure, don't guess: recall@5 of the trained IVF against
     //      exact brute force, per query. Both sides are deterministic
