@@ -3649,7 +3649,8 @@ object PipelineQueries {
            |  (n_tokens * 1000000) // n_docs AS mean_tokens_ppm,
            |  n_langs, n_distinct_docs, est_distinct_3grams
            |FROM base JOIN est USING (source) ORDER BY source""".stripMargin
-      }),
+      },
+      bench = true),
 
     // ---- DSIR weight table: the trained importance model itself —
     //      per-bucket target/raw counts and the quantized log-ratio.
