@@ -292,6 +292,64 @@ object CommitLog {
       t -> compactLogged(spark, outDir, t, targetRecords, pad, format)
     }.toMap
 
+  /** Clone `srcTopic`'s snapshot (optionally at `asOf` — time-travel
+    * branching) into a NEW topic: the live files copy byte-for-byte
+    * and publish as the clone's version 0. The clone is a fully
+    * independent logged topic — vacuum or compaction of the source
+    * can never reach into it (paths are topic-relative, so true
+    * zero-copy sharing is impossible by design; the copy IS the
+    * isolation). Use cases: a frozen training snapshot that outlives
+    * source retention, a scratch branch for a destructive migration,
+    * a dev copy of a production topic. Fails if the clone topic
+    * already has a log (clones are create-only — an append would
+    * interleave two histories).
+    *
+    * Filenames are RE-ENCODED to embed `dstTopic` (offsets, partition,
+    * padding, extension survive verbatim): every offset/compaction
+    * scan in the engine filters on the filename-embedded topic
+    * (`maxOffsets`, `compactLogged`, `BatchWriter.maxCommittedOffsets`),
+    * so a clone that inherited source-topic names would restart
+    * ingestion at offset 0 and be invisible to compaction/vacuum —
+    * exactly the writable-branch use case this exists for. */
+  def cloneTopic(spark: SparkSession, outDir: String, srcTopic: String,
+                 dstTopic: String, asOf: Long = Long.MaxValue): Long = {
+    val f = fs(spark, outDir)
+    require(latestVersion(spark, outDir, dstTopic) < 0,
+      s"clone target '$dstTopic' already has a commit log")
+    val rels = snapshot(spark, outDir, srcTopic, asOf)
+    require(rels.nonEmpty, s"empty snapshot for $srcTopic at $asOf")
+    val re = FileNaming.CommittedFilenameRegex.r
+    val renamed = rels.map { rel =>
+      val (dir, name) = rel.lastIndexOf('/') match {
+        case -1 => ("", rel)
+        case i => (rel.substring(0, i + 1), rel.substring(i + 1))
+      }
+      name match {
+        case re(t, p, s, e, ext) if t == srcTopic =>
+          // keep the digit strings verbatim — padding width is part of
+          // the topic's on-disk contract and must survive the branch
+          rel -> s"$dir$dstTopic+$p+$s+$e${Option(ext).getOrElse("")}"
+        case _ => throw new IllegalStateException(
+          s"snapshot of '$srcTopic' holds a file not committed under " +
+            s"that topic name: '$rel' — refusing to clone a corrupt log")
+      }
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    renamed.foreach { case (srcRel, dstRel) =>
+      val from = new Path(s"$outDir/$srcTopic/$srcRel")
+      val to = new Path(s"$outDir/$dstTopic/$dstRel")
+      f.mkdirs(to.getParent)
+      // copy + rename: a crashed clone leaves only .tmp litter and an
+      // absent log — rerunning converges, readers never saw anything
+      val tmp = new Path(to.getParent, s".${to.getName}.tmp")
+      org.apache.hadoop.fs.FileUtil.copy(f, from, f, tmp, false, conf)
+      if (f.exists(to)) f.delete(to, false)
+      if (!f.rename(tmp, to))
+        throw new java.io.IOException(s"rename failed installing $dstRel")
+    }
+    publish(spark, outDir, dstTopic, renamed.map(_._2))
+  }
+
   /** Delete committed-named data files the log does not reference:
     * compacted sources and crashed writers' orphans. Only
     * committed-named files are touched — staging and log internals are
@@ -305,40 +363,6 @@ object CommitLog {
     * are kept; size it above the longest query runtime + commit
     * latency (the default is deliberately conservative). Pass 0 only
     * when the topic is known quiescent (as tests do). */
-  /** Clone `srcTopic`'s snapshot (optionally at `asOf` — time-travel
-    * branching) into a NEW topic: the live files copy byte-for-byte
-    * under the same relative paths and publish as the clone's version
-    * 0. The clone is a fully independent logged topic — vacuum or
-    * compaction of the source can never reach into it (paths are
-    * topic-relative, so true zero-copy sharing is impossible by
-    * design; the copy IS the isolation). Use cases: a frozen training
-    * snapshot that outlives source retention, a scratch branch for a
-    * destructive migration, a dev copy of a production topic. Fails
-    * if the clone topic already has a log (clones are create-only —
-    * an append would interleave two histories). */
-  def cloneTopic(spark: SparkSession, outDir: String, srcTopic: String,
-                 dstTopic: String, asOf: Long = Long.MaxValue): Long = {
-    val f = fs(spark, outDir)
-    require(latestVersion(spark, outDir, dstTopic) < 0,
-      s"clone target '$dstTopic' already has a commit log")
-    val rels = snapshot(spark, outDir, srcTopic, asOf)
-    require(rels.nonEmpty, s"empty snapshot for $srcTopic at $asOf")
-    val conf = spark.sparkContext.hadoopConfiguration
-    rels.foreach { rel =>
-      val from = new Path(s"$outDir/$srcTopic/$rel")
-      val to = new Path(s"$outDir/$dstTopic/$rel")
-      f.mkdirs(to.getParent)
-      // copy + rename: a crashed clone leaves only .tmp litter and an
-      // absent log — rerunning converges, readers never saw anything
-      val tmp = new Path(to.getParent, s".${to.getName}.tmp")
-      org.apache.hadoop.fs.FileUtil.copy(f, from, f, tmp, false, conf)
-      if (f.exists(to)) f.delete(to, false)
-      if (!f.rename(tmp, to))
-        throw new java.io.IOException(s"rename failed installing $rel")
-    }
-    publish(spark, outDir, dstTopic, rels)
-  }
-
   def vacuum(spark: SparkSession, outDir: String, topic: String,
              graceMs: Long = 15 * 60 * 1000L): Seq[String] = {
     val f = fs(spark, outDir)

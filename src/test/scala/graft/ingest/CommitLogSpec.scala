@@ -282,4 +282,50 @@ class CommitLogSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("already has a commit log"))
   }
+
+  test("cloneTopic: inherited files re-encode to the clone topic — offset resume and compaction see them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("clog-clone-writable").toString
+    CommitLog.writeLogged(frame(4), out, "t", flushSize = 2) // offs 0-3 over parts 0,1
+    CommitLog.cloneTopic(spark, out, "t", "branch")
+
+    // every inherited filename embeds the CLONE topic (padding survives)
+    val snap = CommitLog.snapshot(spark, out, "branch")
+    assert(snap.nonEmpty && snap.forall(_.split('/').last.startsWith("branch+")))
+    assert(snap.exists(_.contains("+0000000000+")), "pad width must survive the branch")
+    // ...so the filename-as-metadata offset restore works on the clone
+    // (part 0 holds offs 0,2; part 1 holds offs 1,3)
+    assert(CommitLog.maxOffsets(spark, out, "branch") === Map(0L -> 2L, 1L -> 3L))
+    assert(BatchWriter.maxCommittedOffsets(spark, out, "branch") === Map(0L -> 2L, 1L -> 3L))
+
+    // stream into the clone with a FRESH checkpoint replaying offs 0-3
+    // plus new offs 6,7: resume must start AFTER the inherited max,
+    // not at 0 — the writable-branch contract
+    val ckpt = Files.createTempDirectory("clog-clone-ckpt").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamIngest.startLogged(
+      s.toDF().toDF("part", "off", "payload"), out, "branch", flushSize = 2, ckpt)
+    s.addData((0L until 8L).map(o => (o % 2, o, s"v$o")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val back = CommitLog.read(spark, out, "branch")
+    assert(back.count() === 8, "replayed offsets must be skipped, new ones ingested")
+    assert(back.select(countDistinct(col("part"), col("off")))
+      .as[Long].head() === 8, "no duplicate ingestion on the clone")
+    assert(CommitLog.maxOffsets(spark, out, "branch") === Map(0L -> 6L, 1L -> 7L))
+
+    // compaction reaches the inherited files too: all four original
+    // 2-record files merge with the appended ones per partition
+    CommitLog.compactLogged(spark, out, "branch", targetRecords = 100)
+    assert(CommitLog.snapshot(spark, out, "branch") === Seq(
+      "partition=0/branch+0+0000000000+0000000006.parquet",
+      "partition=1/branch+1+0000000001+0000000007.parquet"))
+    assert(CommitLog.read(spark, out, "branch").count() === 8)
+    // and vacuum reclaims the compacted inherited sources
+    assert(CommitLog.vacuum(spark, out, "branch", graceMs = 0).nonEmpty)
+    assert(CommitLog.read(spark, out, "branch").count() === 8)
+    // the source topic is untouched throughout
+    assert(CommitLog.read(spark, out, "t").count() === 4)
+  }
 }
