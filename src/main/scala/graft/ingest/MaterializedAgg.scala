@@ -75,10 +75,12 @@ object MaterializedAgg {
               distincts: Seq[String] = Seq.empty): Long = {
     require(keys.nonEmpty, "at least one grouping key")
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
-    // the state schema owns "n" and "sum_<c>"; a key with those names
-    // would silently collide with the merge columns
+    // the state schema owns "n", "sum_<c>", "hll_<c>", and
+    // readEstimated's derived "n_distinct_<c>"; a key with those names
+    // would silently collide with (or be overwritten by) those columns
     (keys ++ derive.map(_._1)).foreach(k => require(
-      k != "n" && !k.startsWith("sum_") && !k.startsWith("hll_"),
+      k != "n" && !k.startsWith("sum_") && !k.startsWith("hll_") &&
+        !k.startsWith("n_distinct_"),
       s"key '$k' collides with the view's reserved aggregate columns"))
     val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
     val w = watermark(spark, outDir, viewTopic)

@@ -224,6 +224,16 @@ object CurationQueries {
       }
       a.length < b.length
     }
+    // hard bound on the driver materialization: a (marked word, count)
+    // row is ~48 B of JVM heap (two boxed fields + array/entry
+    // overhead) before the word bytes, so 2^20 rows ≈ 50–150 MB —
+    // comfortably driver-sized; an unbounded collect of a
+    // pathological vocabulary would not be. bpeTrain routes larger
+    // tables to bpeTrainDistributed; direct callers get the same gate.
+    val vocabRows = wf0.count()
+    require(vocabRows <= BpeDriverVocabMax,
+      s"vocabulary has $vocabRows distinct words > $BpeDriverVocabMax " +
+        "driver bound — use bpeTrainDistributed")
     var tbl = wf0.collect().map(r => (r.getString(0), r.getLong(1)))
     val rules = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
