@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+import graft.ingest.CommitLog
+
+/** The SERVED IVF index: train-once / search-many, with the trained
+  * artifact published through the transactional [[CommitLog]] instead
+  * of living inside every query's plan.
+  *
+  * Lifecycle:
+  *   - [[build]] runs Lloyd ONCE (the only time the corpus is scanned
+  *     for training), then publishes two logged topics under the index
+  *     root: `ivf_centroids` (K rows — the quantizer) and
+  *     `ivf_vectors` (the assigned corpus `(id, v, cell)`).
+  *   - [[search]] is probe-only: load the K-row centroid table
+  *     (driver literal, one tiny file), read the assigned corpus as a
+  *     log snapshot, broadcast the probes, bounded-heap top-k. No
+  *     Lloyd iteration appears anywhere in the serving plan.
+  *   - [[append]] grows the index without retraining: new vectors are
+  *     assigned under the FROZEN quantizer and published as the next
+  *     log version — searchers atomically see the grown index, and
+  *     `CommitLog.readAddedSince` feeds downstream incrementals.
+  *     (Centroid drift is a rebuild, by design: an index whose
+  *     geometry silently shifts under running queries is not servable.
+  *     `emb_drift_cells` is the monitor that says when to rebuild.)
+  *
+  * 100 TB story: the vectors topic is the only corpus-scale artifact
+  * and it is written through the same offset-ranged / atomic-commit
+  * protocol as every other topic (compactable, vacuumable,
+  * time-travelable). Serving reads it with a cell-key equi-join
+  * against broadcast probes — ~nprobe/K of the corpus per query batch
+  * after partition pruning on the cell column would be the next step
+  * at real scale (the layout keeps `cell` a first-class column
+  * precisely so a `partitionBy(cell)` variant is a one-line change).
+  */
+object IvfIndex {
+
+  val VectorsTopic = "ivf_vectors"
+  val CentroidsTopic = "ivf_centroids"
+
+  /** Train the quantizer and publish the index. `vecs` = (id, v) with
+    * quantized Array[Long] vectors. Returns the vectors topic's log
+    * version (0 for a fresh build). */
+  def build(vecs: DataFrame, indexDir: String, k: Int, iters: Int,
+            parts: Int = 4, flushSize: Int = 1 << 20): Long = {
+    val spark = vecs.sparkSession
+    require(CommitLog.latestVersion(spark, indexDir, VectorsTopic) < 0,
+      s"index at $indexDir already built — append() grows it, " +
+        "a retrain is a new index dir")
+    val cents = KMeans.fit(vecs, k, iters)
+    import spark.implicits._
+    val cdf = cents.map(c => (0L, c.id, c.v)).toDF("part", "off", "cv")
+    CommitLog.writeLogged(cdf, indexDir, CentroidsTopic,
+      flushSize = math.max(cents.size, 1))
+    val assigned = KMeans.assign(vecs, cents)
+      .select(pmod(col("id"), lit(parts.toLong)).as("part"),
+        col("id").as("off"), col("v"), col("cell"))
+    CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize)
+  }
+
+  /** The frozen quantizer (K driver-held centroids). */
+  def centroids(spark: SparkSession, indexDir: String): Seq[KMeans.Centroid] =
+    CommitLog.read(spark, indexDir, CentroidsTopic)
+      .select(col("off"), col("cv")).collect()
+      .map(r => KMeans.Centroid(r.getLong(0), r.getSeq[Long](1)))
+      .toIndexedSeq.sortBy(_.id)
+
+  /** The assigned corpus `(id, v, cell)` as a log snapshot — the
+    * exact live file list, so a concurrent append/compaction can
+    * never tear a search. */
+  def vectors(spark: SparkSession, indexDir: String): DataFrame =
+    CommitLog.read(spark, indexDir, VectorsTopic)
+      .select(col("off").as("id"), col("v"), col("cell"))
+
+  /** Grow the index under the frozen quantizer: assign `newVecs`
+    * (ids must be new — same contract as any topic append) and
+    * publish as the next log version. Returns that version. */
+  def append(newVecs: DataFrame, indexDir: String,
+             parts: Int = 4, flushSize: Int = 1 << 20): Long = {
+    val spark = newVecs.sparkSession
+    val cents = centroids(spark, indexDir)
+    val assigned = KMeans.assign(newVecs, cents)
+      .select(pmod(col("id"), lit(parts.toLong)).as("part"),
+        col("id").as("off"), col("v"), col("cell"))
+    CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize)
+  }
+
+  /** Probe-only top-k over an ALREADY-ASSIGNED corpus frame — the
+    * shared search construction: broadcast the probes, equi-join on
+    * cell, bounded-heap top-k. `assigned` = (id, v, cell), `probes` =
+    * (q_id, qv, cell). Unordered (q_id, neighbor_id, dot, rnk ≤ k). */
+  def searchAssigned(assigned: DataFrame, probes: DataFrame,
+                     k: Int): DataFrame = {
+    NativeExpressions.register(assigned.sparkSession)
+    // a vector lives in one cell and probe cells are distinct, so
+    // (q, neighbor) pairs are already unique
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id").as("neighbor_id"),
+        call_function("dot_i64", col("qv"), col("v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Serve a query batch from the published index: no training, no
+    * assignment of the corpus — just snapshot-read, probe, join,
+    * heap. `queryIds` are looked up in the index itself (query-by-
+    * member); external query vectors would pass through the same
+    * probes shape. */
+  def search(spark: SparkSession, indexDir: String, queryIds: Seq[Long],
+             nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(spark, indexDir)
+    val assigned = vectors(spark, indexDir)
+    val probes = KMeans.probeCells(
+        assigned.filter(col("id").isin(queryIds: _*)).select(col("id"), col("v")),
+        cents, nprobe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    searchAssigned(assigned, probes, k)
+  }
+
+  // ---------------------------------------------------------------
+  // Product-quantization flavor: same train-once / search-many
+  // lifecycle, the artifact being the M per-subspace codebooks plus
+  // the M-code encoding of every vector. The codes topic ALSO keeps
+  // the raw vector column — parquet column pruning means the ADC
+  // serving scan reads only (id, codes) (M bytes-ish per vector, the
+  // PQ point), while query-by-member and exact re-ranking can still
+  // fetch `v` for just the rows that need it.
+  // ---------------------------------------------------------------
+
+  val PqCodesTopic = "pq_codes"
+  val PqCodebooksTopic = "pq_codebooks"
+
+  /** Train the M codebooks (one fused Lloyd pass per step —
+    * `KMeans.fitSubspaces`) and publish codebooks + per-vector codes.
+    * Returns the codes topic's log version (0 for a fresh build). */
+  def buildPq(vecs: DataFrame, indexDir: String, m: Int, subDims: Int,
+              k: Int, iters: Int, parts: Int = 4,
+              flushSize: Int = 1 << 20): Long = {
+    val spark = vecs.sparkSession
+    require(CommitLog.latestVersion(spark, indexDir, PqCodesTopic) < 0,
+      s"PQ index at $indexDir already built — a retrain is a new index dir")
+    val books = KMeans.fitSubspaces(vecs, m, subDims, k, iters)
+    import spark.implicits._
+    // codes are centroid IDS (first-k init ids), not 0..k-1 — the off
+    // must therefore be the codebook ROW position, not the code value
+    val cdf = books.zipWithIndex.flatMap { case (cents, mi) =>
+      cents.zipWithIndex.map { case (c, j) =>
+        (0L, mi.toLong * k + j, mi, c.id, c.v)
+      }
+    }.toDF("part", "off", "m", "code", "cv")
+    CommitLog.writeLogged(cdf, indexDir, PqCodebooksTopic,
+      flushSize = math.max(books.map(_.size).sum, 1))
+    val codesCol = array((0 until m).map { mi =>
+      KMeans.cellOf(slice(col("v"), mi * subDims + 1, subDims), books(mi))
+    }: _*)
+    val encoded = vecs.select(pmod(col("id"), lit(parts.toLong)).as("part"),
+      col("id").as("off"), col("v"), codesCol.as("codes"))
+    CommitLog.writeLogged(encoded, indexDir, PqCodesTopic, flushSize)
+  }
+
+  /** The published codebooks as a broadcastable (m, code, cv) frame —
+    * M·K rows. */
+  def pqCodebooks(spark: SparkSession, indexDir: String): DataFrame =
+    CommitLog.read(spark, indexDir, PqCodebooksTopic)
+      .select(col("m"), col("code"), col("cv"))
+
+  /** ADC top-k from the published PQ index: LUT the queries against
+    * the loaded codebooks, re-assemble candidate scores from code
+    * lookups alone — no training, and the corpus-side scan never
+    * touches raw vectors (column pruning keeps it to (id, codes)). */
+  def searchPq(spark: SparkSession, indexDir: String, queryIds: Seq[Long],
+               subDims: Int, k: Int): DataFrame = {
+    NativeExpressions.register(spark)
+    val codesT = CommitLog.read(spark, indexDir, PqCodesTopic)
+    val q = codesT.filter(col("off").isin(queryIds: _*))
+      .select(col("off").as("q_id"), col("v").as("qv"))
+    val lut = q.crossJoin(broadcast(pqCodebooks(spark, indexDir)))
+      .select(col("q_id"), col("m"), col("code"),
+        call_function("dot_i64",
+          slice(col("qv"), col("m") * lit(subDims) + lit(1), lit(subDims)),
+          col("cv")).as("partial"))
+    val codes = codesT.select(col("off").as("id"),
+      posexplode(col("codes")).as(Seq("m", "code")))
+    codes.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("partial")).as("adc"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("adc"), col("id"),
+        lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("adc"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Grow the PQ index under the FROZEN codebooks: encode `newVecs`
+    * and publish as the next codes version. */
+  def appendPq(newVecs: DataFrame, indexDir: String, parts: Int = 4,
+               flushSize: Int = 1 << 20): Long = {
+    val spark = newVecs.sparkSession
+    val rows = pqCodebooks(spark, indexDir).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = (0 until m).map { mi =>
+      rows.filter(_.getInt(0) == mi)
+        .map(r => KMeans.Centroid(r.getLong(1), r.getSeq[Long](2)))
+        .toIndexedSeq.sortBy(_.id)
+    }
+    val subDims = books.head.head.v.size
+    val codesCol = array((0 until m).map { mi =>
+      KMeans.cellOf(slice(col("v"), mi * subDims + 1, subDims), books(mi))
+    }: _*)
+    val encoded = newVecs.select(pmod(col("id"), lit(parts.toLong)).as("part"),
+      col("id").as("off"), col("v"), codesCol.as("codes"))
+    CommitLog.writeLogged(encoded, indexDir, PqCodesTopic, flushSize)
+  }
+}

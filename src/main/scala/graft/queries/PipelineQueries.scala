@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
-import graft.operators.{KMeans, LinearClassifier, NearestCentroid, Shuffle, Winnowing}
+import graft.operators.{IvfIndex, KMeans, LinearClassifier, NearestCentroid, Shuffle, Winnowing}
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -738,6 +738,18 @@ object PipelineQueries {
     NativeExpressions.register(s)
     val sh = Tables.documents(s, d).select(col("doc_id"),
       TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+    (sh, minhashBandsFrom(sh))
+  }
+
+  /** Band keys derived from an EXISTING (doc_id, sh) shingle frame.
+    * Callers that persist the shingle frame chain bands off the CACHED
+    * copy instead of re-tokenizing + re-shingling the corpus (banding
+    * is per-doc, so filtering sh first and banding after is identical
+    * to banding first) — at 100 TB that is one whole corpus regex pass
+    * saved per consumer. Parameters stay owned here alongside
+    * [[minhashShingleBands]], so consumers and oracle cannot drift. */
+  private def minhashBandsFrom(sh: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     // one md5 per shingle (native digest read — no hex round-trip);
     // map-side-combined min() per signature slot
     val hs = sh.select(col("doc_id"), explode(col("sh")).as("s"))
@@ -745,9 +757,8 @@ object PipelineQueries {
     val sig = hs.groupBy(col("doc_id")).agg(
       DF.minhashAggExprs(col("h")).head, DF.minhashAggExprs(col("h")).tail: _*)
     val sigCols = (0 until DF.numMinhashes).map(i => col(s"sig$i"))
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(DF.bandKeys(sigCols, 4)).as("band"))
-    (sh, bands)
   }
 
   /** DuckDB mirror of [[minhashShingleBands]]: the `tok`/`sh`/`hs`/
@@ -796,9 +807,9 @@ object PipelineQueries {
   private def dedupClustersFrame(s: org.apache.spark.sql.SparkSession,
                                  d: String): org.apache.spark.sql.DataFrame = {
     val docs = Tables.documents(s, d)
-    val (sh0, bands0) = minhashShingleBands(s, d)
+    val (sh0, _) = minhashShingleBands(s, d)
     val sh = sh0.persist()
-    val bands = bands0.persist()
+    val bands = minhashBandsFrom(sh).persist()
     val pairs = candidatePairs(bands, "src", "dst")
     val verified = pairs
       .join(sh.as("x"), col("src") === col("x.doc_id"))
@@ -851,18 +862,7 @@ object PipelineQueries {
     val probes = KMeans.probeCells(
         vecs.filter(col("id").isin(queryIds: _*)), cents, nprobe)
       .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
-    // a vector lives in one cell and probe cells are distinct, so
-    // (q, neighbor) pairs are already unique
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id").as("neighbor_id"),
-        call_function("dot_i64", col("qv"), col("v")).as("dot"))
-      .groupBy(col("q_id"))
-      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
-        lit(k)).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("q_id"), col("p.id").as("neighbor_id"),
-        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+    IvfIndex.searchAssigned(assigned, probes, k)
   }
 
   private def embVecs(s: org.apache.spark.sql.SparkSession,
@@ -887,16 +887,7 @@ object PipelineQueries {
     val probes = KMeans.probeCells(
         vecs.filter(col("id").isin(0L, 1L, 2L)), cents, nprobe = 2)
       .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id").as("neighbor_id"),
-        call_function("dot_i64", col("qv"), col("v")).as("dot"))
-      .groupBy(col("q_id"))
-      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
-        lit(5)).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
-      .select(col("q_id"), col("p.id").as("neighbor_id"),
-        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+    IvfIndex.searchAssigned(assigned, probes, k = 5)
   }
 
   /** The filtered trained-IVF oracle chain (training + en filter +
@@ -922,6 +913,38 @@ object PipelineQueries {
        |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM fcand),
        |fivf AS (SELECT q_id, neighbor_id, dot, rnk FROM fr
        |  WHERE rnk <= 5)""".stripMargin
+
+  /** One served-index build per (JVM, corpus dir): the train-once half
+    * of `sim_ivf_served_topk`'s train-once / search-many lifecycle. In
+    * production this is an ingestion-time job publishing into the
+    * store; here the artifact lives in a session temp dir so repeated
+    * query invocations (and bench's second run) pay ONLY the serving
+    * plan. Same quantizer parameters as [[trainedIvfTopk]], so the
+    * served result and the train-side result share one oracle. */
+  private val servedIvfDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedIvfIndex(s: org.apache.spark.sql.SparkSession,
+                             d: String): String =
+    servedIvfDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+        .toString
+      IvfIndex.build(embVecs(s, d), dir, k = 8, iters = 2)
+      dir
+    })
+
+  /** One served-PQ-index build per (JVM, corpus dir) — the PQ twin of
+    * [[servedIvfIndex]], same parameters as [[pqCodebooks]] so the
+    * served ADC ranking shares `sim_pq_adc_topk`'s oracle. */
+  private val servedPqDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedPqIndex(s: org.apache.spark.sql.SparkSession,
+                            d: String): String =
+    servedPqDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-idx")
+        .toString
+      IvfIndex.buildPq(embVecs(s, d), dir, PqM, PqSubDims, PqK, iters = 1)
+      dir
+    })
 
   /** [[ivfTopk]] under the Lloyd-trained quantizer — the shared body
     * of `sim_ivf_trained_topk` and the recall evaluation. */
@@ -1237,9 +1260,9 @@ object PipelineQueries {
     QuerySpec("dedup_threshold_curve",
       (s, d) => {
         import s.implicits._
-        val (sh0, bands0) = minhashShingleBands(s, d)
+        val (sh0, _) = minhashShingleBands(s, d)
         val sh = TrackedCache.persist(sh0)
-        val bands = TrackedCache.persist(bands0)
+        val bands = TrackedCache.persist(minhashBandsFrom(sh))
         val jp = candidatePairs(bands, "src", "dst")
           .join(sh.as("x"), col("src") === col("x.doc_id"))
           .join(sh.as("y"), col("dst") === col("y.doc_id"))
@@ -1713,9 +1736,9 @@ object PipelineQueries {
 
     QuerySpec("dedup_containment_pairs",
       (s, d) => {
-        val (sh0, bands0) = minhashShingleBands(s, d)
+        val (sh0, _) = minhashShingleBands(s, d)
         val sh = TrackedCache.persist(sh0)
-        val bands = TrackedCache.persist(bands0)
+        val bands = TrackedCache.persist(minhashBandsFrom(sh))
         val cand = candidatePairs(bands, "ia", "ib")
         cand.join(sh.as("x"), col("ia") === col("x.doc_id"))
           .join(sh.as("y"), col("ib") === col("y.doc_id"))
@@ -3151,12 +3174,12 @@ object PipelineQueries {
     //      misses. ----
     QuerySpec("decontaminate_neardup",
       (s, d) => {
-        val (sh0, bands0) = minhashShingleBands(s, d)
+        val (sh0, _) = minhashShingleBands(s, d)
         val sh = TrackedCache.persist(sh0)
         // bands pinned too: the eval and training branches each consume
         // it, and only the shingle frame below it is otherwise cached —
         // the 16 min-aggregations would still run twice
-        val bands = TrackedCache.persist(bands0)
+        val bands = TrackedCache.persist(minhashBandsFrom(sh))
         val evalB = bands.filter(col("doc_id") < 25)
           .select(col("doc_id").as("eval_id"), col("band"))
         val cand = bands.filter(col("doc_id") >= 25)
@@ -3283,7 +3306,7 @@ object PipelineQueries {
         // (where this corpus's near-dup mass sits) — SF-independent
         val lo = broadcast(Tables.documents(s, d)
           .agg((max(col("doc_id")) - 199L).as("lo")))
-        val (sh0, bands0) = minhashShingleBands(s, d)
+        val (sh0, _) = minhashShingleBands(s, d)
         val sh = TrackedCache.persist(sh0.crossJoin(lo)
           .filter(col("doc_id") >= col("lo")).drop("lo"))
         val truth = TrackedCache.persist(sh.as("x")
@@ -3291,9 +3314,7 @@ object PipelineQueries {
           .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
           .select(col("x.doc_id").as("ia"), col("y.doc_id").as("ib")))
         val cand = TrackedCache.persist(
-          candidatePairs(bands0.crossJoin(lo)
-            .filter(col("doc_id") >= col("lo")).drop("lo"),
-            "ia", "ib"))
+          candidatePairs(minhashBandsFrom(sh), "ia", "ib"))
         val hit = truth.join(cand, Seq("ia", "ib"), "left_semi")
         truth.agg(count(lit(1)).as("n_true"))
           .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
@@ -3953,6 +3974,27 @@ object PipelineQueries {
               |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
 
+    // ---- The SERVED IVF index (operators/IvfIndex): the answer to
+    //      "an index that retrains per query is a demo". The quantizer
+    //      trains ONCE per corpus (ingestion-time; here memoized per
+    //      JVM) and publishes centroids + assignments through the
+    //      commit log; this query is the steady-state serving path —
+    //      log-snapshot scan, broadcast probes, bounded-heap top-k,
+    //      and NOT ONE Lloyd iteration in the plan (pinned by
+    //      IvfIndexSpec). Must return bit-identically what
+    //      sim_ivf_trained_topk computes train-side — same oracle. ----
+    QuerySpec("sim_ivf_served_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedIvfIndex(s, d)
+        IvfIndex.search(s, idx, Seq(0L, 1L, 2L), nprobe = 2, k = 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $trainedIvfSql
+              |SELECT q_id, neighbor_id, dot, rnk FROM ivf
+              |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
+
     // ---- Filtered search through the TRAINED IVF — the scale path of
     //      sim_filtered_topk: the metadata predicate semi-joins the
     //      ASSIGNED corpus (8-byte keys) before the probe join, so the
@@ -4231,6 +4273,29 @@ object PipelineQueries {
               |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
 
+    // ---- The SERVED PQ index — `sim_ivf_served_topk`'s ADC twin:
+    //      codebooks + per-vector codes published once through the
+    //      commit log (operators/IvfIndex.buildPq), and this query is
+    //      the steady-state ADC serving path: codes-topic snapshot
+    //      scan (parquet column pruning keeps it to (id, codes) — the
+    //      raw vector column rides the topic for query-by-member but
+    //      never enters the corpus-side scan), broadcast query LUT,
+    //      code-lookup score re-assembly, bounded heap. No
+    //      fitSubspaces / Lloyd anywhere in the plan. Bit-identical
+    //      to sim_pq_adc_topk — same oracle. ----
+    QuerySpec("sim_pq_served_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedPqIndex(s, d)
+        IvfIndex.searchPq(s, idx, Seq(0L, 1L, 2L), PqSubDims, k = 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $pqSql,
+              |$pqRankSql
+              |SELECT q_id, neighbor_id, adc, rnk FROM r WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
+
     // ---- Measure, don't guess, PQ edition: recall@5 of the 8-byte
     //      ADC ranking against the exact integer dot — 64× compression.
     //      The synthetic corpus is near-isotropic noise, vector
@@ -4378,19 +4443,29 @@ object PipelineQueries {
           .select(col("doc_id"), col("n_tokens"))
         val survQ = docs.join(keptQ, Seq("doc_id"))
           .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
-        // stage 2: exact dedup — lowest doc_id per fingerprint survives
+        // stage 2: exact dedup — lowest doc_id per fingerprint survives.
+        // The survivor set is PERSISTED (id/source/n_tokens projection
+        // only — text is never needed downstream): five later stages
+        // chain from it (shingle semi-join, prune anti-join, decon
+        // semi-join, final anti-join), and without the pin each would
+        // recompute the regex-heavy stats gate + md5 dedup from the
+        // corpus — the measured cause of this query's bench drift.
         val withFp = survQ.withColumn("fp", md5(col("text").cast("binary")))
         val keeper = withFp.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
-        val survE = withFp.join(keeper, Seq("fp", "doc_id"), "left_semi")
+        val survE = TrackedCache.persist(
+          withFp.join(keeper, Seq("fp", "doc_id"), "left_semi")
+            .select(col("doc_id"), col("source"), col("n_tokens")))
         // stage 3: near-dup prune among survivors — banded candidates,
         // exact Jaccard >= 0.5 verify, the HIGHER id of a verified
-        // pair is pruned (deterministic lower-id survivor)
-        val (sh0, bands0) = minhashShingleBands(s, d)
+        // pair is pruned (deterministic lower-id survivor). Bands chain
+        // off the CACHED survivor shingles (banding is per-doc, so
+        // filter-then-band == band-then-filter) — one corpus
+        // tokenize+shingle pass instead of two.
+        val (sh0, _) = minhashShingleBands(s, d)
         val ids = survE.select(col("doc_id"))
         val sh = TrackedCache.persist(sh0.join(ids, Seq("doc_id"), "left_semi"))
-        val bands = TrackedCache.persist(
-          bands0.join(ids, Seq("doc_id"), "left_semi"))
+        val bands = TrackedCache.persist(minhashBandsFrom(sh))
         val cand = candidatePairs(bands, "ia", "ib")
         val pruned = cand
           .join(sh.as("x"), col("ia") === col("x.doc_id"))

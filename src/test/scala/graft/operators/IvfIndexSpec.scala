@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ingest.CommitLog
+
+/** The served IVF index: train-once / probe-many through the commit
+  * log, incremental append under a frozen quantizer. */
+class IvfIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two well-separated clusters: A near (0,0), B near (100,100)
+  private def base = Seq(
+    0L -> Seq(0L, 1L), 1L -> Seq(100L, 99L),
+    2L -> Seq(1L, 0L), 3L -> Seq(99L, 100L),
+    4L -> Seq(2L, 2L), 5L -> Seq(101L, 101L)).toDF("id", "v")
+
+  test("build publishes centroids+assignments; search equals assign-time ivf") {
+    val idx = Files.createTempDirectory("ivf-idx").toString
+    assert(IvfIndex.build(base, idx, k = 2, iters = 2) === 0L)
+    // both topics live in the log at version 0
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.CentroidsTopic) === 0L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.VectorsTopic) === 0L)
+    // the loaded quantizer round-trips the trained one exactly
+    assert(IvfIndex.centroids(spark, idx) === KMeans.fit(base, 2, 2))
+    // served search == the same construction run train-side
+    val served = IvfIndex.search(spark, idx, Seq(0L, 1L), nprobe = 1, k = 2)
+      .select("q_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    // nprobe=1 over clean clusters: each query's top-2 are its own
+    // cluster's other members, ranked by dot product descending
+    // (q0=(0,1): dot(4)=2 > dot(2)=0; q1=(100,99): dot(5)=20099 > dot(3)=19800)
+    assert(served === Set((0L, 4L, 1L), (0L, 2L, 2L), (1L, 5L, 1L), (1L, 3L, 2L)))
+    // rebuilding over an existing index refuses
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.build(base, idx, k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("already built"))
+  }
+
+  test("append grows the index under the FROZEN quantizer; searchers see it atomically") {
+    val idx = Files.createTempDirectory("ivf-idx-grow").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2)
+    val before = IvfIndex.centroids(spark, idx)
+    // a new vector lands in cluster B without retraining
+    val v1 = IvfIndex.append(Seq(6L -> Seq(98L, 98L)).toDF("id", "v"), idx)
+    assert(v1 === 1L)
+    // quantizer frozen: same centroids topic version, same geometry
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.CentroidsTopic) === 0L)
+    assert(IvfIndex.centroids(spark, idx) === before)
+    // the appended vector is probe-reachable as a neighbor...
+    val ns = IvfIndex.search(spark, idx, Seq(1L), nprobe = 1, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ns === Set(3L, 5L, 6L))
+    // ...and as a query (query-by-member reads the index itself)
+    val back = IvfIndex.search(spark, idx, Seq(6L), nprobe = 1, k = 1)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(back.nonEmpty && back.forall(_._1 === 6L))
+    // the append is an ordinary log version: incremental consumers
+    // read exactly the new rows
+    assert(CommitLog.readAddedSince(spark, idx, IvfIndex.VectorsTopic, 0L)
+      .select("off").as[Long].collect() === Array(6L))
+  }
+
+  test("the serving plan contains no Lloyd iteration — scan+probe+heap only") {
+    val idx = Files.createTempDirectory("ivf-idx-plan").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2)
+    val plan = IvfIndex.search(spark, idx, Seq(0L), nprobe = 1, k = 2)
+      .queryExecution.executedPlan.toString
+    // one corpus scan (the log snapshot) + one broadcast probe join;
+    // training would show as repeated scans / aggregate-collect rounds
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"serving must not rescan for training:\n$plan")
+  }
+
+  test("PQ: served ADC ranks from published codes alone; append encodes under frozen codebooks") {
+    val idx = Files.createTempDirectory("pq-idx").toString
+    IvfIndex.buildPq(base, idx, m = 2, subDims = 1, k = 2, iters = 1)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.PqCodebooksTopic) === 0L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.PqCodesTopic) === 0L)
+    // hand-derived: first-2 init + one floor-mean update gives
+    // per-subspace centroids {id0: 1, id1: 100}; codes are [0,0] for
+    // cluster-A members and [1,1] for cluster-B; q0's LUT partials are
+    // (m1,c0)=1, (m1,c1)=100, m0 both 0 — so B members all score 100
+    val served = IvfIndex.searchPq(spark, idx, Seq(0L), subDims = 1, k = 3)
+      .select("q_id", "neighbor_id", "adc", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(served === Set((0L, 1L, 100L, 1L), (0L, 3L, 100L, 2L),
+      (0L, 5L, 100L, 3L)))
+    // append under FROZEN codebooks: (98,98) encodes to [1,1] without
+    // any retraining; the codebooks topic never advances
+    assert(IvfIndex.appendPq(Seq(6L -> Seq(98L, 98L)).toDF("id", "v"), idx) === 1L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.PqCodebooksTopic) === 0L)
+    val grown = IvfIndex.searchPq(spark, idx, Seq(0L), subDims = 1, k = 4)
+      .select("neighbor_id", "adc").as[(Long, Long)].collect().toSet
+    assert(grown === Set((1L, 100L), (3L, 100L), (5L, 100L), (6L, 100L)))
+    // no Lloyd in the serving plan: scans of the two index topics only
+    val plan = IvfIndex.searchPq(spark, idx, Seq(0L), subDims = 1, k = 3)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 3, s"ADC serving must not rescan for training:\n$plan")
+  }
+
+  test("index topics compact and vacuum like any logged topic") {
+    val idx = Files.createTempDirectory("ivf-idx-compact").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2, parts = 2, flushSize = 1)
+    IvfIndex.append(Seq(6L -> Seq(98L, 98L), 7L -> Seq(3L, 1L)).toDF("id", "v"),
+      idx, parts = 2, flushSize = 1)
+    val filesBefore = CommitLog.snapshot(spark, idx, IvfIndex.VectorsTopic).size
+    CommitLog.compactLogged(spark, idx, IvfIndex.VectorsTopic,
+      targetRecords = 100)
+    CommitLog.vacuum(spark, idx, IvfIndex.VectorsTopic, graceMs = 0)
+    val filesAfter = CommitLog.snapshot(spark, idx, IvfIndex.VectorsTopic).size
+    assert(filesAfter < filesBefore)
+    // searches are unaffected by the rewrite
+    val ns = IvfIndex.search(spark, idx, Seq(1L), nprobe = 1, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ns === Set(3L, 5L, 6L))
+  }
+}
