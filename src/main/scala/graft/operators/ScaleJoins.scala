@@ -19,6 +19,50 @@ import org.apache.spark.sql.functions._
   */
 object ScaleJoins {
 
+  /** Salt factor DERIVED from the fact side's measured key skew — the
+    * scale-honest replacement for a hard-coded constant, which is
+    * wrong in both directions: too small leaves the straggler, too
+    * large replicates the dim side for nothing. The histogram is ONE
+    * sampled aggregate (map-side-combined to |sampled keys| partial
+    * rows); the factor is how many times the hottest key overflows a
+    * level task:
+    *
+    *   factor = ceil(hottest / (total / targetTasks)), clamped to
+    *   [1, maxFactor]
+    *
+    * so an unskewed table derives 1 (salting disabled, no replication
+    * cost) and a single-hot-key table derives ~targetTasks. Seeded
+    * sampling keeps the derivation reproducible run to run; the
+    * sample only needs the hot key's SHARE, not exact counts, so 5 %
+    * is plenty at any corpus size where skew matters. */
+  def deriveSaltFactor(facts: DataFrame, key: String, targetTasks: Int,
+                       sampleFraction: Double = 0.05,
+                       maxFactor: Int = 64): Int = {
+    require(targetTasks > 0, s"targetTasks must be positive: $targetTasks")
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction in (0,1]: $sampleFraction")
+    val sampled =
+      if (sampleFraction >= 1.0) facts
+      else facts.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val row = sampled.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("hot"), sum(col("n")).as("total")).head()
+    if (row.isNullAt(0)) 1 // empty sample: no skew evidence, don't salt
+    else {
+      val even = math.max(1L, row.getLong(1) / targetTasks)
+      math.max(1, math.min(maxFactor,
+        math.ceil(row.getLong(0).toDouble / even).toInt))
+    }
+  }
+
+  /** [[saltedJoin]] with the factor [[deriveSaltFactor]]d from the
+    * fact side (default target: the session's shuffle parallelism). */
+  def saltedJoinDerived(facts: DataFrame, dims: DataFrame, key: String,
+                        targetTasks: Int = 0): DataFrame = {
+    val target = if (targetTasks > 0) targetTasks
+      else facts.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    saltedJoin(facts, dims, key, deriveSaltFactor(facts, key, target))
+  }
+
   /** Equi-join `facts ⋈ dims` on `key`, spreading each fact key over
     * `saltFactor` partitions. `dims` must be the small-ish side (it is
     * replicated `saltFactor`×). */

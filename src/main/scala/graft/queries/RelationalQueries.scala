@@ -667,7 +667,8 @@ object RelationalQueries {
              |SELECT o_orderkey, o_custkey, o_orderdate,
              |  CAST(total_qty AS DOUBLE) AS total_qty
              |FROM big JOIN orders ON l_orderkey = o_orderkey
-             |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin)),
+             |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin),
+      bench = true),
 
     // Correlated-aggregate shape: customers spending above 2× the
     // per-customer average, decided by CROSS-MULTIPLICATION
@@ -768,7 +769,8 @@ object RelationalQueries {
              |SELECT c_custkey, c_name, n_name, c_acctbal, revenue
              |FROM rev JOIN customer ON o_custkey = c_custkey
              |  JOIN nation ON c_nationkey = n_nationkey
-             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      bench = true),
 
     // TPC-H Q14 shape — the promo-revenue share: one month of
     // lineitem joined to part (broadcast dimension), conditional
@@ -810,7 +812,8 @@ object RelationalQueries {
              |    AS DECIMAL(18,4))) AS DOUBLE) AS economy_pct
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
-             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)),
+             |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin),
+      bench = true),
 
     // Burst detection over the event stream: hours where an event
     // type's volume exceeds 2× its median hourly volume — the
@@ -929,7 +932,8 @@ object RelationalQueries {
              |FROM o WHERE EXISTS (SELECT 1 FROM l
              |  WHERE l.l_orderkey = o.o_orderkey
              |    AND l.sms > o.oms + 90::BIGINT * 86400000)
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      bench = true),
 
     // Explicit GROUPING SETS (the rollup/cube queries' general form):
     // brand-only, type-only, and grand-total aggregates in ONE pass —
@@ -1058,9 +1062,12 @@ object RelationalQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Skew-mitigated join: the hot-key fact⨝dim join run through
-    // ScaleJoins.saltedJoin (fact side salted over 8 partitions, dim
-    // side replicated 8×), proving the salt is RESULT-INVISIBLE — the
-    // oracle is the plain join. This is the explicit tool for
+    // ScaleJoins.saltedJoinDerived — the salt factor is MEASURED from
+    // a seeded 5% key-histogram sample of the fact side (hottest key's
+    // overflow of a level task, clamped), not hard-coded, so an
+    // unskewed corpus pays zero replication and a one-hot-key corpus
+    // spreads to the full task count. The salt is RESULT-INVISIBLE —
+    // the oracle is the plain join. This is the explicit tool for
     // aggregate-into-join pipelines where AQE can't see the skew; the
     // post-join aggregate collapses the salt before anything reads it.
     QuerySpec("join_salted_hot_user",
@@ -1073,7 +1080,7 @@ object RelationalQueries {
           .groupBy(col("user_id"))
           .agg(min(expr("unix_millis(ts) div 86400000")).as("signup_day"))
         graft.operators.ScaleJoins
-          .saltedJoin(ev, dims, "user_id", saltFactor = 8)
+          .saltedJoinDerived(ev, dims, "user_id")
           .groupBy(col("user_id"), col("signup_day"))
           .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
           .orderBy(col("user_id"))

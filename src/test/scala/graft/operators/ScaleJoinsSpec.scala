@@ -18,6 +18,39 @@ class ScaleJoinsSpec extends SparkSuite {
     assert(salted.size === 1000)
   }
 
+  test("deriveSaltFactor measures skew: hot key scales it, uniform keys disable it") {
+    // uniform: every key appears once — no task can overflow, factor 1
+    val uniform = (1L to 2000L).map(i => (i, "v")).toDF("k", "fv")
+    assert(ScaleJoins.deriveSaltFactor(uniform, "k", targetTasks = 8,
+      sampleFraction = 1.0) === 1)
+    // one key owns half the table: it overflows a level task (1/8 of
+    // rows) by ~4x -> factor 4
+    val hot = ((1L to 1000L).map(_ => (7L, "hot")) ++
+      (1L to 1000L).map(i => (i + 100L, "cold"))).toDF("k", "fv")
+    assert(ScaleJoins.deriveSaltFactor(hot, "k", targetTasks = 8,
+      sampleFraction = 1.0) === 4)
+    // a single-key table derives ~targetTasks, clamped by maxFactor
+    val onekey = (1L to 1000L).map(_ => (1L, "x")).toDF("k", "fv")
+    assert(ScaleJoins.deriveSaltFactor(onekey, "k", targetTasks = 8,
+      sampleFraction = 1.0) === 8)
+    assert(ScaleJoins.deriveSaltFactor(onekey, "k", targetTasks = 100,
+      sampleFraction = 1.0, maxFactor = 16) === 16)
+    // sampled derivation lands on the same order for the hot table
+    // (seeded -> deterministic), and the derived join is still exact
+    val f = ScaleJoins.deriveSaltFactor(hot, "k", targetTasks = 8)
+    assert(f >= 2 && f <= 8, s"sampled factor out of band: $f")
+    val dims = ((1L to 1000L).map(i => i + 100L) :+ 7L).map((_, "d"))
+      .toDF("k", "dv")
+    val plain = hot.join(dims, "k").select("k", "fv", "dv")
+      .as[(Long, String, String)].collect().toSet
+    val derived = ScaleJoins.saltedJoinDerived(hot, dims, "k")
+      .select("k", "fv", "dv").as[(Long, String, String)].collect().toSet
+    assert(derived === plain)
+    // empty facts: no evidence, factor 1 (and no crash)
+    assert(ScaleJoins.deriveSaltFactor(uniform.filter(col("k") < 0L), "k",
+      targetTasks = 8, sampleFraction = 1.0) === 1)
+  }
+
   test("bucketedRangeJoin equals the plain BETWEEN join, across bucket spans") {
     // intervals deliberately span 1, 2, and 4 buckets at bucketMs=100;
     // bounds are inclusive on both ends
