@@ -474,7 +474,10 @@ object StreamIngest {
                          scala.None,
                        perTopicProjection:
                          Option[String => DataFrame => DataFrame] =
-                           scala.None)
+                           scala.None,
+                       views: Map[String,
+                         Seq[graft.ingest.MaterializedAgg.ViewDef]] =
+                           Map.empty)
       : StreamingQuery = {
     require(rotationBucket.isEmpty || format != "avro",
       "interval rotation is a BatchWriter-format feature; the avro " +
@@ -539,6 +542,14 @@ object StreamIngest {
                   m.updated(f.partition,
                     math.max(m.getOrElse(f.partition, -1L), f.endOffset))
                 }
+                // per-topic materialized views: refresh AFTER this
+                // topic's data publish (same ordering contract as
+                // startLoggedWithViews — a crash mid-refresh leaves
+                // the view stale, and its filename watermark back-
+                // fills it exactly on the topic's next batch)
+                views.get(topic).foreach(vs =>
+                  graft.ingest.MaterializedAgg.refreshAll(
+                    spark, outDir, topic, vs, format))
               }
           }
         } finally { fresh.unpersist(); () }

@@ -133,6 +133,53 @@ class MaterializedAggSpec extends SparkSuite {
       Set(("a", 2L, 3L), ("b", 2L, 30L), ("c", 1L, 100L)))
   }
 
+  test("multi-topic demux: per-topic views stay fresh; a stale one back-fills on its topic's next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-mv-multi").toString
+    val ckpt = Files.createTempDirectory("graft-mv-mckpt").toString
+    def viewState(viewTopic: String) =
+      MaterializedAgg.read(spark, out, viewTopic)
+        .select("k", "n", "sum_v").as[(String, Long, Long)].collect().toSet
+    val views = Map(
+      "alpha" -> Seq(MaterializedAgg.ViewDef("alpha_view", Seq("k"), Seq("v"))),
+      "beta" -> Seq(MaterializedAgg.ViewDef("beta_view", Seq("k"), Seq("v"))))
+    val s = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long, String, Long)]
+    val q = graft.streaming.StreamIngest.startLoggedMulti(
+      s.toDF().toDF("topic", "part", "off", "k", "v"), out,
+      flushSize = 100, checkpoint = ckpt, views = views)
+    s.addData(("alpha", 0L, 0L, "a", 1L), ("alpha", 0L, 1L, "b", 10L),
+      ("beta", 0L, 0L, "a", 5L))
+    q.processAllAvailable()
+    assert(viewState("alpha_view") === Set(("a", 1L, 1L), ("b", 1L, 10L)))
+    assert(viewState("beta_view") === Set(("a", 1L, 5L)))
+    // a batch touching only beta refreshes only beta's view
+    s.addData(("beta", 0L, 1L, "a", 7L))
+    q.processAllAvailable()
+    q.stop()
+    assert(viewState("alpha_view") === Set(("a", 1L, 1L), ("b", 1L, 10L)))
+    assert(viewState("beta_view") === Set(("a", 2L, 12L)))
+    // crash-staleness: a version published with NO refresh (batch
+    // committer — the crash-after-publish window), then the restarted
+    // multi stream's next alpha batch back-fills the missed version
+    CommitLog.writeLogged(
+      Seq((0L, 2L, "c", 100L)).toDF("part", "off", "k", "v"),
+      out, "alpha", flushSize = 10)
+    val ckpt2 = Files.createTempDirectory("graft-mv-mckpt2").toString
+    val s2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long, String, Long)]
+    val q2 = graft.streaming.StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "k", "v"), out,
+      flushSize = 100, checkpoint = ckpt2, views = views)
+    s2.addData(("alpha", 0L, 3L, "b", 20L))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(viewState("alpha_view") ===
+      Set(("a", 1L, 1L), ("b", 2L, 30L), ("c", 1L, 100L)))
+    assert(viewState("beta_view") === Set(("a", 2L, 12L)))
+  }
+
   test("derived keys: an event-time-bucketed view maintains per-day sums incrementally") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-mv-derive").toString
