@@ -69,7 +69,8 @@ object CardinalityMonitor {
                            trigger: Option[Trigger] = None,
                            format: String = "parquet",
                            avroCodec: String = "null",
-                           k: Int = K): StreamingQuery = {
+                           k: Int = K,
+                           compactEvery: Int = 64): StreamingQuery = {
     val spark = stream.sparkSession
     // crash-window rebuilds re-fingerprint committed files, so the
     // format must round-trip exactly (same contract as the dedup gate)
@@ -90,6 +91,20 @@ object CardinalityMonitor {
             manifest.map(c => StreamIngest.relPath(outDir, topic, c.path)))
           DedupIngest.installVersionFile(DedupIngest.hfs(spark, outDir),
             kmvDirPath(outDir, topic), version, contribution)
+          // auto-compaction: without it the plane grows one ≤k-row
+          // file per commit forever and estimate() degrades to
+          // O(versions·k) file opens on a long stream. Fold once the
+          // listing (metadata-scale, one plane dir) crosses the
+          // threshold — the min-k of a union IS the union's sketch,
+          // so estimates are unchanged by construction, and the
+          // crash-ordered install keeps a died-mid-fold plane
+          // readable (reconcile heals it like any other gap).
+          if (compactEvery > 0 &&
+            DedupIngest.fpFiles(DedupIngest.hfs(spark, outDir),
+              kmvDirPath(outDir, topic)).size > compactEvery) {
+            compact(spark, outDir, topic, k)
+            ()
+          }
           manifest
         } finally { withFp.unpersist(); () }
       },

@@ -127,6 +127,37 @@ class CardinalityMonitorSpec extends SparkSuite {
     assert(CardinalityMonitor.estimate(spark, out, "t") === 5L)
   }
 
+  test("auto-compaction bounds the plane across 50+ micro-batches; estimates unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-kmv-auto").toString
+    val ckpt = Files.createTempDirectory("graft-kmv-ckpt9").toString
+    val s = MemoryStream[(Long, Long, String)]
+    // tight threshold so the fold actually triggers many times in-run
+    val q = CardinalityMonitor.startLoggedMonitored(
+      s.toDF().toDF("part", "off", "payload"), out, "t",
+      flushSize = 100, ckpt, compactEvery = 8)
+    // 55 one-record micro-batches: ~30% duplicate content
+    (0 until 55).foreach { i =>
+      s.addData((0L, i.toLong, s"doc-${i % 40}"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // without the auto-fold the plane would hold 55 files; bounded to
+    // threshold + the versions installed since the last fold
+    val planeFiles = fs.listStatus(new Path(s"$out/t/_kmv")).length
+    assert(planeFiles <= 9, s"plane must stay bounded, got $planeFiles files")
+    // every version published — compaction never ate a commit
+    assert(CommitLog.latestVersion(spark, out, "t") === 54L)
+    // 40 distinct payloads < k: the merged sketch is still EXACT
+    assert(CardinalityMonitor.estimate(spark, out, "t") === 40L)
+    // and the folded plane equals a from-scratch rebuild of the sketch
+    val rebuilt = CommitLog.read(spark, out, "t")
+      .select("payload").distinct().count()
+    assert(rebuilt === 40L)
+  }
+
   test("non-round-tripping formats are rejected up front") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
