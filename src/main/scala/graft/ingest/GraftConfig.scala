@@ -98,6 +98,29 @@ object GraftConfig {
     * reference's `format.class` recommender list). */
   val Formats: Seq[String] = BatchWriter.Formats.keys.toSeq.sorted :+ "avro"
 
+  /** The reference's `format.class` FQCN spellings, normalized to
+    * engine formats. This is also the whole OLD-Format-API
+    * compatibility story (`OldRecordWriterWrapper.java:1-40`,
+    * `FormatAPIDataWriterCompatibilityTest.java`): the deprecated
+    * `io.confluent.connect.hdfs.Format` and its replacement
+    * `io.confluent.connect.storage.format.Format` are two JAVA
+    * INTERFACES the same four config values implemented across
+    * generations — a runtime-ABI concern with no counterpart in a
+    * declarative engine, where a format is a config VALUE entering a
+    * `DataFrameWriter`, not user code called record-at-a-time. Both
+    * generations' configs carry these exact strings, so accepting them
+    * here serves every old-API user the wrapper served, with nothing
+    * left to wrap. */
+  val FormatClassAliases: Map[String, String] = Map(
+    "io.confluent.connect.hdfs.avro.AvroFormat" -> "avro",
+    "io.confluent.connect.hdfs.parquet.ParquetFormat" -> "parquet",
+    "io.confluent.connect.hdfs.json.JsonFormat" -> "json",
+    "io.confluent.connect.hdfs.string.StringFormat" -> "text")
+
+  /** Engine name for a `format.class` value (identity for the engine's
+    * own short names). */
+  def normalizeFormat(v: String): String = FormatClassAliases.getOrElse(v, v)
+
   /** The reference's `avro.codec` lattice (AvroSink.codecFor). */
   val AvroCodecs: Seq[String] = Seq("null", "deflate", "snappy", "bzip2")
 
@@ -157,7 +180,10 @@ object GraftConfig {
     * Returns one [[Validated]] per defined key, resolved value
     * included, plus one per unknown key passed in. */
   def validate(props: Map[String, String]): Seq[Validated] = {
-    val get = (k: String) => props.getOrElse(k, Defaults.getOrElse(k, ""))
+    val get = (k: String) => {
+      val raw = props.getOrElse(k, Defaults.getOrElse(k, ""))
+      if (k == Format) normalizeFormat(raw) else raw
+    }
     val partitioner = get(PartitionerClass)
     def check(name: String): (Seq[String], Seq[String]) = name match {
       case FlushSize =>

@@ -20,6 +20,22 @@ class GraftConfigSpec extends SparkSuite {
     }
   }
 
+  test("format.class accepts the reference's FQCNs across BOTH Format-API generations") {
+    // old-API and new-API connectors carry the SAME config strings —
+    // normalizing them is the whole OldRecordWriterWrapper story here
+    for ((fqcn, short) <- GraftConfig.FormatClassAliases) {
+      val cfg = GraftConfig(base + ("format.class" -> fqcn))
+      assert(cfg.format === short, fqcn)
+    }
+    // engine short names still pass through untouched
+    assert(GraftConfig(base + ("format.class" -> "json")).format === "json")
+    // an unknown class is still rejected with the roster
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base + ("format.class" -> "com.example.MyFormat"))
+    }
+    assert(e.getMessage.contains("unknown format"))
+  }
+
   test("unsupported codec fails with the valid-values list (testUnsupportedAvroCompressionSettings)") {
     val e = intercept[IllegalArgumentException] {
       GraftConfig(base + ("avro.codec" -> "abc"))
