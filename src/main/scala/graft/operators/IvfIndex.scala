@@ -30,11 +30,11 @@ import graft.ingest.CommitLog
   * 100 TB story: the vectors topic is the only corpus-scale artifact
   * and it is written through the same offset-ranged / atomic-commit
   * protocol as every other topic (compactable, vacuumable,
-  * time-travelable). Serving reads it with a cell-key equi-join
-  * against broadcast probes — ~nprobe/K of the corpus per query batch
-  * after partition pruning on the cell column would be the next step
-  * at real scale (the layout keeps `cell` a first-class column
-  * precisely so a `partitionBy(cell)` variant is a one-line change).
+  * time-travelable) — PARTITIONED BY CELL: the commit-log `part` IS
+  * the cell id, so a search prunes the snapshot's FILE LIST to the
+  * probed cells before any scan is planned. The serving read touches
+  * ~nprobe/K of the index's bytes at the storage layer — not a scan
+  * filter, an unread file.
   */
 object IvfIndex {
 
@@ -45,7 +45,7 @@ object IvfIndex {
     * quantized Array[Long] vectors. Returns the vectors topic's log
     * version (0 for a fresh build). */
   def build(vecs: DataFrame, indexDir: String, k: Int, iters: Int,
-            parts: Int = 4, flushSize: Int = 1 << 20): Long = {
+            flushSize: Int = 1 << 20): Long = {
     val spark = vecs.sparkSession
     require(CommitLog.latestVersion(spark, indexDir, VectorsTopic) < 0,
       s"index at $indexDir already built — append() grows it, " +
@@ -56,8 +56,8 @@ object IvfIndex {
     CommitLog.writeLogged(cdf, indexDir, CentroidsTopic,
       flushSize = math.max(cents.size, 1))
     val assigned = KMeans.assign(vecs, cents)
-      .select(pmod(col("id"), lit(parts.toLong)).as("part"),
-        col("id").as("off"), col("v"), col("cell"))
+      .select(col("cell").as("part"), col("id").as("off"), col("v"),
+        col("cell"))
     CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize)
   }
 
@@ -75,16 +75,35 @@ object IvfIndex {
     CommitLog.read(spark, indexDir, VectorsTopic)
       .select(col("off").as("id"), col("v"), col("cell"))
 
+  /** The snapshot's file list PRUNED to `cells` — the storage-layer
+    * payoff of the cell-partitioned layout: the partition directory
+    * embedded in each topic-relative path is the cell id, so the
+    * driver drops every unprobed cell's files before Spark ever plans
+    * a scan. Returns (pruned rels, total snapshot size) so callers
+    * can report the pruning ratio. */
+  private[graft] def prunedRels(spark: SparkSession, indexDir: String,
+                                cells: Set[Long]): (Seq[String], Int) = {
+    val rels = CommitLog.snapshot(spark, indexDir, VectorsTopic)
+    val keep = rels.filter { rel =>
+      rel.split('/').head match {
+        case s if s.startsWith("partition=") =>
+          cells.contains(s.stripPrefix("partition=").toLong)
+        case _ => true // unexpected layout: never silently drop data
+      }
+    }
+    (keep, rels.size)
+  }
+
   /** Grow the index under the frozen quantizer: assign `newVecs`
     * (ids must be new — same contract as any topic append) and
     * publish as the next log version. Returns that version. */
   def append(newVecs: DataFrame, indexDir: String,
-             parts: Int = 4, flushSize: Int = 1 << 20): Long = {
+             flushSize: Int = 1 << 20): Long = {
     val spark = newVecs.sparkSession
     val cents = centroids(spark, indexDir)
     val assigned = KMeans.assign(newVecs, cents)
-      .select(pmod(col("id"), lit(parts.toLong)).as("part"),
-        col("id").as("off"), col("v"), col("cell"))
+      .select(col("cell").as("part"), col("id").as("off"), col("v"),
+        col("cell"))
     CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize)
   }
 
@@ -110,18 +129,42 @@ object IvfIndex {
   }
 
   /** Serve a query batch from the published index: no training, no
-    * assignment of the corpus — just snapshot-read, probe, join,
-    * heap. `queryIds` are looked up in the index itself (query-by-
-    * member); external query vectors would pass through the same
-    * probes shape. */
+    * assignment of the corpus — and no scan of unprobed cells. The
+    * probe cells come back to the driver (Q×nprobe values,
+    * metadata-scale), the snapshot's file list prunes to them, and
+    * only then is the candidate scan planned. `queryIds` are looked
+    * up in the index itself (query-by-member — a skinny (id, v)
+    * column read); external query vectors take [[searchVectors]] and
+    * skip even that. */
   def search(spark: SparkSession, indexDir: String, queryIds: Seq[Long],
              nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(spark, indexDir)
-    val assigned = vectors(spark, indexDir)
-    val probes = KMeans.probeCells(
-        assigned.filter(col("id").isin(queryIds: _*)).select(col("id"), col("v")),
-        cents, nprobe)
+    val qvecs = vectors(spark, indexDir)
+      .filter(col("id").isin(queryIds: _*)).select(col("id"), col("v"))
+    searchVectors(spark, indexDir, qvecs, nprobe, k, cents)
+  }
+
+  /** The production serving entry: `queries` = (id, v) EXTERNAL query
+    * vectors (quantized like the corpus). Zero full-snapshot reads —
+    * probes rank against the driver-held centroids, and the corpus
+    * scan is pruned to the probed cells' files. */
+  def searchVectors(spark: SparkSession, indexDir: String,
+                    queries: DataFrame, nprobe: Int, k: Int,
+                    loadedCents: Seq[KMeans.Centroid] = Seq.empty)
+      : DataFrame = {
+    val cents =
+      if (loadedCents.nonEmpty) loadedCents else centroids(spark, indexDir)
+    val probes = KMeans.probeCells(queries, cents, nprobe)
       .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    // driver-side probe-cell set: Q×nprobe longs. This one tiny job is
+    // what buys the file-level pruning below.
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (keep, _) = prunedRels(spark, indexDir, cells)
+    require(keep.nonEmpty, s"no index files for probed cells $cells")
+    val assigned = CommitLog
+      .readFiles(spark, indexDir, VectorsTopic, keep)
+      .select(col("off").as("id"), col("v"), col("cell"))
     searchAssigned(assigned, probes, k)
   }
 

@@ -105,11 +105,71 @@ class IvfIndexSpec extends SparkSuite {
     assert(scans <= 3, s"ADC serving must not rescan for training:\n$plan")
   }
 
+  test("cell-partitioned layout: serving prunes unprobed cells' files before the scan") {
+    val idx = Files.createTempDirectory("ivf-idx-prune").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 1) // 1 file/vector
+    // the commit-log partition directory IS the cell id
+    val snap = CommitLog.snapshot(spark, idx, IvfIndex.VectorsTopic)
+    assert(snap.size === 6)
+    assert(snap.forall(r => r.startsWith("partition=0/") || r.startsWith("partition=1/")))
+    // probing one cell halves the file list at the driver, pre-scan
+    val (keep, total) = IvfIndex.prunedRels(spark, idx, Set(0L))
+    assert(total === 6 && keep.size === 3)
+    assert(keep.forall(_.startsWith("partition=0/")))
+    // external query vector near cluster A: searchVectors reads only
+    // cell 0's files and ranks exactly (qv=(0,1): dot(4)=2 > dot(0)=1)
+    val q = Seq(100L -> Seq(0L, 1L)).toDF("id", "v")
+    val res = IvfIndex.searchVectors(spark, idx, q, nprobe = 1, k = 2)
+      .select("q_id", "neighbor_id", "dot", "rnk")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(res === Set((100L, 4L, 2L, 1L), (100L, 0L, 1L, 2L)))
+  }
+
+  test("streaming ingest grows the index exactly-once under the frozen quantizer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("ivf-idx-stream").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2)
+    val before = IvfIndex.centroids(spark, idx)
+
+    val ckpt = Files.createTempDirectory("ivf-ing-ckpt").toString
+    val s = MemoryStream[(Long, Seq[Long])]
+    val q = graft.streaming.IndexIngest.startIvfIngest(
+      s.toDF().toDF("id", "v"), idx, ckpt, flushSize = 10)
+    s.addData(6L -> Seq(98L, 98L), 7L -> Seq(3L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    assert(IvfIndex.vectors(spark, idx).count() === 8)
+
+    // crash-restart with FULL replay plus one new vector: the resume
+    // filter drops every committed id per cell; only id 8 lands
+    val ckpt2 = Files.createTempDirectory("ivf-ing-ckpt2").toString
+    val s2 = MemoryStream[(Long, Seq[Long])]
+    val q2 = graft.streaming.IndexIngest.startIvfIngest(
+      s2.toDF().toDF("id", "v"), idx, ckpt2, flushSize = 10)
+    // a replay carries the SAME records (an at-least-once source
+    // re-delivers, it does not rewrite) — ids 0-7 verbatim, 8 new
+    val originals = base.select("id", "v").as[(Long, Seq[Long])]
+      .collect().toSeq ++
+      Seq(6L -> Seq(98L, 98L), 7L -> Seq(3L, 1L), 8L -> Seq(101L, 101L))
+    s2.addData(originals: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val all = IvfIndex.vectors(spark, idx)
+    assert(all.count() === 9, "replayed ids must be skipped")
+    assert(all.select(countDistinct(col("id"))).as[Long].head() === 9)
+    // quantizer untouched; streamed vectors are probe-reachable
+    assert(IvfIndex.centroids(spark, idx) === before)
+    val ns = IvfIndex.search(spark, idx, Seq(1L), nprobe = 1, k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ns.contains(6L), s"streamed vector must serve, got $ns")
+  }
+
   test("index topics compact and vacuum like any logged topic") {
     val idx = Files.createTempDirectory("ivf-idx-compact").toString
-    IvfIndex.build(base, idx, k = 2, iters = 2, parts = 2, flushSize = 1)
+    IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 1)
     IvfIndex.append(Seq(6L -> Seq(98L, 98L), 7L -> Seq(3L, 1L)).toDF("id", "v"),
-      idx, parts = 2, flushSize = 1)
+      idx, flushSize = 1)
     val filesBefore = CommitLog.snapshot(spark, idx, IvfIndex.VectorsTopic).size
     CommitLog.compactLogged(spark, idx, IvfIndex.VectorsTopic,
       targetRecords = 100)
