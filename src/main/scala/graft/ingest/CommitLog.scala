@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *   - SNAPSHOT is replay: versions in order, adds minus removes.
   *     A compaction publishes adds+removes in ONE version file, so
   *     readers atomically flip from sources to their replacement —
-  *     no torn view, no overlapping-offset double-read.
+  *     no torn view, no overlapping-offset double-read. A
+  *     `<version>.ckpt` checkpoint (see [[checkpoint]]) materializes
+  *     the live set at that version; replay rebases on the newest one
+  *     at or below its pin, so snapshot cost is O(tail), not
+  *     O(versions), on long-lived topics.
   *   - VACUUM deletes committed-named files the log doesn't
   *     reference (crashed writers' orphans, compacted sources) —
   *     safe precisely because readers go through the log.
@@ -112,22 +116,80 @@ object CommitLog {
     * `asOf` (inclusive) for time travel, or the full log by default.
     * Versions are immutable once published, so a pinned `asOf`
     * snapshot is reproducible forever (modulo vacuum of its files —
-    * retain what you pin). */
+    * retain what you pin).
+    *
+    * Replay starts from the newest [[checkpoint]] at or below `asOf`
+    * when one exists — O(tail-since-checkpoint) version reads instead
+    * of O(versions), the difference between a constant-time metadata
+    * op and an unbounded walk on a year-old streaming topic. */
   def snapshot(spark: SparkSession, outDir: String, topic: String,
                asOf: Long = Long.MaxValue): Seq[String] = {
     val dir = logDir(outDir, topic)
     val f = fs(spark, outDir)
     if (!f.exists(dir)) return Seq.empty
-    val versions = f.listStatus(dir).map(_.getPath.getName)
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    val ckptV = names.filter(_.endsWith(CkptSuffix))
+      .map(_.stripSuffix(CkptSuffix))
       .filter(_.forall(_.isDigit)).map(_.toLong)
-      .filter(_ <= asOf).sorted
+      .filter(_ <= asOf).foldLeft(-1L)(math.max)
+    val versions = names
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .filter(v => v > ckptV && v <= asOf).sorted
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    if (ckptV >= 0)
+      live ++= readLines(f, new Path(dir, s"$ckptV$CkptSuffix"))
+        .map { line =>
+          require(line.length >= 3 && line.startsWith("a|"),
+            s"corrupt checkpoint line: $line")
+          line.substring(2)
+        }
     versions.foreach { v =>
       val (adds, removes) = changesAt(spark, outDir, topic, v)
       live ++= adds
       live --= removes
     }
     live.toSeq.sorted
+  }
+
+  private val CkptSuffix = ".ckpt"
+
+  /** Materialize the live set AT an existing version into
+    * `<version>.ckpt`, so later [[snapshot]]s replay only the tail
+    * published after it — the log's own compaction (version files are
+    * untouched; time travel below the checkpoint still replays them).
+    * Idempotent and crash-safe: content is a pure function of the
+    * immutable log prefix, staged to a temp and renamed, and a
+    * pre-existing checkpoint is left alone. Returns the checkpointed
+    * version (the latest, or -1 on an empty log). */
+  def checkpoint(spark: SparkSession, outDir: String, topic: String): Long = {
+    val v = latestVersion(spark, outDir, topic)
+    if (v < 0) return -1L
+    val f = fs(spark, outDir)
+    val dest = new Path(logDir(outDir, topic), s"$v$CkptSuffix")
+    if (f.exists(dest)) return v
+    // snapshot() itself rides any OLDER checkpoint, so re-checkpointing
+    // a long log is O(tail) too
+    val live = snapshot(spark, outDir, topic, asOf = v)
+    val body = live.map("a|" + _).mkString("", "\n", "\n")
+    val tmp = new Path(logDir(outDir, topic), s".${UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, dest)) {
+      // a concurrent checkpointer won; identical content by immutability
+      f.delete(tmp, false)
+      require(f.exists(dest), s"rename failed installing checkpoint $v")
+    }
+    v
+  }
+
+  private def readLines(f: FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString(StandardCharsets.UTF_8.name())
+    } finally in.close()
+    text.linesIterator.filter(_.nonEmpty).toSeq
   }
 
   /** Read the logged snapshot as a DataFrame — the exact live file
@@ -260,9 +322,13 @@ object CommitLog {
     val committed =
       BatchWriter.rewriteGroups(spark, outDir, topic, multi, pad, format)
 
-    publish(spark, outDir, topic,
+    val v = publish(spark, outDir, topic,
       adds = committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"),
       removes = multi.flatMap(g => g.files.map(n => s"partition=${g.partition}/$n")))
+    // the swap just rewrote the live set wholesale — the natural moment
+    // to rebase snapshot replay on a checkpoint (idempotent on redo)
+    checkpoint(spark, outDir, topic)
+    v
   }
 
   /** Topics under `outDir` that own a commit log — the store's topic

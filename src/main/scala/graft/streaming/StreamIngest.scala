@@ -127,14 +127,22 @@ object StreamIngest {
                   flushSize: Int, checkpoint: String,
                   trigger: Option[Trigger] = None,
                   format: String = "parquet",
-                  avroCodec: String = "null"): StreamingQuery = {
+                  avroCodec: String = "null",
+                  logCheckpointEvery: Int = 64): StreamingQuery = {
     val spark = stream.sparkSession
     commitLoop(stream, checkpoint, trigger,
       initial = CommitLog.maxOffsets(spark, outDir, topic),
       writeFn = writerFor(outDir, topic, flushSize, format, avroCodec),
-      afterWrite = manifest =>
-        CommitLog.publish(spark, outDir, topic,
-          manifest.map(c => relPath(outDir, topic, c.path))))
+      afterWrite = manifest => {
+        val v = CommitLog.publish(spark, outDir, topic,
+          manifest.map(c => relPath(outDir, topic, c.path)))
+        // rebase snapshot replay periodically so a year-old topic's
+        // reads stay O(tail), not O(every version ever published)
+        if (logCheckpointEvery > 0 && v > 0 && v % logCheckpointEvery == 0) {
+          CommitLog.checkpoint(spark, outDir, topic)
+          ()
+        }
+      })
   }
 
   /** [[startLogged]] plus always-fresh materialized views: after each
@@ -477,7 +485,8 @@ object StreamIngest {
                            scala.None,
                        views: Map[String,
                          Seq[graft.ingest.MaterializedAgg.ViewDef]] =
-                           Map.empty)
+                           Map.empty,
+                       logCheckpointEvery: Int = 64)
       : StreamingQuery = {
     require(rotationBucket.isEmpty || format != "avro",
       "interval rotation is a BatchWriter-format feature; the avro " +
@@ -534,10 +543,17 @@ object StreamIngest {
                   rotationBucket))
             manifest.groupBy(_.topic).toSeq.sortBy(_._1)
               .foreach { case (topic, files) =>
-                CommitLog.publish(spark, outDir, topic, files.map { c =>
+                val v = CommitLog.publish(spark, outDir, topic, files.map { c =>
                   s"partition=${c.partition}/" +
                     new org.apache.hadoop.fs.Path(c.path).getName
                 })
+                // per-topic snapshot-replay rebase, same cadence
+                // contract as the single-topic plane
+                if (logCheckpointEvery > 0 && v > 0 &&
+                  v % logCheckpointEvery == 0) {
+                  CommitLog.checkpoint(spark, outDir, topic)
+                  ()
+                }
                 committed(topic) = files.foldLeft(committed(topic)) { (m, f) =>
                   m.updated(f.partition,
                     math.max(m.getOrElse(f.partition, -1L), f.endOffset))

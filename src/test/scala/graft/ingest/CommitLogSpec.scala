@@ -246,8 +246,11 @@ class CommitLogSpec extends SparkSuite {
     // i.e. just pre-commit the replacement files
     val pre = CommitLog.compactLogged(spark, out, "t", targetRecords = 2)
     // now roll the LOG back one version to fake "publish never happened"
+    // (the post-publish auto-checkpoint wouldn't exist either — both
+    // are written after the crash point being simulated)
     val f = CommitLog.fs(spark, out)
     f.delete(new Path(s"$out/t/_commitlog/$pre"), false)
+    f.delete(new Path(s"$out/t/_commitlog/$pre.ckpt"), false)
     // redo: replacement renames are skipped idempotently, publish redone
     val v2 = CommitLog.compactLogged(spark, out, "t", targetRecords = 2)
     assert(v2 === pre)
@@ -281,6 +284,64 @@ class CommitLogSpec extends SparkSuite {
       CommitLog.cloneTopic(spark, out, "t", "t_v0")
     }
     assert(e.getMessage.contains("already has a commit log"))
+  }
+
+  test("log checkpoints: snapshot rebases on the newest ckpt and replays only the tail") {
+    val out = Files.createTempDirectory("clog-ckpt").toString
+    CommitLog.writeLogged(frame(2), out, "t", flushSize = 1)              // v0
+    CommitLog.writeLogged(frame(4).filter(col("off") >= 2), out, "t", 1) // v1
+    val before = CommitLog.snapshot(spark, out, "t")
+    assert(CommitLog.checkpoint(spark, out, "t") === 1L)
+    val f = CommitLog.fs(spark, out)
+    assert(f.exists(new Path(s"$out/t/_commitlog/1.ckpt")))
+    // identical live set through the checkpointed read path
+    assert(CommitLog.snapshot(spark, out, "t") === before)
+    // appends above the checkpoint are tail-replayed on top of it
+    CommitLog.writeLogged(frame(6).filter(col("off") >= 4), out, "t", 1) // v2
+    assert(CommitLog.snapshot(spark, out, "t").size === 6)
+    assert(CommitLog.read(spark, out, "t").count() === 6)
+    // time travel BELOW the checkpoint still replays version files
+    assert(CommitLog.snapshot(spark, out, "t", asOf = 0L).size === 2)
+    // pinned AT the checkpoint version rides it
+    assert(CommitLog.snapshot(spark, out, "t", asOf = 1L) === before)
+    // idempotent + re-checkpoint rides the older checkpoint
+    assert(CommitLog.checkpoint(spark, out, "t") === 2L)
+    assert(CommitLog.checkpoint(spark, out, "t") === 2L)
+    assert(CommitLog.snapshot(spark, out, "t").size === 6)
+    // offset recovery and vacuum are checkpoint-oblivious
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 4L, 1L -> 5L))
+    assert(CommitLog.vacuum(spark, out, "t", graceMs = 0) === Seq.empty)
+    assert(f.exists(new Path(s"$out/t/_commitlog/1.ckpt")),
+      "vacuum must never touch log internals")
+  }
+
+  test("compactLogged leaves a checkpoint at the swap; streaming checkpoints on cadence") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val out = Files.createTempDirectory("clog-ckpt-auto").toString
+    (0 until 3).foreach { b =>
+      CommitLog.writeLogged(
+        frame(6).filter(col("off").between(b * 2, b * 2 + 1)), out, "t", 1)
+    }
+    val v = CommitLog.compactLogged(spark, out, "t", targetRecords = 5)
+    val f = CommitLog.fs(spark, out)
+    assert(f.exists(new Path(s"$out/t/_commitlog/$v.ckpt")))
+    assert(CommitLog.read(spark, out, "t").count() === 6)
+    // streaming: every Nth published version checkpoints the log
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("clog-ckpt-sckpt").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.StreamIngest.startLogged(
+      s.toDF().toDF("part", "off", "payload"), out, "u", flushSize = 10, ckpt,
+      logCheckpointEvery = 2)
+    (0 until 5).foreach { i =>
+      s.addData((0L, i.toLong, s"p$i"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(CommitLog.latestVersion(spark, out, "u") === 4L)
+    assert(f.exists(new Path(s"$out/u/_commitlog/2.ckpt")))
+    assert(f.exists(new Path(s"$out/u/_commitlog/4.ckpt")))
+    assert(CommitLog.read(spark, out, "u").count() === 5)
   }
 
   test("cloneTopic: inherited files re-encode to the clone topic — offset resume and compaction see them") {
