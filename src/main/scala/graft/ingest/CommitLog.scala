@@ -128,12 +128,22 @@ object CommitLog {
     val f = fs(spark, outDir)
     if (!f.exists(dir)) return Seq.empty
     val names = f.listStatus(dir).map(_.getPath.getName)
-    val ckptV = names.filter(_.endsWith(CkptSuffix))
+    val allCkpts = names.filter(_.endsWith(CkptSuffix))
       .map(_.stripSuffix(CkptSuffix))
       .filter(_.forall(_.isDigit)).map(_.toLong)
-      .filter(_ <= asOf).foldLeft(-1L)(math.max)
-    val versions = names
-      .filter(_.forall(_.isDigit)).map(_.toLong)
+    val ckptV = allCkpts.filter(_ <= asOf).foldLeft(-1L)(math.max)
+    val allVers = names.filter(_.forall(_.isDigit)).map(_.toLong)
+    // no checkpoint at or below the pin AND the version prefix is
+    // gone ([[truncateLog]]) — an un-based replay would silently
+    // return a WRONG (partial or empty) snapshot; fail loudly instead
+    if (ckptV < 0 &&
+      ((allVers.nonEmpty && allVers.min > 0) ||
+        (allVers.isEmpty && allCkpts.nonEmpty)))
+      throw new IllegalStateException(
+        s"history of '$topic' below version ${allCkpts.minOption
+          .getOrElse(0L)} was truncated — asOf=$asOf is not replayable " +
+          "(retain what you pin: checkpoint/truncate above your pins)")
+    val versions = allVers
       .filter(v => v > ckptV && v <= asOf).sorted
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     if (ckptV >= 0)
@@ -180,6 +190,60 @@ object CommitLog {
       require(f.exists(dest), s"rename failed installing checkpoint $v")
     }
     v
+  }
+
+  /** The version FILES currently present, sorted — equals
+    * `0..latestVersion` until [[truncateLog]] has run, the retained
+    * suffix after. */
+  def versions(spark: SparkSession, outDir: String, topic: String): Seq[Long] = {
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).sorted.toSeq
+  }
+
+  /** Bound the LOG itself — the WAL-truncation analog the checkpoint
+    * makes safe: delete version files strictly below
+    * min(newest checkpoint, newest APPEND version), plus checkpoints
+    * the newest one supersedes. Everything the running system needs
+    * survives by construction:
+    *
+    *   - HEAD snapshots rebase on the retained checkpoint (the floor
+    *     never exceeds it),
+    *   - publish numbering is monotone (the floor's own version file
+    *     is retained, so [[latestVersion]] is unchanged),
+    *   - restart schema recovery keeps its exact carrier (the newest
+    *     append version file is retained — the floor never exceeds it
+    *     either),
+    *   - offset recovery reads the snapshot, not the prefix.
+    *
+    * What is GIVEN UP is replay below the floor: time travel and
+    * incremental feeds pinned there now fail loudly (the snapshot
+    * guard) instead of answering wrong — the same "retain what you
+    * pin" retention contract as [[vacuum]]. Returns the deleted
+    * version numbers; a crash mid-delete converges on re-run. */
+  def truncateLog(spark: SparkSession, outDir: String, topic: String): Seq[Long] = {
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    if (!f.exists(dir)) return Seq.empty
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    val ckpts = names.filter(_.endsWith(CkptSuffix))
+      .map(_.stripSuffix(CkptSuffix))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+    if (ckpts.isEmpty) return Seq.empty // nothing to rebase replay on
+    val vers = names.filter(_.forall(_.isDigit)).map(_.toLong).sorted
+    // newest APPEND (adds-only) version — usually the first probe on a
+    // live topic; swaps-only retained tails cannot happen below it
+    val newestAppend = vers.reverseIterator.find { v =>
+      changesAt(spark, outDir, topic, v)._2.isEmpty
+    }.getOrElse(-1L)
+    val floor = math.min(ckpts.max, newestAppend)
+    val doomed = vers.filter(_ < floor)
+    doomed.foreach(v => f.delete(new Path(dir, v.toString), false))
+    ckpts.filter(_ < ckpts.max).foreach(c =>
+      f.delete(new Path(dir, s"$c$CkptSuffix"), false))
+    doomed.toSeq
   }
 
   private def readLines(f: FileSystem, p: Path): Seq[String] = {

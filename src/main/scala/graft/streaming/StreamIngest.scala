@@ -192,14 +192,15 @@ object StreamIngest {
   def committedSchema(spark: SparkSession, outDir: String, topic: String,
                       format: String = "parquet"): Option[StructType] = {
     if (format != "avro" && !Set("parquet", "orc", "json")(format)) return None
-    // ONE log replay: per-version (adds, removes) feed both the live
-    // set and the newest-append walk (snapshot() would re-read every
-    // version file a second time — per-restart metadata reads double)
-    val latest = CommitLog.latestVersion(spark, outDir, topic)
-    val changes = (0L to latest).map(v =>
-      CommitLog.changesAt(spark, outDir, topic, v))
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    changes.foreach { case (adds, removes) => live ++= adds; live --= removes }
+    // the PRESENT version files (the full log until a truncation, the
+    // retained suffix after — truncateLog keeps the newest append
+    // version, so the schema carrier's version is always readable)
+    val avail = CommitLog.versions(spark, outDir, topic)
+    if (avail.isEmpty) return None
+    val changes = avail.map(v => CommitLog.changesAt(spark, outDir, topic, v))
+    // live set through the checkpoint-aware read path — replaying only
+    // the retained changes would miss everything below a truncation
+    val live = CommitLog.snapshot(spark, outDir, topic)
     val re = FileNaming.CommittedFilenameRegex.r
     def parse(rel: String): Option[(Long, Long, Long)] =
       rel.split('/').last match {
@@ -226,7 +227,7 @@ object StreamIngest {
     // and a rewrite's merged read carries a schema at least as new as
     // any file it replaced). Ranges never overlap within a partition
     // (log invariant), so the carrier is unique.
-    val newestAppend = live.toSeq.find(rel => parse(rel).exists {
+    val newestAppend = live.find(rel => parse(rel).exists {
       case (p, s, e) => p == recPart && s <= recEnd && recEnd <= e
     })
     if (newestAppend.isEmpty) return None

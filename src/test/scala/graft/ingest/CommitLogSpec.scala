@@ -344,6 +344,46 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.read(spark, out, "u").count() === 5)
   }
 
+  test("truncateLog bounds the log; HEAD, publish numbering, offsets, schema recovery survive") {
+    val out = Files.createTempDirectory("clog-trunc").toString
+    (0 until 4).foreach { b => // v0..v3, appends of 1-2 records each
+      CommitLog.writeLogged(
+        frame(8).filter(col("off").between(b * 2, b * 2 + 1)), out, "t", 2)
+    }
+    assert(CommitLog.checkpoint(spark, out, "t") === 3L)
+    val before = CommitLog.snapshot(spark, out, "t")
+    // floor = min(ckpt 3, newest append 3) = 3: versions 0-2 go
+    assert(CommitLog.truncateLog(spark, out, "t") === Seq(0L, 1L, 2L))
+    assert(CommitLog.versions(spark, out, "t") === Seq(3L))
+    // HEAD reads rebase on the checkpoint — identical live set
+    assert(CommitLog.snapshot(spark, out, "t") === before)
+    assert(CommitLog.read(spark, out, "t").count() === 8)
+    // offset recovery reads the snapshot, not the prefix
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 6L, 1L -> 7L))
+    // publish numbering is monotone across the truncation
+    assert(CommitLog.latestVersion(spark, out, "t") === 3L)
+    CommitLog.writeLogged(
+      frame(10).filter(col("off") >= 8), out, "t", 2) // v4
+    assert(CommitLog.latestVersion(spark, out, "t") === 4L)
+    assert(CommitLog.read(spark, out, "t").count() === 10)
+    // restart schema recovery still finds its carrier
+    assert(graft.streaming.StreamIngest
+      .committedSchema(spark, out, "t").isDefined)
+    // replay below the floor fails LOUDLY, never answers wrong
+    val e = intercept[IllegalStateException] {
+      CommitLog.snapshot(spark, out, "t", asOf = 1L)
+    }
+    assert(e.getMessage.contains("truncated"))
+    // idempotent: re-running deletes nothing new
+    CommitLog.checkpoint(spark, out, "t") // ckpt at 4
+    assert(CommitLog.truncateLog(spark, out, "t") === Seq(3L))
+    assert(CommitLog.snapshot(spark, out, "t").size ===
+      CommitLog.read(spark, out, "t").inputFiles.length)
+    // a topic with no checkpoint is never touched
+    CommitLog.writeLogged(frame(2), out, "u", flushSize = 2)
+    assert(CommitLog.truncateLog(spark, out, "u") === Seq.empty)
+  }
+
   test("cloneTopic: inherited files re-encode to the clone topic — offset resume and compaction see them") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
