@@ -935,6 +935,179 @@ object RelationalQueries {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       bench = true),
 
+    // TPC-H Q7 shape — cross-region trade volume: revenue flowing
+    // between two regions, by (supplier region, customer region,
+    // year), in BOTH directions (regions rather than Q7's nation pair
+    // so the answer is populated at every test SF; the plan shape —
+    // two independent geography dimension chains meeting at the fact —
+    // is identical). Both chains restrict to the pair BEFORE joining
+    // (dimension pruning — the fact side shrinks at the earliest join,
+    // not in a post-filter), the supplier chain broadcasts, the
+    // customer chain stays a keyed join; years via year() under the
+    // pinned UTC session so both engines bucket identically; money
+    // through the DECIMAL(18,4) discipline.
+    QuerySpec("q7_nation_trade_volume",
+      (s, d) => {
+        val pair = Seq("AFRICA", "AMERICA")
+        val sr = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name").isin(pair: _*))),
+                col("n_regionkey") === col("r_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("r_name").as("supp_region"))
+        val cr = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name").isin(pair: _*))),
+                col("n_regionkey") === col("r_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("r_name").as("cust_region"))
+        val li = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+        li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(cr, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(sr), col("l_suppkey") === col("s_suppkey"))
+          .filter(col("supp_region") =!= col("cust_region"))
+          .groupBy(col("supp_region"), col("cust_region"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+          .orderBy(col("supp_region"), col("cust_region"), col("l_year"))
+      },
+      Some("""SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+             |  year(l_shipdate)::BIGINT AS l_year,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+             |WHERE sr.r_name IN ('AFRICA', 'AMERICA')
+             |  AND cr.r_name IN ('AFRICA', 'AMERICA')
+             |  AND sr.r_name <> cr.r_name
+             |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      bench = true),
+
+    // TPC-H Q8 shape — market share: of all PROMO-part revenue sold
+    // into AMERICA-region customers over two years, what fraction came
+    // from NATION_1's suppliers, per year. The share is two exact
+    // DECIMAL sums (conditional numerator via CASE inside the same
+    // aggregate — one pass, the q14 discipline) divided ONCE as
+    // doubles — a single IEEE op on identical inputs, bit-stable in
+    // both engines. part/supplier/nation-region chains broadcast; the
+    // orders⨝customer chain stays keyed.
+    QuerySpec("q8_market_share",
+      (s, d) => {
+        val vol = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))
+        val americaCust = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "AMERICA")),
+                col("n_regionkey") === col("r_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"))
+        val sn = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(americaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+          .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_1", vol)
+              .otherwise(lit(0).cast(DecimalType(18, 4))))
+              .cast("double").as("nation_revenue"),
+            sum(vol).cast("double").as("total_revenue"))
+          .withColumn("mkt_share",
+            col("nation_revenue") / col("total_revenue"))
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT year(o_orderdate)::BIGINT AS o_year,
+             |  CAST(sum(CASE WHEN n_sup.n_name = 'NATION_1'
+             |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_revenue,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+             |  CAST(sum(CASE WHEN n_sup.n_name = 'NATION_1'
+             |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+             |FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation n_sup ON s_nationkey = n_sup.n_nationkey
+             |WHERE p_type = 'PROMO'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND o_custkey IN (SELECT c_custkey FROM customer
+             |    JOIN nation ON c_nationkey = n_nationkey
+             |    JOIN region ON n_regionkey = r_regionkey
+             |    WHERE r_name = 'AMERICA')
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // TPC-H Q19 shape — the disjunctive-predicate revenue: three
+    // brand/size/quantity conjunctions OR-ed together across the
+    // lineitem⨝part join. The interesting plan property is that the
+    // per-table halves of the disjunction still reach the SCANS
+    // (Catalyst derives `p_size <= 15` and quantity bounds from the
+    // OR), while the cross-table residual evaluates on the joined row
+    // — a single broadcast join, no union-of-three-queries rewrite.
+    QuerySpec("q19_disjunctive_revenue",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30)))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+             |    AND l_quantity BETWEEN 1 AND 11)
+             |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+             |    AND l_quantity BETWEEN 10 AND 20)
+             |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+             |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
+      bench = true),
+
     // Explicit GROUPING SETS (the rollup/cube queries' general form):
     // brand-only, type-only, and grand-total aggregates in ONE pass —
     // Catalyst plans one Expand over the scan, not three scans.
