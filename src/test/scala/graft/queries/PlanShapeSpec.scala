@@ -650,6 +650,38 @@ class PlanShapeSpec extends SparkSuite {
       s"no unkeyed joins:\n$s")
   }
 
+  test("q7_nation_trade_volume: both geography chains broadcast; no cartesian") {
+    val p = plan("q7_nation_trade_volume")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"dimension chains must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s)
+  }
+
+  test("q8_market_share: single conditional aggregate — no second corpus pass for the numerator") {
+    val p = plan("q8_market_share")
+    val s = p.toString
+    val aggs = "HashAggregate".r.findAllIn(s).size
+    // one partial+final pair over the joined fact; the CASE numerator
+    // must ride the same aggregate, not a second join branch
+    assert(aggs <= 2, s"numerator and total must share one aggregate:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q19_disjunctive_revenue: the disjunction's per-table halves reach the scans") {
+    val p = plan("q19_disjunctive_revenue")
+    val s = p.toString
+    // Catalyst derives per-scan OR predicates from the cross-table
+    // disjunction: part's scan sees the brand/size halves, lineitem's
+    // the quantity bounds — BOTH PushedFilters carry a nested Or
+    assert("PushedFilters: \\[[^\\]]*Or\\(Or\\(And\\(".r
+      .findAllIn(s).size >= 2,
+      s"both scans must carry their OR halves:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"part must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("unimax_allocation touches the corpus once — the per-language aggregate") {
     val p = plan("unimax_allocation")
     // everything past the (lang) aggregate is the |languages|-row
