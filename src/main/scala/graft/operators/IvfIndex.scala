@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -167,6 +168,90 @@ object IvfIndex {
       .select(col("off").as("id"), col("v"), col("cell"))
     searchAssigned(assigned, probes, k)
   }
+
+  // ---------------------------------------------------------------
+  // Index GENERATIONS: the rebuild story. A quantizer is frozen for
+  // its index's lifetime (searches against shifting geometry are not
+  // servable), so when `emb_drift_cells` says the corpus has moved,
+  // the answer is a NEW index — built in full behind the running one,
+  // then installed with one atomic pointer flip. Layout under a
+  // generation root:
+  //
+  //   <root>/gen=<n>/...        a complete index (its own topics)
+  //   <root>/_current           one line: the serving generation n
+  //
+  // Searchers resolve `_current` once per query batch and read that
+  // generation's log snapshot — a rebuild installing mid-flight can
+  // never tear them (the old generation stays intact until explicitly
+  // dropped after its readers drain). The pointer write is
+  // stage+rename, same as every commit in this engine.
+  // ---------------------------------------------------------------
+
+  private val CurrentPtr = "_current"
+
+  private def genDir(root: String, gen: Long) = s"$root/gen=$gen"
+
+  /** The serving generation under `root`, or -1 before any install. */
+  def currentGeneration(spark: SparkSession, root: String): Long = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/$CurrentPtr")
+    if (!f.exists(p)) return -1L
+    val in = f.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8").trim
+    } finally in.close()
+    require(text.nonEmpty && text.forall(_.isDigit),
+      s"corrupt generation pointer at $p: '$text'")
+    text.toLong
+  }
+
+  /** Resolve the CURRENT generation's index dir — what every serving
+    * call reads once up front. */
+  def currentDir(spark: SparkSession, root: String): String = {
+    val gen = currentGeneration(spark, root)
+    require(gen >= 0, s"no index generation installed under $root")
+    genDir(root, gen)
+  }
+
+  /** Build generation N+1 in full behind the serving one, then flip
+    * `_current` atomically. Returns the new generation number. The
+    * prior generation is left intact — drop it with [[dropGeneration]]
+    * once its in-flight readers have drained (the vacuum grace
+    * contract, one level up). */
+  def rebuild(vecs: DataFrame, root: String, k: Int, iters: Int,
+              flushSize: Int = 1 << 20): Long = {
+    val spark = vecs.sparkSession
+    val next = currentGeneration(spark, root) + 1
+    build(vecs, genDir(root, next), k, iters, flushSize)
+    val f = fs(spark, root)
+    val tmp = new Path(root, s".${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(s"$root/$CurrentPtr")
+    // rename-over-existing is not atomic-replace on every FS; delete
+    // then rename — a crash between the two leaves NO pointer, which
+    // currentGeneration reports loudly (-1) rather than serving a
+    // half-installed state, and a re-run converges
+    if (f.exists(dest)) f.delete(dest, false)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"rename failed installing $CurrentPtr")
+    next
+  }
+
+  /** Delete a drained generation's files. Refuses the serving one. */
+  def dropGeneration(spark: SparkSession, root: String, gen: Long): Unit = {
+    require(gen != currentGeneration(spark, root),
+      s"generation $gen is currently serving")
+    val f = fs(spark, root)
+    f.delete(new Path(genDir(root, gen)), true)
+    ()
+  }
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    FileSystem.get(new Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
 
   // ---------------------------------------------------------------
   // Product-quantization flavor: same train-once / search-many

@@ -165,6 +165,35 @@ class IvfIndexSpec extends SparkSuite {
     assert(ns.contains(6L), s"streamed vector must serve, got $ns")
   }
 
+  test("generations: rebuild installs behind the serving index with one atomic flip") {
+    val root = Files.createTempDirectory("ivf-gens").toString
+    // no pointer yet: resolution fails loudly, never serves half-state
+    val e0 = intercept[IllegalArgumentException] {
+      IvfIndex.currentDir(spark, root)
+    }
+    assert(e0.getMessage.contains("no index generation"))
+    assert(IvfIndex.rebuild(base, root, k = 2, iters = 2) === 0L)
+    val dir0 = IvfIndex.currentDir(spark, root)
+    assert(IvfIndex.search(spark, dir0, Seq(0L), nprobe = 1, k = 2)
+      .count() === 2)
+    // the corpus drifts (say emb_drift_cells fired): rebuild with the
+    // grown corpus — the old generation keeps serving until the flip
+    val grown = base.union(Seq(6L -> Seq(50L, 50L)).toDF("id", "v"))
+    assert(IvfIndex.rebuild(grown, root, k = 2, iters = 2) === 1L)
+    assert(IvfIndex.currentGeneration(spark, root) === 1L)
+    val dir1 = IvfIndex.currentDir(spark, root)
+    assert(dir1 !== dir0)
+    assert(IvfIndex.vectors(spark, dir1).count() === 7)
+    // a reader that resolved gen 0 BEFORE the flip still reads cleanly
+    assert(IvfIndex.vectors(spark, dir0).count() === 6)
+    // drained: drop it; the serving generation refuses
+    IvfIndex.dropGeneration(spark, root, 0L)
+    intercept[IllegalArgumentException] {
+      IvfIndex.dropGeneration(spark, root, 1L)
+    }
+    assert(IvfIndex.vectors(spark, dir1).count() === 7)
+  }
+
   test("index topics compact and vacuum like any logged topic") {
     val idx = Files.createTempDirectory("ivf-idx-compact").toString
     IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 1)
