@@ -329,24 +329,42 @@ object IvfIndex {
         col("p.ord").as("adc"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
-  /** Grow the PQ index under the FROZEN codebooks: encode `newVecs`
-    * and publish as the next codes version. */
-  def appendPq(newVecs: DataFrame, indexDir: String, parts: Int = 4,
-               flushSize: Int = 1 << 20): Long = {
-    val spark = newVecs.sparkSession
+  /** The published codebooks as driver values: one centroid table per
+    * subspace, plus the subspace width — what the frozen-codebook
+    * encoders ([[appendPq]], `IndexIngest.startPqIngest`) load once. */
+  def pqBooks(spark: SparkSession, indexDir: String)
+      : (Seq[Seq[KMeans.Centroid]], Int) = {
     val rows = pqCodebooks(spark, indexDir).collect()
     val m = rows.map(_.getInt(0)).max + 1
     val books = (0 until m).map { mi =>
       rows.filter(_.getInt(0) == mi)
         .map(r => KMeans.Centroid(r.getLong(1), r.getSeq[Long](2)))
-        .toIndexedSeq.sortBy(_.id)
+        .toIndexedSeq.sortBy(_.id): Seq[KMeans.Centroid]
     }
-    val subDims = books.head.head.v.size
-    val codesCol = array((0 until m).map { mi =>
+    (books, books.head.head.v.size)
+  }
+
+  /** Encode `(id, v)` vectors into the codes-topic stream shape under
+    * GIVEN codebooks — a pure projection (the M cellOf argmins are
+    * literal-centroid expressions), so it runs in batch and streaming
+    * plans alike. */
+  private[graft] def pqEncodeFrame(vecs: DataFrame,
+                                   books: Seq[Seq[KMeans.Centroid]],
+                                   subDims: Int, parts: Int): DataFrame = {
+    val codesCol = array(books.indices.map { mi =>
       KMeans.cellOf(slice(col("v"), mi * subDims + 1, subDims), books(mi))
     }: _*)
-    val encoded = newVecs.select(pmod(col("id"), lit(parts.toLong)).as("part"),
+    vecs.select(pmod(col("id"), lit(parts.toLong)).as("part"),
       col("id").as("off"), col("v"), codesCol.as("codes"))
-    CommitLog.writeLogged(encoded, indexDir, PqCodesTopic, flushSize)
+  }
+
+  /** Grow the PQ index under the FROZEN codebooks: encode `newVecs`
+    * and publish as the next codes version. */
+  def appendPq(newVecs: DataFrame, indexDir: String, parts: Int = 4,
+               flushSize: Int = 1 << 20): Long = {
+    val spark = newVecs.sparkSession
+    val (books, subDims) = pqBooks(spark, indexDir)
+    CommitLog.writeLogged(pqEncodeFrame(newVecs, books, subDims, parts),
+      indexDir, PqCodesTopic, flushSize)
   }
 }

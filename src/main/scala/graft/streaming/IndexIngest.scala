@@ -50,4 +50,28 @@ object IndexIngest {
         ()
       })
   }
+
+  /** The PQ twin: `(id, v)` vectors encode to M codes under the
+    * FROZEN codebooks (M literal-centroid argmins — one projection in
+    * the streaming plan) and append to the codes topic with the same
+    * exactly-once contract. */
+  def startPqIngest(stream: DataFrame, indexDir: String,
+                    checkpoint: String,
+                    parts: Int = 4,
+                    flushSize: Int = 1 << 20,
+                    trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = stream.sparkSession
+    val (books, subDims) = IvfIndex.pqBooks(spark, indexDir) // frozen
+    val framed = IvfIndex.pqEncodeFrame(stream, books, subDims, parts)
+    StreamIngest.commitLoop(framed, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, indexDir, IvfIndex.PqCodesTopic),
+      writeFn = b =>
+        BatchWriter.write(b, indexDir, IvfIndex.PqCodesTopic, flushSize),
+      afterWrite = manifest => {
+        CommitLog.publish(spark, indexDir, IvfIndex.PqCodesTopic,
+          manifest.map(c =>
+            StreamIngest.relPath(indexDir, IvfIndex.PqCodesTopic, c.path)))
+        ()
+      })
+  }
 }

@@ -103,6 +103,24 @@ class IvfIndexSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans <= 3, s"ADC serving must not rescan for training:\n$plan")
+
+    // streaming PQ ingest: encode-under-frozen-codebooks in the plan,
+    // exactly-once append (id 6 replayed + id 7 new -> one of each)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("pq-ing-ckpt").toString
+    val s = MemoryStream[(Long, Seq[Long])]
+    val q = graft.streaming.IndexIngest.startPqIngest(
+      s.toDF().toDF("id", "v"), idx, ckpt, flushSize = 10)
+    s.addData(6L -> Seq(98L, 98L), 7L -> Seq(2L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val codes = CommitLog.read(spark, idx, IvfIndex.PqCodesTopic)
+    assert(codes.count() === 8)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.PqCodebooksTopic) === 0L)
+    // (2,2) is cluster-A-coded [0,0]; searchable immediately
+    val g2 = IvfIndex.searchPq(spark, idx, Seq(7L), subDims = 1, k = 2)
+    assert(g2.count() === 2)
   }
 
   test("cell-partitioned layout: serving prunes unprobed cells' files before the scan") {
