@@ -240,7 +240,17 @@ object CommitLog {
     }.getOrElse(-1L)
     val floor = math.min(ckpts.max, newestAppend)
     val doomed = vers.filter(_ < floor)
-    doomed.foreach(v => f.delete(new Path(dir, v.toString), false))
+    // delete ASCENDING, and stop on the first failure: the sweep then
+    // only ever leaves a missing PREFIX, which the snapshot guard
+    // detects (min version > 0) — a skipped-over survivor (or a
+    // descending sweep crash) could leave version 0 present with a
+    // hole behind it, and an un-based replay would silently return a
+    // partial set
+    doomed.foreach { v =>
+      val p = new Path(dir, v.toString)
+      if (!f.delete(p, false) && f.exists(p))
+        throw new java.io.IOException(s"could not delete log version $v")
+    }
     ckpts.filter(_ < ckpts.max).foreach(c =>
       f.delete(new Path(dir, s"$c$CkptSuffix"), false))
     doomed.toSeq
