@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import graft.catalog.TableCatalog
 import graft.ingest.{AvroSink, BatchWriter, CommitLog, FileNaming, GraftConfig, Retry, Rotation}
 import graft.schema.SchemaEvolution
 
@@ -140,6 +141,58 @@ object StreamIngest {
         // reads stay O(tail), not O(every version ever published)
         if (logCheckpointEvery > 0 && v > 0 && v % logCheckpointEvery == 0) {
           CommitLog.checkpoint(spark, outDir, topic)
+          ()
+        }
+      })
+  }
+
+  /** [[startLogged]] plus the reference's LIVE Hive sync
+    * (`DataWriter.java:383-420` bootstrap + the first-write
+    * `addHivePartition` hook, `TopicPartitionWriter.java:787-800`):
+    * the external table is created from the first committed batch's
+    * schema, and every newly-seen kafka partition registers in the
+    * catalog right after the publish that made its files visible —
+    * SQL users see data the same micro-batch it commits, without an
+    * MSCK sweep. Catalog registration is driver-side metadata AFTER
+    * the data commit, so a crash leaves the catalog at most one batch
+    * stale and the redo converges (CREATE and ADD PARTITION are both
+    * IF NOT EXISTS; a restart re-registers partitions from the log's
+    * offset map). */
+  def startLoggedHive(stream: DataFrame, outDir: String, topic: String,
+                      flushSize: Int, checkpoint: String, table: String,
+                      database: Option[String] = None,
+                      trigger: Option[Trigger] = None,
+                      format: String = "parquet"): StreamingQuery = {
+    val spark = stream.sparkSession
+    val initial = CommitLog.maxOffsets(spark, outDir, topic)
+    var tableReady = false
+    // partitions already in the catalog: everything the log already
+    // covers (restart path — their dirs exist), then grow per batch
+    val registered = scala.collection.mutable.Set.empty[Long] ++ initial.keys
+    val write = writerFor(outDir, topic, flushSize, format, "null")
+    commitLoop(stream, checkpoint, trigger,
+      initial = initial,
+      writeFn = batch => {
+        if (!tableReady) {
+          database.foreach(TableCatalog.createDatabase(spark, _))
+          TableCatalog.createExternalTable(spark, table, s"$outDir/$topic",
+            dataSchema = org.apache.spark.sql.types.StructType(
+              batch.schema.filterNot(_.name == "part")),
+            partitionCols = Seq("partition" -> "BIGINT"),
+            database = database)
+          if (registered.nonEmpty) // restart over an existing topic:
+            TableCatalog.syncPartitions(spark, table, database)
+          tableReady = true
+        }
+        write(batch)
+      },
+      afterWrite = manifest => {
+        CommitLog.publish(spark, outDir, topic,
+          manifest.map(c => relPath(outDir, topic, c.path)))
+        manifest.map(_.partition).distinct.filterNot(registered).foreach { p =>
+          TableCatalog.addPartition(spark, table, Map("partition" -> p),
+            database)
+          registered += p
           ()
         }
       })

@@ -64,6 +64,47 @@ class StreamIngestSpec extends SparkSuite {
     assert(BatchWriter.maxCommittedOffsets(spark, out, "t") === Map(0L -> 1L))
   }
 
+  test("startLoggedHive: SQL sees data the same micro-batch it commits; restart re-syncs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-hive-stream").toString
+    val ckpt = Files.createTempDirectory("graft-hive-ckpt").toString
+    spark.sql("DROP TABLE IF EXISTS live_t")
+
+    val s = MemoryStream[(Long, Long, String)]
+    val q = StreamIngest.startLoggedHive(
+      s.toDF().toDF("part", "off", "payload"), out, "t",
+      flushSize = 10, ckpt, table = "live_t")
+    s.addData((0L, 0L, "a"), (1L, 0L, "b"))
+    q.processAllAvailable()
+    // table created from the first batch and both partitions registered
+    assert(spark.table("live_t").count() === 2)
+    assert(spark.sql("SELECT off FROM live_t WHERE partition = 1")
+      .as[Long].collect() === Array(0L))
+    // a NEW kafka partition appears: registered the same micro-batch
+    s.addData((2L, 0L, "c"), (0L, 1L, "d"))
+    q.processAllAvailable()
+    assert(spark.table("live_t").count() === 4)
+    q.stop()
+
+    // restart against the SAME topic with a dropped catalog: the
+    // bootstrap path (create + MSCK over existing dirs) resyncs, and
+    // ingestion continues exactly-once
+    spark.sql("DROP TABLE live_t")
+    val ckpt2 = Files.createTempDirectory("graft-hive-ckpt2").toString
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = StreamIngest.startLoggedHive(
+      s2.toDF().toDF("part", "off", "payload"), out, "t",
+      flushSize = 10, ckpt2, table = "live_t")
+    s2.addData((0L, 0L, "a"), (0L, 1L, "d"), (0L, 2L, "e")) // replay + 1 new
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("live_t").count() === 5)
+    assert(spark.sql(
+      "SELECT count(DISTINCT partition, off) FROM live_t").as[Long].head() === 5)
+    spark.sql("DROP TABLE live_t")
+  }
+
   test("multi-topic demux: one query, per-topic logs, independent offsets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
