@@ -319,6 +319,51 @@ object CommitLog {
     readFiles(spark, outDir, topic, fresh, format)
   }
 
+  /** File-level churn between two pinned versions: (files only in
+    * `to`, files only in `from`). Compaction rewrites show here —
+    * this is the physical view ("what do I re-fetch"), [[diffRows]]
+    * the logical one ("what data actually changed"). */
+  def diffFiles(spark: SparkSession, outDir: String, topic: String,
+                from: Long, to: Long): (Seq[String], Seq[String]) = {
+    require(from <= to, s"diff range reversed: $from > $to")
+    val a = snapshot(spark, outDir, topic, asOf = from).toSet
+    val b = snapshot(spark, outDir, topic, asOf = to).toSet
+    ((b -- a).toSeq.sorted, (a -- b).toSeq.sorted)
+  }
+
+  /** ROW-level change set between two pinned versions: (rows added,
+    * rows removed), bag semantics. Computed over the CHURNED FILES
+    * ONLY — files live in both snapshots contribute identical rows to
+    * both sides and never need scanning, so a compaction that merely
+    * rewrote N small files into one costs the diff those N+1 files,
+    * not the corpus, and contributes ZERO rows (swaps preserve every
+    * row — that invariance is exactly what makes this the logical
+    * change feed a downstream incremental job wants where
+    * [[readAddedSince]]'s append feed does not apply, e.g. across a
+    * branch point or between two historical pins).
+    *
+    * Same retention contract as every pinned read: both versions'
+    * files must still be live or within vacuum grace. */
+  def diffRows(spark: SparkSession, outDir: String, topic: String,
+               from: Long, to: Long, format: String = "parquet")
+      : (DataFrame, DataFrame) = {
+    val (toOnly, fromOnly) = diffFiles(spark, outDir, topic, from, to)
+    if (toOnly.isEmpty && fromOnly.isEmpty) {
+      val empty = readFiles(spark, outDir, topic,
+        snapshot(spark, outDir, topic, asOf = to), format).limit(0)
+      return (empty, empty)
+    }
+    // schema from the other side when one side has no churned files
+    // (a pure-append diff has no removed files, but the frame must
+    // still except against something of the right shape)
+    def readOrEmpty(rels: Seq[String], like: Seq[String]): DataFrame =
+      if (rels.nonEmpty) readFiles(spark, outDir, topic, rels, format)
+      else readFiles(spark, outDir, topic, like, format).limit(0)
+    val newer = readOrEmpty(toOnly, fromOnly)
+    val older = readOrEmpty(fromOnly, toOnly)
+    (newer.exceptAll(older), older.exceptAll(newer))
+  }
+
   /** Offset restore from the log alone (the filename-as-metadata
     * contract): max committed end offset per partition. */
   def maxOffsets(spark: SparkSession, outDir: String, topic: String): Map[Long, Long] = {

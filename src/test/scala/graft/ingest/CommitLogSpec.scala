@@ -344,6 +344,36 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.read(spark, out, "u").count() === 5)
   }
 
+  test("diffFiles shows churn; diffRows is the compaction-invariant logical change feed") {
+    val out = Files.createTempDirectory("clog-diff").toString
+    CommitLog.writeLogged(frame(2), out, "t", flushSize = 1)              // v0: offs 0,1
+    CommitLog.writeLogged(frame(4).filter(col("off") >= 2), out, "t", 1) // v1: offs 2,3
+    // append diff: v0 -> v1 adds exactly v1's rows, removes nothing
+    val (add1, rem1) = CommitLog.diffRows(spark, out, "t", 0L, 1L)
+    assert(add1.select("off").as[Long].collect().sorted === Array(2L, 3L))
+    assert(rem1.count() === 0)
+    // compaction (v2) rewrites all four files into two — heavy FILE
+    // churn, ZERO row change
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 5)
+    val (fAdd, fRem) = CommitLog.diffFiles(spark, out, "t", 1L, 2L)
+    assert(fAdd.size === 2 && fRem.size === 4)
+    val (add2, rem2) = CommitLog.diffRows(spark, out, "t", 1L, 2L)
+    assert(add2.count() === 0 && rem2.count() === 0,
+      "a swap preserves every row — the logical diff must be empty")
+    // across the whole history: still just the v1 appends
+    val (add3, rem3) = CommitLog.diffRows(spark, out, "t", 0L, 2L)
+    assert(add3.select("off").as[Long].collect().sorted === Array(2L, 3L))
+    assert(rem3.count() === 0)
+    // equal pins: empty frames, right schema
+    val (add4, rem4) = CommitLog.diffRows(spark, out, "t", 2L, 2L)
+    assert(add4.count() === 0 && rem4.count() === 0)
+    assert(add4.columns.contains("off"))
+    // reversed range refuses
+    intercept[IllegalArgumentException] {
+      CommitLog.diffFiles(spark, out, "t", 2L, 0L)
+    }
+  }
+
   test("truncateLog bounds the log; HEAD, publish numbering, offsets, schema recovery survive") {
     val out = Files.createTempDirectory("clog-trunc").toString
     (0 until 4).foreach { b => // v0..v3, appends of 1-2 records each
