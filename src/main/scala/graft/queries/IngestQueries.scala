@@ -325,6 +325,50 @@ object IngestQueries {
               |  CAST(sum(user_id) AS BIGINT) AS sum_users
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- The LOGICAL change feed across a compaction: ingest two
+    //      halves as two log versions, compact (total file churn),
+    //      then diffRows(v0 → HEAD) must report EXACTLY the second
+    //      half as added and nothing removed — the swap's rewrite of
+    //      every v0 file contributes zero rows by bag-except
+    //      invariance. This is the pinned-to-pinned incremental
+    //      consumer (branch points, historical replays) the
+    //      append-feed readAddedSince cannot serve. ----
+    QuerySpec("commitlog_diff_feed",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-diff-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        val cut = in.agg(max(col("off"))).head().getLong(0) / 2
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") <= cut), dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") > cut), dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.compactLogged(s, dir, "events",
+          targetRecords = 1L << 40)
+        val head = graft.ingest.CommitLog.latestVersion(s, dir, "events")
+        val (added, removed) =
+          graft.ingest.CommitLog.diffRows(s, dir, "events", 0L, head)
+        val agg = added.groupBy(col("part"))
+          .agg(count(lit(1)).as("n_added"), min(col("off")).as("min_off"),
+            max(col("off")).as("max_off"))
+          .crossJoin(broadcast(removed.agg(count(lit(1)).as("n_removed"))))
+          .orderBy(col("part"))
+        val rows = agg.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), agg.schema)
+      },
+      Some(s"""SELECT event_id % ${P} AS part, count(*) AS n_added,
+              |  min(event_id) AS min_off, max(event_id) AS max_off,
+              |  0::BIGINT AS n_removed
+              |FROM events
+              |WHERE event_id > (SELECT max(event_id) // 2 FROM events)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Log-compaction semantics (Kafka compacted topics): the
     //      latest record per key, resolved by offset with max_by — one
     //      hash aggregate, no window/sort of each key's history. ----
