@@ -535,6 +535,37 @@ object CommitLog {
     publish(spark, outDir, dstTopic, renamed.map(_._2))
   }
 
+  /** One topic's full maintenance pass, in dependency order:
+    * compact small files (publishes a swap + auto-checkpoint),
+    * truncate the log below the new checkpoint, vacuum unreferenced
+    * data files. Each step is independently idempotent and
+    * crash-convergent, so the sweep is too. */
+  final case class Maintenance(version: Long, truncated: Seq[Long],
+                               vacuumed: Seq[String])
+  def maintain(spark: SparkSession, outDir: String, topic: String,
+               targetRecords: Long,
+               graceMs: Long = 15 * 60 * 1000L,
+               pad: Int = FileNaming.DefaultZeroPadWidth,
+               format: String = "parquet"): Maintenance = {
+    val v = compactLogged(spark, outDir, topic, targetRecords, pad, format)
+    checkpoint(spark, outDir, topic) // no-op when compaction already did
+    Maintenance(v, truncateLog(spark, outDir, topic),
+      vacuum(spark, outDir, topic, graceMs))
+  }
+
+  /** [[maintain]] across every logged topic in the store — the
+    * nightly job a 100 TB deployment schedules. Per-topic atomicity:
+    * a crash mid-sweep leaves completed topics maintained and the
+    * rest untouched; the re-run converges. */
+  def maintainAll(spark: SparkSession, outDir: String,
+                  targetRecords: Long,
+                  graceMs: Long = 15 * 60 * 1000L,
+                  pad: Int = FileNaming.DefaultZeroPadWidth,
+                  format: String = "parquet"): Map[String, Maintenance] =
+    topics(spark, outDir).map { t =>
+      t -> maintain(spark, outDir, t, targetRecords, graceMs, pad, format)
+    }.toMap
+
   /** Delete committed-named data files the log does not reference:
     * compacted sources and crashed writers' orphans. Only
     * committed-named files are touched — staging and log internals are

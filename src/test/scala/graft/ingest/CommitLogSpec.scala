@@ -263,6 +263,37 @@ class CommitLogSpec extends SparkSuite {
       CommitLog.snapshot(spark, out, "t").size)
   }
 
+  test("maintainAll: one sweep compacts, checkpoints, truncates, vacuums every topic") {
+    val out = Files.createTempDirectory("clog-maint").toString
+    for (t <- Seq("alpha", "beta"); b <- 0 until 3) {
+      CommitLog.writeLogged(
+        frame(6).filter(col("off").between(b * 2, b * 2 + 1)), out, t, 1)
+    }
+    val reports = CommitLog.maintainAll(spark, out, targetRecords = 5,
+      graceMs = 0)
+    assert(reports.keySet === Set("alpha", "beta"))
+    for (t <- Seq("alpha", "beta")) {
+      // compacted to one file per partition, data intact
+      assert(CommitLog.snapshot(spark, out, t).size === 2)
+      assert(CommitLog.read(spark, out, t).count() === 6)
+      // log truncated to the newest APPEND (v2, schema recovery's
+      // carrier) + the swap (v3) — the floor never passes the newest
+      // adds-only version
+      assert(CommitLog.versions(spark, out, t) === Seq(2L, 3L))
+      assert(reports(t).truncated === Seq(0L, 1L))
+      // vacuum reclaimed the six compacted source files
+      assert(reports(t).vacuumed.size === 6)
+      assert(BatchWriter.listCommitted(spark, out, t).size === 2)
+    }
+    // the sweep is idempotent: nothing left to do
+    val again = CommitLog.maintainAll(spark, out, targetRecords = 5,
+      graceMs = 0)
+    for (t <- Seq("alpha", "beta")) {
+      assert(again(t).truncated.isEmpty && again(t).vacuumed.isEmpty)
+      assert(CommitLog.read(spark, out, t).count() === 6)
+    }
+  }
+
   test("cloneTopic: a pinned-version branch survives source retention; create-only") {
     val out = Files.createTempDirectory("clog-clone").toString
     CommitLog.writeLogged(frame(4), out, "t", flushSize = 2) // v0
