@@ -225,10 +225,31 @@ object IvfIndex {
     val spark = vecs.sparkSession
     val next = currentGeneration(spark, root) + 1
     build(vecs, genDir(root, next), k, iters, flushSize)
+    installPointer(spark, root, next)
+    next
+  }
+
+  /** [[rebuild]]'s PQ twin: retrain the codebooks and re-encode the
+    * corpus as generation N+1, flip the same `_current` pointer. (A
+    * root serves ONE index flavor — the pointer names a generation,
+    * not a flavor; co-locating both under one root would couple their
+    * rebuild cadences.) */
+  def rebuildPq(vecs: DataFrame, root: String, m: Int, subDims: Int,
+                k: Int, iters: Int, parts: Int = 4,
+                flushSize: Int = 1 << 20): Long = {
+    val spark = vecs.sparkSession
+    val next = currentGeneration(spark, root) + 1
+    buildPq(vecs, genDir(root, next), m, subDims, k, iters, parts, flushSize)
+    installPointer(spark, root, next)
+    next
+  }
+
+  private def installPointer(spark: SparkSession, root: String,
+                             gen: Long): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(root, s".${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, false)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
     val dest = new Path(s"$root/$CurrentPtr")
     // rename-over-existing is not atomic-replace on every FS; delete
     // then rename — a crash between the two leaves NO pointer, which
@@ -237,7 +258,6 @@ object IvfIndex {
     if (f.exists(dest)) f.delete(dest, false)
     if (!f.rename(tmp, dest))
       throw new java.io.IOException(s"rename failed installing $CurrentPtr")
-    next
   }
 
   /** Delete a drained generation's files. Refuses the serving one. */

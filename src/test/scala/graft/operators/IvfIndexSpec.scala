@@ -210,6 +210,19 @@ class IvfIndexSpec extends SparkSuite {
       IvfIndex.dropGeneration(spark, root, 1L)
     }
     assert(IvfIndex.vectors(spark, dir1).count() === 7)
+
+    // the PQ flavor rebuilds through the same pointer protocol
+    val pqRoot = Files.createTempDirectory("pq-gens").toString
+    assert(IvfIndex.rebuildPq(base, pqRoot, m = 2, subDims = 1,
+      k = 2, iters = 1) === 0L)
+    assert(IvfIndex.searchPq(spark, IvfIndex.currentDir(spark, pqRoot),
+      Seq(0L), subDims = 1, k = 3).count() === 3)
+    assert(IvfIndex.rebuildPq(grown, pqRoot, m = 2, subDims = 1,
+      k = 2, iters = 1) === 1L)
+    assert(CommitLog.latestVersion(spark,
+      IvfIndex.currentDir(spark, pqRoot), IvfIndex.PqCodesTopic) === 0L)
+    assert(CommitLog.read(spark, IvfIndex.currentDir(spark, pqRoot),
+      IvfIndex.PqCodesTopic).count() === 7, "gen 1 encodes the grown corpus")
   }
 
   test("index topics compact and vacuum like any logged topic") {
