@@ -85,4 +85,42 @@ class CommitLogProtocolSpec extends SparkSuite {
       s"fuzz too tame: $checkpoints checkpoints, $truncations truncations")
     assert(CommitLog.snapshot(spark, out, "t").toSet === live)
   }
+
+  test("randomized clones from surviving pins carry the re-encoded live set exactly") {
+    // data files must exist for cloneTopic's copy — drive the REAL
+    // write path, then branch at random pins and check each clone's
+    // snapshot is the pinned model with the topic re-encoded
+    val out = Files.createTempDirectory("clog-clone-fuzz").toString
+    val rnd = new scala.util.Random(7L)
+    import spark.implicits._
+    var nextOff = 0L
+    var pinned = Vector.empty[(Long, Set[String])]
+    for (_ <- 1 to 6) {
+      val n = 1 + rnd.nextInt(3)
+      val rows = (0 until n).map { _ =>
+        val o = nextOff; nextOff += 1; (0L, o, s"v$o")
+      }
+      CommitLog.writeLogged(rows.toDF("part", "off", "payload"),
+        out, "src", flushSize = 1 + rnd.nextInt(2))
+      if (rnd.nextBoolean())
+        pinned :+= (CommitLog.latestVersion(spark, out, "src") ->
+          CommitLog.snapshot(spark, out, "src").toSet)
+      if (rnd.nextInt(3) == 0)
+        CommitLog.compactLogged(spark, out, "src", targetRecords = 4)
+    }
+    assert(pinned.nonEmpty)
+    pinned.zipWithIndex.foreach { case ((v, want), i) =>
+      val dst = s"branch$i"
+      CommitLog.cloneTopic(spark, out, "src", dst, asOf = v)
+      val got = CommitLog.snapshot(spark, out, dst).toSet
+      // same files, every name re-encoded to the branch topic
+      assert(got === want.map(_.replace("/src+", s"/$dst+")),
+        s"clone of pin $v diverged")
+      // and the branch's data equals the pinned read of the source
+      assert(CommitLog.read(spark, out, dst).count() ===
+        CommitLog.read(spark, out, "src", asOf = v).count())
+      // offset recovery on the branch sees the re-encoded names
+      assert(CommitLog.maxOffsets(spark, out, dst).nonEmpty)
+    }
+  }
 }
