@@ -148,7 +148,10 @@ object IvfIndex {
   /** The production serving entry: `queries` = (id, v) EXTERNAL query
     * vectors (quantized like the corpus). Zero full-snapshot reads —
     * probes rank against the driver-held centroids, and the corpus
-    * scan is pruned to the probed cells' files. */
+    * scan is pruned to the probed cells' files. Query ids must not
+    * collide with indexed ids: the self-match filter is by id, so a
+    * reused id would silently exclude that corpus vector from its own
+    * neighborhood (query-by-member is [[search]]'s job). */
   def searchVectors(spark: SparkSession, indexDir: String,
                     queries: DataFrame, nprobe: Int, k: Int,
                     loadedCents: Seq[KMeans.Centroid] = Seq.empty)
