@@ -115,16 +115,27 @@ object Rotation {
     * `DateTimeUtils.java:19-21`, semantics `DateTimeUtilsTest.java:23-41`):
     * the smallest `midnight + k*period` strictly after `now`. */
   def nextTimeAdjustedByDay(nowMs: Long, periodMs: Long, tz: ZoneId): Long = {
-    val midnight = Instant.ofEpochMilli(nowMs).atZone(tz)
-      .toLocalDate.atStartOfDay(tz).toInstant.toEpochMilli
-    midnight + ((nowMs - midnight) / periodMs + 1) * periodMs
+    val day = Instant.ofEpochMilli(nowMs).atZone(tz).toLocalDate
+    val midnight = day.atStartOfDay(tz).toInstant.toEpochMilli
+    // the grid RE-ANCHORS at each day start ("adjusted by day" — the
+    // reference's own vectors, `DateTimeUtilsTest.java:33-42`: with a
+    // 7h period the fire after 21:00 is MIDNIGHT, not 28:00), so the
+    // in-day grid point clamps to the next calendar midnight
+    // (calendar-aware: a DST day is not 24h)
+    val nextMidnight = day.plusDays(1).atStartOfDay(tz).toInstant.toEpochMilli
+    math.min(midnight + ((nowMs - midnight) / periodMs + 1) * periodMs,
+      nextMidnight)
   }
 
   /** Column form of [[nextTimeAdjustedByDay]] in the session timezone
-    * (UTC in this engine). Integer-exact ([[longDiv]]). */
+    * (UTC in this engine — fixed 24h days, so the day-re-anchor clamp
+    * is the literal `midnight + 86400000`). Integer-exact
+    * ([[longDiv]]). */
   def nextRotateMillis(ts: Column, periodMs: Long): Column = {
     val nowMs = unix_millis(ts)
     val midnightMs = unix_millis(date_trunc("DAY", ts))
-    midnightMs + (longDiv(nowMs - midnightMs, lit(periodMs)) + 1) * lit(periodMs)
+    least(
+      midnightMs + (longDiv(nowMs - midnightMs, lit(periodMs)) + 1) * lit(periodMs),
+      midnightMs + lit(86400000L))
   }
 }

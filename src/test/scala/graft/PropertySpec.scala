@@ -51,7 +51,11 @@ class PropertySpec extends AnyFunSuite {
         val next = Rotation.nextTimeAdjustedByDay(now, period, utc)
         val midnight = java.time.Instant.ofEpochMilli(now).atZone(utc)
           .toLocalDate.atStartOfDay(utc).toInstant.toEpochMilli
-        next > now && next - now <= period && (next - midnight) % period == 0
+        // the fire is strictly future, within one period, and on the
+        // day-anchored grid — or the day-re-anchor point itself (the
+        // next midnight, where the grid resets)
+        next > now && next - now <= period &&
+          ((next - midnight) % period == 0 || next == midnight + 86400000L)
     })
   }
 

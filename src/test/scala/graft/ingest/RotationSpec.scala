@@ -61,18 +61,42 @@ class RotationSpec extends SparkSuite {
     // exactly on a boundary → strictly after
     assert(Rotation.nextTimeAdjustedByDay(midnight + hour, hour, utc) ===
       midnight + 2 * hour)
+    // the reference's own edge vectors (DateTimeUtilsTest.java:24-30):
+    // AT midnight → midnight+1h; one second BEFORE midnight → midnight;
+    // one second AFTER → midnight+1h; 1h-1s → 01:00
+    assert(Rotation.nextTimeAdjustedByDay(midnight, hour, utc) ===
+      midnight + hour)
+    assert(Rotation.nextTimeAdjustedByDay(midnight - 1000L, hour, utc) ===
+      midnight)
+    assert(Rotation.nextTimeAdjustedByDay(midnight + 1000L, hour, utc) ===
+      midnight + hour)
+    assert(Rotation.nextTimeAdjustedByDay(midnight + hour - 1000L, hour, utc) ===
+      midnight + hour)
   }
 
   test("nextTimeAdjustedByDay with a period not dividing the day restarts at midnight") {
     val utc = ZoneId.of("UTC")
     val midnight = 1420070400000L
-    val period = 7 * 3600000L // 7h: fires 00,07,14,21, then 24 (next midnight+...)
+    val period = 7 * 3600000L // 7h: fires 00,07,14,21, then 24 = next midnight
     val lateEvening = midnight + 22 * 3600000L
-    // after 21:00 the next schedule point is 28h (21+7), clamped by the
-    // next day's re-alignment only when the day rolls — reference keeps
-    // midnight + k*period semantics, so expect 28:00 == next day 04:00
+    // after 21:00 the grid RE-ANCHORS at the next day start — the fire
+    // is midnight, never 28:00 (the reference's own cross-midnight
+    // vectors, DateTimeUtilsTest.java:33-42)
     assert(Rotation.nextTimeAdjustedByDay(lateEvening, period, utc) ===
-      midnight + 28 * 3600000L)
+      midnight + 24 * 3600000L)
+    // the reference's cross-midnight vectors
+    // (DateTimeUtilsTest.java:33-42): at/just-after midnight → +7h;
+    // just before → midnight; 7h1s before midnight → the PREVIOUS
+    // day's grid at 21:00
+    assert(Rotation.nextTimeAdjustedByDay(midnight, period, utc) ===
+      midnight + period)
+    assert(Rotation.nextTimeAdjustedByDay(midnight + 1000L, period, utc) ===
+      midnight + period)
+    assert(Rotation.nextTimeAdjustedByDay(midnight - 1000L, period, utc) ===
+      midnight)
+    assert(Rotation.nextTimeAdjustedByDay(
+      midnight - period - 1000L, period, utc) ===
+      midnight - 86400000L + 21 * 3600000L)
   }
 
   test("nextTimeAdjustedByDay uses the zone's midnight (DST-aware zone)") {
