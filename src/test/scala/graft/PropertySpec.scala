@@ -59,6 +59,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("nextTimeAdjustedByDay in a DST zone never fires past the day's TRUE end") {
+    // a DST day is 23h or 25h — the re-anchor clamp must land on the
+    // zone's actual next midnight, never midnight + 86400000
+    val la = ZoneId.of("America/Los_Angeles")
+    // a year around two US transitions (2015-03-08, 2015-11-01)
+    check(Prop.forAll(
+      Gen.chooseNum(1420099200000L, 1451635200000L),
+      Gen.chooseNum(1L, 86400000L)) { (now, period) =>
+      val next = Rotation.nextTimeAdjustedByDay(now, period, la)
+      val day = java.time.Instant.ofEpochMilli(now).atZone(la).toLocalDate
+      val midnight = day.atStartOfDay(la).toInstant.toEpochMilli
+      val nextMidnight = day.plusDays(1).atStartOfDay(la).toInstant.toEpochMilli
+      next > now && next <= nextMidnight && next - now <= period &&
+        ((next - midnight) % period == 0 || next == nextMidnight)
+    })
+  }
+
   test("driver-side hash60 is non-negative and stable") {
     check(Prop.forAll { (s: String) =>
       val h = graft.functions.TextFunctions.hash60(s)
