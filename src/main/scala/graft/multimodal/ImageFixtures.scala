@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{CRC32, Deflater}
+
+/** Deterministic in-JVM builders of REAL image bytes for the decode
+  * path: the PNG builder emits a complete, spec-valid file (correct
+  * chunk CRCs, zlib-deflated scanlines — `javax.imageio` reads it
+  * back), the JPEG builder a spec-valid SOI→APP0→SOF0 marker stream,
+  * the GIF builder a complete 89a file. They exist so the header
+  * parser ([[ImageHeader]]) can be exercised end-to-end inside a
+  * DataFrame program with a DuckDB-checkable oracle: payloads are
+  * synthesized from integer columns, parsed back by the real parser,
+  * and the oracle recomputes the expected envelope arithmetically.
+  * No pixel-content libraries involved — only `java.util.zip`. */
+object ImageFixtures {
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def pngChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(be32(body.length.toLong))
+    val tb = tag.getBytes("US-ASCII")
+    out.write(tb); out.write(body)
+    val crc = new CRC32()
+    crc.update(tb); crc.update(body)
+    out.write(be32(crc.getValue))
+    out.toByteArray
+  }
+
+  private def pngColorChannels(colorType: Int): Int = colorType match {
+    case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+    case other => throw new IllegalArgumentException(
+      s"unsupported fixture color type $other")
+  }
+
+  /** A complete, valid PNG: IHDR + one zlib-deflated IDAT of zeroed
+    * filter-0 scanlines + IEND. 8-bit depth. */
+  def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val channels = pngColorChannels(colorType)
+    val ihdr = new ByteArrayOutputStream()
+    ihdr.write(be32(w.toLong)); ihdr.write(be32(h.toLong))
+    ihdr.write(8) // bit depth
+    ihdr.write(colorType)
+    ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/adaptive/no-interlace
+    // raw image data: per scanline, 1 filter byte (0) + w*channels zeros
+    val raw = new Array[Byte](h * (1 + w * channels))
+    val deflater = new Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val idat = new ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      idat.write(buf, 0, n)
+    }
+    deflater.end()
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    out.write(pngChunk("IHDR", ihdr.toByteArray))
+    out.write(pngChunk("IDAT", idat.toByteArray))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** A valid JPEG marker stream through the frame header: SOI, APP0
+    * (JFIF 1.1), SOF0 with 8-bit precision and `ncomp` components,
+    * EOI. Parseable by any marker-walking reader. */
+  def jpegBytes(w: Int, h: Int, ncomp: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && (ncomp == 1 || ncomp == 3),
+      s"bad jpeg fixture ${w}x$h ncomp=$ncomp")
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    // APP0 JFIF: len 16, "JFIF\0", v1.1, no density units, 1x1, no thumb
+    out.write(0xff); out.write(0xe0)
+    out.write(be16(16))
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0)
+    out.write(be16(1)); out.write(be16(1))
+    out.write(0); out.write(0)
+    // SOF0: len = 8 + 3*ncomp, precision 8, height, width, components
+    out.write(0xff); out.write(0xc0)
+    out.write(be16(8 + 3 * ncomp))
+    out.write(8)
+    out.write(be16(h)); out.write(be16(w))
+    out.write(ncomp)
+    (1 to ncomp).foreach { c =>
+      out.write(c)    // component id
+      out.write(0x11) // 1x1 sampling
+      out.write(0)    // quant table 0
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** A complete, valid GIF89a: logical screen descriptor with 8-bit
+    * color resolution, 2-entry global color table, one full-size
+    * all-background image frame (real LZW stream — a clear code before
+    * every pixel keeps the code width fixed at 3 bits, the standard
+    * minimal-encoder trick), trailer. `ImageIO.read` decodes it. */
+  def gifBytes(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    val out = new ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    // packed: global table present (0x80) | color resolution 8 (0x70)
+    // | table size 2 entries (0x00)
+    out.write(0x80 | 0x70)
+    out.write(0) // background color index
+    out.write(0) // pixel aspect
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1)) // 2-entry palette
+    // image descriptor: full logical screen, global palette
+    out.write(0x2c)
+    out.write(le16(0)); out.write(le16(0))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0)
+    // LZW: min code size 2 → clear=4, EOI=5, 3-bit codes; emit
+    // (clear, pixel0) per pixel then EOI, packed LSB-first
+    out.write(2)
+    val bits = new ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    def emit(code: Int): Unit = {
+      acc |= (code.toLong << nbits); nbits += 3
+      while (nbits >= 8) {
+        bits.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
+      }
+    }
+    (0 until w * h).foreach { _ => emit(4); emit(0) }
+    emit(5)
+    if (nbits > 0) bits.write((acc & 0xff).toInt)
+    // data sub-blocks of <= 255 bytes, then the 0 terminator
+    bits.toByteArray.grouped(255).foreach { blk =>
+      out.write(blk.length); out.write(blk)
+    }
+    out.write(0)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+}

@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * frame-sample run as partition-batched transforms so a real codec
   * (JNI/native) is invoked once per batch, not once per row.
   *
-  * The decode itself is STUBBED (`decodeStub`) — the container has no
-  * image/audio libraries — with a deterministic fake that preserves the
-  * real pipeline shape: schema, batching, partitioning, and the
-  * UDF-boundary column contract are all production-real; only the byte
-  * interpretation is fake. Swap `decodeStub` for a codec call to go
-  * live.
+  * The image METADATA decode is REAL: [[decodeImages]] parses PNG /
+  * JPEG / GIF headers ([[ImageHeader]], pure JVM) for width / height /
+  * channels / bit depth — the pass a 100 TB pipeline runs for
+  * dimension filtering and resize planning without ever touching pixel
+  * data. Full pixel decode (the JNI/native codec) is still STUBBED
+  * (`decodeStub`) — the container has no image/audio pixel libraries —
+  * with a deterministic fake that preserves the real pipeline shape:
+  * schema, batching, partitioning, and the UDF-boundary column
+  * contract are all production-real; only the pixel interpretation is
+  * fake. Swap `decodeStub` for a codec call to go live.
   */
 object Multimodal {
 
@@ -109,6 +113,67 @@ object Multimodal {
     media.select(col("media_id"), col("width"), col("height"),
       floor(w * scale).cast("int").as("out_w"),
       floor(h * scale).cast("int").as("out_h"))
+  }
+
+  /** Envelope row produced per media item by the REAL header decode. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bit_depth", IntegerType)))
+
+  /** REAL image-envelope decode: parse each payload's PNG/JPEG/GIF
+    * header ([[ImageHeader]]) inside the same partition-batched
+    * boundary as [[extractFeatures]]. Rows whose payload is not a
+    * recognizable image come back as format `unknown` with null
+    * dimensions — the pipeline's route-to-quarantine signal — instead
+    * of failing the task. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageMetaSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          ImageHeader.detect(bytes) match {
+            case Some(m) =>
+              Row(id, m.format, m.width, m.height, m.channels, m.bitDepth)
+            case None => Row(id, "unknown", null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Synthesize a REAL image payload per document — format and
+    * dimensions derived arithmetically from `doc_id` (so a SQL oracle
+    * can recompute the expected envelope), bytes built by
+    * [[ImageFixtures]] (spec-valid PNG/JPEG/GIF containers). This is
+    * the fixture half of the `multimodal_decode` round-trip: builder
+    * and parser meet only at the public byte format. */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (1 + id % 61).toInt
+          val h = (1 + (id * 7) % 53).toInt
+          val alt = (id / 3) % 2 == 1
+          (id % 3) match {
+            case 0 => Row(id, "image/png",
+              ImageFixtures.pngBytes(w, h, if (alt) 6 else 2))
+            case 1 => Row(id, "image/jpeg",
+              ImageFixtures.jpegBytes(w, h, if (alt) 1 else 3))
+            case _ => Row(id, "image/gif", ImageFixtures.gifBytes(w, h))
+          }
+        }
+      }(enc)
   }
 
   /** Wrap a text/doc table as a media table (test fixture path). */

@@ -165,7 +165,14 @@ object IvfIndex {
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSet
     val (keep, _) = prunedRels(spark, indexDir, cells)
-    require(keep.nonEmpty, s"no index files for probed cells $cells")
+    if (keep.isEmpty) {
+      // every probed cell is empty (sparse/fresh index) — a legitimate
+      // production query that simply has no neighbors; return the
+      // schema-correct empty frame instead of failing the query
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "dot", "rnk")
+    }
     val assigned = CommitLog
       .readFiles(spark, indexDir, VectorsTopic, keep)
       .select(col("off").as("id"), col("v"), col("cell"))
@@ -211,9 +218,16 @@ object IvfIndex {
   }
 
   /** Resolve the CURRENT generation's index dir — what every serving
-    * call reads once up front. */
+    * call reads once up front. [[installPointer]]'s delete→rename flip
+    * has a brief no-pointer window; one short retry distinguishes that
+    * transient from a truly uninstalled root, so a searcher resolving
+    * mid-flip doesn't throw a spurious serving failure. */
   def currentDir(spark: SparkSession, root: String): String = {
-    val gen = currentGeneration(spark, root)
+    var gen = currentGeneration(spark, root)
+    if (gen < 0) {
+      Thread.sleep(50)
+      gen = currentGeneration(spark, root)
+    }
     require(gen >= 0, s"no index generation installed under $root")
     genDir(root, gen)
   }
@@ -350,6 +364,40 @@ object IvfIndex {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("q_id"), col("p.id").as("neighbor_id"),
         col("p.ord").as("adc"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** Two-stage retrieval from the published PQ index — the standard
+    * production shape: ADC ranks the WHOLE corpus from code lookups
+    * alone (stage 1, [[searchPq]] with k = `shortlist`), then only the
+    * shortlist's full vectors are fetched for an exact re-rank (stage
+    * 2). At 100 TB the corpus scan still reads M code bytes per
+    * vector; the raw-vector column is touched for q·shortlist rows
+    * only — the shortlist broadcasts into the codes topic, so the
+    * fetch is a scan-side hash probe, never a corpus shuffle. Recall
+    * is bounded below by ADC-only top-k (re-ranking a superset with
+    * the exact metric can only fix inversions), pinned by
+    * `sim_pq_refined_recall` / PqRefineSpec. */
+  def searchPqRefined(spark: SparkSession, indexDir: String,
+                      queryIds: Seq[Long], subDims: Int, shortlist: Int,
+                      k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    NativeExpressions.register(spark)
+    val codesT = CommitLog.read(spark, indexDir, PqCodesTopic)
+    val q = codesT.filter(col("off").isin(queryIds: _*))
+      .select(col("off").as("q_id"), col("v").as("qv"))
+    val short = searchPq(spark, indexDir, queryIds, subDims, shortlist)
+      .select(col("q_id"), col("neighbor_id"))
+    codesT.select(col("off").as("neighbor_id"), col("v"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        call_function("dot_i64", col("qv"), col("v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** The published codebooks as driver values: one centroid table per

@@ -134,7 +134,10 @@ object PipelineQueries {
                               d: String)
       : (org.apache.spark.sql.DataFrame, () => Unit) = {
     val (withB, release) = embSignatureFrame(s, d)
-    val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
+    // same hot-key cap as [[candidatePairs]]: a degenerate LSH cell
+    // (e.g. a mass of near-identical embeddings) must not go quadratic
+    val bk = dropHotBands(
+      withB.select(col("vec_id"), explode(col("keys")).as("k")), "k")
     val cand = bk.as("a").join(bk.as("b"),
         col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -208,7 +211,7 @@ object PipelineQueries {
     * ending in CTE `vp` = (vec_a, vec_b, cosine). */
   private def embPairsSql: String =
     s"""$embWbSql,
-       |bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
+       |bk AS ${dropHotBandsSql("(SELECT vec_id, unnest(keys) AS k FROM wb)", "k")},
        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id < b.vec_id),
        |pd AS (SELECT vec_a, vec_b,
@@ -293,7 +296,9 @@ object PipelineQueries {
   private def knnCandidates(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (withB, _) = embSignatureFrame(s, d)
-    val bk = withB.select(col("vec_id"), explode(col("keys")).as("k"))
+    // hot-key cap mirrors [[candidatePairs]] — see MaxBandMembers
+    val bk = dropHotBands(
+      withB.select(col("vec_id"), explode(col("keys")).as("k")), "k")
     val cand = bk.as("a").join(bk.as("b"),
         col("a.k") === col("b.k") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"))
@@ -323,7 +328,7 @@ object PipelineQueries {
     * [[embWbSql]] (prepend `WITH`), ending in `gr` — filter
     * `rnk <= 3` for the edge set. */
   private def knnGraphSql: String =
-    s"""bk AS (SELECT vec_id, unnest(keys) AS k FROM wb),
+    s"""bk AS ${dropHotBandsSql("(SELECT vec_id, unnest(keys) AS k FROM wb)", "k")},
        |gc AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS neighbor_id
        |  FROM bk a JOIN bk b ON a.k = b.k AND a.vec_id <> b.vec_id),
        |gd AS (SELECT q_id, neighbor_id,
@@ -819,25 +824,66 @@ object PipelineQueries {
       .stripMargin
   }
 
+  /** Hot-band cap: a band key shared by m members contributes
+    * O(m²) candidate pairs, so one boilerplate-heavy band (template
+    * pages that survive exact dedup) can go quadratic at 100 TB even
+    * though the DERIVED band width keeps the *expected* bucket size
+    * constant. Bands above this cap are dropped before the self-join —
+    * the standard LSH bucket-size bound. Recall cost is negligible: a
+    * true near-dup pair collides in several of the independent bands,
+    * and a band this hot carries almost no discriminating signal.
+    * Observability: `minhash_banding_recall` measures recall WITH the
+    * cap, and [[hotBands]] (the `minhash_hot_bands` query) reports any
+    * capped keys, so a drop is visible in the driver artifact rather
+    * than silent. */
+  private[graft] val MaxBandMembers = 256
+
+  /** Drop rows whose `key` value is shared by more than
+    * [[MaxBandMembers]] rows. Shaped as a map-side-combined count of
+    * the (almost always tiny, usually empty) HOT key set plus an
+    * anti-join — not a window, whose per-key sort measurably slowed
+    * the band self-joins (~1.5 s on `dedup_minhash_lsh` at sf0.1) and
+    * broke their exchange reuse. The anti-join shuffles by the key the
+    * downstream self-join also joins on, so its exchange is reused;
+    * under AQE the near-empty hot side converts to a broadcast. */
+  private[graft] def dropHotBands(df: org.apache.spark.sql.DataFrame,
+                                  key: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hot = df.groupBy(col(key)).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") > MaxBandMembers)
+      .select(col(key))
+    df.join(hot, Seq(key), "left_anti")
+  }
+
+  /** DuckDB mirror of [[dropHotBands]] — wraps a relation source in a
+    * QUALIFY-capped subquery. */
+  private def dropHotBandsSql(src: String, key: String): String =
+    s"(SELECT * FROM $src QUALIFY count(*) OVER (PARTITION BY $key) <= $MaxBandMembers)"
+
   /** THE band-blocked candidate generation every MinHash consumer
     * shares: distinct (lo, hi) doc-id pairs sharing a band key,
-    * lo < hi. One definition owns the blocking contract (the same
-    * reason [[minhashShingleBands]] owns the banding parameters), so
-    * the four consumers — pair search, clusters, containment, the e2e
-    * pipeline — can never drift on candidate generation. */
-  private def candidatePairs(bands: org.apache.spark.sql.DataFrame,
-                             loCol: String, hiCol: String)
-      : org.apache.spark.sql.DataFrame =
-    bands.as("a").join(bands.as("b"),
+    * lo < hi, hot bands capped (see [[MaxBandMembers]]). One definition
+    * owns the blocking contract (the same reason
+    * [[minhashShingleBands]] owns the banding parameters), so the four
+    * consumers — pair search, clusters, containment, the e2e pipeline —
+    * can never drift on candidate generation. */
+  private[graft] def candidatePairs(bands: org.apache.spark.sql.DataFrame,
+                                    loCol: String, hiCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val capped = dropHotBands(bands, "band")
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as(loCol), col("b.doc_id").as(hiCol))
       .distinct()
+  }
 
   /** DuckDB mirror of [[candidatePairs]] — a parenthesized subquery
     * (callers wrap it in their own CTE). */
   private def candPairsSql(lo: String, hi: String): String =
     s"""(SELECT DISTINCT a.doc_id AS $lo, b.doc_id AS $hi
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+       |  FROM ${dropHotBandsSql("bands", "band")} a
+       |  JOIN ${dropHotBandsSql("bands", "band")} b
+       |  ON a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
 
   private def dedupClustersFrame(s: org.apache.spark.sql.SparkSession,
                                  d: String): org.apache.spark.sql.DataFrame = {
@@ -1236,6 +1282,26 @@ object PipelineQueries {
       .select(col("q_id"), col("p.id").as("neighbor_id"),
         col("p.ord").as("adc"), (col("pos") + 1).cast("long").as("rnk"))
   }
+
+  /** ADC shortlist size for the two-stage refined search — the c in
+    * "ADC top-c, exact re-rank top-k". 50 covers 2.5% of this corpus
+    * (production uses c≈4k against billions — the same ~10⁻⁵..10⁻²
+    * fraction band). */
+  private val PqShortlist = 50
+
+  /** Oracle mirror of the exact re-rank stage given [[pqRankSql]]'s
+    * `r` (ADC ranking) and `q`/`qv`: shortlist = rnk ≤ [[PqShortlist]],
+    * exact dot against full vectors, re-ranked — ends in
+    * `rr(q_id, neighbor_id, dot, rnk)`. */
+  private def pqRefineSql: String =
+    s"""short AS (SELECT q_id, neighbor_id FROM r WHERE rnk <= $PqShortlist),
+       |ex AS (SELECT s.q_id, s.neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qq.qv, a.v),
+       |      p -> p[1] * p[2])) AS BIGINT) AS dot
+       |  FROM short s JOIN qv a ON a.id = s.neighbor_id
+       |    JOIN q qq ON qq.q_id = s.q_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS rnk FROM ex)""".stripMargin
 
   /** Oracle mirror of [[pqAdcRanked]] given [[pqSql]]'s CTEs: ends in
     * `r(q_id, neighbor_id, adc, rnk)`. */
@@ -4345,6 +4411,52 @@ object PipelineQueries {
               |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
 
+    // ---- Two-stage PQ serving: ADC shortlist + exact re-rank — the
+    //      standard retrieval recipe. Stage 1 ranks the WHOLE corpus
+    //      from 8-byte codes (the served index's ADC path, top-c with
+    //      c = PqShortlist standing in for production's c≈4k); stage 2
+    //      fetches full vectors for ONLY the q·c shortlist rows (the
+    //      shortlist broadcasts into the codes topic — a scan-side
+    //      probe, never a corpus shuffle) and re-ranks with the exact
+    //      codegen'd dot. Compression economics of PQ, exactness of
+    //      brute force over the part that matters. ----
+    QuerySpec("sim_pq_refined_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedPqIndex(s, d)
+        IvfIndex.searchPqRefined(s, idx, Seq(0L, 1L, 2L), PqSubDims,
+            shortlist = PqShortlist, k = 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH $pqSql,
+              |$pqRankSql,
+              |$pqRefineSql
+              |SELECT q_id, neighbor_id, dot, rnk FROM rr WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin),
+      bench = true),
+
+    // ---- recall@5 of the refined two-stage ranking — ≥ the ADC-only
+    //      `sim_pq_recall` by construction (re-ranking an ADC superset
+    //      with the exact metric can only fix inversions); PqRefineSpec
+    //      pins the inequality, this query publishes the number. ----
+    QuerySpec("sim_pq_refined_recall",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedPqIndex(s, d)
+        val vecs = TrackedCache.persist(embVecs(s, d))
+        recallAt5(
+          IvfIndex.searchPqRefined(s, idx, Seq(0L, 1L, 2L), PqSubDims,
+            shortlist = PqShortlist, k = 5)
+            .select(col("q_id"), col("neighbor_id")),
+          bruteTop5(vecs, "v"))
+      },
+      Some(s"""WITH $pqSql,
+              |$pqRankSql,
+              |$pqRefineSql,
+              |prt AS (SELECT q_id, neighbor_id FROM rr WHERE rnk <= 5),
+              |$exactTop5Sql,
+              |${recallTailSql("prt")}""".stripMargin)),
+
     // ---- Measure, don't guess, PQ edition: recall@5 of the 8-byte
     //      ADC ranking against the exact integer dot — 64× compression.
     //      The synthetic corpus is near-isotropic noise, vector
@@ -4469,6 +4581,33 @@ object PipelineQueries {
               |  ${h60("text")} % 256 AS brightness,
               |  greatest(1, octet_length(encode(text)) // 4096)::BIGINT AS n_frames
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Multimodal REAL envelope decode: spec-valid PNG/JPEG/GIF
+    //      payloads are synthesized per document (format + dimensions
+    //      derived arithmetically from doc_id by ImageFixtures), then
+    //      the REAL pure-JVM header parser (ImageHeader) reads back
+    //      width/height/channels/bit-depth inside the partition-batched
+    //      decode boundary. The oracle recomputes the expected envelope
+    //      from the same arithmetic — builder and parser meet only at
+    //      the public byte format, so a parser regression (endianness,
+    //      offset, color-type map) breaks the hash match. ----
+    QuerySpec("multimodal_decode",
+      (s, d) => graft.multimodal.Multimodal.decodeImages(
+          graft.multimodal.Multimodal.syntheticImages(Tables.documents(s, d)))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             |    ELSE 'gif' END AS format,
+             |  CAST(1 + doc_id % 61 AS INT) AS width,
+             |  CAST(1 + (doc_id * 7) % 53 AS INT) AS height,
+             |  CAST(CASE
+             |    WHEN doc_id % 3 = 0 THEN
+             |      CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END
+             |    WHEN doc_id % 3 = 1 THEN
+             |      CASE WHEN (doc_id // 3) % 2 = 1 THEN 1 ELSE 3 END
+             |    ELSE 3 END AS INT) AS channels,
+             |  CAST(8 AS INT) AS bit_depth
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ---- The CAPSTONE: a full RefinedWeb-style curation pipeline as
     //      ONE DataFrame program — quality gate → exact dedup →

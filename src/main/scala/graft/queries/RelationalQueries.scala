@@ -1108,6 +1108,137 @@ object RelationalQueries {
              |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin),
       bench = true),
 
+    // TPC-H Q13 shape — customer order-count distribution: LEFT OUTER
+    // join customer→orders (so zero-order customers land in the c_count
+    // = 0 bucket) with an order-side predicate (the schema has no
+    // o_comment, so the NOT-LIKE filter is stood in by excluding
+    // 1-URGENT orders — same plan: the filter prunes the outer join's
+    // right side BEFORE the join), then a two-level aggregate: count
+    // per customer, histogram over the counts. The second aggregate
+    // runs on the |customers|-row frame, map-side combined.
+    QuerySpec("q13_custorder_distribution",
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val perCust = Tables.customer(s, d).select(col("c_custkey"))
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH co AS (SELECT c_custkey,
+             |    count(o_orderkey)::BIGINT AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey)
+             |SELECT c_count, count(*)::BIGINT AS custdist
+             |FROM co GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      bench = true),
+
+    // TPC-H Q21 shape — suppliers who kept orders waiting: late line
+    // items on multi-supplier finalized orders where ONLY this
+    // supplier was late. The schema has no commit/receipt dates, so
+    // "late" is stood in by l_shipdate > o_orderdate + 60 days — the
+    // plan shape (the canonical EXISTS/NOT-EXISTS pair as one LEFT
+    // SEMI plus one LEFT ANTI self-join on the order key, never a
+    // correlated per-row probe) is the thing being pinned. The late
+    // frame is computed ONCE and persisted mentally as a CTE on both
+    // sides of the anti-join; supplier names broadcast.
+    QuerySpec("q21_waiting_suppliers",
+      (s, d) => {
+        val ordF = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .filter(unix_millis(col("l_shipdate").cast("timestamp")) >
+            unix_millis(col("o_orderdate").cast("timestamp")) +
+              lit(60L * 86400000L))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        // the probe sides re-project under fresh names (new attribute
+        // ids) so the self-joins stay unambiguous
+        val anyOther = li.select(col("l_orderkey").as("a_orderkey"),
+          col("l_suppkey").as("a_suppkey"))
+        val lateOther = late.select(col("l_orderkey").as("b_orderkey"),
+          col("l_suppkey").as("b_suppkey"))
+        // EXISTS: some other supplier shipped on this order at all
+        val withOther = late.join(anyOther,
+          col("l_orderkey") === col("a_orderkey") &&
+            col("l_suppkey") =!= col("a_suppkey"), "left_semi")
+        // NOT EXISTS: no OTHER supplier was late on this order
+        val onlyThis = withOther.join(lateOther,
+          col("l_orderkey") === col("b_orderkey") &&
+            col("l_suppkey") =!= col("b_suppkey"), "left_anti")
+        onlyThis
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some("""WITH ordf AS (SELECT o_orderkey, o_orderdate FROM orders
+             |  WHERE o_orderstatus = 'F'),
+             |late AS (SELECT l_orderkey, l_suppkey
+             |  FROM lineitem JOIN ordf ON l_orderkey = o_orderkey
+             |  WHERE epoch_ms(l_shipdate) >
+             |    epoch_ms(o_orderdate) + 60::BIGINT * 86400000)
+             |SELECT s_name, count(*)::BIGINT AS numwait
+             |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+             |WHERE EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM late l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name""".stripMargin),
+      bench = true),
+
+    // TPC-H Q15 shape — top supplier(s): per-supplier revenue over a
+    // three-month ship window (the "revenue view"), then the suppliers
+    // achieving the maximum. The argmax is EXACT: revenue stays
+    // DECIMAL through the comparison (double equality would be
+    // fragile) and only the output casts to double. The max rides a
+    // 1-row broadcast joined back against the |suppliers|-row revenue
+    // frame — never a global window over the corpus.
+    QuerySpec("q15_top_supplier",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("total_rev"))
+        val mx = rev.agg(max(col("total_rev")).as("mx"))
+        rev.join(broadcast(mx), col("total_rev") === col("mx"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+             |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |      AS DECIMAL(18,4))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name,
+             |  CAST(total_rev AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin),
+      bench = true),
+
     // Explicit GROUPING SETS (the rollup/cube queries' general form):
     // brand-only, type-only, and grand-total aggregates in ONE pass —
     // Catalyst plans one Expand over the scan, not three scans.

@@ -241,4 +241,17 @@ class IvfIndexSpec extends SparkSuite {
       .select("neighbor_id").as[Long].collect().toSet
     assert(ns === Set(3L, 5L, 6L))
   }
+
+  test("probing only empty cells returns an empty frame, not a failure") {
+    val idx = Files.createTempDirectory("ivf-idx-empty").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2)
+    // force every probe into a cell no indexed vector occupies: a
+    // sparse/fresh index must serve zero neighbors, not crash
+    val ghost = Seq(KMeans.Centroid(999L, Seq(500L, 500L)))
+    val q = Seq(100L -> Seq(1L, 1L)).toDF("id", "v")
+    val res = IvfIndex.searchVectors(spark, idx, q, nprobe = 1, k = 2,
+      loadedCents = ghost)
+    assert(res.columns.toSeq === Seq("q_id", "neighbor_id", "dot", "rnk"))
+    assert(res.count() === 0L)
+  }
 }

@@ -669,6 +669,48 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q13_custorder_distribution: outer join keeps zero-order customers; no cartesian") {
+    val p = plan("q13_custorder_distribution")
+    val s = p.toString
+    assert(s.contains("LeftOuter"), s"customer→orders must stay outer:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s)
+  }
+
+  test("q21_waiting_suppliers: EXISTS/NOT-EXISTS plan as one semi + one anti join, no cartesian") {
+    val p = plan("q21_waiting_suppliers")
+    val s = p.toString
+    assert(s.contains("LeftSemi"), s"EXISTS must be a semi join:\n$s")
+    assert(s.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no unkeyed joins:\n$s")
+  }
+
+  test("q15_top_supplier: the argmax is a broadcast of the 1-row max, never a global window") {
+    val p = plan("q15_top_supplier")
+    val s = p.toString
+    assert(!s.contains("WindowExec"), s"no window over the revenue frame:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"max must broadcast back:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("sim_pq_refined_topk: corpus scan stays on codes; shortlist + queries broadcast into the re-rank") {
+    val p = plan("sim_pq_refined_topk")
+    val s = p.toString
+    // stage 2's vector fetch must be broadcast probes against the codes
+    // topic, never a corpus-side shuffle join on neighbor ids
+    val bhj = "BroadcastHashJoin".r.findAllIn(s).size
+    assert(bhj >= 2, s"shortlist and query vectors must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join in the serving path:\n$s")
+    // the only unkeyed join allowed is the LUT build: Q rows × M·K
+    // codebook rows, both broadcast-tiny by construction
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.size <= 1,
+      s"only the LUT cross join may be unkeyed:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q19_disjunctive_revenue: the disjunction's per-table halves reach the scans") {
     val p = plan("q19_disjunctive_revenue")
     val s = p.toString
