@@ -182,14 +182,40 @@ object CommitLog {
     val live = snapshot(spark, outDir, topic, asOf = v)
     val body = live.map("a|" + _).mkString("", "\n", "\n")
     val tmp = new Path(logDir(outDir, topic), s".${UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, false)
-    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (!f.rename(tmp, dest)) {
-      // a concurrent checkpointer won; identical content by immutability
-      f.delete(tmp, false)
-      require(f.exists(dest), s"rename failed installing checkpoint $v")
-    }
-    v
+    // the same try/finally discipline as publish(): a crash or write
+    // failure must not leak .tmp staging files into _commitlog, which
+    // vacuum deliberately never touches
+    try {
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      if (!f.rename(tmp, dest)) {
+        // a concurrent checkpointer won; identical content by immutability
+        require(f.exists(dest), s"rename failed installing checkpoint $v")
+      }
+      v
+    } finally f.delete(tmp, false) // no-op when the rename won
+  }
+
+  /** The newest checkpoint at or below `asOf` and its live set:
+    * `(version, lines)`, or `(-1, empty)` when none exists. The
+    * replay BASE — callers that already hold the retained versions'
+    * changes (restart schema recovery) fold them on top of this
+    * instead of paying [[snapshot]]'s second O(tail) re-read. */
+  def checkpointBase(spark: SparkSession, outDir: String, topic: String,
+                     asOf: Long = Long.MaxValue): (Long, Seq[String]) = {
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    if (!f.exists(dir)) return (-1L, Seq.empty)
+    val ckptV = f.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(CkptSuffix)).map(_.stripSuffix(CkptSuffix))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+      .filter(_ <= asOf).foldLeft(-1L)(math.max)
+    if (ckptV < 0) return (-1L, Seq.empty)
+    (ckptV, readLines(f, new Path(dir, s"$ckptV$CkptSuffix")).map { line =>
+      require(line.length >= 3 && line.startsWith("a|"),
+        s"corrupt checkpoint line: $line")
+      line.substring(2)
+    })
   }
 
   /** The version FILES currently present, sorted — equals
@@ -383,6 +409,11 @@ object CommitLog {
                   flushSize: Int,
                   pad: Int = FileNaming.DefaultZeroPadWidth,
                   format: String = "parquet"): Long = {
+    // same charset gate as cloneTopic: names written under a topic the
+    // regex cannot re-parse would break offset restore silently
+    require(FileNaming.isValidTopicName(topic),
+      s"topic '$topic' is outside the committed-filename charset " +
+        "[a-zA-Z0-9._-]+")
     val committed = BatchWriter.write(df, outDir, topic, flushSize, pad, format)
     publish(df.sparkSession, outDir, topic,
       committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"))
@@ -499,6 +530,13 @@ object CommitLog {
   def cloneTopic(spark: SparkSession, outDir: String, srcTopic: String,
                  dstTopic: String, asOf: Long = Long.MaxValue): Long = {
     val f = fs(spark, outDir)
+    // a dst outside the filename charset would re-encode into names
+    // CommittedFilenameRegex cannot parse — offset resume on the clone
+    // would restart at 0 (the duplicate-ingestion failure the
+    // re-encoding exists to prevent); reject it before touching disk
+    require(FileNaming.isValidTopicName(dstTopic),
+      s"clone target '$dstTopic' is outside the committed-filename " +
+        "charset [a-zA-Z0-9._-]+")
     require(latestVersion(spark, outDir, dstTopic) < 0,
       s"clone target '$dstTopic' already has a commit log")
     val rels = snapshot(spark, outDir, srcTopic, asOf)

@@ -21,6 +21,15 @@ object FileNaming {
   val CommittedFilenameRegex: String =
     """([a-zA-Z0-9\._\-]+)\+(\d+)\+(\d+)\+(\d+)(\.\w+)?"""
 
+  /** Whether a topic name stays inside the filename charset the
+    * committed-name regex can parse back. A topic outside it (e.g.
+    * containing '+') would WRITE fine but never match
+    * [[CommittedFilenameRegex]], so offset restore would silently
+    * restart at 0 — the exact duplicate-ingestion failure the encoded
+    * names exist to prevent. Validate at entry, not at scan time. */
+  def isValidTopicName(t: String): Boolean =
+    t.nonEmpty && t.matches("[a-zA-Z0-9._\\-]+")
+
   /** Render a committed filename from its parts (Column form). */
   def encode(topic: Column, partition: Column, startOffset: Column,
              endOffset: Column, ext: String,

@@ -251,9 +251,25 @@ object StreamIngest {
     val avail = CommitLog.versions(spark, outDir, topic)
     if (avail.isEmpty) return None
     val changes = avail.map(v => CommitLog.changesAt(spark, outDir, topic, v))
-    // live set through the checkpoint-aware read path — replaying only
-    // the retained changes would miss everything below a truncation
-    val live = CommitLog.snapshot(spark, outDir, topic)
+    // live set = newest checkpoint's contents + a fold of the changes
+    // ALREADY read above — one O(versions) metadata pass per restart,
+    // not snapshot()'s second replay of the same version files. The
+    // base covers everything below a truncation; only post-checkpoint
+    // changes fold on top. A truncated log with no checkpoint cannot
+    // be replayed from the retained suffix alone — route that (never
+    // produced by truncateLog, which requires a checkpoint) through
+    // snapshot(), which reports it loudly.
+    val (ckptV, base) = CommitLog.checkpointBase(spark, outDir, topic)
+    val live: Seq[String] =
+      if (ckptV < 0 && avail.min > 0) CommitLog.snapshot(spark, outDir, topic)
+      else {
+        val l = scala.collection.mutable.LinkedHashSet.empty[String]
+        l ++= base
+        avail.zip(changes).foreach { case (v, (adds, removes)) =>
+          if (v > ckptV) { l ++= adds; l --= removes }
+        }
+        l.toSeq
+      }
     val re = FileNaming.CommittedFilenameRegex.r
     def parse(rel: String): Option[(Long, Long, Long)] =
       rel.split('/').last match {

@@ -317,6 +317,24 @@ class CommitLogSpec extends SparkSuite {
     assert(e.getMessage.contains("already has a commit log"))
   }
 
+  test("topic names outside the filename charset are rejected at entry") {
+    val out = Files.createTempDirectory("clog-charset").toString
+    CommitLog.writeLogged(frame(2), out, "t", flushSize = 2)
+    // a '+' in the dst would re-encode into names the committed-name
+    // regex cannot parse — offset resume on the clone would silently
+    // restart at 0; both entries refuse before touching disk
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.cloneTopic(spark, out, "t", "t+bad")
+    }
+    assert(e1.getMessage.contains("charset"))
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.writeLogged(frame(2), out, "has space", flushSize = 2)
+    }
+    assert(e2.getMessage.contains("charset"))
+    assert(!FileNaming.isValidTopicName(""))
+    assert(FileNaming.isValidTopicName("ok-topic_1.x"))
+  }
+
   test("log checkpoints: snapshot rebases on the newest ckpt and replays only the tail") {
     val out = Files.createTempDirectory("clog-ckpt").toString
     CommitLog.writeLogged(frame(2), out, "t", flushSize = 1)              // v0
