@@ -83,8 +83,10 @@ object IvfIndex {
     * a scan. Returns (pruned rels, total snapshot size) so callers
     * can report the pruning ratio. */
   private[graft] def prunedRels(spark: SparkSession, indexDir: String,
-                                cells: Set[Long]): (Seq[String], Int) = {
-    val rels = CommitLog.snapshot(spark, indexDir, VectorsTopic)
+                                cells: Set[Long],
+                                topic: String = VectorsTopic)
+      : (Seq[String], Int) = {
+    val rels = CommitLog.snapshot(spark, indexDir, topic)
     val keep = rels.filter { rel =>
       rel.split('/').head match {
         case s if s.startsWith("partition=") =>
@@ -386,6 +388,149 @@ object IvfIndex {
     val q = codesT.filter(col("off").isin(queryIds: _*))
       .select(col("off").as("q_id"), col("v").as("qv"))
     val short = searchPq(spark, indexDir, queryIds, subDims, shortlist)
+      .select(col("q_id"), col("neighbor_id"))
+    codesT.select(col("off").as("neighbor_id"), col("v"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        call_function("dot_i64", col("qv"), col("v")).as("dot"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("dot"), col("neighbor_id"),
+        lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("dot"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  // ---------------------------------------------------------------
+  // IVF-PQ: the two flavors composed into the layout actually
+  // deployed at billion-vector scale — a coarse quantizer partitions
+  // the corpus into cells (the IVF file-pruning story) and PQ encodes
+  // each vector's RESIDUAL v − centroid(cell) (residuals are smaller
+  // and better-centered than raw vectors, so the same code budget
+  // quantizes them more faithfully). Search probes nprobe cells,
+  // prunes the FILE LIST to them, and ADC-scores only those cells'
+  // codes: score(q, v) = dot(q, centroid) + Σ_m lut[m][code_m], with
+  // the LUT built from the FULL query's subspace slices against the
+  // residual codebooks. Storage per vector: M code bytes in the scan
+  // path (the raw vector column rides the topic for query-by-member
+  // and re-ranking but parquet column pruning keeps it out of the
+  // corpus-side ADC scan).
+  // ---------------------------------------------------------------
+
+  val IvfPqCodesTopic = "ivfpq_codes"
+  val IvfPqCodebooksTopic = "ivfpq_codebooks"
+
+  /** Train coarse quantizer + residual codebooks, publish all three
+    * artifacts (centroids topic shared with the plain-IVF layout;
+    * codes topic partitioned BY CELL so probes prune files). Returns
+    * the codes topic's log version (0 for a fresh build). */
+  def buildIvfPq(vecs: DataFrame, indexDir: String, k: Int, iters: Int,
+                 m: Int, subDims: Int, pqK: Int, pqIters: Int,
+                 flushSize: Int = 1 << 20): Long = {
+    val spark = vecs.sparkSession
+    require(CommitLog.latestVersion(spark, indexDir, IvfPqCodesTopic) < 0,
+      s"IVF-PQ index at $indexDir already built — a retrain is a new dir")
+    val cents = KMeans.fit(vecs, k, iters)
+    import spark.implicits._
+    CommitLog.writeLogged(
+      cents.map(c => (0L, c.id, c.v)).toDF("part", "off", "cv"),
+      indexDir, CentroidsTopic, flushSize = math.max(cents.size, 1))
+    val centsDf = cents.map(c => (c.id, c.v)).toDF("cell", "ccv")
+    val resid = KMeans.assign(vecs, cents)
+      .join(broadcast(centsDf), Seq("cell"))
+      .select(col("id"), col("v"), col("cell"),
+        zip_with(col("v"), col("ccv"), (a, b) => a - b).as("r"))
+    val books = KMeans.fitSubspaces(
+      resid.select(col("id"), col("r").as("v")), m, subDims, pqK, pqIters)
+    CommitLog.writeLogged(
+      books.zipWithIndex.flatMap { case (bs, mi) =>
+        bs.zipWithIndex.map { case (c, j) =>
+          (0L, mi.toLong * pqK + j, mi, c.id, c.v)
+        }
+      }.toDF("part", "off", "m", "code", "cv"),
+      indexDir, IvfPqCodebooksTopic,
+      flushSize = math.max(books.map(_.size).sum, 1))
+    val codesCol = array(books.indices.map { mi =>
+      KMeans.cellOf(slice(col("r"), mi * subDims + 1, subDims), books(mi))
+    }: _*)
+    CommitLog.writeLogged(
+      resid.select(col("cell").as("part"), col("id").as("off"), col("v"),
+        col("cell"), codesCol.as("codes")),
+      indexDir, IvfPqCodesTopic, flushSize)
+  }
+
+  /** Serve top-k from the IVF-PQ index: probe `nprobe` cells against
+    * the driver-held coarse centroids, prune the codes topic's FILE
+    * LIST to them, ADC-score only those cells' codes (centroid dot +
+    * residual LUT sum — exact integer arithmetic), bounded-heap top-k.
+    * No training anywhere in the plan; the corpus-side scan reads
+    * (id, cell, codes) only. */
+  def searchIvfPq(spark: SparkSession, indexDir: String,
+                  queryIds: Seq[Long], subDims: Int, nprobe: Int,
+                  k: Int): DataFrame = {
+    NativeExpressions.register(spark)
+    val cents = centroids(spark, indexDir)
+    val codesT = CommitLog.read(spark, indexDir, IvfPqCodesTopic)
+    val q = codesT.filter(col("off").isin(queryIds: _*))
+      .select(col("off").as("id"), col("v"))
+    val probes = KMeans.probeCells(q, cents, nprobe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    val cellSet = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (keep, _) = prunedRels(spark, indexDir, cellSet, IvfPqCodesTopic)
+    if (keep.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "adc", "rnk")
+    }
+    val scan = CommitLog.readFiles(spark, indexDir, IvfPqCodesTopic, keep)
+      .select(col("off").as("id"), col("cell"), col("codes"))
+    val cb = CommitLog.read(spark, indexDir, IvfPqCodebooksTopic)
+      .select(col("m"), col("code"), col("cv"))
+    val qv = probes.select(col("q_id"), col("qv")).distinct()
+    val lut = qv.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("m"), col("code"),
+        call_function("dot_i64",
+          slice(col("qv"), col("m") * lit(subDims) + lit(1), lit(subDims)),
+          col("cv")).as("partial"))
+    import spark.implicits._
+    val centsDf = broadcast(cents.map(c => (c.id, c.v)).toDF("cell", "ccv"))
+    val cdot = probes.join(centsDf, Seq("cell"))
+      .select(col("q_id"), col("cell"),
+        call_function("dot_i64", col("qv"), col("ccv")).as("cd"))
+    scan.join(broadcast(probes.select(col("q_id"), col("cell"))), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), col("cell"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(lut), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("id"), col("cell"))
+      .agg(sum(col("partial")).as("rsum"))
+      .join(broadcast(cdot), Seq("q_id", "cell"))
+      .select(col("q_id"), col("id"), (col("cd") + col("rsum")).as("adc"))
+      .groupBy(col("q_id"))
+      .agg(call_function("topk_pairs", col("adc"), col("id"),
+        lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), col("p.id").as("neighbor_id"),
+        col("p.ord").as("adc"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
+  /** [[searchPqRefined]]'s IVF-PQ twin — the full production stack:
+    * file-pruned cell probe, residual-ADC shortlist, exact re-rank of
+    * only the shortlist's full vectors. Recall converges to plain
+    * IVF's at the same nprobe (the re-rank removes the residual
+    * quantization error; only cell coverage remains approximate). */
+  def searchIvfPqRefined(spark: SparkSession, indexDir: String,
+                         queryIds: Seq[Long], subDims: Int, nprobe: Int,
+                         shortlist: Int, k: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
+    NativeExpressions.register(spark)
+    val codesT = CommitLog.read(spark, indexDir, IvfPqCodesTopic)
+    val q = codesT.filter(col("off").isin(queryIds: _*))
+      .select(col("off").as("q_id"), col("v").as("qv"))
+    val short = searchIvfPq(spark, indexDir, queryIds, subDims, nprobe,
+        k = shortlist)
       .select(col("q_id"), col("neighbor_id"))
     codesT.select(col("off").as("neighbor_id"), col("v"))
       .join(broadcast(short), Seq("neighbor_id"))

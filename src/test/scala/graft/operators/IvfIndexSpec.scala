@@ -242,6 +242,43 @@ class IvfIndexSpec extends SparkSuite {
     assert(ns === Set(3L, 5L, 6L))
   }
 
+  test("IVF-PQ: cell-pruned residual-ADC serving; exact re-rank recovers the IVF ranking") {
+    val idx = Files.createTempDirectory("ivfpq-idx").toString
+    IvfIndex.buildIvfPq(base, idx, k = 2, iters = 2, m = 1, subDims = 2,
+      pqK = 2, pqIters = 1)
+    // all three artifacts live in the log
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.IvfPqCodesTopic) === 0L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.IvfPqCodebooksTopic) === 0L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.CentroidsTopic) === 0L)
+    // nprobe=1 over clean clusters: every neighbor comes from the
+    // query's own cluster (the ADC ranking inside the cell is
+    // quantized; membership is the invariant)
+    val served = IvfIndex.searchIvfPq(spark, idx, Seq(0L, 1L), subDims = 2,
+        nprobe = 1, k = 2)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect()
+    val clusterA = Set(0L, 2L, 4L); val clusterB = Set(1L, 3L, 5L)
+    assert(served.nonEmpty)
+    served.foreach { case (q, n) =>
+      val own = if (clusterA(q)) clusterA else clusterB
+      assert(own(n), s"neighbor $n of query $q crossed clusters")
+    }
+    // file pruning reaches the codes topic: one probed cell keeps
+    // only that cell's files
+    val cells = IvfIndex.centroids(spark, idx).map(_.id)
+    val (keep, total) = IvfIndex.prunedRels(spark, idx,
+      Set(cells.head), IvfIndex.IvfPqCodesTopic)
+    assert(keep.nonEmpty && keep.size < total,
+      s"pruning must drop the unprobed cell's files ($keep of $total)")
+    // exact re-rank with a corpus-covering shortlist reproduces the
+    // exact within-cell ranking (same as the plain-IVF expectation:
+    // q0=(0,1): dot(4)=2 > dot(2)=0)
+    val refined = IvfIndex.searchIvfPqRefined(spark, idx, Seq(0L),
+        subDims = 2, nprobe = 1, shortlist = 10, k = 2)
+      .select("q_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(refined === Set((0L, 4L, 1L), (0L, 2L, 2L)))
+  }
+
   test("probing only empty cells returns an empty frame, not a failure") {
     val idx = Files.createTempDirectory("ivf-idx-empty").toString
     IvfIndex.build(base, idx, k = 2, iters = 2)

@@ -711,6 +711,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("sim_ivfpq_topk: no Lloyd in the serving plan; probe/LUT/centroid sides broadcast") {
+    val p = plan("sim_ivfpq_topk")
+    val s = p.toString
+    // serving = pruned codes scan + broadcast probes/LUT/cdot + two
+    // map-side-combined aggregates; training never appears
+    assert(s.contains("BroadcastHashJoin"), s"probe sides must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join in the serving path:\n$s")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.size <= 1,
+      s"only the LUT cross join may be unkeyed:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q19_disjunctive_revenue: the disjunction's per-table halves reach the scans") {
     val p = plan("q19_disjunctive_revenue")
     val s = p.toString
