@@ -1239,6 +1239,91 @@ object RelationalQueries {
              |ORDER BY s_suppkey""".stripMargin),
       bench = true),
 
+    // TPC-H Q17 shape — small-quantity revenue: lineitems of one
+    // brand's parts whose quantity is below 20 % of that part's average
+    // quantity. The correlated per-part average is ONE aggregate
+    // joined back (never a per-row subquery), and the threshold
+    // comparison is cross-multiplied (5·qty·n < Σqty) so no division
+    // decides membership — quantities are integral, so the arithmetic
+    // is exact in both engines. The brand's part list broadcasts into
+    // the fact scan; money through the DECIMAL discipline with the /7
+    // as one final IEEE op. (Schema has no p_container — brand-only
+    // filter, same plan shape.)
+    QuerySpec("q17_small_quantity_revenue",
+      (s, d) => {
+        val pk = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select(col("p_partkey"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+            col("l_extendedprice"))
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        val perPart = li.groupBy(col("l_partkey").as("agg_partkey"))
+          .agg(sum(col("qty")).as("sq"), count(lit(1)).as("nq"))
+        li.join(perPart, col("l_partkey") === col("agg_partkey"))
+          .filter(col("qty") * lit(5L) * col("nq") < col("sq"))
+          .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double") / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH li AS (SELECT l_partkey,
+             |    CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_brand = 'Brand#1'),
+             |pp AS (SELECT l_partkey AS agg_partkey,
+             |    CAST(sum(qty) AS BIGINT) AS sq, count(*) AS nq
+             |  FROM li GROUP BY 1)
+             |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM li JOIN pp ON l_partkey = agg_partkey
+             |WHERE qty * 5 * nq < sq""".stripMargin),
+      bench = true),
+
+    // TPC-H Q22 shape — idle rich accounts: customers with an account
+    // balance above the positive-balance average who have placed no
+    // orders SINCE 2001, counted per segment (the schema has no phone
+    // prefix — c_mktsegment carries the grouping; and unlike stock
+    // TPC-H every synthetic customer has *some* order, so "idle" is
+    // date-windowed — the anti-join side carries a pushed-down date
+    // filter, same plan). The global average is a 1-row broadcast
+    // compared by CROSS-MULTIPLICATION (cents·n > Σcents) so no
+    // division decides membership; balances go through exact integer
+    // cents (round(x·100) — 2dp doubles land within 1e-9 of the
+    // integer, so rounding is deterministic in both engines); "no
+    // recent orders" is one LEFT ANTI join, never a correlated probe.
+    QuerySpec("q22_idle_balance_customers",
+      (s, d) => {
+        val cents = round(col("c_acctbal") * 100).cast("long")
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), cents.as("cents"))
+        val tot = cust.filter(col("cents") > 0)
+          .agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+        cust.crossJoin(broadcast(tot))
+          .filter(col("cents") * col("n") > col("s"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+            .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("numcust"),
+            (sum(col("cents")).cast("double") / 100.0).as("totacctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH cust AS (SELECT c_custkey, c_mktsegment,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+             |  FROM customer),
+             |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+             |  FROM cust WHERE cents > 0)
+             |SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+             |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+             |    AS totacctbal
+             |FROM cust CROSS JOIN tot
+             |WHERE cents * n > s
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= DATE '2001-01-01')
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      bench = true),
+
     // Explicit GROUPING SETS (the rollup/cube queries' general form):
     // brand-only, type-only, and grand-total aggregates in ONE pass —
     // Catalyst plans one Expand over the scan, not three scans.

@@ -724,6 +724,25 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q17_small_quantity_revenue: correlated avg is one aggregate joined back; brand parts broadcast") {
+    val p = plan("q17_small_quantity_revenue")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"brand part list must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the correlated average must never be a per-row probe:\n$s")
+  }
+
+  test("q22_idle_balance_customers: 1-row global scalar broadcast; no-orders is an anti join") {
+    val p = plan("q22_idle_balance_customers")
+    val s = p.toString
+    assert(s.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$s")
+    // the only unkeyed join is the 1-row totals broadcast
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.size <= 1,
+      s"only the 1-row scalar may be unkeyed:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q19_disjunctive_revenue: the disjunction's per-table halves reach the scans") {
     val p = plan("q19_disjunctive_revenue")
     val s = p.toString
