@@ -327,7 +327,9 @@ object CommitLog {
     * therefore never new data, regardless of which offsets its
     * replacement happens to span. This is what a downstream
     * incremental job (e.g. batch-vs-corpus dedup of just the new
-    * arrivals) consumes between its own checkpoints.
+    * arrivals) consumes between its own checkpoints. A caught-up
+    * consumer (no appends past `sinceVersion`) gets an empty frame at
+    * the topic's live schema — polling is not an error.
     *
     * Retention caveat (same contract as time travel): a swap makes the
     * pending appends' ORIGINAL files unreferenced, so a consumer must
@@ -341,8 +343,11 @@ object CommitLog {
       val (adds, removes) = changesAt(spark, outDir, topic, v)
       if (removes.isEmpty) adds else Seq.empty // swaps rewrite, appends add
     }.distinct
-    require(fresh.nonEmpty, s"no new files after version $sinceVersion")
-    readFiles(spark, outDir, topic, fresh, format)
+    // an idle poll (caught-up consumer, or only compaction swaps since
+    // the checkpoint) is a legitimate production call — empty frame at
+    // the topic's live schema, not a crash
+    if (fresh.isEmpty) read(spark, outDir, topic, format, asOf = latest).limit(0)
+    else readFiles(spark, outDir, topic, fresh, format)
   }
 
   /** File-level churn between two pinned versions: (files only in

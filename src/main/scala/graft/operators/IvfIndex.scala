@@ -267,16 +267,20 @@ object IvfIndex {
                              gen: Long): Unit = {
     val f = fs(spark, root)
     val tmp = new Path(root, s".${java.util.UUID.randomUUID()}.tmp")
-    val out = f.create(tmp, false)
-    try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
-    val dest = new Path(s"$root/$CurrentPtr")
-    // rename-over-existing is not atomic-replace on every FS; delete
-    // then rename — a crash between the two leaves NO pointer, which
-    // currentGeneration reports loudly (-1) rather than serving a
-    // half-installed state, and a re-run converges
-    if (f.exists(dest)) f.delete(dest, false)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"rename failed installing $CurrentPtr")
+    // a failed write/rename must not leak the uniquely-named staging
+    // file (nothing ever reclaims a UUID orphan under the root)
+    try {
+      val out = f.create(tmp, false)
+      try out.write(gen.toString.getBytes("UTF-8")) finally out.close()
+      val dest = new Path(s"$root/$CurrentPtr")
+      // rename-over-existing is not atomic-replace on every FS; delete
+      // then rename — a crash between the two leaves NO pointer, which
+      // currentGeneration reports loudly (-1) rather than serving a
+      // half-installed state, and a re-run converges
+      if (f.exists(dest)) f.delete(dest, false)
+      if (!f.rename(tmp, dest))
+        throw new java.io.IOException(s"rename failed installing $CurrentPtr")
+    } finally { f.delete(tmp, false); () }
   }
 
   /** Delete a drained generation's files. Refuses the serving one. */

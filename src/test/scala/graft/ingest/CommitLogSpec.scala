@@ -173,10 +173,11 @@ class CommitLogSpec extends SparkSuite {
     CommitLog.compactLogged(spark, out, "t", targetRecords = 5)
     val inc2 = CommitLog.readAddedSince(spark, out, "t", sinceVersion = 0L)
     assert(inc2.select("off").as[Long].collect().sorted === Array(2L, 3L))
-    // nothing new after the compaction-only version
-    intercept[IllegalArgumentException] {
-      CommitLog.readAddedSince(spark, out, "t", sinceVersion = 2L)
-    }
+    // nothing new after the compaction-only version: an idle poll
+    // returns an EMPTY frame at the live schema (a caught-up consumer
+    // is a legitimate caller, not an error)
+    val idle = CommitLog.readAddedSince(spark, out, "t", sinceVersion = 2L)
+    assert(idle.isEmpty && idle.columns.contains("payload"))
     // append after the compaction: picked up from either baseline
     CommitLog.writeLogged(frame(6).filter(col("off") >= 4), out, "t", 1) // v3
     assert(CommitLog.readAddedSince(spark, out, "t", sinceVersion = 2L)
