@@ -455,12 +455,10 @@ object IvfIndex {
       }.toDF("part", "off", "m", "code", "cv"),
       indexDir, IvfPqCodebooksTopic,
       flushSize = math.max(books.map(_.size).sum, 1))
-    val codesCol = array(books.indices.map { mi =>
-      KMeans.cellOf(slice(col("r"), mi * subDims + 1, subDims), books(mi))
-    }: _*)
-    CommitLog.writeLogged(
-      resid.select(col("cell").as("part"), col("id").as("off"), col("v"),
-        col("cell"), codesCol.as("codes")),
+    // encode through the same frozen-artifact projection the append
+    // and streaming paths use (assignment and residual are
+    // deterministic, so this is bit-identical to encoding `resid`)
+    CommitLog.writeLogged(ivfPqEncodeFrame(vecs, cents, books, subDims),
       indexDir, IvfPqCodesTopic, flushSize)
   }
 
@@ -551,10 +549,14 @@ object IvfIndex {
 
   /** The published codebooks as driver values: one centroid table per
     * subspace, plus the subspace width — what the frozen-codebook
-    * encoders ([[appendPq]], `IndexIngest.startPqIngest`) load once. */
-  def pqBooks(spark: SparkSession, indexDir: String)
+    * encoders ([[appendPq]], `IndexIngest.startPqIngest`) load once.
+    * `topic` selects the flavor: raw-vector PQ (default) or the
+    * IVF-PQ residual codebooks. */
+  def pqBooks(spark: SparkSession, indexDir: String,
+              topic: String = PqCodebooksTopic)
       : (Seq[Seq[KMeans.Centroid]], Int) = {
-    val rows = pqCodebooks(spark, indexDir).collect()
+    val rows = CommitLog.read(spark, indexDir, topic)
+      .select(col("m"), col("code"), col("cv")).collect()
     val m = rows.map(_.getInt(0)).max + 1
     val books = (0 until m).map { mi =>
       rows.filter(_.getInt(0) == mi)
@@ -586,5 +588,57 @@ object IvfIndex {
     val (books, subDims) = pqBooks(spark, indexDir)
     CommitLog.writeLogged(pqEncodeFrame(newVecs, books, subDims, parts),
       indexDir, PqCodesTopic, flushSize)
+  }
+
+  /** Encode `(id, v)` vectors into the IVF-PQ codes-topic stream shape
+    * under a GIVEN coarse quantizer + residual codebooks: assign the
+    * cell, subtract its centroid, PQ-encode the residual — all as ONE
+    * projection (the centroid lookup is a plan-literal cell→vector
+    * map, the argmins are literal-centroid expressions), so it runs in
+    * batch and streaming plans alike with no join and no extra job. */
+  private[graft] def ivfPqEncodeFrame(vecs: DataFrame,
+                                      cents: Seq[KMeans.Centroid],
+                                      books: Seq[Seq[KMeans.Centroid]],
+                                      subDims: Int): DataFrame = {
+    val centMap = map(cents.flatMap(c =>
+      Seq(lit(c.id), array(c.v.map(lit): _*))): _*)
+    val resid = vecs
+      .select(col("id"), col("v"), KMeans.cellOf(col("v"), cents).as("cell"))
+      .select(col("id"), col("v"), col("cell"),
+        zip_with(col("v"), element_at(centMap, col("cell")),
+          (a, b) => a - b).as("r"))
+    val codesCol = array(books.indices.map { mi =>
+      KMeans.cellOf(slice(col("r"), mi * subDims + 1, subDims), books(mi))
+    }: _*)
+    resid.select(col("cell").as("part"), col("id").as("off"), col("v"),
+      col("cell"), codesCol.as("codes"))
+  }
+
+  /** Grow the IVF-PQ index under BOTH frozen quantizers (coarse cells
+    * AND residual codebooks): new vectors assign, residual-encode, and
+    * publish as the next codes version — still partitioned by cell, so
+    * the appended files prune at serving time exactly like built ones.
+    * Neither the centroids nor the codebooks topic advances. */
+  def appendIvfPq(newVecs: DataFrame, indexDir: String,
+                  flushSize: Int = 1 << 20): Long = {
+    val spark = newVecs.sparkSession
+    val cents = centroids(spark, indexDir)
+    val (books, subDims) = pqBooks(spark, indexDir, IvfPqCodebooksTopic)
+    CommitLog.writeLogged(ivfPqEncodeFrame(newVecs, cents, books, subDims),
+      indexDir, IvfPqCodesTopic, flushSize)
+  }
+
+  /** [[rebuild]]'s IVF-PQ twin: retrain coarse quantizer + residual
+    * codebooks and re-encode the corpus as generation N+1 behind the
+    * serving one, then flip the shared `_current` pointer. */
+  def rebuildIvfPq(vecs: DataFrame, root: String, k: Int, iters: Int,
+                   m: Int, subDims: Int, pqK: Int, pqIters: Int,
+                   flushSize: Int = 1 << 20): Long = {
+    val spark = vecs.sparkSession
+    val next = currentGeneration(spark, root) + 1
+    buildIvfPq(vecs, genDir(root, next), k, iters, m, subDims, pqK,
+      pqIters, flushSize)
+    installPointer(spark, root, next)
+    next
   }
 }

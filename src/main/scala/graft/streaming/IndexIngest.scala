@@ -51,6 +51,35 @@ object IndexIngest {
       })
   }
 
+  /** The IVF-PQ twin: `(id, v)` vectors assign to their coarse cell,
+    * residual-encode under the FROZEN codebooks (one projection — the
+    * centroid lookup is a plan-literal map), and append to the
+    * cell-partitioned codes topic, so streamed vectors prune at
+    * serving time exactly like built ones. Same exactly-once contract:
+    * globally ascending ids are ascending within every cell, so the
+    * per-(cell)-partition resume filter drops crash replays. */
+  def startIvfPqIngest(stream: DataFrame, indexDir: String,
+                       checkpoint: String,
+                       flushSize: Int = 1 << 20,
+                       trigger: Option[Trigger] = None): StreamingQuery = {
+    val spark = stream.sparkSession
+    val cents = IvfIndex.centroids(spark, indexDir) // frozen at start
+    val (books, subDims) = IvfIndex.pqBooks(spark, indexDir,
+      IvfIndex.IvfPqCodebooksTopic) // frozen at start
+    val framed = IvfIndex.ivfPqEncodeFrame(stream, cents, books, subDims)
+    StreamIngest.commitLoop(framed, checkpoint, trigger,
+      initial = CommitLog.maxOffsets(spark, indexDir,
+        IvfIndex.IvfPqCodesTopic),
+      writeFn = b =>
+        BatchWriter.write(b, indexDir, IvfIndex.IvfPqCodesTopic, flushSize),
+      afterWrite = manifest => {
+        CommitLog.publish(spark, indexDir, IvfIndex.IvfPqCodesTopic,
+          manifest.map(c =>
+            StreamIngest.relPath(indexDir, IvfIndex.IvfPqCodesTopic, c.path)))
+        ()
+      })
+  }
+
   /** The PQ twin: `(id, v)` vectors encode to M codes under the
     * FROZEN codebooks (M literal-centroid argmins — one projection in
     * the streaming plan) and append to the codes topic with the same

@@ -279,6 +279,67 @@ class IvfIndexSpec extends SparkSuite {
     assert(refined === Set((0L, 4L, 1L), (0L, 2L, 2L)))
   }
 
+  test("IVF-PQ lifecycle: append under BOTH frozen quantizers; streaming ingest; generation flip") {
+    val idx = Files.createTempDirectory("ivfpq-grow").toString
+    IvfIndex.buildIvfPq(base, idx, k = 2, iters = 2, m = 1, subDims = 2,
+      pqK = 2, pqIters = 1, flushSize = 1)
+    val centsBefore = IvfIndex.centroids(spark, idx)
+    val (booksBefore, _) = IvfIndex.pqBooks(spark, idx,
+      IvfIndex.IvfPqCodebooksTopic)
+
+    // batch append: (98,98) lands in cluster B's CELL PARTITION with
+    // neither artifact topic advancing
+    assert(IvfIndex.appendIvfPq(Seq(6L -> Seq(98L, 98L)).toDF("id", "v"),
+      idx, flushSize = 1) === 1L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.CentroidsTopic) === 0L)
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.IvfPqCodebooksTopic) === 0L)
+    assert(IvfIndex.centroids(spark, idx) === centsBefore)
+    assert(IvfIndex.pqBooks(spark, idx,
+      IvfIndex.IvfPqCodebooksTopic)._1 === booksBefore)
+    // the appended file joined its cell's partition directory — it
+    // prunes at serving time exactly like built files
+    val bCell = KMeans.assign(Seq(6L -> Seq(98L, 98L)).toDF("id", "v"),
+      centsBefore).select("cell").as[Long].head()
+    val (keep, _) = IvfIndex.prunedRels(spark, idx, Set(bCell),
+      IvfIndex.IvfPqCodesTopic)
+    assert(keep.exists(_.contains("0000000006+0000000006")),
+      s"appended file must live in cell $bCell's partition: $keep")
+    // ...and serves as a neighbor without any retraining
+    val ns = IvfIndex.searchIvfPq(spark, idx, Seq(1L), subDims = 2,
+        nprobe = 1, k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ns.contains(6L), s"appended vector must serve, got $ns")
+
+    // streaming ingest: replay of id 6 skipped, id 7 lands (cluster A)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("ivfpq-ing-ckpt").toString
+    val s = MemoryStream[(Long, Seq[Long])]
+    val q = graft.streaming.IndexIngest.startIvfPqIngest(
+      s.toDF().toDF("id", "v"), idx, ckpt, flushSize = 10)
+    s.addData(6L -> Seq(98L, 98L), 7L -> Seq(2L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val codes = CommitLog.read(spark, idx, IvfIndex.IvfPqCodesTopic)
+    assert(codes.count() === 8, "replayed id 6 must be skipped")
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.IvfPqCodebooksTopic) === 0L)
+    val g2 = IvfIndex.searchIvfPq(spark, idx, Seq(7L), subDims = 2,
+      nprobe = 1, k = 2)
+    assert(g2.count() === 2, "streamed vector must serve as a query")
+
+    // generations: the composed flavor rebuilds through the same
+    // atomic pointer flip
+    val root = Files.createTempDirectory("ivfpq-gens").toString
+    assert(IvfIndex.rebuildIvfPq(base, root, k = 2, iters = 2, m = 1,
+      subDims = 2, pqK = 2, pqIters = 1) === 0L)
+    val grown = base.union(Seq(6L -> Seq(50L, 50L)).toDF("id", "v"))
+    assert(IvfIndex.rebuildIvfPq(grown, root, k = 2, iters = 2, m = 1,
+      subDims = 2, pqK = 2, pqIters = 1) === 1L)
+    assert(CommitLog.read(spark, IvfIndex.currentDir(spark, root),
+      IvfIndex.IvfPqCodesTopic).count() === 7,
+      "gen 1 encodes the grown corpus")
+  }
+
   test("probing only empty cells returns an empty frame, not a failure") {
     val idx = Files.createTempDirectory("ivf-idx-empty").toString
     IvfIndex.build(base, idx, k = 2, iters = 2)
