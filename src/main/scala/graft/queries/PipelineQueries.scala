@@ -1027,6 +1027,35 @@ object PipelineQueries {
       dir
     })
 
+  /** One committed-corpus index-plane build per (JVM, corpus dir) for
+    * `curation_incremental`: the corpus-side exact-fingerprint set
+    * (`fp/`), 3-gram shingle sets (`sh/`), and MinHash band keys
+    * (`bands/`) as parquet artifacts — the batch stand-in for the
+    * `_fp`/`_mh` planes the streaming gates maintain at commit time.
+    * The incremental query then pays ONLY the batch-side work plus
+    * plane probes, which is the actual daily production cost; the
+    * oracle still re-derives the planes from the corpus, so the
+    * artifact contents are hash-checked every round. */
+  private val curationPlaneDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def servedCurationPlanes(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String =
+    curationPlaneDirs.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cur-planes")
+        .toString
+      NativeExpressions.register(s)
+      val corpus = Tables.documents(s, d)
+        .filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 25)
+      corpus.select(md5(col("text").cast("binary")).as("fp")).distinct()
+        .write.parquet(s"$dir/fp")
+      val shC = corpus.select(col("doc_id"),
+        TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+      shC.write.parquet(s"$dir/sh")
+      minhashBandsFrom(s.read.parquet(s"$dir/sh")).write
+        .parquet(s"$dir/bands")
+      dir
+    })
+
   /** One served IVF-PQ build per (JVM, corpus dir): coarse k=8/iters=2
     * quantizer (same parameters as the plain-IVF artifact, so the
     * coarse training replays through the one kmTrainSql oracle) +
@@ -4868,6 +4897,149 @@ object PipelineQueries {
               |    AND g IN (SELECT g FROM ev))
               |SELECT doc_id, source, n_tokens FROM sn
               |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+              |ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- The capstone's INCREMENTAL twin: one arriving batch
+    //      admitted against the committed corpus WITHOUT re-running
+    //      any stage over the corpus — the shape a 100 TB pipeline
+    //      actually runs daily (the full pipeline ran once; every day
+    //      after is this query). Stages mirror the streaming
+    //      admission gates (DedupIngest) in batch form: quality gate
+    //      on the BATCH only → exact-fingerprint admission (not
+    //      already committed + lowest in-batch id per fp) → near-dup
+    //      admission (banded candidates vs the corpus AND within the
+    //      batch, exact Jaccard ≥ 0.5 verify on candidates only) →
+    //      benchmark decontamination. Scale shape: the corpus NEVER
+    //      self-joins — its fingerprint/band/shingle frames stand in
+    //      for the committed `_fp`/`_mh` index planes (one corpus
+    //      pass each here; ZERO passes in production, where the
+    //      planes are committed artifacts the gates maintain) and
+    //      every join carries batch-sized keys on one side; corpus
+    //      hot bands are capped (a band that hot is signal-free), and
+    //      in-batch candidates go through the shared capped
+    //      candidatePairs. ----
+    QuerySpec("curation_incremental",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val docs = Tables.documents(s, d)
+        val planes = servedCurationPlanes(s, d)
+        // stage 1: quality gate over the arriving batch (eval = <25)
+        val keptQ = textStatsFrame(s, d)
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") >= 25 &&
+            col("lang") === "en" && col("quality") >= 0.5 &&
+            col("n_tokens").between(10, 5000))
+          .select(col("doc_id"), col("n_tokens"))
+        val batch = TrackedCache.persist(
+          docs.join(keptQ, Seq("doc_id"))
+            .select(col("doc_id"), col("source"), col("n_tokens"),
+              md5(col("text").cast("binary")).as("fp")))
+        // committed-corpus state: the SERVED index planes
+        val corpusFp = s.read.parquet(s"$planes/fp")
+        // stage 2: exact admission — lowest in-batch id per fp, and
+        // never a fingerprint the corpus already committed
+        val lowest = batch.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val survE = TrackedCache.persist(
+          batch.join(lowest, Seq("fp", "doc_id"), "left_semi")
+            .join(corpusFp, Seq("fp"), "left_anti")
+            .select(col("doc_id"), col("source"), col("n_tokens")))
+        // stage 3: near-dup admission against the served _mh plane.
+        // Only the batch survivors re-shingle; batch bands probe the
+        // capped corpus bands, in-batch pairs go through the shared
+        // capped candidatePairs, exact Jaccard decides both.
+        val shB = TrackedCache.persist(
+          docs.join(survE.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh")))
+        val shC = s.read.parquet(s"$planes/sh")
+        val bandsB = TrackedCache.persist(minhashBandsFrom(shB))
+        val bandsC = dropHotBands(s.read.parquet(s"$planes/bands"), "band")
+        val candC = bandsB.as("a")
+          .join(bandsC.as("b"), col("a.band") === col("b.band"))
+          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+          .distinct()
+        val dupVsCorpus = candC
+          .join(shB.as("x"), col("ia") === col("x.doc_id"))
+          .join(shC.as("y"), col("ib") === col("y.doc_id"))
+          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+          .select(col("ia").as("doc_id")).distinct()
+        val dupInBatch = candidatePairs(bandsB, "ia", "ib")
+          .join(shB.as("x"), col("ia") === col("x.doc_id"))
+          .join(shB.as("y"), col("ib") === col("y.doc_id"))
+          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+          .select(col("ib").as("doc_id")).distinct()
+        val survN = survE.join(dupVsCorpus, Seq("doc_id"), "left_anti")
+          .join(dupInBatch, Seq("doc_id"), "left_anti")
+        // stage 4: decontamination — ONLY batch survivors re-gram;
+        // the benchmark-scale eval-gram set broadcasts
+        val evalG = docs.filter(col("doc_id") < 25)
+          .select(explode(TF.shingles(TF.tokens(col("text")), 8)).as("g"))
+          .distinct()
+        val cont = docs
+          .join(survN.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            explode(TF.shingles(TF.tokens(col("text")), 8)).as("g"))
+          .join(broadcast(evalG), Seq("g"), "left_semi")
+          .select(col("doc_id")).distinct()
+        survN.join(cont, Seq("doc_id"), "left_anti")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $minhashBandsSql,
+              |kq AS (SELECT doc_id, n_tokens FROM ($textStatsCoreSql)
+              |  WHERE doc_id % 5 = 0 AND doc_id >= 25 AND lang = 'en'
+              |    AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000),
+              |bt AS (SELECT d.doc_id, d.source, k.n_tokens, md5(d.text) AS fp
+              |  FROM documents d JOIN kq k USING (doc_id)),
+              |cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents
+              |  WHERE doc_id % 5 <> 0 AND doc_id >= 25),
+              |lo AS (SELECT fp, min(doc_id) AS doc_id FROM bt GROUP BY 1),
+              |se AS (SELECT b.doc_id, b.source, b.n_tokens FROM bt b
+              |  JOIN lo USING (fp, doc_id)
+              |  WHERE b.fp NOT IN (SELECT fp FROM cfp)),
+              |bb AS (SELECT * FROM bands
+              |  WHERE doc_id IN (SELECT doc_id FROM se)),
+              |ccand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |  FROM bb a JOIN ${dropHotBandsSql(
+                  "(SELECT * FROM bands WHERE doc_id % 5 <> 0 AND doc_id >= 25)",
+                  "band")} b
+              |  ON a.band = b.band),
+              |cp AS (SELECT ia, ib,
+              |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
+              |  FROM ccand JOIN sh x ON x.doc_id = ia
+              |    JOIN sh y ON y.doc_id = ib),
+              |cj AS (SELECT ia,
+              |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter,
+              |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
+              |  FROM cp),
+              |dvc AS (SELECT DISTINCT ia AS doc_id FROM cj
+              |  WHERE (CASE WHEN szsum - inter = 0.0 THEN 1.0
+              |    ELSE inter / (szsum - inter) END) >= 0.5),
+              |bcand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+              |  FROM ${dropHotBandsSql("bb", "band")} a
+              |  JOIN ${dropHotBandsSql("bb", "band")} b
+              |  ON a.band = b.band AND a.doc_id < b.doc_id),
+              |bp AS (SELECT ia, ib,
+              |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
+              |  FROM bcand JOIN sh x ON x.doc_id = ia
+              |    JOIN sh y ON y.doc_id = ib),
+              |bj AS (SELECT ib,
+              |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter,
+              |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
+              |  FROM bp),
+              |dib AS (SELECT DISTINCT ib AS doc_id FROM bj
+              |  WHERE (CASE WHEN szsum - inter = 0.0 THEN 1.0
+              |    ELSE inter / (szsum - inter) END) >= 0.5),
+              |sn AS (SELECT * FROM se
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM dvc)
+              |    AND doc_id NOT IN (SELECT doc_id FROM dib)),
+              |s8 AS (SELECT doc_id, ${shinglesSql(8)} AS sh8 FROM tok),
+              |g8 AS (SELECT doc_id, unnest(sh8) AS g FROM s8),
+              |ev AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 25),
+              |ct AS (SELECT DISTINCT doc_id FROM g8
+              |  WHERE doc_id IN (SELECT doc_id FROM sn)
+              |    AND g IN (SELECT g FROM ev))
+              |SELECT doc_id, source, n_tokens FROM sn
+              |WHERE doc_id NOT IN (SELECT doc_id FROM ct)
               |ORDER BY doc_id""".stripMargin),
       bench = true),
 

@@ -252,6 +252,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("Window"), s"no corpus window:\n$s")
   }
 
+  test("curation_incremental: every join keyed, no cartesian, no corpus window") {
+    val p = plan("curation_incremental")
+    val s = p.toString
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"batch-vs-corpus admission must stay keyed:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("Window"), s"no corpus window:\n$s")
+  }
+
   test("dedup_winnow_pairs: keyed sliding-min windows, fp equi-join, no all-pairs") {
     val p = plan("dedup_winnow_pairs")
     assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
