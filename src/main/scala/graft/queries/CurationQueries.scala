@@ -376,6 +376,46 @@ object CurationQueries {
       },
       bench = true),
 
+    // ---- Consecutive-run collapse (stutter removal): the INTRA-doc
+    //      cleanup the cross-doc span removal doesn't do — crawled
+    //      text's repeated-token runs ("batch batch batch") collapse
+    //      to one instance, rewriting each document row-locally. Kept
+    //      positions come from zipping the token array against its
+    //      1-shifted self (the shingle builder's idiom — no
+    //      lambda-index back-reference into the tokenizer, which
+    //      would re-evaluate it per element); the whole operator is
+    //      one scan projection, zero shuffles at any corpus size.
+    //      stutter_ppm (collapsed fraction, exact integer ppm) is the
+    //      per-doc signal a quality report keeps alongside the
+    //      rewrite. ----
+    QuerySpec("collapse_token_runs",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), TF.tokens(col("text")).as("t"))
+        .withColumn("prev",
+          concat(array(lit("")), expr("slice(t, 1, greatest(size(t) - 1, 0))")))
+        .withColumn("kept",
+          expr("transform(filter(arrays_zip(t, prev), p -> p.t <> p.prev), p -> p.t)"))
+        .selectExpr("doc_id",
+          "CAST(size(t) AS BIGINT) AS n_before",
+          "CAST(size(kept) AS BIGINT) AS n_after",
+          "CASE WHEN size(t) > 0 THEN (CAST(size(t) - size(kept) AS BIGINT) * 1000000) div CAST(size(t) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS stutter_ppm",
+          "array_join(kept, ' ') AS clean")
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+              |sh AS (SELECT doc_id, t,
+              |    list_prepend('', t[1:greatest(len(t) - 1, 0)]) AS prev
+              |  FROM tok),
+              |k AS (SELECT doc_id, len(t)::BIGINT AS n_before,
+              |    list_transform(list_filter(list_zip(t, prev),
+              |      p -> p[1] <> p[2]), p -> p[1]) AS kept
+              |  FROM sh)
+              |SELECT doc_id, n_before, len(kept)::BIGINT AS n_after,
+              |  CASE WHEN n_before > 0
+              |    THEN ((n_before - len(kept)) * 1000000) // n_before
+              |    ELSE 0 END AS stutter_ppm,
+              |  array_to_string(kept, ' ') AS clean
+              |FROM k ORDER BY doc_id""".stripMargin)),
+
     // ---- Repetition signals (the Gopher/MassiveText repetition
     //      filters): duplicate-2gram fraction from set algebra on the
     //      shingle array, top-token fraction via explode → two
