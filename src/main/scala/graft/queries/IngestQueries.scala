@@ -369,6 +369,76 @@ object IngestQueries {
               |WHERE event_id > (SELECT max(event_id) // 2 FROM events)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- DESCRIBE HISTORY for the transactional log: per version,
+    //      the commit kind (append vs compaction swap — the protocol's
+    //      two-kind invariant), the snapshot row count and partition
+    //      spread AT that version via time travel. The audit an
+    //      operator runs before trusting retention/vacuum decisions.
+    //      Entirely metadata-driven: versions enumerate driver-side
+    //      (the log manifest is metadata), each pinned snapshot is one
+    //      count aggregate; the oracle re-derives every snapshot from
+    //      the raw table arithmetic (append halves split at
+    //      max(off) div 2; the swap rewrites without changing rows). ----
+    QuerySpec("commitlog_history",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-hist-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        val cut = in.agg(max(col("off"))).head().getLong(0) / 2
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") <= cut), dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") > cut), dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.compactLogged(s, dir, "events",
+          targetRecords = 1L << 40)
+        val head = graft.ingest.CommitLog.latestVersion(s, dir, "events")
+        val hist = (0L to head).map { v =>
+          val (adds, removes) =
+            graft.ingest.CommitLog.changesAt(s, dir, "events", v)
+          val kind = if (removes.isEmpty) "append" else "swap"
+          val snap = graft.ingest.CommitLog.read(s, dir, "events", asOf = v)
+            .agg(count(lit(1)).as("n"),
+              countDistinct(col("part")).as("p")).head()
+          (v, kind, adds.size.toLong, removes.size.toLong,
+            snap.getLong(0), snap.getLong(1))
+        }
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        import s.implicits._
+        hist.toDF("version", "kind", "n_files_added", "n_files_removed",
+            "n_rows", "n_parts")
+          .orderBy(col("version"))
+      },
+      Some(s"""WITH c AS (SELECT max(event_id) // 2 AS cut FROM events),
+              |e1 AS (SELECT event_id % ${P} AS part,
+              |    (event_id - min(event_id) OVER (PARTITION BY event_id % ${P})) // 500 AS fi
+              |  FROM events WHERE event_id <= (SELECT cut FROM c)),
+              |h1 AS (SELECT count(*) AS n, count(DISTINCT part) AS p,
+              |    count(DISTINCT (part, fi)) AS f FROM e1),
+              |e2 AS (SELECT event_id % ${P} AS part,
+              |    (event_id - min(event_id) OVER (PARTITION BY event_id % ${P})) // 500 AS fi
+              |  FROM events WHERE event_id > (SELECT cut FROM c)),
+              |h2 AS (SELECT count(*) AS n, count(DISTINCT part) AS p,
+              |    count(DISTINCT (part, fi)) AS f FROM e2),
+              |ha AS (SELECT count(*) AS n,
+              |    count(DISTINCT event_id % ${P}) AS p
+              |  FROM events)
+              |SELECT 0 AS version, 'append' AS kind,
+              |  (SELECT f FROM h1)::BIGINT AS n_files_added,
+              |  0::BIGINT AS n_files_removed,
+              |  (SELECT n FROM h1)::BIGINT AS n_rows,
+              |  (SELECT p FROM h1)::BIGINT AS n_parts
+              |UNION ALL SELECT 1, 'append',
+              |  (SELECT f FROM h2)::BIGINT, 0::BIGINT,
+              |  (SELECT n FROM ha)::BIGINT, (SELECT p FROM ha)::BIGINT
+              |UNION ALL SELECT 2, 'swap',
+              |  (SELECT p FROM ha)::BIGINT,
+              |  ((SELECT f FROM h1) + (SELECT f FROM h2))::BIGINT,
+              |  (SELECT n FROM ha)::BIGINT, (SELECT p FROM ha)::BIGINT
+              |ORDER BY version""".stripMargin)),
+
     // ---- Log-compaction semantics (Kafka compacted topics): the
     //      latest record per key, resolved by offset with max_by — one
     //      hash aggregate, no window/sort of each key's history. ----
