@@ -176,6 +176,115 @@ object Multimodal {
       }(enc)
   }
 
+  /** Envelope row produced per media item by the REAL audio decode. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** REAL audio-envelope decode: parse each payload's RIFF/WAVE header
+    * ([[AudioHeader]]) inside the same partition-batched boundary.
+    * Unrecognized payloads route as `unknown` with null fields — the
+    * quarantine signal — instead of failing the task. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioMetaSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          AudioHeader.parseWav(bytes) match {
+            case Some(m) => Row(id, m.format, m.channels, m.sampleRate,
+              m.bitsPerSample, m.nFrames, m.durationMs)
+            case None => Row(id, "unknown", null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Synthesize a REAL PCM WAV payload per document — envelope derived
+    * arithmetically from `doc_id` (SQL-recomputable), bytes built by
+    * [[AudioFixtures]]. The audio half of the decode round-trip. */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val rate = (id % 3) match {
+            case 0 => 8000; case 1 => 11025; case _ => 16000
+          }
+          Row(id, "audio/wav", AudioFixtures.wavBytes(
+            channels = (1 + id % 2).toInt,
+            sampleRate = rate,
+            bitsPerSample = if ((id / 3) % 2 == 1) 8 else 16,
+            nFrames = (1 + id % 199) * 41))
+        }
+      }(enc)
+  }
+
+  /** Envelope row produced per media item by the REAL video decode. */
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_tracks", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** REAL video-envelope decode: parse each payload's MP4 `moov` tree
+    * ([[VideoHeader]]) inside the same partition-batched boundary.
+    * Unrecognized payloads route as `unknown` with null fields. */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoMetaSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+          VideoHeader.parseMp4(bytes) match {
+            case Some(m) => Row(id, m.format, m.width, m.height,
+              m.nTracks, m.durationMs)
+            case None => Row(id, "unknown", null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Synthesize a REAL MP4 envelope per document — dimensions,
+    * timescale, duration and track count derived arithmetically from
+    * `doc_id` (SQL-recomputable), bytes built by [[VideoFixtures]]. */
+  def syntheticVideo(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ts = (id % 3) match {
+            case 0 => 600; case 1 => 1000; case _ => 90000
+          }
+          Row(id, "video/mp4", VideoFixtures.mp4Bytes(
+            w = (16 * (1 + id % 120)).toInt,
+            h = (16 * (1 + (id * 7) % 68)).toInt,
+            timescale = ts,
+            duration = (1 + id % 3599) * 25,
+            withAudioTrack = id % 2 == 1))
+        }
+      }(enc)
+  }
+
   /** Wrap a text/doc table as a media table (test fixture path). */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(

@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+
+/** Deterministic in-JVM builder of REAL ISO-BMFF (MP4) bytes for the
+  * video decode path — `ftyp` + a `moov` tree with a v0 `mvhd` and
+  * one `tkhd` per track, every box carrying correct sizes at the
+  * public byte layout. The envelope derives from integer columns so
+  * the `multimodal_video_decode` oracle recomputes it arithmetically;
+  * builder and parser ([[VideoHeader]]) meet only at the box format.
+  * (No pixel/sample data: the metadata pass these fixtures exercise
+  * never reads past the box headers.) */
+object VideoFixtures {
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(tag: String, body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(be32(8L + body.length))
+    out.write(tag.getBytes("US-ASCII"))
+    out.write(body)
+    out.toByteArray
+  }
+
+  private def mvhd(timescale: Int, duration: Long): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(be32(0L)) // version 0 + flags
+    b.write(be32(0L)); b.write(be32(0L)) // creation, modification
+    b.write(be32(timescale.toLong))
+    b.write(be32(duration))
+    b.write(be32(0x00010000L)) // rate 1.0
+    b.write(be16(0x0100)); b.write(be16(0)) // volume 1.0, reserved
+    b.write(be32(0L)); b.write(be32(0L)) // reserved
+    // identity matrix
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .foreach(v => b.write(be32(v)))
+    (1 to 6).foreach(_ => b.write(be32(0L))) // pre_defined
+    b.write(be32(2L)) // next_track_ID
+    box("mvhd", b.toByteArray)
+  }
+
+  private def tkhd(trackId: Int, duration: Long, w: Int,
+                   h: Int): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(be32(7L)) // version 0 + flags (enabled|in_movie|in_preview)
+    b.write(be32(0L)); b.write(be32(0L)) // creation, modification
+    b.write(be32(trackId.toLong))
+    b.write(be32(0L)) // reserved
+    b.write(be32(duration))
+    b.write(be32(0L)); b.write(be32(0L)) // reserved
+    b.write(be16(0)); b.write(be16(0)) // layer, alternate_group
+    b.write(be16(if (w == 0) 0x0100 else 0)) // volume: audio 1.0, video 0
+    b.write(be16(0)) // reserved
+    Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+      .foreach(v => b.write(be32(v)))
+    b.write(be32(w.toLong << 16)) // 16.16 fixed point
+    b.write(be32(h.toLong << 16))
+    box("tkhd", b.toByteArray)
+  }
+
+  /** A structurally-valid MP4 envelope: `ftyp` + `moov`(mvhd + one
+    * video trak [+ one 0×0 audio trak]). */
+  def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Long,
+               withAudioTrack: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && timescale > 0 && duration >= 0,
+      s"bad mp4 fixture: ${w}x$h ts=$timescale dur=$duration")
+    val ftypBody = new ByteArrayOutputStream()
+    ftypBody.write("isom".getBytes("US-ASCII"))
+    ftypBody.write(be32(512L))
+    ftypBody.write("isom".getBytes("US-ASCII"))
+    val traks = box("trak", tkhd(1, duration, w, h)) ++
+      (if (withAudioTrack) box("trak", tkhd(2, duration, 0, 0))
+       else Array.emptyByteArray)
+    val moov = box("moov", mvhd(timescale, duration) ++ traks)
+    box("ftyp", ftypBody.toByteArray) ++ moov
+  }
+}

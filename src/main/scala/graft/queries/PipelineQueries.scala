@@ -4800,6 +4800,53 @@ object PipelineQueries {
              |  CAST(8 AS INT) AS bit_depth
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // ---- Multimodal REAL audio-envelope decode: spec-valid PCM WAV
+    //      payloads synthesized per document (channels / sample rate /
+    //      sample width / frame count derived arithmetically from
+    //      doc_id by AudioFixtures), parsed back by the REAL pure-JVM
+    //      RIFF/WAVE header parser (AudioHeader) inside the batched
+    //      decode boundary; the oracle recomputes the envelope —
+    //      including the floored duration — from the same arithmetic,
+    //      so builder and parser meet only at the public byte
+    //      format. ----
+    QuerySpec("multimodal_audio_decode",
+      (s, d) => graft.multimodal.Multimodal.decodeAudio(
+          graft.multimodal.Multimodal.syntheticAudio(Tables.documents(s, d)))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, 'wav' AS format,
+             |  CAST(1 + doc_id % 2 AS INT) AS channels,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+             |    ELSE 16000 END AS INT) AS sample_rate,
+             |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 THEN 8 ELSE 16 END
+             |    AS INT) AS bits_per_sample,
+             |  CAST((1 + doc_id % 199) * 41 AS BIGINT) AS n_frames,
+             |  CAST((1 + doc_id % 199) * 41 * 1000 //
+             |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+             |      ELSE 16000 END) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- Multimodal REAL video-envelope decode: structurally-valid
+    //      MP4 (ISO-BMFF) payloads synthesized per document (pixel
+    //      dims, timescale, duration units, track count derived
+    //      arithmetically from doc_id by VideoFixtures), parsed back
+    //      by the REAL pure-JVM box-tree parser (VideoHeader: ftyp
+    //      gate, moov walk, v0/v1 mvhd, 16.16 tkhd dims, audio tracks
+    //      0x0) inside the batched decode boundary; the oracle
+    //      recomputes the envelope — including the floored
+    //      duration-ms — from the same arithmetic. ----
+    QuerySpec("multimodal_video_decode",
+      (s, d) => graft.multimodal.Multimodal.decodeVideo(
+          graft.multimodal.Multimodal.syntheticVideo(Tables.documents(s, d)))
+        .orderBy(col("media_id")),
+      Some("""SELECT doc_id AS media_id, 'mp4' AS format,
+             |  CAST(16 * (1 + doc_id % 120) AS INT) AS width,
+             |  CAST(16 * (1 + (doc_id * 7) % 68) AS INT) AS height,
+             |  CAST(1 + doc_id % 2 AS INT) AS n_tracks,
+             |  CAST((1 + doc_id % 3599) * 25 * 1000 //
+             |    (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+             |      ELSE 90000 END) AS BIGINT) AS duration_ms
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // ---- The CAPSTONE: a full RefinedWeb-style curation pipeline as
     //      ONE DataFrame program — quality gate → exact dedup →
     //      MinHash near-dup prune (lower-id survivor) → benchmark
