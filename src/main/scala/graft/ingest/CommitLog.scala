@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Transactional metadata-log commit — the 100 TB upgrade over
@@ -422,6 +422,131 @@ object CommitLog {
     val committed = BatchWriter.write(df, outDir, topic, flushSize, pad, format)
     publish(df.sparkSession, outDir, topic,
       committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"))
+  }
+
+  /** Row-level DELETE on a logged topic — the erasure primitive
+    * (right-to-be-forgotten, retraction of contaminated or recalled
+    * content) the ingest-time blocklist gate cannot serve for
+    * already-committed data. Rows matching `predicate` are removed by
+    * rewriting ONLY the files that contain them (one pushdown scan
+    * finds those files; untouched files are never read again) and
+    * publishing ONE atomic swap version: rewrites added, originals
+    * removed. Readers flip between versions, never see a torn file;
+    * `diffRows` across the delete reports exactly the erased rows as
+    * removed; `readAddedSince` correctly skips the swap (a delete is
+    * never new data). PHYSICAL bytes survive under the old version
+    * until [[vacuum]] — erasure completes at vacuum, the same
+    * two-phase contract real lakehouse deletes have.
+    *
+    * Offset-resume safety — the part filename-based recovery makes
+    * interesting: committed names are COVERAGE claims (gappy ranges
+    * are already the norm for compacted topics), and a streaming
+    * resume drops everything at or below each partition's max
+    * committed END. Deleting rows must therefore never SHRINK that
+    * max, or a crash-replay would re-ingest the erased offsets. Two
+    * mechanisms guarantee it: (a) a rewrite whose survivors span both
+    * original endpoints splits into two files (names stay inside the
+    * original range but can never collide with the still-live
+    * original), and (b) when a partition's max end would still shrink
+    * (its max file lost its top rows), an EMPTY schema-only keeper
+    * file named `[oldMax, oldMax]` pins the coverage. The one
+    * irreducible corner — the partition-max file spans a single
+    * offset and loses its only row, so the keeper's name would
+    * collide with the still-live original — refuses loudly with the
+    * remediation (compact first to widen the range). */
+  def deleteWhere(spark: SparkSession, outDir: String, topic: String,
+                  predicate: Column,
+                  pad: Int = FileNaming.DefaultZeroPadWidth,
+                  format: String = "parquet"): Long = {
+    require(BatchWriter.SelfDescribing(format),
+      s"deleteWhere needs a self-describing format retaining off, got: $format")
+    val re = FileNaming.CommittedFilenameRegex.r
+    val snap = snapshot(spark, outDir, topic)
+    val files = snap.map { rel =>
+      rel.split('/').last match {
+        case n @ re(t, p, s, e, _) if t == topic =>
+          require(rel == s"partition=$p/$n",
+            s"'$rel' is not in the default partition=<p> layout — " +
+              "encoded-partition topics are not row-deletable")
+          (rel, n, p.toLong, s.toLong, e.toLong)
+        case other => throw new IllegalStateException(
+          s"non-committed name '$other' in a log snapshot")
+      }
+    }
+    val fileName = element_at(split(col("_metadata.file_path"), "/"), -1)
+    // one pushdown scan finds the files that hold matches
+    val affectedNames = readFiles(spark, outDir, topic, snap, format)
+      .filter(predicate).select(fileName.as("n")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
+    val affected = files.filter(f => affectedNames.contains(f._2))
+    // survivors of the affected files only, routed to rewrite groups
+    val sv = readFiles(spark, outDir, topic, affected.map(_._1), format)
+      .filter(!predicate)
+    val stats = sv.groupBy(fileName.as("n"))
+      .agg(min(col("off")).as("mn"), max(col("off")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    import spark.implicits._
+    val committed =
+      if (stats.isEmpty) Seq.empty[BatchWriter.CommittedFile]
+      else {
+        val routing = affected.zipWithIndex.map { case ((_, n, _, s, e), i) =>
+          val spans = stats.get(n)
+            .exists { case (mn, mx) => mn == s && mx == e }
+          // a spanning rewrite splits at the range midpoint: both
+          // halves are non-empty (each holds an endpoint) and neither
+          // name can equal the original's
+          (n, 2L * i, if (spans) s + (e - s) / 2 else Long.MaxValue)
+        }.toDF("__n", "__base", "__mid")
+        val assigned = sv.withColumn("__n", fileName)
+          .join(broadcast(routing), Seq("__n"))
+          .withColumn("file_idx",
+            when(col("off") <= col("__mid"), col("__base"))
+              .otherwise(col("__base") + 1L))
+          .drop("__n", "__base", "__mid")
+        BatchWriter.writeAssigned(assigned, outDir, topic, pad, format)
+      }
+    // resume-coverage keepers: a partition whose max committed end
+    // shrank gets an empty file pinning the old max
+    val oldMax = files.groupMapReduce(_._3)(_._5)(math.max)
+    val newMax = (files.filterNot(f => affectedNames.contains(f._2))
+        .map(f => (f._3, f._5)) ++
+      committed.map(c => (c.partition, c.endOffset)))
+      .groupMapReduce(_._1)(_._2)(math.max)
+    val ext = BatchWriter.Formats(format)
+    val keeperRels = oldMax.toSeq.sorted.flatMap { case (p, e) =>
+      if (newMax.get(p).exists(_ >= e)) None
+      else {
+        val name = FileNaming.encodeName(topic, p.toInt, e, e, ext, pad)
+        require(!affectedNames.contains(name),
+          s"deleting the only row of single-offset partition-max file " +
+            s"$name would shrink resume coverage with no keeper name " +
+            "available — compact the topic first to widen the range")
+        val dest = new Path(s"$outDir/$topic/partition=$p/$name")
+        val staged = new Path(s"$outDir/+tmp/$topic/.keeper-$p-$e")
+        val f = fs(spark, outDir)
+        try {
+          sv.drop("part").limit(0).coalesce(1)
+            .write.mode("overwrite").format(format).save(staged.toString)
+          val part = f.listStatus(staged).map(_.getPath)
+            .find(_.getName.startsWith("part-"))
+            .getOrElse(throw new java.io.IOException(
+              s"empty keeper write produced no part file under $staged"))
+          // idempotent redo: a crashed predecessor's keeper is the
+          // same deterministic (empty) content
+          if (!f.exists(dest) && !f.rename(part, dest))
+            throw new java.io.IOException(s"rename failed installing $name")
+        } finally { f.delete(staged, true); () }
+        Some(s"partition=$p/$name")
+      }
+    }
+    val v = publish(spark, outDir, topic,
+      adds = committed.map(c =>
+        s"partition=${c.partition}/${new Path(c.path).getName}") ++ keeperRels,
+      removes = affected.map(_._1))
+    checkpoint(spark, outDir, topic)
+    v
   }
 
   /** Log-based compaction: plan over the SNAPSHOT (not the

@@ -369,6 +369,44 @@ object IngestQueries {
               |WHERE event_id > (SELECT max(event_id) // 2 FROM events)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Row-level DELETE through the log (the erasure primitive:
+    //      right-to-be-forgotten / contamination retraction on
+    //      ALREADY-committed data): ingest the stream, erase one
+    //      "user's" rows with deleteWhere — only files holding matches
+    //      rewrite, one atomic swap version, resume coverage pinned —
+    //      then aggregate the snapshot. The oracle computes the same
+    //      aggregate from the raw table minus the predicate: equality
+    //      proves the rewrite erased exactly the matching rows and
+    //      nothing else. ----
+    QuerySpec("commitlog_delete_where",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-del-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.deleteWhere(s, dir, "events",
+          pmod(col("user_id"), lit(7L)) === 0L)
+        val agg = graft.ingest.CommitLog.read(s, dir, "events")
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), min(col("off")).as("min_off"),
+            max(col("off")).as("max_off"),
+            sum(col("user_id")).as("sum_users"))
+          .orderBy(col("part"))
+        val rows = agg.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), agg.schema)
+      },
+      Some(s"""SELECT event_id % ${P} AS part, count(*) AS n,
+              |  min(event_id) AS min_off, max(event_id) AS max_off,
+              |  CAST(sum(user_id) AS BIGINT) AS sum_users
+              |FROM events WHERE user_id % 7 <> 0
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- DESCRIBE HISTORY for the transactional log: per version,
     //      the commit kind (append vs compaction swap — the protocol's
     //      two-kind invariant), the snapshot row count and partition

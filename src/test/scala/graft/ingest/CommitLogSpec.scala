@@ -26,6 +26,92 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 4L, 1L -> 5L))
   }
 
+  test("deleteWhere: erased rows vanish atomically; untouched files never rewrite") {
+    val out = Files.createTempDirectory("clog-del").toString
+    // part 0: offs 0,2,4,6,8 in files [0,4],[6,8]; part 1: 1,3,5,7,9
+    CommitLog.writeLogged(frame(6), out, "t", flushSize = 3)  // v0
+    CommitLog.writeLogged(frame(10).filter(col("off") >= 6), out, "t", 3) // v1
+    val before = CommitLog.snapshot(spark, out, "t")
+    // erase a user's rows: payloads v3 and v6 (one per partition)
+    val v = CommitLog.deleteWhere(spark, out, "t",
+      col("payload").isin("v3", "v6"))
+    assert(v === 2L)
+    val back = CommitLog.read(spark, out, "t")
+    assert(back.count() === 8)
+    assert(!back.select("payload").as[String].collect()
+      .exists(p => p == "v3" || p == "v6"))
+    // only the files that HELD matches were swapped
+    val after = CommitLog.snapshot(spark, out, "t")
+    val untouched = before.toSet.intersect(after.toSet)
+    assert(untouched.nonEmpty, "files without matches must survive as-is")
+    // resume coverage unchanged: a replay of offsets 3/6 is still dropped
+    assert(CommitLog.maxOffsets(spark, out, "t") ===
+      Map(0L -> 8L, 1L -> 9L))
+    // the change feed reports exactly the erasure
+    val (added, removed) = CommitLog.diffRows(spark, out, "t", 1L, v)
+    assert(added.count() === 0,
+      "a delete's rewrites must contribute no added rows")
+    assert(removed.select("payload").as[String].collect().sorted ===
+      Array("v3", "v6"))
+    // a delete is never new data for incremental consumers
+    assert(CommitLog.readAddedSince(spark, out, "t", sinceVersion = 1L)
+      .isEmpty)
+    // time travel still serves the pre-delete pin until vacuum
+    assert(CommitLog.read(spark, out, "t", asOf = 1L).count() === 10)
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
+    assert(CommitLog.read(spark, out, "t").count() === 8,
+      "vacuum must not disturb the live set")
+  }
+
+  test("deleteWhere: spanning survivors split; shrunk coverage gets a keeper") {
+    val out = Files.createTempDirectory("clog-del2").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    CommitLog.writeLogged(one(0L to 9L), out, "t", flushSize = 10) // one file [0,9]
+    // interior delete: survivors span both endpoints -> the rewrite
+    // SPLITS so its names cannot collide with the live original
+    CommitLog.deleteWhere(spark, out, "t", col("off") === 5L)
+    val snap1 = CommitLog.snapshot(spark, out, "t")
+    assert(snap1.size === 2, s"spanning rewrite must split: $snap1")
+    assert(!snap1.contains("partition=0/t+0+0000000000+0000000009.parquet"))
+    assert(CommitLog.read(spark, out, "t").count() === 9)
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 9L))
+    // top-end delete: coverage would shrink to 7 -> an empty keeper
+    // file pins the partition max at 9 so replays keep dropping 8,9
+    CommitLog.deleteWhere(spark, out, "t", col("off") >= 8L)
+    assert(CommitLog.read(spark, out, "t").count() === 7)
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 9L),
+      "erased offsets must stay covered for offset resume")
+    assert(CommitLog.snapshot(spark, out, "t")
+      .contains("partition=0/t+0+0000000009+0000000009.parquet"))
+    // the keeper is schema-correct and empty: reads still work
+    assert(CommitLog.read(spark, out, "t")
+      .select("payload").as[String].collect().sorted ===
+      (0L to 7L).filter(_ != 5L).map(o => s"v$o").sorted.toArray)
+
+    // delete EVERYTHING in an interior file: pure remove, no keeper needed
+    val out2 = Files.createTempDirectory("clog-del3").toString
+    CommitLog.writeLogged(one(0L to 4L), out2, "t", flushSize = 5)  // [0,4]
+    CommitLog.writeLogged(one(5L to 9L), out2, "t", flushSize = 5)  // [5,9]
+    CommitLog.deleteWhere(spark, out2, "t", col("off") <= 4L)
+    assert(CommitLog.read(spark, out2, "t").count() === 5)
+    assert(CommitLog.snapshot(spark, out2, "t").size === 1)
+    assert(CommitLog.maxOffsets(spark, out2, "t") === Map(0L -> 9L))
+
+    // the irreducible corner: a single-offset partition-max file losing
+    // its only row has no keeper name — refuse with remediation
+    val out3 = Files.createTempDirectory("clog-del4").toString
+    CommitLog.writeLogged(one(Seq(0L)), out3, "t", flushSize = 1) // [0,0]
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.deleteWhere(spark, out3, "t", col("off") === 0L)
+    }
+    assert(e.getMessage.contains("compact"))
+
+    // no matches: a clean no-op, no new version
+    val vBefore = CommitLog.latestVersion(spark, out2, "t")
+    assert(CommitLog.deleteWhere(spark, out2, "t",
+      col("payload") === "nope") === vBefore)
+  }
+
   test("a file in the directory but not in the log is invisible; vacuum removes it") {
     val out = Files.createTempDirectory("clog-orphan").toString
     CommitLog.writeLogged(frame(4), out, "t", flushSize = 2)
