@@ -549,6 +549,87 @@ object CommitLog {
     v
   }
 
+  /** Row-level UPDATE on a logged topic — [[deleteWhere]]'s in-place
+    * twin: rows matching `predicate` have the `assignments` columns
+    * replaced (non-matching rows in the same files ride along
+    * unchanged), again by rewriting ONLY the files that hold matches
+    * and publishing one atomic swap. The redaction primitive:
+    * scrubbing PII or recalled content out of committed documents
+    * WITHOUT changing their offsets — so resume recovery, incremental
+    * checkpoints and downstream joins on (part, off) are all
+    * untouched, and no coverage keepers are ever needed. Offsets (and
+    * `part`) must not be assigned. Because the rewrite spans exactly
+    * the original offsets, every affected file splits in two (the
+    * names can never collide with the live original); a single-offset
+    * file cannot split and refuses loudly (compact first — the same
+    * corner as the delete). Updated rows reach incremental consumers
+    * through the LOGICAL change feed (`diffRows`: old rows removed,
+    * new rows added), not `readAddedSince` — a swap is never
+    * append-fed, by the protocol's two-kind invariant. Physical old
+    * bytes survive until [[vacuum]], the two-phase contract. */
+  def updateWhere(spark: SparkSession, outDir: String, topic: String,
+                  predicate: Column, assignments: Map[String, Column],
+                  pad: Int = FileNaming.DefaultZeroPadWidth,
+                  format: String = "parquet"): Long = {
+    require(BatchWriter.SelfDescribing(format),
+      s"updateWhere needs a self-describing format retaining off, got: $format")
+    require(assignments.nonEmpty, "no assignment columns")
+    require(!assignments.contains("off") && !assignments.contains("part"),
+      "offsets and partitions are immutable — updates rewrite content only")
+    val re = FileNaming.CommittedFilenameRegex.r
+    val snap = snapshot(spark, outDir, topic)
+    val files = snap.map { rel =>
+      rel.split('/').last match {
+        case n @ re(t, p, s, e, _) if t == topic =>
+          require(rel == s"partition=$p/$n",
+            s"'$rel' is not in the default partition=<p> layout — " +
+              "encoded-partition topics are not row-updatable")
+          (rel, n, p.toLong, s.toLong, e.toLong)
+        case other => throw new IllegalStateException(
+          s"non-committed name '$other' in a log snapshot")
+      }
+    }
+    val fileName = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val affectedNames = readFiles(spark, outDir, topic, snap, format)
+      .filter(predicate).select(fileName.as("n")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
+    val affected = files.filter(f => affectedNames.contains(f._2))
+    affected.foreach { case (_, n, _, s, e) =>
+      require(s != e,
+        s"single-offset file $n cannot split for an in-place rewrite " +
+          "(its replacement would collide with the still-live " +
+          "original) — compact the topic first to widen the range")
+    }
+    // pin the source file name BEFORE the assignment projections — the
+    // hidden _metadata column does not survive arbitrary reprojection
+    val src = readFiles(spark, outDir, topic, affected.map(_._1), format)
+      .withColumn("__n", fileName)
+    val updated = assignments.foldLeft(src) { case (df, (c, v)) =>
+      require(src.columns.contains(c), s"no such column to assign: $c")
+      df.withColumn(c, when(predicate, v).otherwise(col(c)))
+    }
+    import spark.implicits._
+    // every file spans its original range — always split at midpoint
+    val routing = affected.zipWithIndex.map { case ((_, n, _, s, e), i) =>
+      (n, 2L * i, s + (e - s) / 2)
+    }.toDF("__n", "__base", "__mid")
+    val assigned = updated
+      .join(broadcast(routing), Seq("__n"))
+      .withColumn("file_idx",
+        when(col("off") <= col("__mid"), col("__base"))
+          .otherwise(col("__base") + 1L))
+      .drop("__n", "__base", "__mid")
+    val committed = BatchWriter.writeAssigned(assigned, outDir, topic, pad,
+      format)
+    val v = publish(spark, outDir, topic,
+      adds = committed.map(c =>
+        s"partition=${c.partition}/${new Path(c.path).getName}"),
+      removes = affected.map(_._1))
+    checkpoint(spark, outDir, topic)
+    v
+  }
+
   /** Log-based compaction: plan over the SNAPSHOT (not the
     * directory), rewrite multi-file groups through the standard
     * protocol, then swap sources for replacements in ONE atomic

@@ -407,6 +407,44 @@ object IngestQueries {
               |FROM events WHERE user_id % 7 <> 0
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Row-level UPDATE through the log (in-place redaction of
+    //      ALREADY-committed content, offsets untouched): ingest,
+    //      scrub one "user's" payloads with updateWhere, read the
+    //      snapshot back. The oracle applies the same CASE WHEN to
+    //      the raw table — equality proves exactly the matching rows
+    //      changed, everything else (rows, offsets, ride-along
+    //      payloads in rewritten files) is byte-stable. ----
+    QuerySpec("commitlog_update_where",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-upd-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.updateWhere(s, dir, "events",
+          pmod(col("user_id"), lit(7L)) === 0L,
+          Map("props" -> lit("{\"redacted\":true}"),
+            "value" -> lit(0.0)))
+        val out = graft.ingest.CommitLog.read(s, dir, "events")
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+            count(when(col("props") === "{\"redacted\":true}", 1)).as("n_redacted"))
+          .orderBy(col("part"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      Some(s"""SELECT event_id % ${P} AS part, count(*) AS n,
+              |  CAST(sum(CAST(CASE WHEN user_id % 7 = 0 THEN 0.0
+              |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+              |  count(*) FILTER (user_id % 7 = 0) AS n_redacted
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- DESCRIBE HISTORY for the transactional log: per version,
     //      the commit kind (append vs compaction swap — the protocol's
     //      two-kind invariant), the snapshot row count and partition

@@ -112,6 +112,48 @@ class CommitLogSpec extends SparkSuite {
       col("payload") === "nope") === vBefore)
   }
 
+  test("updateWhere: in-place redaction — offsets stable, untouched files intact") {
+    val out = Files.createTempDirectory("clog-upd").toString
+    CommitLog.writeLogged(frame(6), out, "t", flushSize = 3)              // v0
+    CommitLog.writeLogged(frame(10).filter(col("off") >= 6), out, "t", 3) // v1
+    val before = CommitLog.snapshot(spark, out, "t")
+    val v = CommitLog.updateWhere(spark, out, "t",
+      col("payload").isin("v3", "v6"),
+      Map("payload" -> lit("[REDACTED]")))
+    assert(v === 2L)
+    val back = CommitLog.read(spark, out, "t")
+    // same rows, same offsets — only the matched payloads changed
+    assert(back.count() === 10)
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 8L, 1L -> 9L))
+    val pay = back.select("off", "payload").as[(Long, String)].collect().toMap
+    assert(pay(3L) === "[REDACTED]" && pay(6L) === "[REDACTED]")
+    assert(pay(2L) === "v2" && pay(7L) === "v7",
+      "rows riding along in rewritten files must be byte-stable")
+    // only match-holding files swapped; the rest survive as-is
+    assert(before.toSet.intersect(
+      CommitLog.snapshot(spark, out, "t").toSet).nonEmpty)
+    // the LOGICAL change feed carries the update as remove+add
+    val (added, removed) = CommitLog.diffRows(spark, out, "t", 1L, v)
+    assert(added.select("payload").as[String].collect().sorted ===
+      Array("[REDACTED]", "[REDACTED]"))
+    assert(removed.select("payload").as[String].collect().sorted ===
+      Array("v3", "v6"))
+    // offsets immutable by contract
+    intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, out, "t", lit(true),
+        Map("off" -> lit(0L)))
+    }
+    // single-offset file cannot split in place: loud refusal
+    val out2 = Files.createTempDirectory("clog-upd2").toString
+    CommitLog.writeLogged(Seq((0L, 0L, "x")).toDF("part", "off", "payload"),
+      out2, "t", flushSize = 1)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, out2, "t", lit(true),
+        Map("payload" -> lit("y")))
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
   test("a file in the directory but not in the log is invisible; vacuum removes it") {
     val out = Files.createTempDirectory("clog-orphan").toString
     CommitLog.writeLogged(frame(4), out, "t", flushSize = 2)
