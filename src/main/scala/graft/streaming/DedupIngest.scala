@@ -261,6 +261,65 @@ object DedupIngest {
     compactIndex(spark, outDir, fpDirPath(outDir, topic),
       fingerprintIndex(spark, outDir, topic))
 
+  /** Rebuild the `_fp` plane from the CURRENT live snapshot — the
+    * post-ERASURE hook. The admission index is deliberately
+    * append-only-conservative under the watermark contract (extra
+    * fingerprints only cause drops, never false admits), so content
+    * removed by [[graft.ingest.CommitLog.deleteWhere]] would still be
+    * rejected as a duplicate if legitimately resubmitted. Call this
+    * after an erasure whose content must become re-admissible: one
+    * snapshot read, the plane replaced by ONE exact file at the
+    * current log version through the compaction skeleton's
+    * crash-ordered sequencing (any crash point either keeps the
+    * conservative old coverage or regresses the watermark, which
+    * `reconcileFingerprints` repairs at next gate start — no state
+    * admits a true duplicate). */
+  def rebuildFingerprints(spark: SparkSession, outDir: String,
+                          topic: String,
+                          format: String = "parquet"): Unit = {
+    requireRereadable(format)
+    rebuildIndexFromSnapshot(spark, outDir, topic,
+      fpDirPath(outDir, topic), FpSchema,
+      rels => fingerprintsOf(spark, outDir, topic, format, rels))
+  }
+
+  /** [[rebuildFingerprints]] for the `_mh` signature plane — the
+    * near-dup gate's post-erasure hook. */
+  def rebuildSignatures(spark: SparkSession, outDir: String,
+                        topic: String, textCol: String,
+                        format: String = "parquet"): Unit = {
+    requireRereadable(format)
+    NativeExpressions.register(spark)
+    rebuildIndexFromSnapshot(spark, outDir, topic,
+      mhDirPath(outDir, topic), MhSchema,
+      rels => sigsOf(spark, outDir, topic, format, textCol, rels))
+  }
+
+  private def rebuildIndexFromSnapshot(spark: SparkSession, outDir: String,
+                                       topic: String, dir: Path,
+                                       schema: StructType,
+                                       rebuild: Seq[String] => DataFrame)
+      : Unit = {
+    val latest = CommitLog.latestVersion(spark, outDir, topic)
+    if (latest < 0) return
+    val f = hfs(spark, outDir)
+    val live = CommitLog.snapshot(spark, outDir, topic)
+    val rows =
+      if (live.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      else rebuild(live.sorted)
+    val part = stageSingleParquet(f, new Path(dir, ".tmp-rebuild"), rows)
+    // same descending-delete discipline as compactIndex: the watermark
+    // file goes first, so no crash point leaves a stranded max-version
+    // file asserting coverage its content lacks
+    fpFiles(f, dir).sortBy(-_._1).foreach { case (_, p) => f.delete(p, false) }
+    if (!f.rename(part, new Path(dir, s"v$latest.parquet")))
+      throw new java.io.IOException(s"rename failed installing v$latest")
+    f.delete(new Path(dir, ".tmp-rebuild"), true)
+    ()
+  }
+
   /** The ONE index-merge skeleton both planes run. */
   private[streaming] def compactIndex(spark: SparkSession, outDir: String,
                            dir: Path, frame: => DataFrame): Long = {

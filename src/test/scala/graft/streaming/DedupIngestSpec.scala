@@ -43,6 +43,59 @@ class DedupIngestSpec extends SparkSuite {
     assert(fps.length === 3)
   }
 
+  test("erasure then resubmission: conservative until rebuildFingerprints, admitted after") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-dedup-erase").toString
+    val ckpt = Files.createTempDirectory("graft-dedup-erase-ck").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = DedupIngest.startLoggedDeduped(
+      s.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10, ckpt)
+    s.addData((0L, 0L, "keep"), (0L, 1L, "erase-me"), (0L, 2L, "pad"))
+    q.processAllAvailable()
+    q.stop()
+    // the topic erases one row; the admission index deliberately does
+    // NOT shrink (extra fps only cause conservative drops)
+    CommitLog.deleteWhere(spark, out, "t", col("payload") === "erase-me")
+    // physical erasure completes at vacuum (the two-phase contract) —
+    // only then does a directory read stop seeing the old bytes
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
+    assert(readAll(out) === Set((0L, "keep"), (2L, "pad")))
+    // resubmission BEFORE the rebuild: still dropped (documented
+    // conservative posture — the gate never false-admits)
+    val s2 = MemoryStream[(Long, Long, String)]
+    val q2 = DedupIngest.startLoggedDeduped(
+      s2.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10,
+      Files.createTempDirectory("graft-dedup-erase-ck2").toString)
+    s2.addData((0L, 3L, "erase-me"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(readAll(out) === Set((0L, "keep"), (2L, "pad")),
+      "pre-rebuild resubmission must stay deduped")
+    // the post-erasure hook: rebuild the plane from the live snapshot
+    DedupIngest.rebuildFingerprints(spark, out, "t")
+    assert(DedupIngest.fingerprintIndex(spark, out, "t").count() === 2,
+      "the erased fingerprint must leave the rebuilt plane")
+    // resubmission AFTER the rebuild: admitted as new content
+    val s3 = MemoryStream[(Long, Long, String)]
+    val q3 = DedupIngest.startLoggedDeduped(
+      s3.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10,
+      Files.createTempDirectory("graft-dedup-erase-ck3").toString)
+    s3.addData((0L, 4L, "erase-me"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(readAll(out) === Set((0L, "keep"), (2L, "pad"), (4L, "erase-me")))
+    // and the gate still holds for everything live
+    val s4 = MemoryStream[(Long, Long, String)]
+    val q4 = DedupIngest.startLoggedDeduped(
+      s4.toDF().toDF("part", "off", "payload"), out, "t", flushSize = 10,
+      Files.createTempDirectory("graft-dedup-erase-ck4").toString)
+    s4.addData((0L, 5L, "keep"), (0L, 6L, "erase-me"))
+    q4.processAllAvailable()
+    q4.stop()
+    assert(readAll(out) === Set((0L, "keep"), (2L, "pad"), (4L, "erase-me")))
+  }
+
   test("the gate holds across a restart with full source replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
