@@ -340,6 +340,28 @@ class IvfIndexSpec extends SparkSuite {
       "gen 1 encodes the grown corpus")
   }
 
+  test("vectors erase from the served index via deleteWhere — no rebuild, searches exclude them") {
+    val idx = Files.createTempDirectory("ivf-idx-erase").toString
+    IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 1)
+    // a document is deleted upstream: its vector must leave the index
+    // (the index topics are ordinary logged topics — the erasure
+    // primitive applies; the quantizer artifact is untouched)
+    val before = IvfIndex.centroids(spark, idx)
+    CommitLog.deleteWhere(spark, idx, IvfIndex.VectorsTopic,
+      col("off") === 3L)
+    assert(IvfIndex.centroids(spark, idx) === before)
+    assert(IvfIndex.vectors(spark, idx).count() === 5)
+    val ns = IvfIndex.search(spark, idx, Seq(1L), nprobe = 1, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!ns.contains(3L), s"erased vector must not serve: $ns")
+    assert(ns === Set(5L))
+    // frozen-quantizer append still lands in the right cell afterwards
+    IvfIndex.append(Seq(6L -> Seq(97L, 97L)).toDF("id", "v"), idx)
+    val ns2 = IvfIndex.search(spark, idx, Seq(1L), nprobe = 1, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ns2 === Set(5L, 6L))
+  }
+
   test("probing only empty cells returns an empty frame, not a failure") {
     val idx = Files.createTempDirectory("ivf-idx-empty").toString
     IvfIndex.build(base, idx, k = 2, iters = 2)
