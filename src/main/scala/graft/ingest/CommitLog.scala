@@ -460,6 +460,69 @@ object CommitLog {
                   format: String = "parquet"): Long = {
     require(BatchWriter.SelfDescribing(format),
       s"deleteWhere needs a self-describing format retaining off, got: $format")
+    val (snap, files) = parsedSnapshot(spark, outDir, topic, "deletable")
+    // one pushdown scan finds the files that hold matches
+    val affectedNames = readFiles(spark, outDir, topic, snap, format)
+      .filter(predicate).select(srcFileName.as("n")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
+    val affected = files.filter(f => affectedNames.contains(f._2))
+    // survivors of the affected files only
+    val sv = readFiles(spark, outDir, topic, affected.map(_._1), format)
+      .withColumn("__n", srcFileName)
+      .filter(!predicate)
+    eraseSwap(spark, outDir, topic, files, affectedNames, sv, pad, format)
+  }
+
+  /** Kafka log compaction, MATERIALIZED: retain only each
+    * (partition, key)'s row with the highest offset, rewriting the
+    * files that hold superseded rows through the same atomic-swap /
+    * coverage-keeper machinery as [[deleteWhere]]. This is the
+    * physical counterpart of the logical latest-per-key read
+    * (`compact_latest_by_key`): a changelog topic's storage shrinks
+    * to its live keyset. One full pass (map-side-combined
+    * (part, key) max-offset aggregate) decides survivorship; files
+    * made only of latest rows are never rewritten. Tombstones are
+    * keys like any other — retract them afterwards with
+    * [[deleteWhere]] on the tombstone marker. */
+  def compactByKey(spark: SparkSession, outDir: String, topic: String,
+                   key: Column,
+                   pad: Int = FileNaming.DefaultZeroPadWidth,
+                   format: String = "parquet"): Long = {
+    require(BatchWriter.SelfDescribing(format),
+      s"compactByKey needs a self-describing format retaining off, got: $format")
+    val (snap, files) = parsedSnapshot(spark, outDir, topic, "key-compactable")
+    val full = readFiles(spark, outDir, topic, snap, format)
+      .withColumn("__n", srcFileName).withColumn("__k", key)
+    val latest = full.groupBy(col("part"), col("__k"))
+      .agg(max(col("off")).as("__keep"))
+    val affectedNames = full.join(latest, Seq("part", "__k"))
+      .filter(col("off") < col("__keep"))
+      .select(col("__n").as("n")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
+    val affected = files.filter(f => affectedNames.contains(f._2))
+    // survivors: rows of affected files that ARE their key's latest
+    // (survivorship is GLOBAL — a row here may be superseded by a row
+    // in an untouched file)
+    val sv = readFiles(spark, outDir, topic, affected.map(_._1), format)
+      .withColumn("__n", srcFileName).withColumn("__k", key)
+      .join(latest, Seq("part", "__k"))
+      .filter(col("off") === col("__keep"))
+      .drop("__k", "__keep")
+    eraseSwap(spark, outDir, topic, files, affectedNames, sv, pad, format)
+  }
+
+  /** Hidden-metadata source file name — valid only directly over a
+    * file scan, before any reprojection. */
+  private def srcFileName: Column =
+    element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  /** Parse + layout-guard the live snapshot for the row-rewrite
+    * operations: (rel, name, part, start, end) per file. */
+  private def parsedSnapshot(spark: SparkSession, outDir: String,
+                             topic: String, verb: String)
+      : (Seq[String], Seq[(String, String, Long, Long, Long)]) = {
     val re = FileNaming.CommittedFilenameRegex.r
     val snap = snapshot(spark, outDir, topic)
     val files = snap.map { rel =>
@@ -467,23 +530,25 @@ object CommitLog {
         case n @ re(t, p, s, e, _) if t == topic =>
           require(rel == s"partition=$p/$n",
             s"'$rel' is not in the default partition=<p> layout — " +
-              "encoded-partition topics are not row-deletable")
+              s"encoded-partition topics are not $verb")
           (rel, n, p.toLong, s.toLong, e.toLong)
         case other => throw new IllegalStateException(
           s"non-committed name '$other' in a log snapshot")
       }
     }
-    val fileName = element_at(split(col("_metadata.file_path"), "/"), -1)
-    // one pushdown scan finds the files that hold matches
-    val affectedNames = readFiles(spark, outDir, topic, snap, format)
-      .filter(predicate).select(fileName.as("n")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
+    (snap, files)
+  }
+
+  /** The shared erase-swap tail of [[deleteWhere]] / [[compactByKey]]:
+    * rewrite the affected files' survivor rows (`sv` carries a `__n`
+    * source-file-name column), pin resume coverage with keepers, and
+    * publish one atomic swap. */
+  private def eraseSwap(spark: SparkSession, outDir: String, topic: String,
+                        files: Seq[(String, String, Long, Long, Long)],
+                        affectedNames: Set[String], sv: DataFrame,
+                        pad: Int, format: String): Long = {
     val affected = files.filter(f => affectedNames.contains(f._2))
-    // survivors of the affected files only, routed to rewrite groups
-    val sv = readFiles(spark, outDir, topic, affected.map(_._1), format)
-      .filter(!predicate)
-    val stats = sv.groupBy(fileName.as("n"))
+    val stats = sv.groupBy(col("__n").as("n"))
       .agg(min(col("off")).as("mn"), max(col("off")).as("mx"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
@@ -499,7 +564,7 @@ object CommitLog {
           // name can equal the original's
           (n, 2L * i, if (spans) s + (e - s) / 2 else Long.MaxValue)
         }.toDF("__n", "__base", "__mid")
-        val assigned = sv.withColumn("__n", fileName)
+        val assigned = sv
           .join(broadcast(routing), Seq("__n"))
           .withColumn("file_idx",
             when(col("off") <= col("__mid"), col("__base"))
@@ -527,7 +592,7 @@ object CommitLog {
         val staged = new Path(s"$outDir/+tmp/$topic/.keeper-$p-$e")
         val f = fs(spark, outDir)
         try {
-          sv.drop("part").limit(0).coalesce(1)
+          sv.drop("part", "__n").limit(0).coalesce(1)
             .write.mode("overwrite").format(format).save(staged.toString)
           val part = f.listStatus(staged).map(_.getPath)
             .find(_.getName.startsWith("part-"))
@@ -576,22 +641,9 @@ object CommitLog {
     require(assignments.nonEmpty, "no assignment columns")
     require(!assignments.contains("off") && !assignments.contains("part"),
       "offsets and partitions are immutable — updates rewrite content only")
-    val re = FileNaming.CommittedFilenameRegex.r
-    val snap = snapshot(spark, outDir, topic)
-    val files = snap.map { rel =>
-      rel.split('/').last match {
-        case n @ re(t, p, s, e, _) if t == topic =>
-          require(rel == s"partition=$p/$n",
-            s"'$rel' is not in the default partition=<p> layout — " +
-              "encoded-partition topics are not row-updatable")
-          (rel, n, p.toLong, s.toLong, e.toLong)
-        case other => throw new IllegalStateException(
-          s"non-committed name '$other' in a log snapshot")
-      }
-    }
-    val fileName = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val (snap, files) = parsedSnapshot(spark, outDir, topic, "row-updatable")
     val affectedNames = readFiles(spark, outDir, topic, snap, format)
-      .filter(predicate).select(fileName.as("n")).distinct()
+      .filter(predicate).select(srcFileName.as("n")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
     val affected = files.filter(f => affectedNames.contains(f._2))
@@ -604,7 +656,7 @@ object CommitLog {
     // pin the source file name BEFORE the assignment projections — the
     // hidden _metadata column does not survive arbitrary reprojection
     val src = readFiles(spark, outDir, topic, affected.map(_._1), format)
-      .withColumn("__n", fileName)
+      .withColumn("__n", srcFileName)
     val updated = assignments.foldLeft(src) { case (df, (c, v)) =>
       require(src.columns.contains(c), s"no such column to assign: $c")
       df.withColumn(c, when(predicate, v).otherwise(col(c)))

@@ -515,6 +515,36 @@ object IngestQueries {
               |  (SELECT n FROM ha)::BIGINT, (SELECT p FROM ha)::BIGINT
               |ORDER BY version""".stripMargin)),
 
+    // ---- Kafka log compaction MATERIALIZED (the physical counterpart
+    //      of compact_latest_by_key's logical read): ingest the
+    //      changelog, compactByKey(user_id) rewrites superseded
+    //      generations away in one atomic swap, then read the whole
+    //      snapshot back. The oracle computes latest-per-(part, key)
+    //      from the raw table — equality proves storage now holds
+    //      exactly the live keyset. ----
+    QuerySpec("commitlog_compact_by_key",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-kc-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.compactByKey(s, dir, "events", col("user_id"))
+        val out = graft.ingest.CommitLog.read(s, dir, "events")
+          .select(col("part"), col("off"), col("user_id"), col("event_type"))
+          .orderBy(col("off"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      Some(s"""SELECT event_id % ${P} AS part, max(event_id) AS off,
+              |  user_id, arg_max(event_type, event_id) AS event_type
+              |FROM events GROUP BY 1, 3 ORDER BY off""".stripMargin)),
+
     // ---- Log-compaction semantics (Kafka compacted topics): the
     //      latest record per key, resolved by offset with max_by — one
     //      hash aggregate, no window/sort of each key's history. ----

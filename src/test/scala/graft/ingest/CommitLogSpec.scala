@@ -112,6 +112,40 @@ class CommitLogSpec extends SparkSuite {
       col("payload") === "nope") === vBefore)
   }
 
+  test("compactByKey: materialized log compaction keeps each key's latest row") {
+    val out = Files.createTempDirectory("clog-kcompact").toString
+    // changelog shape: key = payload prefix, several generations
+    def gen(os: Seq[(Long, String)]) =
+      os.map { case (o, k) => (0L, o, s"$k@$o") }.toDF("part", "off", "payload")
+    CommitLog.writeLogged(gen(Seq(0L -> "a", 1L -> "b", 2L -> "a")),
+      out, "t", flushSize = 3)                                  // [0,2]
+    CommitLog.writeLogged(gen(Seq(3L -> "c", 4L -> "b")),
+      out, "t", flushSize = 3)                                  // [3,4]
+    CommitLog.writeLogged(gen(Seq(5L -> "d", 6L -> "e")),
+      out, "t", flushSize = 3)                                  // [5,6] all-latest
+    val before = CommitLog.snapshot(spark, out, "t")
+    val v = CommitLog.compactByKey(spark, out, "t",
+      substring(col("payload"), 1, 1))
+    assert(v === 3L)
+    // exactly the latest generation of every key survives
+    assert(CommitLog.read(spark, out, "t")
+      .select("payload").as[String].collect().sorted ===
+      Array("a@2", "b@4", "c@3", "d@5", "e@6"))
+    // the all-latest file was never rewritten
+    assert(CommitLog.snapshot(spark, out, "t").toSet
+      .intersect(before.toSet).nonEmpty)
+    // resume coverage intact: offsets 0,1 stay dropped on replay
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 6L))
+    // idempotent: a second pass finds nothing superseded
+    assert(CommitLog.compactByKey(spark, out, "t",
+      substring(col("payload"), 1, 1)) === v)
+    // the change feed reports exactly the superseded generations
+    val (added, removed) = CommitLog.diffRows(spark, out, "t", 2L, v)
+    assert(added.count() === 0)
+    assert(removed.select("payload").as[String].collect().sorted ===
+      Array("a@0", "b@1"))
+  }
+
   test("updateWhere: in-place redaction — offsets stable, untouched files intact") {
     val out = Files.createTempDirectory("clog-upd").toString
     CommitLog.writeLogged(frame(6), out, "t", flushSize = 3)              // v0
