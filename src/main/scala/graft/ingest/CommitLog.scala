@@ -542,27 +542,96 @@ object CommitLog {
   /** The shared erase-swap tail of [[deleteWhere]] / [[compactByKey]]:
     * rewrite the affected files' survivor rows (`sv` carries a `__n`
     * source-file-name column), pin resume coverage with keepers, and
-    * publish one atomic swap. */
+    * publish one atomic swap.
+    *
+    * Two orderings matter for crash/refusal safety:
+    *   - Every refusal fires BEFORE any byte is written (the keeper
+    *     feasibility check runs on pre-flight survivor stats), so a
+    *     refused operation leaves zero state behind.
+    *   - Planned output names are computed EXACTLY up front, and any
+    *     same-named file not in the live snapshot — an unpublished
+    *     orphan from a crashed predecessor — is purged before the
+    *     write. Without this, [[BatchWriter]]'s idempotent-redo rename
+    *     (skip existing) could adopt a stale orphan written by a
+    *     DIFFERENT earlier operation that happened to produce the same
+    *     survivor range. Purging only non-live files is safe precisely
+    *     because unpublished files can have no readers. */
   private def eraseSwap(spark: SparkSession, outDir: String, topic: String,
                         files: Seq[(String, String, Long, Long, Long)],
                         affectedNames: Set[String], sv: DataFrame,
                         pad: Int, format: String): Long = {
     val affected = files.filter(f => affectedNames.contains(f._2))
-    val stats = sv.groupBy(col("__n").as("n"))
-      .agg(min(col("off")).as("mn"), max(col("off")).as("mx"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    val liveNames = files.map(_._2).toSet
+    // pre-flight survivor stats PER HALF (split point derives from the
+    // file's NAME range, so it is known before any aggregate): enough
+    // to compute every planned output name exactly
+    val mids = affected.map { case (_, n, _, s, e) =>
+      (n, s + (e - s) / 2)
+    }.toMap
     import spark.implicits._
+    val midDf = broadcast(mids.toSeq.toDF("__n", "__mid"))
+    val halfStats = sv.join(midDf, Seq("__n"))
+      .groupBy(col("__n").as("n"), (col("off") <= col("__mid")).as("lo"))
+      .agg(min(col("off")).as("mn"), max(col("off")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    // planned output files per affected source: (file_idx, start, end)
+    val ext = BatchWriter.Formats(format)
+    val plans: Seq[(String, Long, Seq[(Long, Long, Long)])] =
+      affected.zipWithIndex.map { case ((_, n, p, s, e), i) =>
+        val lo = halfStats.get((n, true))
+        val hi = halfStats.get((n, false))
+        val spans = lo.exists(_._1 == s) && hi.exists(_._2 == e)
+        val groups = (lo, hi) match {
+          case (None, None) => Seq.empty // no survivors: pure remove
+          case _ if spans => // split: neither name equals the original
+            Seq(lo, hi).flatten.zipWithIndex.map { case ((mn, mx), h) =>
+              (2L * i + h, mn, mx)
+            }
+          case _ => // survivors missed an endpoint: one file, new name
+            val mn = Seq(lo, hi).flatten.map(_._1).min
+            val mx = Seq(lo, hi).flatten.map(_._2).max
+            Seq((2L * i, mn, mx))
+        }
+        (n, p, groups)
+      }
+    // keeper feasibility + need, BEFORE any write
+    val oldMax = files.groupMapReduce(_._3)(_._5)(math.max)
+    val newMax = (files.filterNot(f => affectedNames.contains(f._2))
+        .map(f => (f._3, f._5)) ++
+      plans.flatMap { case (_, p, gs) => gs.map(g => (p, g._3)) })
+      .groupMapReduce(_._1)(_._2)(math.max)
+    val keeperPlan = oldMax.toSeq.sorted.flatMap { case (p, e) =>
+      if (newMax.get(p).exists(_ >= e)) None
+      else {
+        val name = FileNaming.encodeName(topic, p.toInt, e, e, ext, pad)
+        require(!affectedNames.contains(name),
+          s"deleting the only row of single-offset partition-max file " +
+            s"$name would shrink resume coverage with no keeper name " +
+            "available — compact the topic first to widen the range")
+        Some((p, e, name))
+      }
+    }
+    // purge colliding unpublished orphans at every planned destination
+    val f = fs(spark, outDir)
+    val plannedNames = plans.flatMap { case (_, p, gs) =>
+      gs.map { case (_, mn, mx) =>
+        (p, FileNaming.encodeName(topic, p.toInt, mn, mx, ext, pad))
+      }
+    } ++ keeperPlan.map { case (p, _, name) => (p, name) }
+    plannedNames.foreach { case (p, name) =>
+      if (!liveNames.contains(name))
+        f.delete(new Path(s"$outDir/$topic/partition=$p/$name"), false)
+    }
+    // data write (routing mirrors the plan exactly)
     val committed =
-      if (stats.isEmpty) Seq.empty[BatchWriter.CommittedFile]
+      if (plans.forall(_._3.isEmpty)) Seq.empty[BatchWriter.CommittedFile]
       else {
         val routing = affected.zipWithIndex.map { case ((_, n, _, s, e), i) =>
-          val spans = stats.get(n)
-            .exists { case (mn, mx) => mn == s && mx == e }
-          // a spanning rewrite splits at the range midpoint: both
-          // halves are non-empty (each holds an endpoint) and neither
-          // name can equal the original's
-          (n, 2L * i, if (spans) s + (e - s) / 2 else Long.MaxValue)
+          val spans = plans.find(_._1 == n).exists(_._3.size == 2)
+          (n, 2L * i, if (spans) mids(n) else Long.MaxValue)
         }.toDF("__n", "__base", "__mid")
         val assigned = sv
           .join(broadcast(routing), Seq("__n"))
@@ -572,39 +641,23 @@ object CommitLog {
           .drop("__n", "__base", "__mid")
         BatchWriter.writeAssigned(assigned, outDir, topic, pad, format)
       }
-    // resume-coverage keepers: a partition whose max committed end
-    // shrank gets an empty file pinning the old max
-    val oldMax = files.groupMapReduce(_._3)(_._5)(math.max)
-    val newMax = (files.filterNot(f => affectedNames.contains(f._2))
-        .map(f => (f._3, f._5)) ++
-      committed.map(c => (c.partition, c.endOffset)))
-      .groupMapReduce(_._1)(_._2)(math.max)
-    val ext = BatchWriter.Formats(format)
-    val keeperRels = oldMax.toSeq.sorted.flatMap { case (p, e) =>
-      if (newMax.get(p).exists(_ >= e)) None
-      else {
-        val name = FileNaming.encodeName(topic, p.toInt, e, e, ext, pad)
-        require(!affectedNames.contains(name),
-          s"deleting the only row of single-offset partition-max file " +
-            s"$name would shrink resume coverage with no keeper name " +
-            "available — compact the topic first to widen the range")
-        val dest = new Path(s"$outDir/$topic/partition=$p/$name")
-        val staged = new Path(s"$outDir/+tmp/$topic/.keeper-$p-$e")
-        val f = fs(spark, outDir)
-        try {
-          sv.drop("part", "__n").limit(0).coalesce(1)
-            .write.mode("overwrite").format(format).save(staged.toString)
-          val part = f.listStatus(staged).map(_.getPath)
-            .find(_.getName.startsWith("part-"))
-            .getOrElse(throw new java.io.IOException(
-              s"empty keeper write produced no part file under $staged"))
-          // idempotent redo: a crashed predecessor's keeper is the
-          // same deterministic (empty) content
-          if (!f.exists(dest) && !f.rename(part, dest))
-            throw new java.io.IOException(s"rename failed installing $name")
-        } finally { f.delete(staged, true); () }
-        Some(s"partition=$p/$name")
-      }
+    // keepers: empty schema-only files pinning shrunk partition maxima
+    val keeperRels = keeperPlan.map { case (p, e, name) =>
+      val dest = new Path(s"$outDir/$topic/partition=$p/$name")
+      val staged = new Path(s"$outDir/+tmp/$topic/.keeper-$p-$e")
+      try {
+        sv.drop("part", "__n").limit(0).coalesce(1)
+          .write.mode("overwrite").format(format).save(staged.toString)
+        val part = f.listStatus(staged).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new java.io.IOException(
+            s"empty keeper write produced no part file under $staged"))
+        // idempotent redo: a crashed predecessor's keeper is the
+        // same deterministic (empty) content
+        if (!f.exists(dest) && !f.rename(part, dest))
+          throw new java.io.IOException(s"rename failed installing $name")
+      } finally { f.delete(staged, true); () }
+      s"partition=$p/$name"
     }
     val v = publish(spark, outDir, topic,
       adds = committed.map(c =>
@@ -662,6 +715,28 @@ object CommitLog {
       df.withColumn(c, when(predicate, v).otherwise(col(c)))
     }
     import spark.implicits._
+    // purge colliding unpublished orphans before writing: an update's
+    // output names are deterministic per source file (the rows keep
+    // their offsets), so a crashed predecessor's unpublished rewrite —
+    // possibly with DIFFERENT assignments — at the same name would be
+    // adopted by the idempotent-redo rename; per-half min/max of the
+    // unchanged offsets gives every planned name exactly
+    val liveNames = files.map(_._2).toSet
+    val midsDf = broadcast(affected.map { case (_, n, _, s, e) =>
+      (n, s + (e - s) / 2)
+    }.toDF("__n", "__mid"))
+    val ext = BatchWriter.Formats(format)
+    val f = fs(spark, outDir)
+    src.join(midsDf, Seq("__n"))
+      .groupBy(col("__n").as("n"), (col("off") <= col("__mid")).as("lo"))
+      .agg(min(col("off")).as("mn"), max(col("off")).as("mx"))
+      .collect().foreach { r =>
+        val p = affected.find(_._2 == r.getString(0)).get._3
+        val name = FileNaming.encodeName(topic, p.toInt, r.getLong(2),
+          r.getLong(3), ext, pad)
+        if (!liveNames.contains(name))
+          f.delete(new Path(s"$outDir/$topic/partition=$p/$name"), false)
+      }
     // every file spans its original range — always split at midpoint
     val routing = affected.zipWithIndex.map { case ((_, n, _, s, e), i) =>
       (n, 2L * i, s + (e - s) / 2)

@@ -146,6 +146,104 @@ class CommitLogSpec extends SparkSuite {
       Array("a@0", "b@1"))
   }
 
+  test("deleteWhere purges a crashed predecessor's colliding orphan instead of adopting it") {
+    val out = Files.createTempDirectory("clog-orph").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    CommitLog.writeLogged(one(0L to 9L), out, "t", flushSize = 10) // one file [0,9]
+    // a DIFFERENT earlier operation crashed after staging: an
+    // unpublished file sits at exactly the name this delete will plan
+    // ([0,4] — the lower half of the midpoint split) with WRONG content
+    BatchWriter.write(one(Seq(0L, 1L, 2L, 3L, 4L)).filter(col("off") === 0L)
+      .unionByName(one(Seq(4L)).filter(col("off") === 4L)),
+      out, "t", flushSize = 10)
+    val orphan = "partition=0/t+0+0000000000+0000000004.parquet"
+    assert(BatchWriter.read(spark, out, "t").count() === 12,
+      "the orphan must exist on disk before the delete")
+    CommitLog.deleteWhere(spark, out, "t", col("off") === 5L)
+    // idempotent-redo rename must NOT have adopted the stale orphan:
+    // all five lower-half survivors are present
+    assert(CommitLog.read(spark, out, "t")
+      .select("off").as[Long].collect().sorted ===
+      (0L to 9L).filter(_ != 5L).toArray)
+    assert(CommitLog.snapshot(spark, out, "t").contains(orphan))
+  }
+
+  test("randomized DML fuzz: delete/update/key-compact/append vs a row model") {
+    val out = Files.createTempDirectory("clog-dml-fuzz").toString
+    val rnd = new scala.util.Random(20260814L)
+    // model: (part, off) -> payload, payload = "k<key>@<off>" (+ "!"s)
+    var model = Map.empty[(Long, Long), String]
+    var nextOff = Map(0L -> 0L, 1L -> 0L)
+    def appendBatch(): Unit = {
+      val rows = (0L to 1L).flatMap { p =>
+        val n = 2 + rnd.nextInt(4)
+        (0 until n).map { _ =>
+          val o = nextOff(p); nextOff += (p -> (o + 1))
+          (p, o, s"k${rnd.nextInt(4)}@$o")
+        }
+      }
+      CommitLog.writeLogged(rows.toDF("part", "off", "payload"), out, "t",
+        flushSize = 2 + rnd.nextInt(3))
+      model ++= rows.map(r => (r._1, r._2) -> r._3)
+    }
+    def check(prevMax: Map[Long, Long]): Map[Long, Long] = {
+      val got = CommitLog.read(spark, out, "t")
+        .select("part", "off", "payload")
+        .as[(Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === model, "live rows must equal the model")
+      val mo = CommitLog.maxOffsets(spark, out, "t")
+      prevMax.foreach { case (p, e) =>
+        assert(mo.getOrElse(p, -1L) >= e,
+          s"partition $p resume coverage shrank: ${mo.get(p)} < $e")
+      }
+      mo
+    }
+    appendBatch()
+    var cover = check(Map.empty)
+    for (_ <- 1 to 12) {
+      val k = rnd.nextInt(4)
+      rnd.nextInt(4) match {
+        case 0 => appendBatch()
+        case 1 => // erase one key's rows
+          try {
+            CommitLog.deleteWhere(spark, out, "t",
+              col("payload").startsWith(s"k$k@"))
+            model = model.filterNot(_._2.startsWith(s"k$k@"))
+          } catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("compact"), e.getMessage)
+          }
+        case 2 => // redact one key's rows in place
+          try {
+            CommitLog.updateWhere(spark, out, "t",
+              col("payload").startsWith(s"k$k@"),
+              Map("payload" -> concat(col("payload"), lit("!"))))
+            model = model.map { case (ko, v) =>
+              ko -> (if (v.startsWith(s"k$k@")) v + "!" else v)
+            }
+          } catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("compact"), e.getMessage)
+          }
+        case _ => // materialized key compaction (key = prefix before @)
+          try {
+            CommitLog.compactByKey(spark, out, "t",
+              split(col("payload"), "@").getItem(0))
+            val keep = model.groupBy { case ((p, _), v) =>
+              (p, v.split('@')(0))
+            }.values.map(_.maxBy(_._1._2)).toSet
+            model = model.filter(keep)
+          } catch { case e: IllegalArgumentException =>
+            assert(e.getMessage.contains("compact"), e.getMessage)
+          }
+      }
+      cover = check(cover)
+    }
+    // erasure completes at vacuum; the live set is untouched by it
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
+    check(cover)
+    ()
+  }
+
   test("updateWhere: in-place redaction — offsets stable, untouched files intact") {
     val out = Files.createTempDirectory("clog-upd").toString
     CommitLog.writeLogged(frame(6), out, "t", flushSize = 3)              // v0
