@@ -113,10 +113,20 @@ object MaterializedAgg {
       else merge(read(spark, outDir, viewTopic).unionByName(delta),
         keys, sums, distincts)
 
-    // stage under a hidden dir, then adopt the parts under their
-    // watermark names; a crashed predecessor's identically-named
-    // orphans are deterministic rebuilds of the same state — replaced,
-    // not trusted
+    publishState(spark, outDir, viewTopic, merged, s1, startIdx = 0,
+      numFiles, prior)
+    s1
+  }
+
+  /** Stage the new state under a hidden dir, adopt the parts under
+    * their watermark names (`agg-<s1>-<startIdx + i>.parquet`), and
+    * swap them for `prior` in one atomic publish. A crashed
+    * predecessor's identically-named orphans are deterministic
+    * rebuilds of the same state — replaced, not trusted. */
+  private def publishState(spark: SparkSession, outDir: String,
+                           viewTopic: String, merged: DataFrame, s1: Long,
+                           startIdx: Int, numFiles: Int,
+                           prior: Seq[String]): Unit = {
     val f = CommitLog.fs(spark, outDir)
     val root = new Path(s"$outDir/$viewTopic")
     val tmp = new Path(root, s".tmp-refresh-$s1")
@@ -124,7 +134,7 @@ object MaterializedAgg {
     val parts = f.listStatus(tmp).map(_.getPath)
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val adds = parts.zipWithIndex.map { case (p, i) =>
-      val name = s"agg-$s1-$i.parquet"
+      val name = s"agg-$s1-${startIdx + i}.parquet"
       val dest = new Path(root, name)
       if (f.exists(dest)) f.delete(dest, false)
       if (!f.rename(p, dest))
@@ -133,6 +143,55 @@ object MaterializedAgg {
     }.toSeq
     CommitLog.publish(spark, outDir, viewTopic, adds, removes = prior)
     f.delete(tmp, true)
+    ()
+  }
+
+  /** Full recompute of the view from the source's LIVE snapshot — the
+    * post-DML correction. The incremental [[refresh]] reads the
+    * commit-kind invariant as "a version with removes rewrites
+    * already-live offsets, never data" — which the row-level DML
+    * operations (`CommitLog.deleteWhere` / `updateWhere` /
+    * `compactByKey`) deliberately break: after an erasure the view
+    * still aggregates the erased rows, and no later append can correct
+    * it (counts could be subtracted, HLL sketches cannot). `rebuild`
+    * is the correction a caller runs after DML on the source: ONE
+    * aggregate over the live snapshot, published through the same
+    * atomic swap at watermark = the current source version, so
+    * subsequent incremental refreshes continue exactly. Output names
+    * skip past any live same-version state files (a rebuild at an
+    * unchanged watermark must not overwrite files a pinned reader may
+    * hold). */
+  def rebuild(spark: SparkSession, outDir: String, sourceTopic: String,
+              viewTopic: String, keys: Seq[String], sums: Seq[String],
+              format: String = "parquet", numFiles: Int = 1,
+              derive: Seq[(String, String)] = Seq.empty,
+              distincts: Seq[String] = Seq.empty): Long = {
+    require(keys.nonEmpty, "at least one grouping key")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    (keys ++ derive.map(_._1)).foreach(k => require(
+      k != "n" && !k.startsWith("sum_") && !k.startsWith("hll_") &&
+        !k.startsWith("n_distinct_"),
+      s"key '$k' collides with the view's reserved aggregate columns"))
+    val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
+    require(s1 >= 0, s"source topic $sourceTopic has no commit log")
+    val raw = derive.foldLeft(
+      CommitLog.read(spark, outDir, sourceTopic, format)) {
+      case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))
+    }
+    val state = aggregate(raw, keys, sums, distincts)
+    state.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
+      .foreach(f => require(
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType],
+        s"sum over float column — cast to DECIMAL first (${f.name})"))
+    val prior = CommitLog.snapshot(spark, outDir, viewTopic)
+    val SameVer = s"agg-$s1-(\\d+)\\.parquet".r
+    val startIdx = prior.flatMap {
+      case SameVer(i) => Some(i.toInt + 1)
+      case _ => None
+    }.maxOption.getOrElse(0)
+    publishState(spark, outDir, viewTopic, state, s1, startIdx, numFiles,
+      prior)
     s1
   }
 

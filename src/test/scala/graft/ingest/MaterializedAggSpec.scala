@@ -47,6 +47,40 @@ class MaterializedAggSpec extends SparkSuite {
       Set(("a", 3L, 6L), ("b", 1L, 10L), ("c", 1L, 100L)))
   }
 
+  test("row-level DML on the source needs rebuild: stale until, exact after, incremental again") {
+    val out = Files.createTempDirectory("graft-mv-dml").toString
+    CommitLog.writeLogged(src((0L, 0L, "a", 1L), (0L, 1L, "a", 2L),
+      (0L, 2L, "b", 10L), (0L, 3L, "b", 20L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) === Set(("a", 2L, 3L), ("b", 2L, 30L)))
+    // erase one of a's rows: the incremental view is DOCUMENTED stale
+    // (the swap version is invisible to the append-only delta feed)
+    CommitLog.deleteWhere(spark, out, "t", col("off") === 1L)
+    assert(MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v")) >= 0)
+    assert(state(out) === Set(("a", 2L, 3L), ("b", 2L, 30L)),
+      "pre-rebuild state still aggregates the erased row")
+    // the post-DML correction: one live-snapshot recompute
+    MaterializedAgg.rebuild(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) === Set(("a", 1L, 1L), ("b", 2L, 30L)))
+    // subsequent appends fold incrementally on top of the rebuilt state
+    CommitLog.writeLogged(src((0L, 4L, "a", 100L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) === Set(("a", 2L, 101L), ("b", 2L, 30L)))
+    // rebuild at an UNCHANGED watermark must not overwrite live state
+    // files in place (pinned readers) — names advance instead
+    val before = CommitLog.snapshot(spark, out, "view")
+    MaterializedAgg.rebuild(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) === Set(("a", 2L, 101L), ("b", 2L, 30L)))
+    assert(CommitLog.snapshot(spark, out, "view").toSet
+      .intersect(before.toSet).isEmpty,
+      "a same-watermark rebuild must publish fresh file names")
+  }
+
   test("a source compaction between refreshes is skipped — rewrites never double-count") {
     val out = Files.createTempDirectory("graft-mv-compact").toString
     CommitLog.writeLogged(src((0L, 0L, "a", 1L)), out, "t", flushSize = 10)
