@@ -168,6 +168,22 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.snapshot(spark, out, "t").contains(orphan))
   }
 
+  test("deleteWhere runs on a json topic, including a json keeper file") {
+    val out = Files.createTempDirectory("clog-del-json").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    CommitLog.writeLogged(one(0L to 9L), out, "t", flushSize = 10,
+      format = "json")
+    // top-end delete: rewrite + an empty JSON coverage keeper
+    CommitLog.deleteWhere(spark, out, "t", col("off") >= 8L,
+      format = "json")
+    assert(CommitLog.read(spark, out, "t", format = "json")
+      .select("off").as[Long].collect().sorted === (0L to 7L).toArray)
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 9L),
+      "json keeper must pin resume coverage")
+    assert(CommitLog.snapshot(spark, out, "t")
+      .contains("partition=0/t+0+0000000009+0000000009.json"))
+  }
+
   test("randomized DML fuzz: delete/update/key-compact/append vs a row model") {
     val out = Files.createTempDirectory("clog-dml-fuzz").toString
     val rnd = new scala.util.Random(20260814L)
