@@ -513,6 +513,56 @@ object CommitLog {
     eraseSwap(spark, outDir, topic, files, affectedNames, sv, pad, format)
   }
 
+  /** Derived topics: incrementally relay `srcTopic`'s NEW rows through
+    * a row-local `transform` into `dstTopic` — the topic-to-topic
+    * pipeline step (cleaned/redacted/enriched derivatives of a raw
+    * corpus) built entirely from the engine's filename-recovery
+    * contract, with NO sidecar state:
+    *
+    *   - progress = the destination's own `maxOffsets` (per-partition
+    *     max committed end, from names alone) — the same source of
+    *     truth a crashed stream resumes from;
+    *   - the source files to read = snapshot files whose name range
+    *     ends above the destination's progress (file-level pruning:
+    *     caught-up partitions' files are never opened);
+    *   - replay safety = the resume filter on (part, off): `transform`
+    *     must preserve those columns, so a crash between the
+    *     destination write and nothing (there is nothing else) simply
+    *     re-relays rows the filter then drops.
+    *
+    * Each call is one incremental step (run it per cron tick or after
+    * each source publish); an already-caught-up call is a no-op.
+    * Source DML does NOT propagate (a delete/update swap rewrites
+    * offsets the destination already consumed) — after erasing from
+    * the source, apply the same predicate to the derivative, which is
+    * itself just a logged topic. A FILTERING transform stays correct
+    * (dropped rows are deterministically re-dropped on replay) but
+    * offsets it drops never advance the destination's progress, so a
+    * dropped tail re-scans on every call — keep tombstone rows (and
+    * `deleteWhere` them downstream) if the filtered fraction of the
+    * stream tail matters. */
+  def relay(spark: SparkSession, outDir: String, srcTopic: String,
+            dstTopic: String, transform: DataFrame => DataFrame,
+            flushSize: Int,
+            pad: Int = FileNaming.DefaultZeroPadWidth,
+            format: String = "parquet"): Long = {
+    val done = maxOffsets(spark, outDir, dstTopic)
+    val (_, files) = parsedSnapshot(spark, outDir, srcTopic, "relayable")
+    val fresh = files.filter { case (_, _, p, _, e) =>
+      e > done.getOrElse(p, -1L)
+    }
+    val current = latestVersion(spark, outDir, dstTopic)
+    if (fresh.isEmpty) return current
+    val rows = BatchWriter.resumeFrom(
+      readFiles(spark, outDir, srcTopic, fresh.map(_._1), format), done)
+    val out = transform(rows)
+    Seq("part", "off").foreach(c => require(out.columns.contains(c),
+      s"relay transforms must preserve the ($c) envelope column — " +
+        "replay safety rides on (part, off) identity"))
+    if (out.isEmpty) return current // everything new was filtered out
+    writeLogged(out, outDir, dstTopic, flushSize, pad, format)
+  }
+
   /** Hidden-metadata source file name — valid only directly over a
     * file scan, before any reprojection. */
   private def srcFileName: Column =

@@ -369,6 +369,46 @@ object IngestQueries {
               |WHERE event_id > (SELECT max(event_id) // 2 FROM events)
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Derived topic through the log: ingest the stream in two
+    //      halves, RELAY each increment through a row-local transform
+    //      into a second logged topic (progress recovered from the
+    //      destination's own committed filenames — no sidecar state),
+    //      then read the derivative. The oracle applies the same
+    //      transform to the raw table: equality proves the two
+    //      incremental relays composed to exactly one full pass, no
+    //      row dropped or doubled across the catch-up boundary. ----
+    QuerySpec("commitlog_relay",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-relay-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        val cut = in.agg(max(col("off"))).head().getLong(0) / 2
+        val clean: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.select(col("part"), col("off"), col("user_id"),
+            upper(col("event_type")).as("event_type"))
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") <= cut), dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.relay(s, dir, "events", "clean", clean, 500)
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") > cut), dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.relay(s, dir, "events", "clean", clean, 500)
+        val out = graft.ingest.CommitLog.read(s, dir, "clean")
+          .groupBy(col("part"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+          .orderBy(col("part"), col("event_type"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      Some(s"""SELECT event_id % ${P} AS part, upper(event_type) AS event_type,
+              |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- Row-level DELETE through the log (the erasure primitive:
     //      right-to-be-forgotten / contamination retraction on
     //      ALREADY-committed data): ingest the stream, erase one

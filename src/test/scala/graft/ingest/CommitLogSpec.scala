@@ -168,6 +168,41 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.snapshot(spark, out, "t").contains(orphan))
   }
 
+  test("relay maintains a derived topic incrementally with exactly-once replay") {
+    val out = Files.createTempDirectory("clog-relay").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    val redact: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("payload", upper(col("payload")))
+    CommitLog.writeLogged(one(0L to 4L), out, "src", flushSize = 3)
+    // first relay: full catch-up
+    CommitLog.relay(spark, out, "src", "dst", redact, flushSize = 10)
+    assert(CommitLog.read(spark, out, "dst")
+      .select("payload").as[String].collect().sorted ===
+      (0L to 4L).map(o => s"V$o").toArray)
+    // caught-up: a second call is a no-op (no new version)
+    val v1 = CommitLog.latestVersion(spark, out, "dst")
+    assert(CommitLog.relay(spark, out, "src", "dst", redact, 10) === v1)
+    // append + relay: ONLY the new rows flow (old src files whose
+    // range is consumed are pruned at the file list)
+    CommitLog.writeLogged(one(5L to 7L), out, "src", flushSize = 3)
+    CommitLog.relay(spark, out, "src", "dst", redact, 10)
+    assert(CommitLog.read(spark, out, "dst").count() === 8)
+    // crash-replay shape: relaying the same state again adds nothing —
+    // and a partially-consumed source file replays only its tail
+    assert(CommitLog.relay(spark, out, "src", "dst", redact, 10) ===
+      CommitLog.latestVersion(spark, out, "dst"))
+    assert(CommitLog.read(spark, out, "dst").count() === 8)
+    // the derivative is an ordinary logged topic: erasure applies to it
+    CommitLog.deleteWhere(spark, out, "dst", col("payload") === "V3")
+    assert(CommitLog.read(spark, out, "dst").count() === 7)
+    // transforms that drop the envelope are rejected up front
+    intercept[IllegalArgumentException] {
+      CommitLog.writeLogged(one(Seq(8L)), out, "src", flushSize = 3)
+      CommitLog.relay(spark, out, "src", "dst",
+        df => df.drop("off"), 10)
+    }
+  }
+
   test("deleteWhere runs on a json topic, including a json keeper file") {
     val out = Files.createTempDirectory("clog-del-json").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
