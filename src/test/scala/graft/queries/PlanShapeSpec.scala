@@ -402,6 +402,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.toString.contains("WindowExec"), s"no window:\n$p")
   }
 
+  test("collapse_token_runs is one scan projection — no shuffle besides the output sort") {
+    val p = plan("collapse_token_runs")
+    val shuffles = collectAll(p) { case e: ShuffleExchangeExec => e }
+    // the kept positions fold row-locally over the zipped token array;
+    // the only exchange allowed is the presentation-only orderBy
+    assert(shuffles.size <= 1, s"got ${shuffles.size} exchanges:\n$p")
+    assert(!p.toString.contains("Join"), s"no join:\n$p")
+    assert(!p.toString.contains("WindowExec"), s"no window:\n$p")
+  }
+
   test("dedup_cross_source_overlap self-joins on the fingerprint — never all-pairs") {
     val p = plan("dedup_cross_source_overlap")
     val s = p.toString
