@@ -467,10 +467,13 @@ object CommitLog {
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
     val affected = files.filter(f => affectedNames.contains(f._2))
-    // survivors of the affected files only
+    // survivors of the affected files only — keep rows where the
+    // predicate is NOT TRUE (false OR null), matching SQL DELETE:
+    // !predicate alone would turn a NULL predicate into NULL and drop
+    // unrelated rows that merely share a file with a match
     val sv = readFiles(spark, outDir, topic, affected.map(_._1), format)
       .withColumn("__n", srcFileName)
-      .filter(!predicate)
+      .filter(!coalesce(predicate, lit(false)))
     eraseSwap(spark, outDir, topic, files, affectedNames, sv, pad, format)
   }
 
@@ -492,11 +495,17 @@ object CommitLog {
     require(BatchWriter.SelfDescribing(format),
       s"compactByKey needs a self-describing format retaining off, got: $format")
     val (snap, files) = parsedSnapshot(spark, outDir, topic, "key-compactable")
+    // NULL keys are EXEMPT from compaction (always retained): the
+    // survivorship equi-join can never match a NULL key, so treating
+    // them as compactable would silently erase every NULL-key row that
+    // shares a file with a superseded row. Kafka itself rejects
+    // null-key records on compacted topics; we keep them verbatim.
     val full = readFiles(spark, outDir, topic, snap, format)
       .withColumn("__n", srcFileName).withColumn("__k", key)
-    val latest = full.groupBy(col("part"), col("__k"))
+    val keyed = full.filter(col("__k").isNotNull)
+    val latest = keyed.groupBy(col("part"), col("__k"))
       .agg(max(col("off")).as("__keep"))
-    val affectedNames = full.join(latest, Seq("part", "__k"))
+    val affectedNames = keyed.join(latest, Seq("part", "__k"))
       .filter(col("off") < col("__keep"))
       .select(col("__n").as("n")).distinct()
       .collect().map(_.getString(0)).toSet
@@ -504,12 +513,14 @@ object CommitLog {
     val affected = files.filter(f => affectedNames.contains(f._2))
     // survivors: rows of affected files that ARE their key's latest
     // (survivorship is GLOBAL — a row here may be superseded by a row
-    // in an untouched file)
-    val sv = readFiles(spark, outDir, topic, affected.map(_._1), format)
+    // in an untouched file), plus every NULL-key row verbatim
+    val svBase = readFiles(spark, outDir, topic, affected.map(_._1), format)
       .withColumn("__n", srcFileName).withColumn("__k", key)
-      .join(latest, Seq("part", "__k"))
-      .filter(col("off") === col("__keep"))
-      .drop("__k", "__keep")
+    val sv = svBase.filter(col("__k").isNull).drop("__k")
+      .unionByName(svBase.filter(col("__k").isNotNull)
+        .join(latest, Seq("part", "__k"))
+        .filter(col("off") === col("__keep"))
+        .drop("__k", "__keep"))
     eraseSwap(spark, outDir, topic, files, affectedNames, sv, pad, format)
   }
 

@@ -221,13 +221,17 @@ object IvfIndex {
 
   /** Resolve the CURRENT generation's index dir — what every serving
     * call reads once up front. [[installPointer]]'s delete→rename flip
-    * has a brief no-pointer window; one short retry distinguishes that
-    * transient from a truly uninstalled root, so a searcher resolving
-    * mid-flip doesn't throw a spurious serving failure. */
+    * has a brief no-pointer window; a short bounded backoff loop
+    * (8 attempts, ~765 ms worst case) distinguishes that transient
+    * from a truly uninstalled root, so a searcher resolving mid-flip
+    * doesn't throw a spurious serving failure even on a slow/remote
+    * FS or under a GC pause. */
   def currentDir(spark: SparkSession, root: String): String = {
     var gen = currentGeneration(spark, root)
-    if (gen < 0) {
-      Thread.sleep(50)
+    var delayMs = 3L
+    while (gen < 0 && delayMs <= 384L) {
+      Thread.sleep(delayMs)
+      delayMs *= 2
       gen = currentGeneration(spark, root)
     }
     require(gen >= 0, s"no index generation installed under $root")
@@ -435,6 +439,13 @@ object IvfIndex {
     val spark = vecs.sparkSession
     require(CommitLog.latestVersion(spark, indexDir, IvfPqCodesTopic) < 0,
       s"IVF-PQ index at $indexDir already built — a retrain is a new dir")
+    // the coarse quantizer shares CentroidsTopic with plain IVF, so a
+    // dir that already holds an IVF build must refuse too: appending a
+    // second centroid set with overlapping ids would corrupt cell
+    // assignment for BOTH flavors (centroids() reads the whole topic)
+    require(CommitLog.latestVersion(spark, indexDir, CentroidsTopic) < 0,
+      s"$indexDir already holds a centroid set (plain-IVF build?) — " +
+        "an IVF-PQ index needs its own dir")
     val cents = KMeans.fit(vecs, k, iters)
     import spark.implicits._
     CommitLog.writeLogged(

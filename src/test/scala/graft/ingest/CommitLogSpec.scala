@@ -146,6 +146,34 @@ class CommitLogSpec extends SparkSuite {
       Array("a@0", "b@1"))
   }
 
+  test("deleteWhere: NULL-predicate rows survive the rewrite (SQL DELETE semantics)") {
+    val out = Files.createTempDirectory("clog-delnull").toString
+    // one file holding a match, a non-match, and a NULL-predicate row
+    val df = Seq((0L, 0L, "erase-me"), (0L, 1L, "keep"), (0L, 2L, null))
+      .toDF("part", "off", "user")
+    CommitLog.writeLogged(df, out, "t", flushSize = 10)
+    CommitLog.deleteWhere(spark, out, "t", col("user") === "erase-me")
+    // !predicate on the NULL row is NULL, not false — it must still
+    // survive, exactly as SQL DELETE retains NULL-predicate rows
+    assert(CommitLog.read(spark, out, "t")
+      .select("off").as[Long].collect().sorted === Array(1L, 2L))
+  }
+
+  test("compactByKey: NULL-key rows are exempt from compaction, never lost") {
+    val out = Files.createTempDirectory("clog-knull").toString
+    // one file mixing keyed generations with NULL-key rows: the
+    // equi-join can never match NULL, so they must be retained verbatim
+    val df = Seq((0L, 0L, "a", "a@0"), (0L, 1L, null, "n@1"),
+      (0L, 2L, "a", "a@2"), (0L, 3L, null, "n@3"))
+      .toDF("part", "off", "k", "payload")
+    CommitLog.writeLogged(df, out, "t", flushSize = 10)
+    CommitLog.compactByKey(spark, out, "t", col("k"))
+    assert(CommitLog.read(spark, out, "t")
+      .select("payload").as[String].collect().sorted ===
+      Array("a@2", "n@1", "n@3"),
+      "superseded keyed rows go; every NULL-key row stays")
+  }
+
   test("deleteWhere purges a crashed predecessor's colliding orphan instead of adopting it") {
     val out = Files.createTempDirectory("clog-orph").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")

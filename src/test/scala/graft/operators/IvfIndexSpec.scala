@@ -39,6 +39,14 @@ class IvfIndexSpec extends SparkSuite {
       IvfIndex.build(base, idx, k = 2, iters = 2)
     }
     assert(e.getMessage.contains("already built"))
+    // ...and so does an IVF-PQ build: it would append a second centroid
+    // set with overlapping ids into the shared CentroidsTopic,
+    // corrupting cell assignment for both flavors
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.buildIvfPq(base, idx, k = 2, iters = 2, m = 1, subDims = 2,
+        pqK = 2, pqIters = 2)
+    }
+    assert(e2.getMessage.contains("centroid set"))
   }
 
   test("append grows the index under the FROZEN quantizer; searchers see it atomically") {
