@@ -833,9 +833,9 @@ object PipelineQueries {
     * true near-dup pair collides in several of the independent bands,
     * and a band this hot carries almost no discriminating signal.
     * Observability: `minhash_banding_recall` measures recall WITH the
-    * cap, and [[hotBands]] (the `minhash_hot_bands` query) reports any
-    * capped keys, so a drop is visible in the driver artifact rather
-    * than silent. */
+    * cap, and the `minhash_hot_bands` query reports the band-size
+    * histogram with capped keys flagged `over_cap`, so a drop is
+    * visible in the driver artifact rather than silent. */
   private[graft] val MaxBandMembers = 256
 
   /** Drop rows whose `key` value is shared by more than
@@ -1448,6 +1448,26 @@ object PipelineQueries {
            |SELECT doc_a, doc_b FROM cand
            |ORDER BY doc_a, doc_b""".stripMargin),
       bench = true),
+
+    // ---- Hot-band OBSERVABILITY: the band-size histogram behind the
+    //      [[MaxBandMembers]] cap. `over_cap=true` rows are exactly the
+    //      band keys [[dropHotBands]] drops before every self-join, so
+    //      a capped (silently non-candidate-generating) band is visible
+    //      in the driver artifact, not just in the recall number. One
+    //      map-side-combined count per band, then a tiny second
+    //      aggregate over the counts — no join, no window. ----
+    QuerySpec("minhash_hot_bands",
+      (s, d) => minhashShingleBands(s, d)._2
+        .groupBy(col("band")).agg(count(lit(1)).as("members"))
+        .groupBy(col("members")).agg(count(lit(1)).as("bands"))
+        .select(col("members"), col("bands"),
+          (col("members") > MaxBandMembers).as("over_cap"))
+        .orderBy(col("members")),
+      Some(s"""WITH $minhashBandsSql,
+              |bs AS (SELECT band, count(*) AS members FROM bands GROUP BY band)
+              |SELECT members, count(*) AS bands,
+              |  members > $MaxBandMembers AS over_cap
+              |FROM bs GROUP BY members ORDER BY members""".stripMargin)),
 
     // ---- Dedup THRESHOLD TUNING curve: how many pairs (and docs)
     //      would each candidate Jaccard threshold catch — the report
