@@ -22,6 +22,31 @@ object RelationalQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
 
+  /** Derived `partsupp` stand-in: the synthetic schema has no partsupp
+    * table, so the part-supplier relationship materializes from
+    * lineitem — ps_supplycost is the cheapest observed line price
+    * (DECIMAL(18,2), exact — a unit-price division would be inexact)
+    * and ps_availqty the total quantity ever shipped by that pair. The
+    * SAME derivation runs in both engines ([[psSql]]), so the TPC-H
+    * Q2/Q9/Q11/Q16/Q20 shapes built on it stay hash-exact. One
+    * map-side-combined aggregate over the fact scan; at 100 TB this is
+    * the one full pass those queries share (a real deployment would
+    * materialize it once). */
+  private def partsupp(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"),
+        sum(col("l_quantity")).cast("long").as("ps_availqty"))
+
+  /** DuckDB mirror of [[partsupp]] — the `ps` CTE every derived-
+    * partsupp oracle chains from. */
+  private val psSql =
+    """ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+      |    CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+      |  FROM lineitem GROUP BY 1, 2)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // Projection + filter with predicate pushdown to the parquet scan.
@@ -1322,6 +1347,288 @@ object RelationalQueries {
              |      AND o_orderdate >= DATE '2001-01-01')
              |GROUP BY c_mktsegment
              |ORDER BY c_mktsegment""".stripMargin),
+      bench = true),
+
+    // TPC-H Q2 shape — min-cost supplier: for each qualifying part,
+    // the European supplier(s) quoting the region's minimum supply
+    // cost. The correlated min subquery is ONE aggregate over the
+    // region-filtered partsupp frame joined back on (part, cost) —
+    // never a per-row probe — and the cost equality compares
+    // DECIMAL(18,2) (exact), only the output casts to double. The
+    // supplier→nation→region snowflake broadcasts into the partsupp
+    // scan; the part filter broadcasts into the join-back. Top-100 by
+    // a total order (acctbal desc, nation, supplier, part) plans as
+    // TakeOrderedAndProject, never a global sort.
+    QuerySpec("q2_min_cost_supplier",
+      (s, d) => {
+        val esupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val psr = partsupp(s, d)
+          .join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
+        val mc = psr.groupBy(col("ps_partkey").as("m_partkey"))
+          .agg(min(col("ps_supplycost")).as("m_cost"))
+        val pf = Tables.part(s, d)
+          .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+          .select(col("p_partkey"), col("p_brand"))
+        psr.join(mc, col("ps_partkey") === col("m_partkey") &&
+            col("ps_supplycost") === col("m_cost"))
+          .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"),
+            col("ps_supplycost").cast("double").as("supplycost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH $psSql,
+              |esupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+              |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |  JOIN region ON n_regionkey = r_regionkey
+              |  WHERE r_name = 'EUROPE'),
+              |psr AS (SELECT ps_partkey, ps_supplycost, s_name,
+              |    s_acctbal, n_name
+              |  FROM ps JOIN esupp ON ps_suppkey = s_suppkey),
+              |mc AS (SELECT ps_partkey AS m_partkey,
+              |    min(ps_supplycost) AS m_cost
+              |  FROM psr GROUP BY 1)
+              |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+              |  CAST(ps_supplycost AS DOUBLE) AS supplycost
+              |FROM psr JOIN mc ON ps_partkey = m_partkey
+              |  AND ps_supplycost = m_cost
+              |JOIN part ON ps_partkey = p_partkey
+              |WHERE p_size <= 15 AND p_type = 'LARGE'
+              |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+              |LIMIT 100""".stripMargin),
+      bench = true),
+
+    // TPC-H Q9 shape — product-type profit by nation and year: every
+    // lineitem of matching parts priced against its pair's supply
+    // cost. Exactness: revenue is the 2dp×2dp product at
+    // DECIMAL(18,4); cost is DECIMAL(18,2) × BIGINT quantity (exact
+    // integer arithmetic); the two sums convert to double SEPARATELY
+    // and subtract as one final IEEE op, identical in both engines.
+    // (The supplycost stand-in is a line price, not a unit price —
+    // see [[partsupp]] — so profit is legitimately negative; the
+    // five-way join shape is the thing being pinned: dims broadcast,
+    // the one fact-sized shuffle is lineitem↔partsupp on the pair
+    // key, orders joins on its own key.)
+    QuerySpec("q9_product_profit",
+      (s, d) => {
+        val pk = Tables.part(s, d).filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"))
+        val prof = Tables.lineitem(s, d)
+          .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+          .join(partsupp(s, d), col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+          .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(DecimalType(18, 4)).as("rev"),
+            (col("ps_supplycost") * col("l_quantity").cast("long"))
+              .as("cost"))
+        prof.groupBy(col("nation"), col("o_year"))
+          .agg((sum(col("rev")).cast("double") -
+            sum(col("cost")).cast("double")).as("profit"))
+          .orderBy(col("nation"), col("o_year").desc)
+      },
+      Some(s"""WITH $psSql,
+              |prof AS (SELECT n_name AS nation,
+              |    year(o_orderdate) AS o_year,
+              |    CAST(l_extendedprice * (1.0 - l_discount)
+              |      AS DECIMAL(18,4)) AS rev,
+              |    ps_supplycost * CAST(l_quantity AS BIGINT) AS cost
+              |  FROM lineitem
+              |  JOIN ps ON l_partkey = ps_partkey
+              |    AND l_suppkey = ps_suppkey
+              |  JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN part ON l_partkey = p_partkey
+              |  WHERE p_name LIKE '%red%')
+              |SELECT nation, o_year,
+              |  CAST(sum(rev) AS DOUBLE) - CAST(sum(cost) AS DOUBLE)
+              |    AS profit
+              |FROM prof GROUP BY nation, o_year
+              |ORDER BY nation, o_year DESC""".stripMargin),
+      bench = true),
+
+    // TPC-H Q11 shape — important stock: per-part inventory value for
+    // one nation's suppliers, kept where the part's value exceeds
+    // 1/1000 of the nation total. The global scalar is a 1-ROW
+    // BROADCAST compared by cross-multiplication (value·1000 > total,
+    // exact decimal integer arithmetic — no fraction, no division) —
+    // never a window over the per-part frame; the total reuses the
+    // per-part aggregate (sum of sums) instead of re-scanning.
+    QuerySpec("q11_important_stock",
+      (s, d) => {
+        val nsupp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val pv = partsupp(s, d)
+          .join(broadcast(nsupp), col("ps_suppkey") === col("s_suppkey"))
+          .groupBy(col("ps_partkey"))
+          .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        val tot = pv.agg(sum(col("value")).as("t"))
+        pv.crossJoin(broadcast(tot))
+          .filter(col("value") * lit(1000L) > col("t"))
+          .select(col("ps_partkey"), col("value").cast("double").as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some(s"""WITH $psSql,
+              |pv AS (SELECT ps_partkey,
+              |    sum(ps_supplycost * ps_availqty) AS value
+              |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_name = 'NATION_3'
+              |  GROUP BY ps_partkey),
+              |tot AS (SELECT sum(value) AS t FROM pv)
+              |SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+              |FROM pv CROSS JOIN tot
+              |WHERE value * 1000 > t
+              |ORDER BY value DESC, ps_partkey""".stripMargin),
+      bench = true),
+
+    // TPC-H Q12 shape — shipping class vs order priority: late lines
+    // (shipped >30 days after the order date — the schema has no
+    // commit/receipt dates) in one ship-year, counted into high- and
+    // low-priority buckets per return-flag class. ONE fact-dim join
+    // and ONE aggregate carrying both conditional sums — the scan
+    // filter pushes the ship window down to the parquet scan.
+    QuerySpec("q12_shipclass_priority",
+      (s, d) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+          .join(Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderdate"), col("o_orderpriority")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(unix_millis(col("l_shipdate").cast("timestamp")) >
+            unix_millis(col("o_orderdate").cast("timestamp")) +
+              lit(30L * 86400000L))
+          .groupBy(col("l_returnflag").as("shipclass"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy(col("shipclass"))
+      },
+      Some("""SELECT l_returnflag AS shipclass,
+             |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND epoch_ms(l_shipdate) >
+             |    epoch_ms(o_orderdate) + 30::BIGINT * 86400000
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      bench = true),
+
+    // TPC-H Q16 shape — supplier diversity per part profile: distinct
+    // suppliers per (brand, type, size) over qualifying parts,
+    // excluding flagged suppliers (stood in by negative balance — the
+    // schema has no s_comment). The NOT-IN is ONE LEFT ANTI join
+    // against the (tiny, broadcast) flagged-supplier frame — never a
+    // correlated probe; the part filter broadcasts into the partsupp
+    // pair frame, which is already distinct on (part, supplier).
+    QuerySpec("q16_parts_supplier_counts",
+      (s, d) => {
+        val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        val pf = Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))
+        partsupp(s, d)
+          .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"),
+            "left_anti")
+          .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some(s"""WITH $psSql
+              |SELECT p_brand, p_type, p_size,
+              |  count(DISTINCT ps_suppkey)::BIGINT AS supplier_cnt
+              |FROM ps JOIN part ON ps_partkey = p_partkey
+              |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+              |  AND ps_suppkey NOT IN
+              |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              |GROUP BY 1, 2, 3
+              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      bench = true),
+
+    // TPC-H Q20 shape — excess-stock suppliers: one nation's suppliers
+    // holding some matching part's total stock at more than 5× what
+    // that pair shipped in the probe year. NESTED SEMI shape: the
+    // part-name filter semi-joins (broadcast) into partsupp, the
+    // correlated per-pair window sum is ONE aggregate LEFT-joined back
+    // (absent window → 0 via coalesce, exact integer quantities), and
+    // the qualifying pair set semi-joins into supplier — three joins,
+    // zero correlated probes, zero cartesians.
+    QuerySpec("q20_excess_stock_suppliers",
+      (s, d) => {
+        val redParts = Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))
+        val wq = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("w"))
+        val excess = partsupp(s, d)
+          .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"),
+            "left_semi")
+          .join(wq, col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"), "left_outer")
+          .filter(col("ps_availqty") > lit(5L) * coalesce(col("w"), lit(0L)))
+          .select(col("ps_suppkey"))
+        Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_name"))
+      },
+      Some(s"""WITH $psSql,
+              |wq AS (SELECT l_partkey, l_suppkey,
+              |    CAST(sum(l_quantity) AS BIGINT) AS w
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              |  GROUP BY 1, 2),
+              |excess AS (SELECT DISTINCT ps_suppkey FROM ps
+              |  LEFT JOIN wq ON ps_partkey = l_partkey
+              |    AND ps_suppkey = l_suppkey
+              |  WHERE ps_partkey IN
+              |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+              |    AND ps_availqty > 5 * coalesce(w, 0))
+              |SELECT s_suppkey, s_name
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |WHERE n_name = 'NATION_3'
+              |  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+              |ORDER BY s_name""".stripMargin),
       bench = true),
 
     // Explicit GROUPING SETS (the rollup/cube queries' general form):

@@ -785,4 +785,67 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.toString.contains("SortMergeJoin"),
       s"boundary share must broadcast:\n$p")
   }
+
+  test("q2_min_cost_supplier: correlated min is one aggregate joined back; top-100 is TakeOrdered") {
+    val p = plan("q2_min_cost_supplier")
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"LIMIT after ORDER BY must never be a global sort:\n$s")
+    assert(!s.contains("WindowExec"),
+      s"the per-part min must not be a window:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the correlated min must never be a per-row probe:\n$s")
+  }
+
+  test("q9_product_profit: dims broadcast; the only shuffled joins are fact-keyed") {
+    val p = plan("q9_product_profit")
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"part/supplier/nation must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"a five-way star join may contain no unkeyed join:\n$s")
+  }
+
+  test("q11_important_stock: the global total is a 1-row broadcast, never a window") {
+    val p = plan("q11_important_stock")
+    val s = p.toString
+    assert(!s.contains("WindowExec"),
+      s"no window over the per-part frame:\n$s")
+    // the only unkeyed join is the 1-row total attaching
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.size <= 1,
+      s"only the 1-row scalar may be unkeyed:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q12_shipclass_priority: ship window reaches the parquet scan; one keyed join") {
+    val p = plan("q12_shipclass_priority")
+    val s = p.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"the ship-year window must push down:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s)
+  }
+
+  test("q16_parts_supplier_counts: NOT IN is one anti join against a broadcast") {
+    val p = plan("q16_parts_supplier_counts")
+    val s = p.toString
+    assert(s.contains("LeftAnti"),
+      s"the flagged-supplier exclusion must be an anti join:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"flagged suppliers and the part filter must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty, s)
+  }
+
+  test("q20_excess_stock_suppliers: nested IN is semi joins; correlated sum is an aggregate joined back") {
+    val p = plan("q20_excess_stock_suppliers")
+    val s = p.toString
+    assert("LeftSemi".r.findAllIn(s).size >= 2,
+      s"part-name and supplier membership must both be semi joins:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"the correlated availability sum must never be a per-row probe:\n$s")
+  }
 }
