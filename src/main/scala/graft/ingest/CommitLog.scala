@@ -543,10 +543,10 @@ object CommitLog {
     *
     * Each call is one incremental step (run it per cron tick or after
     * each source publish); an already-caught-up call is a no-op.
-    * Source DML does NOT propagate (a delete/update swap rewrites
-    * offsets the destination already consumed) — after erasing from
-    * the source, apply the same predicate to the derivative, which is
-    * itself just a logged topic. A FILTERING transform stays correct
+    * Source DML does NOT propagate through this append feed (a
+    * delete/update swap rewrites offsets the destination already
+    * consumed) — cascade it with [[relayDml]] over the swap's version
+    * range. A FILTERING transform stays correct
     * (dropped rows are deterministically re-dropped on replay) but
     * offsets it drops never advance the destination's progress, so a
     * dropped tail re-scans on every call — keep tombstone rows (and
@@ -572,6 +572,93 @@ object CommitLog {
         "replay safety rides on (part, off) identity"))
     if (out.isEmpty) return current // everything new was filtered out
     writeLogged(out, outDir, dstTopic, flushSize, pad, format)
+  }
+
+  /** Cascade SOURCE DML into a [[relay]] derivative — the step a
+    * right-to-be-forgotten pipeline must not leave manual: a
+    * `deleteWhere`/`updateWhere`/`compactByKey` swap on the source
+    * rewrites offsets the destination already consumed, so [[relay]]
+    * (an append feed) never re-delivers them. This applies the SAME
+    * change to the destination in ONE atomic swap version:
+    *
+    *   - the change set is `diffRows(src, fromVersion, toVersion)` —
+    *     removed (part, off) keys erase from the destination; keys
+    *     re-added at the same (part, off) (an update's new content)
+    *     REPLACE the destination row with `transform` of the new row;
+    *   - destination files to rewrite are found by probing removed
+    *     keys against the snapshot's FILENAME ranges first (file-level
+    *     pruning — untouched files are never opened), then confirming
+    *     against actual rows, exactly deleteWhere's only-files-holding-
+    *     matches contract;
+    *   - a FILTERING transform composes: a replacement the filter
+    *     drops becomes a destination delete; an update to a row the
+    *     destination never held is skipped (its offset is already
+    *     inside consumed coverage — late-adding it would violate the
+    *     append-feed invariant);
+    *   - coverage can never shrink (eraseSwap's split/keeper
+    *     machinery), so destination resume and further relays stay
+    *     safe across the cascade.
+    *
+    * Re-running the same cascade is content-idempotent: a pure-delete
+    * cascade finds no matching rows and no-ops; an update cascade
+    * re-applies the identical replacement (a new version of equal
+    * content). `transform` must be the relay's own row-local,
+    * (part, off)-preserving transform. */
+  def relayDml(spark: SparkSession, outDir: String, srcTopic: String,
+               dstTopic: String, transform: DataFrame => DataFrame,
+               fromVersion: Long, toVersion: Long,
+               pad: Int = FileNaming.DefaultZeroPadWidth,
+               format: String = "parquet"): Long = {
+    require(BatchWriter.SelfDescribing(format),
+      s"relayDml needs a self-describing format retaining off, got: $format")
+    val current = latestVersion(spark, outDir, dstTopic)
+    if (fromVersion >= toVersion) return current
+    val (added, removed) =
+      diffRows(spark, outDir, srcTopic, fromVersion, toVersion, format)
+    val remKeys = removed.select(col("part"), col("off")).distinct()
+    val (_, files) = parsedSnapshot(spark, outDir, dstTopic, "dml-relayable")
+    // candidate destination files from NAMES alone: a file can hold a
+    // removed key only if its committed range covers the offset
+    import spark.implicits._
+    val ranges = broadcast(files.map { case (_, n, p, s, e) => (n, p, s, e) }
+      .toDF("__rn", "__p", "__s", "__e"))
+    val candNames = remKeys.join(ranges,
+        col("part") === col("__p") &&
+          col("off").between(col("__s"), col("__e")))
+      .select(col("__rn")).distinct().collect().map(_.getString(0)).toSet
+    if (candNames.isEmpty) return current
+    val cand = files.filter(f => candNames.contains(f._2))
+    val candRows = readFiles(spark, outDir, dstTopic, cand.map(_._1), format)
+      .withColumn("__n", srcFileName)
+    // confirm against actual rows: gappy coverage means a name range
+    // can claim an offset no row carries
+    val affectedNames = candRows
+      .join(remKeys, Seq("part", "off"), "left_semi")
+      .select(col("__n")).distinct().collect().map(_.getString(0)).toSet
+    if (affectedNames.isEmpty) return current
+    val affected = cand.filter(f => affectedNames.contains(f._2))
+    affected.foreach { case (_, n, _, s, e) =>
+      require(s != e,
+        s"single-offset destination file $n cannot split for a DML " +
+          "cascade (its rewrite would collide with the still-live " +
+          "original) — compact the destination first to widen the range")
+    }
+    // replacements: re-transform the UPDATED keys' new source content
+    val upd = added.join(remKeys, Seq("part", "off"), "left_semi")
+    val out = transform(upd)
+    Seq("part", "off").foreach(c => require(out.columns.contains(c),
+      s"relay transforms must preserve the ($c) envelope column — " +
+        "DML cascade rides on (part, off) identity"))
+    val old = candRows.filter(col("__n").isin(affectedNames.toSeq: _*))
+    val kept = old.join(remKeys, Seq("part", "off"), "left_anti")
+    // each replacement lands in the file that held its old row; the
+    // inner join drops replacements for rows the destination never
+    // held (a filtering transform's previously-dropped keys)
+    val keyFile = old.join(remKeys, Seq("part", "off"), "left_semi")
+      .select(col("part"), col("off"), col("__n"))
+    val replN = out.join(keyFile, Seq("part", "off"))
+    val sv = kept.unionByName(replN)
+    eraseSwap(spark, outDir, dstTopic, files, affectedNames, sv, pad, format)
   }
 
   /** Hidden-metadata source file name — valid only directly over a

@@ -409,6 +409,67 @@ object IngestQueries {
               |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
               |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- DML CASCADE to a derived topic (the right-to-be-forgotten
+    //      step relay's append feed cannot carry): build a FILTERING
+    //      derivative, then erase one user cohort and redact two more
+    //      at the SOURCE, and cascade the whole swap range with
+    //      relayDml — erased keys leave the derivative, updated keys
+    //      re-transform (one lands on the filter and becomes a
+    //      delete), rows the derivative never held stay absent. The
+    //      oracle recomputes the derivative from the raw table and the
+    //      same CASE logic, never seeing the erased rows: equality
+    //      proves the cascade is exact, not just plausible. ----
+    QuerySpec("commitlog_relay_dml",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-relaydml-q").toString
+        val in = stream(s, d).drop("topic", "ts", "value", "props")
+        val clean: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          df => df.filter(col("event_type") =!= "view")
+            .select(col("part"), col("off"), col("user_id"),
+              upper(col("event_type")).as("event_type"))
+        graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
+        val from = graft.ingest.CommitLog.latestVersion(s, dir, "events")
+        graft.ingest.CommitLog.relay(s, dir, "events", "clean", clean, 500)
+        // source DML batch: erasure + redaction + a filter-landing update
+        graft.ingest.CommitLog.deleteWhere(s, dir, "events",
+          pmod(col("user_id"), lit(7L)) === 0L)
+        graft.ingest.CommitLog.updateWhere(s, dir, "events",
+          pmod(col("user_id"), lit(5L)) === 0L,
+          Map("event_type" -> lit("redacted")))
+        graft.ingest.CommitLog.updateWhere(s, dir, "events",
+          pmod(col("user_id"), lit(11L)) === 0L,
+          Map("event_type" -> lit("view")))
+        val to = graft.ingest.CommitLog.latestVersion(s, dir, "events")
+        graft.ingest.CommitLog.relayDml(s, dir, "events", "clean", clean,
+          from, to)
+        val out = graft.ingest.CommitLog.read(s, dir, "clean")
+          .groupBy(col("part"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+          .orderBy(col("part"), col("event_type"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      // present in the derivative iff the ORIGINAL row passed the
+      // filter (it was relayed) AND the post-DML transform output
+      // still passes (the cascade did not delete it)
+      Some(s"""WITH src AS (SELECT event_id % ${P} AS part, user_id,
+              |    event_type AS orig_type,
+              |    CASE WHEN user_id % 11 = 0 THEN 'view'
+              |         WHEN user_id % 5 = 0 THEN 'redacted'
+              |         ELSE event_type END AS final_type
+              |  FROM events WHERE user_id % 7 <> 0)
+              |SELECT part, upper(final_type) AS event_type,
+              |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
+              |FROM src WHERE orig_type <> 'view' AND final_type <> 'view'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- Row-level DELETE through the log (the erasure primitive:
     //      right-to-be-forgotten / contamination retraction on
     //      ALREADY-committed data): ingest the stream, erase one

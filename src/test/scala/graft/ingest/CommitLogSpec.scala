@@ -231,6 +231,55 @@ class CommitLogSpec extends SparkSuite {
     }
   }
 
+  test("relayDml cascades source deletes and updates into the derivative atomically") {
+    val out = Files.createTempDirectory("clog-relaydml").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    // FILTERING + redacting transform: drops payloads ending in "7",
+    // uppercases the rest — exercises every cascade branch below
+    val clean: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(!col("payload").endsWith("7"))
+        .withColumn("payload", upper(col("payload")))
+    CommitLog.writeLogged(one(0L to 9L), out, "src", flushSize = 5) // v0
+    CommitLog.relay(spark, out, "src", "dst", clean, flushSize = 10)
+    assert(CommitLog.read(spark, out, "dst").count() === 9) // v7 filtered
+    val from = CommitLog.latestVersion(spark, out, "src")
+    // source DML batch: an erasure, a plain update, an update the
+    // filter now drops, and an update to a row the dst never held
+    CommitLog.deleteWhere(spark, out, "src", col("off") === 3L)
+    CommitLog.updateWhere(spark, out, "src", col("off") === 5L,
+      Map("payload" -> lit("patched")))
+    CommitLog.updateWhere(spark, out, "src", col("off") === 8L,
+      Map("payload" -> lit("drop7")))
+    CommitLog.updateWhere(spark, out, "src", col("off") === 7L,
+      Map("payload" -> lit("reborn")))
+    val to = CommitLog.latestVersion(spark, out, "src")
+    val dstV = CommitLog.latestVersion(spark, out, "dst")
+    CommitLog.relayDml(spark, out, "src", "dst", clean, from, to)
+    // ONE atomic swap version carries the whole cascade
+    assert(CommitLog.latestVersion(spark, out, "dst") === dstV + 1)
+    val back = CommitLog.read(spark, out, "dst")
+      .select(col("off"), col("payload")).as[(Long, String)].collect().toMap
+    assert(!back.contains(3L), "erased key must cascade out")
+    assert(back(5L) === "PATCHED", "updated key must re-transform")
+    assert(!back.contains(8L), "a replacement the filter drops is a delete")
+    assert(!back.contains(7L), "a never-held key must not late-add")
+    assert(back(0L) === "V0" && back(9L) === "V9", "bystanders byte-stable")
+    assert(back.size === 7)
+    // coverage never shrinks: replays keep dropping cascaded offsets
+    assert(CommitLog.maxOffsets(spark, out, "dst") === Map(0L -> 9L))
+    // the change feed reports exactly the cascade
+    val (added, removed) = CommitLog.diffRows(spark, out, "dst", dstV, dstV + 1)
+    assert(added.select("off").as[Long].collect().sorted === Array(5L))
+    assert(removed.select("off").as[Long].collect().sorted ===
+      Array(3L, 5L, 8L))
+    // re-running the same cascade is content-idempotent
+    CommitLog.relayDml(spark, out, "src", "dst", clean, from, to)
+    assert(CommitLog.read(spark, out, "dst").count() === 7)
+    // a caught-up cascade (empty version range) is a version no-op
+    assert(CommitLog.relayDml(spark, out, "src", "dst", clean, to, to) ===
+      CommitLog.latestVersion(spark, out, "dst"))
+  }
+
   test("deleteWhere runs on a json topic, including a json keeper file") {
     val out = Files.createTempDirectory("clog-del-json").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
