@@ -40,18 +40,55 @@ object ImageFixtures {
       s"unsupported fixture color type $other")
   }
 
-  /** A complete, valid PNG: IHDR + one zlib-deflated IDAT of zeroed
-    * filter-0 scanlines + IEND. 8-bit depth. */
-  def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+  /** A complete, valid PNG: IHDR + one zlib-deflated IDAT + IEND,
+    * 8-bit depth. Pixel content is the deterministic gradient
+    * `(x + y + c + seed) mod 256` — arithmetic a SQL oracle can
+    * recompute — and the scanline filter type CYCLES `y mod 5`, so a
+    * full decode round-trip exercises ALL FIVE RFC 2083 filters
+    * (None/Sub/Up/Average/Paeth), not just the identity one.
+    * `javax.imageio` reads the result back, independently of
+    * [[PngPixels]]. */
+  def pngBytes(w: Int, h: Int, colorType: Int, seed: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     val channels = pngColorChannels(colorType)
+    val stride = w * channels
+    // the unfiltered image, then each scanline filtered per RFC 2083
+    // §6 (the decoder's inverse lives in PngPixels.decode)
+    val img = Array.tabulate(h, stride)((y, i) =>
+      ((i / channels) + y + (i % channels) + seed) & 0xff)
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = img(y)(i)
+        val a = if (i >= channels) img(y)(i - channels) else 0
+        val b = if (y > 0) img(y - 1)(i) else 0
+        val c = if (y > 0 && i >= channels) img(y - 1)(i - channels) else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + stride) + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
     val ihdr = new ByteArrayOutputStream()
     ihdr.write(be32(w.toLong)); ihdr.write(be32(h.toLong))
     ihdr.write(8) // bit depth
     ihdr.write(colorType)
     ihdr.write(0); ihdr.write(0); ihdr.write(0) // deflate/adaptive/no-interlace
-    // raw image data: per scanline, 1 filter byte (0) + w*channels zeros
-    val raw = new Array[Byte](h * (1 + w * channels))
     val deflater = new Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](8192)

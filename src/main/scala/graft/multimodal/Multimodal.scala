@@ -14,12 +14,12 @@ import org.apache.spark.sql.types._
   * JPEG / GIF headers ([[ImageHeader]], pure JVM) for width / height /
   * channels / bit depth — the pass a 100 TB pipeline runs for
   * dimension filtering and resize planning without ever touching pixel
-  * data. Full pixel decode (the JNI/native codec) is still STUBBED
-  * (`decodeStub`) — the container has no image/audio pixel libraries —
-  * with a deterministic fake that preserves the real pipeline shape:
-  * schema, batching, partitioning, and the UDF-boundary column
-  * contract are all production-real; only the pixel interpretation is
-  * fake. Swap `decodeStub` for a codec call to go live.
+  * data. PNG PIXEL decode is REAL too ([[PngPixels]]: JDK Inflater +
+  * RFC 2083 unfiltering — no codec library needed), surfaced as
+  * per-channel statistics by [[decodePixelStats]]. Formats whose
+  * rasterization genuinely needs a native codec (JPEG, GIF, video
+  * frames) ride the byte-stats fallback (`decodeStub`) with the
+  * production batching/schema shape; swap in a codec call to go live.
   */
 object Multimodal {
 
@@ -42,9 +42,12 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false),
     StructField("feature", ArrayType(FloatType), nullable = false)))
 
-  /** ??? real codec goes here ??? — deterministic fake decode: byte
-    * statistics + a 16-dim byte-histogram "embedding". Same signature a
-    * real decoder would have: bytes in, fixed-width features out. */
+  /** Container-level fallback features: byte statistics + a 16-dim
+    * byte-histogram "embedding" over the RAW payload. This is the
+    * path for formats whose pixel decode needs a native codec (JPEG,
+    * GIF, video) — PNG has a REAL pixel decode ([[PngPixels]],
+    * [[decodePixelStats]]). Same signature a codec-backed decoder
+    * has: bytes in, fixed-width features out. */
   def decodeStub(payload: Array[Byte]): (Double, Int, Array[Float]) = {
     val n = math.max(payload.length, 1)
     val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
@@ -115,6 +118,64 @@ object Multimodal {
       floor(h * scale).cast("int").as("out_h"))
   }
 
+  /** Per-channel pixel-statistics row produced by the REAL pixel
+    * decode. `channel` is -1 for the byte-stats fallback row of a
+    * payload no in-JVM codec can rasterize. */
+  val pixelStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("channel", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_px", LongType, nullable = false),
+    StructField("min_px", IntegerType, nullable = false),
+    StructField("max_px", IntegerType, nullable = false),
+    StructField("mean_px", DoubleType, nullable = false)))
+
+  /** REAL pixel decode, batched: PNG payloads rasterize in-JVM
+    * ([[PngPixels]]: Inflater + RFC 2083 unfiltering) and emit one
+    * stats row per channel; payloads needing a native codec (JPEG,
+    * GIF, …) fall back to ONE byte-stats row at channel = -1, so the
+    * pass never fails a task and downstream can route on the channel
+    * sign. Sum/min/max are exact integers; the mean is one final IEEE
+    * division — the same discipline the SQL oracle follows. */
+  def decodePixelStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(pixelStatsSchema)
+    media.select(col("media_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        PngPixels.decode(bytes) match {
+          case Some(img) =>
+            val ch = img.channels
+            val n = img.width.toLong * img.height
+            val sums = new Array[Long](ch)
+            val mins = Array.fill(ch)(255)
+            val maxs = new Array[Int](ch)
+            var i = 0
+            while (i < img.pixels.length) {
+              val c = i % ch
+              val v = img.pixels(i) & 0xff
+              sums(c) += v
+              if (v < mins(c)) mins(c) = v
+              if (v > maxs(c)) maxs(c) = v
+              i += 1
+            }
+            (0 until ch).map(c => Row(id, c, n, sums(c), mins(c), maxs(c),
+              sums(c).toDouble / n.toDouble))
+          case None =>
+            val n = math.max(bytes.length, 1).toLong
+            var sum = 0L; var mn = 255; var mx = 0
+            bytes.foreach { b =>
+              val v = b & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            if (bytes.isEmpty) { mn = 0 }
+            Seq(Row(id, -1, n, sum, mn, mx, sum.toDouble / n.toDouble))
+        }
+      }(enc)
+  }
+
   /** Envelope row produced per media item by the REAL header decode. */
   val imageMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -167,7 +228,10 @@ object Multimodal {
           val alt = (id / 3) % 2 == 1
           (id % 3) match {
             case 0 => Row(id, "image/png",
-              ImageFixtures.pngBytes(w, h, if (alt) 6 else 2))
+              // gradient content seeded by id (mod 256 distributes, so
+              // the oracle can use (x+y+c+id) % 256 directly)
+              ImageFixtures.pngBytes(w, h, if (alt) 6 else 2,
+                seed = (id % 256).toInt))
             case 1 => Row(id, "image/jpeg",
               ImageFixtures.jpegBytes(w, h, if (alt) 1 else 3))
             case _ => Row(id, "image/gif", ImageFixtures.gifBytes(w, h))

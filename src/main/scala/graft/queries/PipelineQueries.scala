@@ -4820,6 +4820,36 @@ object PipelineQueries {
              |  CAST(8 AS INT) AS bit_depth
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // ---- Multimodal REAL PIXEL decode: the PNG payloads above carry
+    //      a deterministic gradient ((x+y+c+id) mod 256) filtered with
+    //      ALL FIVE RFC 2083 scanline filters (type cycles y mod 5);
+    //      PngPixels (JDK Inflater + unfiltering — no codec library)
+    //      rasterizes them inside the batched boundary and emits exact
+    //      per-channel integer stats. The oracle regenerates every
+    //      pixel arithmetically (unnest over x/y/channel ranges) — a
+    //      single wrong byte anywhere in deflate framing, filter
+    //      reconstruction, or channel interleave breaks the hash. ----
+    QuerySpec("multimodal_pixel_stats",
+      (s, d) => graft.multimodal.Multimodal.decodePixelStats(
+          graft.multimodal.Multimodal.syntheticImages(
+            Tables.documents(s, d).filter(col("doc_id") % 3 === 0)))
+        .orderBy(col("media_id"), col("channel")),
+      Some("""WITH dims AS (SELECT doc_id AS id, 1 + doc_id % 61 AS w,
+             |    1 + (doc_id * 7) % 53 AS h,
+             |    CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END AS ch
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |xs AS (SELECT id, h, ch, unnest(range(0, w)) AS x FROM dims),
+             |ys AS (SELECT id, ch, x, unnest(range(0, h)) AS y FROM xs),
+             |px AS (SELECT id, c AS channel, (x + y + c + id) % 256 AS v
+             |  FROM (SELECT id, x, y, unnest(range(0, ch)) AS c FROM ys)),
+             |st AS (SELECT id AS media_id, CAST(channel AS INT) AS channel,
+             |    count(*)::BIGINT AS n_px, CAST(sum(v) AS BIGINT) AS sum_px,
+             |    CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px
+             |  FROM px GROUP BY 1, 2)
+             |SELECT media_id, channel, n_px, sum_px, min_px, max_px,
+             |  CAST(sum_px AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_px
+             |FROM st ORDER BY media_id, channel""".stripMargin)),
+
     // ---- Multimodal REAL audio-envelope decode: spec-valid PCM WAV
     //      payloads synthesized per document (channels / sample rate /
     //      sample width / frame count derived arithmetically from
