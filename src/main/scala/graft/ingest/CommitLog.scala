@@ -637,12 +637,6 @@ object CommitLog {
       .select(col("__n")).distinct().collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return current
     val affected = cand.filter(f => affectedNames.contains(f._2))
-    affected.foreach { case (_, n, _, s, e) =>
-      require(s != e,
-        s"single-offset destination file $n cannot split for a DML " +
-          "cascade (its rewrite would collide with the still-live " +
-          "original) — compact the destination first to widen the range")
-    }
     // replacements: re-transform the UPDATED keys' new source content
     val upd = added.join(remKeys, Seq("part", "off"), "left_semi")
     val out = transform(upd)
@@ -657,6 +651,22 @@ object CommitLog {
     val keyFile = old.join(remKeys, Seq("part", "off"), "left_semi")
       .select(col("part"), col("off"), col("__n"))
     val replN = out.join(keyFile, Seq("part", "off"))
+    // single-offset refusal ONLY for files receiving a REPLACEMENT:
+    // their rewrite keeps the same offset span and would collide with
+    // the still-live original. Pure-delete single-offset files flow to
+    // eraseSwap unharmed (clean removal, or its keeper-corner refusal
+    // when the file pins the partition max). Fires BEFORE any write.
+    if (affected.exists { case (_, _, _, s, e) => s == e }) {
+      val replNames = replN.select(col("__n")).distinct()
+        .collect().map(_.getString(0)).toSet
+      affected.foreach { case (_, n, _, s, e) =>
+        require(s != e || !replNames.contains(n),
+          s"single-offset destination file $n cannot split for an " +
+            "update cascade (its rewrite would collide with the " +
+            "still-live original) — compact the destination first " +
+            "to widen the range")
+      }
+    }
     val sv = kept.unionByName(replN)
     eraseSwap(spark, outDir, dstTopic, files, affectedNames, sv, pad, format)
   }
@@ -954,13 +964,52 @@ object CommitLog {
     val plan = BatchWriter.planCompaction(listed, targetRecords)
     val multi = plan.groups.filter(_.files.size > 1)
     if (multi.isEmpty) return latestVersion(spark, outDir, topic)
+    // Collision safety against NON-LIVE files still on disk: a merged
+    // group's output name is the min/max of its rows' offsets — a
+    // sub-range of the group span — and the idempotent-redo rename
+    // would silently ADOPT any same-named file. Two distinct cases:
+    //   - a crashed predecessor's UNPUBLISHED staging (referenced by
+    //     no retained version): no reader can hold it — PURGE it, so
+    //     the redo rewrites fresh instead of adopting bytes that may
+    //     predate an intervening row-level DML;
+    //   - a file RETAINED for old pins (e.g. the pre-split original
+    //     after deleteWhere split [0,9] into [0,4]+[6,9] — merging
+    //     them back plans exactly the name [0,9]): neither purge
+    //     (pinned readers) nor adopt (would RESURRECT erased rows) is
+    //     safe — SKIP any group whose span overlaps it this cycle;
+    //     vacuum/truncate clears it and a later maintain merges.
+    val liveRels = snapshot(spark, outDir, topic).toSet
+    val nonLive = BatchWriter.listCommittedRel(spark, outDir, topic)
+      .filterNot(liveRels.contains)
+    val safe = if (nonLive.isEmpty) multi else {
+      val referenced = (versions(spark, outDir, topic)
+        .flatMap(v => changesAt(spark, outDir, topic, v)._1) ++
+        checkpointBase(spark, outDir, topic)._2).toSet
+      val (retained, orphans) = nonLive.partition(referenced.contains)
+      val f = fs(spark, outDir)
+      orphans.foreach(rel =>
+        f.delete(new Path(s"$outDir/$topic/$rel"), false))
+      val staleByPart = retained.flatMap { rel =>
+        rel.split('/').last match {
+          case re(t, p, s, e, _) if t == topic =>
+            Some((p.toLong, s.toLong, e.toLong))
+          case _ => None
+        }
+      }.groupBy(_._1)
+      multi.filter { g =>
+        !staleByPart.getOrElse(g.partition, Nil).exists { case (_, s, e) =>
+          s <= g.end && e >= g.start
+        }
+      }
+    }
+    if (safe.isEmpty) return latestVersion(spark, outDir, topic)
 
     val committed =
-      BatchWriter.rewriteGroups(spark, outDir, topic, multi, pad, format)
+      BatchWriter.rewriteGroups(spark, outDir, topic, safe, pad, format)
 
     val v = publish(spark, outDir, topic,
       adds = committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"),
-      removes = multi.flatMap(g => g.files.map(n => s"partition=${g.partition}/$n")))
+      removes = safe.flatMap(g => g.files.map(n => s"partition=${g.partition}/$n")))
     // the swap just rewrote the live set wholesale — the natural moment
     // to rebase snapshot replay on a checkpoint (idempotent on redo)
     checkpoint(spark, outDir, topic)

@@ -231,6 +231,34 @@ class CommitLogSpec extends SparkSuite {
     }
   }
 
+  test("compactLogged never adopts a retained pre-split file — erased rows stay erased") {
+    val out = Files.createTempDirectory("clog-resurrect").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    CommitLog.writeLogged(one(0L to 9L), out, "t", flushSize = 10) // [0,9]
+    CommitLog.deleteWhere(spark, out, "t", col("off") === 5L) // split [0,4]+[6,9]
+    // merging the splits plans EXACTLY the pre-split name [0,9], whose
+    // file is still on disk for version-0 pins — the idempotent-redo
+    // rename would adopt it and resurrect the erased row
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 64)
+    assert(CommitLog.read(spark, out, "t").count() === 9,
+      "an erased row must not resurrect through compaction")
+    // the colliding group was SKIPPED, not adopted or purged: splits
+    // stay live, and the pre-delete pin still reads in full
+    assert(CommitLog.snapshot(spark, out, "t").size === 2)
+    assert(CommitLog.read(spark, out, "t", asOf = 0L).count() === 10)
+    // once a newer append lets truncation advance and vacuum clear the
+    // stale original, the merge proceeds
+    CommitLog.writeLogged(one(10L to 12L), out, "t", flushSize = 10)
+    CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
+    CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
+    assert(CommitLog.read(spark, out, "t").count() === 12)
+    assert(CommitLog.snapshot(spark, out, "t").size === 1,
+      "after vacuum clears the stale file the merge must proceed")
+    assert(CommitLog.read(spark, out, "t")
+      .select("off").as[Long].collect().sorted ===
+      ((0L to 12L).filter(_ != 5L)).toArray)
+  }
+
   test("relayDml cascades source deletes and updates into the derivative atomically") {
     val out = Files.createTempDirectory("clog-relaydml").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
@@ -327,8 +355,49 @@ class CommitLogSpec extends SparkSuite {
       }
       mo
     }
+    // derived-topic leg: a FILTERING relay derivative maintained by
+    // relay (appends) + relayDml (DML cascades) after every op; its
+    // expected content derives purely from the source model. Bang
+    // counts only grow, so the filter is monotone: once a row crosses
+    // two bangs it can never resurrect — the cascade's held-iff rule
+    // stays a pure function of the current source model.
+    val tf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(!col("payload").endsWith("!!"))
+        .withColumn("payload", concat(lit("D:"), col("payload")))
+    var lastV = -1L
+    def syncDerived(): Unit = {
+      val vNow = CommitLog.latestVersion(spark, out, "t")
+      CommitLog.relay(spark, out, "t", "dt", tf, flushSize = 3)
+      try CommitLog.relayDml(spark, out, "t", "dt", tf, lastV, vNow)
+      catch { case e: IllegalArgumentException =>
+        // the documented remediation: widen single-offset destination
+        // files, then the same cascade must succeed. An append first
+        // (so log truncation can advance past the pre-split swap
+        // versions), then TWO maintain passes: the first's compaction
+        // rightly SKIPS merge groups whose planned range overlaps a
+        // non-live pre-split file (the resurrection hazard this fuzz
+        // exposed) while truncate+vacuum clear those files, and the
+        // second pass merges.
+        assert(e.getMessage.contains("compact"), e.getMessage)
+        appendBatch()
+        CommitLog.relay(spark, out, "t", "dt", tf, flushSize = 3)
+        CommitLog.maintain(spark, out, "dt", targetRecords = 64, graceMs = 0)
+        CommitLog.maintain(spark, out, "dt", targetRecords = 64, graceMs = 0)
+        CommitLog.relayDml(spark, out, "t", "dt", tf, lastV, vNow)
+      }
+      lastV = vNow
+      val got = CommitLog.read(spark, out, "dt")
+        .select("part", "off", "payload")
+        .as[(Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val want = model.collect {
+        case (ko, v) if !v.endsWith("!!") => ko -> s"D:$v"
+      }
+      assert(got === want, "derived rows must equal transform(model)")
+    }
     appendBatch()
     var cover = check(Map.empty)
+    syncDerived()
     for (_ <- 1 to 12) {
       val k = rnd.nextInt(4)
       rnd.nextInt(4) match {
@@ -365,6 +434,7 @@ class CommitLogSpec extends SparkSuite {
           }
       }
       cover = check(cover)
+      syncDerived()
     }
     // erasure completes at vacuum; the live set is untouched by it
     CommitLog.vacuum(spark, out, "t", graceMs = 0)
