@@ -19,9 +19,12 @@ object AudioFixtures {
     ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
 
   /** A complete, valid PCM WAV: RIFF header + canonical `fmt ` chunk +
-    * zeroed `data` chunk of `nFrames` frames. */
+    * a `data` chunk of `nFrames` frames carrying the deterministic
+    * sample pattern a SQL oracle can recompute — 8-bit (unsigned, per
+    * spec): `(f + 3c + seed) mod 256`; 16-bit (signed LE):
+    * `((5f + 7c + seed) mod 65536) - 32768` for frame f, channel c. */
   def wavBytes(channels: Int, sampleRate: Int, bitsPerSample: Int,
-               nFrames: Long): Array[Byte] = {
+               nFrames: Long, seed: Long = 0L): Array[Byte] = {
     require(channels > 0 && sampleRate > 0 && nFrames >= 0 &&
       (bitsPerSample == 8 || bitsPerSample == 16),
       s"bad wav fixture: ch=$channels rate=$sampleRate bits=$bitsPerSample")
@@ -42,7 +45,26 @@ object AudioFixtures {
     out.write(le16(bitsPerSample))
     out.write("data".getBytes("US-ASCII"))
     out.write(le32(dataSize))
-    out.write(new Array[Byte](dataSize.toInt)) // silence
+    val data = new Array[Byte](dataSize.toInt)
+    var f = 0L
+    var i = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        if (bitsPerSample == 8) {
+          data(i) = (((f + 3 * c + seed) % 256).toInt & 0xff).toByte
+          i += 1
+        } else {
+          val v = (((5 * f + 7 * c + seed) % 65536) - 32768).toInt
+          data(i) = (v & 0xff).toByte
+          data(i + 1) = ((v >> 8) & 0xff).toByte
+          i += 2
+        }
+        c += 1
+      }
+      f += 1
+    }
+    out.write(data)
     out.toByteArray
   }
 }

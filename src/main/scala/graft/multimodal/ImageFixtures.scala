@@ -48,14 +48,43 @@ object ImageFixtures {
     * (None/Sub/Up/Average/Paeth), not just the identity one.
     * `javax.imageio` reads the result back, independently of
     * [[PngPixels]]. */
-  def pngBytes(w: Int, h: Int, colorType: Int, seed: Int = 0): Array[Byte] = {
+  def pngBytes(w: Int, h: Int, colorType: Int, seed: Int = 0): Array[Byte] =
+    encodePng(w, h, colorType, (x, y, c) => (x + y + c + seed) & 0xff)
+
+  /** Pseudo-random-content PNG for perceptual-hash tests: pixel =
+    * `(mix(x, y, c, key) & 0x7f) + brightness`. Content is decided by
+    * `key` alone; values stay ≤ 0x7f + brightness ≤ 255 (no clamp, no
+    * wrap), so two images sharing a key differ by a CONSTANT offset —
+    * exactly the brightness-shifted near-duplicate a difference hash
+    * must collapse. */
+  def pngBytesHashed(w: Int, h: Int, colorType: Int, key: Long,
+                     brightness: Int): Array[Byte] = {
+    require(brightness >= 0 && brightness <= 128, s"brightness $brightness")
+    // murmur-style avalanche: the key multiplies in BEFORE the spatial
+    // terms (a plain XOR constant would shift every pixel by the same
+    // low-bit mask and keep most pixel comparisons key-independent)
+    encodePng(w, h, colorType, (x, y, c) => {
+      var m = (key * 0x9E3779B97F4A7C15L).toInt
+      m = (m ^ x) * 0x85EBCA6B
+      m = (m ^ y) * 0xC2B2AE35
+      m = (m ^ c) * 0x27D4EB2F
+      m ^= m >>> 15
+      (m & 0x7f) + brightness
+    })
+  }
+
+  /** The shared PNG encoder behind both content generators: filter
+    * type CYCLES `y mod 5` (all five RFC 2083 filters), zlib via the
+    * JDK Deflater. */
+  private def encodePng(w: Int, h: Int, colorType: Int,
+                        pixel: (Int, Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     val channels = pngColorChannels(colorType)
     val stride = w * channels
     // the unfiltered image, then each scanline filtered per RFC 2083
     // §6 (the decoder's inverse lives in PngPixels.decode)
     val img = Array.tabulate(h, stride)((y, i) =>
-      ((i / channels) + y + (i % channels) + seed) & 0xff)
+      pixel(i / channels, y, i % channels) & 0xff)
     val raw = new Array[Byte](h * (1 + stride))
     var y = 0
     while (y < h) {

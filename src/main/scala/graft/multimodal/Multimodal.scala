@@ -240,6 +240,147 @@ object Multimodal {
       }(enc)
   }
 
+  /** Difference hash (dHash) of a decoded raster — the standard
+    * 64-bit perceptual fingerprint: a 9×8 point-sampled grayscale grid
+    * (integer channel sums, exact), one bit per horizontally-adjacent
+    * pair (`right > left`). Invariant to any CONSTANT brightness shift
+    * that neither clamps nor wraps (all comparisons shift together),
+    * which is exactly the near-duplicate class exposure-adjusted
+    * re-encodes produce. Pure integer algebra — bit-identical
+    * everywhere. */
+  def dHash(img: PngPixels.Image): Long = {
+    val g = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val y = (j * img.height) / 8
+        val x = (i * img.width) / 9
+        val base = (y * img.width + x) * img.channels
+        var s = 0L
+        var c = 0
+        while (c < img.channels) { s += img.pixels(base + c) & 0xff; c += 1 }
+        g(j)(i) = s
+        i += 1
+      }
+      j += 1
+    }
+    var bits = 0L
+    var jj = 0
+    while (jj < 8) {
+      var ii = 0
+      while (ii < 8) {
+        if (g(jj)(ii + 1) > g(jj)(ii)) bits |= 1L << (jj * 8 + ii)
+        ii += 1
+      }
+      jj += 1
+    }
+    bits
+  }
+
+  /** Perceptual-fingerprint row per decodable image. */
+  val imageHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** REAL pixel decode → [[dHash]] per PNG payload, batched.
+    * Undecodable payloads are dropped (they have no raster to hash —
+    * route them through [[decodeImages]]' quarantine path instead). */
+  def decodeDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageHashSchema)
+    media.select(col("media_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        PngPixels.decode(bytes).map(img => Row(id, dHash(img)))
+      }(enc)
+  }
+
+  /** Synthesize an image corpus with PLANTED brightness-shifted
+    * near-duplicates: documents sharing `doc_id mod 250` share pixel
+    * CONTENT (and dims/color type — all key-derived) but carry a
+    * copy-dependent brightness offset, bounded so nothing clamps. A
+    * perceptual dedup must pair exactly the same-key documents. */
+  def syntheticNearDupImages(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val key = id % 250
+          val ct = (key % 4) match {
+            case 0 => 0; case 1 => 2; case 2 => 4; case _ => 6
+          }
+          Row(id, "image/png", ImageFixtures.pngBytesHashed(
+            w = (16 + key % 17).toInt,
+            h = (16 + (key * 3) % 13).toInt,
+            colorType = ct,
+            key = key,
+            brightness = ((id / 250) * 13 % 100).toInt))
+        }
+      }(enc)
+  }
+
+  /** Per-channel sample-statistics row produced by the REAL PCM
+    * decode. `channel` is -1 for the byte-stats fallback row of a
+    * payload that is not integer PCM at 8/16 bits. */
+  val sampleStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("channel", IntegerType, nullable = false),
+    StructField("n_smp", LongType, nullable = false),
+    StructField("sum_smp", LongType, nullable = false),
+    StructField("min_smp", IntegerType, nullable = false),
+    StructField("max_smp", IntegerType, nullable = false),
+    StructField("mean_smp", DoubleType, nullable = false)))
+
+  /** REAL PCM sample decode, batched ([[PcmSamples]]): WAV payloads
+    * emit one exact-integer stats row per channel — the
+    * loudness/clipping/silence gate of an audio curation pipeline;
+    * anything else falls back to ONE byte-stats row at channel = -1.
+    * Same discipline as [[decodePixelStats]]: integer sums, one final
+    * IEEE division for the mean. */
+  def decodeSampleStats(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(sampleStatsSchema)
+    media.select(col("media_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        PcmSamples.decode(bytes) match {
+          case Some(a) if a.nFrames > 0 =>
+            val ch = a.channels
+            val sums = new Array[Long](ch)
+            val mins = Array.fill(ch)(Int.MaxValue)
+            val maxs = Array.fill(ch)(Int.MinValue)
+            var i = 0
+            while (i < a.samples.length) {
+              val c = i % ch
+              val v = a.samples(i)
+              sums(c) += v
+              if (v < mins(c)) mins(c) = v
+              if (v > maxs(c)) maxs(c) = v
+              i += 1
+            }
+            (0 until ch).map(c => Row(id, c, a.nFrames, sums(c), mins(c),
+              maxs(c), sums(c).toDouble / a.nFrames.toDouble))
+          case _ =>
+            val n = math.max(bytes.length, 1).toLong
+            var sum = 0L; var mn = 255; var mx = 0
+            bytes.foreach { b =>
+              val v = b & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            if (bytes.isEmpty) { mn = 0 }
+            Seq(Row(id, -1, n, sum, mn, mx, sum.toDouble / n.toDouble))
+        }
+      }(enc)
+  }
+
   /** Envelope row produced per media item by the REAL audio decode. */
   val audioMetaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -290,7 +431,8 @@ object Multimodal {
             channels = (1 + id % 2).toInt,
             sampleRate = rate,
             bitsPerSample = if ((id / 3) % 2 == 1) 8 else 16,
-            nFrames = (1 + id % 199) * 41))
+            nFrames = (1 + id % 199) * 41,
+            seed = id))
         }
       }(enc)
   }

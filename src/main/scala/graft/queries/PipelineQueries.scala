@@ -4850,6 +4850,35 @@ object PipelineQueries {
              |  CAST(sum_px AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_px
              |FROM st ORDER BY media_id, channel""".stripMargin)),
 
+    // ---- Multimodal NEAR-DUP detection via perceptual hash: a
+    //      planted corpus where documents sharing doc_id mod 250 carry
+    //      the SAME pseudo-random pixel content at copy-dependent
+    //      brightness (the exposure-adjusted re-encode class); each
+    //      payload REALLY decodes (PngPixels) and hashes (64-bit
+    //      dHash, brightness-shift invariant by integer algebra), and
+    //      equal hashes pair up through one self-join on the hash —
+    //      the exact-fingerprint dedup shape applied to pixels. The
+    //      oracle knows which documents are twins from the planting
+    //      arithmetic alone: hash equality must recover exactly that
+    //      relation — a collision, a missed shift-invariance, or any
+    //      decode drift breaks the match. ----
+    QuerySpec("multimodal_image_neardup",
+      (s, d) => {
+        val hashed = TrackedCache.persist(
+          graft.multimodal.Multimodal.decodeDHash(
+            graft.multimodal.Multimodal.syntheticNearDupImages(
+              Tables.documents(s, d))))
+        hashed.as("a").join(hashed.as("b"),
+            col("a.dhash") === col("b.dhash") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"))
+          .orderBy(col("lo"), col("hi"))
+      },
+      Some("""SELECT a.doc_id AS lo, b.doc_id AS hi
+             |FROM documents a JOIN documents b
+             |  ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
+             |ORDER BY lo, hi""".stripMargin)),
+
     // ---- Multimodal REAL audio-envelope decode: spec-valid PCM WAV
     //      payloads synthesized per document (channels / sample rate /
     //      sample width / frame count derived arithmetically from
@@ -4874,6 +4903,37 @@ object PipelineQueries {
              |    (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 11025
              |      ELSE 16000 END) AS BIGINT) AS duration_ms
              |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ---- Multimodal REAL PCM SAMPLE decode: the WAV payloads above
+    //      carry a deterministic seeded sample pattern (8-bit unsigned
+    //      per spec, 16-bit signed little-endian); PcmSamples locates
+    //      the data chunk and reconstructs every sample — pure byte
+    //      algebra, no codec — and the query emits exact per-channel
+    //      integer stats (the loudness/clipping/silence gate of an
+    //      audio curation pipeline). The oracle regenerates every
+    //      sample arithmetically: a single wrong byte in chunk walk,
+    //      sign handling, or channel interleave breaks the hash. ----
+    QuerySpec("multimodal_sample_stats",
+      (s, d) => graft.multimodal.Multimodal.decodeSampleStats(
+          graft.multimodal.Multimodal.syntheticAudio(Tables.documents(s, d)))
+        .orderBy(col("media_id"), col("channel")),
+      Some("""WITH dims AS (SELECT doc_id AS id, 1 + doc_id % 2 AS ch,
+             |    CASE WHEN (doc_id // 3) % 2 = 1 THEN 8 ELSE 16 END AS bits,
+             |    (1 + doc_id % 199) * 41 AS nf
+             |  FROM documents),
+             |fs AS (SELECT id, ch, bits, unnest(range(0, nf)) AS f FROM dims),
+             |sm AS (SELECT id, CAST(c AS INT) AS channel,
+             |    CASE WHEN bits = 8 THEN (f + 3*c + id) % 256
+             |         ELSE ((5*f + 7*c + id) % 65536) - 32768 END AS v
+             |  FROM (SELECT id, bits, f, unnest(range(0, ch)) AS c FROM fs)),
+             |st AS (SELECT id AS media_id, channel, count(*)::BIGINT AS n_smp,
+             |    CAST(sum(v) AS BIGINT) AS sum_smp,
+             |    CAST(min(v) AS INT) AS min_smp,
+             |    CAST(max(v) AS INT) AS max_smp
+             |  FROM sm GROUP BY 1, 2)
+             |SELECT media_id, channel, n_smp, sum_smp, min_smp, max_smp,
+             |  CAST(sum_smp AS DOUBLE) / CAST(n_smp AS DOUBLE) AS mean_smp
+             |FROM st ORDER BY media_id, channel""".stripMargin)),
 
     // ---- Multimodal REAL video-envelope decode: structurally-valid
     //      MP4 (ISO-BMFF) payloads synthesized per document (pixel

@@ -57,6 +57,24 @@ class PngPixelsSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash: invariant to brightness shift, discriminates content keys") {
+    def hashOf(key: Long, brightness: Int, ct: Int = 2): Long =
+      Multimodal.dHash(PngPixels.decode(
+        ImageFixtures.pngBytesHashed(20, 18, ct, key, brightness)).get)
+    // the same content at five different exposures hashes identically
+    val base = hashOf(7L, 0)
+    for (b <- Seq(13, 40, 77, 100, 128))
+      assert(hashOf(7L, b) === base, s"brightness $b broke invariance")
+    // distinct content keys produce distinct hashes (64-bit dHash over
+    // pseudo-random content — a collision here means the grid/bit
+    // plumbing is degenerate, e.g. all-ones from monotone content)
+    val hs = (0L until 50L).map(k => hashOf(k, 20))
+    assert(hs.distinct.size === hs.size, "content keys must discriminate")
+    // and every supported color type round-trips through the hash
+    for (ct <- Seq(0, 2, 4, 6))
+      assert(hashOf(3L, 10, ct) === hashOf(3L, 90, ct), s"ct=$ct")
+  }
+
   test("non-PNG and malformed payloads return None, never throw") {
     assert(PngPixels.decode(Array.emptyByteArray).isEmpty)
     assert(PngPixels.decode("plainly not a png".getBytes("UTF-8")).isEmpty)
