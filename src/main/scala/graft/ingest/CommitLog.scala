@@ -671,6 +671,54 @@ object CommitLog {
     eraseSwap(spark, outDir, dstTopic, files, affectedNames, sv, pad, format)
   }
 
+  /** ONE maintenance tick for a relay derivative — the call a cron
+    * schedules instead of hand-sequencing [[relay]] and [[relayDml]]:
+    * forward the source's NEW rows, then cascade any source DML since
+    * the last tick. The cascade watermark (highest source version
+    * already cascaded) rides the engine's filename-as-metadata
+    * contract: a companion logged topic `<dst>__cascade` whose single
+    * committed offset IS the watermark — recovered from names alone,
+    * no sidecar state, no operator bookkeeping, and [[maintainAll]]
+    * sweeps it like any topic without disturbing its max offset.
+    *
+    * Crash ordering: cascade FIRST, marker second. A crash between
+    * them re-runs the same cascade next tick — content-idempotent by
+    * [[relayDml]]'s contract — and a crash before the cascade simply
+    * retries. A fresh destination bootstraps its watermark at the
+    * CURRENT source version (the initial relay reads live, post-DML
+    * data, so there is nothing older to cascade); a pre-existing
+    * destination without a marker conservatively cascades from
+    * version 0 once (idempotent, converges). Same retention contract
+    * as any pinned read: tick at least as often as source log
+    * truncation, or the diff range refuses loudly. */
+  def maintainDerived(spark: SparkSession, outDir: String, srcTopic: String,
+                      dstTopic: String, transform: DataFrame => DataFrame,
+                      flushSize: Int,
+                      pad: Int = FileNaming.DefaultZeroPadWidth,
+                      format: String = "parquet"): Long = {
+    val marker = s"${dstTopic}__cascade"
+    val cur = latestVersion(spark, outDir, srcTopic)
+    val fresh = latestVersion(spark, outDir, dstTopic) < 0
+    relay(spark, outDir, srcTopic, dstTopic, transform, flushSize, pad,
+      format)
+    val w = maxOffsets(spark, outDir, marker)
+      .getOrElse(0L, if (fresh) cur else 0L)
+    if (cur > w) {
+      relayDml(spark, outDir, srcTopic, dstTopic, transform, w, cur, pad,
+        format)
+      import spark.implicits._
+      writeLogged(Seq((0L, cur)).toDF("part", "off"), outDir, marker,
+        flushSize = 1, pad, format)
+    } else if (fresh && cur >= 0)
+      { // pin the bootstrap watermark so the first DML-less ticks
+        // don't fall back to a full-history cascade later
+        import spark.implicits._
+        writeLogged(Seq((0L, cur)).toDF("part", "off"), outDir, marker,
+          flushSize = 1, pad, format)
+      }
+    latestVersion(spark, outDir, dstTopic)
+  }
+
   /** Hidden-metadata source file name — valid only directly over a
     * file scan, before any reprojection. */
   private def srcFileName: Column =

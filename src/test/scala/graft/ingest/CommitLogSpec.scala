@@ -308,6 +308,39 @@ class CommitLogSpec extends SparkSuite {
       CommitLog.latestVersion(spark, out, "dst"))
   }
 
+  test("maintainDerived: one tick forwards appends and cascades DML; watermark rides filenames") {
+    val out = Files.createTempDirectory("clog-maintder").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    val up: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("payload", upper(col("payload")))
+    CommitLog.writeLogged(one(0L to 4L), out, "src", flushSize = 5) // v0
+    // bootstrap tick: relay catches up, watermark pins at the current
+    // source version (nothing older to cascade)
+    CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
+    assert(CommitLog.read(spark, out, "dst").count() === 5)
+    assert(CommitLog.maxOffsets(spark, out, "dst__cascade") === Map(0L -> 0L))
+    // one tick covers an append AND a delete AND an update together
+    CommitLog.writeLogged(one(5L to 7L), out, "src", flushSize = 5)   // v1
+    CommitLog.deleteWhere(spark, out, "src", col("off") === 1L)       // v2
+    CommitLog.updateWhere(spark, out, "src", col("off") === 3L,
+      Map("payload" -> lit("patched")))                               // v3
+    CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
+    val back = CommitLog.read(spark, out, "dst")
+      .select(col("off"), col("payload")).as[(Long, String)].collect().toMap
+    assert(back.keySet === Set(0L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(back(3L) === "PATCHED" && back(0L) === "V0" && back(7L) === "V7")
+    assert(CommitLog.maxOffsets(spark, out, "dst__cascade") === Map(0L -> 3L))
+    // a caught-up tick is a no-op: no new dst version, watermark stable
+    val v = CommitLog.latestVersion(spark, out, "dst")
+    assert(CommitLog.maintainDerived(spark, out, "src", "dst", up, 10) === v)
+    assert(CommitLog.latestVersion(spark, out, "dst") === v)
+    assert(CommitLog.maxOffsets(spark, out, "dst__cascade") === Map(0L -> 3L))
+    // crash between cascade and marker: re-running the cascade range
+    // converges (content-idempotent), so simply re-cascading is safe
+    CommitLog.relayDml(spark, out, "src", "dst", up, 0L, 3L)
+    assert(CommitLog.read(spark, out, "dst").count() === 7)
+  }
+
   test("deleteWhere runs on a json topic, including a json keeper file") {
     val out = Files.createTempDirectory("clog-del-json").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
