@@ -643,7 +643,11 @@ object CommitLog {
     Seq("part", "off").foreach(c => require(out.columns.contains(c),
       s"relay transforms must preserve the ($c) envelope column — " +
         "DML cascade rides on (part, off) identity"))
-    val old = candRows.filter(col("__n").isin(affectedNames.toSeq: _*))
+    // re-scan exactly the affected files by PATH (deleteWhere's
+    // pattern) — never an isin over file names, which at a 100k-file
+    // topic would be a giant In expression in the plan
+    val old = readFiles(spark, outDir, dstTopic, affected.map(_._1), format)
+      .withColumn("__n", srcFileName)
     val kept = old.join(remKeys, Seq("part", "off"), "left_anti")
     // each replacement lands in the file that held its old row; the
     // inner join drops replacements for rows the destination never
