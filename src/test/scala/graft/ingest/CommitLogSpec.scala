@@ -339,6 +339,11 @@ class CommitLogSpec extends SparkSuite {
     // converges (content-idempotent), so simply re-cascading is safe
     CommitLog.relayDml(spark, out, "src", "dst", up, 0L, 3L)
     assert(CommitLog.read(spark, out, "dst").count() === 7)
+    // the nightly sweep treats the marker as an ordinary topic and
+    // must not disturb the watermark it carries
+    CommitLog.maintainAll(spark, out, targetRecords = 64, graceMs = 0)
+    assert(CommitLog.maxOffsets(spark, out, "dst__cascade") === Map(0L -> 3L))
+    assert(CommitLog.read(spark, out, "dst").count() === 7)
   }
 
   test("deleteWhere runs on a json topic, including a json keeper file") {
