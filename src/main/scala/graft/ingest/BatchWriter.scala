@@ -417,7 +417,22 @@ object BatchWriter {
   private[graft] def loadCommitted(spark: SparkSession, baseDir: String,
                                     format: String,
                                     paths: Seq[String]): DataFrame =
-    spark.read.option("basePath", baseDir).format(format).load(paths: _*)
+    // mergeSchema: a topic's schema can EVOLVE mid-stream (the
+    // schema-change rotation path writes the new shape into the same
+    // topic), so the read schema must be the UNION of the read set's
+    // file schemas — without it the reader samples one footer and
+    // silently drops evolved columns, and a DML rewrite would then
+    // destroy them in every file it touches. Per-read-set union also
+    // keeps DML schema-preserving: survivors of pre-evolution files
+    // rewrite in their own shape. (Parquet/ORC honor the option; json
+    // infers across files anyway; csv/text carry no schema.) Cost:
+    // one distributed footer-merge pass over the read set — measured
+    // within run-to-run noise, and pruned reads (DML, index probes)
+    // touch few files; if a 100k-file full scan ever makes this the
+    // bottleneck, the escape hatch is recording the schema per log
+    // version and passing it explicitly.
+    spark.read.option("basePath", baseDir).option("mergeSchema", "true")
+      .format(format).load(paths: _*)
       .withColumnRenamed("partition", "part")
       // partition-dir discovery infers int; the stream schema is long
       .withColumn("part", col("part").cast("long"))

@@ -346,6 +346,33 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.read(spark, out, "dst").count() === 7)
   }
 
+  test("schema-evolved topic: reads union file schemas; DML preserves evolved columns") {
+    val out = Files.createTempDirectory("clog-evo").toString
+    CommitLog.writeLogged(Seq((0L, 0L, "a"), (0L, 1L, "b"))
+      .toDF("part", "off", "payload"), out, "t", flushSize = 10)
+    // mid-stream evolution: later appends carry an extra column (the
+    // schema-change rotation path writes the new shape into the topic)
+    CommitLog.writeLogged(Seq((0L, 2L, "c", 7L), (0L, 3L, "d", 8L))
+      .toDF("part", "off", "payload", "extra"), out, "t", flushSize = 10)
+    // the read schema is the UNION — pre-evolution rows null-fill
+    val all = CommitLog.read(spark, out, "t")
+    assert(all.schema.fieldNames.toSet === Set("part", "off", "payload", "extra"),
+      s"evolved column must not silently drop: ${all.schema.fieldNames.toSeq}")
+    assert(all.filter(col("extra").isNull).count() === 2)
+    // predicates on the evolved column resolve across the whole topic
+    CommitLog.deleteWhere(spark, out, "t", col("extra") === 7L)
+    val back = CommitLog.read(spark, out, "t").orderBy("off")
+      .select(col("off"), col("payload"), col("extra"))
+      .as[(Long, String, Option[Long])].collect()
+    assert(back === Seq((0L, "a", None), (1L, "b", None), (3L, "d", Some(8L))),
+      "the rewrite must keep the evolved column's surviving values")
+    // DML touching ONLY a pre-evolution file stays in its own shape:
+    // the untouched post-evolution file still carries its data
+    CommitLog.deleteWhere(spark, out, "t", col("off") === 0L)
+    assert(CommitLog.read(spark, out, "t")
+      .filter(col("extra").isNotNull).count() === 1)
+  }
+
   test("deleteWhere runs on a json topic, including a json keeper file") {
     val out = Files.createTempDirectory("clog-del-json").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
