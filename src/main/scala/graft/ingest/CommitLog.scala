@@ -392,7 +392,20 @@ object CommitLog {
       else readFiles(spark, outDir, topic, like, format).limit(0)
     val newer = readOrEmpty(toOnly, fromOnly)
     val older = readOrEmpty(fromOnly, toOnly)
-    (newer.exceptAll(older), older.exceptAll(newer))
+    // a diff spanning a schema EVOLUTION reads different column sets
+    // on the two sides — align both to the typed union (null-fill via
+    // zero-row unionByName, then one canonical column order) so
+    // exceptAll compares rows, not shapes: an unchanged row still
+    // cancels, and an evolved row's change is visible
+    val (na, oa) =
+      if (newer.columns.toSeq == older.columns.toSeq) (newer, older)
+      else {
+        val n2 = newer.unionByName(older.limit(0), allowMissingColumns = true)
+        val o2 = older.unionByName(newer.limit(0), allowMissingColumns = true)
+        val cols = n2.columns.sorted.map(col).toSeq
+        (n2.select(cols: _*), o2.select(cols: _*))
+      }
+    (na.exceptAll(oa), oa.exceptAll(na))
   }
 
   /** Offset restore from the log alone (the filename-as-metadata

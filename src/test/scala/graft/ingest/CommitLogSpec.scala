@@ -371,6 +371,19 @@ class CommitLogSpec extends SparkSuite {
     CommitLog.deleteWhere(spark, out, "t", col("off") === 0L)
     assert(CommitLog.read(spark, out, "t")
       .filter(col("extra").isNotNull).count() === 1)
+    // the change feed spans the evolution boundary: sides align to the
+    // typed column union instead of failing on shape mismatch
+    val (add01, rem01) = CommitLog.diffRows(spark, out, "t", 0L, 1L)
+    assert(add01.select("off").as[Long].collect().sorted === Array(2L, 3L))
+    assert(rem01.count() === 0)
+    val (_, remDel) = CommitLog.diffRows(spark, out, "t", 1L, 3L)
+    assert(remDel.select("off").as[Long].collect().sorted === Array(0L, 2L),
+      "both erasures visible across the mixed-schema span")
+    // one side all pre-evolution (2 columns), the other mixed (3): the
+    // alignment branch pads the old side and unchanged rows cancel
+    val (addW, remW) = CommitLog.diffRows(spark, out, "t", 0L, 3L)
+    assert(addW.select("off").as[Long].collect().sorted === Array(3L))
+    assert(remW.select("off").as[Long].collect().sorted === Array(0L))
   }
 
   test("deleteWhere runs on a json topic, including a json keeper file") {
