@@ -546,6 +546,46 @@ object IngestQueries {
               |  count(*) FILTER (user_id % 7 = 0) AS n_redacted
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- SCHEMA EVOLUTION through the log: the stream's shape WIDENS
+    //      mid-topic (the schema-change rotation path writes the new
+    //      shape into the same topic), and reads must union the file
+    //      schemas — pre-evolution rows null-fill the new column, and
+    //      aggregates group across the boundary. The oracle recomputes
+    //      the same frame with a CASE at the cut offset: a reader that
+    //      samples one footer (dropping the evolved column) or
+    //      mis-fills either half breaks the hash. ----
+    QuerySpec("commitlog_schema_evolution",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-evo-q").toString
+        val in = stream(s, d).select(col("part"), col("off"),
+          col("user_id"), col("event_type"))
+        val cut = in.agg(max(col("off"))).head().getLong(0) / 2
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") <= cut).drop("event_type"),
+          dir, "events", flushSize = 500)
+        graft.ingest.CommitLog.writeLogged(
+          in.filter(col("off") > cut), dir, "events", flushSize = 500)
+        val out = graft.ingest.CommitLog.read(s, dir, "events")
+          .groupBy(col("part"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"))
+          .orderBy(col("part"), col("event_type"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      Some(s"""WITH cut AS (SELECT max(event_id) // 2 AS c FROM events)
+              |SELECT event_id % ${P} AS part,
+              |  CASE WHEN event_id <= (SELECT c FROM cut) THEN NULL
+              |    ELSE event_type END AS event_type,
+              |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- DESCRIBE HISTORY for the transactional log: per version,
     //      the commit kind (append vs compaction swap — the protocol's
     //      two-kind invariant), the snapshot row count and partition
