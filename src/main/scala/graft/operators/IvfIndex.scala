@@ -296,6 +296,95 @@ object IvfIndex {
     ()
   }
 
+  /** GC the generation lifecycle under `root` — the piece of the
+    * nightly sweep [[dropGeneration]] alone doesn't schedule. Two
+    * kinds of reclaimable state accumulate under a generation root:
+    *
+    *   - RETIRED generations (gen < current): every [[rebuild]]
+    *     leaves its predecessor intact for in-flight readers, and
+    *     nothing else ever deletes it — without a sweep, a weekly
+    *     rebuild cadence keeps 52 full index copies a year on disk.
+    *   - ORPHANED generations (gen > current): a rebuild that crashed
+    *     after building but before the pointer flip. Worse than dead
+    *     weight: the next rebuild targets current+1 — the orphan's
+    *     own slot — and [[build]]'s fresh-dir refusal rejects the
+    *     half-built leftovers, so until the orphan is purged the root
+    *     cannot rebuild at all.
+    *
+    * `graceMs` mirrors [[graft.ingest.CommitLog.vacuum]]'s retention
+    * contract, applied to each racer:
+    *
+    *   - retired generations drop only once the LAST pointer flip is
+    *     at least `graceMs` old. The flip that installed the current
+    *     generation is exactly the moment the newest retired one
+    *     stopped serving, and every older one retired earlier still —
+    *     so one driver-side mtime check bounds the drain age of all
+    *     of them. (Right after a flip nothing drops; the next sweep
+    *     converges. Size it above the longest search runtime, same
+    *     rule as vacuum.)
+    *   - orphans drop only once their NEWEST file is `graceMs` old,
+    *     so a rebuild actively writing gen=current+1 right now is
+    *     never swept out from under its builder.
+    *
+    * Returns the dropped generation numbers. Idempotent; a crash
+    * mid-sweep leaves some generations dropped and a re-run
+    * converges. */
+  def maintainGenerations(spark: SparkSession, root: String,
+                          graceMs: Long = 15 * 60 * 1000L): Seq[Long] = {
+    val f = fs(spark, root)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) return Seq.empty
+    val cur = currentGeneration(spark, root)
+    val gens = f.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("gen=\\d+"))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong).sorted
+    val now = System.currentTimeMillis()
+    val flipAgeMs =
+      if (cur < 0) -1L
+      else now - f.getFileStatus(new Path(s"$root/$CurrentPtr"))
+        .getModificationTime
+    val dropped = Seq.newBuilder[Long]
+    gens.foreach { g =>
+      if (g < cur && flipAgeMs >= graceMs) {
+        dropGeneration(spark, root, g)
+        dropped += g
+      } else if (g > cur) {
+        var newest = f.getFileStatus(new Path(genDir(root, g)))
+          .getModificationTime
+        val it = f.listFiles(new Path(genDir(root, g)), true)
+        while (it.hasNext)
+          newest = math.max(newest, it.next().getModificationTime)
+        if (now - newest >= graceMs) {
+          dropGeneration(spark, root, g)
+          dropped += g
+        }
+      }
+    }
+    dropped.result()
+  }
+
+  /** One-call nightly maintenance for a generation root — the index
+    * leg of the sweep [[graft.ingest.CommitLog.maintainAll]] runs for
+    * plain log stores: GC retired/orphaned generations, then run the
+    * full log-plane lifecycle (compact → checkpoint → truncate →
+    * vacuum) over the CURRENT generation's topics. Compaction
+    * preserves the `partition=<cell>` layout, so the cell-pruned
+    * serving path ([[prunedRels]]) is exactly as selective after the
+    * sweep — appends under the frozen quantizer accrete small
+    * per-cell files and this is what merges them. No-ops (beyond the
+    * orphan scan) on a root with nothing installed yet. */
+  def maintainIndex(spark: SparkSession, root: String,
+                    targetRecords: Long,
+                    graceMs: Long = 15 * 60 * 1000L)
+      : (Seq[Long], Map[String, CommitLog.Maintenance]) = {
+    val droppedGens = maintainGenerations(spark, root, graceMs)
+    val logPlane =
+      if (currentGeneration(spark, root) < 0) Map.empty[String, CommitLog.Maintenance]
+      else CommitLog.maintainAll(spark, currentDir(spark, root),
+        targetRecords, graceMs)
+    (droppedGens, logPlane)
+  }
+
   private def fs(spark: SparkSession, root: String): FileSystem =
     FileSystem.get(new Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)

@@ -233,6 +233,75 @@ class IvfIndexSpec extends SparkSuite {
       IvfIndex.PqCodesTopic).count() === 7, "gen 1 encodes the grown corpus")
   }
 
+  test("generation GC: retired generations sweep out, in-grace and serving stay") {
+    val root = Files.createTempDirectory("ivf-gen-gc").toString
+    val grown = base.union(Seq(6L -> Seq(50L, 50L)).toDF("id", "v"))
+    assert(IvfIndex.rebuild(base, root, k = 2, iters = 2) === 0L)
+    assert(IvfIndex.rebuild(grown, root, k = 2, iters = 2) === 1L)
+    // a just-flipped root under a real grace window drops NOTHING:
+    // gen 0's readers may still be draining
+    assert(IvfIndex.maintainGenerations(spark, root,
+      graceMs = 60 * 60 * 1000L) === Seq.empty)
+    assert(IvfIndex.currentGeneration(spark, root) === 1L)
+    // drained (grace elapsed): exactly the one retired generation goes
+    assert(IvfIndex.maintainGenerations(spark, root, graceMs = 0L) === Seq(0L))
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/gen=0")))
+    // serving uninterrupted through the sweep
+    assert(IvfIndex.vectors(spark, IvfIndex.currentDir(spark, root))
+      .count() === 7)
+    // idempotent: nothing left to drop
+    assert(IvfIndex.maintainGenerations(spark, root, graceMs = 0L) === Seq.empty)
+  }
+
+  test("generation GC: a crashed rebuild's orphan blocks rebuilds until swept") {
+    val root = Files.createTempDirectory("ivf-gen-orphan").toString
+    val grown = base.union(Seq(6L -> Seq(50L, 50L)).toDF("id", "v"))
+    assert(IvfIndex.rebuild(base, root, k = 2, iters = 2) === 0L)
+    // simulate a rebuild that built gen 1 in full but crashed before
+    // the pointer flip: the index exists, `_current` still says 0
+    IvfIndex.build(grown, s"$root/gen=1", k = 2, iters = 2)
+    assert(IvfIndex.currentGeneration(spark, root) === 0L)
+    // the next rebuild targets gen 1 — the orphan's own slot — and the
+    // fresh-dir refusal rejects it: the root cannot rebuild at all
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(grown, root, k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("already built"))
+    // an ACTIVE builder is protected: under a real grace the orphan's
+    // fresh files keep it alive
+    assert(IvfIndex.maintainGenerations(spark, root,
+      graceMs = 60 * 60 * 1000L) === Seq.empty)
+    // stale (grace elapsed): the sweep purges it and rebuilds converge
+    assert(IvfIndex.maintainGenerations(spark, root, graceMs = 0L) === Seq(1L))
+    assert(IvfIndex.rebuild(grown, root, k = 2, iters = 2) === 1L)
+    assert(IvfIndex.vectors(spark, IvfIndex.currentDir(spark, root))
+      .count() === 7)
+  }
+
+  test("maintainIndex: one call sweeps generations AND the serving log plane") {
+    val root = Files.createTempDirectory("ivf-maint").toString
+    val grown = base.union(Seq(6L -> Seq(50L, 50L)).toDF("id", "v"))
+    IvfIndex.rebuild(base, root, k = 2, iters = 2)
+    IvfIndex.rebuild(grown, root, k = 2, iters = 2)
+    // grow the serving generation with per-row flushes: small files accrete
+    IvfIndex.append(Seq(7L -> Seq(98L, 98L), 8L -> Seq(3L, 1L))
+      .toDF("id", "v"), IvfIndex.currentDir(spark, root), flushSize = 1)
+    val dir1 = IvfIndex.currentDir(spark, root)
+    val filesBefore = CommitLog.snapshot(spark, dir1, IvfIndex.VectorsTopic).size
+    val (dropped, logPlane) =
+      IvfIndex.maintainIndex(spark, root, targetRecords = 100, graceMs = 0L)
+    assert(dropped === Seq(0L))
+    assert(logPlane.contains(IvfIndex.VectorsTopic))
+    assert(CommitLog.snapshot(spark, dir1, IvfIndex.VectorsTopic).size
+      < filesBefore)
+    // the compacted index serves identically (cell pruning layout kept)
+    val ns = IvfIndex.search(spark, dir1, Seq(1L), nprobe = 1, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(ns === Set(3L, 5L, 7L))
+  }
+
   test("index topics compact and vacuum like any logged topic") {
     val idx = Files.createTempDirectory("ivf-idx-compact").toString
     IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 1)
