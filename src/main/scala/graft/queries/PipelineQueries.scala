@@ -4,7 +4,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupFunctions => DF, NativeExpressions, SimilarityFunctions => SF, TextFunctions => TF}
+import graft.ingest.CommitLog
 import graft.operators.{IvfIndex, KMeans, LinearClassifier, NearestCentroid, Shuffle, Winnowing}
+import graft.streaming.DedupIngest
 import graft.tables.Tables
 
 /** Large-scale training-data-pipeline operators over `documents` and
@@ -860,6 +862,14 @@ object PipelineQueries {
   private def dropHotBandsSql(src: String, key: String): String =
     s"(SELECT * FROM $src QUALIFY count(*) OVER (PARTITION BY $key) <= $MaxBandMembers)"
 
+  /** DuckDB mirror of the streaming gate's signature-agreement count
+    * (DedupIngest's `agree`): the number of slots on which signatures
+    * aliased `x` and `y` (columns s0..s15 from the `sig` CTE) agree. */
+  private val slotAgreeSql: String =
+    (0 until DF.numMinhashes)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+
   /** THE band-blocked candidate generation every MinHash consumer
     * shares: distinct (lo, hi) doc-id pairs sharing a band key,
     * lo < hi, hot bands capped (see [[MaxBandMembers]]). One definition
@@ -1027,15 +1037,23 @@ object PipelineQueries {
       dir
     })
 
-  /** One committed-corpus index-plane build per (JVM, corpus dir) for
-    * `curation_incremental`: the corpus-side exact-fingerprint set
-    * (`fp/`), 3-gram shingle sets (`sh/`), and MinHash band keys
-    * (`bands/`) as parquet artifacts — the batch stand-in for the
-    * `_fp`/`_mh` planes the streaming gates maintain at commit time.
-    * The incremental query then pays ONLY the batch-side work plus
-    * plane probes, which is the actual daily production cost; the
-    * oracle still re-derives the planes from the corpus, so the
-    * artifact contents are hash-checked every round. */
+  /** The topic name the served curation corpus commits under — ONE
+    * logical artifact for batch and streaming admission. */
+  private[graft] val CurationTopic = "curated_docs"
+
+  /** One committed-corpus plane build per (JVM, corpus dir) for
+    * `curation_incremental`: the corpus is COMMITTED through the
+    * transactional log (payload = the text column, envelope part/off
+    * derived from doc_id), then the `_fp` exact-fingerprint and `_mh`
+    * MinHash-signature planes are installed by the SAME
+    * [[DedupIngest.rebuildFingerprints]]/[[DedupIngest.rebuildSignatures]]
+    * hooks the streaming gates run after an erasure — so batch
+    * admission and streaming admission read ONE served state in ONE
+    * format, and the post-DML rebuild story covers both by
+    * construction. The incremental query then pays ONLY the
+    * batch-side work plus plane probes (the actual daily production
+    * cost); the oracle still re-derives every decision from the raw
+    * corpus, so the plane contents are hash-checked every round. */
   private val curationPlaneDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def servedCurationPlanes(s: org.apache.spark.sql.SparkSession,
@@ -1046,13 +1064,11 @@ object PipelineQueries {
       NativeExpressions.register(s)
       val corpus = Tables.documents(s, d)
         .filter(col("doc_id") % 5 =!= 0 && col("doc_id") >= 25)
-      corpus.select(md5(col("text").cast("binary")).as("fp")).distinct()
-        .write.parquet(s"$dir/fp")
-      val shC = corpus.select(col("doc_id"),
-        TF.shingles(TF.tokens(col("text")), 3).as("sh"))
-      shC.write.parquet(s"$dir/sh")
-      minhashBandsFrom(s.read.parquet(s"$dir/sh")).write
-        .parquet(s"$dir/bands")
+        .select((col("doc_id") % 8).as("part"), col("doc_id").as("off"),
+          col("text"))
+      CommitLog.writeLogged(corpus, dir, CurationTopic, flushSize = 1 << 20)
+      DedupIngest.rebuildFingerprints(s, dir, CurationTopic)
+      DedupIngest.rebuildSignatures(s, dir, CurationTopic, "text")
       dir
     })
 
@@ -5061,21 +5077,25 @@ object PipelineQueries {
     //      admitted against the committed corpus WITHOUT re-running
     //      any stage over the corpus — the shape a 100 TB pipeline
     //      actually runs daily (the full pipeline ran once; every day
-    //      after is this query). Stages mirror the streaming
-    //      admission gates (DedupIngest) in batch form: quality gate
-    //      on the BATCH only → exact-fingerprint admission (not
-    //      already committed + lowest in-batch id per fp) → near-dup
-    //      admission (banded candidates vs the corpus AND within the
-    //      batch, exact Jaccard ≥ 0.5 verify on candidates only) →
-    //      benchmark decontamination. Scale shape: the corpus NEVER
-    //      self-joins — its fingerprint/band/shingle frames stand in
-    //      for the committed `_fp`/`_mh` index planes (one corpus
-    //      pass each here; ZERO passes in production, where the
-    //      planes are committed artifacts the gates maintain) and
-    //      every join carries batch-sized keys on one side; corpus
-    //      hot bands are capped (a band that hot is signal-free), and
-    //      in-batch candidates go through the shared capped
-    //      candidatePairs. ----
+    //      after is this query). The corpus-side state is EXACTLY the
+    //      streaming gates' served planes — the corpus is committed
+    //      through the transactional log and its `_fp`/`_mh` indexes
+    //      installed by the DedupIngest rebuild hooks (see
+    //      [[servedCurationPlanes]]) — and the admission rules are the
+    //      gates' own: quality gate on the BATCH only →
+    //      exact-fingerprint admission (fp not in the `_fp` plane +
+    //      lowest in-batch id per fp, ONE fingerprint definition
+    //      shared with the gate) → near-dup admission (batch
+    //      signatures band-probe the `_mh` plane, dup = a committed
+    //      signature sharing a band and agreeing on ≥ half the slots;
+    //      in-batch pairs run the same rule through the shared capped
+    //      candidatePairs) → benchmark decontamination. Scale shape:
+    //      the corpus NEVER self-joins and never re-reads text (the
+    //      planes are 16 bytes / 16 longs per doc), every join
+    //      carries batch-sized keys on one side (batch bands
+    //      BROADCAST into the corpus index — the streaming gate's own
+    //      plan), and corpus hot bands are capped (a band that hot is
+    //      signal-free). ----
     QuerySpec("curation_incremental",
       (s, d) => {
         NativeExpressions.register(s)
@@ -5087,43 +5107,56 @@ object PipelineQueries {
             col("lang") === "en" && col("quality") >= 0.5 &&
             col("n_tokens").between(10, 5000))
           .select(col("doc_id"), col("n_tokens"))
+        // gate-side fingerprints: the SAME function over the SAME
+        // payload shape (text only) the corpus committed under
+        val fpSrc = docs.select(col("doc_id").as("off"), col("text"))
+        val bFp = fpSrc.select(col("off").as("doc_id"),
+          DedupIngest.fingerprint(fpSrc).as("fp"))
         val batch = TrackedCache.persist(
-          docs.join(keptQ, Seq("doc_id"))
+          docs.join(keptQ, Seq("doc_id")).join(bFp, Seq("doc_id"))
             .select(col("doc_id"), col("source"), col("n_tokens"),
-              md5(col("text").cast("binary")).as("fp")))
-        // committed-corpus state: the SERVED index planes
-        val corpusFp = s.read.parquet(s"$planes/fp")
+              col("fp")))
         // stage 2: exact admission — lowest in-batch id per fp, and
-        // never a fingerprint the corpus already committed
+        // never a fingerprint the served `_fp` plane already holds
+        val corpusFp = DedupIngest.fingerprintIndex(s, planes, CurationTopic)
         val lowest = batch.groupBy(col("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
         val survE = TrackedCache.persist(
           batch.join(lowest, Seq("fp", "doc_id"), "left_semi")
             .join(corpusFp, Seq("fp"), "left_anti")
             .select(col("doc_id"), col("source"), col("n_tokens")))
-        // stage 3: near-dup admission against the served _mh plane.
-        // Only the batch survivors re-shingle; batch bands probe the
-        // capped corpus bands, in-batch pairs go through the shared
-        // capped candidatePairs, exact Jaccard decides both.
-        val shB = TrackedCache.persist(
+        // stage 3: near-dup admission against the served `_mh` plane
+        // by the streaming gate's own rule. Only batch survivors
+        // re-sign; sub-3-token records have no signature and bypass
+        // this gate on both sides (the exact gate owns degenerates).
+        val sigB = TrackedCache.persist(DedupIngest.sigOf(
           docs.join(survE.select(col("doc_id")), Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh")))
-        val shC = s.read.parquet(s"$planes/sh")
-        val bandsB = TrackedCache.persist(minhashBandsFrom(shB))
-        val bandsC = dropHotBands(s.read.parquet(s"$planes/bands"), "band")
-        val candC = bandsB.as("a")
-          .join(bandsC.as("b"), col("a.band") === col("b.band"))
-          .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-          .distinct()
-        val dupVsCorpus = candC
-          .join(shB.as("x"), col("ia") === col("x.doc_id"))
-          .join(shC.as("y"), col("ib") === col("y.doc_id"))
-          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
-          .select(col("ia").as("doc_id")).distinct()
-        val dupInBatch = candidatePairs(bandsB, "ia", "ib")
-          .join(shB.as("x"), col("ia") === col("x.doc_id"))
-          .join(shB.as("y"), col("ib") === col("y.doc_id"))
-          .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
+            .select(col("doc_id"), col("text")), "text", Seq("doc_id")))
+        val sigSlots = (0 until DF.numMinhashes).map(i => col("sig")(i))
+        val bandsB = TrackedCache.persist(sigB.withColumn("band",
+          explode(DF.bandKeys(sigSlots, 4))))
+        val corpusBands = dropHotBands(
+          DedupIngest.minhashIndex(s, planes, CurationTopic)
+            .withColumn("band", explode(DF.bandKeys(sigSlots, 4))), "band")
+        val agreeNC = aggregate(
+          zip_with(col("nsig"), col("sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        val dupVsCorpus = corpusBands
+          .join(broadcast(bandsB.select(col("doc_id"),
+            col("sig").as("nsig"), col("band"))), Seq("band"))
+          .select(col("doc_id"), col("nsig"), col("sig")).distinct()
+          .filter(agreeNC >= DF.numMinhashes / 2)
+          .select(col("doc_id")).distinct()
+        val agreeXY = aggregate(
+          zip_with(col("x.sig"), col("y.sig"),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+        val dupInBatch = candidatePairs(
+            bandsB.select(col("doc_id"), col("band")), "ia", "ib")
+          .join(sigB.as("x"), col("ia") === col("x.doc_id"))
+          .join(sigB.as("y"), col("ib") === col("y.doc_id"))
+          .filter(agreeXY >= DF.numMinhashes / 2)
           .select(col("ib").as("doc_id")).distinct()
         val survN = survE.join(dupVsCorpus, Seq("doc_id"), "left_anti")
           .join(dupInBatch, Seq("doc_id"), "left_anti")
@@ -5145,47 +5178,34 @@ object PipelineQueries {
               |kq AS (SELECT doc_id, n_tokens FROM ($textStatsCoreSql)
               |  WHERE doc_id % 5 = 0 AND doc_id >= 25 AND lang = 'en'
               |    AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 5000),
-              |bt AS (SELECT d.doc_id, d.source, k.n_tokens, md5(d.text) AS fp
+              |bt AS (SELECT d.doc_id, d.source, k.n_tokens, d.text
               |  FROM documents d JOIN kq k USING (doc_id)),
-              |cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents
-              |  WHERE doc_id % 5 <> 0 AND doc_id >= 25),
-              |lo AS (SELECT fp, min(doc_id) AS doc_id FROM bt GROUP BY 1),
+              |lo AS (SELECT text, min(doc_id) AS doc_id FROM bt GROUP BY 1),
               |se AS (SELECT b.doc_id, b.source, b.n_tokens FROM bt b
-              |  JOIN lo USING (fp, doc_id)
-              |  WHERE b.fp NOT IN (SELECT fp FROM cfp)),
+              |  JOIN lo USING (text, doc_id)
+              |  WHERE b.text NOT IN (SELECT text FROM documents
+              |    WHERE doc_id % 5 <> 0 AND doc_id >= 25)),
               |bb AS (SELECT * FROM bands
               |  WHERE doc_id IN (SELECT doc_id FROM se)),
+              |bsig AS (SELECT * FROM sig
+              |  WHERE doc_id IN (SELECT doc_id FROM se)),
+              |csig AS (SELECT * FROM sig
+              |  WHERE doc_id % 5 <> 0 AND doc_id >= 25),
               |ccand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
               |  FROM bb a JOIN ${dropHotBandsSql(
                   "(SELECT * FROM bands WHERE doc_id % 5 <> 0 AND doc_id >= 25)",
                   "band")} b
               |  ON a.band = b.band),
-              |cp AS (SELECT ia, ib,
-              |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
-              |  FROM ccand JOIN sh x ON x.doc_id = ia
-              |    JOIN sh y ON y.doc_id = ib),
-              |cj AS (SELECT ia,
-              |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter,
-              |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
-              |  FROM cp),
-              |dvc AS (SELECT DISTINCT ia AS doc_id FROM cj
-              |  WHERE (CASE WHEN szsum - inter = 0.0 THEN 1.0
-              |    ELSE inter / (szsum - inter) END) >= 0.5),
+              |dvc AS (SELECT DISTINCT ia AS doc_id FROM ccand
+              |  JOIN bsig x ON x.doc_id = ia JOIN csig y ON y.doc_id = ib
+              |  WHERE ($slotAgreeSql) >= ${DF.numMinhashes / 2}),
               |bcand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
               |  FROM ${dropHotBandsSql("bb", "band")} a
               |  JOIN ${dropHotBandsSql("bb", "band")} b
               |  ON a.band = b.band AND a.doc_id < b.doc_id),
-              |bp AS (SELECT ia, ib,
-              |    list_distinct(x.sh) AS da, list_distinct(y.sh) AS db
-              |  FROM bcand JOIN sh x ON x.doc_id = ia
-              |    JOIN sh y ON y.doc_id = ib),
-              |bj AS (SELECT ib,
-              |    CAST(len(list_filter(da, v -> list_contains(db, v))) AS DOUBLE) AS inter,
-              |    CAST(len(da) + len(db) AS DOUBLE) AS szsum
-              |  FROM bp),
-              |dib AS (SELECT DISTINCT ib AS doc_id FROM bj
-              |  WHERE (CASE WHEN szsum - inter = 0.0 THEN 1.0
-              |    ELSE inter / (szsum - inter) END) >= 0.5),
+              |dib AS (SELECT DISTINCT ib AS doc_id FROM bcand
+              |  JOIN bsig x ON x.doc_id = ia JOIN bsig y ON y.doc_id = ib
+              |  WHERE ($slotAgreeSql) >= ${DF.numMinhashes / 2}),
               |sn AS (SELECT * FROM se
               |  WHERE doc_id NOT IN (SELECT doc_id FROM dvc)
               |    AND doc_id NOT IN (SELECT doc_id FROM dib)),

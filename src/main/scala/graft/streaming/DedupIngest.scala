@@ -373,8 +373,8 @@ object DedupIngest {
     * are ABSENT from the result — they bypass the near-dup gate (the
     * exact gate is the right tool for degenerate payloads) and index
     * nothing. */
-  private def sigOf(df: DataFrame, textCol: String,
-                    keyCols: Seq[String]): DataFrame = {
+  private[graft] def sigOf(df: DataFrame, textCol: String,
+                           keyCols: Seq[String]): DataFrame = {
     val ks = keyCols.map(col)
     val h = call_function("hash60_md5",
       col("__s").cast("binary")) % DF.MinhashPrime
