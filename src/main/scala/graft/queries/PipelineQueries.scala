@@ -5135,19 +5135,12 @@ object PipelineQueries {
         val sigSlots = (0 until DF.numMinhashes).map(i => col("sig")(i))
         val bandsB = TrackedCache.persist(sigB.withColumn("band",
           explode(DF.bandKeys(sigSlots, 4))))
-        val corpusBands = dropHotBands(
-          DedupIngest.minhashIndex(s, planes, CurationTopic)
-            .withColumn("band", explode(DF.bandKeys(sigSlots, 4))), "band")
-        val agreeNC = aggregate(
-          zip_with(col("nsig"), col("sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v)
-        val dupVsCorpus = corpusBands
-          .join(broadcast(bandsB.select(col("doc_id"),
-            col("sig").as("nsig"), col("band"))), Seq("band"))
-          .select(col("doc_id"), col("nsig"), col("sig")).distinct()
-          .filter(agreeNC >= DF.numMinhashes / 2)
-          .select(col("doc_id")).distinct()
+        // vs corpus: the STREAMING GATE'S OWN probe function — one
+        // shared definition, so batch and stream admission can't drift
+        val dupVsCorpus = DedupIngest.dupAgainstIndex(s, planes,
+          CurationTopic, sigB, Seq("doc_id"),
+          minAgree = DF.numMinhashes / 2, rowsPerBand = 4,
+          capIndex = df => dropHotBands(df, "band"))
         val agreeXY = aggregate(
           zip_with(col("x.sig"), col("y.sig"),
             (a, b) => when(a === b, 1).otherwise(0)),

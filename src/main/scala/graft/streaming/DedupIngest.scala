@@ -411,6 +411,42 @@ object DedupIngest {
       textCol, Seq("__rid")).select(col("sig"))
   }
 
+  /** The near-dup admission PROBE every consumer of the `_mh` plane
+    * runs — the streaming gate per micro-batch and the batch
+    * incremental-curation query per daily batch, so the two admission
+    * paths cannot drift: incoming signatures (`keyCols` + `sig`)
+    * band-probe the committed signature index, and a row is a
+    * duplicate iff SOME committed signature shares an LSH band key
+    * with it AND agrees on at least `minAgree` of the
+    * [[graft.functions.DedupFunctions.numMinhashes]] slots. The
+    * incoming side BROADCASTS into the index — the corpus never
+    * shuffles, the scale contract of every gate. `capIndex` lets the
+    * batch caller cap hot index bands before the probe (a band shared
+    * by hundreds of committed docs is signal-free boilerplate); the
+    * streaming gate, whose batches are micro, passes identity.
+    * Returns the distinct `keyCols` of duplicate rows. */
+  private[graft] def dupAgainstIndex(spark: SparkSession, outDir: String,
+                                     topic: String, sigs: DataFrame,
+                                     keyCols: Seq[String], minAgree: Int,
+                                     rowsPerBand: Int,
+                                     capIndex: DataFrame => DataFrame = identity)
+      : DataFrame = {
+    val sigSlots = (0 until DF.numMinhashes).map(i => col("sig")(i))
+    val nb = sigs
+      .withColumn("band", explode(DF.bandKeys(sigSlots, rowsPerBand)))
+      .select(keyCols.map(col) :+ col("sig").as("nsig") :+ col("band"): _*)
+    val ib = capIndex(minhashIndex(spark, outDir, topic)
+      .withColumn("band", explode(DF.bandKeys(sigSlots, rowsPerBand))))
+    val agree = aggregate(
+      zip_with(col("nsig"), col("sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    ib.join(broadcast(nb), Seq("band"))
+      .select(keyCols.map(col) :+ col("nsig") :+ col("sig"): _*).distinct()
+      .filter(agree >= minAgree)
+      .select(keyCols.map(col): _*).distinct()
+  }
+
   /** Advance the `_mh` watermark to the commit log's latest version —
     * the signature plane's [[reconcileFingerprints]]: per-version
     * rebuild from committed files for the normal 1–2-version crash
@@ -475,24 +511,12 @@ object DedupIngest {
     NativeExpressions.register(spark)
     reconcileSignatures(spark, outDir, topic, textCol, format)
     val write = StreamIngest.writerFor(outDir, topic, flushSize, format, avroCodec)
-    val sigSlots = (0 until DF.numMinhashes).map(i => col("sig")(i))
-    def withBands(df: DataFrame): DataFrame =
-      df.withColumn("band", explode(DF.bandKeys(sigSlots, rowsPerBand)))
     StreamIngest.commitLoop(stream, checkpoint, trigger,
       initial = CommitLog.maxOffsets(spark, outDir, topic),
       writeFn = fresh => {
         val bsig = sigOf(fresh, textCol, Seq("part", "off"))
-        val nb = withBands(bsig)
-          .select(col("part"), col("off"), col("sig").as("nsig"), col("band"))
-        val ib = withBands(minhashIndex(spark, outDir, topic))
-        val agree = aggregate(
-          zip_with(col("nsig"), col("sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v)
-        val dup = ib.join(broadcast(nb), Seq("band"))
-          .select(col("part"), col("off"), col("nsig"), col("sig")).distinct()
-          .filter(agree >= minAgree)
-          .select(col("part"), col("off")).distinct()
+        val dup = dupAgainstIndex(spark, outDir, topic, bsig,
+          Seq("part", "off"), minAgree, rowsPerBand)
         // `fresh` is persisted by commitLoop; only the gated frame
         // needs its own pin (isEmpty + write + re-sig would otherwise
         // re-run the gate)

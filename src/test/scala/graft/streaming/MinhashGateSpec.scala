@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSuite
 import graft.ingest.CommitLog
@@ -152,5 +153,47 @@ class MinhashGateSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     assert(readAll(out) === Set((0L, base), (1L, nearDup)))
+  }
+
+  test("batch admission probes the gate-maintained planes — one served state, one rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("graft-mh-unified").toString
+    val ckpt = Files.createTempDirectory("graft-mh-uckpt").toString
+    val s = MemoryStream[(Long, Long, String)]
+    val q = DedupIngest.startLoggedMinhashDeduped(
+      s.toDF().toDF("part", "off", "payload"), out, "t",
+      flushSize = 10, ckpt, textCol = "payload")
+    s.addData((0L, 0L, base), (0L, 1L, novel))
+    q.processAllAvailable()
+    q.stop()
+    // upgrade path: install the exact-fp plane over the SAME topic
+    // (the documented reconciliation for topics another gate wrote)
+    DedupIngest.rebuildFingerprints(spark, out, "t")
+
+    // a DAILY BATCH probing the streaming gate's served state through
+    // the batch query's own constructions (curation_incremental's
+    // stage 2 and 3): an exact dup of a committed payload, a near-dup
+    // of one, and a fresh doc
+    val batch = Seq((10L, base), (11L, nearDup),
+      (12L, "red orange yellow green blue indigo violet crimson amber teal"))
+      .toDF("doc_id", "payload")
+    val fpSrc = batch.select(col("doc_id").as("off"), col("payload"))
+    val bFp = fpSrc.select(col("off").as("doc_id"),
+      DedupIngest.fingerprint(fpSrc).as("fp"))
+    val exactDup = bFp
+      .join(DedupIngest.fingerprintIndex(spark, out, "t"), Seq("fp"), "left_semi")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactDup === Set(10L),
+      "the gate-side fingerprint matches the plane built from committed files")
+    val sigB = DedupIngest.sigOf(batch, "payload", Seq("doc_id"))
+    val nearDups = DedupIngest.dupAgainstIndex(spark, out, "t", sigB,
+      Seq("doc_id"), minAgree = 8, rowsPerBand = 4)
+      .as[Long].collect().toSet
+    assert(nearDups === Set(10L, 11L),
+      "identical text agrees on all slots, the paraphrase on >= 8, fresh on none")
+    // the batch survivor set = what the streaming gate itself would
+    // have admitted had these arrived on the stream
+    assert(Set(10L, 11L, 12L) -- exactDup -- nearDups === Set(12L))
   }
 }
