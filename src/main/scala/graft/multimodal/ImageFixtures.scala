@@ -171,7 +171,17 @@ object ImageFixtures {
     * all-background image frame (real LZW stream — a clear code before
     * every pixel keeps the code width fixed at 3 bits, the standard
     * minimal-encoder trick), trailer. `ImageIO.read` decodes it. */
-  def gifBytes(w: Int, h: Int): Array[Byte] = {
+  /** Spec-valid GIF89a carrying a seeded checkerboard: pixel (x, y)
+    * holds palette index `(x + y + seed) % 2` over the black/white
+    * 2-entry global table, so channel values are
+    * `255 * ((x + y + seed) % 2)` for all three channels — an oracle
+    * regenerates them arithmetically. The LZW stream is
+    * literal-coded after ONE initial clear (no per-pixel clears), so
+    * the dictionary grows by one slot per literal and the code width
+    * escalates 3→4→… exactly as a real encoder's would — a decoder
+    * that mistracks dictionary growth or bump timing desynchronizes
+    * within the first dozen pixels. */
+  def gifBytes(w: Int, h: Int, seed: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     val out = new ByteArrayOutputStream()
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -187,19 +197,33 @@ object ImageFixtures {
     out.write(le16(0)); out.write(le16(0))
     out.write(le16(w)); out.write(le16(h))
     out.write(0)
-    // LZW: min code size 2 → clear=4, EOI=5, 3-bit codes; emit
-    // (clear, pixel0) per pixel then EOI, packed LSB-first
+    // LZW min code size 2 → clear=4, EOI=5, first free slot 6, codes
+    // start at 3 bits, packed LSB-first
     out.write(2)
     val bits = new ByteArrayOutputStream()
-    var acc = 0L; var nbits = 0
+    var acc = 0L; var nbits = 0; var width = 3; var next = 6
     def emit(code: Int): Unit = {
-      acc |= (code.toLong << nbits); nbits += 3
+      acc |= (code.toLong << nbits); nbits += width
       while (nbits >= 8) {
         bits.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8
       }
     }
-    (0 until w * h).foreach { _ => emit(4); emit(0) }
-    emit(5)
+    emit(4) // one clear up front; literals from here on
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      emit((x + y + seed) % 2)
+      // a decoder adds a dictionary entry for every code after the
+      // first and bumps the width when the next slot crosses a power
+      // of two — mirror that bookkeeping so later codes are emitted
+      // at the width the decoder will read them at
+      if (i > 0 && next < 4096) {
+        next += 1
+        if (next == (1 << width) && width < 12) width += 1
+      }
+      i += 1
+    }
+    emit(5) // EOI
     if (nbits > 0) bits.write((acc & 0xff).toInt)
     // data sub-blocks of <= 255 bytes, then the 0 terminator
     bits.toByteArray.grouped(255).foreach { blk =>

@@ -45,9 +45,9 @@ object Multimodal {
   /** Container-level fallback features: byte statistics + a 16-dim
     * byte-histogram "embedding" over the RAW payload. This is the
     * path for formats whose pixel decode needs a native codec (JPEG,
-    * GIF, video) — PNG has a REAL pixel decode ([[PngPixels]],
-    * [[decodePixelStats]]). Same signature a codec-backed decoder
-    * has: bytes in, fixed-width features out. */
+    * video) — PNG and GIF have REAL pixel decodes ([[PngPixels]],
+    * [[GifPixels]], [[decodePixelStats]]). Same signature a
+    * codec-backed decoder has: bytes in, fixed-width features out. */
   def decodeStub(payload: Array[Byte]): (Double, Int, Array[Float]) = {
     val n = math.max(payload.length, 1)
     val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
@@ -130,20 +130,27 @@ object Multimodal {
     StructField("max_px", IntegerType, nullable = false),
     StructField("mean_px", DoubleType, nullable = false)))
 
-  /** REAL pixel decode, batched: PNG payloads rasterize in-JVM
-    * ([[PngPixels]]: Inflater + RFC 2083 unfiltering) and emit one
-    * stats row per channel; payloads needing a native codec (JPEG,
-    * GIF, …) fall back to ONE byte-stats row at channel = -1, so the
-    * pass never fails a task and downstream can route on the channel
-    * sign. Sum/min/max are exact integers; the mean is one final IEEE
-    * division — the same discipline the SQL oracle follows. */
+  /** The raster decode shared by every pixel consumer: PNG via
+    * [[PngPixels]] (Inflater + RFC 2083 unfiltering), GIF via
+    * [[GifPixels]] (LZW + palette) — both pure JVM. None routes to
+    * the byte-stats fallback. */
+  def decodeRaster(bytes: Array[Byte]): Option[PngPixels.Image] =
+    PngPixels.decode(bytes).orElse(GifPixels.decode(bytes))
+
+  /** REAL pixel decode, batched: PNG and GIF payloads rasterize
+    * in-JVM ([[decodeRaster]]) and emit one stats row per channel;
+    * payloads needing a native codec (JPEG, …) fall back to ONE
+    * byte-stats row at channel = -1, so the pass never fails a task
+    * and downstream can route on the channel sign. Sum/min/max are
+    * exact integers; the mean is one final IEEE division — the same
+    * discipline the SQL oracle follows. */
   def decodePixelStats(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(pixelStatsSchema)
     media.select(col("media_id"), col("payload"))
       .flatMap { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        PngPixels.decode(bytes) match {
+        decodeRaster(bytes) match {
           case Some(img) =>
             val ch = img.channels
             val n = img.width.toLong * img.height
@@ -234,7 +241,9 @@ object Multimodal {
                 seed = (id % 256).toInt))
             case 1 => Row(id, "image/jpeg",
               ImageFixtures.jpegBytes(w, h, if (alt) 1 else 3))
-            case _ => Row(id, "image/gif", ImageFixtures.gifBytes(w, h))
+            case _ => Row(id, "image/gif",
+              // seeded checkerboard: channel value 255*((x+y+id) % 2)
+              ImageFixtures.gifBytes(w, h, seed = (id % 256).toInt))
           }
         }
       }(enc)
@@ -283,7 +292,7 @@ object Multimodal {
     StructField("media_id", LongType, nullable = false),
     StructField("dhash", LongType, nullable = false)))
 
-  /** REAL pixel decode → [[dHash]] per PNG payload, batched.
+  /** REAL pixel decode → [[dHash]] per PNG/GIF payload, batched.
     * Undecodable payloads are dropped (they have no raster to hash —
     * route them through [[decodeImages]]' quarantine path instead). */
   def decodeDHash(media: DataFrame): DataFrame = {
@@ -292,7 +301,7 @@ object Multimodal {
       .flatMap { r =>
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        PngPixels.decode(bytes).map(img => Row(id, dHash(img)))
+        decodeRaster(bytes).map(img => Row(id, dHash(img)))
       }(enc)
   }
 

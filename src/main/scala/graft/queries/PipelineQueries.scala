@@ -4838,26 +4838,38 @@ object PipelineQueries {
 
     // ---- Multimodal REAL PIXEL decode: the PNG payloads above carry
     //      a deterministic gradient ((x+y+c+id) mod 256) filtered with
-    //      ALL FIVE RFC 2083 scanline filters (type cycles y mod 5);
-    //      PngPixels (JDK Inflater + unfiltering — no codec library)
-    //      rasterizes them inside the batched boundary and emits exact
-    //      per-channel integer stats. The oracle regenerates every
-    //      pixel arithmetically (unnest over x/y/channel ranges) — a
-    //      single wrong byte anywhere in deflate framing, filter
-    //      reconstruction, or channel interleave breaks the hash. ----
+    //      ALL FIVE RFC 2083 scanline filters (type cycles y mod 5),
+    //      and the GIF payloads a seeded checkerboard
+    //      (255*((x+y+id) mod 2)) behind a literal LZW stream with
+    //      real code-width escalation; PngPixels (JDK Inflater +
+    //      unfiltering) and GifPixels (LZW + palette — no codec
+    //      library either) rasterize them inside the batched boundary
+    //      and emit exact per-channel integer stats; only JPEG keeps
+    //      the channel=-1 byte-stats fallback. The oracle regenerates
+    //      every pixel arithmetically (unnest over x/y/channel
+    //      ranges) — a single wrong byte anywhere in deflate framing,
+    //      filter reconstruction, LZW dictionary bookkeeping, or
+    //      channel interleave breaks the hash. ----
     QuerySpec("multimodal_pixel_stats",
       (s, d) => graft.multimodal.Multimodal.decodePixelStats(
           graft.multimodal.Multimodal.syntheticImages(
-            Tables.documents(s, d).filter(col("doc_id") % 3 === 0)))
+            Tables.documents(s, d).filter(col("doc_id") % 3 =!= 1)))
         .orderBy(col("media_id"), col("channel")),
-      Some("""WITH dims AS (SELECT doc_id AS id, 1 + doc_id % 61 AS w,
-             |    1 + (doc_id * 7) % 53 AS h,
-             |    CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END AS ch
-             |  FROM documents WHERE doc_id % 3 = 0),
-             |xs AS (SELECT id, h, ch, unnest(range(0, w)) AS x FROM dims),
-             |ys AS (SELECT id, ch, x, unnest(range(0, h)) AS y FROM xs),
-             |px AS (SELECT id, c AS channel, (x + y + c + id) % 256 AS v
-             |  FROM (SELECT id, x, y, unnest(range(0, ch)) AS c FROM ys)),
+      Some("""WITH dims AS (SELECT doc_id AS id, doc_id % 3 AS fmt,
+             |    1 + doc_id % 61 AS w, 1 + (doc_id * 7) % 53 AS h,
+             |    CASE WHEN doc_id % 3 = 0 THEN
+             |      CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END
+             |    ELSE 3 END AS ch
+             |  FROM documents WHERE doc_id % 3 <> 1),
+             |xs AS (SELECT id, fmt, h, ch, unnest(range(0, w)) AS x
+             |  FROM dims),
+             |ys AS (SELECT id, fmt, ch, x, unnest(range(0, h)) AS y
+             |  FROM xs),
+             |px AS (SELECT id, c AS channel,
+             |    CASE WHEN fmt = 0 THEN (x + y + c + id) % 256
+             |      ELSE 255 * ((x + y + id) % 2) END AS v
+             |  FROM (SELECT id, fmt, x, y, unnest(range(0, ch)) AS c
+             |    FROM ys)),
              |st AS (SELECT id AS media_id, CAST(channel AS INT) AS channel,
              |    count(*)::BIGINT AS n_px, CAST(sum(v) AS BIGINT) AS sum_px,
              |    CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px
