@@ -474,8 +474,13 @@ object CommitLog {
     require(BatchWriter.SelfDescribing(format),
       s"deleteWhere needs a self-describing format retaining off, got: $format")
     val (snap, files) = parsedSnapshot(spark, outDir, topic, "deletable")
-    // one pushdown scan finds the files that hold matches
-    val affectedNames = readFiles(spark, outDir, topic, snap, format)
+    // stats-plane pruning first (files whose column ranges refute the
+    // predicate never open — see [[FileStats]]; no plane = no prune),
+    // then one pushdown scan over the survivors confirms actual rows
+    val candidates = FileStats.pruneRels(spark, outDir, topic,
+      predicate, snap, format)
+    if (candidates.isEmpty) return latestVersion(spark, outDir, topic)
+    val affectedNames = readFiles(spark, outDir, topic, candidates, format)
       .filter(predicate).select(srcFileName.as("n")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)
@@ -918,7 +923,11 @@ object CommitLog {
     require(!assignments.contains("off") && !assignments.contains("part"),
       "offsets and partitions are immutable — updates rewrite content only")
     val (snap, files) = parsedSnapshot(spark, outDir, topic, "row-updatable")
-    val affectedNames = readFiles(spark, outDir, topic, snap, format)
+    // same stats-plane pruning as deleteWhere before the confirm scan
+    val candidates = FileStats.pruneRels(spark, outDir, topic,
+      predicate, snap, format)
+    if (candidates.isEmpty) return latestVersion(spark, outDir, topic)
+    val affectedNames = readFiles(spark, outDir, topic, candidates, format)
       .filter(predicate).select(srcFileName.as("n")).distinct()
       .collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return latestVersion(spark, outDir, topic)

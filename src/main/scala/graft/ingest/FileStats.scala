@@ -1,0 +1,418 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.DedupIngest
+
+/** Per-file column statistics for a logged topic — DATA SKIPPING, the
+  * lakehouse staple that turns "scan the topic" into "scan the files
+  * whose [min, max] can possibly satisfy the predicate". At 100 TB
+  * this is the difference between a right-to-be-forgotten
+  * [[CommitLog.deleteWhere]] touching every file and touching the
+  * handful that can hold the user's rows.
+  *
+  * The stats live in a SIDECAR PLANE (`<topic>/_stats`), the same
+  * versioned-watermark skeleton as the dedup gates' `_fp`/`_mh`
+  * indexes, with the same safety-by-conservatism contract:
+  *
+  *   - a file WITHOUT a stats row is always scanned — so a stale
+  *     plane (files appended or rewritten by DML since the last
+  *     [[install]]) degrades to the unpruned scan, never to a wrong
+  *     answer. (Correctness also leans on the log's committed-file
+  *     immutability: a LIVE rel name never changes content — DML
+  *     splits rename, compaction purges colliding orphans — so a
+  *     stats row can never describe different bytes than the live
+  *     file it names.)
+  *   - pruning is three-valued: a file is skipped only when the
+  *     predicate PROVABLY cannot be true for any row in it; any
+  *     unsupported expression shape degrades that subtree to "maybe".
+  *   - string bounds prune only when bounds and literal are pure
+  *     ASCII (Spark orders strings by UTF-8 bytes, the JVM by UTF-16
+  *     code units — they agree exactly on ASCII).
+  *
+  * [[install]] rebuilds the plane wholesale from the CURRENT live
+  * snapshot in ONE distributed pass (group by source file), through
+  * the shared crash-ordered plane installer. Schedule it with
+  * [[CommitLog.maintain]]; between installs the plane only loses
+  * coverage, never correctness.
+  *
+  * Reference: the connector (`io.confluent.connect.hdfs`) delegates
+  * all querying to Hive and keeps no file statistics; this is the
+  * Spark-native replacement for that missing plane.
+  */
+object FileStats {
+
+  /** One column's stats within one file. Bounds are None when every
+    * row is null (or the type is unsupported — such columns are never
+    * written). */
+  final case class Stat(typ: String, lLo: Option[Long], lHi: Option[Long],
+                        dLo: Option[Double], dHi: Option[Double],
+                        sLo: Option[String], sHi: Option[String],
+                        nNull: Long, nRow: Long)
+
+  private val StatsSchema = StructType(Seq(
+    StructField("rel", StringType), StructField("col", StringType),
+    StructField("typ", StringType),
+    StructField("llo", LongType), StructField("lhi", LongType),
+    StructField("dlo", DoubleType), StructField("dhi", DoubleType),
+    StructField("slo", StringType), StructField("shi", StringType),
+    StructField("nnull", LongType), StructField("nrow", LongType)))
+
+  private def statsDir(outDir: String, topic: String) =
+    new Path(s"$outDir/$topic/_stats")
+
+  /** The long-domain canonicalization per supported type: integrals
+    * as-is, booleans 0/1, timestamps as epoch micros, dates as epoch
+    * days — each matching the Catalyst LITERAL's internal value, so
+    * pruning compares like with like. */
+  private def longView(name: String, dt: DataType): Option[Column] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(col(name).cast(LongType))
+    case BooleanType => Some(col(name).cast(LongType))
+    case TimestampType => Some(unix_micros(col(name)))
+    case DateType => Some(unix_date(col(name)).cast(LongType))
+    case _ => None
+  }
+
+  /** Compute and atomically install the plane for `cols` (silently
+    * skipping unsupported-typed names) from the current live
+    * snapshot. One distributed scan: per-file min/max/null-count via
+    * a group-by on the source file name. Returns the covered log
+    * version, or -1 when the topic has no commits. */
+  def install(spark: SparkSession, outDir: String, topic: String,
+              cols: Seq[String], format: String = "parquet"): Long = {
+    val latest = CommitLog.latestVersion(spark, outDir, topic)
+    if (latest < 0) return -1L
+    DedupIngest.rebuildIndexFromSnapshot(spark, outDir, topic,
+      statsDir(outDir, topic), StatsSchema,
+      rels => statsOf(spark, outDir, topic, cols, format, rels))
+    latest
+  }
+
+  private def statsOf(spark: SparkSession, outDir: String, topic: String,
+                      cols: Seq[String], format: String,
+                      rels: Seq[String]): DataFrame = {
+    val df = CommitLog.readFiles(spark, outDir, topic, rels, format)
+    val schema = df.schema
+    // rel = the last two path segments (the enforced default
+    // partition=<p>/<name> layout) of the file each row came from
+    val parts = split(input_file_name(), "/")
+    val rel = concat_ws("/", element_at(parts, -2), element_at(parts, -1))
+    // (column name, its stat domain, install-time lo/hi expressions) —
+    // unsupported types get NO stats row and are therefore always
+    // scanned
+    val typed: Seq[(String, String, Column, Column)] =
+      cols.distinct.flatMap { c =>
+        schema.fieldNames.find(_.equalsIgnoreCase(c)).flatMap { fn =>
+          longView(fn, schema(fn).dataType) match {
+            case Some(lv) => Some((fn, "l", min(lv), max(lv)))
+            case None => schema(fn).dataType match {
+              case FloatType | DoubleType | _: DecimalType =>
+                Some((fn, "d", min(col(fn).cast(DoubleType)),
+                  max(col(fn).cast(DoubleType))))
+              case StringType => Some((fn, "s", min(col(fn)), max(col(fn))))
+              case _ => None
+            }
+          }
+        }
+      }
+    require(typed.nonEmpty, s"no stats-capable column among $cols in $topic")
+    val aggs = typed.flatMap { case (c, _, lo, hi) =>
+      Seq(lo.as(s"__lo_$c"), hi.as(s"__hi_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"))
+    }
+    val grouped = df.withColumn("__rel", rel)
+      .groupBy(col("__rel"))
+      .agg(count(lit(1)).as("__nrow"), aggs: _*)
+    // reshape driver-side: #files × #cols rows — plane-sized metadata
+    val rows = grouped.collect().toSeq.flatMap { r =>
+      val relV = r.getAs[String]("__rel")
+      val nrow = r.getAs[Long]("__nrow")
+      typed.map { case (c, t, _, _) =>
+        val nn = r.getAs[Long](s"__nn_$c")
+        def opt[A](n: String): Option[A] = {
+          val i = r.fieldIndex(n)
+          if (r.isNullAt(i)) None else Some(r.getAs[A](i))
+        }
+        val (llo, lhi) =
+          if (t == "l") (opt[Long](s"__lo_$c"), opt[Long](s"__hi_$c"))
+          else (None, None)
+        val (dlo, dhi) =
+          if (t == "d") (opt[Double](s"__lo_$c"), opt[Double](s"__hi_$c"))
+          else (None, None)
+        val (slo, shi) =
+          if (t == "s") (opt[String](s"__lo_$c"), opt[String](s"__hi_$c"))
+          else (None, None)
+        org.apache.spark.sql.Row(relV, c.toLowerCase, t,
+          llo.orNull, lhi.orNull, dlo.orNull, dhi.orNull,
+          slo.orNull, shi.orNull, nn, nrow)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), StatsSchema)
+  }
+
+  /** The installed plane as rel → (lower-cased col → [[Stat]]), or
+    * empty when never installed. */
+  def read(spark: SparkSession, outDir: String,
+           topic: String): Map[String, Map[String, Stat]] = {
+    val files = DedupIngest.fpFiles(DedupIngest.hfs(spark, outDir),
+      statsDir(outDir, topic)).map(_._2.toString)
+    if (files.isEmpty) return Map.empty
+    spark.read.schema(StatsSchema).parquet(files: _*).collect()
+      .groupBy(_.getString(0))
+      .map { case (rel, rs) =>
+        rel -> rs.map { r =>
+          def o[A](i: Int): Option[A] =
+            if (r.isNullAt(i)) None else Some(r.getAs[A](i))
+          r.getString(1) -> Stat(r.getString(2), o[Long](3), o[Long](4),
+            o[Double](5), o[Double](6), o[String](7), o[String](8),
+            r.getLong(9), r.getLong(10))
+        }.toMap
+      }
+  }
+
+  /** Keep only the rels whose stats CANNOT refute `predicate` — plus
+    * every rel without stats (conservative). Driver-side metadata
+    * work; the file list is the unit of pruning, as in every
+    * snapshot-driven read here. The predicate is RESOLVED against the
+    * topic's schema (one footer read) so attribute and literal types
+    * are bound before the three-valued walk. */
+  def pruneRels(spark: SparkSession, outDir: String, topic: String,
+                predicate: Column, rels: Seq[String],
+                format: String = "parquet"): Seq[String] = {
+    if (rels.isEmpty) return rels
+    val plane = read(spark, outDir, topic)
+    if (plane.isEmpty) return rels
+    val analyzed = CommitLog.readFiles(spark, outDir, topic,
+      rels.take(1), format).filter(predicate).queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    cond match {
+      case Some(expr) =>
+        rels.filter(rel => plane.get(rel).forall(mayMatch(expr, _)))
+      case None => rels // no Filter node surfaced: never refute
+    }
+  }
+
+  /** Read the topic's live rows matching `predicate`, scanning only
+    * files the stats plane cannot refute. Identical results to
+    * `CommitLog.read(...).filter(predicate)` at a fraction of the
+    * I/O when the predicate is selective on an installed column. */
+  def readPruned(spark: SparkSession, outDir: String, topic: String,
+                 predicate: Column,
+                 format: String = "parquet"): DataFrame = {
+    val snap = CommitLog.snapshot(spark, outDir, topic)
+    if (snap.isEmpty)
+      return CommitLog.read(spark, outDir, topic, format).filter(predicate)
+    val keep = pruneRels(spark, outDir, topic, predicate, snap)
+    // all files refuted: one file still anchors the schema (its rows
+    // are filtered by the same predicate the stats already refuted)
+    val paths = if (keep.nonEmpty) keep else snap.take(1)
+    CommitLog.readFiles(spark, outDir, topic, paths, format)
+      .filter(predicate)
+  }
+
+  // ----------------------------------------------------------------
+  // Three-valued pruning: mayMatch == false ONLY when the predicate
+  // cannot be true for any row of the file. Unknown shapes → true.
+  // ----------------------------------------------------------------
+
+  /** Casts through which the attribute's stats remain comparable:
+    * EXACT value embeddings only (integral widening; byte/short/int
+    * and float into double). A lossy cast (long→double, anything→
+    * float, temporal↔numeric, narrowing) maps column values to
+    * DIFFERENT numbers than the stats bounds describe, so unwrapping
+    * it could refute a true match — those stay "maybe". */
+  private def exactWiden(from: DataType, to: DataType): Boolean = {
+    def irank(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    val (fi, ti) = (irank(from), irank(to))
+    (fi > 0 && ti > 0 && fi <= ti) ||
+      (to == DoubleType &&
+        (fi > 0 && fi <= 3 || from == FloatType || from == DoubleType))
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.mkString(".").toLowerCase)
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case c: Cast if exactWiden(c.child.dataType, c.dataType) =>
+      attrName(c.child)
+    case _ => None
+  }
+
+  private def litValue(e: Expression): Option[(Any, DataType)] = e match {
+    case Literal(v, dt) if v != null => Some((v, dt))
+    case c: Cast if c.foldable =>
+      // evaluate the analyzer-inserted (or user-written) cast so the
+      // comparison uses the POST-cast value — exact even for lossy
+      // casts, because that IS the value the predicate compares
+      val v = try c.eval(null) catch { case _: Exception => null }
+      if (v == null) None else Some((v, c.dataType))
+    case _ => None
+  }
+
+  private def ascii(s: String): Boolean = s.forall(_ < 128)
+
+  /** Literal → the stat's comparison domain. None = incomparable →
+    * caller must answer "maybe". */
+  private def asLong(v: Any): Option[Long] = v match {
+    case b: Boolean => Some(if (b) 1L else 0L)
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  private def asDouble(v: Any): Option[Double] = v match {
+    case b: Byte => Some(b.toDouble)
+    case s: Short => Some(s.toDouble)
+    case i: Int => Some(i.toDouble)
+    case l: Long => Some(l.toDouble)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case d: Decimal => Some(d.toDouble)
+    case d: java.math.BigDecimal => Some(d.doubleValue)
+    case _ => None
+  }
+
+  private sealed trait Cmp
+  private case object Lt extends Cmp
+  private case object Le extends Cmp
+  private case object Gt extends Cmp
+  private case object Ge extends Cmp
+  private case object Eq extends Cmp
+
+  /** Can `col <cmp> lit` be true for some non-null value in [lo, hi]?
+    * Works in whichever domain the stat carries; double bounds are
+    * widened one ulp each way so decimal→double install rounding can
+    * never refute a true match. */
+  private def rangeMay(st: Stat, cmp: Cmp, v: Any): Boolean = {
+    if (st.nRow == st.nNull) return false // all null: no comparison is true
+    st.typ match {
+      case "l" =>
+        (asLong(v), st.lLo, st.lHi) match {
+          case (Some(x), Some(lo), Some(hi)) => cmp match {
+            case Lt => lo < x
+            case Le => lo <= x
+            case Gt => hi > x
+            case Ge => hi >= x
+            case Eq => lo <= x && x <= hi
+          }
+          case _ =>
+            // fractional literal against integral bounds — widened one
+            // ulp each way, since long→double itself rounds past 2^53
+            (asDouble(v), st.lLo, st.lHi) match {
+              case (Some(x), Some(lo0), Some(hi0)) =>
+                val lo = Math.nextDown(lo0.toDouble)
+                val hi = Math.nextUp(hi0.toDouble)
+                cmp match {
+                  case Lt => lo < x
+                  case Le => lo <= x
+                  case Gt => hi > x
+                  case Ge => hi >= x
+                  case Eq => lo <= x && x <= hi
+                }
+              case _ => true
+            }
+        }
+      case "d" =>
+        (asDouble(v), st.dLo, st.dHi) match {
+          case (Some(x), Some(lo0), Some(hi0)) =>
+            // a few ulps of slack: decimal→double happened once at
+            // install and once on the literal — refutation must
+            // survive both roundings
+            val lo = Iterator.iterate(lo0)(Math.nextDown).drop(4).next()
+            val hi = Iterator.iterate(hi0)(Math.nextUp).drop(4).next()
+            cmp match {
+              case Lt => lo < x
+              case Le => lo <= x
+              case Gt => hi > x
+              case Ge => hi >= x
+              case Eq => lo <= x && x <= hi
+            }
+          case _ => true
+        }
+      case "s" =>
+        val sv = v match {
+          case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+          case s: String => Some(s)
+          case _ => None
+        }
+        (sv, st.sLo, st.sHi) match {
+          case (Some(x), Some(lo), Some(hi))
+              if ascii(x) && ascii(lo) && ascii(hi) => cmp match {
+            case Lt => lo < x
+            case Le => lo <= x
+            case Gt => hi > x
+            case Ge => hi >= x
+            case Eq => lo <= x && x <= hi
+          }
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
+  /** Three-valued evaluation of `e` against one file's stats. */
+  private[graft] def mayMatch(e: Expression,
+                              stats: Map[String, Stat]): Boolean = e match {
+    case And(l, r) => mayMatch(l, stats) && mayMatch(r, stats)
+    case Or(l, r) => mayMatch(l, stats) || mayMatch(r, stats)
+    case Literal(b: Boolean, BooleanType) => b
+    case EqualTo(a, b) => cmpMay(a, b, Eq, Eq, stats)
+    case EqualNullSafe(a, b) => cmpMay(a, b, Eq, Eq, stats)
+    case LessThan(a, b) => cmpMay(a, b, Lt, Gt, stats)
+    case LessThanOrEqual(a, b) => cmpMay(a, b, Le, Ge, stats)
+    case GreaterThan(a, b) => cmpMay(a, b, Gt, Lt, stats)
+    case GreaterThanOrEqual(a, b) => cmpMay(a, b, Ge, Le, stats)
+    case In(a, vs) => attrName(a) match {
+      case Some(n) => stats.get(n) match {
+        case Some(st) => vs.exists {
+          case Literal(v, _) if v != null => rangeMay(st, Eq, v)
+          case Literal(_, _) => false // col IN (... NULL ...) is never TRUE for the null
+          case _ => true
+        }
+        case None => true
+      }
+      case None => true
+    }
+    case IsNull(a) => attrName(a).flatMap(stats.get) match {
+      case Some(st) => st.nNull > 0
+      case None => true
+    }
+    case IsNotNull(a) => attrName(a).flatMap(stats.get) match {
+      case Some(st) => st.nRow > st.nNull
+      case None => true
+    }
+    case _ => true // unsupported shape: never refute
+  }
+
+  /** `a <cmp> b` with the attribute on either side (`flip` is the
+    * mirrored operator for `lit <cmp> col`). */
+  private def cmpMay(a: Expression, b: Expression, cmp: Cmp, flip: Cmp,
+                     stats: Map[String, Stat]): Boolean = {
+    (attrName(a), litValue(b)) match {
+      case (Some(n), Some((v, _))) =>
+        stats.get(n).forall(rangeMay(_, cmp, v))
+      case _ => (litValue(a), attrName(b)) match {
+        case (Some((v, _)), Some(n)) =>
+          stats.get(n).forall(rangeMay(_, flip, v))
+        case _ => true
+      }
+    }
+  }
+}

@@ -546,6 +546,49 @@ object IngestQueries {
               |  count(*) FILTER (user_id % 7 = 0) AS n_redacted
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- DATA SKIPPING over the log (the stats sidecar plane):
+    //      ingest the stream, install per-file min/max/null stats on
+    //      (off, event_type, value), then answer a selective
+    //      predicate through FileStats.readPruned — files whose
+    //      column ranges refute the predicate never open (at 100 TB
+    //      this is what keeps a selective read or a deleteWhere from
+    //      touching every file; the pruning RATIO and conservatism
+    //      are pinned in FileStatsSpec). The oracle runs the same
+    //      filter over the raw table: equality proves pruning refuted
+    //      only files that could not match. ----
+    QuerySpec("commitlog_stats_prune",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-stats-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events", flushSize = 500)
+        graft.ingest.FileStats.install(s, dir, "events",
+          Seq("off", "event_type", "value"))
+        val sel = graft.ingest.FileStats.readPruned(s, dir, "events",
+          col("off").between(1000L, 1400L) && col("event_type") =!= "view")
+        val agg = sel.groupBy(col("part"))
+          .agg(count(lit(1)).as("n"), min(col("off")).as("min_off"),
+            max(col("off")).as("max_off"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("sum_value"))
+          .orderBy(col("part"))
+        val rows = agg.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), agg.schema)
+      },
+      Some(s"""SELECT event_id % ${P} AS part, count(*) AS n,
+              |  min(event_id) AS min_off, max(event_id) AS max_off,
+              |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS sum_value
+              |FROM events
+              |WHERE event_id BETWEEN 1000 AND 1400 AND event_type <> 'view'
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- SCHEMA EVOLUTION through the log: the stream's shape WIDENS
     //      mid-topic (the schema-change rotation path writes the new
     //      shape into the same topic), and reads must union the file

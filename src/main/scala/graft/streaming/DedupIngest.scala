@@ -81,7 +81,7 @@ object DedupIngest {
   private def fpDirPath(outDir: String, topic: String) =
     new Path(s"$outDir/$topic/_fp")
 
-  private[streaming] def hfs(spark: SparkSession, outDir: String): FileSystem =
+  private[graft] def hfs(spark: SparkSession, outDir: String): FileSystem =
     FileSystem.get(new Path(outDir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
@@ -89,7 +89,7 @@ object DedupIngest {
     StructType(Seq(StructField("fp", org.apache.spark.sql.types.BinaryType)))
   private val FpName = "v(\\d+)\\.parquet".r
 
-  private[streaming] def fpFiles(f: FileSystem, dir: Path): Seq[(Long, Path)] =
+  private[graft] def fpFiles(f: FileSystem, dir: Path): Seq[(Long, Path)] =
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
       case FpName(v) => Some((v.toLong, s.getPath))
@@ -295,7 +295,7 @@ object DedupIngest {
       rels => sigsOf(spark, outDir, topic, format, textCol, rels))
   }
 
-  private def rebuildIndexFromSnapshot(spark: SparkSession, outDir: String,
+  private[graft] def rebuildIndexFromSnapshot(spark: SparkSession, outDir: String,
                                        topic: String, dir: Path,
                                        schema: StructType,
                                        rebuild: Seq[String] => DataFrame)

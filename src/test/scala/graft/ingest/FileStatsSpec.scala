@@ -1,0 +1,139 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Data skipping over the commit log: the `_stats` sidecar plane
+  * prunes files whose column ranges refute a predicate, is
+  * conservative by absence (new/rewritten files always scan), and
+  * composes with row-level DML. */
+class FileStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val T = "t"
+
+  /** Three appends of 100 rows each — distinct `v` ranges per publish,
+    * small files within, so both the file COUNT and the range spread
+    * give pruning something to bite on. */
+  private def build(out: String): Unit =
+    for (base <- Seq(0, 100, 200)) {
+      val rows = (base until base + 100).map { i =>
+        (i.toLong % 2, i.toLong, i.toLong * 10,
+          f"k$i%03d", i.toDouble / 4.0)
+      }
+      CommitLog.writeLogged(
+        rows.toDF("part", "off", "v", "s", "d"), out, T, flushSize = 25)
+    }
+
+  test("pruned reads equal full filtered reads, and actually skip files") {
+    val out = Files.createTempDirectory("fs-prune").toString
+    build(out)
+    assert(FileStats.install(spark, out, T, Seq("v", "s", "d")) === 2L)
+    val snap = CommitLog.snapshot(spark, out, T)
+    for (pred <- Seq(
+        col("v") > 2500L, col("v") === 1230L, col("v") <= 40L,
+        col("s") === "k042", col("s") < "k005",
+        col("d") >= 70.0, col("d") === 12.25,
+        col("v").between(980L, 1020L),
+        col("v") === 40L || col("s") === "k270",
+        col("v").isin(10L, 2990L),
+        lit(5L) > col("v"))) {
+      val kept = FileStats.pruneRels(spark, out, T, pred, snap)
+      assert(kept.size < snap.size, s"$pred pruned nothing")
+      val pruned = FileStats.readPruned(spark, out, T, pred)
+        .select("part", "off", "v", "s", "d").collect().toSet
+      val full = CommitLog.read(spark, out, T).filter(pred)
+        .select("part", "off", "v", "s", "d").collect().toSet
+      assert(pruned === full, s"$pred pruned read diverged")
+    }
+    // a predicate no file can satisfy prunes everything, and the
+    // schema-anchor read still answers (empty) correctly
+    assert(FileStats.pruneRels(spark, out, T, col("v") < 0L, snap).isEmpty)
+    assert(FileStats.readPruned(spark, out, T, col("v") < 0L).count() === 0L)
+  }
+
+  test("unsupported shapes, casts, and non-ASCII never refute") {
+    val out = Files.createTempDirectory("fs-maybe").toString
+    build(out)
+    FileStats.install(spark, out, T, Seq("v", "s"))
+    val snap = CommitLog.snapshot(spark, out, T)
+    // arithmetic on the column: not a stats shape — keep everything
+    assert(FileStats.pruneRels(spark, out, T, col("v") % 7 === 0, snap)
+      === snap)
+    // non-ASCII literal against ASCII bounds: no string prune
+    assert(FileStats.pruneRels(spark, out, T, col("s") === "ké", snap)
+      === snap)
+    // long→double is NOT an exact embedding (rounds past 2^53): the
+    // attr-side cast refuses to unwrap and everything stays a
+    // candidate — conservative, never wrong
+    assert(FileStats.pruneRels(spark, out, T,
+      col("v").cast("double") > 2500.0, snap) === snap)
+    // …but the pruned read is still CORRECT through the kept files
+    assert(FileStats.readPruned(spark, out, T,
+        col("v").cast("double") > 2500.0).count() ===
+      CommitLog.read(spark, out, T)
+        .filter(col("v").cast("double") > 2500.0).count())
+  }
+
+  test("conservative by absence: files landing after install always scan") {
+    val out = Files.createTempDirectory("fs-stale").toString
+    build(out)
+    FileStats.install(spark, out, T, Seq("v"))
+    CommitLog.writeLogged(Seq((0L, 300L, 9999L, "x", 0.0))
+      .toDF("part", "off", "v", "s", "d"), out, T, flushSize = 25)
+    val snap = CommitLog.snapshot(spark, out, T)
+    // 9999 is outside every INSTALLED range, but the new file has no
+    // stats row — it must stay a candidate and the row must be found
+    val kept = FileStats.pruneRels(spark, out, T, col("v") === 9999L, snap)
+    assert(kept.size === 1)
+    assert(FileStats.readPruned(spark, out, T, col("v") === 9999L)
+      .count() === 1L)
+    // re-install covers it again
+    FileStats.install(spark, out, T, Seq("v"))
+    assert(FileStats.pruneRels(spark, out, T, col("v") === 123456L,
+      CommitLog.snapshot(spark, out, T)).isEmpty)
+  }
+
+  test("null semantics: IS NULL prunes to null-holding files, all-null refutes ranges") {
+    val out = Files.createTempDirectory("fs-null").toString
+    // one file with nulls in `s`, one without, one with s entirely null
+    CommitLog.writeLogged(
+      Seq((0L, 0L, 1L, "a"), (0L, 1L, 2L, null.asInstanceOf[String]))
+        .toDF("part", "off", "v", "s"), out, T, flushSize = 10)
+    CommitLog.writeLogged(Seq((0L, 2L, 3L, "b"), (0L, 3L, 4L, "c"))
+      .toDF("part", "off", "v", "s"), out, T, flushSize = 10)
+    CommitLog.writeLogged(
+      Seq((0L, 4L, 5L), (0L, 5L, 6L)).toDF("part", "off", "v")
+        .withColumn("s", lit(null).cast("string")), out, T, flushSize = 10)
+    FileStats.install(spark, out, T, Seq("v", "s"))
+    val snap = CommitLog.snapshot(spark, out, T)
+    assert(FileStats.pruneRels(spark, out, T, col("s").isNull, snap).size === 2)
+    assert(FileStats.pruneRels(spark, out, T, col("s").isNotNull, snap).size === 2)
+    // every comparison against the all-null file is refuted
+    assert(FileStats.pruneRels(spark, out, T, col("s") <= "zzz", snap).size === 2)
+    assert(FileStats.readPruned(spark, out, T, col("s").isNull)
+      .count() === 3L)
+    assert(FileStats.readPruned(spark, out, T, col("s") >= "b")
+      .select("off").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("deleteWhere rides the plane: pruned target selection, exact erasure") {
+    val out = Files.createTempDirectory("fs-dml").toString
+    build(out)
+    FileStats.install(spark, out, T, Seq("v"))
+    CommitLog.deleteWhere(spark, out, T, col("v").between(1000L, 1200L))
+    val left = CommitLog.read(spark, out, T).select("v").as[Long]
+      .collect().toSet
+    assert(!left.exists(v => v >= 1000L && v <= 1200L))
+    assert(left.size === 300 - 21)
+    // the rewrite's files carry no stats rows — a second DML on the
+    // SAME range finds no candidates via stats only where stats
+    // exist, scans the rewrites, and converges to a no-op
+    val ver = CommitLog.latestVersion(spark, out, T)
+    assert(CommitLog.deleteWhere(spark, out, T,
+      col("v").between(1000L, 1200L)) === ver)
+  }
+}
