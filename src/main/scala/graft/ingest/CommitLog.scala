@@ -1196,6 +1196,9 @@ object CommitLog {
                format: String = "parquet"): Maintenance = {
     val v = compactLogged(spark, outDir, topic, targetRecords, pad, format)
     checkpoint(spark, outDir, topic) // no-op when compaction already did
+    // a statted topic re-covers its rewritten/appended files here —
+    // between sweeps the plane is merely conservative (new files scan)
+    FileStats.refresh(spark, outDir, topic, format)
     Maintenance(v, truncateLog(spark, outDir, topic),
       vacuum(spark, outDir, topic, graceMs))
   }

@@ -157,6 +157,19 @@ object FileStats {
       spark.sparkContext.parallelize(rows, 1), StatsSchema)
   }
 
+  /** Re-[[install]] using the column set the existing plane already
+    * covers (recorded in its own rows) — the nightly-sweep hook
+    * [[CommitLog.maintain]] runs after compaction, restoring full
+    * coverage over rewritten and appended files. No-op when the
+    * topic was never statted. */
+  def refresh(spark: SparkSession, outDir: String, topic: String,
+              format: String = "parquet"): Long = {
+    val plane = read(spark, outDir, topic)
+    if (plane.isEmpty) return -1L
+    val cols = plane.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+    install(spark, outDir, topic, cols, format)
+  }
+
   /** The installed plane as rel → (lower-cased col → [[Stat]]), or
     * empty when never installed. */
   def read(spark: SparkSession, outDir: String,

@@ -120,6 +120,23 @@ class FileStatsSpec extends SparkSuite {
       .select("off").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("maintain refreshes the plane: compaction's rewrites are re-covered") {
+    val out = Files.createTempDirectory("fs-maint").toString
+    build(out)
+    FileStats.install(spark, out, T, Seq("v", "s"))
+    // compaction merges the small files — every merged output is a NEW
+    // rel with no stats row; maintain's refresh step re-installs over
+    // the plane's own recorded column set
+    CommitLog.maintain(spark, out, T, targetRecords = 1000, graceMs = 0L)
+    val snap = CommitLog.snapshot(spark, out, T)
+    // full coverage again: an impossible predicate prunes EVERY file
+    assert(FileStats.pruneRels(spark, out, T, col("v") < 0L, snap).isEmpty)
+    assert(FileStats.pruneRels(spark, out, T, col("s") > "zzz", snap).isEmpty)
+    // and selective reads still answer exactly through the new files
+    assert(FileStats.readPruned(spark, out, T, col("v") === 2990L)
+      .count() === 1L)
+  }
+
   test("deleteWhere rides the plane: pruned target selection, exact erasure") {
     val out = Files.createTempDirectory("fs-dml").toString
     build(out)
