@@ -426,15 +426,24 @@ object CommitLog {
   def writeLogged(df: DataFrame, outDir: String, topic: String,
                   flushSize: Int,
                   pad: Int = FileNaming.DefaultZeroPadWidth,
-                  format: String = "parquet"): Long = {
+                  format: String = "parquet",
+                  statsCols: Seq[String] = Nil): Long = {
     // same charset gate as cloneTopic: names written under a topic the
     // regex cannot re-parse would break offset restore silently
     require(FileNaming.isValidTopicName(topic),
       s"topic '$topic' is outside the committed-filename charset " +
         "[a-zA-Z0-9._-]+")
     val committed = BatchWriter.write(df, outDir, topic, flushSize, pad, format)
-    publish(df.sparkSession, outDir, topic,
-      committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}"))
+    val rels =
+      committed.map(c => s"partition=${c.partition}/${new Path(c.path).getName}")
+    val v = publish(df.sparkSession, outDir, topic, rels)
+    // commit-time data-skipping coverage for the just-published files
+    // (see [[FileStats]]; stats are advisory — a crash between publish
+    // and install just leaves these files conservatively unpruned)
+    if (statsCols.nonEmpty)
+      FileStats.installFor(df.sparkSession, outDir, topic, statsCols,
+        v, rels, format)
+    v
   }
 
   /** Row-level DELETE on a logged topic — the erasure primitive

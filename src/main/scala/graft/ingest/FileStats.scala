@@ -157,6 +157,23 @@ object FileStats {
       spark.sparkContext.parallelize(rows, 1), StatsSchema)
   }
 
+  /** INCREMENTAL coverage: stats for just `rels` appended as one
+    * `v<version>.parquet` plane file (the `_fp` accrual model — the
+    * read side merges every version file; a rel appears in exactly
+    * one, since committed files commit once and [[install]]/
+    * [[refresh]] replace the file set wholesale). This is what
+    * [[CommitLog.writeLogged]] runs at commit time when asked, so a
+    * hot topic's newest files are covered without waiting for the
+    * nightly sweep. Idempotent per version (replays skip). */
+  def installFor(spark: SparkSession, outDir: String, topic: String,
+                 cols: Seq[String], version: Long, rels: Seq[String],
+                 format: String = "parquet"): Unit = {
+    if (rels.isEmpty) return
+    DedupIngest.installVersionFile(DedupIngest.hfs(spark, outDir),
+      statsDir(outDir, topic), version,
+      statsOf(spark, outDir, topic, cols, format, rels))
+  }
+
   /** Re-[[install]] using the column set the existing plane already
     * covers (recorded in its own rows) — the nightly-sweep hook
     * [[CommitLog.maintain]] runs after compaction, restoring full
@@ -188,6 +205,48 @@ object FileStats {
             r.getLong(9), r.getLong(10))
         }.toMap
       }
+  }
+
+  /** METADATA-ONLY aggregates: when the plane covers every live file,
+    * row count and per-column min/max/null-count are answered from
+    * the plane alone — zero data files open (the same trick a
+    * lakehouse pulls for `SELECT count(*)/min/max`). Returns None
+    * when any live file lacks coverage or the topic is empty — the
+    * caller falls back to a real scan. Only columns covered in EVERY
+    * live file appear (mixed-column planes from differing
+    * [[installFor]] calls restrict to the intersection). */
+  def metaAggregates(spark: SparkSession, outDir: String,
+                     topic: String): Option[(Long, Map[String, Stat])] = {
+    val snap = CommitLog.snapshot(spark, outDir, topic)
+    if (snap.isEmpty) return None
+    val plane = read(spark, outDir, topic)
+    if (snap.exists(r => !plane.contains(r))) return None
+    val live = snap.map(plane)
+    val total = live.map(_.head._2.nRow).sum
+    // string columns merge in JVM order, which equals Spark's UTF-8
+    // binary order only on ASCII — drop any string column with a
+    // non-ASCII bound rather than report a possibly-wrong extremum
+    val cols = live.map(_.keySet).reduce(_ intersect _).filter { c =>
+      live.forall { m =>
+        val st = m(c)
+        st.typ != "s" ||
+          (st.sLo.forall(ascii) && st.sHi.forall(ascii))
+      }
+    }
+    val merged = cols.map { c =>
+      val sts = live.map(_(c))
+      def mo[A](f: Stat => Option[A], pick: (A, A) => A): Option[A] =
+        sts.flatMap(f(_)).reduceOption(pick)
+      c -> Stat(sts.head.typ,
+        mo(_.lLo, math.min(_: Long, _: Long)),
+        mo(_.lHi, math.max(_: Long, _: Long)),
+        mo(_.dLo, math.min(_: Double, _: Double)),
+        mo(_.dHi, math.max(_: Double, _: Double)),
+        mo(_.sLo, (a: String, b: String) => if (a <= b) a else b),
+        mo(_.sHi, (a: String, b: String) => if (a >= b) a else b),
+        sts.map(_.nNull).sum, sts.map(_.nRow).sum)
+    }.toMap
+    Some((total, merged))
   }
 
   /** Keep only the rels whose stats CANNOT refute `predicate` — plus

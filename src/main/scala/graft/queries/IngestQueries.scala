@@ -589,6 +589,80 @@ object IngestQueries {
               |WHERE event_id BETWEEN 1000 AND 1400 AND event_type <> 'view'
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- METADATA-ONLY aggregates from the stats plane: three
+    //      commit-time-statted publishes (writeLogged's statsCols
+    //      path — coverage lands with each publish, no install call),
+    //      then count / per-column min / max / null-count answered
+    //      from the plane ALONE — zero data files open, the
+    //      lakehouse count(*)/min/max shortcut. The oracle computes
+    //      the same extrema from the raw table: equality proves the
+    //      per-file stats and their merge are exact, not just
+    //      conservative. ----
+    QuerySpec("commitlog_stats_agg",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-sagg-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        val sc = Seq("off", "user_id", "event_type", "value")
+        for (i <- 0 until 3)
+          graft.ingest.CommitLog.writeLogged(
+            in.filter(pmod(col("off"), lit(3L)) === i.toLong), dir, "events",
+            flushSize = 500, statsCols = sc)
+        val (_, stats) = graft.ingest.FileStats.metaAggregates(s, dir, "events")
+          .getOrElse(throw new IllegalStateException(
+            "full commit-time coverage expected"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("col",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("llo",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lhi",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("dlo",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("dhi",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("slo",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("shi",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("nnull",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("nrow",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val rows = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+          org.apache.spark.sql.Row(c,
+            st.lLo.map(java.lang.Long.valueOf).orNull,
+            st.lHi.map(java.lang.Long.valueOf).orNull,
+            st.dLo.map(java.lang.Double.valueOf).orNull,
+            st.dHi.map(java.lang.Double.valueOf).orNull,
+            st.sLo.orNull, st.sHi.orNull, st.nNull, st.nRow)
+        }
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), schema)
+      },
+      Some("""SELECT 'event_type' AS col, NULL::BIGINT AS llo,
+             |  NULL::BIGINT AS lhi, NULL::DOUBLE AS dlo,
+             |  NULL::DOUBLE AS dhi, min(event_type) AS slo,
+             |  max(event_type) AS shi,
+             |  count(*) FILTER (event_type IS NULL) AS nnull,
+             |  count(*) AS nrow FROM events
+             |UNION ALL SELECT 'off', min(event_id), max(event_id),
+             |  NULL, NULL, NULL, NULL,
+             |  count(*) FILTER (event_id IS NULL), count(*) FROM events
+             |UNION ALL SELECT 'user_id', min(user_id), max(user_id),
+             |  NULL, NULL, NULL, NULL,
+             |  count(*) FILTER (user_id IS NULL), count(*) FROM events
+             |UNION ALL SELECT 'value', NULL, NULL,
+             |  min(value), max(value), NULL, NULL,
+             |  count(*) FILTER (value IS NULL), count(*) FROM events
+             |ORDER BY col""".stripMargin)),
+
     // ---- SCHEMA EVOLUTION through the log: the stream's shape WIDENS
     //      mid-topic (the schema-change rotation path writes the new
     //      shape into the same topic), and reads must union the file

@@ -132,7 +132,7 @@ object DedupIngest {
     * directory (idempotent — a replayed batch that reproduces the
     * version skips the write; a stale temp dir from a crash
     * mid-install is reclaimed either way). */
-  private[streaming] def installVersionFile(f: FileSystem, dir: Path,
+  private[graft] def installVersionFile(f: FileSystem, dir: Path,
                                  version: Long, shaped: DataFrame): Unit = {
     val dest = new Path(dir, s"v$version.parquet")
     val tmp = new Path(dir, s".tmp-v$version")

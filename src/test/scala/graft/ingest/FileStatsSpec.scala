@@ -137,6 +137,43 @@ class FileStatsSpec extends SparkSuite {
       .count() === 1L)
   }
 
+  test("commit-time coverage and metadata-only aggregates") {
+    val out = Files.createTempDirectory("fs-commit").toString
+    for (base <- Seq(0, 100, 200)) {
+      val rows = (base until base + 100).map { i =>
+        (i.toLong % 2, i.toLong, i.toLong * 10,
+          f"k$i%03d", i.toDouble / 4.0)
+      }
+      CommitLog.writeLogged(rows.toDF("part", "off", "v", "s", "d"),
+        out, T, flushSize = 25, statsCols = Seq("v", "s"))
+    }
+    // pruning bites with ZERO install() calls — coverage landed at
+    // commit time, one plane file per publish
+    val snap = CommitLog.snapshot(spark, out, T)
+    assert(FileStats.pruneRels(spark, out, T, col("v") > 2500L, snap).size
+      < snap.size)
+    // full coverage → count/min/max answered without opening data
+    val (total, m) = FileStats.metaAggregates(spark, out, T)
+      .getOrElse(fail("full commit-time coverage must aggregate"))
+    assert(total === 300L)
+    assert((m("v").lLo, m("v").lHi) === ((Some(0L), Some(2990L))))
+    assert((m("s").sLo, m("s").sHi) === ((Some("k000"), Some("k299"))))
+    assert(m("v").nNull === 0L && m("v").nRow === 300L)
+    // an UNstatted publish opens a coverage gap: aggregates refuse
+    // (falling back to a scan) rather than answer from partial stats
+    CommitLog.writeLogged(Seq((0L, 300L, 5000L, "zz", 1.0))
+      .toDF("part", "off", "v", "s", "d"), out, T, flushSize = 25)
+    assert(FileStats.metaAggregates(spark, out, T).isEmpty)
+    // ...while pruned reads stay correct (the gap file always scans)
+    assert(FileStats.readPruned(spark, out, T, col("v") === 5000L)
+      .count() === 1L)
+    // refresh reconverges coverage over the plane's recorded columns
+    FileStats.refresh(spark, out, T)
+    val (total2, m2) = FileStats.metaAggregates(spark, out, T).get
+    assert(total2 === 301L)
+    assert(m2("v").lHi === Some(5000L))
+  }
+
   test("deleteWhere rides the plane: pruned target selection, exact erasure") {
     val out = Files.createTempDirectory("fs-dml").toString
     build(out)
