@@ -30,6 +30,30 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-query first-recorded baseline ledger (`BASELINE_QUERIES.json`,
+    * tracked): query → seconds at first driver recording + the round it
+    * was recorded. Bench emits a `"vs_baseline"` ratio per known query
+    * and calls out any >2.0 entry in `"regressions"` — the >2×-of-first-
+    * recording drift rule becomes checkable from the artifact alone
+    * instead of by archaeology over truncated BENCH_r* tails. Queries
+    * not yet in the ledger surface under `"new_queries"`;
+    * `tools/update_baseline.py` appends them from the round artifact. */
+  private val BaselineEntry =
+    """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.eE+-]+),\s*"round":\s*(\d+)\s*\}""".r
+
+  private def loadBaseline(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      BaselineEntry.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   /** Pass-1 minimum above which a query earns a fresh-session re-time.
     * 2.5 s keeps the second pass to the ~10 heavy queries (~1/3 of the
     * pass-1 wall clock) while covering everything whose headline
@@ -189,7 +213,28 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"failed":$failed,"sf":"$sfDir"}""")
+
+    // vs-baseline ratios against the first-recording ledger; >2.0 is the
+    // drift rule and gets its own callout. Sub-100ms baselines are noise
+    // (ratio suppressed) — the rule is about real queries drifting.
+    val baseline = loadBaseline()
+    val ratios = results.collect {
+      case (name, s) if s >= 0 && baseline.get(name).exists(_ >= 0.1) =>
+        name -> s / baseline(name)
+    }
+    val ratioJson = ratios
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val regressions = ratios.filter(_._2 > 2.0)
+    val regJson = regressions
+      .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    val newQ = results.collect {
+      case (name, s) if s >= 0 && !baseline.contains(name) =>
+        "\"" + name + "\":" + s
+    }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"vs_baseline":$ratioJson,"regressions":$regJson,"new_queries":$newQ,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
