@@ -4,10 +4,9 @@ package graft.multimodal
   * is LZW (GIF87a/89a, public specification), which is pure byte/bit
   * algebra: a growing dictionary of byte strings, codes packed
   * LSB-first at a width that escalates as the dictionary fills. The
-  * JDK's Inflater covers PNG ([[PngPixels]]); this module covers the
-  * other rasterizable-without-native-code format, so of the three
-  * image formats the pipeline synthesizes only JPEG (Huffman + DCT
-  * reconstruction) keeps the byte-stats fallback.
+  * JDK's Inflater covers PNG ([[PngPixels]]), [[JpegPixels]] covers
+  * baseline JPEG (Huffman + IDCT) — with this module all three image
+  * formats the pipeline synthesizes rasterize pure-JVM.
   *
   * Subset decoded — mirrors [[PngPixels]]' honest-subset policy
   * (anything outside it returns None, routing to the fallback, never

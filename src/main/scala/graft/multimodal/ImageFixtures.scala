@@ -166,6 +166,92 @@ object ImageFixtures {
     out.toByteArray
   }
 
+  /** A complete baseline JPEG (ITU T.81) CARRYING PIXELS the oracle
+    * can regenerate arithmetically despite the format being lossy:
+    * every 8×8 block is FLAT at luma level
+    * `(17·bx + 29·by + seed) mod 256` (bx = x/8, by = y/8), the quant
+    * table is all ones, and chroma sits at 128. A flat block's
+    * forward DCT has only the DC term `8·(L−128)` — an exact integer
+    * that quantization by 1 preserves — so ANY conforming decoder
+    * reconstructs exactly L (and Cb=Cr=128 makes RGB = (L,L,L) with
+    * zero color-convert rounding). The stream is fully real: DQT,
+    * SOF0, canonical DHT tables, an interleaved entropy-coded scan
+    * with byte stuffing — `javax.imageio` decodes it, independently
+    * of [[JpegPixels]]. Huffman tables are minimal-but-legal custom
+    * canonical tables (DC: twelve 4-bit codes for categories 0–11;
+    * AC: one 2-bit EOB code), which the decoder must parse from DHT
+    * like any other table. */
+  def jpegPixelBytes(w: Int, h: Int, ncomp: Int, seed: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && (ncomp == 1 || ncomp == 3),
+      s"bad jpeg fixture ${w}x$h ncomp=$ncomp")
+    val out = new ByteArrayOutputStream()
+    def marker(m: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write(be16(body.length + 2)); out.write(body)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    marker(0xe0, "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(1) ++ be16(1) ++ Array[Byte](0, 0))
+    marker(0xdb, Array[Byte](0x00) ++ Array.fill[Byte](64)(1)) // DQT: q ≡ 1
+    marker(0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](ncomp.toByte) ++
+      (1 to ncomp).flatMap(c => Seq(c.toByte, 0x11.toByte, 0.toByte)))
+    // DHT DC table 0: categories 0..11 as the twelve 4-bit codes
+    marker(0xc4, Array[Byte](0x00, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0) ++ (0 to 11).map(_.toByte))
+    // DHT AC table 0: single 2-bit code "00" for EOB
+    marker(0xc4, Array[Byte](0x10, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0x00))
+    marker(0xda, Array[Byte](ncomp.toByte) ++
+      (1 to ncomp).flatMap(c => Seq(c.toByte, 0x00.toByte)) ++
+      Array[Byte](0, 63, 0))
+    // entropy-coded scan: MSB-first bits, 0xFF byte-stuffed, 1-padded
+    var acc = 0; var nbits = 0
+    def emit(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        k -= 1
+      }
+    }
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val pred = new Array[Int](ncomp)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < ncomp) {
+          val level = if (c == 0) (17 * mx + 29 * my + seed) % 256 else 128
+          val dc = 8 * (level - 128)
+          val diff = dc - pred(c)
+          pred(c) = dc
+          val s =
+            if (diff == 0) 0
+            else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          emit(s, 4) // DC category code (canonical code for cat s IS s)
+          if (s > 0)
+            emit((if (diff < 0) diff + (1 << s) - 1 else diff) & ((1 << s) - 1), s)
+          emit(0, 2) // AC EOB
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    if (nbits > 0) { // pad the final byte with 1-bits per T.81 F.1.2.3
+      while (nbits != 0) emit(1, 1)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** A complete, valid GIF89a: logical screen descriptor with 8-bit
     * color resolution, 2-entry global color table, one full-size
     * all-background image frame (real LZW stream — a clear code before

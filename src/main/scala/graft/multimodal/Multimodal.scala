@@ -14,12 +14,14 @@ import org.apache.spark.sql.types._
   * JPEG / GIF headers ([[ImageHeader]], pure JVM) for width / height /
   * channels / bit depth — the pass a 100 TB pipeline runs for
   * dimension filtering and resize planning without ever touching pixel
-  * data. PNG PIXEL decode is REAL too ([[PngPixels]]: JDK Inflater +
-  * RFC 2083 unfiltering — no codec library needed), surfaced as
-  * per-channel statistics by [[decodePixelStats]]. Formats whose
-  * rasterization genuinely needs a native codec (JPEG, GIF, video
-  * frames) ride the byte-stats fallback (`decodeStub`) with the
-  * production batching/schema shape; swap in a codec call to go live.
+  * data. PIXEL decode is REAL for all three image formats —
+  * [[PngPixels]] (JDK Inflater + RFC 2083 unfiltering), [[GifPixels]]
+  * (LZW + palette), [[JpegPixels]] (Huffman + IDCT, ITU T.81) — no
+  * codec library needed, surfaced as per-channel statistics by
+  * [[decodePixelStats]]. Only video FRAME rasterization (H.264 etc.)
+  * genuinely needs a native codec and rides the byte-stats fallback
+  * (`decodeStub`) with the production batching/schema shape; swap in
+  * a codec call to go live.
   */
 object Multimodal {
 
@@ -44,10 +46,11 @@ object Multimodal {
 
   /** Container-level fallback features: byte statistics + a 16-dim
     * byte-histogram "embedding" over the RAW payload. This is the
-    * path for formats whose pixel decode needs a native codec (JPEG,
-    * video) — PNG and GIF have REAL pixel decodes ([[PngPixels]],
-    * [[GifPixels]], [[decodePixelStats]]). Same signature a
-    * codec-backed decoder has: bytes in, fixed-width features out. */
+    * path for formats whose pixel decode needs a native codec (video
+    * frames) — PNG, GIF and JPEG have REAL pixel decodes
+    * ([[PngPixels]], [[GifPixels]], [[JpegPixels]],
+    * [[decodePixelStats]]). Same signature a codec-backed decoder
+    * has: bytes in, fixed-width features out. */
   def decodeStub(payload: Array[Byte]): (Double, Int, Array[Float]) = {
     val n = math.max(payload.length, 1)
     val mean = payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
@@ -132,15 +135,16 @@ object Multimodal {
 
   /** The raster decode shared by every pixel consumer: PNG via
     * [[PngPixels]] (Inflater + RFC 2083 unfiltering), GIF via
-    * [[GifPixels]] (LZW + palette) — both pure JVM. None routes to
-    * the byte-stats fallback. */
+    * [[GifPixels]] (LZW + palette), JPEG via [[JpegPixels]] (Huffman +
+    * IDCT) — all pure JVM. None routes to the byte-stats fallback. */
   def decodeRaster(bytes: Array[Byte]): Option[PngPixels.Image] =
     PngPixels.decode(bytes).orElse(GifPixels.decode(bytes))
+      .orElse(JpegPixels.decode(bytes))
 
-  /** REAL pixel decode, batched: PNG and GIF payloads rasterize
+  /** REAL pixel decode, batched: PNG, GIF and JPEG payloads rasterize
     * in-JVM ([[decodeRaster]]) and emit one stats row per channel;
-    * payloads needing a native codec (JPEG, …) fall back to ONE
-    * byte-stats row at channel = -1, so the pass never fails a task
+    * payloads needing a native codec (video frames, …) fall back to
+    * ONE byte-stats row at channel = -1, so the pass never fails a task
     * and downstream can route on the channel sign. Sum/min/max are
     * exact integers; the mean is one final IEEE division — the same
     * discipline the SQL oracle follows. */
@@ -240,7 +244,12 @@ object Multimodal {
               ImageFixtures.pngBytes(w, h, if (alt) 6 else 2,
                 seed = (id % 256).toInt))
             case 1 => Row(id, "image/jpeg",
-              ImageFixtures.jpegBytes(w, h, if (alt) 1 else 3))
+              // flat 8x8 blocks at (17*bx + 29*by + id) % 256 — the
+              // lossless-by-construction baseline stream (see
+              // ImageFixtures.jpegPixelBytes), so the oracle recomputes
+              // decoded pixels despite JPEG being a lossy format
+              ImageFixtures.jpegPixelBytes(w, h, if (alt) 1 else 3,
+                seed = (id % 256).toInt))
             case _ => Row(id, "image/gif",
               // seeded checkerboard: channel value 255*((x+y+id) % 2)
               ImageFixtures.gifBytes(w, h, seed = (id % 256).toInt))

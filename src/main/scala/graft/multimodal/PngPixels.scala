@@ -14,8 +14,8 @@ import java.util.zip.{DataFormatException, Inflater}
   * This is the "real codec" slot of the multimodal plane
   * ([[Multimodal.decodePixelStats]]): no image library exists in this
   * environment, but PNG needs none — zlib ships in the JDK and the
-  * filter algebra is public spec. JPEG/GIF pixel decode still needs a
-  * native codec and stays on the byte-stats fallback.
+  * filter algebra is public spec. GIF ([[GifPixels]]) and JPEG
+  * ([[JpegPixels]]) rasterize pure-JVM too.
   */
 object PngPixels {
 

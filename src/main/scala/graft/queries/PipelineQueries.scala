@@ -4836,37 +4836,44 @@ object PipelineQueries {
              |  CAST(8 AS INT) AS bit_depth
              |FROM documents ORDER BY media_id""".stripMargin)),
 
-    // ---- Multimodal REAL PIXEL decode: the PNG payloads above carry
-    //      a deterministic gradient ((x+y+c+id) mod 256) filtered with
-    //      ALL FIVE RFC 2083 scanline filters (type cycles y mod 5),
-    //      and the GIF payloads a seeded checkerboard
-    //      (255*((x+y+id) mod 2)) behind a literal LZW stream with
-    //      real code-width escalation; PngPixels (JDK Inflater +
-    //      unfiltering) and GifPixels (LZW + palette — no codec
-    //      library either) rasterize them inside the batched boundary
-    //      and emit exact per-channel integer stats; only JPEG keeps
-    //      the channel=-1 byte-stats fallback. The oracle regenerates
+    // ---- Multimodal REAL PIXEL decode, all three formats: the PNG
+    //      payloads above carry a deterministic gradient
+    //      ((x+y+c+id) mod 256) filtered with ALL FIVE RFC 2083
+    //      scanline filters (type cycles y mod 5); the GIF payloads a
+    //      seeded checkerboard (255*((x+y+id) mod 2)) behind a literal
+    //      LZW stream with real code-width escalation; and the JPEG
+    //      payloads flat 8x8 blocks at (17*bx + 29*by + id) mod 256
+    //      with unit quant tables — lossless BY CONSTRUCTION (a flat
+    //      block's DCT is a lone integer DC), so even the lossy format
+    //      has an exact pixel oracle. PngPixels (JDK Inflater +
+    //      unfiltering), GifPixels (LZW + palette) and JpegPixels
+    //      (Huffman + IDCT) rasterize them inside the batched boundary
+    //      and emit exact per-channel integer stats — no byte-stats
+    //      fallback rows remain in this corpus. The oracle regenerates
     //      every pixel arithmetically (unnest over x/y/channel
     //      ranges) — a single wrong byte anywhere in deflate framing,
-    //      filter reconstruction, LZW dictionary bookkeeping, or
-    //      channel interleave breaks the hash. ----
+    //      filter reconstruction, LZW dictionary bookkeeping, Huffman
+    //      decode, or channel interleave breaks the hash. ----
     QuerySpec("multimodal_pixel_stats",
       (s, d) => graft.multimodal.Multimodal.decodePixelStats(
           graft.multimodal.Multimodal.syntheticImages(
-            Tables.documents(s, d).filter(col("doc_id") % 3 =!= 1)))
+            Tables.documents(s, d)))
         .orderBy(col("media_id"), col("channel")),
       Some("""WITH dims AS (SELECT doc_id AS id, doc_id % 3 AS fmt,
              |    1 + doc_id % 61 AS w, 1 + (doc_id * 7) % 53 AS h,
              |    CASE WHEN doc_id % 3 = 0 THEN
              |      CASE WHEN (doc_id // 3) % 2 = 1 THEN 4 ELSE 3 END
+             |    WHEN doc_id % 3 = 1 THEN
+             |      CASE WHEN (doc_id // 3) % 2 = 1 THEN 1 ELSE 3 END
              |    ELSE 3 END AS ch
-             |  FROM documents WHERE doc_id % 3 <> 1),
+             |  FROM documents),
              |xs AS (SELECT id, fmt, h, ch, unnest(range(0, w)) AS x
              |  FROM dims),
              |ys AS (SELECT id, fmt, ch, x, unnest(range(0, h)) AS y
              |  FROM xs),
              |px AS (SELECT id, c AS channel,
              |    CASE WHEN fmt = 0 THEN (x + y + c + id) % 256
+             |      WHEN fmt = 1 THEN (17 * (x // 8) + 29 * (y // 8) + id) % 256
              |      ELSE 255 * ((x + y + id) % 2) END AS v
              |  FROM (SELECT id, fmt, x, y, unnest(range(0, ch)) AS c
              |    FROM ys)),
