@@ -663,6 +663,61 @@ object IngestQueries {
              |  count(*) FILTER (value IS NULL), count(*) FROM events
              |ORDER BY col""".stripMargin)),
 
+    // ---- Z-ORDER CLUSTERING (the lakehouse OPTIMIZE ZORDER): rewrite
+    //      an ingest-ordered topic into a NEW topic laid out along the
+    //      Morton curve of (user_id, value) — equi-depth bucket ranks
+    //      interleaved, one range shuffle + per-partition sort, the
+    //      skipping plane for both columns installed in the same
+    //      atomic publish (ZOrder.cluster). The result proves both
+    //      halves of the story: the per-src_part aggregates over the
+    //      clustered copy must equal the raw table (the rewrite lost,
+    //      duplicated, and reordered-across-coordinates nothing — the
+    //      provenance columns carry the original addresses), and the
+    //      same aggregates through FileStats.readPruned with a
+    //      two-column range predicate must equal the filtered raw
+    //      table (file skipping refutes FILES, never rows). ----
+    QuerySpec("commitlog_zorder_cluster",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-zorder-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events",
+          flushSize = 500)
+        graft.ingest.ZOrder.cluster(s, dir, "events", "events_z",
+          Seq("user_id", "value"), flushSize = 400, numParts = 4)
+        val z = graft.ingest.CommitLog.read(s, dir, "events_z")
+        def shape(df: org.apache.spark.sql.DataFrame, tag: Long) =
+          df.groupBy(col("src_part"))
+            .agg(count(lit(1)).as("n"), sum(col("user_id")).as("sum_users"),
+              min(col("src_off")).as("min_off"),
+              max(col("src_off")).as("max_off"))
+            .select(lit(tag).as("leg"), col("src_part"), col("n"),
+              col("sum_users"), col("min_off"), col("max_off"))
+        val pred = col("user_id") < 40L && col("value") < 100.0
+        val out = shape(z, 0L).unionAll(
+            shape(graft.ingest.FileStats.readPruned(s, dir, "events_z",
+              pred), 1L))
+          .orderBy(col("leg"), col("src_part"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      Some(s"""SELECT 0 AS leg, event_id % ${P} AS src_part,
+              |  count(*) AS n, CAST(sum(user_id) AS BIGINT) AS sum_users,
+              |  min(event_id) AS min_off, max(event_id) AS max_off
+              |FROM events GROUP BY 2
+              |UNION ALL
+              |SELECT 1, event_id % ${P}, count(*),
+              |  CAST(sum(user_id) AS BIGINT), min(event_id), max(event_id)
+              |FROM events WHERE user_id < 40 AND value < 100.0
+              |GROUP BY 2
+              |ORDER BY leg, src_part""".stripMargin)),
+
     // ---- SCHEMA EVOLUTION through the log: the stream's shape WIDENS
     //      mid-topic (the schema-change rotation path writes the new
     //      shape into the same topic), and reads must union the file

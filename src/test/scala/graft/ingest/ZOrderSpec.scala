@@ -1,0 +1,153 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Z-order clustering: content is preserved exactly, the rewrite is a
+  * NEW-topic atomic publish, and — the point of the operator — the
+  * stats plane prunes files on EVERY clustered column afterwards,
+  * where the ingest-ordered original prunes on none of them. */
+class ZOrderSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 4k rows whose `a`/`b` are decorrelated from arrival order (and
+    * from each other): every ingest-ordered file spans nearly the full
+    * a/b range, so range predicates can't skip anything until the
+    * layout is clustered. */
+  private def ingest(out: String): Unit = {
+    val rows = (0 until 4096).map { i =>
+      val a = (i * 2654435761L) % 1000 // Knuth-hash scramble
+      val b = (i * 40503L + 7) % 1000
+      (i.toLong % 4, i.toLong, a, b, s"payload-$i")
+    }
+    CommitLog.writeLogged(rows.toDF("part", "off", "a", "b", "payload"),
+      out, "raw", flushSize = 256, statsCols = Seq("a", "b"))
+  }
+
+  test("clustering preserves content exactly and keeps provenance") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("a", "b"),
+      flushSize = 256, numParts = 4)
+    val src = CommitLog.read(spark, out, "raw")
+      .select($"part", $"off", $"a", $"b", $"payload")
+    val dst = CommitLog.read(spark, out, "clustered")
+      .select($"src_part".as("part"), $"src_off".as("off"),
+        $"a", $"b", $"payload")
+    assert(dst.exceptAll(src).isEmpty && src.exceptAll(dst).isEmpty,
+      "clustered rows must be exactly the source rows")
+    // curve-order coordinates are a valid log addressing: offsets
+    // unique per destination partition
+    val dups = CommitLog.read(spark, out, "clustered")
+      .groupBy($"part", $"off").count().filter($"count" > 1).count()
+    assert(dups == 0)
+  }
+
+  test("stats plane prunes on BOTH clustered columns; original prunes on neither") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("a", "b"),
+      flushSize = 256, numParts = 4)
+    def survivors(topic: String, pred: org.apache.spark.sql.Column): Int = {
+      val snap = CommitLog.snapshot(spark, out, topic)
+      FileStats.pruneRels(spark, out, topic, pred, snap).size
+    }
+    def total(topic: String): Int =
+      CommitLog.snapshot(spark, out, topic).size
+    for (pred <- Seq($"a" >= 100L && $"a" < 200L,
+        $"b" >= 700L && $"b" < 800L,
+        $"a" < 150L && $"b" < 150L)) {
+      val rawKept = survivors("raw", pred)
+      val zKept = survivors("clustered", pred)
+      // arrival order is scrambled: raw files span ~the full range, so
+      // skipping barely bites (an occasional file misses a 10% slab)
+      assert(rawKept >= total("raw") * 85 / 100,
+        s"raw pruned suspiciously well for $pred: $rawKept/${total("raw")}")
+      assert(zKept <= total("clustered") / 2,
+        s"clustered layout must prune most files for $pred " +
+          s"(kept $zKept of ${total("clustered")})")
+    }
+    // and the pruned read returns the same rows as the full scan
+    val pred = $"a" >= 100L && $"a" < 200L && $"b" < 500L
+    val pruned = FileStats.readPruned(spark, out, "clustered", pred)
+      .select($"src_off").as[Long].collect().sorted
+    val full = CommitLog.read(spark, out, "clustered").filter(pred)
+      .select($"src_off").as[Long].collect().sorted
+    assert(pruned.sameElements(full))
+  }
+
+  test("mortonInterleave lays bit i of column c at position i*k + c") {
+    val df = (0 until 4096).map { i =>
+      ((i / 64).toLong, (i % 64).toLong)
+    }.toDF("x", "y")
+    val z = df.select($"x", $"y",
+      ZOrder.mortonInterleave(Seq($"x", $"y")).as("z")).collect()
+    def morton(a: Long, b: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 6) {
+        r |= ((a >> i) & 1L) << (2 * i)
+        r |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      r
+    }
+    z.foreach { row =>
+      val (x, y, got) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      assert(got == morton(x, y), s"z($x,$y)")
+    }
+    // withZValue composes equi-depth ranks into that interleave: equal
+    // inputs share a z, and the curve origin is the all-minimum corner
+    val withZ = ZOrder.withZValue(df, Seq("x", "y"))
+      .select($"x", $"y", $"__z").collect()
+    val zOf = withZ.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(zOf((0L, 0L)) == withZ.map(_.getLong(2)).min,
+      "the all-minimum corner must sit at the curve origin")
+    assert(zOf((63L, 63L)) == withZ.map(_.getLong(2)).max,
+      "the all-maximum corner must sit at the curve end")
+  }
+
+  test("nulls rank first and cluster together") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    val rows = (0 until 1024).map { i =>
+      val a: java.lang.Long = if (i % 8 == 0) null else (i * 37L) % 500
+      (i.toLong % 2, i.toLong, a, s"p$i")
+    }
+    CommitLog.writeLogged(rows.toDF("part", "off", "a", "payload"),
+      out, "raw", flushSize = 128)
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("a"),
+      flushSize = 128, numParts = 2)
+    val dst = CommitLog.read(spark, out, "clustered")
+    assert(dst.count() == 1024)
+    assert(dst.filter($"a".isNull).count() == 128)
+    // nulls share z = 0, the curve's origin: they land at the head of
+    // one destination partition, interleaved only with whatever
+    // non-null values share the first bucket — never scattered
+    val nullHome = dst.filter($"a".isNull)
+      .agg(countDistinct($"part"), max($"off")).collect()(0)
+    assert(nullHome.getLong(0) == 1L, "nulls must share one partition")
+    assert(nullHome.getLong(1) < 256L,
+      "nulls must sit within the curve head (first files), got max off " +
+        nullHome.getLong(1))
+  }
+
+  test("refuses an existing destination topic and log-coordinate columns") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("a"),
+      flushSize = 256, numParts = 2)
+    intercept[IllegalArgumentException] {
+      ZOrder.cluster(spark, out, "raw", "clustered", Seq("b"),
+        flushSize = 256, numParts = 2)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.cluster(spark, out, "raw", "c2", Seq("off"),
+        flushSize = 256, numParts = 2)
+    }
+    intercept[IllegalArgumentException] {
+      ZOrder.cluster(spark, out, "raw", "raw", Seq("a"),
+        flushSize = 256, numParts = 2)
+    }
+  }
+}
