@@ -132,6 +132,27 @@ class ZOrderSpec extends SparkSuite {
         nullHome.getLong(1))
   }
 
+  test("clustering survives the nightly maintain: compaction merges adjacent curve segments") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("a", "b"),
+      flushSize = 128, numParts = 2)
+    val filesBefore = CommitLog.snapshot(spark, out, "clustered").size
+    // compaction merges ADJACENT offset ranges = adjacent z-curve
+    // segments, so merged files still cover contiguous curve spans and
+    // maintain's stats refresh re-covers them
+    CommitLog.maintain(spark, out, "clustered", targetRecords = 512,
+      graceMs = 0L)
+    val snap = CommitLog.snapshot(spark, out, "clustered")
+    assert(snap.size < filesBefore, "compaction must have merged files")
+    val pred = $"a" >= 100L && $"a" < 200L
+    val kept = FileStats.pruneRels(spark, out, "clustered", pred, snap).size
+    assert(kept <= snap.size / 2,
+      s"pruning must still bite after maintain (kept $kept of ${snap.size})")
+    // and the merged layout still reads back the full content
+    assert(CommitLog.read(spark, out, "clustered").count() == 4096)
+  }
+
   test("refuses an existing destination topic and log-coordinate columns") {
     val out = Files.createTempDirectory("graft-zorder").toString
     ingest(out)
