@@ -153,6 +153,36 @@ class ZOrderSpec extends SparkSuite {
     assert(CommitLog.read(spark, out, "clustered").count() == 4096)
   }
 
+  test("plan shape: z-value assignment is a pure projection, the rewrite's only exchange is the range shuffle") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    val data = CommitLog.read(spark, out, "raw")
+      .withColumnRenamed("part", "src_part")
+      .withColumnRenamed("off", "src_off")
+    // AQE off for the inspection: AdaptiveSparkPlanExec is a leaf, so
+    // collecting exchanges through it would pass vacuously
+    def exchanges(df: org.apache.spark.sql.DataFrame) = {
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.adaptive.enabled")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      try df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      finally conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    // bucket lookup + interleave never shuffle (the quantile pass is a
+    // separate bounded aggregate, not part of this plan)
+    assert(exchanges(ZOrder.withZValue(data, Seq("a", "b"))).isEmpty,
+      "withZValue must be projection-only")
+    val arranged = ZOrder.withZValue(data, Seq("a", "b"))
+      .repartitionByRange(4, $"__z").sortWithinPartitions($"__z")
+    val ex = exchanges(arranged)
+    assert(ex.size == 1, s"the rewrite pays exactly ONE shuffle, got ${ex.size}")
+    assert(ex.head.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
+      "and it is the z-range exchange")
+  }
+
   test("refuses an existing destination topic and log-coordinate columns") {
     val out = Files.createTempDirectory("graft-zorder").toString
     ingest(out)
