@@ -20,11 +20,13 @@ META = {"metric", "value", "n", "rc", "cpus", "sf", "failed", "total"}
 
 def timings_from(path):
     with open(path) as f:
-        doc = json.load(f)
+        raw = f.read()
+    # tolerate log prefixes (e.g. sbt's "[info] ") before the JSON line
+    doc = json.loads(raw[raw.index("{"):])
     text = doc.get("tail", "") if isinstance(doc, dict) and "tail" in doc else json.dumps(doc)
     # per-name min across the queries/retimed spans of the line
     out = {}
-    for m in re.finditer(r'"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)(?=[,}])', text):
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)(?=\s*[,}])', text):
         name, val = m.group(1), float(m.group(2))
         if name in META or val < 0:
             continue
