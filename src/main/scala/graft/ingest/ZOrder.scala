@@ -50,38 +50,55 @@ object ZOrder {
         .otherwise(bucketTree(v, cuts, mid + 1, hi, base + (mid - lo) + 1))
     }
 
-  /** Morton interleave of per-column bucket ranks: bit i of column c
-    * lands at position i*k + c. Bucket columns must already be in
-    * [0, 2^bits). */
-  def mortonInterleave(buckets: Seq[Column], bits: Int = DefaultBits): Column = {
-    val k = buckets.size
-    var z: Column = lit(0L)
-    for (i <- 0 until bits; c <- 0 until k) {
-      val bit = shiftright(buckets(c), i).bitwiseAND(lit(1L))
-      z = z.bitwiseOR(shiftleft(bit, i * k + c))
+  /** Morton interleave of per-column bucket ranks — delegates to
+    * [[graft.operators.ZOrder.interleaveN]], the one Morton home (the
+    * operators side also carries the raw-coordinate layout report
+    * `zorder_scan_pruning` and the pluggable write-path partitioner;
+    * THIS side turns the same curve into a committed file layout with
+    * its skipping plane). */
+  def mortonInterleave(buckets: Seq[Column], bits: Int = DefaultBits): Column =
+    graft.operators.ZOrder.interleaveN(buckets, bits)
+
+  /** Order-preserving double proxy for a cluster column. Numerics cast
+    * directly; timestamps become epoch seconds; dates route through
+    * timestamp (a bare date→double cast silently nulls). Strings map
+    * to their first six UTF-8 bytes read as an unsigned integer —
+    * UTF-8 byte order IS code-point order, truncation/right-NUL-pad
+    * keep the map monotone (non-strict), and 48 bits sit exactly in a
+    * double — resolution far beyond any realistic bucket count. */
+  private def orderProxy(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+    dt match {
+      case StringType =>
+        conv(hex(substring(encode(rpad(c, 8, "\u0000"), "UTF-8"), 1, 6)),
+          16, 10).cast("double")
+      case DateType => c.cast(TimestampType).cast("double")
+      case _ => c.cast("double")
     }
-    z
   }
 
   /** Add the z-value column: per-column equi-depth bucket rank
     * (boundaries from ONE multi-column `approxQuantile` pass, nulls
     * rank first like a SQL sort) interleaved into a Morton code.
-    * Cluster columns must be numeric/date/timestamp (anything
-    * castable to double preserving order). */
+    * Cluster columns may be numeric, date/timestamp, or string
+    * (strings bucket by their leading-bytes order proxy — domains,
+    * URLs, language tags cluster fine; only columns whose first six
+    * bytes are all equal degenerate to one bucket). */
   def withZValue(df: DataFrame, cols: Seq[String], bits: Int = DefaultBits,
                  as: String = "__z"): DataFrame = {
     require(cols.nonEmpty && cols.size <= 8, s"1..8 cluster columns, got ${cols.size}")
     require(bits >= 1 && bits <= 10, s"bits must be 1..10, got $bits")
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val dts = cols.map(c => c -> df.schema(c).dataType).toMap
     // one pass over the data for ALL columns' boundaries; 0.01 relative
     // error is far finer than the bucket width at any realistic scale
-    val asDouble = cols.map(c => col(c).cast("double").as(s"__zq_$c"))
-    val quantileInput = df.select(asDouble: _*)
+    val proxies = cols.map(c => orderProxy(col(c), dts(c)).as(s"__zq_$c"))
+    val quantileInput = df.select(proxies: _*)
     val cutsPerCol = quantileInput.stat
       .approxQuantile(cols.map(c => s"__zq_$c").toArray, probs, 0.01)
     val bucketCols = cols.zip(cutsPerCol).map { case (c, cuts) =>
-      val v = col(c).cast("double")
+      val v = orderProxy(col(c), dts(c))
       // duplicate cuts under skew just merge buckets — harmless
       val tree = bucketTree(v, cuts, 0, cuts.length, 0)
       when(v.isNull, lit(0)).otherwise(tree).cast("long")

@@ -33,6 +33,23 @@ object ZOrder {
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** K-ary generalization of [[interleave]]: bit i of coordinate c
+    * lands at position `i·k + c` (for k = 2 this is exactly
+    * [[interleave]]'s even/odd layout). Coordinates must already be in
+    * [0, 2^bits). This is the interleave [[graft.ingest.ZOrder]] — the
+    * commit-log clustering REWRITE — feeds with equi-depth bucket
+    * ranks; here it stays a pure projection over however the caller
+    * folded its coordinates. */
+  def interleaveN(coords: Seq[Column], bits: Int): Column = {
+    val k = coords.size
+    var z: Column = lit(0L)
+    for (i <- 0 until bits; c <- 0 until k) {
+      val bit = shiftright(coords(c), i).bitwiseAND(lit(1L))
+      z = z.bitwiseOR(shiftleft(bit, i * k + c))
+    }
+    z
+  }
+
   /** The file a record lands in under Z-layout: the top `fileBits`
     * bits of the Morton code — records sharing a Z-prefix are
     * co-located, which is Z-order clustering without a global sort

