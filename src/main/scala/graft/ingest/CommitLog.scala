@@ -427,7 +427,8 @@ object CommitLog {
                   flushSize: Int,
                   pad: Int = FileNaming.DefaultZeroPadWidth,
                   format: String = "parquet",
-                  statsCols: Seq[String] = Nil): Long = {
+                  statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): Long = {
     // same charset gate as cloneTopic: names written under a topic the
     // regex cannot re-parse would break offset restore silently
     require(FileNaming.isValidTopicName(topic),
@@ -443,6 +444,9 @@ object CommitLog {
     if (statsCols.nonEmpty)
       FileStats.installFor(df.sparkSession, outDir, topic, statsCols,
         v, rels, format)
+    if (bloomCols.nonEmpty)
+      FileBloom.installFor(df.sparkSession, outDir, topic, bloomCols,
+        v, rels, format = format)
     v
   }
 
@@ -483,11 +487,13 @@ object CommitLog {
     require(BatchWriter.SelfDescribing(format),
       s"deleteWhere needs a self-describing format retaining off, got: $format")
     val (snap, files) = parsedSnapshot(spark, outDir, topic, "deletable")
-    // stats-plane pruning first (files whose column ranges refute the
-    // predicate never open — see [[FileStats]]; no plane = no prune),
-    // then one pushdown scan over the survivors confirms actual rows
-    val candidates = FileStats.pruneRels(spark, outDir, topic,
-      predicate, snap, format)
+    // skipping-plane pruning first — range stats ([[FileStats]]) then
+    // Bloom point filters ([[FileBloom]]; no plane = no prune): a
+    // selective erasure opens only files that can hold matches. One
+    // pushdown scan over the survivors then confirms actual rows
+    val candidates = FileBloom.pruneRels(spark, outDir, topic, predicate,
+      FileStats.pruneRels(spark, outDir, topic, predicate, snap, format),
+      format)
     if (candidates.isEmpty) return latestVersion(spark, outDir, topic)
     val affectedNames = readFiles(spark, outDir, topic, candidates, format)
       .filter(predicate).select(srcFileName.as("n")).distinct()
@@ -932,9 +938,10 @@ object CommitLog {
     require(!assignments.contains("off") && !assignments.contains("part"),
       "offsets and partitions are immutable — updates rewrite content only")
     val (snap, files) = parsedSnapshot(spark, outDir, topic, "row-updatable")
-    // same stats-plane pruning as deleteWhere before the confirm scan
-    val candidates = FileStats.pruneRels(spark, outDir, topic,
-      predicate, snap, format)
+    // same skipping-plane pruning as deleteWhere before the confirm scan
+    val candidates = FileBloom.pruneRels(spark, outDir, topic, predicate,
+      FileStats.pruneRels(spark, outDir, topic, predicate, snap, format),
+      format)
     if (candidates.isEmpty) return latestVersion(spark, outDir, topic)
     val affectedNames = readFiles(spark, outDir, topic, candidates, format)
       .filter(predicate).select(srcFileName.as("n")).distinct()
@@ -1205,9 +1212,10 @@ object CommitLog {
                format: String = "parquet"): Maintenance = {
     val v = compactLogged(spark, outDir, topic, targetRecords, pad, format)
     checkpoint(spark, outDir, topic) // no-op when compaction already did
-    // a statted topic re-covers its rewritten/appended files here —
-    // between sweeps the plane is merely conservative (new files scan)
+    // an indexed topic re-covers its rewritten/appended files here —
+    // between sweeps the planes are merely conservative (new files scan)
     FileStats.refresh(spark, outDir, topic, format)
+    FileBloom.refresh(spark, outDir, topic, format)
     Maintenance(v, truncateLog(spark, outDir, topic),
       vacuum(spark, outDir, topic, graceMs))
   }

@@ -718,6 +718,63 @@ object IngestQueries {
               |GROUP BY 2
               |ORDER BY leg, src_part""".stripMargin)),
 
+    // ---- BLOOM FILE SKIPPING: point predicates on high-cardinality
+    //      columns fall inside every file's min/max range, so the
+    //      stats plane keeps everything — the per-file Bloom plane
+    //      (FileBloom: k xxhash64 positions per value, sparse 64-bit
+    //      words, one bit_or group-by to build, pushdown-probed) is
+    //      what refutes files for `user_id = x`. The result runs the
+    //      SAME aggregates through FileBloom.readPruned for an
+    //      equality and an IN-list (one member nonexistent) — content
+    //      must equal the raw filtered table regardless of which
+    //      files the filters refuted (no false negatives ever; false
+    //      positives only cost I/O). ----
+    QuerySpec("commitlog_bloom_prune",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-clog-bloom-q").toString
+        val in = stream(s, d).drop("topic", "ts")
+        graft.ingest.CommitLog.writeLogged(in, dir, "events",
+          flushSize = 500, bloomCols = Seq("user_id", "event_type"))
+        def shape(pred: org.apache.spark.sql.Column, tag: Long) =
+          graft.ingest.FileBloom.readPruned(s, dir, "events", pred)
+            .agg(count(lit(1)).as("n"),
+              coalesce(min(col("off")), lit(-1L)).as("min_off"),
+              coalesce(max(col("off")), lit(-1L)).as("max_off"),
+              coalesce(sum(col("user_id")), lit(0L)).as("sum_users"))
+            .select(lit(tag).as("leg"), col("n"), col("min_off"),
+              col("max_off"), col("sum_users"))
+        val out = shape(col("user_id") === 42L, 0L)
+          .unionAll(shape(col("user_id").isin(7L, 999999L), 1L))
+          .unionAll(shape(col("user_id") === 13L &&
+            col("event_type") === "click", 2L))
+          .orderBy(col("leg"))
+        val rows = out.collect().toSeq
+        val root = new org.apache.hadoop.fs.Path(dir)
+        org.apache.hadoop.fs.FileSystem
+          .get(root.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(root, true)
+        s.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows).asJava), out.schema)
+      },
+      Some("""SELECT 0 AS leg, count(*) AS n,
+             |  coalesce(min(event_id), -1) AS min_off,
+             |  coalesce(max(event_id), -1) AS max_off,
+             |  CAST(coalesce(sum(user_id), 0) AS BIGINT) AS sum_users
+             |FROM events WHERE user_id = 42
+             |UNION ALL
+             |SELECT 1, count(*), coalesce(min(event_id), -1),
+             |  coalesce(max(event_id), -1),
+             |  CAST(coalesce(sum(user_id), 0) AS BIGINT)
+             |FROM events WHERE user_id IN (7, 999999)
+             |UNION ALL
+             |SELECT 2, count(*), coalesce(min(event_id), -1),
+             |  coalesce(max(event_id), -1),
+             |  CAST(coalesce(sum(user_id), 0) AS BIGINT)
+             |FROM events WHERE user_id = 13 AND event_type = 'click'
+             |ORDER BY leg""".stripMargin)),
+
     // ---- SCHEMA EVOLUTION through the log: the stream's shape WIDENS
     //      mid-topic (the schema-change rotation path writes the new
     //      shape into the same topic), and reads must union the file

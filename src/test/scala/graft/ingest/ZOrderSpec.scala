@@ -49,8 +49,10 @@ class ZOrderSpec extends SparkSuite {
   test("stats plane prunes on BOTH clustered columns; original prunes on neither") {
     val out = Files.createTempDirectory("graft-zorder").toString
     ingest(out)
+    // 32 clustered files: fine enough granularity that the pruning
+    // ratio is stable across range-sampler draws
     ZOrder.cluster(spark, out, "raw", "clustered", Seq("a", "b"),
-      flushSize = 256, numParts = 4)
+      flushSize = 128, numParts = 4)
     def survivors(topic: String, pred: org.apache.spark.sql.Column): Int = {
       val snap = CommitLog.snapshot(spark, out, topic)
       FileStats.pruneRels(spark, out, topic, pred, snap).size
