@@ -122,28 +122,98 @@ object ZOrder {
     require(dstTopic != srcTopic, "cluster into a NEW topic")
     require(CommitLog.latestVersion(spark, outDir, dstTopic) < 0,
       s"destination topic '$dstTopic' already has a log — refusing to " +
-        "mix layouts; choose a fresh topic")
-    val src = CommitLog.read(spark, outDir, srcTopic, format)
+        "mix layouts; choose a fresh topic (recluster refreshes one)")
+    val arranged = arrange(spark, outDir, srcTopic, cols, numParts, bits,
+      format, partBase = 0L)
+    CommitLog.writeLogged(arranged, outDir, dstTopic, flushSize,
+      format = format, statsCols = cols)
+  }
+
+  /** REFRESH an existing clustered copy from its source — the
+    * maintenance tick that keeps the layout serving while the source
+    * grows or takes DML. The new generation lands in partition ids
+    * ABOVE every id the destination has ever used (committed names are
+    * immutable claims, and the generation offset keeps redo staging
+    * from ever colliding with a published file), then ONE atomic
+    * publish adds the new layout and removes the old — readers flip
+    * between complete generations, `commitlog_history` shows the
+    * recluster as one version, and the superseded files age out via
+    * vacuum like any swap source. Cluster columns default to the set
+    * the destination's stats plane recorded at [[cluster]] time.
+    * Crash-safe: a failure before the publish leaves only unpublished
+    * staging (purged by the committer's pre-flight on redo, reclaimed
+    * by vacuum otherwise); the swap itself is one rename. */
+  def recluster(spark: SparkSession, outDir: String, srcTopic: String,
+                dstTopic: String, cols: Seq[String] = Nil,
+                flushSize: Int = 1 << 14, numParts: Int = 0,
+                bits: Int = DefaultBits,
+                format: String = "parquet"): Long = {
+    require(dstTopic != srcTopic, "recluster refreshes a DERIVED copy")
+    val live = CommitLog.snapshot(spark, outDir, dstTopic)
+    require(live.nonEmpty,
+      s"'$dstTopic' has no live clustered generation — run cluster() first")
+    val ccols =
+      if (cols.nonEmpty) cols
+      else {
+        val recorded = FileStats.read(spark, outDir, dstTopic)
+          .valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+          .filterNot(c => c == "part" || c == "off" ||
+            c == "src_part" || c == "src_off")
+        require(recorded.nonEmpty,
+          s"'$dstTopic' records no cluster columns — pass cols explicitly")
+        recorded
+      }
+    // generation base: above every partition id ever committed (live
+    // or retained), so staged names can never collide with a
+    // published file of an earlier generation
+    val re = FileNaming.CommittedFilenameRegex.r
+    val allParts = BatchWriter.listCommittedRel(spark, outDir, dstTopic)
+      .flatMap(_.split('/').last match {
+        case re(t, p, _, _, _) if t == dstTopic => Some(p.toLong)
+        case _ => None
+      })
+    val partBase = if (allParts.isEmpty) 0L else allParts.max + 1L
+    val arranged = arrange(spark, outDir, srcTopic, ccols, numParts, bits,
+      format, partBase)
+    val committed = BatchWriter.write(arranged, outDir, dstTopic,
+      flushSize, format = format)
+    val rels = committed.map(c =>
+      s"partition=${c.partition}/${new org.apache.hadoop.fs.Path(c.path).getName}")
+    val v = CommitLog.publish(spark, outDir, dstTopic,
+      adds = rels, removes = live)
+    // both skipping planes re-cover the new generation wholesale
+    FileStats.install(spark, outDir, dstTopic, ccols, format)
+    FileBloom.refresh(spark, outDir, dstTopic, format)
+    v
+  }
+
+  /** The shared rewrite core: provenance-renamed source snapshot →
+    * z-value → one range shuffle → per-partition sort → curve-order
+    * (part, off) coordinates, with partition ids offset by
+    * `partBase` (generation scoping for [[recluster]]). */
+  private def arrange(spark: SparkSession, outDir: String,
+                      srcTopic: String, cols: Seq[String], numParts: Int,
+                      bits: Int, format: String,
+                      partBase: Long): DataFrame = {
     require(!cols.contains("part") && !cols.contains("off"),
       "cluster on data columns; part/off are log coordinates")
+    val src = CommitLog.read(spark, outDir, srcTopic, format)
     val data = src
       .withColumnRenamed("part", "src_part")
       .withColumnRenamed("off", "src_off")
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val arranged = withZValue(data, cols, bits)
+    withZValue(data, cols, bits)
       .repartitionByRange(parts, col("__z"))
       .sortWithinPartitions(col("__z"))
       // spark_partition_id / monotonically_increasing_id are
       // nondeterministic to the optimizer, so this project cannot be
       // reordered above the sort; the low 33 bits of the id are the
       // per-partition row counter — curve order within the partition
-      .withColumn("part", spark_partition_id().cast("long"))
+      .withColumn("part", spark_partition_id().cast("long") + lit(partBase))
       .withColumn("off",
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
       .drop("__z")
-    CommitLog.writeLogged(arranged, outDir, dstTopic, flushSize,
-      format = format, statsCols = cols)
   }
 }

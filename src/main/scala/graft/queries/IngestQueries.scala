@@ -694,9 +694,22 @@ object IngestQueries {
             .select(lit(tag).as("leg"), col("src_part"), col("n"),
               col("sum_users"), col("min_off"), col("max_off"))
         val pred = col("user_id") < 40L && col("value") < 100.0
-        val out = shape(z, 0L).unionAll(
-            shape(graft.ingest.FileStats.readPruned(s, dir, "events_z",
-              pred), 1L))
+        // generation-0 frames resolve their file lists NOW (snapshot
+        // and plane reads are eager), so they keep reading the old
+        // generation across the swap below — time-travel semantics
+        val pruned1 = graft.ingest.FileStats.readPruned(s, dir,
+          "events_z", pred)
+        // DML on the SOURCE, then one recluster tick: the clustered
+        // copy must converge to the erased source atomically
+        graft.ingest.CommitLog.deleteWhere(s, dir, "events",
+          pmod(col("user_id"), lit(31L)) === 5L)
+        graft.ingest.ZOrder.recluster(s, dir, "events", "events_z",
+          flushSize = 400, numParts = 4)
+        val z2 = graft.ingest.CommitLog.read(s, dir, "events_z")
+        val out = shape(z, 0L).unionAll(shape(pruned1, 1L))
+          .unionAll(shape(z2, 2L))
+          .unionAll(shape(graft.ingest.FileStats.readPruned(s, dir,
+            "events_z", pred), 3L))
           .orderBy(col("leg"), col("src_part"))
         val rows = out.collect().toSeq
         val root = new org.apache.hadoop.fs.Path(dir)
@@ -715,6 +728,17 @@ object IngestQueries {
               |SELECT 1, event_id % ${P}, count(*),
               |  CAST(sum(user_id) AS BIGINT), min(event_id), max(event_id)
               |FROM events WHERE user_id < 40 AND value < 100.0
+              |GROUP BY 2
+              |UNION ALL
+              |SELECT 2, event_id % ${P}, count(*),
+              |  CAST(sum(user_id) AS BIGINT), min(event_id), max(event_id)
+              |FROM events WHERE user_id % 31 <> 5
+              |GROUP BY 2
+              |UNION ALL
+              |SELECT 3, event_id % ${P}, count(*),
+              |  CAST(sum(user_id) AS BIGINT), min(event_id), max(event_id)
+              |FROM events WHERE user_id % 31 <> 5
+              |  AND user_id < 40 AND value < 100.0
               |GROUP BY 2
               |ORDER BY leg, src_part""".stripMargin)),
 

@@ -215,6 +215,51 @@ class ZOrderSpec extends SparkSuite {
     assert(a.sameElements(b))
   }
 
+  test("recluster refreshes the layout after source growth and DML, atomically") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    ZOrder.cluster(spark, out, "raw", "clustered", Seq("a", "b"),
+      flushSize = 256, numParts = 4)
+    // the source grows AND takes an erasure
+    val extra = (4096 until 5120).map { i =>
+      val a = (i * 2654435761L) % 1000
+      val b = (i * 40503L + 7) % 1000
+      (i.toLong % 4, i.toLong, a, b, s"payload-$i")
+    }
+    CommitLog.writeLogged(extra.toDF("part", "off", "a", "b", "payload"),
+      out, "raw", flushSize = 256)
+    CommitLog.deleteWhere(spark, out, "raw", $"payload" === "payload-17")
+    val before = CommitLog.latestVersion(spark, out, "clustered")
+    ZOrder.recluster(spark, out, "raw", "clustered", flushSize = 256,
+      numParts = 4)
+    val after = CommitLog.latestVersion(spark, out, "clustered")
+    assert(after == before + 1, "one atomic swap version")
+    // new generation = exactly the current source content
+    val src = CommitLog.read(spark, out, "raw")
+      .select($"part", $"off", $"a", $"b", $"payload")
+    val dst = CommitLog.read(spark, out, "clustered")
+      .select($"src_part".as("part"), $"src_off".as("off"),
+        $"a", $"b", $"payload")
+    assert(dst.count() == 5119)
+    assert(dst.exceptAll(src).isEmpty && src.exceptAll(dst).isEmpty)
+    // pruning re-covers the new generation (cols recovered from the
+    // stats plane, not re-passed)
+    val snap = CommitLog.snapshot(spark, out, "clustered")
+    val kept = FileStats.pruneRels(spark, out, "clustered",
+      $"a" >= 100L && $"a" < 200L, snap)
+    assert(kept.size <= snap.size * 3 / 4,
+      s"kept ${kept.size}/${snap.size}")
+    // time travel: the PREVIOUS generation still reads whole, as of
+    // its version — layout swaps are versions like any other
+    val old = CommitLog.read(spark, out, "clustered", asOf = before)
+    assert(old.count() == 4096)
+    // generations never share partition ids
+    val oldParts = old.select($"part").distinct().as[Long].collect().toSet
+    val newParts = CommitLog.read(spark, out, "clustered")
+      .select($"part").distinct().as[Long].collect().toSet
+    assert(oldParts.intersect(newParts).isEmpty)
+  }
+
   test("refuses an existing destination topic and log-coordinate columns") {
     val out = Files.createTempDirectory("graft-zorder").toString
     ingest(out)
