@@ -187,6 +187,51 @@ object ZOrder {
     v
   }
 
+  /** ONE cron-schedulable tick for the clustered-copy lifecycle —
+    * the layout counterpart of [[CommitLog.maintainDerived]]:
+    * bootstrap ([[cluster]]) when the destination has no log yet,
+    * refresh ([[recluster]]) ONLY when the source's log moved past
+    * the watermark this tick last recorded, then the destination's
+    * own [[CommitLog.maintain]] (compaction preserves curve
+    * adjacency; truncation + vacuum reclaim superseded generations
+    * once unpinned). The watermark is the max committed offset of a
+    * companion marker topic — the filename-as-metadata contract
+    * again, zero sidecar state. Crash ordering recluster-then-marker:
+    * a crash between them re-reclusters once on the next tick
+    * (wasteful, converges). `cols` is required only for the
+    * bootstrap; afterwards the stats plane records it. */
+  def maintainClustered(spark: SparkSession, outDir: String,
+                        srcTopic: String, dstTopic: String,
+                        cols: Seq[String] = Nil,
+                        flushSize: Int = 1 << 14, numParts: Int = 0,
+                        bits: Int = DefaultBits,
+                        targetRecords: Long = 1L << 20,
+                        graceMs: Long = 15 * 60 * 1000L,
+                        format: String = "parquet"): Long = {
+    import spark.implicits._
+    val marker = s"${dstTopic}__zwm"
+    val cur = CommitLog.latestVersion(spark, outDir, srcTopic)
+    if (cur < 0) return -1L
+    val fresh = CommitLog.latestVersion(spark, outDir, dstTopic) < 0
+    val w = CommitLog.maxOffsets(spark, outDir, marker).getOrElse(0L, -1L)
+    if (fresh) {
+      require(cols.nonEmpty,
+        s"bootstrap of '$dstTopic' needs the cluster columns")
+      cluster(spark, outDir, srcTopic, dstTopic, cols, flushSize,
+        numParts, bits, format)
+      CommitLog.writeLogged(Seq((0L, cur)).toDF("part", "off"), outDir,
+        marker, flushSize = 1, format = format)
+    } else if (cur > w) {
+      recluster(spark, outDir, srcTopic, dstTopic, cols, flushSize,
+        numParts, bits, format)
+      CommitLog.writeLogged(Seq((0L, cur)).toDF("part", "off"), outDir,
+        marker, flushSize = 1, format = format)
+    }
+    CommitLog.maintain(spark, outDir, dstTopic, targetRecords, graceMs,
+      format = format)
+    CommitLog.latestVersion(spark, outDir, dstTopic)
+  }
+
   /** The shared rewrite core: provenance-renamed source snapshot →
     * z-value → one range shuffle → per-partition sort → curve-order
     * (part, off) coordinates, with partition ids offset by

@@ -260,6 +260,36 @@ class ZOrderSpec extends SparkSuite {
     assert(oldParts.intersect(newParts).isEmpty)
   }
 
+  test("maintainClustered: bootstrap, change-gated refresh, generation reclaim") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    ingest(out)
+    // tick 1: bootstrap
+    ZOrder.maintainClustered(spark, out, "raw", "clustered",
+      cols = Seq("a", "b"), flushSize = 256, numParts = 4, graceMs = 0L)
+    val v1 = CommitLog.latestVersion(spark, out, "clustered")
+    assert(CommitLog.read(spark, out, "clustered").count() == 4096)
+    // tick 2: source unchanged — NO spurious rewrite
+    ZOrder.maintainClustered(spark, out, "raw", "clustered",
+      flushSize = 256, numParts = 4, graceMs = 0L)
+    assert(CommitLog.latestVersion(spark, out, "clustered") == v1,
+      "an unchanged source must not trigger a generation")
+    // source erasure, tick 3: converges, old generation reclaimed
+    CommitLog.deleteWhere(spark, out, "raw", $"payload" === "payload-7")
+    ZOrder.maintainClustered(spark, out, "raw", "clustered",
+      flushSize = 256, numParts = 4, graceMs = 0L)
+    val dst = CommitLog.read(spark, out, "clustered")
+    assert(dst.count() == 4095)
+    assert(dst.filter($"payload" === "payload-7").count() == 0)
+    // tick 4 (still unchanged): maintain's truncate+vacuum (grace 0)
+    // has reclaimed the superseded generation's physical files
+    ZOrder.maintainClustered(spark, out, "raw", "clustered",
+      flushSize = 256, numParts = 4, graceMs = 0L)
+    val onDisk = BatchWriter.listCommittedRel(spark, out, "clustered")
+    val live = CommitLog.snapshot(spark, out, "clustered").toSet
+    assert(onDisk.forall(live.contains),
+      s"superseded generations must vacuum away: ${onDisk.filterNot(live)}")
+  }
+
   test("refuses an existing destination topic and log-coordinate columns") {
     val out = Files.createTempDirectory("graft-zorder").toString
     ingest(out)
