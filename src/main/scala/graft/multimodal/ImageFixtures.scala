@@ -166,6 +166,34 @@ object ImageFixtures {
     out.toByteArray
   }
 
+  /** Pseudo-random 8×8-block level, shared by the CROSS-FORMAT
+    * fixtures: the same `(bx, by, key)` mix drives a PNG and a JPEG
+    * of identical rasters, so a pixel-space perceptual hash must
+    * collapse the re-encode pair. Avalanched so distinct keys give
+    * uncorrelated block patterns (no accidental cross-document dHash
+    * collisions). */
+  def blockMix(bx: Int, by: Int, key: Long): Int = {
+    var m = (key * 0x9E3779B97F4A7C15L).toInt
+    m = (m ^ bx) * 0x85EBCA6B
+    m = (m ^ by) * 0xC2B2AE35
+    m ^= m >>> 15
+    m & 0xff
+  }
+
+  /** Grayscale PNG whose pixels are the flat 8×8 blocks of
+    * [[blockMix]] — the lossless-format half of a cross-format
+    * near-duplicate pair (its JPEG twin is [[jpegBlockBytes]]). */
+  def pngBlockBytes(w: Int, h: Int, key: Long): Array[Byte] =
+    encodePng(w, h, colorType = 0,
+      (x, y, _) => blockMix(x / 8, y / 8, key))
+
+  /** Baseline JPEG of the SAME raster as [[pngBlockBytes]] — flat
+    * blocks under unit quant tables decode exactly (see
+    * [[jpegPixelBytes]]), so the two formats rasterize
+    * byte-identically. */
+  def jpegBlockBytes(w: Int, h: Int, key: Long): Array[Byte] =
+    encodeJpeg(w, h, ncomp = 1, (bx, by) => blockMix(bx, by, key))
+
   /** A complete baseline JPEG (ITU T.81) CARRYING PIXELS the oracle
     * can regenerate arithmetically despite the format being lossy:
     * every 8×8 block is FLAT at luma level
@@ -181,7 +209,14 @@ object ImageFixtures {
     * canonical tables (DC: twelve 4-bit codes for categories 0–11;
     * AC: one 2-bit EOB code), which the decoder must parse from DHT
     * like any other table. */
-  def jpegPixelBytes(w: Int, h: Int, ncomp: Int, seed: Int): Array[Byte] = {
+  def jpegPixelBytes(w: Int, h: Int, ncomp: Int, seed: Int): Array[Byte] =
+    encodeJpeg(w, h, ncomp, (mx, my) => (17 * mx + 29 * my + seed) % 256)
+
+  /** The shared baseline-JPEG encoder: flat 8×8 luma blocks at
+    * `level(bx, by)`, chroma pinned to 128 — see [[jpegPixelBytes]]
+    * for why that construction is losslessly decodable. */
+  private def encodeJpeg(w: Int, h: Int, ncomp: Int,
+                         level: (Int, Int) => Int): Array[Byte] = {
     require(w > 0 && h > 0 && (ncomp == 1 || ncomp == 3),
       s"bad jpeg fixture ${w}x$h ncomp=$ncomp")
     val out = new ByteArrayOutputStream()
@@ -228,8 +263,8 @@ object ImageFixtures {
       while (mx < mcusX) {
         var c = 0
         while (c < ncomp) {
-          val level = if (c == 0) (17 * mx + 29 * my + seed) % 256 else 128
-          val dc = 8 * (level - 128)
+          val lv = if (c == 0) level(mx, my) else 128
+          val dc = 8 * (lv - 128)
           val diff = dc - pred(c)
           pred(c) = dc
           val s =

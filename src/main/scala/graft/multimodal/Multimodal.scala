@@ -343,6 +343,39 @@ object Multimodal {
       }(enc)
   }
 
+  /** Synthesize CROSS-FORMAT near-duplicate pairs: per document, the
+    * SAME pseudo-random block raster ([[ImageFixtures.blockMix]],
+    * keyed by the doc id) encoded once as a grayscale PNG
+    * (media_id = 2·doc) and once as a baseline JPEG
+    * (media_id = 2·doc + 1). Both decode to byte-identical rasters
+    * (the JPEG is lossless by construction), so a pixel-space
+    * perceptual hash must pair exactly the re-encode twins — the
+    * "same image saved in another format" duplicate class an
+    * image-dedup pipeline has to collapse across container types. */
+  def syntheticCrossFormatImages(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          // >= 96px a side: the 9x8 dHash sampling grid then lands
+          // every point in a DISTINCT 8x8 block (steps >= 10px), so
+          // all 64 comparison bits carry independent content and
+          // cross-document collisions vanish
+          val w = (96 + id % 41).toInt
+          val h = (96 + (id * 5) % 37).toInt
+          Seq(
+            Row(2 * id, "image/png", ImageFixtures.pngBlockBytes(w, h, id)),
+            Row(2 * id + 1, "image/jpeg",
+              ImageFixtures.jpegBlockBytes(w, h, id)))
+        }
+      }(enc)
+  }
+
   /** Per-channel sample-statistics row produced by the REAL PCM
     * decode. `channel` is -1 for the byte-stats fallback row of a
     * payload that is not integer PCM at 8/16 bits. */

@@ -4914,6 +4914,31 @@ object PipelineQueries {
              |  ON a.doc_id % 250 = b.doc_id % 250 AND a.doc_id < b.doc_id
              |ORDER BY lo, hi""".stripMargin)),
 
+    // ---- CROSS-FORMAT near-dup: the same raster shipped once as a
+    //      PNG and once as a baseline JPEG (the flat-block lossless
+    //      construction — both REALLY decode, through two entirely
+    //      different codecs, to byte-identical pixels), so dHash over
+    //      the DECODED rasters pairs exactly the re-encode twins
+    //      (2·doc, 2·doc+1). This is the duplicate class container-
+    //      level hashing can never catch: the bytes differ completely,
+    //      only the pixels agree. The oracle knows the pairs from the
+    //      planting arithmetic alone; any PNG/JPEG decode divergence,
+    //      or a cross-document dHash collision, breaks the match. ----
+    QuerySpec("multimodal_crossformat_neardup",
+      (s, d) => {
+        val hashed = TrackedCache.persist(
+          graft.multimodal.Multimodal.decodeDHash(
+            graft.multimodal.Multimodal.syntheticCrossFormatImages(
+              Tables.documents(s, d))))
+        hashed.as("a").join(hashed.as("b"),
+            col("a.dhash") === col("b.dhash") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("lo"), col("b.media_id").as("hi"))
+          .orderBy(col("lo"), col("hi"))
+      },
+      Some("""SELECT 2 * doc_id AS lo, 2 * doc_id + 1 AS hi
+             |FROM documents ORDER BY lo, hi""".stripMargin)),
+
     // ---- Multimodal REAL audio-envelope decode: spec-valid PCM WAV
     //      payloads synthesized per document (channels / sample rate /
     //      sample width / frame count derived arithmetically from

@@ -148,6 +148,19 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(JpegPixels.decode(ImageFixtures.jpegBytes(4, 4, 3)).isEmpty)
   }
 
+  test("cross-format twins decode byte-identically through both codecs") {
+    for (key <- Seq(0L, 7L, 333L)) {
+      val (w, h) = ((96 + key % 41).toInt, (96 + (key * 5) % 37).toInt)
+      val png = PngPixels.decode(ImageFixtures.pngBlockBytes(w, h, key)).get
+      val jpg = JpegPixels.decode(ImageFixtures.jpegBlockBytes(w, h, key)).get
+      assert(png.width == jpg.width && png.height == jpg.height &&
+        png.channels == 1 && jpg.channels == 1)
+      assert(java.util.Arrays.equals(png.pixels, jpg.pixels),
+        s"key=$key rasters must be byte-identical across formats")
+      assert(Multimodal.dHash(png) == Multimodal.dHash(jpg))
+    }
+  }
+
   test("PNG/GIF decoders refuse the JPEG pixel fixture") {
     val bytes = ImageFixtures.jpegPixelBytes(6, 6, 1, 1)
     assert(PngPixels.decode(bytes).isEmpty)
