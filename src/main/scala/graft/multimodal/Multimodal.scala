@@ -542,6 +542,61 @@ object Multimodal {
       }(enc)
   }
 
+  /** One frame-plan row per sample of a parseable MP4 sample table:
+    * the unit of work a distributed frame extractor consumes.
+    * `rel_offset` is the byte position within the `mdat` payload
+    * (absolute minus the payload base — stable when the object is
+    * re-homed). */
+  val framePlanSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", IntegerType, nullable = false),
+    StructField("rel_offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("pts_ticks", LongType, nullable = false),
+    StructField("keyframe", BooleanType, nullable = false)))
+
+  /** REAL sample-table decode, batched ([[VideoSamples]]): per MP4
+    * payload, the per-frame (offset, size, pts, keyframe) plan from
+    * `stts`/`stsc`/`stsz`/`stco`/`stss` — which byte ranges to fetch
+    * and which samples are seekable, no codec touched. Payloads
+    * without a table emit no rows (plan seeks with the arithmetic
+    * fallback [[frameSamplePlan]] instead). */
+  def decodeFramePlan(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(framePlanSchema)
+    media.select(col("media_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        VideoSamples.parse(bytes).toSeq.flatMap { tbl =>
+          tbl.samples.map(s => Row(id, s.idx,
+            s.offset - tbl.mdatPayloadStart, s.size, s.ptsTicks,
+            s.keyframe))
+        }
+      }(enc)
+  }
+
+  /** Synthesize a PLAYER-SHAPED MP4 per document — full sample table
+    * + real mdat ([[VideoFixtures.mp4SampleBytes]]); sample count and
+    * sizes derive arithmetically from `doc_id` so a SQL oracle
+    * recomputes the whole plan (sizes, prefix-sum offsets, pts grid,
+    * keyframe cadence). */
+  def syntheticSampledVideos(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "video/mp4", VideoFixtures.mp4SampleBytes(
+            w = 320, h = 240, timescale = 600, delta = 25,
+            nSamples = (24 + id % 96).toInt, seed = id))
+        }
+      }(enc)
+  }
+
   /** Wrap a text/doc table as a media table (test fixture path). */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(

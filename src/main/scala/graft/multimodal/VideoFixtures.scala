@@ -78,4 +78,89 @@ object VideoFixtures {
     val moov = box("moov", mvhd(timescale, duration) ++ traks)
     box("ftyp", ftypBody.toByteArray) ++ moov
   }
+
+  /** Per-sample size used by [[mp4SampleBytes]] and recomputable by a
+    * SQL oracle: `50 + (37·i + seed) mod 100` bytes. */
+  def sampleSize(i: Int, seed: Long): Int =
+    50 + ((37L * i + seed) % 100).toInt
+
+  /** Keyframe cadence of [[mp4SampleBytes]]: every 12th sample. */
+  val KeyframeEvery = 12
+
+  /** Samples per chunk in [[mp4SampleBytes]]'s stsc run. */
+  val SamplesPerChunk = 8
+
+  private def fullBox(tag: String, payload: Array[Byte]): Array[Byte] =
+    box(tag, be32(0L) ++ payload) // version 0 + flags
+
+  private def mdhd(timescale: Int, duration: Long): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(be32(0L)); b.write(be32(0L)) // creation, modification
+    b.write(be32(timescale.toLong))
+    b.write(be32(duration))
+    b.write(be16(0x55c4)) // language "und"
+    b.write(be16(0))
+    fullBox("mdhd", b.toByteArray)
+  }
+
+  /** A PLAYER-SHAPED MP4: `ftyp` + `moov` whose video trak carries a
+    * full sample table — `stts` (one run of `n` samples at `delta`
+    * ticks), `stsc` (a single run of [[SamplesPerChunk]]), `stsz`
+    * (per-sample sizes from [[sampleSize]]), `stco` (ABSOLUTE chunk
+    * offsets into the trailing `mdat`, which this builder really
+    * emits), and `stss` (a keyframe every [[KeyframeEvery]] samples) —
+    * everything a distributed frame extractor needs to plan seeks
+    * without touching a codec. Offsets are self-consistent: the moov
+    * is built twice, once to measure, once with the real mdat base. */
+  def mp4SampleBytes(w: Int, h: Int, timescale: Int, delta: Int,
+                     nSamples: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && timescale > 0 && delta > 0 && nSamples > 0,
+      s"bad mp4 sample fixture: ${w}x$h ts=$timescale n=$nSamples")
+    val sizes = Array.tabulate(nSamples)(i => sampleSize(i, seed))
+    val duration = nSamples.toLong * delta
+    val nChunks = (nSamples + SamplesPerChunk - 1) / SamplesPerChunk
+
+    def stbl(mdatBase: Long): Array[Byte] = {
+      val stts = fullBox("stts",
+        be32(1L) ++ be32(nSamples.toLong) ++ be32(delta.toLong))
+      val stsc = fullBox("stsc",
+        be32(1L) ++ be32(1L) ++ be32(SamplesPerChunk.toLong) ++ be32(1L))
+      val stsz = fullBox("stsz", be32(0L) ++ be32(nSamples.toLong) ++
+        sizes.flatMap(s => be32(s.toLong)))
+      val chunkOffsets = new Array[Long](nChunks)
+      var off = mdatBase
+      var i = 0
+      var c = 0
+      while (i < nSamples) {
+        if (i % SamplesPerChunk == 0) { chunkOffsets(c) = off; c += 1 }
+        off += sizes(i)
+        i += 1
+      }
+      val stco = fullBox("stco",
+        be32(nChunks.toLong) ++ chunkOffsets.flatMap(be32))
+      val keyframes = (0 until nSamples).filter(_ % KeyframeEvery == 0)
+      val stss = fullBox("stss", be32(keyframes.size.toLong) ++
+        keyframes.flatMap(k => be32(k + 1L)).toArray) // 1-based sample numbers
+      box("stbl", stts ++ stsc ++ stsz ++ stco ++ stss)
+    }
+    def moov(mdatBase: Long): Array[Byte] = {
+      val mdia = box("mdia", mdhd(timescale, duration) ++
+        box("minf", stbl(mdatBase)))
+      val trak = box("trak", tkhd(1, duration, w, h) ++ mdia)
+      box("moov", mvhd(timescale, duration) ++ trak)
+    }
+    val ftypBody = new ByteArrayOutputStream()
+    ftypBody.write("isom".getBytes("US-ASCII"))
+    ftypBody.write(be32(512L))
+    ftypBody.write("isom".getBytes("US-ASCII"))
+    val ftyp = box("ftyp", ftypBody.toByteArray)
+    // fixed-point: moov's size is independent of the base value
+    val moovLen = moov(0L).length
+    val mdatBase = ftyp.length + moovLen + 8L // + mdat header
+    val payload = new Array[Byte](sizes.sum)
+    // deterministic payload bytes so the mdat is honest, not a hole
+    var p = 0
+    while (p < payload.length) { payload(p) = ((p * 31 + seed) & 0xff).toByte; p += 1 }
+    ftyp ++ moov(mdatBase) ++ box("mdat", payload)
+  }
 }

@@ -28,18 +28,18 @@ object VideoHeader {
   final case class VideoMeta(format: String, width: Int, height: Int,
                              nTracks: Int, durationMs: Long)
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def be32(b: Array[Byte], i: Int): Long =
+  private[multimodal] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[multimodal] def be32(b: Array[Byte], i: Int): Long =
     (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
       (u8(b, i + 2) << 8) | u8(b, i + 3)
-  private def be64(b: Array[Byte], i: Int): Long =
+  private[multimodal] def be64(b: Array[Byte], i: Int): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
-  private def tag(b: Array[Byte], i: Int): String =
+  private[multimodal] def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   /** Walk the boxes of `b[from, to)`, invoking `f(type, payloadStart,
     * payloadEnd)` per box. Returns false on a malformed size field. */
-  private def walkBoxes(b: Array[Byte], from: Int, to: Int)(
+  private[multimodal] def walkBoxes(b: Array[Byte], from: Int, to: Int)(
       f: (String, Int, Int) => Unit): Boolean = {
     var i = from
     while (i + 8 <= to) {

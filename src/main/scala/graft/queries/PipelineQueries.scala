@@ -4939,6 +4939,80 @@ object PipelineQueries {
       Some("""SELECT 2 * doc_id AS lo, 2 * doc_id + 1 AS hi
              |FROM documents ORDER BY lo, hi""".stripMargin)),
 
+    // ---- MP4 SAMPLE-TABLE decode: player-shaped fixtures carry a
+    //      full stbl (stts/stsc/stsz/stco/stss) plus a real mdat, and
+    //      VideoSamples expands it into the per-frame plan a
+    //      distributed extractor consumes — byte range, presentation
+    //      time, keyframe flag — no codec touched. The oracle
+    //      regenerates every row arithmetically (sizes from the
+    //      fixture formula, offsets as the prefix sum, the pts grid,
+    //      the keyframe cadence); any stsc chunk-walk or stts
+    //      expansion slip shifts offsets/times and breaks the hash. ----
+    QuerySpec("multimodal_frame_plan",
+      (s, d) => graft.multimodal.Multimodal.decodeFramePlan(
+          graft.multimodal.Multimodal.syntheticSampledVideos(
+            Tables.documents(s, d)))
+        .orderBy(col("media_id"), col("sample_idx")),
+      Some("""WITH n AS (SELECT doc_id AS media_id,
+             |    CAST(24 + doc_id % 96 AS INT) AS ns FROM documents),
+             |s AS (SELECT media_id, CAST(unnest(range(0, ns)) AS INT) AS i
+             |  FROM n),
+             |z AS (SELECT media_id, i,
+             |    CAST(50 + (37 * i + media_id) % 100 AS BIGINT) AS size
+             |  FROM s)
+             |SELECT media_id, i AS sample_idx,
+             |  CAST(coalesce(sum(size) OVER (PARTITION BY media_id
+             |    ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |    1 PRECEDING), 0) AS BIGINT) AS rel_offset,
+             |  size, CAST(i * 25 AS BIGINT) AS pts_ticks,
+             |  (i % 12 = 0) AS keyframe
+             |FROM z ORDER BY media_id, sample_idx""".stripMargin)),
+
+    // ---- Keyframe-snapped frame sampling: k uniform TIME targets per
+    //      video, each snapped to the last sync sample at-or-before it
+    //      (the seek a real extractor issues — decoding from a
+    //      non-keyframe is undecodable without its preceding anchor).
+    //      Built relationally from the decoded plan: keyframe rows
+    //      join targets on pts <= target, argmax per (media, target).
+    //      The oracle derives the same snap in closed form from the
+    //      fixture cadence. ----
+    QuerySpec("multimodal_keyframe_snap",
+      (s, d) => {
+        val plan = TrackedCache.persist(
+          graft.multimodal.Multimodal.decodeFramePlan(
+            graft.multimodal.Multimodal.syntheticSampledVideos(
+              Tables.documents(s, d))))
+        val durations = plan.groupBy(col("media_id"))
+          .agg((max(col("pts_ticks")) + lit(25L)).as("dur"))
+        val targets = durations.select(col("media_id"),
+          explode(sequence(lit(0L), lit(4L))).as("j"),
+          col("dur"))
+          .select(col("media_id"), col("j"),
+            graft.ingest.Rotation.longDiv(col("j") * col("dur"), lit(5L))
+              .as("target"))
+        val kf = plan.filter(col("keyframe"))
+          .select(col("media_id"), col("sample_idx"), col("pts_ticks"))
+        targets.join(kf, Seq("media_id"))
+          .filter(col("pts_ticks") <= col("target"))
+          .groupBy(col("media_id"), col("j"))
+          .agg(max(col("pts_ticks")).as("kf_pts"))
+          .select(col("media_id"), col("j"),
+            graft.ingest.Rotation.longDiv(col("kf_pts"), lit(25L))
+              .cast("int").as("kf_idx"),
+            col("kf_pts"))
+          .orderBy(col("media_id"), col("j"))
+      },
+      Some("""WITH n AS (SELECT doc_id AS media_id,
+             |    CAST(24 + doc_id % 96 AS INT) AS ns FROM documents),
+             |t AS (SELECT media_id, ns, unnest(range(0, 5)) AS j FROM n),
+             |f AS (SELECT media_id, j,
+             |    (j * ns * 25 // 5) // 25 AS before
+             |  FROM t)
+             |SELECT media_id, CAST(j AS BIGINT) AS j,
+             |  CAST(before - before % 12 AS INT) AS kf_idx,
+             |  CAST((before - before % 12) * 25 AS BIGINT) AS kf_pts
+             |FROM f ORDER BY media_id, j""".stripMargin)),
+
     // ---- Multimodal REAL audio-envelope decode: spec-valid PCM WAV
     //      payloads synthesized per document (channels / sample rate /
     //      sample width / frame count derived arithmetically from
