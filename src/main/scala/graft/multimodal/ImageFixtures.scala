@@ -212,11 +212,22 @@ object ImageFixtures {
   def jpegPixelBytes(w: Int, h: Int, ncomp: Int, seed: Int): Array[Byte] =
     encodeJpeg(w, h, ncomp, (mx, my) => (17 * mx + 29 * my + seed) % 256)
 
+  /** [[jpegPixelBytes]] with RESTART MARKERS: a DRI segment declares
+    * the interval and an RSTn (n cycling 0..7) splits the entropy
+    * stream every `restartInterval` MCUs, DC predictors resetting —
+    * the resync structure streaming/robust encoders emit, exercised
+    * against both our decoder and ImageIO. */
+  def jpegPixelBytesRst(w: Int, h: Int, ncomp: Int, seed: Int,
+                        restartInterval: Int): Array[Byte] =
+    encodeJpeg(w, h, ncomp, (mx, my) => (17 * mx + 29 * my + seed) % 256,
+      restartInterval)
+
   /** The shared baseline-JPEG encoder: flat 8×8 luma blocks at
     * `level(bx, by)`, chroma pinned to 128 — see [[jpegPixelBytes]]
     * for why that construction is losslessly decodable. */
   private def encodeJpeg(w: Int, h: Int, ncomp: Int,
-                         level: (Int, Int) => Int): Array[Byte] = {
+                         level: (Int, Int) => Int,
+                         restartInterval: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && (ncomp == 1 || ncomp == 3),
       s"bad jpeg fixture ${w}x$h ncomp=$ncomp")
     val out = new ByteArrayOutputStream()
@@ -237,6 +248,8 @@ object ImageFixtures {
     // DHT AC table 0: single 2-bit code "00" for EOB
     marker(0xc4, Array[Byte](0x10, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
       0, 0, 0, 0x00))
+    if (restartInterval > 0) // DRI
+      marker(0xdd, be16(restartInterval))
     marker(0xda, Array[Byte](ncomp.toByte) ++
       (1 to ncomp).flatMap(c => Seq(c.toByte, 0x00.toByte)) ++
       Array[Byte](0, 63, 0))
@@ -257,10 +270,19 @@ object ImageFixtures {
     val mcusX = (w + 7) / 8
     val mcusY = (h + 7) / 8
     val pred = new Array[Int](ncomp)
+    var mcu = 0
+    var rstN = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // byte-align with 1-bits, emit RSTn, reset the DC predictors
+          while (nbits != 0) emit(1, 1)
+          out.write(0xff); out.write(0xd0 + rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(pred, 0)
+        }
         var c = 0
         while (c < ncomp) {
           val lv = if (c == 0) level(mx, my) else 128
@@ -277,6 +299,7 @@ object ImageFixtures {
           c += 1
         }
         mx += 1
+        mcu += 1
       }
       my += 1
     }

@@ -148,6 +148,26 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(JpegPixels.decode(ImageFixtures.jpegBytes(4, 4, 3)).isEmpty)
   }
 
+  test("restart markers: DRI/RSTn streams decode exactly, ImageIO agrees") {
+    for ((w, h, nc, seed, dri) <- Seq((40, 24, 1, 11, 2), (61, 53, 3, 77, 3),
+        (17, 9, 1, 200, 1))) {
+      val bytes = ImageFixtures.jpegPixelBytesRst(w, h, nc, seed, dri)
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7),
+        "fixture must actually contain RST markers")
+      val img = JpegPixels.decode(bytes).get
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc)
+        assert((img.pixels((y * w + x) * nc + c) & 0xff) ==
+          expectedLevel(x / 8, y / 8, seed), s"($x,$y,$c) dri=$dri")
+      val gold = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(gold != null, "ImageIO refused the restart-marker stream")
+      val raster = gold.getRaster
+      for (y <- 0 until h; x <- 0 until w; band <- 0 until raster.getNumBands)
+        assert(raster.getSample(x, y, band) ==
+          expectedLevel(x / 8, y / 8, seed), s"gold ($x,$y) dri=$dri")
+    }
+  }
+
   test("cross-format twins decode byte-identically through both codecs") {
     for (key <- Seq(0L, 7L, 333L)) {
       val (w, h) = ((96 + key % 41).toInt, (96 + (key * 5) % 37).toInt)
