@@ -120,6 +120,28 @@ class FileBloomSpec extends SparkSuite {
     }
   }
 
+  test("updateWhere redaction: the REPLACEMENT value is findable through the plane") {
+    val out = Files.createTempDirectory("graft-bloom").toString
+    ingest(out)
+    FileBloom.install(spark, out, "t", Seq("uid"))
+    val victim = (17L * 2654435761L) % 100000
+    // rewrite the victim's rows to a sentinel uid the plane has never
+    // seen: rewritten files carry NEW names (the swap's split logic
+    // never reuses a name), so they are uncovered -> conservative scan
+    CommitLog.updateWhere(spark, out, "t", $"uid" === victim,
+      Map("uid" -> lit(424242L)))
+    val found = FileBloom.readPruned(spark, out, "t", $"uid" === 424242L)
+    assert(found.count() == (0 until 4096)
+      .count(i => (i * 2654435761L) % 100000 == victim))
+    // and the old value is gone regardless of which files pruning opens
+    assert(FileBloom.readPruned(spark, out, "t", $"uid" === victim)
+      .count() == 0)
+    // refresh re-covers the rewrites; the sentinel still findable
+    FileBloom.refresh(spark, out, "t")
+    assert(FileBloom.readPruned(spark, out, "t", $"uid" === 424242L)
+      .count() > 0)
+  }
+
   test("deleteWhere on a point predicate composes with the bloom plane") {
     val out = Files.createTempDirectory("graft-bloom").toString
     ingest(out)
