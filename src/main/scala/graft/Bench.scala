@@ -108,8 +108,13 @@ object Bench {
     * the cache and generated-code caching doesn't survive the differing
     * exprIds, so it only added memory pressure.) */
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    // FULL materialization per table, not count(): parquet count()
+    // answers from footer metadata without touching data pages, so a
+    // cold page cache would bill its disk reads to the first timed
+    // query (seen as a 2x swing on sub-second queries between runs)
     graft.tables.Tables.names.foreach { t =>
-      graft.tables.Tables(spark, sfDir, t).count()
+      graft.tables.Tables(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
     }
     SparkEntry.queries("route_by_partition")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -225,7 +230,14 @@ object Bench {
     val ratioJson = ratios
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
-    val regressions = ratios.filter(_._2 > 2.0)
+    // the drift callout needs BOTH a >2x ratio and a material absolute
+    // delta: sub-second queries swing 2x on GC/page-cache state alone
+    // (observed same-code, same-data, hours apart), and flagging those
+    // would train readers to ignore the field
+    val resultOf = results.toMap
+    val regressions = ratios.filter { case (k, r) =>
+      r > 2.0 && resultOf(k) - baseline(k) > 1.0
+    }
     val regJson = regressions
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
