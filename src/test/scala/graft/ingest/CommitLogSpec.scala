@@ -431,6 +431,22 @@ class CommitLogSpec extends SparkSuite {
         assert(mo.getOrElse(p, -1L) >= e,
           s"partition $p resume coverage shrank: ${mo.get(p)} < $e")
       }
+      // skipping-plane leg: however stale the stats/bloom planes are
+      // relative to the churn above (rewrites land uncovered, installs
+      // lag), a pruned point read must equal the model filter — planes
+      // may only lose coverage, never rows. One existing payload, one
+      // ghost.
+      val vals = model.values.toVector
+      val probes =
+        (if (vals.nonEmpty) Seq(vals(rnd.nextInt(vals.size))) else Nil) :+
+          "k9@nowhere"
+      probes.foreach { v =>
+        val pruned = FileBloom.readPruned(spark, out, "t",
+            col("payload") === v)
+          .select("part", "off").as[(Long, Long)].collect().toSet
+        val want = model.collect { case (ko, pv) if pv == v => ko }.toSet
+        assert(pruned === want, s"pruned read diverged for '$v'")
+      }
       mo
     }
     // derived-topic leg: a FILTERING relay derivative maintained by
@@ -474,8 +490,13 @@ class CommitLogSpec extends SparkSuite {
       assert(got === want, "derived rows must equal transform(model)")
     }
     appendBatch()
+    // both skipping planes ride the fuzz from the start; refreshed only
+    // every few ops, so most checks run against a STALE plane
+    FileStats.install(spark, out, "t", Seq("payload", "off"))
+    FileBloom.install(spark, out, "t", Seq("payload"))
     var cover = check(Map.empty)
     syncDerived()
+    var op = 0
     for (_ <- 1 to 12) {
       val k = rnd.nextInt(4)
       rnd.nextInt(4) match {
@@ -510,6 +531,11 @@ class CommitLogSpec extends SparkSuite {
           } catch { case e: IllegalArgumentException =>
             assert(e.getMessage.contains("compact"), e.getMessage)
           }
+      }
+      op += 1
+      if (op % 4 == 0) {
+        FileStats.refresh(spark, out, "t")
+        FileBloom.refresh(spark, out, "t")
       }
       cover = check(cover)
       syncDerived()
