@@ -121,6 +121,50 @@ object Multimodal {
       floor(h * scale).cast("int").as("out_h"))
   }
 
+  /** REAL raster resize: box-filter downscale to `outW`×`outH`
+    * (each output pixel is the rounded mean of its integer source
+    * box `[x·w/outW, (x+1)·w/outW) × [y·h/outH, (y+1)·h/outH)`) —
+    * the thumbnail/training-resolution step of an image pipeline,
+    * pure integer accumulation, no library. Upscaling is refused:
+    * this plane only shrinks (pair with [[resizePlan]], which never
+    * plans an upscale either). */
+  def resizeRaster(img: PngPixels.Image, outW: Int,
+                   outH: Int): PngPixels.Image = {
+    require(outW > 0 && outH > 0 && outW <= img.width && outH <= img.height,
+      s"box resize only shrinks: ${img.width}x${img.height} -> ${outW}x$outH")
+    val ch = img.channels
+    val out = new Array[Byte](outW * outH * ch)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * img.height / outH
+      val y1 = (oy + 1) * img.height / outH
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * img.width / outW
+        val x1 = (ox + 1) * img.width / outW
+        var c = 0
+        while (c < ch) {
+          var sum = 0L
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              sum += img.pixels((yy * img.width + xx) * ch + c) & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0)
+          out((oy * outW + ox) * ch + c) = ((sum + n / 2) / n).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    PngPixels.Image(outW, outH, ch, out)
+  }
+
   /** Per-channel pixel-statistics row produced by the REAL pixel
     * decode. `channel` is -1 for the byte-stats fallback row of a
     * payload no in-JVM codec can rasterize. */
@@ -183,6 +227,68 @@ object Multimodal {
             }
             if (bytes.isEmpty) { mn = 0 }
             Seq(Row(id, -1, n, sum, mn, mx, sum.toDouble / n.toDouble))
+        }
+      }(enc)
+  }
+
+  /** REAL decode → REAL resize → per-channel stats, batched: the
+    * thumbnail/training-resolution pass of an image pipeline with the
+    * downscale actually applied to pixels ([[resizeRaster]], integer
+    * box filter), not just planned. Payloads no in-JVM codec can
+    * rasterize are dropped (route them through [[decodeImages]]'
+    * quarantine instead — a resize pass has nothing to resize). */
+  def decodeResizedPixelStats(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"shrink factor must be >= 1, got $factor")
+    val enc = RowEncoder.encoderFor(pixelStatsSchema)
+    media.select(col("media_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        decodeRaster(bytes).filter(i =>
+            i.width >= factor && i.height >= factor).toSeq.flatMap { full =>
+          val img = resizeRaster(full, full.width / factor,
+            full.height / factor)
+          val ch = img.channels
+          val n = img.width.toLong * img.height
+          val sums = new Array[Long](ch)
+          val mins = Array.fill(ch)(255)
+          val maxs = new Array[Int](ch)
+          var i = 0
+          while (i < img.pixels.length) {
+            val c = i % ch
+            val v = img.pixels(i) & 0xff
+            sums(c) += v
+            if (v < mins(c)) mins(c) = v
+            if (v > maxs(c)) maxs(c) = v
+            i += 1
+          }
+          (0 until ch).map(c => Row(id, c, n, sums(c), mins(c), maxs(c),
+            sums(c).toDouble / n.toDouble))
+        }
+      }(enc)
+  }
+
+  /** EVEN-dimensioned flat-block JPEGs for the resize round-trip:
+    * with 8-px blocks and a 2× box filter, every 2×2 source box lies
+    * inside ONE flat block (an even x and x+1 never straddle a
+    * multiple of 8), so the downscaled raster is exactly the block
+    * image at 4-px blocks — SQL-recomputable despite a real resize
+    * having run. */
+  def syntheticResizeImages(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "image/jpeg", ImageFixtures.jpegPixelBytes(
+            w = (96 + 2 * (id % 20)).toInt,
+            h = (64 + 2 * ((id * 5) % 18)).toInt,
+            ncomp = if ((id / 3) % 2 == 1) 1 else 3,
+            seed = (id % 256).toInt))
         }
       }(enc)
   }

@@ -4939,6 +4939,42 @@ object PipelineQueries {
       Some("""SELECT 2 * doc_id AS lo, 2 * doc_id + 1 AS hi
              |FROM documents ORDER BY lo, hi""".stripMargin)),
 
+    // ---- REAL image RESIZE: decode -> 2x box-filter downscale ->
+    //      per-channel stats, with the shrink actually applied to
+    //      pixels (resizeRaster), not just planned (resizePlan). The
+    //      fixtures make a real resize exactly oracle-checkable:
+    //      even-dimensioned flat-8px-block JPEGs, where every 2x2
+    //      source box lies inside one flat block, so the downscaled
+    //      raster IS the block image at 4-px blocks and the oracle
+    //      regenerates every output pixel arithmetically. A box-filter
+    //      bug (off-by-one box bounds, channel interleave, rounding)
+    //      shifts sums and breaks the hash. ----
+    QuerySpec("multimodal_resize_stats",
+      (s, d) => graft.multimodal.Multimodal.decodeResizedPixelStats(
+          graft.multimodal.Multimodal.syntheticResizeImages(
+            Tables.documents(s, d)), factor = 2)
+        .orderBy(col("media_id"), col("channel")),
+      Some("""WITH dims AS (SELECT doc_id AS id,
+             |    (96 + 2 * (doc_id % 20)) // 2 AS w2,
+             |    (64 + 2 * ((doc_id * 5) % 18)) // 2 AS h2,
+             |    CASE WHEN (doc_id // 3) % 2 = 1 THEN 1 ELSE 3 END AS ch
+             |  FROM documents),
+             |xs AS (SELECT id, h2, ch, unnest(range(0, w2)) AS x
+             |  FROM dims),
+             |ys AS (SELECT id, ch, x, unnest(range(0, h2)) AS y
+             |  FROM xs),
+             |px AS (SELECT id, c AS channel,
+             |    (17 * (x // 4) + 29 * (y // 4) + id) % 256 AS v
+             |  FROM (SELECT id, x, y, unnest(range(0, ch)) AS c
+             |    FROM ys)),
+             |st AS (SELECT id AS media_id, CAST(channel AS INT) AS channel,
+             |    count(*)::BIGINT AS n_px, CAST(sum(v) AS BIGINT) AS sum_px,
+             |    CAST(min(v) AS INT) AS min_px, CAST(max(v) AS INT) AS max_px
+             |  FROM px GROUP BY 1, 2)
+             |SELECT media_id, channel, n_px, sum_px, min_px, max_px,
+             |  CAST(sum_px AS DOUBLE) / CAST(n_px AS DOUBLE) AS mean_px
+             |FROM st ORDER BY media_id, channel""".stripMargin)),
+
     // ---- MP4 SAMPLE-TABLE decode: player-shaped fixtures carry a
     //      full stbl (stts/stsc/stsz/stco/stss) plus a real mdat, and
     //      VideoSamples expands it into the per-frame plan a
