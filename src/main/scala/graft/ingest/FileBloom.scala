@@ -146,18 +146,19 @@ object FileBloom {
     val positions = df
       .select(rel.as("rel"), explode(array(colPos: _*)).as("cp"))
       .select(col("rel"), col("cp.c").as("col"), explode(col("cp.ps")).as("p"))
+    // ONE data scan: the word bitmaps carry their position counts, and
+    // the coverage markers derive from those counts (every row
+    // contributes exactly k positions per column, nulls included —
+    // xxhash64 of a null is the seed) — plane-over-plane aggregation,
+    // never a second pass over the data
     val bitRows = positions
       .groupBy(col("rel"), col("col"),
         shiftright(col("p"), 6).cast(IntegerType).as("word"))
       .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(pmod(p, 64) as int)))")
-        .as("bits"))
-    import spark.implicits._
-    val colNames = typed.map(_.toLowerCase).toDF("col")
-    val cover = df.select(rel.as("rel")).groupBy(col("rel"))
-      .agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(colNames)) // #cols rows — a literal table
-      .select(col("rel"), col("col"), lit(-1).as("word"),
-        col("n").as("bits"))
+        .as("bits"), count(lit(1)).as("__cnt"))
+    val cover = bitRows.groupBy(col("rel"), col("col"))
+      .agg((sum(col("__cnt")) / k).cast(LongType).as("bits"))
+      .select(col("rel"), col("col"), lit(-1).as("word"), col("bits"))
     bitRows.select(col("rel"), col("col"), col("word"), col("bits"))
       .unionByName(cover)
       .select(col("rel"), col("col"), lit(mBits).as("m"), lit(k).as("k"),

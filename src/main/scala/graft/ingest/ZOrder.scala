@@ -88,6 +88,10 @@ object ZOrder {
                  as: String = "__z"): DataFrame = {
     require(cols.nonEmpty && cols.size <= 8, s"1..8 cluster columns, got ${cols.size}")
     require(bits >= 1 && bits <= 10, s"bits must be 1..10, got $bits")
+    require(cols.size * bits <= 63,
+      s"${cols.size} columns x $bits bits exceed a Long's 63 usable " +
+        "interleave positions — lower bits (resolution beyond the live " +
+        "file count buys nothing)")
     val buckets = 1 << bits
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val dts = cols.map(c => c -> df.schema(c).dataType).toMap
@@ -229,6 +233,11 @@ object ZOrder {
     }
     CommitLog.maintain(spark, outDir, dstTopic, targetRecords, graceMs,
       format = format)
+    // the watermark topic accrues one 1-row file per refresh tick —
+    // sweep it too, or a long-lived cron grows it without bound
+    if (CommitLog.latestVersion(spark, outDir, marker) >= 0)
+      CommitLog.maintain(spark, outDir, marker, targetRecords, graceMs,
+        format = format)
     CommitLog.latestVersion(spark, outDir, dstTopic)
   }
 

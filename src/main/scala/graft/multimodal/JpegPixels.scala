@@ -348,12 +348,20 @@ object JpegPixels {
   }
 
   private def decodeScan(b: Array[Byte], dataPos: Int, w: Int, h: Int,
-                         comps: Array[Comp], order: Array[Int],
+                         compsIn: Array[Comp], order: Array[Int],
                          scanDc: Array[Huff], scanAc: Array[Huff],
                          quant: Array[Array[Int]],
                          restartInterval: Int): Option[PngPixels.Image] = {
-    val nc = comps.length
+    val nc = compsIn.length
     if (w.toLong * h * nc > (1L << 30)) return None // hostile-header guard
+    // T.81 A.2.2: a NON-INTERLEAVED scan (here: the single-component
+    // frame) has one data unit per MCU over the component's own
+    // ceil(w/8) x ceil(h/8) block grid in raster order — the declared
+    // sampling factors shape only interleaved MCU structure. Decoding
+    // a 2x2-declared grayscale with interleaved geometry would place
+    // blocks at wrong positions (and only coincidentally parse).
+    val comps =
+      if (nc == 1) compsIn.map(_.copy(hi = 1, vi = 1)) else compsIn
     val hmax = comps.map(_.hi).max
     val vmax = comps.map(_.vi).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)

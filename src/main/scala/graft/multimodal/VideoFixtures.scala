@@ -93,6 +93,15 @@ object VideoFixtures {
   private def fullBox(tag: String, payload: Array[Byte]): Array[Byte] =
     box(tag, be32(0L) ++ payload) // version 0 + flags
 
+  private def hdlr(handlerType: String): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    b.write(be32(0L)) // pre_defined
+    b.write(handlerType.getBytes("US-ASCII"))
+    (1 to 3).foreach(_ => b.write(be32(0L))) // reserved
+    b.write(0) // empty null-terminated name
+    fullBox("hdlr", b.toByteArray)
+  }
+
   private def mdhd(timescale: Int, duration: Long): Array[Byte] = {
     val b = new ByteArrayOutputStream()
     b.write(be32(0L)); b.write(be32(0L)) // creation, modification
@@ -113,7 +122,8 @@ object VideoFixtures {
     * without touching a codec. Offsets are self-consistent: the moov
     * is built twice, once to measure, once with the real mdat base. */
   def mp4SampleBytes(w: Int, h: Int, timescale: Int, delta: Int,
-                     nSamples: Int, seed: Long): Array[Byte] = {
+                     nSamples: Int, seed: Long,
+                     audioFirst: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && timescale > 0 && delta > 0 && nSamples > 0,
       s"bad mp4 sample fixture: ${w}x$h ts=$timescale n=$nSamples")
     val sizes = Array.tabulate(nSamples)(i => sampleSize(i, seed))
@@ -144,10 +154,20 @@ object VideoFixtures {
       box("stbl", stts ++ stsc ++ stsz ++ stco ++ stss)
     }
     def moov(mdatBase: Long): Array[Byte] = {
-      val mdia = box("mdia", mdhd(timescale, duration) ++
+      val mdia = box("mdia", mdhd(timescale, duration) ++ hdlr("vide") ++
         box("minf", stbl(mdatBase)))
       val trak = box("trak", tkhd(1, duration, w, h) ++ mdia)
-      box("moov", mvhd(timescale, duration) ++ trak)
+      // audio-first mux shape: a 'soun'-handled trak (with its own
+      // table) LEADS — a frame-plan parser must skip it by handler,
+      // not take the first trak that has an stbl
+      val audio =
+        if (!audioFirst) Array.emptyByteArray
+        else box("trak", tkhd(2, duration, 0, 0) ++
+          // deliberately DIFFERENT media timescale: taking this trak
+          // by mistake is observable, not coincidentally identical
+          box("mdia", mdhd(timescale * 2, duration) ++ hdlr("soun") ++
+            box("minf", stbl(mdatBase))))
+      box("moov", mvhd(timescale, duration) ++ audio ++ trak)
     }
     val ftypBody = new ByteArrayOutputStream()
     ftypBody.write("isom".getBytes("US-ASCII"))

@@ -51,6 +51,10 @@ object VideoSamples {
       if (t == "mdat" && mdatPayload < 0) mdatPayload = s.toLong
     }) return None
     val (ms, me) = moovSpan.getOrElse(return None)
+    // a populated table without an mdat in the same file (moov-only
+    // sidecar) has nothing to plan byte ranges over — quarantine
+    // rather than emit offsets relative to a -1 sentinel
+    if (mdatPayload < 0) return None
 
     var result: Option[SampleTable] = None
     walkBoxes(b, ms, me) { (t, ts, te) =>
@@ -64,11 +68,14 @@ object VideoSamples {
                         mdatPayload: Long): Option[SampleTable] = {
     var timescale = 0L
     var stbl: Option[(Int, Int)] = None
+    var handler: Option[String] = None
     walkBoxes(b, from, to) { (t, s, e) =>
       if (t == "mdia") {
         walkBoxes(b, s, e) { (mt, msS, msE) =>
           if (mt == "mdhd" && msE - msS >= 20 && u8(b, msS) == 0)
             timescale = be32(b, msS + 12)
+          else if (mt == "hdlr" && msE - msS >= 12)
+            handler = Some(tag(b, msS + 8)) // after version/flags + pre_defined
           else if (mt == "minf")
             walkBoxes(b, msS, msE) { (it, isS, isE) =>
               if (it == "stbl" && stbl.isEmpty) stbl = Some((isS, isE))
@@ -77,6 +84,10 @@ object VideoSamples {
         ()
       }
     }
+    // frame plans are a VIDEO concept: a declared non-video handler
+    // (e.g. 'soun' in an audio-first mux) is skipped so the walk can
+    // reach the video trak; an absent hdlr stays acceptable
+    if (handler.exists(_ != "vide")) return None
     val (ss, se) = stbl.getOrElse(return None)
     if (timescale <= 0) return None
 

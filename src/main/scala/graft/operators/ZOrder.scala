@@ -42,6 +42,11 @@ object ZOrder {
     * folded its coordinates. */
   def interleaveN(coords: Seq[Column], bits: Int): Column = {
     val k = coords.size
+    // bit positions must fit a Long: JVM shifts wrap at 64 (x << 79
+    // is x << 15), which would silently fold high coordinates onto
+    // low positions — refuse at plan build
+    require(k * bits <= 63,
+      s"$k coordinates x $bits bits = ${k * bits} interleaved bits > 63")
     var z: Column = lit(0L)
     for (i <- 0 until bits; c <- 0 until k) {
       val bit = shiftright(coords(c), i).bitwiseAND(lit(1L))

@@ -290,6 +290,19 @@ class ZOrderSpec extends SparkSuite {
       s"superseded generations must vacuum away: ${onDisk.filterNot(live)}")
   }
 
+  test("interleave refuses bit positions beyond a Long (JVM shifts wrap at 64)") {
+    intercept[IllegalArgumentException] {
+      ZOrder.mortonInterleave((1 to 8).map(i => lit(i.toLong)), bits = 10)
+    }
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      // 8 columns x 10 bits = 80 positions: shiftleft(_, 79) would
+      // actually shift by 15 and fold coordinates silently
+      ZOrder.withZValue(df.select((1 to 8).map(i =>
+        lit(i.toLong).as(s"c$i")): _*), (1 to 8).map(i => s"c$i"), bits = 10)
+    }
+  }
+
   test("refuses an existing destination topic and log-coordinate columns") {
     val out = Files.createTempDirectory("graft-zorder").toString
     ingest(out)

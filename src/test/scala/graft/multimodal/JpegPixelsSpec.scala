@@ -148,6 +148,34 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(JpegPixels.decode(ImageFixtures.jpegBytes(4, 4, 3)).isEmpty)
   }
 
+  test("non-interleaved scan ignores declared sampling factors (T.81 A.2.2)") {
+    // a grayscale stream whose SOF declares 2x2 sampling (jpegtran
+    // -grayscale keeps the luma factors): the single-component scan is
+    // NON-interleaved, one block per MCU in raster order — decoding it
+    // with interleaved 2x2 geometry would misplace every block
+    for ((w, h, seed) <- Seq((32, 32, 9), (40, 24, 3), (17, 13, 77))) {
+      val bytes = ImageFixtures.jpegPixelBytes(w, h, 1, seed)
+      // patch the SOF0 component's sampling byte 0x11 -> 0x22
+      val sof = (0 until bytes.length - 1).find(i =>
+        (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
+      val sampIdx = sof + 4 + 7 // len(2) + precision + h(2) + w(2) + nc + id
+      assert((bytes(sampIdx) & 0xff) == 0x11, "fixture layout moved")
+      val patched = bytes.clone()
+      patched(sampIdx) = 0x22.toByte
+      val img = JpegPixels.decode(patched).get
+      assert(img.width == w && img.height == h && img.channels == 1)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.pixels(y * w + x) & 0xff) ==
+          expectedLevel(x / 8, y / 8, seed), s"($x,$y) ${w}x$h")
+      // ImageIO agrees on the same patched stream
+      val gold = ImageIO.read(new ByteArrayInputStream(patched))
+      assert(gold != null)
+      val raster = gold.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        assert(raster.getSample(x, y, 0) == expectedLevel(x / 8, y / 8, seed))
+    }
+  }
+
   test("restart markers: DRI/RSTn streams decode exactly, ImageIO agrees") {
     for ((w, h, nc, seed, dri) <- Seq((40, 24, 1, 11, 2), (61, 53, 3, 77, 3),
         (17, 9, 1, 200, 1))) {

@@ -50,6 +50,25 @@ class VideoSamplesSpec extends AnyFunSuite {
     assert(tbl.samples.count(_.keyframe) == 3) // samples 0, 12, 24
   }
 
+  test("audio-first mux: the 'soun' trak is skipped by handler, not taken first") {
+    val bytes = VideoFixtures.mp4SampleBytes(320, 240, 600, 25, 30, 4L,
+      audioFirst = true)
+    val tbl = VideoSamples.parse(bytes).get
+    // the leading audio trak declares timescale 1200; taking it by
+    // mistake is observable
+    assert(tbl.timescale == 600)
+    assert(tbl.samples.length == 30)
+  }
+
+  test("moov-only sidecar (no mdat) quarantines instead of lying about offsets") {
+    val full = VideoFixtures.mp4SampleBytes(64, 48, 600, 25, 10, 2L)
+    // locate the mdat box and truncate the file just before it
+    val idx = (0 until full.length - 4).find(i =>
+      full(i) == 'm' && full(i + 1) == 'd' && full(i + 2) == 'a' &&
+        full(i + 3) == 't').get - 4
+    assert(VideoSamples.parse(full.take(idx)).isEmpty)
+  }
+
   test("envelope-only, corrupt, and foreign payloads quarantine as None") {
     assert(VideoSamples.parse(
       VideoFixtures.mp4Bytes(64, 48, 600, 100, withAudioTrack = true)).isEmpty)
