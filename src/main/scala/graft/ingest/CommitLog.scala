@@ -1017,7 +1017,8 @@ object CommitLog {
   def compactLogged(spark: SparkSession, outDir: String, topic: String,
                     targetRecords: Long,
                     pad: Int = FileNaming.DefaultZeroPadWidth,
-                    format: String = "parquet"): Long = {
+                    format: String = "parquet",
+                    graceMs: Long = 15 * 60 * 1000L): Long = {
     require(BatchWriter.SelfDescribing(format),
       s"compact needs a self-describing format retaining off, got: $format")
     val re = FileNaming.CommittedFilenameRegex.r
@@ -1077,9 +1078,21 @@ object CommitLog {
         checkpointBase(spark, outDir, topic)._2).toSet
       val (retained, orphans) = nonLive.partition(referenced.contains)
       val f = fs(spark, outDir)
-      orphans.foreach(rel =>
+      // vacuum's grace contract applies HERE too: a writer between its
+      // data-rename and publish looks exactly like an orphan, and
+      // purging it would make the imminent publish reference missing
+      // bytes. Orphans younger than graceMs are neither purged nor
+      // adoptable — they join the group-skip set below; a later
+      // maintain (after grace) purges and merges.
+      val cutoff = System.currentTimeMillis() - graceMs
+      val (young, stale) = orphans.partition { rel =>
+        val p = new Path(s"$outDir/$topic/$rel")
+        try f.getFileStatus(p).getModificationTime >= cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+      stale.foreach(rel =>
         f.delete(new Path(s"$outDir/$topic/$rel"), false))
-      val staleByPart = retained.flatMap { rel =>
+      val staleByPart = (retained ++ young).flatMap { rel =>
         rel.split('/').last match {
           case re(t, p, s, e, _) if t == topic =>
             Some((p.toLong, s.toLong, e.toLong))
@@ -1128,9 +1141,11 @@ object CommitLog {
   def compactAllLogged(spark: SparkSession, outDir: String,
                        targetRecords: Long,
                        pad: Int = FileNaming.DefaultZeroPadWidth,
-                       format: String = "parquet"): Map[String, Long] =
+                       format: String = "parquet",
+                       graceMs: Long = 15 * 60 * 1000L): Map[String, Long] =
     topics(spark, outDir).map { t =>
-      t -> compactLogged(spark, outDir, t, targetRecords, pad, format)
+      t -> compactLogged(spark, outDir, t, targetRecords, pad, format,
+        graceMs)
     }.toMap
 
   /** Clone `srcTopic`'s snapshot (optionally at `asOf` — time-travel
@@ -1210,7 +1225,8 @@ object CommitLog {
                graceMs: Long = 15 * 60 * 1000L,
                pad: Int = FileNaming.DefaultZeroPadWidth,
                format: String = "parquet"): Maintenance = {
-    val v = compactLogged(spark, outDir, topic, targetRecords, pad, format)
+    val v = compactLogged(spark, outDir, topic, targetRecords, pad, format,
+      graceMs)
     checkpoint(spark, outDir, topic) // no-op when compaction already did
     // an indexed topic re-covers its rewritten/appended files here —
     // between sweeps the planes are merely conservative (new files scan)

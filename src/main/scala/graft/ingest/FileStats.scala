@@ -284,7 +284,7 @@ object FileStats {
     val snap = CommitLog.snapshot(spark, outDir, topic)
     if (snap.isEmpty)
       return CommitLog.read(spark, outDir, topic, format).filter(predicate)
-    val keep = pruneRels(spark, outDir, topic, predicate, snap)
+    val keep = pruneRels(spark, outDir, topic, predicate, snap, format)
     // all files refuted: one file still anchors the schema (its rows
     // are filtered by the same predicate the stats already refuted)
     val paths = if (keep.nonEmpty) keep else snap.take(1)

@@ -35,8 +35,14 @@ package graft.multimodal
 object GifPixels {
 
   /** Decode a GIF payload to an RGB raster, or None if `bytes` is not
-    * a GIF in the supported subset. */
-  def decode(bytes: Array[Byte]): Option[PngPixels.Image] = {
+    * a GIF in the supported subset. Quarantine contract: corrupt or
+    * hostile payloads yield None, never an exception — the scan-level
+    * fallback depends on it. */
+  def decode(bytes: Array[Byte]): Option[PngPixels.Image] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[PngPixels.Image] = {
     if (bytes.length < 13) return None
     val sig = new String(bytes, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -44,6 +50,9 @@ object GifPixels {
     val w = le16(6)
     val h = le16(8)
     if (w <= 0 || h <= 0) return None
+    // hostile-header guard in Long domain: le16 dims reach 65535 each,
+    // so w*h*3 can overflow Int negative and wreck the allocations below
+    if (w.toLong * h * 3 > (1L << 30)) return None
     val packed = bytes(10) & 0xff
     var pos = 13
     var globalPal: Array[Byte] = null

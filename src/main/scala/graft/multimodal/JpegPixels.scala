@@ -268,6 +268,10 @@ object JpegPixels {
               val pq = u8(b, p) >> 4
               val tq = u8(b, p) & 15
               if (tq > 3 || pq > 1) return None
+              // table entries must fit INSIDE this segment — a lying
+              // length field must quarantine, not read garbage tables
+              if (p + 1 + (if (pq == 1) 128 else 64) > body + bodyLen)
+                return None
               val t = new Array[Int](64)
               p += 1
               var k = 0
@@ -286,12 +290,16 @@ object JpegPixels {
               val th = u8(b, p) & 15
               if (tc > 1 || th > 3) return None
               p += 1
+              if (p + 16 > body + bodyLen) return None
               val counts = new Array[Int](16)
               var total = 0
               var k = 0
               while (k < 16) { counts(k) = u8(b, p + k); total += counts(k); k += 1 }
               p += 16
-              if (total > 256 || p + total > b.length) return None
+              // bound by the SEGMENT end, not the whole byte array —
+              // otherwise a short length lets values spill into the
+              // next marker and decode silently-wrong pixels
+              if (total > 256 || p + total > body + bodyLen) return None
               val values = new Array[Int](total)
               k = 0
               while (k < total) { values(k) = u8(b, p + k); k += 1 }

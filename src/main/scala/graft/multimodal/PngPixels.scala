@@ -27,7 +27,13 @@ object PngPixels {
   private val Sig: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
-  def decode(bytes: Array[Byte]): Option[Image] = {
+  /** Quarantine contract: corrupt or hostile payloads yield None,
+    * never an exception — the scan-level fallback depends on it. */
+  def decode(bytes: Array[Byte]): Option[Image] =
+    try decodeImpl(bytes)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImpl(bytes: Array[Byte]): Option[Image] = {
     if (bytes.length < 8 + 25 || !bytes.startsWith(Sig)) return None
     def be32(o: Int): Long =
       ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
@@ -60,9 +66,12 @@ object PngPixels {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return None // palette (3) needs PLTE indirection
     }
-    val stride = w * ch
-    // guard the allocation: a hostile header could claim petabytes
-    if (h.toLong * (1 + stride) > (1L << 30)) return None
+    // guard the allocation FULLY in Long domain: a hostile IHDR width
+    // near 2^31 overflows an Int stride negative, which would slip a
+    // negative product past the check below and crash the allocation
+    val strideL = w.toLong * ch
+    if (h.toLong * (1 + strideL) > (1L << 30)) return None
+    val stride = strideL.toInt
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)

@@ -259,6 +259,46 @@ class CommitLogSpec extends SparkSuite {
       ((0L to 12L).filter(_ != 5L)).toArray)
   }
 
+  test("compactLogged grace window shields an in-flight writer's renamed-but-unpublished file") {
+    val out = Files.createTempDirectory("clog-grace").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    CommitLog.writeLogged(one(0L to 3L), out, "t", flushSize = 1) // 4 files of 1
+    // simulate a concurrent updateWhere between data-rename and
+    // publish: its replacement file [0,1] is on disk with a committed
+    // name, live in no version, referenced by no retained version —
+    // indistinguishable from a crashed writer's orphan except by age
+    val inflight = "partition=0/t+0+0000000000+0000000001.parquet"
+    Seq((0L, "patched0"), (1L, "patched1"))
+      .toDF("off", "payload").coalesce(1)
+      .write.parquet(s"$out/t/.stage")
+    val f = CommitLog.fs(spark, out)
+    val part = f.globStatus(new Path(s"$out/t/.stage/part-*"))(0).getPath
+    assert(f.rename(part, new Path(s"$out/t/$inflight")))
+    f.delete(new Path(s"$out/t/.stage"), true)
+    // a maintenance compaction running NOW must not delete those bytes
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 64)
+    assert(f.exists(new Path(s"$out/t/$inflight")),
+      "grace window must shield the in-flight writer's renamed file")
+    // and must not have ADOPTED them either: the overlapping group was
+    // skipped, so the live rows still read their original payloads
+    assert(CommitLog.read(spark, out, "t").filter(col("off") === 0L)
+      .select("payload").as[String].head() === "v0")
+    // the shielded writer's publish completes; its version reads back
+    val v = CommitLog.publish(spark, out, "t", adds = Seq(inflight),
+      removes = Seq("partition=0/t+0+0000000000+0000000000.parquet",
+        "partition=0/t+0+0000000001+0000000001.parquet"))
+    assert(v > 0L)
+    assert(CommitLog.read(spark, out, "t").filter(col("off") === 0L)
+      .select("payload").as[String].head() === "patched0")
+    // grace elapsed (graceMs = 0): compaction runs its normal course
+    // with every live row intact (stale-orphan purge convergence is
+    // pinned by the crash-redo test above)
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 64,
+      graceMs = 0)
+    assert(CommitLog.read(spark, out, "t").count() === 4,
+      "post-grace compaction keeps every live row")
+  }
+
   test("relayDml cascades source deletes and updates into the derivative atomically") {
     val out = Files.createTempDirectory("clog-relaydml").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
@@ -815,7 +855,10 @@ class CommitLogSpec extends SparkSuite {
     f.delete(new Path(s"$out/t/_commitlog/$pre"), false)
     f.delete(new Path(s"$out/t/_commitlog/$pre.ckpt"), false)
     // redo: replacement renames are skipped idempotently, publish redone
-    val v2 = CommitLog.compactLogged(spark, out, "t", targetRecords = 2)
+    // (graceMs = 0 simulates the grace window having elapsed — within
+    // it, the redo is a safe no-op that a later maintain completes)
+    val v2 = CommitLog.compactLogged(spark, out, "t", targetRecords = 2,
+      graceMs = 0)
     assert(v2 === pre)
     val back = CommitLog.read(spark, out, "t")
     assert(back.count() === 4)

@@ -55,6 +55,22 @@ class FileStatsSpec extends SparkSuite {
     assert(FileStats.readPruned(spark, out, T, col("v") < 0L).count() === 0L)
   }
 
+  test("readPruned forwards the format to the resolution probe (json topic)") {
+    val out = Files.createTempDirectory("fs-json").toString
+    for (base <- Seq(0, 100)) {
+      val rows = (base until base + 100).map(i => (i.toLong % 2, i.toLong, i.toLong * 10))
+      CommitLog.writeLogged(rows.toDF("part", "off", "v"), out, T,
+        flushSize = 50, format = "json")
+    }
+    assert(FileStats.install(spark, out, T, Seq("v"), format = "json") === 1L)
+    // pre-fix, pruneRels probed the predicate against a json data
+    // file with the PARQUET reader and threw at plan time
+    val pruned = FileStats.readPruned(spark, out, T, col("v") >= 1500L,
+      format = "json")
+    assert(pruned.select("off").as[Long].collect().sorted ===
+      (150L until 200L).toArray)
+  }
+
   test("unsupported shapes, casts, and non-ASCII never refute") {
     val out = Files.createTempDirectory("fs-maybe").toString
     build(out)

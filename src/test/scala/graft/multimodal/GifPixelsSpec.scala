@@ -97,6 +97,25 @@ class GifPixelsSpec extends AnyFunSuite {
     assert(PngPixels.decode(good).isEmpty)
   }
 
+  test("hostile 65535x65535 header quarantines as None (w*h*3 overflows Int)") {
+    // spec-legal le16 dims whose pixel count overflows Int negative:
+    // pre-guard this crashed lzw's output allocation with
+    // NegativeArraySizeException, escaping the never-throws contract
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](-1, -1, -1, -1), 0, 4) // 65535 x 65535
+    out.write(0x80); out.write(0); out.write(0)  // GCT present, 2 colors
+    out.write(Array.fill[Byte](6)(0x11), 0, 6)   // the 2-color table
+    out.write(0x2c)                              // image descriptor
+    out.write(Array[Byte](0, 0, 0, 0), 0, 4)     // left, top
+    out.write(Array[Byte](-1, -1, -1, -1), 0, 4) // full-screen frame
+    out.write(0)                                 // sequential, no LCT
+    out.write(2)                                 // LZW min code size
+    out.write(1); out.write(0x44); out.write(0)  // one data byte + end
+    out.write(0x3b)
+    assert(GifPixels.decode(out.toByteArray).isEmpty)
+  }
+
   test("decodeRaster routes PNG and GIF to their decoders; dHash covers GIF") {
     val gif = ImageFixtures.gifBytes(20, 18, 3)
     val png = ImageFixtures.pngBytes(20, 18, 2, 3)

@@ -148,6 +148,28 @@ class JpegPixelsSpec extends AnyFunSuite {
     assert(JpegPixels.decode(ImageFixtures.jpegBytes(4, 4, 3)).isEmpty)
   }
 
+  test("lying DQT/DHT length fields quarantine instead of reading past the segment") {
+    val bytes = ImageFixtures.jpegPixelBytes(17, 13, 3, 5)
+    def findMarker(m: Int): Int = {
+      var i = 2
+      while (i + 1 < bytes.length &&
+        !((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)) i += 1
+      assert(i + 1 < bytes.length, s"marker $m not in fixture")
+      i
+    }
+    // shrink DHT len to 19 (tc/th + 16 counts fit, values spill):
+    // table parsing must stop at the segment end, not b.length
+    val dht = findMarker(0xc4)
+    val evil1 = bytes.clone()
+    evil1(dht + 2) = 0; evil1(dht + 3) = 19
+    assert(JpegPixels.decode(evil1).isEmpty)
+    // shrink DQT len to 3 (pq/tq only, zero of the 64 entries fit)
+    val dqt = findMarker(0xdb)
+    val evil2 = bytes.clone()
+    evil2(dqt + 2) = 0; evil2(dqt + 3) = 3
+    assert(JpegPixels.decode(evil2).isEmpty)
+  }
+
   test("non-interleaved scan ignores declared sampling factors (T.81 A.2.2)") {
     // a grayscale stream whose SOF declares 2x2 sampling (jpegtran
     // -grayscale keeps the luma factors): the single-component scan is

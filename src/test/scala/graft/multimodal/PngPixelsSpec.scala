@@ -88,6 +88,13 @@ class PngPixelsSpec extends AnyFunSuite {
     // IHDR bit-depth byte sits at sig(8) + len(4) + tag(4) + w(4) + h(4)
     deep(8 + 4 + 4 + 8) = 16.toByte
     assert(PngPixels.decode(deep).isEmpty)
+    // hostile IHDR width: 0x30000000 * 4 channels overflows an Int
+    // stride negative, which would slip past an Int-domain allocation
+    // guard and crash — the guard must run fully in Long
+    val rgba = ImageFixtures.pngBytes(8, 8, 6)
+    val evil = rgba.clone()
+    evil(16) = 0x30; evil(17) = 0; evil(18) = 0; evil(19) = 0
+    assert(PngPixels.decode(evil).isEmpty)
   }
 
   test("decodePixelStats: PNG rows are per-channel exact; non-PNG falls back to channel -1") {
