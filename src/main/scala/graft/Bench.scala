@@ -246,7 +246,19 @@ object Bench {
         "\"" + name + "\":" + s
     }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"vs_baseline":$ratioJson,"regressions":$regJson,"new_queries":$newQ,"failed":$failed,"sf":"$sfDir"}""")
+    // FIELD ORDER IS LOAD-BEARING: the driver archives only a
+    // 2000-char TAIL of stdout, so the long per-query maps go FIRST
+    // and the aggregates (value/failed/regressions/sf) go LAST — a
+    // truncated capture loses detail, never the headline numbers.
+    // The COMPLETE line is also written to a tracked file so no round
+    // ever loses its per-query seconds again (r12 did).
+    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"new_queries":$newQ,"vs_baseline":$ratioJson,"regressions":$regJson,"failed":$failed,"value":$total,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }
