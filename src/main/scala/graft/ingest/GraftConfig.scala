@@ -250,17 +250,27 @@ object GraftConfig {
          else Seq(s"$TimestampField must name the record-time column " +
            "(consumed by time partitioners and rotate.interval.ms)"), Nil)
       case PathFormat =>
-        // the engine renders the reference's long format natively
-        // (year=.../month=<name>/day=.../hour=...); a custom Joda
-        // pattern has no consumer — reject rather than silently ignore.
-        // A CUSTOM partitioner class receives the full property map in
-        // configure() and may consume path.format itself, so the key
+        // empty → the engine's native long format (year=/month=<name>/
+        // day=/hour=). A custom Joda pattern is translated into a
+        // Column chain when every token is in the supported subset
+        // (y/Y, M incl. locale month names, d, H, m, s, quoted
+        // literals — the set the reference's tests exercise); anything
+        // else refuses HERE rather than writing a wrong tree. A CUSTOM
+        // partitioner class receives the full property map in
+        // configure() and may consume path.format itself, so any value
         // is free there (the reference hands its config to the loaded
         // partitioner the same way).
         (if (get(name).isEmpty || isCustom(partitioner)) Nil
-         else Seq(s"$PathFormat is not configurable: the time partitioner " +
-           "renders the reference's long format (year=/month=/day=/hour=)"),
-          Nil)
+         else if (partitioner != "time")
+           Seq(s"$PathFormat applies only to the time partitioner " +
+             s"(got '$partitioner'); daily/hourly derive their formats")
+         else {
+           val bad = graft.partition.Partitioners.jodaUnsupported(get(name))
+           if (bad.isEmpty) Nil
+           else Seq(s"$PathFormat '${get(name)}' has untranslatable " +
+             s"tokens: ${bad.mkString(", ")} — supported: quoted " +
+             "literals and y/Y/M/d/H/m/s runs")
+         }, Nil)
       case DirectoryDelim =>
         (if (get(name) == "/") Nil
          else Seq(s"$DirectoryDelim supports only '/', got '${get(name)}'"), Nil)
@@ -494,10 +504,16 @@ final case class GraftConfig(
     import org.apache.spark.sql.functions.{col, lit, unix_millis}
     val root = topicsRoot(outDir)
     if (format == "avro") {
-      require(partitioner == "default" && rotateIntervalMs <= 0,
-        "the avro sink writes the default layout without interval " +
-          "rotation; use a BatchWriter format for partitioned layouts")
-      return AvroSink.write(df, root, topic, flushSize, zeroPadWidth, avroCodec)
+      require(partitioner == "default",
+        "the avro sink writes the default layout; use a BatchWriter " +
+          "format for partitioned layouts")
+      val bucket =
+        if (rotateIntervalMs > 0)
+          Some(Rotation.longDiv(unix_millis(recordTime(col)),
+            lit(rotateIntervalMs)))
+        else None
+      return AvroSink.write(df, root, topic, flushSize, zeroPadWidth,
+        avroCodec, bucket)
     }
     if (partitioner == "default" && rotateIntervalMs <= 0)
       return BatchWriter.write(df, root, topic, flushSize, zeroPadWidth, format)
@@ -527,8 +543,7 @@ final case class GraftConfig(
     // knob never turns a working text layout into a payload-count
     // failure (drop ignores absent columns)
     val sized =
-      if (format == "text")
-        grouped.drop((recordTimeColumn.toSeq :+ timestampField).distinct: _*)
+      if (format == "text") grouped.drop(rotationDropColumns: _*)
       else grouped
     BatchWriter.writeAssignedEncoded(sized, root, topic, zeroPadWidth, format)
   }
@@ -560,6 +575,14 @@ final case class GraftConfig(
     }
   }
 
+  /** The columns the text format must drop AFTER rotation/encoding
+    * consumed them (record-time source + `timestamp.field`) — text
+    * payloads are single-column, and a routing timestamp must never
+    * count as payload. Shared by the single-topic write below and the
+    * multi-topic demux plane. */
+  def rotationDropColumns: Seq[String] =
+    (recordTimeColumn.toSeq :+ timestampField).distinct
+
   /** The stream column [[recordTime]] consumes, if any (None for
     * Wallclock — nothing to drop from a text payload). */
   private def recordTimeColumn: Option[String] = timestampExtractor match {
@@ -589,10 +612,13 @@ final case class GraftConfig(
         field(partitionField))
       case "daily" => Partitioners.dailyPath(localTs)
       case "hourly" => Partitioners.hourlyPath(localTs)
-      case "time" => Partitioners.timeBasedPath(ts, partitionDurationMs,
-        timezone,
-        if (locale.isEmpty) Locale.US
-        else Locale.forLanguageTag(locale.replace('_', '-')))
+      case "time" =>
+        val loc = if (locale.isEmpty) Locale.US
+                  else Locale.forLanguageTag(locale.replace('_', '-'))
+        if (pathFormat.isEmpty)
+          Partitioners.timeBasedPath(ts, partitionDurationMs, timezone, loc)
+        else Partitioners.jodaPath(ts, partitionDurationMs, timezone, loc,
+          pathFormat)
       // a dotted name loaded a user class (validated at construction):
       // its Column is built once at plan time, exactly like the
       // built-ins — a custom layout costs nothing extra per record

@@ -85,6 +85,111 @@ object Partitioners {
       lit("/day="), date_format(b, "dd"),
       lit("/hour="), date_format(b, "H"))
   }
+
+  // ----------------------------------------------------------------
+  // Custom Joda `path.format` patterns (reference:
+  // `docs/configuration_options.rst:189-215`, exercised in
+  // `partitioner/TimeBasedPartitionerTest.java:38-48`). The reference
+  // hands the pattern to Joda's DateTimeFormat verbatim; this engine
+  // translates the exercised token subset into a foldable Column
+  // chain over the SAME duration bucket, and fail-fasts (at CONFIG
+  // time, via [[jodaUnsupported]]) on anything outside it — a wrong
+  // directory tree is worse than a refusal.
+  // ----------------------------------------------------------------
+
+  /** Lexed pattern atom: either a literal string or a letter run. */
+  private[partition] sealed trait JodaTok
+  private[partition] final case class JLit(s: String) extends JodaTok
+  private[partition] final case class JField(c: Char, n: Int) extends JodaTok
+
+  /** Lex a Joda pattern: quoted literals (`''` = escaped quote),
+    * same-letter runs, everything else literal — Joda's own lexing
+    * rules for the subset we take. */
+  private[partition] def jodaLex(pattern: String): List[JodaTok] = {
+    val out = List.newBuilder[JodaTok]
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern(i)
+      if (c == '\'') {
+        if (i + 1 < pattern.length && pattern(i + 1) == '\'') {
+          out += JLit("'"); i += 2
+        } else {
+          val close = pattern.indexOf('\'', i + 1)
+          require(close >= 0, s"unterminated quote in path.format at $i")
+          out += JLit(pattern.substring(i + 1, close)); i = close + 1
+        }
+      } else if (c.isLetter) {
+        var j = i
+        while (j < pattern.length && pattern(j) == c) j += 1
+        out += JField(c, j - i); i = j
+      } else {
+        var j = i
+        while (j < pattern.length && !pattern(j).isLetter &&
+          pattern(j) != '\'') j += 1
+        out += JLit(pattern.substring(i, j)); i = j
+      }
+    }
+    out.result()
+  }
+
+  /** Joda letters this engine renders: year (y/Y — Joda's Y is
+    * year-of-era, identical to y for CE dates), month number or
+    * locale name (M), day-of-month (d), hour-of-day (H),
+    * minute (m), second (s). */
+  private val JodaSupported = Set('y', 'Y', 'M', 'd', 'H', 'm', 's')
+
+  /** The letters of `pattern` this engine can NOT translate — empty
+    * means [[jodaPath]] will accept it. Config validation calls this
+    * so a bespoke layout refuses at construction, not mid-write. */
+  def jodaUnsupported(pattern: String): Seq[String] =
+    try jodaLex(pattern).collect {
+      case JField(c, n) if !JodaSupported.contains(c) => s"$c" * n
+    }.distinct
+    catch { case e: IllegalArgumentException => Seq(e.getMessage) }
+
+  /** Render one letter run over the bucket timestamp `b`. */
+  private def jodaField(b: Column, c: Char, n: Int,
+                        locale: java.util.Locale): Column = c match {
+    case 'y' | 'Y' => date_format(b, "y" * math.min(n, 4))
+    case 'M' if n <= 2 => date_format(b, "M" * n)
+    case 'M' => // 3 = abbreviated, 4+ = full month name, in `locale`
+      val style = if (n == 3) java.time.format.TextStyle.SHORT
+                  else java.time.format.TextStyle.FULL
+      val names = (1 to 12).map(m =>
+        lit(java.time.Month.of(m).getDisplayName(style, locale)))
+      element_at(array(names: _*), month(b))
+    case 'd' => date_format(b, "d" * math.min(n, 2))
+    case 'H' => date_format(b, "H" * math.min(n, 2))
+    case 'm' => date_format(b, "m" * math.min(n, 2))
+    case 's' => date_format(b, "s" * math.min(n, 2))
+    case other => throw new IllegalArgumentException(
+      s"unsupported path.format token '${other.toString * n}'")
+  }
+
+  /** TimeBased partitioner path under a CUSTOM Joda `path.format` —
+    * the reference's `TimeUtils.encodeTimestamp(durationMs, pathFormat,
+    * tz, ts)` re-expressed as one foldable Column: bucket in local
+    * wall time, then render each pattern atom. A single trailing `/`
+    * (the reference's patterns end with one; its path join collapses
+    * it) is dropped so the rendered value is a clean relative path.
+    * DST fall-back matches the reference (`TimeBasedPartitionerTest
+    * .java:49-60`): both UTC instants of a repeated local hour render
+    * the same path, because bucketing and rendering both read the
+    * zone-adjusted wall clock. */
+  def jodaPath(ts: Column, durationMs: Long, tz: String,
+               locale: java.util.Locale, pattern: String): Column = {
+    val bad = jodaUnsupported(pattern)
+    require(bad.isEmpty,
+      s"path.format '$pattern' has untranslatable tokens: ${bad.mkString(", ")}")
+    val b = timeBucketLocal(ts, durationMs, tz)
+    val toks = jodaLex(if (pattern.endsWith("/")) pattern.dropRight(1)
+                       else pattern)
+    val parts = toks.map {
+      case JLit(s) => lit(s)
+      case JField(c, n) => jodaField(b, c, n, locale)
+    }
+    if (parts.isEmpty) lit("") else concat(parts: _*)
+  }
 }
 
 /** The reference's pluggable `TimestampExtractor`s

@@ -355,9 +355,62 @@ class GraftConfigSpec extends SparkSuite {
         "directory.delim" -> "_",
         "file.delim" -> "-"))
     }
-    assert(e.getMessage.contains("path.format is not configurable"))
+    // path.format only has a consumer on the time partitioner (base
+    // config is the default partitioner) — still a refusal, not a
+    // silent ignore
+    assert(e.getMessage.contains("path.format applies only to the time"))
     assert(e.getMessage.contains("directory.delim supports only '/'"))
     assert(e.getMessage.contains("file.delim supports only '+'"))
+  }
+
+  test("custom Joda path.format: reference patterns accepted, layout matches, bad tokens refuse") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the two spellings the reference's tests exercise
+    // (TimeBasedPartitionerTest.java:38-48 and its DST test)
+    for (pat <- Seq("'year'=YYYY/'month'=MMMM/'day'=dd/'hour'=H/",
+                    "'year='YYYY/'month='MMMM/'day='dd/'hour='H/")) {
+      val cfg = GraftConfig(base ++ Map(
+        "partitioner.class" -> "time",
+        "partition.duration.ms" -> "7200000",
+        "path.format" -> pat,
+        "timestamp.field" -> "ts",
+        "locale" -> "en-US",
+        "timezone" -> "America/Los_Angeles"))
+      assert(cfg.pathFormat === pat)
+      // golden vector: 2015-01-01 03:00 LA (= 11:00Z), 2h buckets →
+      // topic/year=2015/month=January/day=01/hour=2/
+      val t = java.sql.Timestamp.valueOf("2015-01-01 11:00:00")
+      val rendered = Seq(t).toDF("ts")
+        .select(cfg.partitionPath(col("part"), col("ts"), n => col(n))
+          .as("p")).as[String].head()
+      assert("topic/" + rendered + "/" ===
+        "topic/year=2015/month=January/day=01/hour=2/")
+    }
+    // DST fall-back vector under the CUSTOM pattern: 08:30Z (01:30
+    // PDT) and 09:30Z (01:30 PST) render identical paths
+    val cfgH = GraftConfig(base ++ Map(
+      "partitioner.class" -> "time",
+      "partition.duration.ms" -> "3600000",
+      "path.format" -> "'year'=YYYY/'month'=MMMM/'day'=dd/'hour'=H/",
+      "timestamp.field" -> "ts",
+      "timezone" -> "America/Los_Angeles"))
+    val p = cfgH.partitionPath(col("part"), col("ts"), n => col(n))
+    val paths = Seq(java.sql.Timestamp.valueOf("2015-11-01 08:30:00"),
+      java.sql.Timestamp.valueOf("2015-11-01 09:30:00"))
+      .toDF("ts").select(p.as("p")).as[String].collect()
+    assert(paths(0) === paths(1))
+    assert(paths(0) === "year=2015/month=November/day=01/hour=1")
+    // untranslatable tokens refuse at construction with the token named
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig(base ++ Map(
+        "partitioner.class" -> "time",
+        "partition.duration.ms" -> "3600000",
+        "path.format" -> "'year'=YYYY/'week'=ww/",
+        "timestamp.field" -> "ts"))
+    }
+    assert(e.getMessage.contains("untranslatable"))
+    assert(e.getMessage.contains("ww"))
   }
 
   test("schema.compatibility validates against the reference lattice") {

@@ -60,6 +60,37 @@ class PartitionersSpec extends SparkSuite {
     assert(a === "year=2015/month=November/day=01/hour=1")
   }
 
+  test("jodaPath: token subset renders per Joda semantics; unknown tokens refuse") {
+    val t = ts("2015-01-01 11:07:09") // 03:07:09 LA local
+    def render(pat: String, durMs: Long = 7200000L,
+               loc: java.util.Locale = java.util.Locale.ENGLISH): String =
+      one(Partitioners.jodaPath(col("ts"), durMs, "America/Los_Angeles",
+        loc, pat), t)
+    // reference's documented example (docs/configuration_options.rst:197):
+    // numeric month + zero-padded hour
+    assert(render("'year'=YYYY/'month'=MM/'day'=dd/'hour'=HH/") ===
+      "year=2015/month=01/day=01/hour=02")
+    // full month names are locale-driven; trailing slash collapses
+    assert(render("'year'=YYYY/'month'=MMMM/'day'=dd/'hour'=H/",
+      loc = java.util.Locale.FRENCH) ===
+      "year=2015/month=janvier/day=01/hour=2")
+    // abbreviated month, short year, minute granularity (1-min bucket
+    // keeps minutes), escaped quote literal
+    assert(render("MMM-yy/HH''mm", durMs = 60000L) === "Jan-15/03'07")
+    // bucket floor zeroes sub-bucket fields: a 2h bucket renders m/s 0
+    assert(render("HH:mm:ss") === "02:00:00")
+    // unsupported letters are named in the refusal
+    val e = intercept[IllegalArgumentException] {
+      render("YYYY/ww/EEEE")
+    }
+    assert(e.getMessage.contains("ww") && e.getMessage.contains("EEEE"))
+    assert(Partitioners.jodaUnsupported("'year'=YYYY/'month'=MMMM/") === Nil)
+    // unquoted letters are pattern tokens (Joda's own lexing): every
+    // unsupported one is flagged ('d' passes — it IS day-of-month)
+    assert(Partitioners.jodaUnsupported("unquoted") ===
+      Seq("u", "n", "q", "o", "t", "e"))
+  }
+
   test("timeBucketLocal floors on the LOCAL wall clock (half-hour zone)") {
     // Hourly buckets in Asia/Kolkata (+05:30) must start on the local
     // hour: 10:00Z = 15:30 IST -> bucket start 15:00 IST wall time.
