@@ -9,7 +9,7 @@ import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -128,14 +128,26 @@ object AvroSink {
   }
 
   /** Write a stream-shaped frame as committed offset-ranged `.avro`
-    * files. Same commit contract as [[BatchWriter.write]]. */
+    * files. Same commit contract as [[BatchWriter.write]].
+    * `rotationBucket` switches the file split from size-only to the
+    * bucket-CHANGE split (`rotate.interval.ms`,
+    * `TopicPartitionWriter.java:516-519`) — the same
+    * disjoint-contiguous-ranges discipline as the BatchWriter formats;
+    * everything downstream keys on (part, file_idx) and is
+    * split-scheme agnostic. */
   def write(df: DataFrame, outDir: String, topic: String, flushSize: Int,
             pad: Int = FileNaming.DefaultZeroPadWidth,
-            codec: String = "null"): Seq[BatchWriter.CommittedFile] = {
+            codec: String = "null",
+            rotationBucket: Option[Column] = None)
+      : Seq[BatchWriter.CommittedFile] = {
     codecFor(codec) // validate on the driver, not first-task
     val spark = df.sparkSession
-    val sized = Rotation.withSizeFileIndex(df, Seq(col("part")), col("off"), flushSize)
-      .persist()
+    val sized = (rotationBucket match {
+      case Some(bucket) => Rotation.withBucketChangeFileIndex(
+        df, Seq(col("part")), col("off"), bucket, flushSize)
+      case None => Rotation.withSizeFileIndex(
+        df, Seq(col("part")), col("off"), flushSize)
+    }).persist()
     val staged = s"$outDir/+tmp/$topic"
     val payloadSchema = StructType(
       sized.schema.fields.filterNot(f => f.name == "file_idx"))

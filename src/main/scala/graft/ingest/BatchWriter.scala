@@ -228,7 +228,8 @@ object BatchWriter {
   def writeMulti(df: DataFrame, outDir: String, flushSize: Int,
                  pad: Int = FileNaming.DefaultZeroPadWidth,
                  format: String = "parquet",
-                 rotationBucket: Option[org.apache.spark.sql.Column] = None)
+                 rotationBucket: Option[org.apache.spark.sql.Column] = None,
+                 dropAfterRotation: Seq[String] = Nil)
       : Seq[CommittedFile] = {
     if (format == "avro")
       throw new IllegalArgumentException(
@@ -236,13 +237,18 @@ object BatchWriter {
     // rotation: the same bucket-CHANGE file split the single-topic
     // encoded path runs (disjoint contiguous offset ranges even under
     // out-of-order event time), keyed per (topic, part) — each task
-    // still sees one writer-unit's slice of the batch
-    val sized = rotationBucket match {
+    // still sees one writer-unit's slice of the batch.
+    // `dropAfterRotation` removes routing-only columns (the text
+    // format's record-time source) AFTER the bucket expression read
+    // them — the single-topic cfg.write text discipline.
+    val sized0 = rotationBucket match {
       case Some(bucket) => Rotation.withBucketChangeFileIndex(df,
         Seq(col("topic"), col("part")), col("off"), bucket, flushSize)
       case scala.None => Rotation.withSizeFileIndex(df,
         Seq(col("topic"), col("part")), col("off"), flushSize)
     }
+    val sized = if (dropAfterRotation.isEmpty) sized0
+                else sized0.drop(dropAfterRotation.distinct: _*)
     // fixed staging path, like the per-topic `+tmp/<topic>` dirs: the
     // overwrite-mode staging write wipes a crashed predecessor's
     // leftovers instead of leaking uuid dirs. Discipline: one

@@ -411,23 +411,20 @@ object StreamIngest {
   /** [[startLoggedMulti]] driven by a validated [[GraftConfig]]:
     * flush size, format (including Avro with its codec, via the
     * per-topic AvroSink fan-out), zero-pad width, `topics.dir` root,
-    * `retry.backoff.ms` and the schedule trigger are consumed; the
-    * knobs the multi-topic committer does not support (encoded
-    * partitioners, interval rotation) fail fast here instead of being
-    * silently ignored — run those topics through the single-topic
-    * [[startLogged]] config overload. */
+    * `retry.backoff.ms`, `rotate.interval.ms` (all four formats: the
+    * BatchWriter formats split in the ONE staging job, avro through
+    * its per-topic fan-out, text dropping the routing timestamp after
+    * the split) and the schedule trigger are consumed; the knobs the
+    * multi-topic committer does not support (encoded partitioners,
+    * rotation combined with FORWARD recovery) fail fast here instead
+    * of being silently ignored — run those topics through the
+    * single-topic [[startLogged]] config overload. */
   def startLoggedMulti(stream: DataFrame, outDir: String, cfg: GraftConfig,
                        checkpoint: String): StreamingQuery = {
     require(cfg.partitioner == "default",
       "multi-topic streaming supports the default layout; run " +
         "encoded-partitioner topics through the single-topic " +
         "startLogged(cfg) overload")
-    require(cfg.rotateIntervalMs <= 0 ||
-        (cfg.format != "avro" && cfg.format != "text"),
-      "multi-topic interval rotation needs a BatchWriter format that " +
-        "carries the record-time column (avro fans out unrotated, " +
-        "text cannot keep the timestamp as payload); run such topics " +
-        "through the single-topic startLogged(cfg) overload")
     require(cfg.schemaCompatibility == "NONE" ||
         cfg.schemaCompatibility == "FORWARD",
       "multi-topic streaming runs restart schema recovery only under " +
@@ -466,6 +463,11 @@ object StreamIngest {
       pad = cfg.zeroPadWidth, writeRetries = 2,
       retryBackoffMs = cfg.retryBackoffMs, avroCodec = cfg.avroCodec,
       rotationBucket = bucket,
+      // text payloads are single-column: the record-time source the
+      // bucket expression read is dropped after the split, exactly as
+      // in the single-topic cfg.write path
+      rotationDrop =
+        if (cfg.format == "text") cfg.rotationDropColumns else Nil,
       // the Connect runtime's record transforms, routers included —
       // a routed topic IS the directory here, as record.topic() is
       // in Connect
@@ -539,7 +541,11 @@ object StreamIngest {
     * pinned batch per topic and commits each through [[AvroSink]] —
     * O(topics) jobs per micro-batch over the CACHED batch (no source
     * re-scan), the same per-writer fan-out the reference's demux runs.
-    * Commit/replay semantics are identical. */
+    * Commit/replay semantics are identical. `rotationBucket` rotates
+    * every format: the BatchWriter formats inside the one staging job
+    * (keyed per (topic, part)), avro inside its fan-out slices;
+    * `rotationDrop` removes routing-only columns (text's record-time
+    * source) after the split read them. */
   def startLoggedMulti(stream: DataFrame, outDir: String, flushSize: Int,
                        checkpoint: String, trigger: Option[Trigger] = None,
                        format: String = "parquet",
@@ -550,6 +556,7 @@ object StreamIngest {
                        prepare: DataFrame => DataFrame = identity,
                        rotationBucket: Option[org.apache.spark.sql.Column] =
                          scala.None,
+                       rotationDrop: Seq[String] = Nil,
                        perTopicProjection:
                          Option[String => DataFrame => DataFrame] =
                            scala.None,
@@ -558,9 +565,6 @@ object StreamIngest {
                            Map.empty,
                        logCheckpointEvery: Int = 64)
       : StreamingQuery = {
-    require(rotationBucket.isEmpty || format != "avro",
-      "interval rotation is a BatchWriter-format feature; the avro " +
-        "multi-topic fan-out writes unrotated files")
     require(rotationBucket.isEmpty || perTopicProjection.isEmpty,
       "per-topic schema projection writes through the per-topic " +
         "fan-out, which does not rotate; run rotated+projected topics " +
@@ -604,13 +608,17 @@ object StreamIngest {
                     .map(p => p(t)(slice0)).getOrElse(slice0)
                   if (slice.isEmpty) Seq.empty
                   else if (format == "avro")
-                    AvroSink.write(slice, outDir, t, flushSize, pad, avroCodec)
+                    // rotation rides the per-topic fan-out: the bucket
+                    // expression reads the slice's record-time column
+                    // (still present — only `topic` was dropped)
+                    AvroSink.write(slice, outDir, t, flushSize, pad,
+                      avroCodec, rotationBucket)
                   else
                     BatchWriter.write(slice, outDir, t, flushSize, pad, format)
                 }
               else
                 BatchWriter.writeMulti(fresh, outDir, flushSize, pad, format,
-                  rotationBucket))
+                  rotationBucket, rotationDrop))
             manifest.groupBy(_.topic).toSeq.sortBy(_._1)
               .foreach { case (topic, files) =>
                 val v = CommitLog.publish(spark, outDir, topic, files.map { c =>

@@ -775,19 +775,137 @@ class StreamIngestSpec extends SparkSuite {
     assert(CommitLog.maxOffsets(spark, root, "t1") === Map(0L -> 3L))
   }
 
-  test("multi-topic rotation rejects avro and text formats fail-fast") {
+  test("multi-topic avro interval rotation: fan-out splits per record-time bucket + crash-replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    import graft.ingest.GraftConfig
-    val s = MemoryStream[(String, Long, Long, String)]
-    val stream = s.toDF().toDF("topic", "part", "off", "payload")
-    for (fmt <- Seq("avro", "text")) {
-      val cfg = GraftConfig(Map("flush.size" -> "2",
-        "rotate.interval.ms" -> "60000", "format.class" -> fmt))
-      val e = intercept[IllegalArgumentException] {
-        StreamIngest.startLoggedMulti(stream, "/tmp/x", cfg, "/tmp/ck")
-      }
-      assert(e.getMessage.contains("BatchWriter format"), e.getMessage)
-    }
+    import graft.ingest.{AvroSink, CommitLog, GraftConfig}
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft-mrot-avro").toString
+    val ckpt1 = Files.createTempDirectory("graft-mrota-ckpt1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "100",
+      "rotate.interval.ms" -> "60000",
+      "format.class" -> "avro", "avro.codec" -> "deflate"))
+    val root = cfg.topicsRoot(out)
+    def t(s: String) = Timestamp.valueOf(s)
+
+    // alpha straddles a 60s bucket → two container files despite
+    // flushSize 100; beta stays in one bucket → one file
+    val s1 = MemoryStream[(String, Long, Long, Timestamp, String)]
+    val q1 = StreamIngest.startLoggedMulti(
+      s1.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+      out, cfg, ckpt1)
+    s1.addData(
+      ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+      ("alpha", 0L, 1L, t("2026-03-01 10:00:30"), "a1"),
+      ("alpha", 0L, 2L, t("2026-03-01 10:01:10"), "a2"),
+      ("beta", 0L, 0L, t("2026-03-01 10:00:10"), "b0"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+      "alpha+0+0000000000+0000000001.avro",
+      "alpha+0+0000000002+0000000002.avro"))
+    assert(BatchWriter.listCommitted(spark, root, "beta") === Seq(
+      "beta+0+0000000000+0000000000.avro"))
+
+    // crash-restart with full replay + one new record in a new bucket
+    val ckpt2 = Files.createTempDirectory("graft-mrota-ckpt2").toString
+    val s2 = MemoryStream[(String, Long, Long, Timestamp, String)]
+    val q2 = StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+      out, cfg, ckpt2)
+    s2.addData(
+      ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+      ("alpha", 0L, 3L, t("2026-03-01 10:02:30"), "a3"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+      "alpha+0+0000000000+0000000001.avro",
+      "alpha+0+0000000002+0000000002.avro",
+      "alpha+0+0000000003+0000000003.avro"))
+    val schema = StructType(Seq(StructField("part", LongType),
+      StructField("off", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("payload", StringType)))
+    val alpha = AvroSink.readDataFrame(spark, s"$root/alpha", schema)
+    assert(alpha.count() === 4) // no dup from the replay
+    assert(alpha.select(col("payload")).as[String].collect().toSet ===
+      Set("a0", "a1", "a2", "a3"))
+  }
+
+  test("multi-topic text interval rotation: timestamp routes the split, then drops from payload") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    val out = Files.createTempDirectory("graft-mrot-text").toString
+    val ckpt1 = Files.createTempDirectory("graft-mrott-ckpt1").toString
+    val cfg = GraftConfig(Map("flush.size" -> "100",
+      "rotate.interval.ms" -> "60000", "format.class" -> "text"))
+    val root = cfg.topicsRoot(out)
+    def t(s: String) = Timestamp.valueOf(s)
+
+    val s1 = MemoryStream[(String, Long, Long, Timestamp, String)]
+    val q1 = StreamIngest.startLoggedMulti(
+      s1.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+      out, cfg, ckpt1)
+    s1.addData(
+      ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+      ("alpha", 0L, 1L, t("2026-03-01 10:01:10"), "a1"),
+      ("beta", 0L, 0L, t("2026-03-01 10:00:10"), "b0"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+      "alpha+0+0000000000+0000000000.txt",
+      "alpha+0+0000000001+0000000001.txt"))
+    // text files carry ONLY the payload line — the routing timestamp
+    // was consumed by the split and dropped
+    val lines = spark.read.text(s"$root/alpha/partition=0/*.txt")
+      .as[String].collect().toSet
+    assert(lines === Set("a0", "a1"))
+
+    // crash-replay: the replayed offset is dropped, the new one lands
+    val ckpt2 = Files.createTempDirectory("graft-mrott-ckpt2").toString
+    val s2 = MemoryStream[(String, Long, Long, Timestamp, String)]
+    val q2 = StreamIngest.startLoggedMulti(
+      s2.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+      out, cfg, ckpt2)
+    s2.addData(
+      ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+      ("alpha", 0L, 2L, t("2026-03-01 10:02:30"), "a2"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+      "alpha+0+0000000000+0000000000.txt",
+      "alpha+0+0000000001+0000000001.txt",
+      "alpha+0+0000000002+0000000002.txt"))
+    assert(CommitLog.maxOffsets(spark, root, "alpha") === Map(0L -> 2L))
+  }
+
+  test("single-topic avro interval rotation via cfg.write: bucket-change split") {
+    import spark.implicits._
+    import graft.ingest.{AvroSink, GraftConfig}
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft-avro-rotate").toString
+    val cfg = GraftConfig(Map("flush.size" -> "100",
+      "rotate.interval.ms" -> "60000", "format.class" -> "avro"))
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (0L, 0L, t("2026-03-01 10:00:00"), "r0"),
+      (0L, 1L, t("2026-03-01 10:00:30"), "r1"),
+      (0L, 2L, t("2026-03-01 10:01:10"), "r2"))
+      .toDF("part", "off", "timestamp", "payload")
+    val committed = cfg.write(df, out, "t")
+    val root = cfg.topicsRoot(out)
+    assert(BatchWriter.listCommitted(spark, root, "t") === Seq(
+      "t+0+0000000000+0000000001.avro",
+      "t+0+0000000002+0000000002.avro"))
+    assert(committed.size === 2)
+    val schema = StructType(Seq(StructField("part", LongType),
+      StructField("off", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("payload", StringType)))
+    assert(AvroSink.readDataFrame(spark, s"$root/t", schema).count() === 3)
   }
 }
