@@ -703,6 +703,85 @@ object Multimodal {
       }(enc)
   }
 
+  /** Per-FRAME pixel stats rows (frame-sampled thumbnail pass). */
+  val framePixelsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_idx", IntegerType, nullable = false),
+    StructField("pts_ticks", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_px", LongType, nullable = false),
+    StructField("min_px", IntegerType, nullable = false),
+    StructField("max_px", IntegerType, nullable = false)))
+
+  /** REAL frame-pixel decode for MJPEG-in-MP4, batched: the
+    * decode→frame-sample loop CLOSED pure-JVM. Per payload,
+    * [[VideoSamples]] yields the seek plan and the `stsd` fourcc; a
+    * `jpeg` sample entry means every sample is a complete baseline
+    * JPEG, so each SAMPLED frame (the stss sync set — what a
+    * thumbnail extractor seeks to) is sliced by its (offset, size)
+    * byte range and rasterized by [[JpegPixels]], emitting exact
+    * integer stats per frame. Traks behind a native codec (avc1, …)
+    * emit no rows here — they stay on the documented byte-stats
+    * boundary ([[decodePixelStats]]'s channel = -1 path). At 100 TB
+    * this shape is the point: the plan is metadata, the decode
+    * touches only the sampled frames' byte ranges, and both live in
+    * one batched `mapPartitions`-style pass with no shuffle. */
+  def decodeFramePixels(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(framePixelsSchema)
+    media.select(col("media_id"), col("payload"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        VideoSamples.parse(bytes).toSeq
+          .filter(_.codec.contains("jpeg"))
+          .flatMap { tbl =>
+            tbl.samples.iterator.filter(_.keyframe).flatMap { s =>
+              val from = s.offset
+              val to = s.offset + s.size
+              if (from < 0 || to > bytes.length || from >= to) None
+              else JpegPixels.decode(java.util.Arrays.copyOfRange(
+                bytes, from.toInt, to.toInt)).map { img =>
+                var sum = 0L; var mn = 255; var mx = 0
+                var i = 0
+                while (i < img.pixels.length) {
+                  val v = img.pixels(i) & 0xff
+                  sum += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  i += 1
+                }
+                Row(id, s.idx, s.ptsTicks, img.width, img.height,
+                  img.channels, img.width.toLong * img.height, sum, mn, mx)
+              }
+            }
+          }
+      }(enc)
+  }
+
+  /** Synthesize an MJPEG-in-MP4 per document
+    * ([[VideoFixtures.mp4MjpegBytes]]): frame count and every frame's
+    * flat-block levels derive arithmetically from `doc_id`, so a SQL
+    * oracle regenerates each sampled frame's decoded raster. */
+  def syntheticMjpegVideos(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, "video/mp4", VideoFixtures.mp4MjpegBytes(
+            w = 24, h = 16, timescale = 600, delta = 25,
+            nFrames = (6 + id % 7).toInt, seed = id))
+        }
+      }(enc)
+  }
+
   /** Wrap a text/doc table as a media table (test fixture path). */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(

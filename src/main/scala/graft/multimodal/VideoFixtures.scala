@@ -112,6 +112,91 @@ object VideoFixtures {
     fullBox("mdhd", b.toByteArray)
   }
 
+  /** ISO 14496-12 §12.1.3 VisualSampleEntry for `stsd` — the box a
+    * real mux writes to name the frame codec. 78 fixed body bytes
+    * after the fourcc. */
+  private def visualSampleEntry(fourcc: String, w: Int,
+                                h: Int): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    (1 to 6).foreach(_ => b.write(0)) // SampleEntry reserved
+    b.write(be16(1)) // data_reference_index
+    b.write(be16(0)); b.write(be16(0)) // pre_defined, reserved
+    (1 to 3).foreach(_ => b.write(be32(0L))) // pre_defined
+    b.write(be16(w)); b.write(be16(h))
+    b.write(be32(0x00480000L)); b.write(be32(0x00480000L)) // 72 dpi
+    b.write(be32(0L)) // reserved
+    b.write(be16(1)) // frame_count
+    (1 to 32).foreach(_ => b.write(0)) // compressorname
+    b.write(be16(0x0018)) // depth
+    b.write(be16(0xffff)) // pre_defined = -1
+    box(fourcc, b.toByteArray)
+  }
+
+  /** Keyframe cadence of [[mp4MjpegBytes]] (every frame of an MJPEG
+    * stream is intra-coded; the stss marks the SAMPLED subset a
+    * thumbnail extractor seeks to). */
+  val MjpegKeyframeEvery = 4
+
+  /** An MJPEG-in-MP4: the video trak's `stsd` declares a `jpeg`
+    * sample entry and every sample in the `mdat` is a COMPLETE
+    * baseline JPEG ([[ImageFixtures.jpegPixelBytes]], the
+    * lossless-by-construction flat-block stream) — frame `i` encodes
+    * blocks at level `(17·bx + 29·by + (seed + i)) mod 256`, so a SQL
+    * oracle regenerates every decoded raster arithmetically. This is
+    * the decode→frame-sample loop closed pure-JVM: seek plans from
+    * the stbl, pixels from [[JpegPixels]]. */
+  def mp4MjpegBytes(w: Int, h: Int, timescale: Int, delta: Int,
+                    nFrames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && timescale > 0 && delta > 0 && nFrames > 0,
+      s"bad mjpeg fixture: ${w}x$h n=$nFrames")
+    val frames = Array.tabulate(nFrames)(i =>
+      ImageFixtures.jpegPixelBytes(w, h, 1, ((seed + i) % 256).toInt))
+    val sizes = frames.map(_.length)
+    val duration = nFrames.toLong * delta
+    val nChunks = (nFrames + SamplesPerChunk - 1) / SamplesPerChunk
+
+    def stbl(mdatBase: Long): Array[Byte] = {
+      val stsd = fullBox("stsd",
+        be32(1L) ++ visualSampleEntry("jpeg", w, h))
+      val stts = fullBox("stts",
+        be32(1L) ++ be32(nFrames.toLong) ++ be32(delta.toLong))
+      val stsc = fullBox("stsc",
+        be32(1L) ++ be32(1L) ++ be32(SamplesPerChunk.toLong) ++ be32(1L))
+      val stsz = fullBox("stsz", be32(0L) ++ be32(nFrames.toLong) ++
+        sizes.flatMap(s => be32(s.toLong)))
+      val chunkOffsets = new Array[Long](nChunks)
+      var off = mdatBase
+      var i = 0
+      var c = 0
+      while (i < nFrames) {
+        if (i % SamplesPerChunk == 0) { chunkOffsets(c) = off; c += 1 }
+        off += sizes(i)
+        i += 1
+      }
+      val stco = fullBox("stco",
+        be32(nChunks.toLong) ++ chunkOffsets.flatMap(be32))
+      val keyframes = (0 until nFrames).filter(_ % MjpegKeyframeEvery == 0)
+      val stss = fullBox("stss", be32(keyframes.size.toLong) ++
+        keyframes.flatMap(k => be32(k + 1L)).toArray)
+      box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco ++ stss)
+    }
+    def moov(mdatBase: Long): Array[Byte] = {
+      val mdia = box("mdia", mdhd(timescale, duration) ++ hdlr("vide") ++
+        box("minf", stbl(mdatBase)))
+      box("moov", mvhd(timescale, duration) ++
+        box("trak", tkhd(1, duration, w, h) ++ mdia))
+    }
+    val ftypBody = new ByteArrayOutputStream()
+    ftypBody.write("isom".getBytes("US-ASCII"))
+    ftypBody.write(be32(512L))
+    ftypBody.write("isom".getBytes("US-ASCII"))
+    val ftyp = box("ftyp", ftypBody.toByteArray)
+    val moovLen = moov(0L).length
+    val mdatBase = ftyp.length + moovLen + 8L
+    ftyp ++ moov(mdatBase) ++
+      box("mdat", frames.flatten.toArray)
+  }
+
   /** A PLAYER-SHAPED MP4: `ftyp` + `moov` whose video trak carries a
     * full sample table — `stts` (one run of `n` samples at `delta`
     * ticks), `stsc` (a single run of [[SamplesPerChunk]]), `stsz`

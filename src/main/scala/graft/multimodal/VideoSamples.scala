@@ -30,10 +30,16 @@ object VideoSamples {
                           ptsTicks: Long, keyframe: Boolean)
 
   /** Parsed table: media timescale (ticks/second, from `mdhd`), the
-    * expanded per-sample plan, and the `mdat` payload base (for
-    * relative addressing when the file is re-homed). */
+    * expanded per-sample plan, the `mdat` payload base (for relative
+    * addressing when the file is re-homed), and the sample-entry
+    * fourcc from `stsd` (e.g. "jpeg" for MJPEG-in-MP4, "avc1" for
+    * H.264; None when the box is absent) — the codec ROUTING key: a
+    * "jpeg" trak's samples are complete baseline JPEGs that
+    * [[JpegPixels]] rasterizes pure-JVM, anything else stays behind
+    * the documented byte-stats boundary. */
   final case class SampleTable(timescale: Long, samples: Array[Sample],
-                               mdatPayloadStart: Long)
+                               mdatPayloadStart: Long,
+                               codec: Option[String] = None)
 
   /** Tables larger than this are hostile/corrupt, not video. */
   private val MaxSamples = 1 << 20
@@ -96,9 +102,15 @@ object VideoSamples {
     var sizes: Array[Long] = Array.empty
     var stco: Array[Long] = Array.empty
     var stss: Option[Set[Int]] = None
+    var codec: Option[String] = None
     walkBoxes(b, ss, se) { (t, s, e) =>
       def entries = be32(b, s + 4) // after version/flags
       t match {
+        case "stsd" if e - s >= 16 =>
+          // first sample entry: u32 size + fourcc right after the
+          // entry count — the routing key; deeper entry fields are
+          // codec-private and not needed for routing
+          if (be32(b, s + 4) >= 1) codec = Some(tag(b, s + 12))
         case "stts" if e - s >= 8 =>
           val n = entries
           if (n >= 0 && n <= MaxSamples && s + 8 + 8 * n <= e)
@@ -171,6 +183,6 @@ object VideoSamples {
       Sample(k, offsets(k), sizes(k), pts(k),
         sync.forall(_.contains(k + 1)))
     }
-    Some(SampleTable(timescale, samples, mdatPayload))
+    Some(SampleTable(timescale, samples, mdatPayload, codec))
   }
 }

@@ -5049,6 +5049,42 @@ object PipelineQueries {
              |  CAST((before - before % 12) * 25 AS BIGINT) AS kf_pts
              |FROM f ORDER BY media_id, j""".stripMargin)),
 
+    // ---- MJPEG frame-pixel decode: the decode→frame-sample loop
+    //      closed pure-JVM. Per document, an MJPEG-in-MP4 whose stsd
+    //      declares a `jpeg` sample entry and whose every sample is a
+    //      complete baseline JPEG; the query routes on the fourcc,
+    //      seeks each stss-sampled frame by its (offset, size) plan
+    //      and rasterizes it with the real Huffman+IDCT decoder,
+    //      emitting exact per-frame integer stats. The oracle
+    //      regenerates each sampled frame's raster from the fixture's
+    //      flat-block arithmetic — one wrong byte anywhere in stsd
+    //      routing, seek planning, slicing, or entropy decode breaks
+    //      the hash. H.264 stays the documented byte-stats boundary. ----
+    QuerySpec("multimodal_frame_pixels",
+      (s, d) => graft.multimodal.Multimodal.decodeFramePixels(
+          graft.multimodal.Multimodal.syntheticMjpegVideos(
+            Tables.documents(s, d)))
+        .orderBy(col("media_id"), col("sample_idx")),
+      Some("""WITH n AS (SELECT doc_id AS id,
+             |    CAST(6 + doc_id % 7 AS INT) AS nf FROM documents),
+             |f AS (SELECT id, CAST(unnest(range(0, nf)) AS INT) AS i FROM n),
+             |kf AS (SELECT id, i FROM f WHERE i % 4 = 0),
+             |b AS (SELECT id, i, bx, by FROM kf,
+             |    (SELECT unnest(range(0, 3)) AS bx),
+             |    (SELECT unnest(range(0, 2)) AS by)),
+             |lv AS (SELECT id, i,
+             |    CAST((17 * bx + 29 * by + id + i) % 256 AS INT) AS lvl
+             |  FROM b)
+             |SELECT id AS media_id, i AS sample_idx,
+             |  CAST(i * 25 AS BIGINT) AS pts_ticks,
+             |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+             |  CAST(1 AS INT) AS channels, CAST(384 AS BIGINT) AS n_px,
+             |  CAST(64 * sum(lvl) AS BIGINT) AS sum_px,
+             |  CAST(min(lvl) AS INT) AS min_px,
+             |  CAST(max(lvl) AS INT) AS max_px
+             |FROM lv GROUP BY id, i
+             |ORDER BY media_id, sample_idx""".stripMargin)),
+
     // ---- Multimodal REAL audio-envelope decode: spec-valid PCM WAV
     //      payloads synthesized per document (channels / sample rate /
     //      sample width / frame count derived arithmetically from

@@ -84,4 +84,28 @@ class VideoSamplesSpec extends AnyFunSuite {
     assert(meta.width == 320 && meta.height == 240 && meta.nTracks == 1)
     assert(meta.durationMs == 48L * 25 * 1000 / 600)
   }
+
+  test("stsd fourcc routes the codec: jpeg entry parsed, absent box stays None") {
+    val mjpeg = VideoFixtures.mp4MjpegBytes(24, 16, 600, 25, 9, 3L)
+    val tbl = VideoSamples.parse(mjpeg).get
+    assert(tbl.codec === Some("jpeg"))
+    assert(tbl.samples.length === 9)
+    // the classic fixture carries no stsd → no codec claim
+    assert(VideoSamples.parse(
+      VideoFixtures.mp4SampleBytes(64, 48, 600, 25, 10, 2L)).get
+      .codec === None)
+    // and each planned byte range IS a decodable baseline JPEG whose
+    // flat blocks carry the generating arithmetic
+    for (s <- tbl.samples) {
+      val img = JpegPixels.decode(java.util.Arrays.copyOfRange(
+        mjpeg, s.offset.toInt, (s.offset + s.size).toInt)).get
+      assert(img.width === 24 && img.height === 16 && img.channels === 1)
+      for (by <- 0 until 2; bx <- 0 until 3)
+        assert((img.pixels(by * 8 * 24 + bx * 8) & 0xff) ===
+          (17 * bx + 29 * by + 3 + s.idx) % 256,
+          s"frame ${s.idx} block ($bx,$by)")
+    }
+    // keyframe cadence is the sampled subset
+    assert(tbl.samples.filter(_.keyframe).map(_.idx).toSeq === Seq(0, 4, 8))
+  }
 }
