@@ -44,9 +44,21 @@ object IvfIndex {
 
   /** Train the quantizer and publish the index. `vecs` = (id, v) with
     * quantized Array[Long] vectors. Returns the vectors topic's log
-    * version (0 for a fresh build). */
+    * version (0 for a fresh build).
+    *
+    * `meta` (optional, `(id, <metadata columns...>)`) rides along in
+    * the vectors topic — the payload of FILTERED search: a predicate
+    * over these columns restricts the candidate set index-side.
+    * `statsCols` installs the per-file min/max stats plane on the
+    * named columns at commit time ([[FileStats]]), so
+    * [[searchVectorsFiltered]] can skip whole files the predicate
+    * refutes BEFORE scan planning — at 100 TB, when appends arrive
+    * clustered by the filter column (ingest day, source, tenant),
+    * a filtered search reads ~the matching slice, not the corpus. */
   def build(vecs: DataFrame, indexDir: String, k: Int, iters: Int,
-            flushSize: Int = 1 << 20): Long = {
+            flushSize: Int = 1 << 20,
+            meta: Option[DataFrame] = None,
+            statsCols: Seq[String] = Nil): Long = {
     val spark = vecs.sparkSession
     require(CommitLog.latestVersion(spark, indexDir, VectorsTopic) < 0,
       s"index at $indexDir already built — append() grows it, " +
@@ -56,10 +68,16 @@ object IvfIndex {
     val cdf = cents.map(c => (0L, c.id, c.v)).toDF("part", "off", "cv")
     CommitLog.writeLogged(cdf, indexDir, CentroidsTopic,
       flushSize = math.max(cents.size, 1))
-    val assigned = KMeans.assign(vecs, cents)
+    val assigned0 = KMeans.assign(vecs, cents)
       .select(col("cell").as("part"), col("id").as("off"), col("v"),
         col("cell"))
-    CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize)
+    // LEFT join: metadata is advisory — a vector without a metadata
+    // row stays indexed (its NULL columns never satisfy a predicate,
+    // the conservative direction)
+    val assigned = meta.fold(assigned0)(m =>
+      assigned0.join(m.withColumnRenamed("id", "off"), Seq("off"), "left"))
+    CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize,
+      statsCols = statsCols)
   }
 
   /** The frozen quantizer (K driver-held centroids). */
@@ -101,13 +119,21 @@ object IvfIndex {
     * (ids must be new — same contract as any topic append) and
     * publish as the next log version. Returns that version. */
   def append(newVecs: DataFrame, indexDir: String,
-             flushSize: Int = 1 << 20): Long = {
+             flushSize: Int = 1 << 20,
+             meta: Option[DataFrame] = None,
+             statsCols: Seq[String] = Nil): Long = {
     val spark = newVecs.sparkSession
     val cents = centroids(spark, indexDir)
-    val assigned = KMeans.assign(newVecs, cents)
+    val assigned0 = KMeans.assign(newVecs, cents)
       .select(col("cell").as("part"), col("id").as("off"), col("v"),
         col("cell"))
-    CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize)
+    // LEFT join: metadata is advisory — a vector without a metadata
+    // row stays indexed (its NULL columns never satisfy a predicate,
+    // the conservative direction)
+    val assigned = meta.fold(assigned0)(m =>
+      assigned0.join(m.withColumnRenamed("id", "off"), Seq("off"), "left"))
+    CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize,
+      statsCols = statsCols)
   }
 
   /** Probe-only top-k over an ALREADY-ASSIGNED corpus frame — the
@@ -179,6 +205,59 @@ object IvfIndex {
       .readFiles(spark, indexDir, VectorsTopic, keep)
       .select(col("off").as("id"), col("v"), col("cell"))
     searchAssigned(assigned, probes, k)
+  }
+
+  /** FILTERED serving: [[searchVectors]] with a metadata `predicate`
+    * over the columns [[build]]'s `meta` committed alongside the
+    * vectors. Pre-filter semantics — candidates are filtered BEFORE
+    * scoring, so the bounded heap never holds an excluded neighbor.
+    * File skipping composes two planes before any scan planning:
+    *   1. cell pruning (partition directories outside the probed
+    *      cells), as in every serving read here;
+    *   2. the [[graft.ingest.FileStats]] min/max plane on the
+    *      predicate's columns (installed via `statsCols`) — files
+    *      whose ranges refute the predicate are dropped from the
+    *      surviving cell files. Conservative by absence: no plane or
+    *      uncovered files simply scan.
+    * The predicate is then still APPLIED row-level on the survivors —
+    * pruning is an I/O optimization, never a semantics change. */
+  def searchVectorsFiltered(spark: SparkSession, indexDir: String,
+                            queries: DataFrame, nprobe: Int, k: Int,
+                            predicate: org.apache.spark.sql.Column,
+                            loadedCents: Seq[KMeans.Centroid] = Seq.empty)
+      : DataFrame = {
+    val cents =
+      if (loadedCents.nonEmpty) loadedCents else centroids(spark, indexDir)
+    val probes = KMeans.probeCells(queries, cents, nprobe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (cellKeep, _) = prunedRels(spark, indexDir, cells)
+    val keep = graft.ingest.FileStats.pruneRels(
+      spark, indexDir, VectorsTopic, predicate, cellKeep)
+    if (keep.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "dot", "rnk")
+    }
+    val assigned = CommitLog
+      .readFiles(spark, indexDir, VectorsTopic, keep)
+      .filter(predicate)
+      .select(col("off").as("id"), col("v"), col("cell"))
+    searchAssigned(assigned, probes, k)
+  }
+
+  /** [[searchVectorsFiltered]] by corpus membership: query vectors
+    * resolve from the index itself (queries need NOT satisfy the
+    * predicate — they rank against the predicate-respecting corpus). */
+  def searchFiltered(spark: SparkSession, indexDir: String,
+                     queryIds: Seq[Long], nprobe: Int, k: Int,
+                     predicate: org.apache.spark.sql.Column): DataFrame = {
+    val cents = centroids(spark, indexDir)
+    val qvecs = vectors(spark, indexDir)
+      .filter(col("id").isin(queryIds: _*)).select(col("id"), col("v"))
+    searchVectorsFiltered(spark, indexDir, qvecs, nprobe, k, predicate,
+      cents)
   }
 
   // ---------------------------------------------------------------

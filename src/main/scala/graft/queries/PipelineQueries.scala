@@ -1019,7 +1019,14 @@ object PipelineQueries {
     servedIvfDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
         .toString
-      IvfIndex.build(embVecs(s, d), dir, k = 8, iters = 2)
+      // lang rides along as filter metadata with its stats plane —
+      // the ingestion-time cost of sim_filtered_served_topk's
+      // file-skipping filtered serving (search results without a
+      // predicate are unchanged: search() selects only id/v/cell)
+      IvfIndex.build(embVecs(s, d), dir, k = 8, iters = 2,
+        meta = Some(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("lang"))),
+        statsCols = Seq("lang"))
       dir
     })
 
@@ -4246,6 +4253,27 @@ object PipelineQueries {
     //      excluded neighbor. ----
     QuerySpec("sim_filtered_ivf_topk",
       (s, d) => filteredIvfTopk(s, d).orderBy(col("q_id"), col("rnk")),
+      Some(s"""WITH $filteredIvfSql
+              |SELECT q_id, neighbor_id, dot, rnk FROM fivf
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- Filtered search through the SERVED index: the steady-state
+    //      twin of sim_filtered_ivf_topk. The predicate's column
+    //      (lang) was committed ALONGSIDE the vectors at build time
+    //      with its per-file stats plane, and searchFiltered composes
+    //      BOTH skipping planes before scan planning — cell pruning
+    //      (probed partition dirs) then FileStats min/max refutation —
+    //      with the predicate still applied row-level on survivors.
+    //      Same pre-filter semantics, same oracle as the trained
+    //      path; the file-skip asymmetry is pinned in IvfIndexSpec. ----
+    QuerySpec("sim_filtered_served_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedIvfIndex(s, d)
+        IvfIndex.searchFiltered(s, idx, Seq(0L, 1L, 2L), nprobe = 2,
+            k = 5, col("lang") === "en")
+          .orderBy(col("q_id"), col("rnk"))
+      },
       Some(s"""WITH $filteredIvfSql
               |SELECT q_id, neighbor_id, dot, rnk FROM fivf
               |ORDER BY q_id, rnk""".stripMargin)),

@@ -151,6 +151,44 @@ class IvfIndexSpec extends SparkSuite {
     assert(res === Set((100L, 4L, 2L, 1L), (100L, 0L, 1L, 2L)))
   }
 
+  test("filtered serving composes the stats plane: refuted files skipped, semantics exact") {
+    val idx = Files.createTempDirectory("ivf-idx-fstats").toString
+    // two appends clustered by ingest day (the realistic skip shape):
+    // day 1 = base corpus, day 2 = later vectors in the same cells
+    IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 1,
+      meta = Some(Seq(0L, 1L, 2L, 3L, 4L, 5L).map(_ -> 1L)
+        .toDF("id", "day")),
+      statsCols = Seq("day"))
+    IvfIndex.append(
+      Seq(6L -> Seq(3L, 1L), 7L -> Seq(98L, 97L)).toDF("id", "v"), idx,
+      flushSize = 1,
+      meta = Some(Seq(6L, 7L).map(_ -> 2L).toDF("id", "day")),
+      statsCols = Seq("day"))
+    val snap = CommitLog.snapshot(spark, idx, IvfIndex.VectorsTopic)
+    assert(snap.size === 8)
+    // the plane refutes day=2 for every day-1 file: a day-filtered
+    // search over BOTH cells plans only the 2 day-2 files, not 8
+    val kept = graft.ingest.FileStats.pruneRels(spark, idx,
+      IvfIndex.VectorsTopic, col("day") === 2L, snap)
+    assert(kept.size === 2, s"stats plane must skip day-1 files: $kept")
+    // ...and composes UNDER cell pruning inside searchFiltered: the
+    // result ranks exactly over the day-2 corpus only
+    val res = IvfIndex.searchFiltered(spark, idx, Seq(0L, 1L),
+        nprobe = 1, k = 2, col("day") === 2L)
+      .select("q_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    // q0=(0,1) probes cell A → only day-2 member 6; q1=(100,99) →
+    // only day-2 member 7
+    assert(res === Set((0L, 6L, 1L), (1L, 7L, 1L)))
+    // no predicate → unchanged full-corpus serving (metadata is inert)
+    val full = IvfIndex.search(spark, idx, Seq(0L), nprobe = 1, k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(full === Set(2L, 4L, 6L))
+    // an impossible predicate prunes everything and answers empty
+    assert(IvfIndex.searchFiltered(spark, idx, Seq(0L), nprobe = 1,
+      k = 2, col("day") === 99L).isEmpty)
+  }
+
   test("streaming ingest grows the index exactly-once under the frozen quantizer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
