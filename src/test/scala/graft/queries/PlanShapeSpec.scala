@@ -630,6 +630,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
   }
 
+  test("sim_filtered_served_topk: predicate filters the pruned scan; probes broadcast; heap ranking") {
+    val p = plan("sim_filtered_served_topk")
+    val s = p.toString
+    // pre-filter semantics ride the scan side (a Filter over the
+    // pruned file read), probes broadcast, bounded-heap ranking — the
+    // corpus never shuffles for the join and never windows
+    assert(s.contains("topk_pairs"), s"ranking must use the bounded heap:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"probes must broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(!s.contains("WindowExec"), s"no corpus window:\n$s")
+    assert(collectAll(p) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"no nested-loop join:\n$p")
+  }
+
+  test("multimodal_frame_pixels: one batched decode pass — no join, no shuffle before the sort") {
+    val p = plan("multimodal_frame_pixels")
+    val s = p.toString
+    // fixture synth + plan + decode live in ONE narrow pipeline; the
+    // only exchange is the final presentation orderBy
+    assert(collectAll(p) { case e: ShuffleExchangeExec => e }.size <= 1,
+      s"decode must not shuffle (one range exchange for the orderBy):\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+      s"no join in the decode pass:\n$s")
+  }
+
   test("q6_forecast_revenue pushes all three predicates into the parquet scan") {
     // the executedPlan's toString TRUNCATES the PushedFilters list, so
     // read the scan's metadata directly instead of string-matching
