@@ -261,12 +261,18 @@ object FileStats {
     if (rels.isEmpty) return rels
     val plane = read(spark, outDir, topic)
     if (plane.isEmpty) return rels
-    val analyzed = CommitLog.readFiles(spark, outDir, topic,
-      rels.take(1), format).filter(predicate).queryExecution.analyzed
-    val cond = analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition
-    }
+    // resolution probe against ONE file's schema; on a mixed-schema
+    // topic (schema evolution, metadata-less appends) the predicate's
+    // column may be absent from that file — resolution failure must
+    // degrade to "never refute", not a thrown plan error
+    val cond =
+      try CommitLog.readFiles(spark, outDir, topic, rels.take(1), format)
+        .filter(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
     cond match {
       case Some(expr) =>
         rels.filter(rel => plane.get(rel).forall(mayMatch(expr, _)))

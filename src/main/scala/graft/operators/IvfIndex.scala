@@ -603,7 +603,9 @@ object IvfIndex {
     * the codes topic's log version (0 for a fresh build). */
   def buildIvfPq(vecs: DataFrame, indexDir: String, k: Int, iters: Int,
                  m: Int, subDims: Int, pqK: Int, pqIters: Int,
-                 flushSize: Int = 1 << 20): Long = {
+                 flushSize: Int = 1 << 20,
+                 meta: Option[DataFrame] = None,
+                 statsCols: Seq[String] = Nil): Long = {
     val spark = vecs.sparkSession
     require(CommitLog.latestVersion(spark, indexDir, IvfPqCodesTopic) < 0,
       s"IVF-PQ index at $indexDir already built — a retrain is a new dir")
@@ -637,8 +639,13 @@ object IvfIndex {
     // encode through the same frozen-artifact projection the append
     // and streaming paths use (assignment and residual are
     // deterministic, so this is bit-identical to encoding `resid`)
-    CommitLog.writeLogged(ivfPqEncodeFrame(vecs, cents, books, subDims),
-      indexDir, IvfPqCodesTopic, flushSize)
+    val encoded0 = ivfPqEncodeFrame(vecs, cents, books, subDims)
+    // metadata rides the codes topic for filtered serving (same LEFT
+    // join discipline as the plain-IVF [[build]])
+    val encoded = meta.fold(encoded0)(mt =>
+      encoded0.join(mt.withColumnRenamed("id", "off"), Seq("off"), "left"))
+    CommitLog.writeLogged(encoded, indexDir, IvfPqCodesTopic, flushSize,
+      statsCols = statsCols)
   }
 
   /** Serve top-k from the IVF-PQ index: probe `nprobe` cells against
@@ -649,7 +656,29 @@ object IvfIndex {
     * (id, cell, codes) only. */
   def searchIvfPq(spark: SparkSession, indexDir: String,
                   queryIds: Seq[Long], subDims: Int, nprobe: Int,
-                  k: Int): DataFrame = {
+                  k: Int): DataFrame =
+    searchIvfPqImpl(spark, indexDir, queryIds, subDims, nprobe, k, None)
+
+  /** [[searchIvfPq]] under a metadata `predicate` (columns committed
+    * by [[buildIvfPq]]'s `meta`) — the filtered twin of
+    * [[searchFiltered]] on the full production stack: cell pruning,
+    * then [[graft.ingest.FileStats]] refutation of the surviving
+    * files, then the predicate applied row-level on the scan. The
+    * residual-ADC ranking runs over the predicate-respecting corpus
+    * only, so the bounded heap never holds an excluded neighbor. */
+  def searchIvfPqFiltered(spark: SparkSession, indexDir: String,
+                          queryIds: Seq[Long], subDims: Int, nprobe: Int,
+                          k: Int,
+                          predicate: org.apache.spark.sql.Column)
+      : DataFrame =
+    searchIvfPqImpl(spark, indexDir, queryIds, subDims, nprobe, k,
+      Some(predicate))
+
+  private def searchIvfPqImpl(spark: SparkSession, indexDir: String,
+                              queryIds: Seq[Long], subDims: Int,
+                              nprobe: Int, k: Int,
+                              predicate: Option[org.apache.spark.sql.Column])
+      : DataFrame = {
     NativeExpressions.register(spark)
     val cents = centroids(spark, indexDir)
     val codesT = CommitLog.read(spark, indexDir, IvfPqCodesTopic)
@@ -659,13 +688,16 @@ object IvfIndex {
       .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
     val cellSet = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSet
-    val (keep, _) = prunedRels(spark, indexDir, cellSet, IvfPqCodesTopic)
+    val (cellKeep, _) = prunedRels(spark, indexDir, cellSet, IvfPqCodesTopic)
+    val keep = predicate.fold(cellKeep)(p => graft.ingest.FileStats
+      .pruneRels(spark, indexDir, IvfPqCodesTopic, p, cellKeep))
     if (keep.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long)]
         .toDF("q_id", "neighbor_id", "adc", "rnk")
     }
-    val scan = CommitLog.readFiles(spark, indexDir, IvfPqCodesTopic, keep)
+    val read = CommitLog.readFiles(spark, indexDir, IvfPqCodesTopic, keep)
+    val scan = predicate.fold(read)(read.filter)
       .select(col("off").as("id"), col("cell"), col("codes"))
     val cb = CommitLog.read(spark, indexDir, IvfPqCodebooksTopic)
       .select(col("m"), col("code"), col("cv"))

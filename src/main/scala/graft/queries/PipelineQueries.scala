@@ -1090,8 +1090,14 @@ object PipelineQueries {
     servedIvfPqDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
         .toString
+      // lang metadata + stats plane for the filtered serving twin
+      // (sim_filtered_ivfpq_topk); unfiltered reads are unchanged —
+      // the ADC scan projects (id, cell, codes) only
       IvfIndex.buildIvfPq(embVecs(s, d), dir, k = 8, iters = 2,
-        m = PqM, subDims = PqSubDims, pqK = PqK, pqIters = 1)
+        m = PqM, subDims = PqSubDims, pqK = PqK, pqIters = 1,
+        meta = Some(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("lang"))),
+        statsCols = Seq("lang"))
       dir
     })
 
@@ -1385,7 +1391,7 @@ object PipelineQueries {
     * score = centroid dot + residual LUT sum) — ends in CTE
     * `ir(q_id, neighbor_id, adc, rnk)`. All integer arithmetic, so
     * the served ranking hash-matches. */
-  private def ivfPqSql(nprobe: Int): String =
+  private def ivfPqSql(nprobe: Int, candFilter: String = ""): String =
     s"""$kmTrainSql,
        |rs AS (SELECT a3.id, list_transform(list_zip(a3.v, c2.cv),
        |    p -> p[1] - p[2]) AS v
@@ -1405,7 +1411,8 @@ object PipelineQueries {
        |      p -> p[1] * p[2])) AS BIGINT) AS partial
        |  FROM (SELECT DISTINCT q_id, qv FROM iprobe) CROSS JOIN rcb),
        |icand AS (SELECT p.q_id, a.id AS neighbor_id, a.cell
-       |  FROM a3 a JOIN iprobe p ON a.cell = p.cell WHERE a.id <> p.q_id),
+       |  FROM a3 a JOIN iprobe p ON a.cell = p.cell
+       |  WHERE a.id <> p.q_id$candFilter),
        |iadc AS (SELECT c.q_id, c.neighbor_id, c.cell,
        |    CAST(sum(partial) AS BIGINT) AS rsum
        |  FROM icand c JOIN rcodes rc ON rc.id = c.neighbor_id
@@ -4634,6 +4641,29 @@ object PipelineQueries {
               |SELECT q_id, neighbor_id, adc, rnk FROM ir WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin),
       bench = true),
+
+    // ---- Filtered serving on the full production stack: the IVF-PQ
+    //      residual-ADC ranking restricted to a metadata predicate
+    //      whose column (lang) was committed alongside the codes with
+    //      its stats plane. Cell pruning + FileStats refutation + a
+    //      row-level filter compose BEFORE the ADC join, so the heap
+    //      never holds an excluded neighbor and — when appends are
+    //      clustered by the filter column — the scan plans only the
+    //      matching files. Oracle = the IVF-PQ chain with the same
+    //      predicate on the candidate set. ----
+    QuerySpec("sim_filtered_ivfpq_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedIvfPqIndex(s, d)
+        IvfIndex.searchIvfPqFiltered(s, idx, Seq(0L, 1L, 2L), PqSubDims,
+            nprobe = 2, k = 5, col("lang") === "en")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH ${ivfPqSql(nprobe = 2, candFilter =
+                 " AND a.id IN (SELECT doc_id FROM documents" +
+                 " WHERE lang = 'en')")}
+              |SELECT q_id, neighbor_id, adc, rnk FROM ir WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
 
     // ---- recall@5 of the IVF-PQ ranking vs exact brute force — the
     //      number that prices the nprobe/K file-pruning + 64×

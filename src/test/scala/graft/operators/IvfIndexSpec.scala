@@ -394,6 +394,42 @@ class IvfIndexSpec extends SparkSuite {
     assert(refined === Set((0L, 4L, 1L), (0L, 2L, 2L)))
   }
 
+  test("IVF-PQ filtered serving: stats plane skips refuted files, ADC over the filtered corpus") {
+    val idx = Files.createTempDirectory("ivfpq-fstats").toString
+    IvfIndex.buildIvfPq(base, idx, k = 2, iters = 2, m = 1, subDims = 2,
+      pqK = 2, pqIters = 1, flushSize = 1,
+      meta = Some(Seq(0L, 1L, 2L, 3L, 4L, 5L).map(_ -> 1L)
+        .toDF("id", "day")),
+      statsCols = Seq("day"))
+    IvfIndex.appendIvfPq(
+      Seq(6L -> Seq(3L, 1L), 7L -> Seq(98L, 97L)).toDF("id", "v"), idx,
+      flushSize = 1)
+    // cover the appended files too (append has no meta hook for
+    // IVF-PQ — absent stats rows stay conservatively scanned, the
+    // NULL day never satisfies the predicate)
+    val snap = CommitLog.snapshot(spark, idx, IvfIndex.IvfPqCodesTopic)
+    assert(snap.size === 8)
+    val kept = graft.ingest.FileStats.pruneRels(spark, idx,
+      IvfIndex.IvfPqCodesTopic, col("day") === 1L, snap)
+    // day-1 files keep; the two appended files have NO stats row →
+    // conservatively kept as well; nothing is wrongly dropped
+    assert(kept.size === 8)
+    // an impossible day refutes the 6 covered files, keeps only the
+    // 2 uncovered appends
+    assert(graft.ingest.FileStats.pruneRels(spark, idx,
+      IvfIndex.IvfPqCodesTopic, col("day") === 99L, snap).size === 2)
+    // filtered serving excludes the day-NULL appended vectors
+    val res = IvfIndex.searchIvfPqFiltered(spark, idx, Seq(0L),
+        subDims = 2, nprobe = 1, k = 4, col("day") === 1L)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res === Set(2L, 4L), s"day-1 corpus only, got $res")
+    // unfiltered serving still sees everything in the probed cell
+    val full = IvfIndex.searchIvfPq(spark, idx, Seq(0L), subDims = 2,
+        nprobe = 1, k = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(full === Set(2L, 4L, 6L))
+  }
+
   test("IVF-PQ lifecycle: append under BOTH frozen quantizers; streaming ingest; generation flip") {
     val idx = Files.createTempDirectory("ivfpq-grow").toString
     IvfIndex.buildIvfPq(base, idx, k = 2, iters = 2, m = 1, subDims = 2,
