@@ -237,11 +237,17 @@ object FileStats {
       val sts = live.map(_(c))
       def mo[A](f: Stat => Option[A], pick: (A, A) => A): Option[A] =
         sts.flatMap(f(_)).reduceOption(pick)
+      // double merges follow SPARK's NaN order (NaN greatest): min
+      // prefers the non-NaN side — `math.min(1.0, NaN)` is NaN on the
+      // JVM, which would report min = NaN where a real scan says 1.0
+      // (a per-file min of NaN only happens when that file is ALL NaN)
       c -> Stat(sts.head.typ,
         mo(_.lLo, math.min(_: Long, _: Long)),
         mo(_.lHi, math.max(_: Long, _: Long)),
-        mo(_.dLo, math.min(_: Double, _: Double)),
-        mo(_.dHi, math.max(_: Double, _: Double)),
+        mo(_.dLo, (a: Double, b: Double) =>
+          if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)),
+        mo(_.dHi, (a: Double, b: Double) =>
+          if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b)),
         mo(_.sLo, (a: String, b: String) => if (a <= b) a else b),
         mo(_.sHi, (a: String, b: String) => if (a >= b) a else b),
         sts.map(_.nNull).sum, sts.map(_.nRow).sum)
@@ -374,12 +380,38 @@ object FileStats {
   private case object Ge extends Cmp
   private case object Eq extends Cmp
 
+  private def isNaN(v: Any): Boolean = v match {
+    case f: Float => f.isNaN
+    case d: Double => d.isNaN
+    case _ => false
+  }
+
   /** Can `col <cmp> lit` be true for some non-null value in [lo, hi]?
     * Works in whichever domain the stat carries; double bounds are
     * widened one ulp each way so decimal→double install rounding can
-    * never refute a true match. */
+    * never refute a true match.
+    *
+    * NaN follows SPARK's total order, not IEEE: NaN is GREATER than
+    * every value and NaN = NaN is TRUE (`functions.min` skips NaN, so
+    * an install-time max of NaN means the file HAS a NaN and a min of
+    * NaN means EVERY value is NaN) — naive Scala comparisons here
+    * would refute `col > x` for a file whose max is NaN even though
+    * its NaN rows satisfy the predicate in Spark. */
   private def rangeMay(st: Stat, cmp: Cmp, v: Any): Boolean = {
     if (st.nRow == st.nNull) return false // all null: no comparison is true
+    if (isNaN(v)) {
+      // literal NaN: only NaN values satisfy Eq/Ge; nothing satisfies
+      // Gt; every non-null value satisfies Le; Lt needs a non-NaN value
+      if (st.typ == "s") return true // not reachable via attrName; safe
+      val hasNaN = st.typ == "d" && st.dHi.exists(_.isNaN)
+      val allNaN = st.typ == "d" && st.dLo.exists(_.isNaN)
+      return cmp match {
+        case Eq | Ge => hasNaN
+        case Gt => false
+        case Le => true
+        case Lt => !allNaN
+      }
+    }
     st.typ match {
       case "l" =>
         (asLong(v), st.lLo, st.lHi) match {
@@ -410,6 +442,16 @@ object FileStats {
       case "d" =>
         (asDouble(v), st.dLo, st.dHi) match {
           case (Some(x), Some(lo0), Some(hi0)) =>
+            // NaN bounds, Spark order: max = NaN ⇒ the file HAS a NaN,
+            // which satisfies any `>`/`>=` (NaN is greatest); min =
+            // NaN ⇒ EVERY value is NaN, so no non-NaN literal matches
+            // `<`/`<=`/`=`. When NaN rows coexist with real ones the
+            // non-NaN maximum is unknown — Eq keeps only its lower
+            // bound check.
+            val hasNaN = hi0.isNaN
+            val allNaN = lo0.isNaN
+            if (hasNaN && (cmp == Gt || cmp == Ge)) return true
+            if (allNaN) return false
             // a few ulps of slack: decimal→double happened once at
             // install and once on the literal — refutation must
             // survive both roundings
@@ -420,7 +462,7 @@ object FileStats {
               case Le => lo <= x
               case Gt => hi > x
               case Ge => hi >= x
-              case Eq => lo <= x && x <= hi
+              case Eq => lo <= x && (hasNaN || x <= hi)
             }
           case _ => true
         }

@@ -206,4 +206,41 @@ class FileStatsSpec extends SparkSuite {
     assert(CommitLog.deleteWhere(spark, out, T,
       col("v").between(1000L, 1200L)) === ver)
   }
+
+  test("NaN follows Spark's order: never wrongly pruned, meta min skips NaN") {
+    val out = Files.createTempDirectory("fs-nan").toString
+    // file A plain, file B NaN mixed with real values, file C all NaN —
+    // Spark orders NaN GREATER than everything (`NaN > x` is true,
+    // `NaN === NaN` is true); pre-fix, the driver-side IEEE compares
+    // refuted `d > 100` for B/C even though their NaN rows match
+    CommitLog.writeLogged(Seq((0L, 0L, 1.0), (0L, 1L, 5.0))
+      .toDF("part", "off", "d"), out, T, flushSize = 10)
+    CommitLog.writeLogged(Seq((0L, 2L, 7.0), (0L, 3L, Double.NaN))
+      .toDF("part", "off", "d"), out, T, flushSize = 10)
+    CommitLog.writeLogged(Seq((0L, 4L, Double.NaN))
+      .toDF("part", "off", "d"), out, T, flushSize = 10)
+    FileStats.install(spark, out, T, Seq("d"))
+    val snap = CommitLog.snapshot(spark, out, T)
+    for (pred <- Seq(
+        col("d") > 100.0, col("d") >= 100.0, col("d") === Double.NaN,
+        col("d") >= Double.NaN, col("d") < Double.NaN,
+        col("d") > 6.0, col("d") < 2.0, col("d") <= 0.5,
+        col("d") === 7.0)) {
+      val pruned = FileStats.readPruned(spark, out, T, pred)
+        .select("off").as[Long].collect().toSet
+      val full = CommitLog.read(spark, out, T).filter(pred)
+        .select("off").as[Long].collect().toSet
+      assert(pruned === full, s"$pred diverged under NaN")
+    }
+    // refutation still bites where NaN cannot satisfy the predicate:
+    // `< 2.0` is false for NaN (greatest), so only file A survives
+    assert(FileStats.pruneRels(spark, out, T, col("d") < 2.0, snap)
+      .size === 1)
+    // metadata-only aggregates agree with a real scan: min SKIPS NaN
+    // (JVM math.min would have reported NaN), max is NaN
+    val (total, m) = FileStats.metaAggregates(spark, out, T).get
+    assert(total === 5L)
+    assert(m("d").dLo === Some(1.0))
+    assert(m("d").dHi.exists(_.isNaN))
+  }
 }
