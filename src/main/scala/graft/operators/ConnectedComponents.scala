@@ -66,6 +66,14 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
+    // an under-converged labeling is SILENTLY WRONG (vertices deep in a
+    // chain still carry a non-minimal label) — refuse loudly instead;
+    // rounds = diameter, so a cap hit means the graph outgrew this loop
+    require(changed == 0,
+      s"min-label propagation did not converge in $maxIter rounds " +
+        s"($changed labels still moving) — the component diameter " +
+        "exceeds the round budget; use runStarContraction (O(log n) " +
+        "rounds) or raise maxIter")
     (comp, i)
   }
 
@@ -132,6 +140,10 @@ object ConnectedComponents {
       e = ss
       i += 1
     }
+    require(converged,
+      s"star contraction did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds are O(log n); a cap hit at this depth " +
+        "suggests a pathological edge feed)")
     // stars point u -> root; roots and isolated vertices map to themselves
     val comp = vertices
       .join(e.select(col("u").as("id"), col("v").as("ptr")), Seq("id"), "left")

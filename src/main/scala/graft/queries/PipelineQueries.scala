@@ -349,7 +349,13 @@ object PipelineQueries {
   private def embClustersFrame(s: org.apache.spark.sql.SparkSession,
                                d: String): org.apache.spark.sql.DataFrame = {
     val (pairs, release) = embNearDupPairs(s, d)
-    val comp = graft.operators.ConnectedComponents.run(
+    // star contraction, not min-propagation: at a 0.35 cosine
+    // threshold the near-dup graph carries CHAINS whose diameter
+    // grows with corpus size (observed > 25 hops at a 20k-vector
+    // corpus — min-propagation's round budget, which pays one shuffle
+    // PER HOP, stopped short there and mislabeled the chain tails);
+    // star contraction converges in O(log n) rounds at any scale
+    val (comp, _) = graft.operators.ConnectedComponents.runStarContraction(
       Tables.embeddings(s, d).select(col("vec_id").as("id")),
       pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
     // run() materialized every round (localCheckpoint) — the cached

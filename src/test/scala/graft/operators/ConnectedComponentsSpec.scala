@@ -107,4 +107,22 @@ class ConnectedComponentsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(got.values.forall(_ == 1L))
   }
+
+  test("exhausting the round budget fails LOUDLY, never silently wrong") {
+    // a 40-hop path outruns min-propagation's default 25 rounds; the
+    // pre-fix behavior returned the under-converged labels (chain
+    // tails keeping non-minimal components) — exactly the sf1
+    // embedding-cluster bug. Star contraction handles the same graph
+    // in O(log n) rounds.
+    val n = 41L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.run(vertices, edges)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val (comp, _) =
+      ConnectedComponents.runStarContraction(vertices, edges)
+    assert(comp.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
 }
