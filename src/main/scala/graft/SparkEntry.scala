@@ -9,9 +9,16 @@ object SparkEntry {
 
   /** Full registered inventory: ingestion/commit plane (SURVEY §2.A/B),
     * relational query surface (§2.D), and the LLM-data-pipeline ops. */
-  val specs: Seq[QuerySpec] =
-    IngestQueries.specs ++ RelationalQueries.specs ++ PipelineQueries.specs ++
-      CurationQueries.specs
+  val specs: Seq[QuerySpec] = {
+    val all = IngestQueries.specs ++ RelationalQueries.specs ++
+      PipelineQueries.specs ++ CurationQueries.specs
+    // a duplicate key would SILENTLY shadow the earlier spec in the
+    // Maps below (one real query disappeared from the registry this
+    // way) — refuse at construction instead
+    val dup = all.groupBy(_.name).collect { case (n, ss) if ss.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query keys: ${dup.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The TPC-H Q1-shaped `agg_returnflag` per SURVEY §7.3. */

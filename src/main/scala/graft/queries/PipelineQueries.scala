@@ -4842,12 +4842,16 @@ object PipelineQueries {
            |ORDER BY q_id, rnk""".stripMargin
       }),
 
-    // ---- Multimodal frame-sampling plan: the byte offsets a video
-    //      decoder would seek to for k uniform frames — pure integer
-    //      column algebra over the payload length, no decode. Exploded
-    //      to scalar rows: each (media_id, frame_idx, byte_offset) is
-    //      an independent decode-stage work unit. ----
-    QuerySpec("multimodal_frame_plan",
+    // ---- Multimodal BYTE-UNIFORM frame-sampling plan: the byte
+    //      offsets a decoder would seek to for k uniform frames over an
+    //      opaque payload — pure integer column algebra over the
+    //      payload length, no container parse (the container-aware
+    //      MP4 plan is `multimodal_frame_plan`). Exploded to scalar
+    //      rows: each (media_id, frame_idx, byte_offset) is an
+    //      independent decode-stage work unit. NB this key previously
+    //      collided with the MP4 plan's — the Map kept the later entry
+    //      and this one silently never ran; renamed to restore it. ----
+    QuerySpec("multimodal_byte_frame_plan",
       (s, d) => graft.multimodal.Multimodal.frameSamplePlan(
           graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, d)), 4)
         .orderBy(col("media_id"), col("frame_idx")),
