@@ -243,4 +243,74 @@ class FileStatsSpec extends SparkSuite {
     assert(m("d").dLo === Some(1.0))
     assert(m("d").dHi.exists(_.isNaN))
   }
+
+  test("property fuzz: pruned reads equal unpruned filters on hostile data") {
+    // randomized files over long / double / string columns seeded with
+    // the hostile values (NaN, infinities, -0.0, nulls, negatives,
+    // non-ASCII, empty strings) x a random predicate grammar — the
+    // three-valued walk must NEVER change filter semantics, only I/O.
+    // 60 rounds would have caught the Spark-vs-IEEE NaN order bug.
+    val rnd = new scala.util.Random(1913)
+    val out = Files.createTempDirectory("fs-fuzz").toString
+    val hostileD = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, 0.0, -1e300, 1e-300, 2.5, -7.25)
+    val hostileS = Seq("", "a", "zz", "k042", "éclair", "中文", "ZZ9")
+    def rl(): java.lang.Long =
+      if (rnd.nextInt(8) == 0) null
+      else Long.box(rnd.nextInt(41) - 20L)
+    def rd(): java.lang.Double =
+      if (rnd.nextInt(8) == 0) null
+      else Double.box(if (rnd.nextInt(3) == 0)
+        hostileD(rnd.nextInt(hostileD.size)) else rnd.nextInt(21) - 10.0)
+    def rs(): String =
+      if (rnd.nextInt(8) == 0) null
+      else if (rnd.nextInt(3) == 0) hostileS(rnd.nextInt(hostileS.size))
+      else f"k${rnd.nextInt(60)}%03d"
+    for (base <- 0 until 3) {
+      val rows = (0 until 20).map(i =>
+        (base.toLong, (base * 20 + i).toLong, rl(), rd(), rs()))
+      CommitLog.writeLogged(rows.toDF("part", "off", "l", "d", "s"),
+        out, T, flushSize = 5)
+    }
+    FileStats.install(spark, out, T, Seq("l", "d", "s"))
+    def rndPred(depth: Int): org.apache.spark.sql.Column = {
+      def leaf(): org.apache.spark.sql.Column = rnd.nextInt(3) match {
+        case 0 =>
+          val v = rnd.nextInt(45) - 22L
+          rnd.nextInt(5) match {
+            case 0 => col("l") === v; case 1 => col("l") < v
+            case 2 => col("l") >= v; case 3 => col("l").isNull
+            case _ => col("l").isin(v, v + 3, v - 9)
+          }
+        case 1 =>
+          val v = if (rnd.nextInt(4) == 0) hostileD(rnd.nextInt(hostileD.size))
+                  else rnd.nextInt(25) - 12.5
+          rnd.nextInt(5) match {
+            case 0 => col("d") === v; case 1 => col("d") > v
+            case 2 => col("d") <= v; case 3 => col("d").isNotNull
+            case _ => col("d") >= v
+          }
+        case _ =>
+          val v = if (rnd.nextInt(3) == 0) hostileS(rnd.nextInt(hostileS.size))
+                  else f"k${rnd.nextInt(60)}%03d"
+          rnd.nextInt(4) match {
+            case 0 => col("s") === v; case 1 => col("s") < v
+            case 2 => col("s") >= v; case _ => col("s").isNull
+          }
+      }
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else if (rnd.nextBoolean()) rndPred(depth - 1) && rndPred(depth - 1)
+      else rndPred(depth - 1) || rndPred(depth - 1)
+    }
+    val full = CommitLog.read(spark, out, T).cache()
+    full.count()
+    for (round <- 0 until 60) {
+      val pred = rndPred(2)
+      val got = FileStats.readPruned(spark, out, T, pred)
+        .select("off").as[Long].collect().toSet
+      val want = full.filter(pred).select("off").as[Long].collect().toSet
+      assert(got === want, s"round $round diverged on predicate: $pred")
+    }
+    full.unpersist()
+  }
 }
