@@ -154,4 +154,29 @@ class FileBloomSpec extends SparkSuite {
       .count(i => (i * 2654435761L) % 100000 == victim)
     assert(expectGone > 0 && remaining.count() == 4096 - expectGone)
   }
+
+  test("floating-point equality pins: -0.0 and every NaN bit pattern agree with Spark") {
+    // Spark says -0.0 === 0.0 and NaN === NaN (any bit pattern); the
+    // plane's install/probe hashes must agree or a file holding -0.0
+    // would be refuted for `d === 0.0`. This holds because Catalyst's
+    // xxhash64 normalizes both (verified empirically); pin it so a
+    // hash-function change can never silently re-introduce the skew.
+    val out = Files.createTempDirectory("graft-bloom-fp").toString
+    val oddNaN = java.lang.Double.longBitsToDouble(0xfff0000000000001L)
+    CommitLog.writeLogged(Seq(
+        (0L, 0L, -0.0), (0L, 1L, oddNaN), (0L, 2L, 3.5))
+      .toDF("part", "off", "d"), out, "t", flushSize = 1)
+    FileBloom.install(spark, out, "t", Seq("d"))
+    val snap = CommitLog.snapshot(spark, out, "t")
+    for ((pred, wantOffs) <- Seq(
+        ($"d" === 0.0, Set(0L)),
+        ($"d" === -0.0, Set(0L)),
+        ($"d" === Double.NaN, Set(1L)),
+        ($"d" === 3.5, Set(2L)))) {
+      val keep = FileBloom.pruneRels(spark, out, "t", pred, snap)
+      val got = CommitLog.readFiles(spark, out, "t", keep)
+        .filter(pred).select("off").as[Long].collect().toSet
+      assert(got === wantOffs, s"$pred diverged through the bloom plane")
+    }
+  }
 }
