@@ -31,9 +31,10 @@ import graft.streaming.DedupIngest
   *   - pruning is three-valued: a file is skipped only when the
   *     predicate PROVABLY cannot be true for any row in it; any
   *     unsupported expression shape degrades that subtree to "maybe".
-  *   - string bounds prune only when bounds and literal are pure
-  *     ASCII (Spark orders strings by UTF-8 bytes, the JVM by UTF-16
-  *     code units — they agree exactly on ASCII).
+  *   - string bounds compare in SPARK's own order — unsigned UTF-8
+  *     bytes ([[utf8Cmp]]) — so non-ASCII bounds (CJK, emoji) prune
+  *     exactly instead of degrading to "maybe" (JVM UTF-16 order
+  *     disagrees with UTF-8 order beyond the BMP boundary).
   *
   * [[install]] rebuilds the plane wholesale from the CURRENT live
   * snapshot in ONE distributed pass (group by source file), through
@@ -223,16 +224,7 @@ object FileStats {
     if (snap.exists(r => !plane.contains(r))) return None
     val live = snap.map(plane)
     val total = live.map(_.head._2.nRow).sum
-    // string columns merge in JVM order, which equals Spark's UTF-8
-    // binary order only on ASCII — drop any string column with a
-    // non-ASCII bound rather than report a possibly-wrong extremum
-    val cols = live.map(_.keySet).reduce(_ intersect _).filter { c =>
-      live.forall { m =>
-        val st = m(c)
-        st.typ != "s" ||
-          (st.sLo.forall(ascii) && st.sHi.forall(ascii))
-      }
-    }
+    val cols = live.map(_.keySet).reduce(_ intersect _)
     val merged = cols.map { c =>
       val sts = live.map(_(c))
       def mo[A](f: Stat => Option[A], pick: (A, A) => A): Option[A] =
@@ -248,8 +240,10 @@ object FileStats {
           if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)),
         mo(_.dHi, (a: Double, b: Double) =>
           if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b)),
-        mo(_.sLo, (a: String, b: String) => if (a <= b) a else b),
-        mo(_.sHi, (a: String, b: String) => if (a >= b) a else b),
+        // string extrema merge in SPARK's order (UTF-8 bytes), not the
+        // JVM's UTF-16 order — they disagree beyond the BMP boundary
+        mo(_.sLo, (a: String, b: String) => if (utf8Cmp(a, b) <= 0) a else b),
+        mo(_.sHi, (a: String, b: String) => if (utf8Cmp(a, b) >= 0) a else b),
         sts.map(_.nNull).sum, sts.map(_.nRow).sum)
     }.toMap
     Some((total, merged))
@@ -348,7 +342,25 @@ object FileStats {
     case _ => None
   }
 
-  private def ascii(s: String): Boolean = s.forall(_ < 128)
+  /** Compare two strings in SPARK's order — unsigned lexicographic
+    * over UTF-8 bytes. JVM `String.compareTo` is UTF-16 code-unit
+    * order, which disagrees beyond ASCII (supplementary code points
+    * U+10000+ encode as surrogates and sort BEFORE U+E000..U+FFFF in
+    * UTF-16, after them in UTF-8/code-point order) — comparing in the
+    * engine's own order lets non-ASCII bounds prune instead of
+    * degrading to "maybe". */
+  private[ingest] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
 
   /** Literal → the stat's comparison domain. None = incomparable →
     * caller must answer "maybe". */
@@ -473,13 +485,15 @@ object FileStats {
           case _ => None
         }
         (sv, st.sLo, st.sHi) match {
-          case (Some(x), Some(lo), Some(hi))
-              if ascii(x) && ascii(lo) && ascii(hi) => cmp match {
-            case Lt => lo < x
-            case Le => lo <= x
-            case Gt => hi > x
-            case Ge => hi >= x
-            case Eq => lo <= x && x <= hi
+          case (Some(x), Some(lo), Some(hi)) => cmp match {
+            // Spark's string order (UTF8_BINARY default collation) IS
+            // unsigned UTF-8 byte order — compared in that domain,
+            // non-ASCII bounds prune exactly
+            case Lt => utf8Cmp(lo, x) < 0
+            case Le => utf8Cmp(lo, x) <= 0
+            case Gt => utf8Cmp(hi, x) > 0
+            case Ge => utf8Cmp(hi, x) >= 0
+            case Eq => utf8Cmp(lo, x) <= 0 && utf8Cmp(x, hi) <= 0
           }
           case _ => true
         }

@@ -79,9 +79,13 @@ class FileStatsSpec extends SparkSuite {
     // arithmetic on the column: not a stats shape — keep everything
     assert(FileStats.pruneRels(spark, out, T, col("v") % 7 === 0, snap)
       === snap)
-    // non-ASCII literal against ASCII bounds: no string prune
+    // non-ASCII literal against ASCII bounds: compared in UTF-8 byte
+    // order (Spark's own), "ké" sorts above every k0NN bound — all
+    // files refute, and the anchored read still answers (empty)
     assert(FileStats.pruneRels(spark, out, T, col("s") === "ké", snap)
-      === snap)
+      .isEmpty)
+    assert(FileStats.readPruned(spark, out, T, col("s") === "ké")
+      .count() === 0L)
     // long→double is NOT an exact embedding (rounds past 2^53): the
     // attr-side cast refuses to unwrap and everything stays a
     // candidate — conservative, never wrong
@@ -244,6 +248,34 @@ class FileStatsSpec extends SparkSuite {
     assert(m("d").dHi.exists(_.isNaN))
   }
 
+  test("string pruning in Spark's UTF-8 order, exactly where UTF-16 diverges") {
+    // U+1F600 (emoji, surrogate pair D83D DE00) vs U+FFFD: the JVM
+    // sorts the emoji BELOW U+FFFD (first code unit D83D < FFFD),
+    // Spark's UTF-8 byte order sorts it ABOVE (F0 9F… > EF BF…).
+    // A driver-side JVM compare would REFUTE the emoji file for
+    // `s > U+FFFE` and lose its matching rows; UTF-8 compare keeps it
+    // and refutes the replacement-char file instead.
+    val out = Files.createTempDirectory("fs-utf8").toString
+    CommitLog.writeLogged(Seq((0L, 0L, "�"))
+      .toDF("part", "off", "s"), out, T, flushSize = 1)
+    CommitLog.writeLogged(Seq((0L, 1L, "😀")) // 😀
+      .toDF("part", "off", "s"), out, T, flushSize = 1)
+    FileStats.install(spark, out, T, Seq("s"))
+    val snap = CommitLog.snapshot(spark, out, T)
+    val pred = col("s") > "￾"
+    val kept = FileStats.pruneRels(spark, out, T, pred, snap)
+    assert(kept.size === 1, s"want only the emoji file kept, got $kept")
+    assert(FileStats.readPruned(spark, out, T, pred)
+      .select("off").as[Long].collect().toSeq === Seq(1L))
+    // the reverse side: `s < U+FFFE` keeps only the U+FFFD file
+    assert(FileStats.readPruned(spark, out, T, col("s") < "￾")
+      .select("off").as[Long].collect().toSeq === Seq(0L))
+    // metadata-only extrema merge in the same order: max is the emoji
+    val (_, m) = FileStats.metaAggregates(spark, out, T).get
+    assert(m("s").sHi === Some("😀"))
+    assert(m("s").sLo === Some("�"))
+  }
+
   test("property fuzz: pruned reads equal unpruned filters on hostile data") {
     // randomized files over long / double / string columns seeded with
     // the hostile values (NaN, infinities, -0.0, nulls, negatives,
@@ -254,7 +286,8 @@ class FileStatsSpec extends SparkSuite {
     val out = Files.createTempDirectory("fs-fuzz").toString
     val hostileD = Seq(Double.NaN, Double.PositiveInfinity,
       Double.NegativeInfinity, -0.0, 0.0, -1e300, 1e-300, 2.5, -7.25)
-    val hostileS = Seq("", "a", "zz", "k042", "éclair", "中文", "ZZ9")
+    val hostileS = Seq("", "a", "zz", "k042", "éclair", "中文", "ZZ9",
+      "😀", "�", "￿", "a😀b")
     def rl(): java.lang.Long =
       if (rnd.nextInt(8) == 0) null
       else Long.box(rnd.nextInt(41) - 20L)
