@@ -82,6 +82,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // cached-batch stats pruning drops NaN rows (reproduced on this
+      // Spark: a cached frame filtered on d >= x loses its NaN rows
+      // because the batch upper bound is computed with JVM compares,
+      // which ignore NaN) - correctness over a micro-optimization
+      .config("spark.sql.inMemoryColumnarStorage.partitionPruning", "false")
       // broadcast/shuffle state is cleaned via weak refs; an explicit
       // periodic GC keeps the cleaner's backlog bounded over 60 queries
       .config("spark.cleaner.periodicGC.interval", "1min")

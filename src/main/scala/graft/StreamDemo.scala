@@ -20,6 +20,11 @@ object StreamDemo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cached-batch stats pruning drops NaN rows (reproduced on this
+      // Spark: a cached frame filtered on d >= x loses its NaN rows
+      // because the batch upper bound is computed with JVM compares,
+      // which ignore NaN) - correctness over a micro-optimization
+      .config("spark.sql.inMemoryColumnarStorage.partitionPruning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

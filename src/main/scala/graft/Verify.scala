@@ -18,6 +18,11 @@ object Verify {
       // session-wide (ADVICE: no per-loader conf mutation ordering).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // cached-batch stats pruning drops NaN rows (reproduced on this
+      // Spark: a cached frame filtered on d >= x loses its NaN rows
+      // because the batch upper bound is computed with JVM compares,
+      // which ignore NaN) - correctness over a micro-optimization
+      .config("spark.sql.inMemoryColumnarStorage.partitionPruning", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
