@@ -54,6 +54,37 @@ object Bench {
     }
   }
 
+  /** Machine-speed calibration probe (r14, VERDICT r13 task #2): a
+    * fixed CPU-bound computation — constant rows, no IO, no shuffle —
+    * timed at run start. Its seconds land in the artifact as
+    * `calibration_sec`; dividing each query's raw vs-baseline ratio by
+    * (calibration_sec / calibration_ref) yields the noise-normalized
+    * `vs_baseline_norm` column. The raw 2× gate stays authoritative;
+    * the normalized column exists so a uniformly-slow driver window
+    * (r13 saw the whole TPC-H block creep 1.2–1.6× while an idle
+    * re-run of identical code measured 14% faster) is attributable
+    * from the artifact alone. min-of-3 — the probe measures the
+    * machine, not a scheduler hiccup. */
+  private def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    currentQuery.set("calibration")
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0L, 4096L * 1000 * 1000, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(bit_xor(col("h")))  // not sum: ANSI long overflow
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** Reference calibration seconds: measured min-of-3 on the builder
+    * machine idle (the environment whose re-run of r13 code produced
+    * the 90.3 s aggregate the drift adjudication trusted). Overridable
+    * via the ledger (`calibration_sec` entry in BASELINE_QUERIES.json)
+    * so a re-baseline doesn't need a code change. */
+  private val CalibrationRefSec = 0.61
+
   /** Pass-1 minimum above which a query earns a fresh-session re-time.
     * 2.5 s keeps the second pass to the ~10 heavy queries (~1/3 of the
     * pass-1 wall clock) while covering everything whose headline
@@ -161,6 +192,8 @@ object Bench {
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     warmup(spark, sfDir)
+    val calibrationSec = calibrate(spark)
+    System.err.println(f"[bench-telemetry] calibration sec=$calibrationSec%.3f")
 
     // pass 1 — min-of-2 per query: this container's run-to-run variance
     // is ~3× (it has produced phantom regressions two rounds running);
@@ -235,6 +268,15 @@ object Bench {
     val ratioJson = ratios
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
+    // noise-normalized ratios: raw ratio divided by how much slower
+    // this run's machine measured than the calibration reference. The
+    // raw 2x gate stays authoritative; this column is for adjudicating
+    // whether a uniform creep is environment or regression.
+    val calRef = baseline.getOrElse("calibration_sec", CalibrationRefSec)
+    val calScale = if (calibrationSec > 0) calibrationSec / calRef else 1.0
+    val normJson = ratios
+      .map { case (k, r) => "\"" + k + "\":" + f"${r / calScale}%.2f" }
+      .mkString("{", ",", "}")
     // the drift callout needs BOTH a >2x ratio and a material absolute
     // delta: sub-second queries swing 2x on GC/page-cache state alone
     // (observed same-code, same-data, hours apart), and flagging those
@@ -257,7 +299,7 @@ object Bench {
     // truncated capture loses detail, never the headline numbers.
     // The COMPLETE line is also written to a tracked file so no round
     // ever loses its per-query seconds again (r12 did).
-    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"new_queries":$newQ,"vs_baseline":$ratioJson,"regressions":$regJson,"failed":$failed,"value":$total,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"new_queries":$newQ,"vs_baseline":$ratioJson,"vs_baseline_norm":$normJson,"regressions":$regJson,"failed":$failed,"calibration_sec":${f"$calibrationSec%.3f"},"calibration_ref":$calRef,"value":$total,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

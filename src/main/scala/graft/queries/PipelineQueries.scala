@@ -354,7 +354,11 @@ object PipelineQueries {
     // grows with corpus size (observed > 25 hops at a 20k-vector
     // corpus — min-propagation's round budget, which pays one shuffle
     // PER HOP, stopped short there and mislabeled the chain tails);
-    // star contraction converges in O(log n) rounds at any scale
+    // star contraction converges in O(log n) rounds at any scale.
+    // Measured r14 at sf0.1: runAdaptive is ~1.7× SLOWER here — the
+    // chains blow through its propagation budget, so the prop rounds
+    // are pure overhead. Chain-shaped graph → star directly; the
+    // near-clique minhash graph takes the adaptive loop instead.
     val (comp, _) = graft.operators.ConnectedComponents.runStarContraction(
       Tables.embeddings(s, d).select(col("vec_id").as("id")),
       pairs.select(col("vec_a").as("src"), col("vec_b").as("dst")))
@@ -913,11 +917,17 @@ object PipelineQueries {
       .join(sh.as("y"), col("dst") === col("y.doc_id"))
       .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
       .select(col("src"), col("dst"))
-    val comp = graft.operators.ConnectedComponents
-      .run(docs.select(col("doc_id").as("id")), verified)
-    // run() materialized every round (localCheckpoint), so the cached
-    // shingle/band frames are no longer reachable from the result —
-    // release them instead of leaking blocks into the shared session
+    // adaptive CC (r14): min-propagation for a small budget — the
+    // minhash cluster graph is near-cliques and converges there at one
+    // cheap shuffle per round (pure star contraction measured ~2×
+    // slower at sf0.1) — with a star-contraction finish over the
+    // partial-label quotient if a pathological shingle chain outruns
+    // the budget, so no input can make this query ABORT
+    val (comp, _) = graft.operators.ConnectedComponents
+      .runAdaptive(docs.select(col("doc_id").as("id")), verified)
+    // the CC loop materialized every round (localCheckpoint), so the
+    // cached shingle/band frames are no longer reachable from the
+    // result — release them instead of leaking blocks into the session
     sh.unpersist()
     bands.unpersist()
     comp.select(col("id").as("doc_id"), col("comp").as("cluster_id"))

@@ -108,6 +108,44 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(got.values.forall(_ == 1L))
   }
 
+  test("adaptive: converges inside the propagation budget on shallow graphs") {
+    // near-clique + singleton — the common duplicate-graph shape; the
+    // star-contraction finish must NOT run (rounds stay at the
+    // propagation count, diameter + 1)
+    val vertices = Seq(1L, 2L, 3L, 4L, 20L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val (comp, rounds) = ConnectedComponents.runAdaptive(vertices, edges)
+    assert(comp.as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 20L -> 20L))
+    assert(rounds <= 4, s"shallow graph should finish in propagation, got $rounds")
+  }
+
+  test("adaptive: a chain deeper than the budget completes via the quotient finish") {
+    // 64-hop path with a tiny propagation budget: propagation alone
+    // would refuse; adaptive must contract the partial labels and
+    // finish with star contraction — every vertex at the true minimum
+    val n = 65L
+    val vertices = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (comp, _) = ConnectedComponents.runAdaptive(vertices, edges, propRounds = 3)
+    assert(comp.as[(Long, Long)].collect().forall(_._2 == 1L))
+  }
+
+  test("adaptive matches min-propagation on a random graph regardless of budget") {
+    val rnd = new scala.util.Random(77)
+    val n = 80L
+    val vertices = (0L until n).toDF("id")
+    val edges = Seq.fill(70)((rnd.nextLong(n), rnd.nextLong(n)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val exact = ConnectedComponents.run(vertices, edges, maxIter = 100)
+      .as[(Long, Long)].collect().toMap
+    for (budget <- Seq(1, 2, 8)) {
+      val (adf, _) = ConnectedComponents.runAdaptive(vertices, edges, propRounds = budget)
+      assert(adf.as[(Long, Long)].collect().toMap === exact,
+        s"budget=$budget diverged from the exact labeling")
+    }
+  }
+
   test("exhausting the round budget fails LOUDLY, never silently wrong") {
     // a 40-hop path outruns min-propagation's default 25 rounds; the
     // pre-fix behavior returned the under-converged labels (chain

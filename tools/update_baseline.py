@@ -15,7 +15,8 @@ import json
 import re
 import sys
 
-META = {"metric", "value", "n", "rc", "cpus", "sf", "failed", "total"}
+META = {"metric", "value", "n", "rc", "cpus", "sf", "failed", "total",
+        "calibration_sec", "calibration_ref"}
 
 
 def timings_from(path):
