@@ -42,6 +42,22 @@ object IvfIndex {
   val VectorsTopic = "ivf_vectors"
   val CentroidsTopic = "ivf_centroids"
 
+  /** Filtered-serving metadata contract: exactly ONE row per id. A
+    * duplicate would fan the advisory LEFT join out and commit the
+    * same vector twice — duplicate (part, off) offsets in the topic,
+    * corrupting top-k results and the commit contract — so refuse
+    * loudly BEFORE the join. One aggregation job over the skinny meta
+    * frame, paid only at (re)build/append time. */
+  private def requireUniqueMeta(meta: DataFrame): DataFrame = {
+    val dup = meta.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      "index metadata carries duplicate ids — filtered serving needs " +
+        "exactly one meta row per vector id (a duplicate would commit " +
+        "the same vector twice); dedupe meta before build/append")
+    meta
+  }
+
   /** Train the quantizer and publish the index. `vecs` = (id, v) with
     * quantized Array[Long] vectors. Returns the vectors topic's log
     * version (0 for a fresh build).
@@ -54,15 +70,21 @@ object IvfIndex {
     * [[searchVectorsFiltered]] can skip whole files the predicate
     * refutes BEFORE scan planning — at 100 TB, when appends arrive
     * clustered by the filter column (ingest day, source, tenant),
-    * a filtered search reads ~the matching slice, not the corpus. */
+    * a filtered search reads ~the matching slice, not the corpus.
+    * `bloomCols` installs the [[graft.ingest.FileBloom]] point plane
+    * the same way — the plane that prunes EQUALITY predicates
+    * (lang = 'en', source = x) whose values interleave across files,
+    * where a min/max range can never refute. */
   def build(vecs: DataFrame, indexDir: String, k: Int, iters: Int,
             flushSize: Int = 1 << 20,
             meta: Option[DataFrame] = None,
-            statsCols: Seq[String] = Nil): Long = {
+            statsCols: Seq[String] = Nil,
+            bloomCols: Seq[String] = Nil): Long = {
     val spark = vecs.sparkSession
     require(CommitLog.latestVersion(spark, indexDir, VectorsTopic) < 0,
       s"index at $indexDir already built — append() grows it, " +
         "a retrain is a new index dir")
+    meta.foreach(requireUniqueMeta) // before ANY topic commits
     val cents = KMeans.fit(vecs, k, iters)
     import spark.implicits._
     val cdf = cents.map(c => (0L, c.id, c.v)).toDF("part", "off", "cv")
@@ -77,7 +99,7 @@ object IvfIndex {
     val assigned = meta.fold(assigned0)(m =>
       assigned0.join(m.withColumnRenamed("id", "off"), Seq("off"), "left"))
     CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** The frozen quantizer (K driver-held centroids). */
@@ -121,8 +143,10 @@ object IvfIndex {
   def append(newVecs: DataFrame, indexDir: String,
              flushSize: Int = 1 << 20,
              meta: Option[DataFrame] = None,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     val spark = newVecs.sparkSession
+    meta.foreach(requireUniqueMeta) // before the commit
     val cents = centroids(spark, indexDir)
     val assigned0 = KMeans.assign(newVecs, cents)
       .select(col("cell").as("part"), col("id").as("off"), col("v"),
@@ -133,7 +157,7 @@ object IvfIndex {
     val assigned = meta.fold(assigned0)(m =>
       assigned0.join(m.withColumnRenamed("id", "off"), Seq("off"), "left"))
     CommitLog.writeLogged(assigned, indexDir, VectorsTopic, flushSize,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** Probe-only top-k over an ALREADY-ASSIGNED corpus frame — the
@@ -217,10 +241,15 @@ object IvfIndex {
     *   2. the [[graft.ingest.FileStats]] min/max plane on the
     *      predicate's columns (installed via `statsCols`) — files
     *      whose ranges refute the predicate are dropped from the
-    *      surviving cell files. Conservative by absence: no plane or
-    *      uncovered files simply scan.
-    * The predicate is then still APPLIED row-level on the survivors —
-    * pruning is an I/O optimization, never a semantics change. */
+    *      surviving cell files;
+    *   3. the [[graft.ingest.FileBloom]] point plane (installed via
+    *      `bloomCols`) — equality conjuncts probe each survivor's
+    *      Bloom filters, pruning files a min/max range can never
+    *      refute (values interleaved across files).
+    * Conservative by absence at every layer: no plane or uncovered
+    * files simply scan. The predicate is then still APPLIED row-level
+    * on the survivors — pruning is an I/O optimization, never a
+    * semantics change. */
   def searchVectorsFiltered(spark: SparkSession, indexDir: String,
                             queries: DataFrame, nprobe: Int, k: Int,
                             predicate: org.apache.spark.sql.Column,
@@ -233,8 +262,10 @@ object IvfIndex {
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSet
     val (cellKeep, _) = prunedRels(spark, indexDir, cells)
-    val keep = graft.ingest.FileStats.pruneRels(
-      spark, indexDir, VectorsTopic, predicate, cellKeep)
+    val keep = graft.ingest.FileBloom.pruneRels(
+      spark, indexDir, VectorsTopic, predicate,
+      graft.ingest.FileStats.pruneRels(
+        spark, indexDir, VectorsTopic, predicate, cellKeep))
     if (keep.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long)]
@@ -605,7 +636,8 @@ object IvfIndex {
                  m: Int, subDims: Int, pqK: Int, pqIters: Int,
                  flushSize: Int = 1 << 20,
                  meta: Option[DataFrame] = None,
-                 statsCols: Seq[String] = Nil): Long = {
+                 statsCols: Seq[String] = Nil,
+                 bloomCols: Seq[String] = Nil): Long = {
     val spark = vecs.sparkSession
     require(CommitLog.latestVersion(spark, indexDir, IvfPqCodesTopic) < 0,
       s"IVF-PQ index at $indexDir already built — a retrain is a new dir")
@@ -616,6 +648,7 @@ object IvfIndex {
     require(CommitLog.latestVersion(spark, indexDir, CentroidsTopic) < 0,
       s"$indexDir already holds a centroid set (plain-IVF build?) — " +
         "an IVF-PQ index needs its own dir")
+    meta.foreach(requireUniqueMeta) // before ANY topic commits
     val cents = KMeans.fit(vecs, k, iters)
     import spark.implicits._
     CommitLog.writeLogged(
@@ -645,7 +678,7 @@ object IvfIndex {
     val encoded = meta.fold(encoded0)(mt =>
       encoded0.join(mt.withColumnRenamed("id", "off"), Seq("off"), "left"))
     CommitLog.writeLogged(encoded, indexDir, IvfPqCodesTopic, flushSize,
-      statsCols = statsCols)
+      statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** Serve top-k from the IVF-PQ index: probe `nprobe` cells against
@@ -689,8 +722,10 @@ object IvfIndex {
     val cellSet = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSet
     val (cellKeep, _) = prunedRels(spark, indexDir, cellSet, IvfPqCodesTopic)
-    val keep = predicate.fold(cellKeep)(p => graft.ingest.FileStats
-      .pruneRels(spark, indexDir, IvfPqCodesTopic, p, cellKeep))
+    val keep = predicate.fold(cellKeep)(p =>
+      graft.ingest.FileBloom.pruneRels(spark, indexDir, IvfPqCodesTopic, p,
+        graft.ingest.FileStats
+          .pruneRels(spark, indexDir, IvfPqCodesTopic, p, cellKeep)))
     if (keep.isEmpty) {
       import spark.implicits._
       return Seq.empty[(Long, Long, Long, Long)]

@@ -1001,9 +1001,14 @@ object PipelineQueries {
     * probe + filtered search), ending in CTE `fivf` = (q_id,
     * neighbor_id, dot, rnk ≤ 5); `af`/`qv` remain visible for the
     * recall oracle's filtered brute-force side. */
-  private def filteredIvfSql: String =
+  private def filteredIvfSql: String = filteredIvfSqlWhere("lang = 'en'")
+
+  /** [[filteredIvfSql]] under an arbitrary metadata condition — the
+    * one filtered-IVF oracle construction, shared by the lang
+    * (stats-plane) and source (bloom-plane) filtered serving rows. */
+  private def filteredIvfSqlWhere(cond: String): String =
     s"""$kmTrainSql,
-       |en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+       |en AS (SELECT doc_id FROM documents WHERE $cond),
        |af AS (SELECT * FROM a3
        |  WHERE id IN (SELECT doc_id FROM en)),
        |pr AS (SELECT id, v, c_id, row_number() OVER (PARTITION BY id
@@ -1035,14 +1040,18 @@ object PipelineQueries {
     servedIvfDirs.computeIfAbsent(d, _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
         .toString
-      // lang rides along as filter metadata with its stats plane —
-      // the ingestion-time cost of sim_filtered_served_topk's
-      // file-skipping filtered serving (search results without a
-      // predicate are unchanged: search() selects only id/v/cell)
+      // lang + source ride along as filter metadata: lang with its
+      // min/max stats plane (sim_filtered_served_topk), source with
+      // the Bloom point plane (sim_filtered_bloom_topk — a 20-value
+      // column interleaved across files, where a range never refutes
+      // an equality but a per-file Bloom filter does). The
+      // ingestion-time cost of file-skipping filtered serving; search
+      // results without a predicate are unchanged (search() selects
+      // only id/v/cell).
       IvfIndex.build(embVecs(s, d), dir, k = 8, iters = 2,
         meta = Some(Tables.documents(s, d)
-          .select(col("doc_id").as("id"), col("lang"))),
-        statsCols = Seq("lang"))
+          .select(col("doc_id").as("id"), col("lang"), col("source"))),
+        statsCols = Seq("lang"), bloomCols = Seq("source"))
       dir
     })
 
@@ -4298,6 +4307,28 @@ object PipelineQueries {
           .orderBy(col("q_id"), col("rnk"))
       },
       Some(s"""WITH $filteredIvfSql
+              |SELECT q_id, neighbor_id, dot, rnk FROM fivf
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- Filtered serving through the BLOOM point plane: the
+    //      predicate is an equality on a 20-value column whose values
+    //      interleave across every committed file, so a min/max range
+    //      can never refute — the shape where only a per-file Bloom
+    //      filter skips I/O. searchFiltered composes all three planes
+    //      before scan planning (cell pruning → FileStats → FileBloom)
+    //      and still applies the predicate row-level, so the result is
+    //      exactly the pre-filter ranking the one shared oracle
+    //      construction replays. File-count reduction on an
+    //      interleaved-equality predicate is pinned in IvfIndexSpec. ----
+    QuerySpec("sim_filtered_bloom_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedIvfIndex(s, d)
+        IvfIndex.searchFiltered(s, idx, Seq(0L, 1L, 2L), nprobe = 2,
+            k = 5, col("source") === "src7")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH ${filteredIvfSqlWhere("source = 'src7'")}
               |SELECT q_id, neighbor_id, dot, rnk FROM fivf
               |ORDER BY q_id, rnk""".stripMargin)),
 

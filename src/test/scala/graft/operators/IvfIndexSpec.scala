@@ -189,6 +189,63 @@ class IvfIndexSpec extends SparkSuite {
       k = 2, col("day") === 99L).isEmpty)
   }
 
+  test("filtered serving composes the bloom plane: equality prunes files ranges cannot refute") {
+    val idx = Files.createTempDirectory("ivf-idx-fbloom").toString
+    // size rotation splits each cell at (off - first) div flushSize:
+    // files are A0={0,2}, A1={4}, B0={1,3}, B1={5}. uids make A0's
+    // range [10,90] STRADDLE 60 without containing it — the shape
+    // where a min/max range can never refute an equality, only a
+    // per-file Bloom filter can. A1/B1 are single-row files whose
+    // tight ranges the stats plane refutes on its own.
+    IvfIndex.build(base, idx, k = 2, iters = 2, flushSize = 3,
+      meta = Some(Seq(0L -> 10L, 2L -> 90L, 4L -> 61L,
+        1L -> 20L, 3L -> 60L, 5L -> 59L).toDF("id", "uid")),
+      statsCols = Seq("uid"), bloomCols = Seq("uid"))
+    val snap = CommitLog.snapshot(spark, idx, IvfIndex.VectorsTopic)
+    assert(snap.size === 4)
+    // stats plane: A0 [10,90] and B0 [20,60] both contain 60 — kept;
+    // the single-row files refute
+    val statsKept = graft.ingest.FileStats.pruneRels(spark, idx,
+      IvfIndex.VectorsTopic, col("uid") === 60L, snap)
+    assert(statsKept.size === 2,
+      s"straddling ranges must defeat min/max pruning: $statsKept")
+    // bloom plane: A0 has no uid=60 row — refuted; only B0 survives
+    val kept = graft.ingest.FileBloom.pruneRels(spark, idx,
+      IvfIndex.VectorsTopic, col("uid") === 60L, statsKept)
+    assert(kept.size === 1,
+      s"bloom plane must skip the straddling file not containing 60: $kept")
+    // composed serving ranks exactly over the predicate-respecting
+    // corpus (only vector 3 has uid=60)
+    val res = IvfIndex.searchFiltered(spark, idx, Seq(0L, 1L),
+        nprobe = 2, k = 3, col("uid") === 60L)
+      .select("q_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(res === Set((0L, 3L, 1L), (1L, 3L, 1L)))
+    // a value in NO file prunes everything and answers empty
+    assert(IvfIndex.searchFiltered(spark, idx, Seq(0L), nprobe = 2,
+      k = 2, col("uid") === 42L).isEmpty)
+  }
+
+  test("duplicate metadata ids refuse at build and append") {
+    val idx = Files.createTempDirectory("ivf-idx-dupmeta").toString
+    // a duplicate meta row would fan the LEFT join out and commit the
+    // same vector twice (duplicate (part, off)) — must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.build(base, idx, k = 2, iters = 2,
+        meta = Some(Seq(0L -> 1L, 0L -> 2L, 1L -> 1L).toDF("id", "day")))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // nothing was committed by the refused build
+    assert(CommitLog.latestVersion(spark, idx, IvfIndex.VectorsTopic) === -1L)
+    val idx2 = Files.createTempDirectory("ivf-idx-dupmeta2").toString
+    IvfIndex.build(base, idx2, k = 2, iters = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.append(Seq(6L -> Seq(98L, 98L)).toDF("id", "v"), idx2,
+        meta = Some(Seq(6L -> 1L, 6L -> 2L).toDF("id", "day")))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("streaming ingest grows the index exactly-once under the frozen quantizer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
