@@ -142,6 +142,7 @@ object AvroSink {
       : Seq[BatchWriter.CommittedFile] = {
     codecFor(codec) // validate on the driver, not first-task
     val spark = df.sparkSession
+    SessionSafety.disableNaNDroppingCachePruning(spark)
     val sized = (rotationBucket match {
       case Some(bucket) => Rotation.withBucketChangeFileIndex(
         df, Seq(col("part")), col("off"), bucket, flushSize)

@@ -107,6 +107,7 @@ object BatchWriter {
     // aggregate): without this, the whole upstream — including any
     // stream-side resume filter — runs twice, and a nondeterministic
     // recompute could let the manifest disagree with the staged data.
+    SessionSafety.disableNaNDroppingCachePruning(sizedIn.sparkSession)
     val sized = sizedIn.persist()
 
     // Stage: exactly one file per key — the repartition key equals the

@@ -300,6 +300,10 @@ object CommitLog {
   def read(spark: SparkSession, outDir: String, topic: String,
            format: String = "parquet",
            asOf: Long = Long.MaxValue): DataFrame = {
+    // consumers routinely persist-and-threshold what they read here —
+    // guard their session against the NaN-dropping cached-batch
+    // pruning (see SessionSafety) without requiring builder config
+    SessionSafety.disableNaNDroppingCachePruning(spark)
     val files = snapshot(spark, outDir, topic, asOf)
     require(files.nonEmpty, s"empty commit log for $topic")
     readFiles(spark, outDir, topic, files, format)

@@ -34,7 +34,11 @@ import graft.streaming.DedupIngest
   *   - string bounds compare in SPARK's own order — unsigned UTF-8
   *     bytes ([[utf8Cmp]]) — so non-ASCII bounds (CJK, emoji) prune
   *     exactly instead of degrading to "maybe" (JVM UTF-16 order
-  *     disagrees with UTF-8 order beyond the BMP boundary).
+  *     disagrees with UTF-8 order beyond the BMP boundary). That
+  *     order is the UTF8_BINARY collation, Spark's default; a column
+  *     carrying any OTHER collation (Spark 4 collated strings) is
+  *     gated out of refutation entirely — its comparisons answer
+  *     "maybe" and the file scans.
   *
   * [[install]] rebuilds the plane wholesale from the CURRENT live
   * snapshot in ONE distributed pass (group by source file), through
@@ -325,7 +329,19 @@ object FileStats {
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute => Some(a.nameParts.mkString(".").toLowerCase)
-    case a: AttributeReference => Some(a.name.toLowerCase)
+    // COLLATION GATE: string min/max pruning compares in UTF8_BINARY
+    // order ([[utf8Cmp]]). Under a non-binary collation (Spark 4
+    // collated strings: UNICODE, UTF8_LCASE, ...) that order is wrong
+    // BOTH ways — bounds were merged in byte order and the engine
+    // compares in collation order — so a collated string column must
+    // never refute a file. Returning None degrades every comparison
+    // on it to "maybe" (scan), the conservative direction.
+    case a: AttributeReference => a.dataType match {
+      // `StringType` (the object) IS the UTF8_BINARY default; any
+      // other collation compares unequal (equality is by collation)
+      case st: StringType if st != StringType => None
+      case _ => Some(a.name.toLowerCase)
+    }
     case c: Cast if exactWiden(c.child.dataType, c.dataType) =>
       attrName(c.child)
     case _ => None

@@ -138,30 +138,46 @@ object Partitioners {
     * minute (m), second (s). */
   private val JodaSupported = Set('y', 'Y', 'M', 'd', 'H', 'm', 's')
 
-  /** The letters of `pattern` this engine can NOT translate — empty
-    * means [[jodaPath]] will accept it. Config validation calls this
-    * so a bespoke layout refuses at construction, not mid-write. */
+  /** Longest translatable run per supported letter: year fields pad
+    * exactly like Joda up to width 4, month names top out at the full
+    * style (MMMM), and the 2-digit numeric fields (d/H/m/s) have no
+    * wider Joda rendering this engine reproduces (Joda pads ddd to
+    * 3 digits — a tree this translation would silently diverge from,
+    * so longer runs REFUSE instead of clamping). */
+  private val JodaMaxRun: Map[Char, Int] =
+    Map('y' -> 4, 'Y' -> 4, 'M' -> 4, 'd' -> 2, 'H' -> 2,
+      'm' -> 2, 's' -> 2)
+
+  /** The letter runs of `pattern` this engine can NOT translate —
+    * unknown letters AND over-long runs of supported ones (Joda pads
+    * `yyyyy` to 5 digits, `HHH` to 3: clamping would render a
+    * DIFFERENT directory tree than the reference, and a wrong tree is
+    * worse than a refusal). Empty means [[jodaPath]] will accept it.
+    * Config validation calls this so a bespoke layout refuses at
+    * construction, not mid-write. */
   def jodaUnsupported(pattern: String): Seq[String] =
     try jodaLex(pattern).collect {
-      case JField(c, n) if !JodaSupported.contains(c) => s"$c" * n
+      case JField(c, n) if n > JodaMaxRun.getOrElse(c, 0) => s"$c" * n
     }.distinct
     catch { case e: IllegalArgumentException => Seq(e.getMessage) }
 
-  /** Render one letter run over the bucket timestamp `b`. */
+  /** Render one letter run over the bucket timestamp `b`. Runs longer
+    * than [[JodaMaxRun]] were refused by [[jodaUnsupported]] before
+    * this is reached. */
   private def jodaField(b: Column, c: Char, n: Int,
                         locale: java.util.Locale): Column = c match {
-    case 'y' | 'Y' => date_format(b, "y" * math.min(n, 4))
+    case 'y' | 'Y' => date_format(b, "y" * n)
     case 'M' if n <= 2 => date_format(b, "M" * n)
-    case 'M' => // 3 = abbreviated, 4+ = full month name, in `locale`
+    case 'M' => // 3 = abbreviated, 4 = full month name, in `locale`
       val style = if (n == 3) java.time.format.TextStyle.SHORT
                   else java.time.format.TextStyle.FULL
       val names = (1 to 12).map(m =>
         lit(java.time.Month.of(m).getDisplayName(style, locale)))
       element_at(array(names: _*), month(b))
-    case 'd' => date_format(b, "d" * math.min(n, 2))
-    case 'H' => date_format(b, "H" * math.min(n, 2))
-    case 'm' => date_format(b, "m" * math.min(n, 2))
-    case 's' => date_format(b, "s" * math.min(n, 2))
+    case 'd' => date_format(b, "d" * n)
+    case 'H' => date_format(b, "H" * n)
+    case 'm' => date_format(b, "m" * n)
+    case 's' => date_format(b, "s" * n)
     case other => throw new IllegalArgumentException(
       s"unsupported path.format token '${other.toString * n}'")
   }

@@ -211,6 +211,28 @@ class BatchWriterSpec extends SparkSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$out/+tmp/t")))
   }
 
+  test("write/read paths force the NaN-safe cached-batch conf in a consumer session") {
+    // a library consumer's own SparkSession might leave Spark's
+    // cached-batch stats pruning ON (the default) — which drops NaN
+    // rows from persisted filtered frames. The library's write and
+    // read chokepoints must flip it without builder cooperation.
+    val key = SessionSafety.CachedPruningKey
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      BatchWriter.write(records(Seq(0L), 2), tmpDir(), "t", 2)
+      assert(spark.conf.get(key) === "false",
+        "BatchWriter.write must disable NaN-dropping cache pruning")
+      spark.conf.set(key, "true")
+      val out = tmpDir()
+      CommitLog.writeLogged(records(Seq(0L), 2), out, "t", 2)
+      spark.conf.set(key, "true")
+      CommitLog.read(spark, out, "t").collect()
+      assert(spark.conf.get(key) === "false",
+        "CommitLog.read must disable NaN-dropping cache pruning")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("avro names the missing module; unknown formats rejected") {
     val out = tmpDir()
     val e = intercept[IllegalArgumentException] {

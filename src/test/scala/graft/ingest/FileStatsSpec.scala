@@ -276,6 +276,33 @@ class FileStatsSpec extends SparkSuite {
     assert(m("s").sLo === Some("�"))
   }
 
+  test("non-binary collations never refute: the UTF8_BINARY gate") {
+    // bounds are installed (and compared) in UTF8_BINARY byte order;
+    // under any other collation that order is wrong both ways, so a
+    // collated string column must degrade to "scan", never refute.
+    // UTF8_LCASE: 'b' < 'a' is FALSE binary-wise for a file holding
+    // only "B" (binary min "B" < "a"), but case-insensitively the
+    // file's "B" equals "b" — refuting on binary bounds would need
+    // collation-aware reasoning this plane does not do.
+    val out = Files.createTempDirectory("fs-collate").toString
+    CommitLog.writeLogged(Seq((0L, 0L, "B"))
+      .toDF("part", "off", "s"), out, T, flushSize = 1)
+    CommitLog.writeLogged(Seq((0L, 1L, "y"))
+      .toDF("part", "off", "s"), out, T, flushSize = 1)
+    FileStats.install(spark, out, T, Seq("s"))
+    val snap = CommitLog.snapshot(spark, out, T)
+    // sanity: the binary-collated predicate still prunes
+    assert(FileStats.pruneRels(spark, out, T, col("s") > "c", snap)
+      .size === 1)
+    // the SAME shape under a non-binary collation keeps every file
+    val collated = FileStats.pruneRels(spark, out, T,
+      collate(col("s"), "UTF8_LCASE") > "c", snap)
+    assert(collated.size === 2,
+      s"collated column must never refute, got $collated")
+    assert(FileStats.pruneRels(spark, out, T,
+      collate(col("s"), "UNICODE") === "b", snap).size === 2)
+  }
+
   test("property fuzz: pruned reads equal unpruned filters on hostile data") {
     // randomized files over long / double / string columns seeded with
     // the hostile values (NaN, infinities, -0.0, nulls, negatives,

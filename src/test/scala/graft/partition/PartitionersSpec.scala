@@ -89,6 +89,16 @@ class PartitionersSpec extends SparkSuite {
     // unsupported one is flagged ('d' passes — it IS day-of-month)
     assert(Partitioners.jodaUnsupported("unquoted") ===
       Seq("u", "n", "q", "o", "t", "e"))
+    // over-long runs of SUPPORTED letters refuse too: Joda pads yyyyy
+    // to 5 digits and HHH to 3 — a clamp would render a tree the
+    // reference never writes (refuse-over-wrong-tree policy)
+    assert(Partitioners.jodaUnsupported("yyyyy/MM") === Seq("yyyyy"))
+    assert(Partitioners.jodaUnsupported("YYYY/HHH:mmm") ===
+      Seq("HHH", "mmm"))
+    assert(Partitioners.jodaUnsupported("MMMMM") === Seq("MMMMM"))
+    assert(Partitioners.jodaUnsupported("ddd") === Seq("ddd"))
+    val eLong = intercept[IllegalArgumentException] { render("yyyyy") }
+    assert(eLong.getMessage.contains("yyyyy"))
   }
 
   test("timeBucketLocal floors on the LOCAL wall clock (half-hour zone)") {

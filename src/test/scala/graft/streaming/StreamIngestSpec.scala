@@ -157,6 +157,54 @@ class StreamIngestSpec extends SparkSuite {
       Set("b0", "b1", "b2"))
   }
 
+  test("streaming under a custom Joda path.format lands the reference layout for every BatchWriter format") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.GraftConfig
+    // golden tree for the reference's own custom-pattern spelling
+    // (TimeBasedPartitionerTest.java:38-48): records at 01:10Z and
+    // 02:20Z under 1h buckets → two encoded directories. The SAME
+    // config drives parquet, json and text — the r13 demux-plane
+    // asymmetry (encoded layouts working only for some formats) must
+    // not reappear on the config streaming surface.
+    for (fmt <- Seq("parquet", "json", "text")) {
+      val out = Files.createTempDirectory(s"graft-stream-joda-$fmt").toString
+      val ckpt = Files.createTempDirectory(s"graft-ckpt-joda-$fmt").toString
+      val cfg = GraftConfig(Map("flush.size" -> "10",
+        "format.class" -> fmt,
+        "partitioner.class" -> "time",
+        "partition.duration.ms" -> "3600000",
+        "path.format" -> "'year'=YYYY/'month'=MM/'day'=dd/'hour'=H",
+        "timestamp.field" -> "ts",
+        "timezone" -> "UTC"))
+      val s = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+      val q = StreamIngest.startLogged(
+        s.toDF().toDF("part", "off", "payload", "ts"), out, "t", cfg, ckpt)
+      s.addData(
+        (0L, 0L, "a", java.sql.Timestamp.valueOf("2015-04-02 01:10:00")),
+        (0L, 1L, "b", java.sql.Timestamp.valueOf("2015-04-02 02:20:00")))
+      q.processAllAvailable()
+      q.stop()
+      val topicRoot = new java.io.File(s"${cfg.topicsRoot(out)}/t")
+      def committedDirs(d: java.io.File, prefix: String): Seq[String] = {
+        val kids = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids.flatMap {
+          case f if f.isDirectory && !f.getName.startsWith("+") &&
+              !f.getName.startsWith("_") =>
+            committedDirs(f, s"$prefix${f.getName}/")
+          case f if f.isFile && f.getName.matches(
+              "^" + graft.ingest.FileNaming.CommittedFilenameRegex + "$") =>
+            Seq(prefix.stripSuffix("/"))
+          case _ => Nil
+        }.distinct
+      }
+      assert(committedDirs(topicRoot, "").toSet ===
+        Set("year=2015/month=04/day=02/hour=1",
+          "year=2015/month=04/day=02/hour=2"),
+        s"format=$fmt")
+    }
+  }
+
   test("multi-topic avro demux: per-topic container files, codec, crash-replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
