@@ -1116,13 +1116,15 @@ object PipelineQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
         .toString
       // lang metadata + stats plane for the filtered serving twin
-      // (sim_filtered_ivfpq_topk); unfiltered reads are unchanged —
-      // the ADC scan projects (id, cell, codes) only
+      // (sim_filtered_ivfpq_topk), source + bloom plane for the
+      // equality-filtered twin (sim_filtered_bloom_ivfpq_topk);
+      // unfiltered reads are unchanged — the ADC scan projects
+      // (id, cell, codes) only
       IvfIndex.buildIvfPq(embVecs(s, d), dir, k = 8, iters = 2,
         m = PqM, subDims = PqSubDims, pqK = PqK, pqIters = 1,
         meta = Some(Tables.documents(s, d)
-          .select(col("doc_id").as("id"), col("lang"))),
-        statsCols = Seq("lang"))
+          .select(col("doc_id").as("id"), col("lang"), col("source"))),
+        statsCols = Seq("lang"), bloomCols = Seq("source"))
       dir
     })
 
@@ -4709,6 +4711,26 @@ object PipelineQueries {
       Some(s"""WITH ${ivfPqSql(nprobe = 2, candFilter =
                  " AND a.id IN (SELECT doc_id FROM documents" +
                  " WHERE lang = 'en')")}
+              |SELECT q_id, neighbor_id, adc, rnk FROM ir WHERE rnk <= 5
+              |ORDER BY q_id, rnk""".stripMargin)),
+
+    // ---- The bloom-filtered IVF-PQ twin of sim_filtered_bloom_topk:
+    //      an equality on the 20-value interleaved `source` column
+    //      (committed with its FileBloom plane) composes all THREE
+    //      skipping planes under the residual-ADC stack — cell pruning
+    //      → FileStats → FileBloom — before the codes scan is planned.
+    //      Same shared parameterized oracle chain. ----
+    QuerySpec("sim_filtered_bloom_ivfpq_topk",
+      (s, d) => {
+        NativeExpressions.register(s)
+        val idx = servedIvfPqIndex(s, d)
+        IvfIndex.searchIvfPqFiltered(s, idx, Seq(0L, 1L, 2L), PqSubDims,
+            nprobe = 2, k = 5, col("source") === "src7")
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH ${ivfPqSql(nprobe = 2, candFilter =
+                 " AND a.id IN (SELECT doc_id FROM documents" +
+                 " WHERE source = 'src7')")}
               |SELECT q_id, neighbor_id, adc, rnk FROM ir WHERE rnk <= 5
               |ORDER BY q_id, rnk""".stripMargin)),
 
