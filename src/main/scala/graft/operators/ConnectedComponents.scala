@@ -44,7 +44,9 @@ object ConnectedComponents {
     * + 1 detection round for a converging input). */
   def runCounted(vertices: DataFrame, edges: DataFrame, maxIter: Int = 25,
                  checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val (comp, i, converged) = propagateCore(vertices, edges, maxIter, checkpointDir)
+    val (comp, i, converged, sym) =
+      propagateCore(vertices, edges, maxIter, checkpointDir)
+    sym.unpersist()
     // an under-converged labeling is SILENTLY WRONG (vertices deep in a
     // chain still carry a non-minimal label) — refuse loudly instead;
     // rounds = diameter, so a cap hit means the graph outgrew this loop
@@ -59,10 +61,14 @@ object ConnectedComponents {
   /** Min-label propagation loop body shared by [[runCounted]] (which
     * refuses on cap exhaustion) and [[runAdaptive]] (which finishes
     * the residual with star contraction). Returns (labels, rounds,
-    * converged). */
+    * converged, cachedSymEdges) — the STILL-CACHED distinct
+    * symmetrized edge set, so the adaptive fallback can build its
+    * quotient from the materialized cache instead of re-running the
+    * caller's (possibly expensive) edge lineage; every caller owns
+    * the unpersist. */
   private def propagateCore(vertices: DataFrame, edges: DataFrame,
                             maxIter: Int, checkpointDir: Option[String])
-      : (DataFrame, Int, Boolean) = {
+      : (DataFrame, Int, Boolean, DataFrame) = {
     val spark = vertices.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =
@@ -84,8 +90,7 @@ object ConnectedComponents {
       comp = next.select(col("id"), col("comp"))
       i += 1
     }
-    sym.unpersist()
-    (comp, i, changed == 0)
+    (comp, i, changed == 0, sym)
   }
 
   /** The production loop (r14): min-label propagation for a small
@@ -112,22 +117,29 @@ object ConnectedComponents {
   def runAdaptive(vertices: DataFrame, edges: DataFrame,
                   propRounds: Int = 8, maxIter: Int = 50,
                   checkpointDir: Option[String] = None): (DataFrame, Int) = {
-    val (partial, rounds, converged) =
+    val (partial, rounds, converged, sym) =
       propagateCore(vertices, edges, propRounds, checkpointDir)
-    if (converged) (partial, rounds)
+    if (converged) { sym.unpersist(); (partial, rounds) }
     else {
       // quotient graph: one node per partial label, an edge wherever an
-      // original edge crosses label classes. The chain that defeated
-      // propagation shrinks ~propRounds× before star contraction runs.
-      val src = partial.select(col("id").as("src"), col("comp").as("csrc"))
-      val dst = partial.select(col("id").as("dst"), col("comp").as("cdst"))
-      val qEdges = edges.select(col("src"), col("dst"))
-        .join(src, "src").join(dst, "dst")
+      // edge crosses label classes. Built from the CACHED symmetrized
+      // edge set propagation already materialized — never by
+      // re-running the caller's edge lineage (for the dedup graphs
+      // that lineage is the banded candidate-pair verification). The
+      // chain that defeated propagation shrinks ~propRounds× before
+      // star contraction runs.
+      val srcLbl = partial.select(col("id").as("src"), col("comp").as("csrc"))
+      val dstLbl = partial.select(col("id").as("dst"), col("comp").as("cdst"))
+      val qEdges = sym
+        .join(srcLbl, "src").join(dstLbl, "dst")
         .filter(col("csrc") =!= col("cdst"))
         .select(col("csrc").as("src"), col("cdst").as("dst"))
       val qVerts = partial.select(col("comp").as("id")).distinct()
+      // runStarContraction materializes its edge input up front
+      // (localCheckpoint), after which the cache is safe to release
       val (qComp, sRounds) =
         runStarContraction(qVerts, qEdges, maxIter, checkpointDir)
+      sym.unpersist()
       val root = qComp.select(col("id").as("comp"), col("comp").as("root"))
       val fin = partial.join(root, "comp")
         .select(col("id"), col("root").as("comp"))
