@@ -275,6 +275,12 @@ object NativeExpressions {
         // returned unwrapped — the analyzer wraps an AggregateFunction
         // into its AggregateExpression in aggregation context
         TopKPairs(children.head, children(1), children(2))
+      }),
+    (FunctionIdentifier("vec_sum_i64"),
+      new ExpressionInfo(classOf[VecSumI64].getName, "vec_sum_i64"),
+      { children: Seq[Expression] =>
+        require(children.size == 1, "vec_sum_i64 takes (array<bigint>)")
+        VecSumI64(children.head)
       }))
 
   /** Register the native functions on a live session (idempotent) so

@@ -139,15 +139,17 @@ object KMeans {
 
   /** Floor-mean recompute: one partial-sum shuffle, K rows out. */
   private def recompute(assigned: DataFrame): Seq[Centroid] =
+    // ONE aggregate over whole vectors (vec_sum_i64, a k-bounded-state
+    // TypedImperativeAggregate like topk_pairs): the hash aggregate
+    // sees rows, not rows × dims — the old posexplode route paid a
+    // 256× row blowup plus a second aggregate to restore element
+    // order. Floor-mean per element is unchanged bit-for-bit.
     assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
-        max(col("n")).as("n"))
+      .agg(call_function("vec_sum_i64", col("v")).as("ss"),
+        count(lit(1)).as("n"))
       .selectExpr("cell",
-        "transform(ps, p -> ((p.s - ((p.s % n) + n) % n) div n)) AS cv")
+        "transform(ss, s -> ((s - ((s % n) + n) % n) div n)) AS cv")
       .collect()
       .map(r => Centroid(r.getLong(0), r.getSeq[Long](1)))
       .toIndexedSeq.sortBy(_.id)
@@ -195,6 +197,7 @@ object KMeans {
     * driver-side longs, so lineage never grows with iterations. */
   def fit(vecs: DataFrame, k: Int, iters: Int): Seq[Centroid] = {
     require(k > 0 && iters >= 0)
+    graft.functions.NativeExpressions.register(vecs.sparkSession)
     var cents = initFirstK(vecs, k)
     for (_ <- 1 to iters) cents = recompute(assign(vecs, cents))
     cents
@@ -254,16 +257,16 @@ object KMeans {
         struct(lit(mi).as("m"), cellOf(sv, books(mi)).as("cell"),
           sv.as("sv"))
       }: _*)
+      // whole-subvector aggregation (see recompute): corpus × M rows
+      // through the hash aggregate instead of corpus × dims
       val rows = vecs.select(explode(subs).as("s"))
         .select(col("s.m").as("m"), col("s.cell").as("cell"),
-          posexplode(col("s.sv")).as(Seq("pos", "x")))
-        .groupBy(col("m"), col("cell"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          col("s.sv").as("sv"))
         .groupBy(col("m"), col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("s")))).as("ps"),
-          max(col("n")).as("n"))
+        .agg(call_function("vec_sum_i64", col("sv")).as("ss"),
+          count(lit(1)).as("n"))
         .selectExpr("m", "cell",
-          "transform(ps, p -> ((p.s - ((p.s % n) + n) % n) div n)) AS cv")
+          "transform(ss, s -> ((s - ((s % n) + n) % n) div n)) AS cv")
         .collect()
       books = (0 until m).map { mi =>
         rows.filter(_.getInt(0) == mi)
