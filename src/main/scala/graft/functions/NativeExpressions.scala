@@ -281,6 +281,13 @@ object NativeExpressions {
       { children: Seq[Expression] =>
         require(children.size == 1, "vec_sum_i64 takes (array<bigint>)")
         VecSumI64(children.head)
+      }),
+    (FunctionIdentifier("nearest_cells_i64"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells_i64"),
+      { children: Seq[Expression] =>
+        require(children.size == 4,
+          "nearest_cells_i64 takes (v, centroids, ids, norms)")
+        NearestCells(children.head, children(1), children(2), children(3))
       }))
 
   /** Register the native functions on a live session (idempotent) so

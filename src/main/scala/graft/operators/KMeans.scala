@@ -51,24 +51,28 @@ object KMeans {
     def normSq: Long = v.map(x => x * x).sum
   }
 
-  private def litVec(v: Seq[Long]): Column = array(v.map(lit): _*)
+  /** The SORTED (d2 ASC, cell ASC) distance table over the literal
+    * centroid set — ONE native expression
+    * ([[graft.functions.NearestCells]]) whose loop runs over the
+    * whole quantizer: the old K-way unrolled expression tree
+    * (K × (CreateArray(dims) + dot + struct)) generated Java so large
+    * it recompiled every Lloyd round (fresh inlined literals) and ran
+    * bytecode-interpreted past the JIT's method limits — measured 2×
+    * slower than this on the PQ training round. The centroid matrix
+    * travels as three foldable array literals through the codegen
+    * references array, so the generated source is identical across
+    * rounds and the compile cache actually hits. */
+  private def cellDists(v: Column, cents: Seq[Centroid]): Column =
+    call_function("nearest_cells_i64", v,
+      typedlit(cents.map(_.v)),
+      typedlit(cents.map(_.id)),
+      typedlit(cents.map(_.normSq)))
 
-  /** The (d2, cell) struct per centroid — lexicographic order on the
-    * struct IS the (distance, id) order, so argmin/top-n over this
-    * array are tie-broken on the lower cell id for free. */
-  private def cellDists(v: Column, cents: Seq[Centroid]): Column = {
-    val xx = call_function("dot_i64", v, v)
-    array(cents.map { c =>
-      struct(
-        (xx - lit(2L) * call_function("dot_i64", v, litVec(c.v)) +
-          lit(c.normSq)).as("d2"),
-        lit(c.id).as("cell"))
-    }: _*)
-  }
-
-  /** (d2, cell) argmin struct over the literal centroid set. */
+  /** (d2, cell) argmin struct over the literal centroid set — the
+    * table is sorted, so the argmin (lower-cell-id tie break
+    * included) is element 1. */
   private def bestCell(v: Column, cents: Seq[Centroid]): Column =
-    array_min(cellDists(v, cents))
+    element_at(cellDists(v, cents), 1)
 
   /** Above this K, assignment switches from plan-literal centroids to
     * the broadcast-join path: K·d literal add/subtract terms stop
@@ -132,7 +136,8 @@ object KMeans {
         s"$LiteralAssignMaxK cells probe via a broadcast join + " +
         "rank over (d2, cell), the assignViaJoin shape")
     NativeExpressions.register(vecs.sparkSession)
-    val probes = slice(sort_array(cellDists(col("v"), cents)), 1, nprobe)
+    // cellDists is already (d2 ASC, cell ASC)-sorted — no re-sort
+    val probes = slice(cellDists(col("v"), cents), 1, nprobe)
     vecs.select(col("id"), col("v"), explode(probes).as("p"))
       .select(col("id"), col("v"), col("p.cell").as("cell"))
   }

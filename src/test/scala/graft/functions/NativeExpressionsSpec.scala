@@ -206,4 +206,47 @@ class NativeExpressionsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("bloom_might_contain_long"))
   }
+
+  test("nearest_cells_i64: sorted (d2 ASC, cell ASC) table, ties to the lower id") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    // centroids: 10 at (0,0), 20 at (3,4) [normSq 25], 30 at (0,0)
+    // duplicate of 10 — the tie must order 10 before 30
+    val df = Seq((1L, Seq(0L, 0L))).toDF("id", "v")
+      .select(col("id"), call_function("nearest_cells_i64", col("v"),
+        typedlit(Seq(Seq(0L, 0L), Seq(3L, 4L), Seq(0L, 0L))),
+        typedlit(Seq(10L, 20L, 30L)),
+        typedlit(Seq(0L, 25L, 0L))).as("t"))
+    val rows = df.select(explode(col("t")).as("e"))
+      .select(col("e.d2"), col("e.cell")).as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((0L, 10L), (0L, 30L), (25L, 20L)))
+  }
+
+  test("nearest_cells_i64: null vector/element and dim mismatch yield NULL, never a throw") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val cents = typedlit(Seq(Seq(1L, 1L)))
+    val ids = typedlit(Seq(5L)); val norms = typedlit(Seq(2L))
+    val df = Seq(
+      (1L, Some(Seq(Some(1L), Some(2L)))),  // clean
+      (2L, None),                           // null vector
+      (3L, Some(Seq(Some(1L), None))),      // null element
+      (4L, Some(Seq(Some(1L))))             // dim mismatch vs 2-dim centroid
+    ).toDF("id", "v")
+      .select(col("id"),
+        call_function("nearest_cells_i64", col("v"), cents, ids, norms).as("t"))
+    val got = df.select(col("id"), col("t").isNull.as("n"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
+
+  test("nearest_cells_i64 refuses a non-foldable centroid table at analysis") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("nearest_cells_i64", col("v"),
+        array(col("v")), typedlit(Seq(1L)), typedlit(Seq(0L)))).collect()
+    }
+  }
 }
