@@ -39,15 +39,25 @@ object DedupFunctions {
   /** i-th minhash of a shingle array: min over shingles of the i-th
     * affine permutation of the 60-bit content hash. Stays columnar —
     * one `transform` + `array_min`, no explode. */
-  def minhash(shingleArr: Column, i: Int): Column = {
+  def minhash(shingleArr: Column, i: Int): Column =
+    minhashOfHashes(transform(shingleArr, s => hash60(s) % MinhashPrime), i)
+
+  private def minhashOfHashes(hashes: Column, i: Int): Column = {
     val a = MinhashA(i); val b = MinhashB(i)
-    array_min(transform(shingleArr, s =>
-      (lit(a) * (hash60(s) % MinhashPrime) + lit(b)) % MinhashPrime))
+    array_min(transform(hashes, h => (lit(a) * h + lit(b)) % MinhashPrime))
   }
 
-  /** Full signature as `numMinhashes` columns named sig0..sigN. */
-  def minhashSignature(shingleArr: Column): Seq[Column] =
-    (0 until numMinhashes).map(i => minhash(shingleArr, i).as(s"sig$i"))
+  /** Full signature as `numMinhashes` columns named sig0..sigN. The
+    * md5 content hash is hoisted out of the permutation loop — one
+    * hash per shingle, not one per (shingle × permutation); the
+    * affine re-permutations are cheap integer arithmetic. (The
+    * exploded [[minhashAggExprs]] path is still the scale-preferred
+    * form — this is the columnar convenience API.) */
+  def minhashSignature(shingleArr: Column): Seq[Column] = {
+    val hashes = transform(shingleArr, s => hash60(s) % MinhashPrime)
+    (0 until numMinhashes).map(i =>
+      minhashOfHashes(hashes, i).as(s"sig$i"))
+  }
 
   /** LSH band keys: bands of `rowsPerBand` signature slots concatenated
     * into a join key. Docs sharing any band key are candidate pairs. */
@@ -74,9 +84,12 @@ object DedupFunctions {
     * token arrays hash to 0. */
   def simhash(toks: Column, bits: Int): Column = {
     val n = size(toks).cast("long")
+    // hash ONCE per token (md5 is the expensive part), then run the
+    // per-bit majorities over the integer hash array
+    val hs = transform(toks, t => hash32(t))
     (0 until bits).map { j =>
-      val ones = aggregate(toks, lit(0L),
-        (acc, t) => acc + shiftright(hash32(t), j).bitwiseAND(lit(1L)))
+      val ones = aggregate(hs, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
       when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
