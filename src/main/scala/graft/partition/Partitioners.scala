@@ -60,10 +60,46 @@ object Partitioners {
     * timestamp, then mapped back; an hourly bucket in a +05:30 zone
     * starts on the local hour, not the UTC one). Returns the bucket
     * start as a wall-clock timestamp (render it directly; the repo's
-    * session-timezone convention is UTC). */
+    * session-timezone convention is UTC). NOTE: the raw floor can
+    * land on a nonexistent local time (a DST spring-forward gap —
+    * e.g. a 2 h bucket flooring 03:30 local to 02:00 when
+    * 02:00–03:00 was skipped); the path renderers resolve it through
+    * [[jodaResolveLocal]], reproducing the reference's
+    * `convertLocalToUTC(partitionedTime, false)`
+    * (`TimeUtils.java:33-38`). */
   def timeBucketLocal(ts: Column, durationMs: Long, tz: String): Column = {
     val local = from_utc_timestamp(ts, tz)
     timestamp_millis(unix_millis(local) - pmod(unix_millis(local), lit(durationMs)))
+  }
+
+  /** Zone offset (millis) of `tz` at UTC-instant-millis `i`, as a
+    * foldable Column — `from_utc_timestamp` used as the zone-rules
+    * oracle. */
+  private def offsetAtMillis(i: Column, tz: String): Column =
+    unix_millis(from_utc_timestamp(timestamp_millis(i), tz)) - i
+
+  /** Joda's LENIENT local→UTC resolution
+    * (`DateTimeZone.convertLocalToUTC(instantLocal, false)`), which
+    * the reference's encoder applies to the bucket start
+    * (`TimeUtils.java:33-38`), re-expressed over wall-millis `L`:
+    * first estimate `o1 = getOffset(L-as-instant)`, re-estimate
+    * `o2 = getOffset(L - o1)`, and return `L - o2` — except when the
+    * estimates differ in a WESTERN zone (`o1 < 0`) and `L` sits in a
+    * spring-forward gap, where Joda keeps the first estimate
+    * (`L - o1`). This differs from java.time's resolution at
+    * EASTERN-hemisphere overlaps (Joda picks the later instant,
+    * java.time the earlier) — observable through the `Z` offset
+    * token — so `to_utc_timestamp` alone is not faithful. The gap
+    * test (`no instant maps to L`) uses the java.time round-trip,
+    * which agrees with Joda's straddle test wherever a gap exists. */
+  private[partition] def jodaResolveLocal(wallMillis: Column, tz: String): Column = {
+    val o1 = offsetAtMillis(wallMillis, tz)
+    val o2 = offsetAtMillis(wallMillis - o1, tz)
+    val javaRt = to_utc_timestamp(timestamp_millis(wallMillis), tz)
+    val inGap =
+      unix_millis(from_utc_timestamp(javaRt, tz)) =!= wallMillis
+    when(o1 =!= o2 && o1 < 0 && inGap, wallMillis - o1)
+      .otherwise(wallMillis - o2)
   }
 
   /** Fully parameterized TimeBased partitioner path — the reference's
@@ -76,7 +112,7 @@ object Partitioners {
     * local hour renders the same path for both UTC instants. */
   def timeBasedPath(ts: Column, durationMs: Long, tz: String,
                     locale: java.util.Locale): Column = {
-    val b = timeBucketLocal(ts, durationMs, tz)
+    val b = jodaBucketWall(ts, durationMs, tz)
     val monthNames = (1 to 12).map(m => lit(java.time.Month.of(m)
       .getDisplayName(java.time.format.TextStyle.FULL, locale)))
     concat(
@@ -91,10 +127,14 @@ object Partitioners {
   // `docs/configuration_options.rst:189-215`, exercised in
   // `partitioner/TimeBasedPartitionerTest.java:38-48`). The reference
   // hands the pattern to Joda's DateTimeFormat verbatim; this engine
-  // translates the exercised token subset into a foldable Column
-  // chain over the SAME duration bucket, and fail-fasts (at CONFIG
-  // time, via [[jodaUnsupported]]) on anything outside it — a wrong
-  // directory tree is worse than a refusal.
+  // translates the FULL Joda print alphabet (except the locale zone
+  // short name `z`) into a foldable Column chain over the SAME
+  // duration bucket, and fail-fasts (at CONFIG time, via
+  // [[jodaUnsupported]]) on anything outside it — a wrong directory
+  // tree is worse than a refusal. Locale-sensitive text (month/day
+  // names, halfday, era) is derived at plan time from the classpath
+  // Joda itself so the rendered names match the reference printer
+  // byte-for-byte.
   // ----------------------------------------------------------------
 
   /** Lexed pattern atom: either a literal string or a letter run. */
@@ -132,79 +172,175 @@ object Partitioners {
     out.result()
   }
 
-  /** Joda letters this engine renders: year (y/Y — Joda's Y is
-    * year-of-era, identical to y for CE dates), month number or
-    * locale name (M), day-of-month (d), hour-of-day (H),
-    * minute (m), second (s). */
-  private val JodaSupported = Set('y', 'Y', 'M', 'd', 'H', 'm', 's')
+  /** Joda letters this engine renders — the FULL Joda print alphabet
+    * (`DateTimeFormat` Javadoc table) except the locale zone short
+    * name `z`: era (G), century (C), weekyear (x), week (w), ISO
+    * day-of-week number (e) and text (E), year (y/Y — Joda's Y is
+    * year-of-era, identical to y for CE dates, and Spark timestamps
+    * are CE-only: min 0001-01-01), day-of-year (D), month number or
+    * locale name (M), day-of-month (d), halfday text (a), hour
+    * fields in all four Joda numberings (H 0-23, k 1-24, K 0-11,
+    * h 1-12), minute (m), second (s), fraction-of-second (S), and
+    * zone offset / id (Z). */
+  private val JodaSupported: Set[Char] =
+    Set('G', 'C', 'x', 'w', 'e', 'E', 'y', 'Y', 'D', 'M', 'd',
+      'a', 'H', 'k', 'K', 'h', 'm', 's', 'S', 'Z')
 
-  /** Longest translatable run per supported letter: year fields pad
-    * exactly like Joda up to width 4, month names top out at the full
-    * style (MMMM), and the 2-digit numeric fields (d/H/m/s) have no
-    * wider Joda rendering this engine reproduces (Joda pads ddd to
-    * 3 digits — a tree this translation would silently diverge from,
-    * so longer runs REFUSE instead of clamping). */
-  private val JodaMaxRun: Map[Char, Int] =
-    Map('y' -> 4, 'Y' -> 4, 'M' -> 4, 'd' -> 2, 'H' -> 2,
-      'm' -> 2, 's' -> 2)
-
-  /** The letter runs of `pattern` this engine can NOT translate —
-    * unknown letters AND over-long runs of supported ones (Joda pads
-    * `yyyyy` to 5 digits, `HHH` to 3: clamping would render a
-    * DIFFERENT directory tree than the reference, and a wrong tree is
-    * worse than a refusal). Empty means [[jodaPath]] will accept it.
-    * Config validation calls this so a bespoke layout refuses at
-    * construction, not mid-write. */
+  /** The letter runs of `pattern` this engine can NOT translate.
+    * After the full-alphabet widening this is only the locale zone
+    * short name `z` (PST/PDT — instant- AND locale-dependent via the
+    * zone's name provider, not expressible as a foldable Column) and
+    * letters Joda itself rejects. Empty means [[jodaPath]] will
+    * accept the pattern. Config validation calls this so a bespoke
+    * layout refuses at construction, not mid-write. */
   def jodaUnsupported(pattern: String): Seq[String] =
     try jodaLex(pattern).collect {
-      case JField(c, n) if n > JodaMaxRun.getOrElse(c, 0) => s"$c" * n
+      case JField(c, n) if !JodaSupported(c) => s"$c" * n
     }.distinct
     catch { case e: IllegalArgumentException => Seq(e.getMessage) }
 
-  /** Render one letter run over the bucket timestamp `b`. Runs longer
-    * than [[JodaMaxRun]] were refused by [[jodaUnsupported]] before
-    * this is reached. */
+  /** Zero-pad `v` to minimum width `n` without ever truncating —
+    * Joda's numeric-field print rule (token run length = minimum
+    * digits; `D` prints 365, `DDDD` prints 0365). */
+  private def jodaPad(n: Int, v: Column): Column =
+    format_string(s"%0${n}d", v.cast("int"))
+
+  /** ISO day-of-week (Monday=1 … Sunday=7), Joda's `e` numbering,
+    * from Spark's Sunday=1 `dayofweek`. */
+  private def isoDow(b: Column): Column =
+    pmod(dayofweek(b) + lit(5), lit(7)) + lit(1)
+
+  /** Locale text tables, derived at PLAN time from Joda itself (the
+    * classpath joda-time that Spark distributions ship for Hive) so
+    * the rendered names match the reference's
+    * `DateTimeFormat.forPattern(..).withLocale(..)` byte-for-byte in
+    * every locale — java.time's CLDR tables differ from Joda's
+    * `DateFormatSymbols` in some locales. Driver-side only: the
+    * names are baked into the plan as foldable literals, executors
+    * never touch Joda. */
+  private def jodaPrint(pat: String, locale: java.util.Locale,
+                        y: Int, m: Int, d: Int, h: Int): String =
+    org.joda.time.format.DateTimeFormat.forPattern(pat)
+      .withLocale(locale)
+      .print(new org.joda.time.DateTime(y, m, d, h, 0,
+        org.joda.time.DateTimeZone.UTC))
+
+  /** Render one letter run over the bucket timestamp `b` (the LOCAL
+    * wall-clock bucket start). Letters outside [[JodaSupported]]
+    * were refused by [[jodaUnsupported]] before this is reached. */
   private def jodaField(b: Column, c: Char, n: Int,
-                        locale: java.util.Locale): Column = c match {
+                        locale: java.util.Locale, tz: String,
+                        offMs: Column): Column = c match {
+    // year / year-of-era: java.time's print rules match Joda's for
+    // every width (yy = two-digit, yyy+ = zero-pad to width)
     case 'y' | 'Y' => date_format(b, "y" * n)
-    case 'M' if n <= 2 => date_format(b, "M" * n)
-    case 'M' => // 3 = abbreviated, 4 = full month name, in `locale`
-      val style = if (n == 3) java.time.format.TextStyle.SHORT
-                  else java.time.format.TextStyle.FULL
+    case 'x' => // ISO weekyear = year of the Thursday of b's ISO week
+      val wy = year(date_add(to_date(b), lit(4) - isoDow(b)))
+      if (n == 2) jodaPad(2, pmod(wy, lit(100))) else jodaPad(n, wy)
+    case 'w' => jodaPad(n, weekofyear(b)) // Spark weekofyear is ISO
+    case 'e' => jodaPad(n, isoDow(b))
+    case 'E' => // <4 = abbreviated, >=4 = full day name, in `locale`
+      val style = if (n < 4) "EEE" else "EEEE"
+      // 2024-01-01 is a Monday; index table Monday-first to match isoDow
+      val names = (0 to 6).map(i =>
+        lit(jodaPrint(style, locale, 2024, 1, 1 + i, 12)))
+      element_at(array(names: _*), isoDow(b))
+    case 'D' => jodaPad(n, dayofyear(b))
+    case 'M' if n <= 2 => jodaPad(n, month(b))
+    case 'M' => // 3 = abbreviated, >=4 = full month name, in `locale`
+      val style = if (n == 3) "MMM" else "MMMM"
       val names = (1 to 12).map(m =>
-        lit(java.time.Month.of(m).getDisplayName(style, locale)))
+        lit(jodaPrint(style, locale, 2024, m, 15, 12)))
       element_at(array(names: _*), month(b))
-    case 'd' => date_format(b, "d" * n)
-    case 'H' => date_format(b, "H" * n)
-    case 'm' => date_format(b, "m" * n)
-    case 's' => date_format(b, "s" * n)
+    case 'd' => jodaPad(n, dayofmonth(b))
+    case 'a' => // halfday text; run length irrelevant in Joda
+      element_at(array(lit(jodaPrint("a", locale, 2024, 1, 1, 0)),
+        lit(jodaPrint("a", locale, 2024, 1, 1, 12))),
+        when(hour(b) < 12, 1).otherwise(2))
+    case 'G' => // era text: Spark timestamps are CE-only (min year 1)
+      lit(jodaPrint("G", locale, 2024, 1, 1, 12))
+    case 'C' => // century-of-era: floor(yearOfEra / 100)
+      jodaPad(n, floor(year(b) / lit(100)))
+    case 'H' => jodaPad(n, hour(b))           // hour-of-day 0-23
+    case 'k' => // clockhour-of-day 1-24 (midnight prints 24)
+      jodaPad(n, when(hour(b) === 0, 24).otherwise(hour(b)))
+    case 'K' => jodaPad(n, pmod(hour(b), lit(12)))  // 0-11
+    case 'h' => // clockhour-of-halfday 1-12 (midnight and noon print 12)
+      jodaPad(n, pmod(hour(b) + lit(11), lit(12)) + lit(1))
+    case 'm' => jodaPad(n, minute(b))
+    case 's' => jodaPad(n, second(b))
+    case 'S' => // fraction-of-second: exactly n digits (truncate or
+      // zero-extend the 3-digit millis fraction)
+      val f3 = format_string("%03d", pmod(unix_millis(b), lit(1000L)).cast("int"))
+      if (n <= 3) substring(f3, 1, n) else rpad(f3, n, "0")
+    case 'Z' => // 1 = ±HHmm, 2 = ±HH:mm, >=3 = zone id (a config constant)
+      if (n >= 3) lit(tz)
+      else {
+        // offset of the bucket instant in `tz` (whole minutes for
+        // all post-1970 zone rules), precomputed by the caller from
+        // the Joda-resolved bucket instant
+        val offMin = (offMs / lit(60000L)).cast("int")
+        val absMin = abs(offMin)
+        concat(when(offMin < 0, "-").otherwise("+"),
+          format_string("%02d", (absMin / lit(60)).cast("int")),
+          if (n == 2) lit(":") else lit(""),
+          format_string("%02d", pmod(absMin, lit(60))))
+      }
     case other => throw new IllegalArgumentException(
       s"unsupported path.format token '${other.toString * n}'")
   }
 
   /** TimeBased partitioner path under a CUSTOM Joda `path.format` —
     * the reference's `TimeUtils.encodeTimestamp(durationMs, pathFormat,
-    * tz, ts)` re-expressed as one foldable Column: bucket in local
-    * wall time, then render each pattern atom. A single trailing `/`
+    * tz, ts)` (`/root/reference/src/test/java/io/confluent/connect/hdfs/partitioner/TimeUtils.java:26-38`)
+    * re-expressed as one foldable Column: bucket in local wall time,
+    * then render each pattern atom. Every Joda print token is
+    * translated except the locale zone short name `z` (see
+    * [[jodaUnsupported]]); parity with Joda's own printer is
+    * property-pinned in `JodaParitySpec`. A single trailing `/`
     * (the reference's patterns end with one; its path join collapses
     * it) is dropped so the rendered value is a clean relative path.
     * DST fall-back matches the reference (`TimeBasedPartitionerTest
     * .java:49-60`): both UTC instants of a repeated local hour render
     * the same path, because bucketing and rendering both read the
-    * zone-adjusted wall clock. */
+    * zone-adjusted wall clock. One documented divergence: for
+    * PRE-1970 local bucket times the reference's `getPartition`
+    * truncates the negative local millis toward zero (a Java integer
+    * division artifact), while [[timeBucketLocal]] floors uniformly —
+    * unreachable for Kafka record timestamps, which are nonnegative
+    * epoch millis. */
   def jodaPath(ts: Column, durationMs: Long, tz: String,
                locale: java.util.Locale, pattern: String): Column = {
     val bad = jodaUnsupported(pattern)
     require(bad.isEmpty,
       s"path.format '$pattern' has untranslatable tokens: ${bad.mkString(", ")}")
-    val b = timeBucketLocal(ts, durationMs, tz)
-    val toks = jodaLex(if (pattern.endsWith("/")) pattern.dropRight(1)
-                       else pattern)
+    val utc = jodaResolveLocal(
+      unix_millis(timeBucketLocal(ts, durationMs, tz)), tz)
+    val offMs = offsetAtMillis(utc, tz)
+    val b = timestamp_millis(utc + offMs) // wall clock Joda would print
+    // drop the single trailing slash at the TOKEN level: a string-level
+    // dropRight would corrupt a pattern ending in a QUOTED slash
+    // ("...'/'" loses its closing quote and fails the re-lex)
+    val toks = jodaLex(pattern) match {
+      case init :+ JLit(s) if s.endsWith("/") =>
+        if (s == "/") init else init :+ JLit(s.dropRight(1))
+      case other => other
+    }
     val parts = toks.map {
       case JLit(s) => lit(s)
-      case JField(c, n) => jodaField(b, c, n, locale)
+      case JField(c, n) => jodaField(b, c, n, locale, tz, offMs)
     }
     if (parts.isEmpty) lit("") else concat(parts: _*)
+  }
+
+  /** The wall-clock bucket timestamp the reference's formatter would
+    * print: raw local floor, Joda-lenient resolution to a UTC
+    * instant, then back to that instant's wall clock (identical to
+    * the raw floor everywhere outside DST gaps). */
+  private def jodaBucketWall(ts: Column, durationMs: Long, tz: String): Column = {
+    val utc = jodaResolveLocal(
+      unix_millis(timeBucketLocal(ts, durationMs, tz)), tz)
+    timestamp_millis(utc + offsetAtMillis(utc, tz))
   }
 }
 

@@ -401,16 +401,29 @@ class GraftConfigSpec extends SparkSuite {
       .toDF("ts").select(p.as("p")).as[String].collect()
     assert(paths(0) === paths(1))
     assert(paths(0) === "year=2015/month=November/day=01/hour=1")
-    // untranslatable tokens refuse at construction with the token named
+    // untranslatable tokens refuse at construction with the token
+    // named (the widened alphabet leaves only the locale zone short
+    // name `z` and letters Joda itself rejects)
     val e = intercept[IllegalArgumentException] {
       GraftConfig(base ++ Map(
         "partitioner.class" -> "time",
         "partition.duration.ms" -> "3600000",
-        "path.format" -> "'year'=YYYY/'week'=ww/",
+        "path.format" -> "'zone'=zz/",
         "timestamp.field" -> "ts"))
     }
     assert(e.getMessage.contains("untranslatable"))
-    assert(e.getMessage.contains("ww"))
+    assert(e.getMessage.contains("zz"))
+    // the formerly-refused week fields now translate (ISO week 1)
+    val cfgW = GraftConfig(base ++ Map(
+      "partitioner.class" -> "time",
+      "partition.duration.ms" -> "3600000",
+      "path.format" -> "'year'=xxxx/'week'=ww/",
+      "timestamp.field" -> "ts"))
+    val tW = java.sql.Timestamp.valueOf("2015-01-01 11:00:00")
+    val renderedW = Seq(tW).toDF("ts")
+      .select(cfgW.partitionPath(col("part"), col("ts"), n => col(n))
+        .as("p")).as[String].head()
+    assert(renderedW === "year=2015/week=01")
   }
 
   test("schema.compatibility validates against the reference lattice") {

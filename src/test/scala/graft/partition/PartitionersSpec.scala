@@ -79,26 +79,58 @@ class PartitionersSpec extends SparkSuite {
     assert(render("MMM-yy/HH''mm", durMs = 60000L) === "Jan-15/03'07")
     // bucket floor zeroes sub-bucket fields: a 2h bucket renders m/s 0
     assert(render("HH:mm:ss") === "02:00:00")
-    // unsupported letters are named in the refusal
+    // the one untranslatable letter — the locale zone short name
+    // (PST/PDT: instant- and locale-dependent) — is named in the refusal
     val e = intercept[IllegalArgumentException] {
-      render("YYYY/ww/EEEE")
+      render("YYYY/zzz")
     }
-    assert(e.getMessage.contains("ww") && e.getMessage.contains("EEEE"))
+    assert(e.getMessage.contains("zzz"))
     assert(Partitioners.jodaUnsupported("'year'=YYYY/'month'=MMMM/") === Nil)
     // unquoted letters are pattern tokens (Joda's own lexing): every
-    // unsupported one is flagged ('d' passes — it IS day-of-month)
+    // unsupported one is flagged ('d', 'e' pass — day-of-month and
+    // ISO day-of-week number)
     assert(Partitioners.jodaUnsupported("unquoted") ===
-      Seq("u", "n", "q", "o", "t", "e"))
-    // over-long runs of SUPPORTED letters refuse too: Joda pads yyyyy
-    // to 5 digits and HHH to 3 — a clamp would render a tree the
-    // reference never writes (refuse-over-wrong-tree policy)
-    assert(Partitioners.jodaUnsupported("yyyyy/MM") === Seq("yyyyy"))
-    assert(Partitioners.jodaUnsupported("YYYY/HHH:mmm") ===
-      Seq("HHH", "mmm"))
-    assert(Partitioners.jodaUnsupported("MMMMM") === Seq("MMMMM"))
-    assert(Partitioners.jodaUnsupported("ddd") === Seq("ddd"))
-    val eLong = intercept[IllegalArgumentException] { render("yyyyy") }
-    assert(eLong.getMessage.contains("yyyyy"))
+      Seq("u", "n", "q", "o", "t"))
+    // over-long runs zero-pad to the run width, never truncating —
+    // Joda's minimum-digits print rule (yyyyy -> 02015, HHH -> 002)
+    assert(render("yyyyy/MM") === "02015/01")
+    assert(render("YYYY/HHH:mmm") === "2015/002:000")
+    assert(render("MMMMM") === "January")   // >=4 letters = full name
+    assert(render("ddd") === "001")
+  }
+
+  test("jodaPath: widened alphabet — week/weekyear, halfday hours, offsets") {
+    val t = ts("2015-01-01 11:07:09") // Thu 03:07:09 LA local
+    def render(pat: String, durMs: Long = 7200000L,
+               loc: java.util.Locale = java.util.Locale.ENGLISH): String =
+      one(Partitioners.jodaPath(col("ts"), durMs, "America/Los_Angeles",
+        loc, pat), t)
+    // 2015-01-01 is a Thursday in ISO week 1 of weekyear 2015
+    assert(render("x-'W'ww-e") === "2015-W01-4")
+    assert(render("xx") === "15")           // two-digit weekyear
+    assert(render("EEE/EEEE") === "Thu/Thursday")
+    assert(render("EEEE", loc = java.util.Locale.FRENCH) === "jeudi")
+    assert(render("D/DDD") === "1/001")     // day-of-year, pad to width
+    // halfday fields at an 02:00 bucket: h=2, K=2, k=2, a=AM
+    assert(render("h'h' K'K' k'k' a") === "2h 2K 2k AM")
+    // midnight bucket: clockhours print 24 (k) and 12 (h), K prints 0
+    val mid = ts("2015-01-01 09:30:00")     // 01:30 LA -> 00:00 bucket
+    def renderAt(pat: String, at: java.sql.Timestamp): String =
+      one(Partitioners.jodaPath(col("ts"), 7200000L,
+        "America/Los_Angeles", java.util.Locale.ENGLISH, pat), at)
+    assert(renderAt("k/h/K/a", mid) === "24/12/0/AM")
+    // noon bucket: h=12, K=0, PM
+    val noon = ts("2015-01-01 20:30:00")    // 12:30 LA -> 12:00 bucket
+    assert(renderAt("k/h/K/a", noon) === "12/12/0/PM")
+    // zone offset: numeric for 1-2 letters (DST-aware), id for >=3
+    assert(render("Z") === "-0800")
+    assert(render("ZZ") === "-08:00")
+    assert(render("ZZZ") === "America/Los_Angeles")
+    assert(renderAt("Z", ts("2015-07-01 11:07:09")) === "-0700") // PDT
+    // era and century are CE constants over Spark's timestamp domain
+    assert(render("G/C") === "AD/20")
+    // fraction-of-second: n digits of the bucket's millis fraction
+    assert(render("s.SSS", durMs = 1000L) === "9.000")
   }
 
   test("timeBucketLocal floors on the LOCAL wall clock (half-hour zone)") {
