@@ -252,10 +252,10 @@ object GraftConfig {
       case PathFormat =>
         // empty → the engine's native long format (year=/month=<name>/
         // day=/hour=). A custom Joda pattern is translated into a
-        // Column chain when every token is in the supported subset
-        // (y/Y, M incl. locale month names, d, H, m, s, quoted
-        // literals — the set the reference's tests exercise); anything
-        // else refuses HERE rather than writing a wrong tree. A CUSTOM
+        // Column chain covering the full Joda print alphabet (the
+        // zone-name token z is gated on the configured zone having an
+        // unambiguous offset→name map); anything untranslatable
+        // refuses HERE rather than writing a wrong tree. A CUSTOM
         // partitioner class receives the full property map in
         // configure() and may consume path.format itself, so any value
         // is free there (the reference hands its config to the loaded
@@ -265,11 +265,15 @@ object GraftConfig {
            Seq(s"$PathFormat applies only to the time partitioner " +
              s"(got '$partitioner'); daily/hourly derive their formats")
          else {
-           val bad = graft.partition.Partitioners.jodaUnsupported(get(name))
+           val loc = if (get(LocaleKey).isEmpty) Locale.US
+             else Locale.forLanguageTag(get(LocaleKey).replace('_', '-'))
+           val bad = graft.partition.Partitioners.jodaUnsupported(
+             get(name), get(Timezone), loc)
            if (bad.isEmpty) Nil
            else Seq(s"$PathFormat '${get(name)}' has untranslatable " +
              s"tokens: ${bad.mkString(", ")} — supported: quoted " +
-             "literals and y/Y/M/d/H/m/s runs")
+             "literals and the full Joda print alphabet (zone name " +
+             "z needs an unambiguous offset→name map for the zone)")
          }, Nil)
       case DirectoryDelim =>
         (if (get(name) == "/") Nil

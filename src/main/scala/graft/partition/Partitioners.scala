@@ -127,14 +127,15 @@ object Partitioners {
   // `docs/configuration_options.rst:189-215`, exercised in
   // `partitioner/TimeBasedPartitionerTest.java:38-48`). The reference
   // hands the pattern to Joda's DateTimeFormat verbatim; this engine
-  // translates the FULL Joda print alphabet (except the locale zone
-  // short name `z`) into a foldable Column chain over the SAME
-  // duration bucket, and fail-fasts (at CONFIG time, via
-  // [[jodaUnsupported]]) on anything outside it — a wrong directory
-  // tree is worse than a refusal. Locale-sensitive text (month/day
-  // names, halfday, era) is derived at plan time from the classpath
-  // Joda itself so the rendered names match the reference printer
-  // byte-for-byte.
+  // translates the FULL Joda print alphabet into a foldable Column
+  // chain over the SAME duration bucket, and fail-fasts (at CONFIG
+  // time, via [[jodaUnsupported]]) on anything outside it — a wrong
+  // directory tree is worse than a refusal. The only conditional
+  // token is the locale zone name `z`, gated on the zone's
+  // offset→name map being unambiguous (see [[zoneOffsetNames]]).
+  // Locale-sensitive text (month/day/zone names, halfday, era) is
+  // derived at plan time from the classpath Joda itself so the
+  // rendered names match the reference printer byte-for-byte.
   // ----------------------------------------------------------------
 
   /** Lexed pattern atom: either a literal string or a letter run. */
@@ -173,31 +174,81 @@ object Partitioners {
   }
 
   /** Joda letters this engine renders — the FULL Joda print alphabet
-    * (`DateTimeFormat` Javadoc table) except the locale zone short
-    * name `z`: era (G), century (C), weekyear (x), week (w), ISO
-    * day-of-week number (e) and text (E), year (y/Y — Joda's Y is
-    * year-of-era, identical to y for CE dates, and Spark timestamps
-    * are CE-only: min 0001-01-01), day-of-year (D), month number or
-    * locale name (M), day-of-month (d), halfday text (a), hour
-    * fields in all four Joda numberings (H 0-23, k 1-24, K 0-11,
-    * h 1-12), minute (m), second (s), fraction-of-second (S), and
-    * zone offset / id (Z). */
+    * (`DateTimeFormat` Javadoc table): era (G), century (C),
+    * weekyear (x), week (w), ISO day-of-week number (e) and text (E),
+    * year (y/Y — Joda's Y is year-of-era, identical to y for CE
+    * dates, and Spark timestamps are CE-only: min 0001-01-01),
+    * day-of-year (D), month number or locale name (M), day-of-month
+    * (d), halfday text (a), hour fields in all four Joda numberings
+    * (H 0-23, k 1-24, K 0-11, h 1-12), minute (m), second (s),
+    * fraction-of-second (S), zone offset / id (Z), and the locale
+    * zone name (z — gated per zone, see [[zoneOffsetNames]]). */
   private val JodaSupported: Set[Char] =
     Set('G', 'C', 'x', 'w', 'e', 'E', 'y', 'Y', 'D', 'M', 'd',
-      'a', 'H', 'k', 'K', 'h', 'm', 's', 'S', 'Z')
+      'a', 'H', 'k', 'K', 'h', 'm', 's', 'S', 'Z', 'z')
 
-  /** The letter runs of `pattern` this engine can NOT translate.
-    * After the full-alphabet widening this is only the locale zone
-    * short name `z` (PST/PDT — instant- AND locale-dependent via the
-    * zone's name provider, not expressible as a foldable Column) and
-    * letters Joda itself rejects. Empty means [[jodaPath]] will
-    * accept the pattern. Config validation calls this so a bespoke
-    * layout refuses at construction, not mid-write. */
+  /** The letter runs of `pattern` this engine can NOT translate on
+    * syntax alone — letters Joda itself rejects. Empty means the
+    * pattern lexes and every letter is in the print alphabet; the
+    * zone-name token `z` additionally needs the zone check in the
+    * (pattern, tz, locale) overload, which [[jodaPath]] and config
+    * validation use so a bespoke layout refuses at construction, not
+    * mid-write. */
   def jodaUnsupported(pattern: String): Seq[String] =
     try jodaLex(pattern).collect {
       case JField(c, n) if !JodaSupported(c) => s"$c" * n
     }.distinct
     catch { case e: IllegalArgumentException => Seq(e.getMessage) }
+
+  /** [[jodaUnsupported]] plus the zone-name gate: `z` runs refuse
+    * when the configured zone's offset→name map is ambiguous over
+    * 1970–2100 (the collision is named in the result). */
+  def jodaUnsupported(pattern: String, tz: String,
+                      locale: java.util.Locale): Seq[String] =
+    jodaUnsupported(pattern) ++ (
+      try jodaLex(pattern).collect { case JField('z', n) => n }
+        .distinct.flatMap { n =>
+          zoneOffsetNames(tz, locale, long = n >= 4) match {
+            case Left(msg) => Seq(("z" * n) + s" ($msg)")
+            case Right(_) => Nil
+          }
+        }
+      catch { case _: IllegalArgumentException => Nil } // lex error above
+    )
+
+  /** The zone's offset→display-name table over 1970–2100, walked at
+    * PLAN time through Joda's own name provider (`getShortName` /
+    * `getName` — exactly what Joda's `z` printer emits). Left when
+    * two intervals with the same offset carry different names (e.g.
+    * Europe/Moscow, where +0300 and +0400 each map to both MSK and
+    * MSD across the 2011/2014 rule changes) — a per-row name would
+    * need the full transition table, so such zones refuse instead.
+    * Every common zone is functional: offset alternates between
+    * standard and DST, each with one name (PST/PDT, CET/CEST,
+    * AEST/AEDT, CHAST/CHADT…). */
+  private[partition] def zoneOffsetNames(
+      tz: String, locale: java.util.Locale,
+      long: Boolean): Either[String, Seq[(Long, String)]] = {
+    val zone = org.joda.time.DateTimeZone.forID(tz)
+    val end = 4102444800000L // 2100-01-01T00:00Z
+    val m = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var t = 0L
+    var more = true
+    while (more && t < end) {
+      val off = zone.getOffset(t).toLong
+      val name = if (long) zone.getName(t, locale)
+                 else zone.getShortName(t, locale)
+      m.get(off) match {
+        case Some(prev) if prev != name =>
+          return Left(s"zone $tz maps offset ${off} ms to both " +
+            s"'$prev' and '$name' over 1970-2100")
+        case _ => m.update(off, name)
+      }
+      val n = zone.nextTransition(t)
+      if (n == t) more = false else t = n
+    }
+    Right(m.toSeq)
+  }
 
   /** Zero-pad `v` to minimum width `n` without ever truncating —
     * Joda's numeric-field print rule (token run length = minimum
@@ -286,6 +337,25 @@ object Partitioners {
           if (n == 2) lit(":") else lit(""),
           format_string("%02d", pmod(absMin, lit(60))))
       }
+    case 'z' => // locale zone name: short (<4 letters) / long (>=4),
+      // rendered from the plan-time offset→name table ([[zoneOffsetNames]];
+      // ambiguous zones were refused by [[jodaUnsupported]]). Domain is
+      // the walked 1970–2100 window — out-of-range instants fall back
+      // to the standard-offset name rather than null-poisoning the path.
+      val names = zoneOffsetNames(tz, locale, long = n >= 4) match {
+        case Left(msg) => throw new IllegalArgumentException(
+          s"unsupported path.format token '${"z" * n}': $msg")
+        case Right(s) => s
+      }
+      val stdOff = org.joda.time.DateTimeZone.forID(tz)
+        .getStandardOffset(4102444799999L).toLong
+      val fallback = names.collectFirst { case (o, nm) if o == stdOff => nm }
+        .getOrElse(names.head._2)
+      names.tail
+        .foldLeft(when(offMs === lit(names.head._1), lit(names.head._2))) {
+          case (acc, (o, nm)) => acc.when(offMs === lit(o), lit(nm))
+        }
+        .otherwise(lit(fallback))
     case other => throw new IllegalArgumentException(
       s"unsupported path.format token '${other.toString * n}'")
   }
@@ -295,9 +365,9 @@ object Partitioners {
     * tz, ts)` (`/root/reference/src/test/java/io/confluent/connect/hdfs/partitioner/TimeUtils.java:26-38`)
     * re-expressed as one foldable Column: bucket in local wall time,
     * then render each pattern atom. Every Joda print token is
-    * translated except the locale zone short name `z` (see
-    * [[jodaUnsupported]]); parity with Joda's own printer is
-    * property-pinned in `JodaParitySpec`. A single trailing `/`
+    * translated (`z` gated per zone — see [[zoneOffsetNames]]);
+    * parity with Joda's own printer is property-pinned in
+    * `JodaParitySpec`. A single trailing `/`
     * (the reference's patterns end with one; its path join collapses
     * it) is dropped so the rendered value is a clean relative path.
     * DST fall-back matches the reference (`TimeBasedPartitionerTest
@@ -311,7 +381,7 @@ object Partitioners {
     * epoch millis. */
   def jodaPath(ts: Column, durationMs: Long, tz: String,
                locale: java.util.Locale, pattern: String): Column = {
-    val bad = jodaUnsupported(pattern)
+    val bad = jodaUnsupported(pattern, tz, locale)
     require(bad.isEmpty,
       s"path.format '$pattern' has untranslatable tokens: ${bad.mkString(", ")}")
     val utc = jodaResolveLocal(

@@ -402,17 +402,30 @@ class GraftConfigSpec extends SparkSuite {
     assert(paths(0) === paths(1))
     assert(paths(0) === "year=2015/month=November/day=01/hour=1")
     // untranslatable tokens refuse at construction with the token
-    // named (the widened alphabet leaves only the locale zone short
-    // name `z` and letters Joda itself rejects)
+    // named: letters Joda itself rejects, and the zone-name token on
+    // a zone whose offset→name map is ambiguous (Europe/Moscow)
     val e = intercept[IllegalArgumentException] {
       GraftConfig(base ++ Map(
         "partitioner.class" -> "time",
         "partition.duration.ms" -> "3600000",
         "path.format" -> "'zone'=zz/",
+        "timezone" -> "Europe/Moscow",
         "timestamp.field" -> "ts"))
     }
     assert(e.getMessage.contains("untranslatable"))
     assert(e.getMessage.contains("zz"))
+    // the same zz pattern is fine on a functional zone (PST/PDT)
+    val cfgZ = GraftConfig(base ++ Map(
+      "partitioner.class" -> "time",
+      "partition.duration.ms" -> "3600000",
+      "path.format" -> "'zone'=zz/",
+      "timezone" -> "America/Los_Angeles",
+      "timestamp.field" -> "ts"))
+    val renderedZ = Seq(java.sql.Timestamp.valueOf("2015-01-01 11:00:00"))
+      .toDF("ts")
+      .select(cfgZ.partitionPath(col("part"), col("ts"), n => col(n))
+        .as("p")).as[String].head()
+    assert(renderedZ === "zone=PST")
     // the formerly-refused week fields now translate (ISO week 1)
     val cfgW = GraftConfig(base ++ Map(
       "partitioner.class" -> "time",

@@ -134,6 +134,16 @@ class JodaParitySpec extends SparkSuite {
     }
   }
 
+  test("zone-name token z matches the reference printer in every functional zone") {
+    // all six test zones have a functional offset→name map, so z/zzzz
+    // translate; parity covers DST flips (PST↔PDT, AEST↔AEDT, …) and
+    // locale-provided names
+    for (tz <- zones; loc <- Seq(java.util.Locale.ENGLISH, java.util.Locale.FRENCH)) {
+      val rnd = new Random(tz.hashCode ^ loc.hashCode)
+      assertParity("z Z/zzzz", tz, loc, 3600000L, instants(rnd, tz).take(25))
+    }
+  }
+
   test("sub-second buckets render the millis fraction the reference would") {
     val rnd = new Random(7L)
     assertParity("HH:mm:ss.SSS", "Asia/Kolkata", java.util.Locale.ENGLISH,

@@ -79,12 +79,11 @@ class PartitionersSpec extends SparkSuite {
     assert(render("MMM-yy/HH''mm", durMs = 60000L) === "Jan-15/03'07")
     // bucket floor zeroes sub-bucket fields: a 2h bucket renders m/s 0
     assert(render("HH:mm:ss") === "02:00:00")
-    // the one untranslatable letter — the locale zone short name
-    // (PST/PDT: instant- and locale-dependent) — is named in the refusal
+    // letters outside the Joda alphabet are named in the refusal
     val e = intercept[IllegalArgumentException] {
-      render("YYYY/zzz")
+      render("YYYY/QQ")
     }
-    assert(e.getMessage.contains("zzz"))
+    assert(e.getMessage.contains("QQ"))
     assert(Partitioners.jodaUnsupported("'year'=YYYY/'month'=MMMM/") === Nil)
     // unquoted letters are pattern tokens (Joda's own lexing): every
     // unsupported one is flagged ('d', 'e' pass — day-of-month and
@@ -131,6 +130,29 @@ class PartitionersSpec extends SparkSuite {
     assert(render("G/C") === "AD/20")
     // fraction-of-second: n digits of the bucket's millis fraction
     assert(render("s.SSS", durMs = 1000L) === "9.000")
+  }
+
+  test("jodaPath: zone-name token z renders for functional zones, refuses ambiguous ones") {
+    def render(pat: String, at: java.sql.Timestamp): String =
+      one(Partitioners.jodaPath(col("ts"), 3600000L,
+        "America/Los_Angeles", java.util.Locale.ENGLISH, pat), at)
+    // DST-aware short and long names from the plan-time name table
+    assert(render("z", ts("2015-01-01 11:07:09")) === "PST")
+    assert(render("z", ts("2015-07-01 11:07:09")) === "PDT")
+    assert(render("zzzz", ts("2015-01-01 11:07:09")) ===
+      "Pacific Standard Time")
+    // Europe/Moscow maps +0300/+0400 each to both MSK and MSD across
+    // the 2011/2014 rule changes — ambiguous, so z refuses with the
+    // collision named while the rest of the alphabet still works
+    assert(Partitioners.jodaUnsupported("'y'=yyyy/z", "Europe/Moscow",
+      java.util.Locale.ENGLISH).exists(_.contains("Europe/Moscow")))
+    assert(Partitioners.jodaUnsupported("'y'=yyyy/HH", "Europe/Moscow",
+      java.util.Locale.ENGLISH) === Nil)
+    val e = intercept[IllegalArgumentException] {
+      one(Partitioners.jodaPath(col("ts"), 3600000L, "Europe/Moscow",
+        java.util.Locale.ENGLISH, "z"), ts("2015-01-01 11:07:09"))
+    }
+    assert(e.getMessage.contains("z"))
   }
 
   test("timeBucketLocal floors on the LOCAL wall clock (half-hour zone)") {
