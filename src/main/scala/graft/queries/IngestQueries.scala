@@ -1056,5 +1056,147 @@ object IngestQueries {
            |  FROM zs)
            |SELECT layout, files_total, files_read, rows_read, rows_matched
            |FROM r CROSS JOIN m ORDER BY layout""".stripMargin
-      }))
+      }),
+
+    // ---- Ingest throughput, measured: the reference IS a sink
+    //      connector, so the bench must time the WRITE plane, not just
+    //      the query surface. Each row drives the full production
+    //      commit protocol (size rotation → +tmp staging → manifest →
+    //      atomic rename) at bench scale and verifies the result by
+    //      READING THE COMMITTED FILES BACK — the returned summary
+    //      (rows, offsets, payload checksum, file counts) must match a
+    //      DuckDB oracle computing the same facts from the raw table,
+    //      so a dropped or duplicated record anywhere in the
+    //      stage/commit/read cycle fails the hash. Bench seconds /
+    //      row count IS the single-node ingest throughput figure the
+    //      reference never published (BASELINE.md). ----
+
+    // B2/A11/A14/A20 — parquet sink throughput: 600k lineitem rows
+    // through BatchWriter's staging+manifest+rename at flush.size=50k.
+    QuerySpec("ingest_commit_throughput",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ingest-pq").toString
+        val w = Window.partitionBy(col("part"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        val in = Tables.lineitem(s, d)
+          .select(pmod(col("l_orderkey"), lit(P.toLong)).as("part"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .withColumn("off", (row_number().over(w) - 1).cast("long"))
+        val manifest = graft.ingest.BatchWriter.write(
+          in, dir, "lineitem", flushSize = 50000)
+        val files = manifest.groupBy(_.partition)
+          .map { case (p, fs) => (p: Any, fs.size.toLong) }
+        val agg = graft.ingest.BatchWriter.read(s, dir, "lineitem")
+          .groupBy(col("part").cast("long").as("part"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            min(col("off")).as("min_off"), max(col("off")).as("max_off"))
+        finishIngestBench(s, agg, dir, "part", files).orderBy(col("part"))
+      },
+      Some(s"""WITH e AS (SELECT l_orderkey % $P AS part, l_quantity,
+              |    row_number() OVER (PARTITION BY l_orderkey % $P
+              |      ORDER BY l_orderkey, l_linenumber) - 1 AS off
+              |  FROM lineitem)
+              |SELECT part, count(*) AS n_rows,
+              |  sum(l_quantity)::BIGINT AS sum_qty,
+              |  min(off) AS min_off, max(off) AS max_off,
+              |  count(DISTINCT off // 50000) AS n_files
+              |FROM e GROUP BY part ORDER BY part""".stripMargin),
+      bench = true),
+
+    // B1 — avro sink throughput: the events stream through AvroSink's
+    // attempt-isolated staging writer (container files + codec), read
+    // back via the binaryFile + avro-core scan.
+    QuerySpec("ingest_avro_throughput",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ingest-avro").toString
+        val in = stream(s, d).select(col("part"), col("off"),
+          col("user_id"), col("event_type"), col("value"))
+        val manifest = graft.ingest.AvroSink.write(
+          in, dir, "events", flushSize = 25000)
+        val files = manifest.groupBy(_.partition)
+          .map { case (p, fs) => (p: Any, fs.size.toLong) }
+        val agg = graft.ingest.AvroSink
+          .readDataFrame(s, s"$dir/events/partition=*", in.schema)
+          .groupBy(col("part"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("user_id")).as("sum_users"),
+            min(col("off")).as("min_off"), max(col("off")).as("max_off"))
+        finishIngestBench(s, agg, dir, "part", files).orderBy(col("part"))
+      },
+      Some(s"""WITH e AS (SELECT event_id % $P AS part, event_id AS off,
+              |    user_id FROM events),
+              |f AS (SELECT part, off, user_id,
+              |    (off - min(off) OVER (PARTITION BY part)) // 25000 AS fi
+              |  FROM e)
+              |SELECT part, count(*) AS n_rows,
+              |  sum(user_id)::BIGINT AS sum_users,
+              |  min(off) AS min_off, max(off) AS max_off,
+              |  count(DISTINCT fi) AS n_files
+              |FROM f GROUP BY part ORDER BY part""".stripMargin),
+      bench = true),
+
+    // A2 at write scale — multi-topic demux throughput: one batch
+    // fanned out to three topics by a record field (the reference's
+    // topics list on one connector), one shared staging plane, one
+    // commit protocol, per-topic read-back.
+    QuerySpec("ingest_demux_throughput",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ingest-demux").toString
+        val w = Window.partitionBy(col("topic"), col("part"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+        val in = Tables.lineitem(s, d)
+          .select(concat(lit("flag_"), lower(col("l_returnflag"))).as("topic"),
+            pmod(col("l_orderkey"), lit(P.toLong)).as("part"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .withColumn("off", (row_number().over(w) - 1).cast("long"))
+        val manifest = graft.ingest.BatchWriter.writeMulti(
+          in, dir, flushSize = 50000)
+        val files = manifest.groupBy(_.topic)
+          .map { case (t, fs) => (t: Any, fs.size.toLong) }
+        val agg = manifest.map(_.topic).distinct.sorted
+          .map(t => graft.ingest.BatchWriter.read(s, dir, t)
+            .withColumn("topic", lit(t)))
+          .reduce(_ unionByName _)
+          .groupBy(col("topic"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity")).cast("long").as("sum_qty"),
+            max(col("off")).as("max_off"))
+        finishIngestBench(s, agg, dir, "topic", files).orderBy(col("topic"))
+      },
+      Some(s"""WITH e AS (SELECT 'flag_' || lower(l_returnflag) AS topic,
+              |    l_orderkey % $P AS part, l_quantity,
+              |    row_number() OVER (
+              |      PARTITION BY 'flag_' || lower(l_returnflag), l_orderkey % $P
+              |      ORDER BY l_orderkey, l_linenumber) - 1 AS off
+              |  FROM lineitem)
+              |SELECT topic, count(*) AS n_rows,
+              |  sum(l_quantity)::BIGINT AS sum_qty, max(off) AS max_off,
+              |  count(DISTINCT printf('%d:%d', part, off // 50000)) AS n_files
+              |FROM e GROUP BY topic ORDER BY topic""".stripMargin),
+      bench = true))
+
+  /** Collect the metadata-scale ingest summary, append the manifest's
+    * per-key committed-file count, reclaim the temp ingest dir, and
+    * return a local frame (the files must be deleted BEFORE returning
+    * — the caller's action re-reads nothing). */
+  private def finishIngestBench(s: SparkSession, agg: DataFrame,
+                                dir: String, key: String,
+                                files: Map[Any, Long]): DataFrame = {
+    val rows = agg.collect().toSeq.map(r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ files.getOrElse(r.getAs[Any](key), 0L)))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    org.apache.hadoop.fs.FileSystem
+      .get(root.toUri, s.sparkContext.hadoopConfiguration)
+      .delete(root, true)
+    s.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      agg.schema.add("n_files", org.apache.spark.sql.types.LongType))
+  }
 }
