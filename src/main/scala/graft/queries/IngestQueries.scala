@@ -1178,6 +1178,69 @@ object IngestQueries {
               |  sum(l_quantity)::BIGINT AS sum_qty, max(off) AS max_off,
               |  count(DISTINCT printf('%d:%d', part, off // 50000)) AS n_files
               |FROM e GROUP BY topic ORDER BY topic""".stripMargin),
+      bench = true),
+
+    // A10/A16–A21 at measured scale — STREAMING commit-loop
+    // throughput: the reference's actual runtime shape is a
+    // continuous micro-batch loop (put → buffer → rotate → commit),
+    // so the per-batch protocol overhead is the number that matters.
+    // 20k events (capped so the probe is constant work at any SF ≥
+    // 0.02) feed a MemoryStream in 4 FIXED micro-batches of 5000
+    // through `StreamIngest.start`'s exactly-once commit loop at
+    // flush.size=2000; size rotation splits the OFFSET SPACE, and a
+    // part's offsets stride by $P within each 5000-offset batch, so
+    // every (batch, part) slice spans 5000 offsets → 3 committed
+    // files — the oracle mirrors exactly that
+    // ((off − batch-part min) // 2000 distinct per part). Read-back
+    // + checksum as in the batch rows. ----
+    QuerySpec("ingest_stream_throughput",
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-ingest-stream").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-ingest-ckpt").toString
+        val data = Tables.events(s, d)
+          .filter(col("event_id") < 20000)
+          .select(pmod(col("event_id"), lit(P.toLong)).as("part"),
+            col("event_id").as("off"), col("user_id"))
+          .orderBy(col("off"))
+          .as[(Long, Long, Long)].collect()
+        val src = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, Long)]
+        val q = graft.streaming.StreamIngest.start(
+          src.toDF().toDF("part", "off", "user_id"), out, "events",
+          flushSize = 2000, ckpt)
+        try data.grouped(5000).foreach { batch =>
+          src.addData(batch.toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        val re = FileNaming.CommittedFilenameRegex.r
+        val files = graft.ingest.BatchWriter.listCommitted(s, out, "events")
+          .flatMap(n => re.findFirstMatchIn(n).map(_.group(2).toLong))
+          .groupBy(identity).map { case (p, l) => (p: Any, l.size.toLong) }
+        val agg = graft.ingest.BatchWriter.read(s, out, "events")
+          .groupBy(col("part").cast("long").as("part"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("user_id")).as("sum_users"), max(col("off")).as("max_off"))
+        val done = finishIngestBench(s, agg, out, "part", files)
+        val ckptRoot = new org.apache.hadoop.fs.Path(ckpt)
+        org.apache.hadoop.fs.FileSystem
+          .get(ckptRoot.toUri, s.sparkContext.hadoopConfiguration)
+          .delete(ckptRoot, true)
+        done.orderBy(col("part"))
+      },
+      Some(s"""WITH e AS (SELECT event_id % $P AS part, event_id AS off,
+              |    user_id FROM events WHERE event_id < 20000),
+              |b AS (SELECT part, off, user_id, off // 5000 AS batch FROM e),
+              |f AS (SELECT part, off, user_id, batch,
+              |    (off - min(off) OVER (PARTITION BY part, batch)) // 2000 AS fi
+              |  FROM b)
+              |SELECT part, count(*) AS n_rows,
+              |  sum(user_id)::BIGINT AS sum_users, max(off) AS max_off,
+              |  count(DISTINCT printf('%d:%d', batch, fi)) AS n_files
+              |FROM f GROUP BY part ORDER BY part""".stripMargin),
       bench = true))
 
   /** Collect the metadata-scale ingest summary, append the manifest's
