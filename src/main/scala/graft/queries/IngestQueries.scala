@@ -1077,13 +1077,12 @@ object IngestQueries {
       (s, d) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-ingest-pq").toString
-        val w = Window.partitionBy(col("part"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
-        val in = Tables.lineitem(s, d)
-          .select(pmod(col("l_orderkey"), lit(P.toLong)).as("part"),
-            col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity"), col("l_extendedprice"))
-          .withColumn("off", (row_number().over(w) - 1).cast("long"))
+        val in = withStreamOffsets(
+          Tables.lineitem(s, d)
+            .select(pmod(col("l_orderkey"), lit(P.toLong)).as("part"),
+              col("l_orderkey"), col("l_linenumber"),
+              col("l_quantity"), col("l_extendedprice")),
+          Seq(col("part")))
         val manifest = graft.ingest.BatchWriter.write(
           in, dir, "lineitem", flushSize = 50000)
         val files = manifest.groupBy(_.partition)
@@ -1147,13 +1146,12 @@ object IngestQueries {
       (s, d) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft-ingest-demux").toString
-        val w = Window.partitionBy(col("topic"), col("part"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
-        val in = Tables.lineitem(s, d)
-          .select(concat(lit("flag_"), lower(col("l_returnflag"))).as("topic"),
-            pmod(col("l_orderkey"), lit(P.toLong)).as("part"),
-            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-          .withColumn("off", (row_number().over(w) - 1).cast("long"))
+        val in = withStreamOffsets(
+          Tables.lineitem(s, d)
+            .select(concat(lit("flag_"), lower(col("l_returnflag"))).as("topic"),
+              pmod(col("l_orderkey"), lit(P.toLong)).as("part"),
+              col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          Seq(col("topic"), col("part")))
         val manifest = graft.ingest.BatchWriter.writeMulti(
           in, dir, flushSize = 50000)
         val files = manifest.groupBy(_.topic)
@@ -1242,6 +1240,40 @@ object IngestQueries {
               |  count(DISTINCT printf('%d:%d', batch, fi)) AS n_files
               |FROM f GROUP BY part ORDER BY part""".stripMargin),
       bench = true))
+
+  /** Contiguous per-stream offsets 0..n−1 ordered by
+    * (l_orderkey, l_linenumber) WITHOUT a per-stream global sort —
+    * the two-level rank the corpus `Shuffle` operator uses: bucket
+    * counts (one map-side-combined aggregate) → running bases over
+    * the metadata-scale bucket frame → broadcast back → rank within
+    * (stream, bucket). Identical result to
+    * `row_number() over (partition by stream order by orderkey,
+    * linenumber) − 1` — the oracles state exactly that — but the big
+    * window partitions by (stream, bucket) instead of the handful of
+    * streams, so offset synthesis parallelizes at any scale (a
+    * 4-stream global sort was the measured bottleneck of the ingest
+    * bench at sf1: 3× the cost of the commit protocol it fed). Real
+    * deployments take offsets from the source; this synthesis exists
+    * only because the testdata is a table. */
+  private def withStreamOffsets(df: DataFrame,
+                                streamCols: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val keyed = df.withColumn("__bkt",
+      (col("l_orderkey") / lit(4096)).cast("long"))
+    val bases = keyed.groupBy(streamCols :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__base",
+        sum(col("__c")).over(Window.partitionBy(streamCols: _*)
+          .orderBy(col("__bkt"))) - col("__c"))
+      .drop("__c")
+    val joinKeys = bases.columns.filter(_ != "__base").toSeq
+    keyed.join(broadcast(bases), joinKeys)
+      .withColumn("off",
+        (row_number().over(Window.partitionBy(streamCols :+ col("__bkt"): _*)
+          .orderBy(col("l_orderkey"), col("l_linenumber")))
+          - 1 + col("__base")).cast("long"))
+      .drop("__bkt", "__base")
+  }
 
   /** Collect the metadata-scale ingest summary, append the manifest's
     * per-key committed-file count, reclaim the temp ingest dir, and
