@@ -155,9 +155,22 @@ object Partitioners {
         if (i + 1 < pattern.length && pattern(i + 1) == '\'') {
           out += JLit("'"); i += 2
         } else {
-          val close = pattern.indexOf('\'', i + 1)
-          require(close >= 0, s"unterminated quote in path.format at $i")
-          out += JLit(pattern.substring(i + 1, close)); i = close + 1
+          // scan the quoted literal char-by-char: '' INSIDE an open
+          // literal is an escaped quote that keeps it open, and an
+          // unterminated quote makes the remainder one literal —
+          // both Joda's own rules (fuzz-caught: a bare indexOf-close
+          // mis-lexed '/''  as "/" instead of "/'")
+          val sb = new StringBuilder
+          var j = i + 1
+          var open = true
+          while (open && j < pattern.length) {
+            if (pattern(j) == '\'') {
+              if (j + 1 < pattern.length && pattern(j + 1) == '\'') {
+                sb.append('\''); j += 2
+              } else { open = false; j += 1 }
+            } else { sb.append(pattern(j)); j += 1 }
+          }
+          out += JLit(sb.toString); i = j
         }
       } else if (c.isLetter) {
         var j = i

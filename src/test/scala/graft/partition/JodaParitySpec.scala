@@ -144,6 +144,35 @@ class JodaParitySpec extends SparkSuite {
     }
   }
 
+  test("raw-string pattern fuzz: refusal parity and render parity with Joda's lexer") {
+    // arbitrary character soup — valid letters, INVALID letters (u, l,
+    // L, T), separators, quotes (possibly unterminated): either BOTH
+    // engines refuse the pattern, or both render identically. This
+    // pins the LEXER (quoted literals, '' escapes, run grouping)
+    // rather than the per-token translation.
+    val rnd = new Random(99L)
+    val alphabet = "yMdHmsSwxeEaGCkKhzZDY" + "ulLT" + "/:-. ='''"
+    val tz = "America/Los_Angeles"
+    val loc = java.util.Locale.ENGLISH
+    val zone = DateTimeZone.forID(tz)
+    val ts = instants(rnd, tz).take(8)
+    var refused = 0
+    for (_ <- 1 to 120) {
+      val pat = Seq.fill(1 + rnd.nextInt(10))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val jodaOk =
+        try { DateTimeFormat.forPattern(pat).withZone(zone).withLocale(loc)
+          .print(ts.head); true }
+        catch { case _: IllegalArgumentException => false }
+      val mineOk = Partitioners.jodaUnsupported(pat, tz, loc).isEmpty
+      assert(mineOk === jodaOk,
+        s"refusal divergence on pattern '$pat': joda=$jodaOk engine=$mineOk")
+      if (jodaOk) assertParity(pat, tz, loc, 3600000L, ts)
+      else refused += 1
+    }
+    assert(refused > 10, s"fuzz degenerate: only $refused refusals")
+  }
+
   test("sub-second buckets render the millis fraction the reference would") {
     val rnd = new Random(7L)
     assertParity("HH:mm:ss.SSS", "Asia/Kolkata", java.util.Locale.ENGLISH,

@@ -132,6 +132,23 @@ class PartitionersSpec extends SparkSuite {
     assert(render("s.SSS", durMs = 1000L) === "9.000")
   }
 
+  test("jodaPath is pure foldable expressions: literal input constant-folds to the path literal") {
+    // the whole translation — bucketing, DST resolution, locale text
+    // tables, offset arithmetic — must stay inside Catalyst's
+    // expression domain: no UDF anywhere, and a literal timestamp
+    // folds the entire path to ONE string literal at plan time
+    // (2023-11-14T22:13:20Z = 14:13 PST -> 2h bucket 14:00)
+    val c = Partitioners.jodaPath(
+      timestamp_millis(lit(1700000000000L)), 7200000L,
+      "America/Los_Angeles", java.util.Locale.ENGLISH,
+      "'d'=yyyy-MM-dd'/h'=HH z Z")
+    val optimized = spark.range(1).select(c.as("p"))
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("udf"), optimized)
+    assert(optimized.contains("d=2023-11-14/h=14 PST -0800"),
+      s"expected the folded path literal in:\n$optimized")
+  }
+
   test("jodaPath: zone-name token z renders for functional zones, refuses ambiguous ones") {
     def render(pat: String, at: java.sql.Timestamp): String =
       one(Partitioners.jodaPath(col("ts"), 3600000L,
