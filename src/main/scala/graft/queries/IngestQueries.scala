@@ -1239,7 +1239,56 @@ object IngestQueries {
               |  sum(user_id)::BIGINT AS sum_users, max(off) AS max_off,
               |  count(DISTINCT printf('%d:%d', batch, fi)) AS n_files
               |FROM f GROUP BY part ORDER BY part""".stripMargin),
-      bench = true))
+      bench = true),
+
+    QuerySpec("ingest_orc_roundtrip",
+      formatRoundtrip("orc", None), Some(formatRoundtripSql)),
+
+    QuerySpec("ingest_csv_roundtrip",
+      formatRoundtrip("csv", Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("off",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType))))),
+      Some(formatRoundtripSql)))
+
+  /** B4/B5–B7 closure — the two BatchWriter formats without an
+    * oracle-gated registry row until now. Same write→commit→read-back
+    * →checksum discipline as the throughput rows (ORC carries its own
+    * schema; CSV reads back under an explicit one, the reference's
+    * schema-supplied read path). */
+  private def formatRoundtrip(fmt: String,
+                              schema: Option[org.apache.spark.sql.types.StructType])
+      : (SparkSession, String) => DataFrame = (s, d) => {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-ingest-$fmt").toString
+    val in = stream(s, d).filter(col("off") < 20000)
+      .select(col("part"), col("off"), col("user_id"), col("event_type"))
+    val manifest = graft.ingest.BatchWriter.write(
+      in, dir, "events", flushSize = 5000, format = fmt)
+    val files = manifest.groupBy(_.partition)
+      .map { case (p, fs) => (p: Any, fs.size.toLong) }
+    val agg = graft.ingest.BatchWriter.read(s, dir, "events", fmt, schema)
+      .groupBy(col("part").cast("long").as("part"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("user_id")).as("sum_users"),
+        max(col("off")).as("max_off"),
+        countDistinct(col("event_type")).as("n_types"))
+    finishIngestBench(s, agg, dir, "part", files).orderBy(col("part"))
+  }
+
+  // def, not val: referenced during `specs` initialization, which runs
+  // before a later val's initializer would
+  private def formatRoundtripSql: String =
+    s"""WITH e AS (SELECT event_id % $P AS part, event_id AS off, user_id,
+       |    event_type FROM events WHERE event_id < 20000),
+       |f AS (SELECT part, off, user_id, event_type,
+       |    (off - min(off) OVER (PARTITION BY part)) // 5000 AS fi FROM e)
+       |SELECT part, count(*) AS n_rows, sum(user_id)::BIGINT AS sum_users,
+       |  max(off) AS max_off, count(DISTINCT event_type) AS n_types,
+       |  count(DISTINCT fi) AS n_files
+       |FROM f GROUP BY part ORDER BY part""".stripMargin
 
   /** Contiguous per-stream offsets 0..n−1 ordered by
     * (l_orderkey, l_linenumber) WITHOUT a per-stream global sort —
