@@ -276,6 +276,12 @@ object NativeExpressions {
         // into its AggregateExpression in aggregation context
         TopKPairs(children.head, children(1), children(2))
       }),
+    (FunctionIdentifier("min_k_distinct"),
+      new ExpressionInfo(classOf[MinKDistinct].getName, "min_k_distinct"),
+      { children: Seq[Expression] =>
+        require(children.size == 2, "min_k_distinct takes (value, k)")
+        MinKDistinct(children.head, children(1))
+      }),
     (FunctionIdentifier("vec_sum_i64"),
       new ExpressionInfo(classOf[VecSumI64].getName, "vec_sum_i64"),
       { children: Seq[Expression] =>

@@ -816,10 +816,17 @@ object CurationQueries {
       (s, d) => {
         // pinned: the (doc, char) histogram feeds BOTH the corpus
         // frequency table and the per-doc surprisal join
+        // split-by-empty-regex, not transform(sequence(..), i ->
+        // substring(text, i, 1)): substring's char index resolves by
+        // scanning the UTF8 bytes from the start, so the transform
+        // form is O(len²) per document — split is one O(len) pass
+        // (code-point splits; Java regex never bisects a surrogate
+        // pair). The empty-text edge yields [""] — filtered to match
+        // the oracle's zero rows.
         val dc = TrackedCache.persist(Tables.documents(s, d)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-            .as("c"))
+          .select(col("doc_id"),
+            explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
           .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("cnt")))
         val cf = dc.groupBy(col("c")).agg(sum(col("cnt")).as("n_c"))
         val bits = cf

@@ -3743,14 +3743,16 @@ object PipelineQueries {
     //      truth, AND the error contract (±20 % ≈ 3σ at k=256) are all
     //      emitted and oracle-checked — both engines compute the SAME
     //      sketch, so this checks values, not just a bound. Scale
-    //      shape: the corpus pass is one (source, hash) distinct
-    //      (vocabulary-scale shuffle, map-side combined); the rank
-    //      window runs per source over distinct hashes and the k-row
-    //      sketches are metadata-scale. At 100 TB swap the window for
-    //      the bounded-heap min-k aggregate — the sketch property
-    //      (mergeable, fixed size) is exactly why it scales. ----
+    //      shape: the sketch side is the bounded min-k-distinct
+    //      aggregate (`MinKDistinct`) — map-side reduced to ≤k hashes
+    //      per partition, so its exchange is O(sources × k) no matter
+    //      the corpus; the exact reference count rides the SAME scan
+    //      as a countDistinct (the one corpus-scale part, and it
+    //      exists only because the oracle checks the estimate against
+    //      the truth — a production card drops it). ----
     QuerySpec("kmv_distinct_by_source",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val k = 256
         // 3-gram shingles, not tokens: the synthetic vocabulary is a
         // few dozen words, which would never leave the exact m<k
@@ -3762,16 +3764,16 @@ object PipelineQueries {
             explode(TF.shingles(TF.tokens(col("text")), 3)).as("g"))
           .select(col("source"),
             TF.hash60(concat(lit("kmv:"), col("g"))).as("h"))
-          .distinct()
-        val rn = Window.partitionBy(col("source")).orderBy(col("h"))
-        val sk = hashed
-          .withColumn("rn", row_number().over(rn))
-          .filter(col("rn") <= k)
-          .groupBy(col("source"))
-          .agg(max(col("h")).as("h_k"), count(lit(1)).as("m"))
-        val exact = hashed.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_exact"))
-        sk.join(exact, Seq("source"))
+        // ONE scan feeds both aggregates (the tokenize→shingle→hash
+        // projection is the dominant cost; Expand only doubles the
+        // 16-byte hashed rows)
+        val agged = hashed.groupBy(col("source"))
+          .agg(call_function("min_k_distinct", col("h"), lit(k)).as("sk"),
+            countDistinct(col("h")).as("n_exact"))
+        agged
+          .select(col("source"), col("n_exact"),
+            size(col("sk")).cast("long").as("m"),
+            element_at(col("sk"), size(col("sk"))).as("h_k"))
           .select(col("source"), col("n_exact"),
             when(col("m") < k, col("m"))
               // (k−1)·2⁶⁰ overflows int64 — the widening goes through
@@ -3818,17 +3820,19 @@ object PipelineQueries {
     //      build, amortized across all O(|sources|²) pair queries. ----
     QuerySpec("kmv_source_jaccard",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val k = 256
-        val rn = Window.partitionBy(col("source")).orderBy(col("h"))
+        // bounded min-k-distinct aggregate, not distinct + rank
+        // window: the exchange carries ≤k hashes per source instead
+        // of every distinct shingle hash in the corpus
         val sk = TrackedCache.persist(Tables.documents(s, d)
           .select(col("source"),
             explode(TF.shingles(TF.tokens(col("text")), 3)).as("g"))
           .select(col("source"),
             TF.hash60(concat(lit("kmv:"), col("g"))).as("h"))
-          .distinct()
-          .withColumn("rn", row_number().over(rn))
-          .filter(col("rn") <= k)
-          .select(col("source"), col("h")))
+          .groupBy(col("source"))
+          .agg(call_function("min_k_distinct", col("h"), lit(k)).as("sk"))
+          .select(col("source"), explode(col("sk")).as("h")))
         val pairs = sk.select(col("source").as("src_a")).distinct()
           .join(sk.select(col("source").as("src_b")).distinct(),
             col("src_a") < col("src_b"))
@@ -3897,6 +3901,7 @@ object PipelineQueries {
     //      after is |sources|-row metadata. ----
     QuerySpec("source_cards",
       (s, d) => {
+        graft.functions.NativeExpressions.register(s)
         val k = 256
         val base = Tables.documents(s, d)
           .select(col("source"), col("lang"),
@@ -3907,17 +3912,18 @@ object PipelineQueries {
             sum(col("nt")).as("n_tokens"),
             countDistinct(col("lang")).as("n_langs"),
             countDistinct(col("fp")).as("n_distinct_docs"))
-        val rn = Window.partitionBy(col("source")).orderBy(col("h"))
+        // bounded min-k-distinct aggregate, not distinct + rank
+        // window: ≤k hashes per source cross the exchange
         val sk = Tables.documents(s, d)
           .select(col("source"),
             explode(TF.shingles(TF.tokens(col("text")), 3)).as("g"))
           .select(col("source"),
             TF.hash60(concat(lit("kmv:"), col("g"))).as("h"))
-          .distinct()
-          .withColumn("rn", row_number().over(rn))
-          .filter(col("rn") <= k)
           .groupBy(col("source"))
-          .agg(max(col("h")).as("h_k"), count(lit(1)).as("m"))
+          .agg(call_function("min_k_distinct", col("h"), lit(k)).as("skv"))
+          .select(col("source"),
+            size(col("skv")).cast("long").as("m"),
+            element_at(col("skv"), size(col("skv"))).as("h_k"))
           .select(col("source"),
             when(col("m") < k, col("m"))
               .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
