@@ -104,16 +104,20 @@ object ConnectedComponents {
     * chain — this composition keeps the cheap path cheap and makes the
     * pathological path complete instead of refuse.
     *
-    * Correctness of the composition: after K propagation rounds every
-    * partial label is the minimum id within K hops, so each label
-    * class is a connected subset of its true component, and the global
-    * minimum id m of a component keeps label m (nothing smaller is
-    * reachable at any radius). Contracting label classes to single
-    * nodes (quotient edges = cross-class originals) therefore
-    * preserves components, star contraction roots each quotient
-    * component at its minimum surviving label = the true component
-    * minimum, and composing `root ∘ label` labels every vertex with
-    * exactly that minimum. */
+    * Correctness of the composition: every partial label is an id
+    * reachable from its vertex, so a label class lies inside ONE true
+    * component (ids are component-unique), and the global minimum id
+    * m of a component keeps label m (nothing smaller is reachable at
+    * any radius). Quotient edges are the cross-class originals, so
+    * any original path induces a quotient walk over the classes it
+    * visits and conversely every quotient edge certifies same-
+    * component — the quotient has exactly one component per original
+    * component, carrying its minimum label. Star contraction roots
+    * each quotient component at that minimum, and composing
+    * `root ∘ label` labels every vertex with exactly the true
+    * component minimum. (No claim that a label class is internally
+    * connected is needed — a class may be split across the quotient
+    * node's preimage without affecting either direction.) */
   def runAdaptive(vertices: DataFrame, edges: DataFrame,
                   propRounds: Int = 8, maxIter: Int = 50,
                   checkpointDir: Option[String] = None): (DataFrame, Int) = {

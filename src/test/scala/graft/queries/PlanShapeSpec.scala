@@ -530,11 +530,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
   }
 
-  test("kmv sketches rank per source — no corpus-global window, no sort-merge join") {
+  test("kmv sketches build via the bounded min-k aggregate — no rank window at all") {
     for (q <- Seq("kmv_distinct_by_source", "kmv_source_jaccard")) {
       val s = plan(q).toString
-      assert(s.contains("windowspecdefinition(source"),
-        s"$q: the min-k rank must partition by source:\n$s")
+      assert(s.contains("min_k_distinct"),
+        s"$q: the sketch must be the bounded min-k-distinct aggregate:\n$s")
+      assert(!s.contains("windowspecdefinition(source"),
+        s"$q: no per-source rank window (the aggregate replaced it):\n$s")
       assert(!s.contains("windowspecdefinition(h#"),
         s"$q: no global hash-ordered window:\n$s")
     }
@@ -588,13 +590,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
   }
 
-  test("source_cards: both corpus passes aggregate by source; the KMV rank window stays source-partitioned") {
+  test("source_cards: both corpus passes aggregate by source; the KMV sketch is windowless") {
     val p = plan("source_cards")
     val s = p.toString
-    assert(s.contains("windowspecdefinition(source"),
-      s"min-k rank must partition by source:\n$s")
-    assert(!s.contains("windowspecdefinition(h#"),
-      s"no global hash window:\n$s")
+    assert(s.contains("min_k_distinct"),
+      s"the sketch must be the bounded min-k-distinct aggregate:\n$s")
+    assert(!s.contains("windowspecdefinition"),
+      s"no window anywhere in the card:\n$s")
     assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
   }
 
