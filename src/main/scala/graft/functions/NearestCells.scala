@@ -109,7 +109,27 @@ case class NearestCells(
     else if (!(cents.foldable && ids.foldable && norms.foldable))
       TypeCheckResult.TypeCheckFailure(
         "centroid table must be foldable (plan-literal quantizer)")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // the three centroid-side children are foldable, so their
+      // lengths are knowable at analysis — refuse a ragged quantizer
+      // here instead of AIOOBE-ing inside the codegen'd loop on the
+      // first row
+      val cc = cents.eval().asInstanceOf[ArrayData]
+      val ii = ids.eval().asInstanceOf[ArrayData]
+      val nn = norms.eval().asInstanceOf[ArrayData]
+      if (cc == null || ii == null || nn == null)
+        TypeCheckResult.TypeCheckFailure(
+          "centroid table, ids and norms must be non-null literals")
+      else if (ii.numElements() != cc.numElements() ||
+        nn.numElements() != cc.numElements())
+        TypeCheckResult.TypeCheckFailure(
+          s"centroids (${cc.numElements()}), cell ids " +
+            s"(${ii.numElements()}) and norms (${nn.numElements()}) " +
+            "must have one entry per cell")
+      else if ((0 until cc.numElements()).exists(cc.isNullAt))
+        TypeCheckResult.TypeCheckFailure("centroid vectors must be non-null")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -150,6 +150,11 @@ object KMeans {
     // 256× row blowup plus a second aggregate to restore element
     // order. Floor-mean per element is unchanged bit-for-bit.
     assigned
+      // a null vector assigns to a null cell (the dot_i64 null
+      // convention); the old posexplode route dropped such rows
+      // implicitly — keep that contract instead of NPE-ing on the
+      // driver when reading the null-cell group's key
+      .filter(col("cell").isNotNull)
       .groupBy(col("cell"))
       .agg(call_function("vec_sum_i64", col("v")).as("ss"),
         count(lit(1)).as("n"))
@@ -267,6 +272,7 @@ object KMeans {
       val rows = vecs.select(explode(subs).as("s"))
         .select(col("s.m").as("m"), col("s.cell").as("cell"),
           col("s.sv").as("sv"))
+        .filter(col("cell").isNotNull) // null subvector -> no contribution
         .groupBy(col("m"), col("cell"))
         .agg(call_function("vec_sum_i64", col("sv")).as("ss"),
           count(lit(1)).as("n"))

@@ -217,17 +217,26 @@ object Partitioners {
     * when the configured zone's offset→name map is ambiguous over
     * 1970–2100 (the collision is named in the result). */
   def jodaUnsupported(pattern: String, tz: String,
-                      locale: java.util.Locale): Seq[String] =
-    jodaUnsupported(pattern) ++ (
-      try jodaLex(pattern).collect { case JField('z', n) => n }
-        .distinct.flatMap { n =>
-          zoneOffsetNames(tz, locale, long = n >= 4) match {
-            case Left(msg) => Seq(("z" * n) + s" ($msg)")
-            case Right(_) => Nil
-          }
-        }
+                      locale: java.util.Locale): Seq[String] = {
+    // the lex try and the zone-resolution try are SEPARATE: a lex
+    // error is already reported by the pattern-only overload, but a
+    // zone Joda can't resolve (java.time accepts ids like
+    // "GMT+05:30" that Joda's forID rejects) must surface as a
+    // refusal here — swallowing it would pass config validation and
+    // throw mid-write, the exact failure mode this gate exists for
+    val zRuns =
+      try jodaLex(pattern).collect { case JField('z', n) => n }.distinct
       catch { case _: IllegalArgumentException => Nil } // lex error above
-    )
+    jodaUnsupported(pattern) ++ zRuns.flatMap { n =>
+      try zoneOffsetNames(tz, locale, long = n >= 4) match {
+        case Left(msg) => Seq(("z" * n) + s" ($msg)")
+        case Right(_) => Nil
+      } catch {
+        case e: IllegalArgumentException =>
+          Seq(("z" * n) + s" (zone '$tz' is not a Joda zone id: ${e.getMessage})")
+      }
+    }
+  }
 
   /** The zone's offset→display-name table over 1970–2100, walked at
     * PLAN time through Joda's own name provider (`getShortName` /

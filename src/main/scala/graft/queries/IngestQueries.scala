@@ -125,8 +125,16 @@ object IngestQueries {
       Some("""WITH wall AS (
              |  SELECT timezone('America/Los_Angeles', ts AT TIME ZONE 'UTC') AS w
              |  FROM events),
-             |b AS (SELECT make_timestamp(
-             |    (epoch_ms(w) - epoch_ms(w) % 7200000) * 1000) AS bk FROM wall)
+             |raw AS (SELECT make_timestamp(
+             |    (epoch_ms(w) - epoch_ms(w) % 7200000) * 1000) AS bk0 FROM wall),
+             |-- Joda-lenient spring-forward resolution: a bucket start
+             |-- landing in the skipped 02:00-03:00 hour (US rule
+             |-- post-2007: second Sunday in March) renders one hour
+             |-- later, mirroring the engine's jodaBucketWall /
+             |-- convertLocalToUTC(.., false)
+             |b AS (SELECT CASE WHEN month(bk0) = 3 AND hour(bk0) = 2
+             |      AND dayofweek(bk0) = 0 AND day(bk0) BETWEEN 8 AND 14
+             |    THEN bk0 + INTERVAL 1 HOUR ELSE bk0 END AS bk FROM raw)
              |SELECT concat('year=', strftime(bk, '%Y'),
              |    '/month=', monthname(bk),
              |    '/day=', strftime(bk, '%d'),

@@ -249,4 +249,23 @@ class NativeExpressionsSpec extends SparkSuite {
         array(col("v")), typedlit(Seq(1L)), typedlit(Seq(0L)))).collect()
     }
   }
+
+  test("nearest_cells_i64 refuses a ragged quantizer at analysis, not mid-job") {
+    NativeExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L))).toDF("id", "v")
+    // 2 centroids but only 1 id: without the analysis-time length
+    // check this AIOOBEs inside the codegen'd loop on the first row
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("nearest_cells_i64", col("v"),
+        typedlit(Seq(Seq(1L, 2L), Seq(3L, 4L))),
+        typedlit(Seq(10L)), typedlit(Seq(5L, 25L)))).collect()
+    }
+    // a null inner centroid vector refuses too
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("nearest_cells_i64", col("v"),
+        typedlit(Seq(Some(Seq(1L, 2L)), None)),
+        typedlit(Seq(10L, 20L)), typedlit(Seq(5L, 25L)))).collect()
+    }
+  }
 }

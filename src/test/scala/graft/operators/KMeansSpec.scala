@@ -25,6 +25,21 @@ class KMeansSpec extends SparkSuite {
       1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("null vectors contribute nothing to recompute (the posexplode-era contract)") {
+    // a null v assigns to a null cell; the old posexplode aggregation
+    // dropped it implicitly — the whole-vector aggregate must too,
+    // not NPE on the driver reading a null-cell group key
+    val rows = Seq[(Long, Option[Seq[Long]])](
+      0L -> Some(Seq(0L, 1L)), 1L -> Some(Seq(100L, 99L)),
+      2L -> Some(Seq(1L, 0L)), 3L -> Some(Seq(99L, 100L)),
+      4L -> None, 5L -> None)
+    val vecs = rows.toDF("id", "v")
+    val clean = df(0L -> Seq(0L, 1L), 1L -> Seq(100L, 99L),
+      2L -> Seq(1L, 0L), 3L -> Seq(99L, 100L))
+    assert(KMeans.fit(vecs, k = 2, iters = 3) ===
+      KMeans.fit(clean, k = 2, iters = 3))
+  }
+
   test("inertia is non-increasing across Lloyd iterations") {
     // deterministic pseudo-random layout (no RNG: hash-ish arithmetic)
     val vecs = (0L until 40L).map { i =>

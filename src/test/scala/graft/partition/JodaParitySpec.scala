@@ -39,7 +39,8 @@ class JodaParitySpec extends SparkSuite {
     'y' -> 5, 'Y' -> 4, 'D' -> 4, 'M' -> 5, 'd' -> 3, 'a' -> 2,
     'H' -> 3, 'k' -> 2, 'K' -> 2, 'h' -> 2, 'm' -> 3, 's' -> 3,
     'S' -> 4, 'Z' -> 3)
-  private val seps = Seq("/", "-", ".", ":", "_", "=", " ", "'y='", "''")
+  private val seps =
+    Seq("/", "-", ".", ":", "_", "=", " ", "'y='", "''", "'/'", "'d/'")
 
   /** The reference recipe, verbatim. */
   private def expected(pat: String, tzId: String, loc: java.util.Locale,
@@ -96,9 +97,16 @@ class JodaParitySpec extends SparkSuite {
     millis.zip(got).foreach { case (ts, actual) =>
       val want = {
         // jodaPath drops ONE trailing slash (reference patterns end
-        // with one; its path join collapses it)
+        // with one; its path join collapses it). Mirror the engine's
+        // TOKEN-level condition via the same lexer — a trailing
+        // QUOTED slash ('/'...) is dropped too, which a raw
+        // pat.endsWith check gets wrong
         val e = expected(pat, tzId, loc, durMs, ts)
-        if (pat.endsWith("/") && !pat.endsWith("'/'")) e.dropRight(1) else e
+        val endsInSlashLit = Partitioners.jodaLex(pat) match {
+          case _ :+ Partitioners.JLit(s) => s.endsWith("/")
+          case _ => false
+        }
+        if (endsInSlashLit) e.dropRight(1) else e
       }
       assert(actual === want,
         s"pattern='$pat' tz=$tzId locale=$loc durMs=$durMs tsMillis=$ts")

@@ -46,6 +46,35 @@ class PartitionersSpec extends SparkSuite {
     assert(fr === "year=2015/month=janvier/day=01/hour=2")
   }
 
+  test("DST spring-forward: a bucket start in the skipped hour renders one hour later") {
+    // 2024-03-10 LA: clocks jump 02:00 -> 03:00. 10:30Z is 03:30 PDT;
+    // its 2h wall floor is the NONEXISTENT 02:00, which Joda's lenient
+    // convertLocalToUTC resolves to 10:00Z = 03:00 PDT — the rendered
+    // path says hour=3, never the skipped hour=2 (this is the shape the
+    // partition_time_zoned oracle mirrors with its gap CASE).
+    val t = ts("2024-03-10 10:30:00")
+    val en = one(Partitioners.timeBasedPath(col("ts"), 7200000L,
+      "America/Los_Angeles", java.util.Locale.ENGLISH), t)
+    assert(en === "year=2024/month=March/day=10/hour=3")
+    // an instant before the gap stays on its raw floor
+    val pre = one(Partitioners.timeBasedPath(col("ts"), 7200000L,
+      "America/Los_Angeles", java.util.Locale.ENGLISH),
+      ts("2024-03-10 09:30:00")) // 01:30 PST
+    assert(pre === "year=2024/month=March/day=10/hour=0")
+  }
+
+  test("a java.time-valid zone Joda cannot resolve refuses z at config time") {
+    // ZoneId.of accepts the legacy "SystemV/AST4"; Joda's
+    // DateTimeZone.forID throws. The zone gate must surface that as a
+    // refusal, not swallow it and crash mid-write.
+    val bad = Partitioners.jodaUnsupported(
+      "yyyy/MM z", "SystemV/AST4", java.util.Locale.ENGLISH)
+    assert(bad.exists(_.contains("not a Joda zone id")), bad.toString)
+    // the same pattern without z passes (nothing else needs Joda zones)
+    assert(Partitioners.jodaUnsupported(
+      "yyyy/MM", "SystemV/AST4", java.util.Locale.ENGLISH).isEmpty)
+  }
+
   test("DST fall-back: both occurrences of the repeated local hour render one path") {
     // reference TimeBasedPartitionerTest.java:51-60: 2015-11-01 LA,
     // clocks fall back 02:00 -> 01:00; 08:30Z is 01:30 PDT and 09:30Z
