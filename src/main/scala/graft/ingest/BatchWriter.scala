@@ -89,7 +89,9 @@ object BatchWriter {
                              staged: String, topicOf: Option[String],
                              topic: String, pad: Int,
                              format: String,
-                             encodedOf: Option[String] = None): Seq[CommittedFile] = {
+                             encodedOf: Option[String] = None,
+                             nameBounds: Map[(Long, Long), (Long, Long)] =
+                               Map.empty): Seq[CommittedFile] = {
     if (format == "avro")
       throw new IllegalArgumentException(
         "avro via DataFrameWriter needs the spark-avro module (absent " +
@@ -191,7 +193,14 @@ object BatchWriter {
       val destDir = new Path(s"$outDir/$t/" +
         (if (encodedOf.isDefined) enc else s"partition=$p"))
       fs.mkdirs(destDir)
-      val dest = new Path(destDir, FileNaming.encodeName(t, p.toInt, s, e, ext, pad))
+      // planned-range naming override (compaction): the output claims
+      // the GROUP's name span, not the surviving rows' min/max — a
+      // zero-row member (an erasure keeper) must widen the name, never
+      // let the output collide with a live input (see rewriteGroups)
+      val (ns, ne) = nameBounds.getOrElse((p, i), (s, e))
+      require(ns <= s && e <= ne,
+        s"name-bounds override [$ns,$ne] does not cover rows [$s,$e]")
+      val dest = new Path(destDir, FileNaming.encodeName(t, p.toInt, ns, ne, ext, pad))
       // idempotent redo: a file already committed under this exact
       // offset range is the same data — skip, like FSWAL.apply. A
       // rename failure returns false (it does not throw) — surfacing it
@@ -203,7 +212,7 @@ object BatchWriter {
       if (!fs.exists(dest) && !fs.rename(srcs.head.getPath, dest))
         throw new java.io.IOException(
           s"rename failed: ${srcs.head.getPath} -> $dest")
-      CommittedFile(t, p, i, s, e, dest.toString)
+      CommittedFile(t, p, i, ns, ne, dest.toString)
     }
     fs.delete(new Path(staged), true)
     committed
@@ -462,7 +471,20 @@ object BatchWriter {
     val assigned = data.join(broadcast(ranges), Seq("part"))
       .filter(col("off").between(col("__gs"), col("__ge")))
       .drop("__gs", "__ge")
-    writeAssigned(assigned, outDir, topic, pad, format)
+    // outputs are NAMED by the planned group span, not the surviving
+    // rows' min/max: a zero-row group member (a deleteWhere erasure
+    // keeper pinning a shrunk partition max) would otherwise let the
+    // output name collide with a live input — the publish would then
+    // add and remove the same relative path in one version, which
+    // replay nets to REMOVAL (silent data loss) — and merging a
+    // keeper must carry its offset coverage into the merged name so
+    // resume recovery (maxCommittedOffsets) never shrinks
+    val spans = multi.zipWithIndex.map { case (g, i) =>
+      (g.partition, i.toLong) -> (g.start, g.end)
+    }.toMap
+    stageAndCommit(assigned, outDir, s"$outDir/+tmp/$topic",
+      topicOf = None, topic = topic, pad = pad, format = format,
+      nameBounds = spans)
   }
 
   /** Recursive committed-file listing (B10, `FileUtils.java:151-221`):

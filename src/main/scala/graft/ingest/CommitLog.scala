@@ -48,7 +48,7 @@ object CommitLog {
   private def logDir(outDir: String, topic: String) =
     new Path(s"$outDir/$topic/_commitlog")
 
-  private[ingest] def fs(spark: SparkSession, outDir: String): FileSystem =
+  private[graft] def fs(spark: SparkSession, outDir: String): FileSystem =
     FileSystem.get(new Path(outDir).toUri,
       spark.sparkContext.hadoopConfiguration)
 
@@ -62,6 +62,40 @@ object CommitLog {
       .foldLeft(-1L)(math.max)
   }
 
+  /** The CAS in [[publish]] is sound ONLY on filesystems whose rename
+    * REFUSES an existing destination (HDFS, Hadoop's checksummed
+    * LocalFileSystem, the ABFS/GCS committer contracts). On an
+    * overwrite-happy FS (POSIX renameTo via RawLocalFileSystem, some
+    * object-store shims) a lost race silently REPLACES the winner's
+    * commit — the overwritten version's data files are never
+    * referenced and vacuum deletes them: silent data loss. Probe each
+    * filesystem once and refuse loudly up front instead. */
+  private val renameCasOk =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  private[ingest] def requireRenameCas(f: FileSystem, dir: Path): Unit = {
+    // key by implementation class AND uri: RawLocalFileSystem and the
+    // checksummed LocalFileSystem share file:/// but differ in rename
+    // semantics
+    val key = s"${f.getClass.getName}@${f.getUri}"
+    val ok = renameCasOk.computeIfAbsent(key, _ => {
+      val a = new Path(dir, s".caschk-${UUID.randomUUID()}")
+      val b = new Path(dir, s".caschk-${UUID.randomUUID()}")
+      try {
+        Seq(a, b).foreach { p =>
+          val o = f.create(p, false)
+          try o.write(1) finally o.close()
+        }
+        !f.rename(a, b) // must REFUSE the existing destination
+      } finally Seq(a, b).foreach(p => f.delete(p, false))
+    })
+    require(ok,
+      s"filesystem ${f.getUri} overwrites an existing rename destination — " +
+        "the commit log's rename-CAS would silently drop a concurrent " +
+        "commit on it; use a no-overwrite-rename filesystem (HDFS, the " +
+        "checksummed LocalFileSystem) for the log")
+  }
+
   /** Atomically publish one version adding `adds` and removing
     * `removes` (topic-relative paths like
     * `partition=3/t+3+0000000000+0000000009.parquet`). Returns the
@@ -72,6 +106,7 @@ object CommitLog {
     val dir = logDir(outDir, topic)
     val f = fs(spark, outDir)
     f.mkdirs(dir)
+    requireRenameCas(f, dir)
     val body = (adds.sorted.map("a|" + _) ++ removes.sorted.map("r|" + _))
       .mkString("", "\n", "\n")
     val tmp = new Path(dir, s".${UUID.randomUUID()}.tmp")
@@ -349,9 +384,14 @@ object CommitLog {
     }.distinct
     // an idle poll (caught-up consumer, or only compaction swaps since
     // the checkpoint) is a legitimate production call — empty frame at
-    // the topic's live schema, not a crash
-    if (fresh.isEmpty) read(spark, outDir, topic, format, asOf = latest).limit(0)
-    else readFiles(spark, outDir, topic, fresh, format)
+    // the topic's live schema, not a crash. A poll BEFORE the
+    // producer's first publish is equally legitimate (the consumer
+    // started first): there is no schema to carry yet, so it gets the
+    // zero-column empty frame rather than an 'empty commit log' crash
+    if (fresh.isEmpty) {
+      if (latest < 0) spark.emptyDataFrame
+      else read(spark, outDir, topic, format, asOf = latest).limit(0)
+    } else readFiles(spark, outDir, topic, fresh, format)
   }
 
   /** File-level churn between two pinned versions: (files only in
@@ -652,6 +692,26 @@ object CommitLog {
     if (fromVersion >= toVersion) return current
     val (added, removed) =
       diffRows(spark, outDir, srcTopic, fromVersion, toVersion, format)
+    val remKeys0 = removed.select(col("part"), col("off")).distinct()
+    // replacements: re-transform the UPDATED keys' new source content
+    val upd = added.join(remKeys0, Seq("part", "off"), "left_semi")
+    val out = transform(upd)
+    Seq("part", "off").foreach(c => require(out.columns.contains(c),
+      s"relay transforms must preserve the ($c) envelope column — " +
+        "DML cascade rides on (part, off) identity"))
+    cascadeRows(spark, outDir, dstTopic, out, removed, pad, format)
+  }
+
+  /** The destination-side swap shared by [[relayDml]] (incremental
+    * diff cascade) and [[reconcileDerived]] (full-state fallback):
+    * erase `removed`'s (part, off) keys from the destination and land
+    * each row of `out` (ALREADY transformed) in the file that held
+    * its old row, as one atomic version. */
+  private def cascadeRows(spark: SparkSession, outDir: String,
+                          dstTopic: String, out: DataFrame,
+                          removed: DataFrame, pad: Int,
+                          format: String): Long = {
+    val current = latestVersion(spark, outDir, dstTopic)
     val remKeys = removed.select(col("part"), col("off")).distinct()
     val (_, files) = parsedSnapshot(spark, outDir, dstTopic, "dml-relayable")
     // candidate destination files from NAMES alone: a file can hold a
@@ -674,12 +734,6 @@ object CommitLog {
       .select(col("__n")).distinct().collect().map(_.getString(0)).toSet
     if (affectedNames.isEmpty) return current
     val affected = cand.filter(f => affectedNames.contains(f._2))
-    // replacements: re-transform the UPDATED keys' new source content
-    val upd = added.join(remKeys, Seq("part", "off"), "left_semi")
-    val out = transform(upd)
-    Seq("part", "off").foreach(c => require(out.columns.contains(c),
-      s"relay transforms must preserve the ($c) envelope column — " +
-        "DML cascade rides on (part, off) identity"))
     // re-scan exactly the affected files by PATH (deleteWhere's
     // pattern) — never an isin over file names, which at a 100k-file
     // topic would be a giant In expression in the plan
@@ -712,6 +766,54 @@ object CommitLog {
     eraseSwap(spark, outDir, dstTopic, files, affectedNames, sv, pad, format)
   }
 
+  /** Whether [[snapshot]]`(asOf)` can still replay — false once
+    * [[truncateLog]] has deleted the version prefix below `asOf`
+    * without leaving a checkpoint at or below it. Mirrors snapshot's
+    * own truncation guard, as a non-throwing probe. */
+  private[ingest] def replayableAt(spark: SparkSession, outDir: String,
+                                   topic: String, asOf: Long): Boolean = {
+    val dir = logDir(outDir, topic)
+    val f = fs(spark, outDir)
+    if (!f.exists(dir)) return true // empty log: snapshot returns empty
+    val names = f.listStatus(dir).map(_.getPath.getName)
+    val allCkpts = names.filter(_.endsWith(CkptSuffix))
+      .map(_.stripSuffix(CkptSuffix))
+      .filter(_.forall(_.isDigit)).map(_.toLong)
+    val ckptV = allCkpts.filter(_ <= asOf).foldLeft(-1L)(math.max)
+    val allVers = names.filter(_.forall(_.isDigit)).map(_.toLong)
+    !(ckptV < 0 &&
+      ((allVers.nonEmpty && allVers.min > 0) ||
+        (allVers.isEmpty && allCkpts.nonEmpty)))
+  }
+
+  /** Full-state repair for a relay derivative whose cascade watermark
+    * is no longer replayable (source log truncated below it): bag-diff
+    * `transform(live source)` against the live destination and apply
+    * the difference as ONE atomic swap — expensive (two full scans)
+    * but always available, converting the truncated-watermark corner
+    * from a permanent refusal into a converging tick. New source rows
+    * are [[relay]]'s job (call it first, as [[maintainDerived]] does);
+    * added rows whose keys the destination never held are dropped by
+    * the same inner join as [[relayDml]]. */
+  def reconcileDerived(spark: SparkSession, outDir: String, srcTopic: String,
+                       dstTopic: String, transform: DataFrame => DataFrame,
+                       pad: Int = FileNaming.DefaultZeroPadWidth,
+                       format: String = "parquet"): Long = {
+    val srcT = transform(read(spark, outDir, srcTopic, format = format))
+    Seq("part", "off").foreach(c => require(srcT.columns.contains(c),
+      s"relay transforms must preserve the ($c) envelope column — " +
+        "DML cascade rides on (part, off) identity"))
+    val dst = read(spark, outDir, dstTopic, format = format)
+    require(srcT.columns.toSet == dst.columns.toSet,
+      s"reconcile needs matching columns, got " +
+        s"${srcT.columns.toSeq.sorted} vs ${dst.columns.toSeq.sorted}")
+    val aligned = srcT.select(dst.columns.map(col).toIndexedSeq: _*)
+    val added = aligned.exceptAll(dst)
+    val removed = dst.exceptAll(aligned)
+    if (removed.isEmpty) return latestVersion(spark, outDir, dstTopic)
+    cascadeRows(spark, outDir, dstTopic, added, removed, pad, format)
+  }
+
   /** ONE maintenance tick for a relay derivative — the call a cron
     * schedules instead of hand-sequencing [[relay]] and [[relayDml]]:
     * forward the source's NEW rows, then cascade any source DML since
@@ -729,9 +831,13 @@ object CommitLog {
     * CURRENT source version (the initial relay reads live, post-DML
     * data, so there is nothing older to cascade); a pre-existing
     * destination without a marker conservatively cascades from
-    * version 0 once (idempotent, converges). Same retention contract
-    * as any pinned read: tick at least as often as source log
-    * truncation, or the diff range refuses loudly. */
+    * version 0 once (idempotent, converges). Retention: tick at least
+    * as often as source log truncation for cheap incremental ticks;
+    * when truncation HAS outrun the watermark (the source's
+    * [[maintain]] knows nothing of derived pins), the tick detects
+    * the unreplayable range and degrades to [[reconcileDerived]] —
+    * a full-scan repair instead of the permanent refusal a pinned
+    * read would hit. */
   def maintainDerived(spark: SparkSession, outDir: String, srcTopic: String,
                       dstTopic: String, transform: DataFrame => DataFrame,
                       flushSize: Int,
@@ -745,8 +851,16 @@ object CommitLog {
     val w = maxOffsets(spark, outDir, marker)
       .getOrElse(0L, if (fresh) cur else 0L)
     if (cur > w) {
-      relayDml(spark, outDir, srcTopic, dstTopic, transform, w, cur, pad,
-        format)
+      // a watermark the source log can no longer replay (truncation
+      // outran the derived tick) would wedge the cascade forever —
+      // diffRows needs snapshot(asOf = w) — so degrade to the
+      // full-state reconcile instead of refusing every future tick
+      if (replayableAt(spark, outDir, srcTopic, w))
+        relayDml(spark, outDir, srcTopic, dstTopic, transform, w, cur, pad,
+          format)
+      else
+        reconcileDerived(spark, outDir, srcTopic, dstTopic, transform, pad,
+          format)
       import spark.implicits._
       writeLogged(Seq((0L, cur)).toDF("part", "off"), outDir, marker,
         flushSize = 1, pad, format)
@@ -1060,9 +1174,11 @@ object CommitLog {
     val multi = plan.groups.filter(_.files.size > 1)
     if (multi.isEmpty) return latestVersion(spark, outDir, topic)
     // Collision safety against NON-LIVE files still on disk: a merged
-    // group's output name is the min/max of its rows' offsets — a
-    // sub-range of the group span — and the idempotent-redo rename
-    // would silently ADOPT any same-named file. Two distinct cases:
+    // group's output is NAMED by the group's span (so a zero-row
+    // erasure keeper in the group widens the name instead of letting
+    // the output collide with a live input — see rewriteGroups) — and
+    // the idempotent-redo rename would silently ADOPT any same-named
+    // file within that span. Two distinct cases:
     //   - a crashed predecessor's UNPUBLISHED staging (referenced by
     //     no retained version): no reader can hold it — PURGE it, so
     //     the redo rewrites fresh instead of adopting bytes that may

@@ -73,10 +73,8 @@ object CardinalityMonitor {
                            compactEvery: Int = 64): StreamingQuery = {
     val spark = stream.sparkSession
     // crash-window rebuilds re-fingerprint committed files, so the
-    // format must round-trip exactly (same contract as the dedup gate)
-    require(format == "avro" || format == "parquet" || format == "orc",
-      s"cardinality monitoring needs an exactly-round-tripping format " +
-        s"(parquet/orc/avro) for crash-window sketch rebuilds, got: $format")
+    // format must round-trip exactly (the dedup gate's shared contract)
+    DedupIngest.requireRereadable(format, "cardinality monitoring")
     reconcile(spark, outDir, topic, format, k)
     val write = StreamIngest.writerFor(outDir, topic, flushSize, format, avroCodec)
     StreamIngest.commitLoop(stream, checkpoint, trigger,

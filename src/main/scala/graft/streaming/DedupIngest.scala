@@ -73,17 +73,17 @@ object DedupIngest {
     * types (a decimal payload comes back double), so a crash-window
     * rebuild would index fingerprints that never match the gate's and
     * silently re-admit duplicates. */
-  private def requireRereadable(format: String): Unit =
+  private[streaming] def requireRereadable(
+      format: String, purpose: String = "content dedup"): Unit =
     require(format == "avro" || format == "parquet" || format == "orc",
-      s"content dedup needs an exactly-round-tripping format " +
+      s"$purpose needs an exactly-round-tripping format " +
         s"(parquet/orc/avro) for crash-window index rebuilds, got: $format")
 
   private def fpDirPath(outDir: String, topic: String) =
     new Path(s"$outDir/$topic/_fp")
 
   private[graft] def hfs(spark: SparkSession, outDir: String): FileSystem =
-    FileSystem.get(new Path(outDir).toUri,
-      spark.sparkContext.hadoopConfiguration)
+    CommitLog.fs(spark, outDir) // ONE FS-resolution idiom, not three
 
   private val FpSchema =
     StructType(Seq(StructField("fp", org.apache.spark.sql.types.BinaryType)))
@@ -589,8 +589,18 @@ object DedupIngest {
             val corpus = CommitLog
               .readFiles(spark, outDir, topic, liveFiles)
               .select(SF.quantize(col(vecCol)).as("cv"))
+            // corpus size for the rows-per-band derivation comes from
+            // the committed NAME ranges — zero IO, no extra corpus
+            // scan per micro-batch (corpus.count() was a second full
+            // read on top of the band-key join). An erasure gap only
+            // overestimates, and the derivation needs magnitude only.
+            val nameRe = graft.ingest.FileNaming.CommittedFilenameRegex.r
+            val estRows = liveFiles.map(_.split('/').last).collect {
+              case nameRe(t, _, s, e, _) if t == topic =>
+                e.toLong - s.toLong + 1
+            }.sum
             val rows = math.min(maxRows, SF.recommendedRowsPerBand(
-              math.max(1L, corpus.count()), targetBucket))
+              math.max(1L, estRows), targetBucket))
             def keysOf(v: Column) =
               SF.bandedLshKeysQ(v, bands, rows, dims, maxRows)
             val fq = fresh.withColumn("__qv", SF.quantize(col(vecCol)))

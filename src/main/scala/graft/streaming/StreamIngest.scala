@@ -162,7 +162,8 @@ object StreamIngest {
                       flushSize: Int, checkpoint: String, table: String,
                       database: Option[String] = None,
                       trigger: Option[Trigger] = None,
-                      format: String = "parquet"): StreamingQuery = {
+                      format: String = "parquet",
+                      logCheckpointEvery: Int = 64): StreamingQuery = {
     val spark = stream.sparkSession
     val initial = CommitLog.maxOffsets(spark, outDir, topic)
     var tableReady = false
@@ -187,8 +188,15 @@ object StreamIngest {
         write(batch)
       },
       afterWrite = manifest => {
-        CommitLog.publish(spark, outDir, topic,
+        val v = CommitLog.publish(spark, outDir, topic,
           manifest.map(c => relPath(outDir, topic, c.path)))
+        // same replay-rebase cadence as startLogged: without it a
+        // long-lived Hive-synced stream accumulates one log version
+        // per micro-batch and every restart/read replays them all
+        if (logCheckpointEvery > 0 && v > 0 && v % logCheckpointEvery == 0) {
+          CommitLog.checkpoint(spark, outDir, topic)
+          ()
+        }
         manifest.map(_.partition).distinct.filterNot(registered).foreach { p =>
           TableCatalog.addPartition(spark, table, Map("partition" -> p),
             database)
@@ -211,14 +219,20 @@ object StreamIngest {
                            views: Seq[graft.ingest.MaterializedAgg.ViewDef],
                            trigger: Option[Trigger] = None,
                            format: String = "parquet",
-                           avroCodec: String = "null"): StreamingQuery = {
+                           avroCodec: String = "null",
+                           logCheckpointEvery: Int = 64): StreamingQuery = {
     val spark = stream.sparkSession
     commitLoop(stream, checkpoint, trigger,
       initial = CommitLog.maxOffsets(spark, outDir, topic),
       writeFn = writerFor(outDir, topic, flushSize, format, avroCodec),
       afterWrite = manifest => {
-        CommitLog.publish(spark, outDir, topic,
+        val v = CommitLog.publish(spark, outDir, topic,
           manifest.map(c => relPath(outDir, topic, c.path)))
+        // same replay-rebase cadence as startLogged (see startLoggedHive)
+        if (logCheckpointEvery > 0 && v > 0 && v % logCheckpointEvery == 0) {
+          CommitLog.checkpoint(spark, outDir, topic)
+          ()
+        }
         graft.ingest.MaterializedAgg.refreshAll(spark, outDir, topic,
           views, format)
       })
@@ -250,23 +264,35 @@ object StreamIngest {
     // version, so the schema carrier's version is always readable)
     val avail = CommitLog.versions(spark, outDir, topic)
     if (avail.isEmpty) return None
-    val changes = avail.map(v => CommitLog.changesAt(spark, outDir, topic, v))
-    // live set = newest checkpoint's contents + a fold of the changes
-    // ALREADY read above — one O(versions) metadata pass per restart,
-    // not snapshot()'s second replay of the same version files. The
-    // base covers everything below a truncation; only post-checkpoint
-    // changes fold on top. A truncated log with no checkpoint cannot
-    // be replayed from the retained suffix alone — route that (never
-    // produced by truncateLog, which requires a checkpoint) through
-    // snapshot(), which reports it loudly.
+    // LAZY per-version reads, shared by the live fold and the
+    // newest-record tail scan below: the fold touches only versions
+    // above the checkpoint and the tail scan stops at the newest
+    // append, so a restart costs O(post-checkpoint + tail) version
+    // file opens — not one per retained version, which on a year-old
+    // topic that never truncated is tens of thousands of reads whose
+    // contents would mostly be discarded
+    val changeCache =
+      scala.collection.mutable.Map.empty[Long, (Seq[String], Seq[String])]
+    def changeAt(v: Long): (Seq[String], Seq[String]) =
+      changeCache.getOrElseUpdate(v,
+        CommitLog.changesAt(spark, outDir, topic, v))
+    // live set = newest checkpoint's contents + a fold of the
+    // POST-CHECKPOINT changes. The base covers everything below a
+    // truncation; only post-checkpoint changes fold on top. A
+    // truncated log with no checkpoint cannot be replayed from the
+    // retained suffix alone — route that (never produced by
+    // truncateLog, which requires a checkpoint) through snapshot(),
+    // which reports it loudly.
     val (ckptV, base) = CommitLog.checkpointBase(spark, outDir, topic)
     val live: Seq[String] =
       if (ckptV < 0 && avail.min > 0) CommitLog.snapshot(spark, outDir, topic)
       else {
         val l = scala.collection.mutable.LinkedHashSet.empty[String]
         l ++= base
-        avail.zip(changes).foreach { case (v, (adds, removes)) =>
-          if (v > ckptV) { l ++= adds; l --= removes }
+        avail.filter(_ > ckptV).foreach { v =>
+          val (adds, removes) = changeAt(v)
+          l ++= adds
+          l --= removes
         }
         l.toSeq
       }
@@ -284,7 +310,7 @@ object StreamIngest {
     // partition stays live forever while newer appends get rewritten
     // into swaps; preferring "newest live append" would regress the
     // recovered schema to that stale file's).
-    val newestRec = changes.reverseIterator
+    val newestRec = avail.reverseIterator.map(changeAt)
       .collectFirst { case (adds, removes)
           if removes.isEmpty && adds.flatMap(parse).nonEmpty =>
         adds.flatMap(parse).maxBy(t => (t._3, t._1)) }
@@ -735,10 +761,17 @@ object StreamIngest {
         col("w.end").as("session_end"), col("n_events"))
 
   /** Offset-keyed dedup across the stream (at-least-once source →
-    * exactly-once records), bounded by the watermark. */
+    * exactly-once records), bounded by the watermark.
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: with a
+    * key subset that omits the event-time column, plain
+    * dropDuplicates never applies the watermark to its state — one
+    * entry per distinct (part, off) accumulates for the life of the
+    * stream. The WithinWatermark variant evicts state once the
+    * watermark passes, which is exactly the bound an at-least-once
+    * source needs (a redelivery after the delay is out of contract). */
   def dedupOffsets(events: DataFrame, tsCol: String, watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("part", "off")
+      .dropDuplicatesWithinWatermark("part", "off")
 
   /** Stream-stream enrichment join: each left event picks up right
     * events with the same `key` whose timestamp falls in

@@ -112,6 +112,37 @@ class CommitLogSpec extends SparkSuite {
       col("payload") === "nope") === vBefore)
   }
 
+  test("readAddedSince on a not-yet-published topic is an empty poll, not a crash") {
+    val out = Files.createTempDirectory("clog-prepoll").toString
+    // consumer starts before the producer's first publish: the feed
+    // has no schema to carry yet — zero-column empty frame
+    val pre = CommitLog.readAddedSince(spark, out, "t", sinceVersion = -1L)
+    assert(pre.count() === 0)
+    // after the first publish the same poll carries the live schema
+    CommitLog.writeLogged(frame(4), out, "t", flushSize = 4)
+    val caught = CommitLog.readAddedSince(spark, out, "t", sinceVersion = 0L)
+    assert(caught.count() === 0 && caught.columns.contains("payload"))
+  }
+
+  test("publish refuses a filesystem whose rename overwrites (CAS unsound there)") {
+    val out = Files.createTempDirectory("clog-rawfs").toString
+    // RawLocalFileSystem renames over an existing destination (POSIX
+    // renameTo) — the version-number CAS would silently drop a
+    // concurrent commit, so the probe must refuse it up front
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem()
+    raw.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$out/probe")
+    raw.mkdirs(dir)
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.requireRenameCas(raw, dir)
+    }
+    assert(e.getMessage.contains("overwrites an existing rename destination"))
+    // the checksummed LocalFileSystem the engine actually gets is fine
+    CommitLog.writeLogged(frame(2), out, "t", flushSize = 2)
+    assert(CommitLog.read(spark, out, "t").count() === 2)
+  }
+
   test("compactByKey: materialized log compaction keeps each key's latest row") {
     val out = Files.createTempDirectory("clog-kcompact").toString
     // changelog shape: key = payload prefix, several generations
@@ -259,6 +290,35 @@ class CommitLogSpec extends SparkSuite {
       ((0L to 12L).filter(_ != 5L)).toArray)
   }
 
+  test("compactLogged merges a zero-row keeper: name widens to the group span, no data loss") {
+    val out = Files.createTempDirectory("clog-keeper-merge").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    CommitLog.writeLogged(one(0L to 4L), out, "t", flushSize = 5) // [0,4]
+    CommitLog.writeLogged(one(5L to 9L), out, "t", flushSize = 5) // [5,9]
+    // erase the whole partition-max file: pure remove + keeper [9,9]
+    CommitLog.deleteWhere(spark, out, "t", col("off") >= 5L)
+    assert(CommitLog.snapshot(spark, out, "t") === Seq(
+      "partition=0/t+0+0000000000+0000000004.parquet",
+      "partition=0/t+0+0000000009+0000000009.parquet"))
+    // clear the retained pre-erasure [5,9] bytes so the group is
+    // mergeable this cycle (compaction skips spans overlapping
+    // retained files)
+    CommitLog.vacuum(spark, out, "t", graceMs = 0)
+    CommitLog.compactLogged(spark, out, "t", targetRecords = 64, graceMs = 0)
+    // the merged output must NOT be named [0,4] (the live input — the
+    // publish would add and remove the same path in one version,
+    // which replay nets to removal: rows 0-4 silently lost); it
+    // claims the full group span so keeper coverage rides along
+    assert(CommitLog.snapshot(spark, out, "t") ===
+      Seq("partition=0/t+0+0000000000+0000000009.parquet"))
+    assert(CommitLog.read(spark, out, "t")
+      .select("off").as[Long].collect().sorted === (0L to 4L).toArray,
+      "rows must survive a keeper merge")
+    // resume coverage still pins the erased top: offsets 5-9 are
+    // covered by the merged name, so a restart never re-ingests them
+    assert(CommitLog.maxOffsets(spark, out, "t") === Map(0L -> 9L))
+  }
+
   test("compactLogged grace window shields an in-flight writer's renamed-but-unpublished file") {
     val out = Files.createTempDirectory("clog-grace").toString
     def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
@@ -346,6 +406,40 @@ class CommitLogSpec extends SparkSuite {
     // a caught-up cascade (empty version range) is a version no-op
     assert(CommitLog.relayDml(spark, out, "src", "dst", clean, to, to) ===
       CommitLog.latestVersion(spark, out, "dst"))
+  }
+
+  test("maintainDerived survives source truncation below its watermark via full reconcile") {
+    val out = Files.createTempDirectory("clog-maintder-trunc").toString
+    def one(os: Seq[Long]) = os.map(o => (0L, o, s"v$o")).toDF("part", "off", "payload")
+    val up: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.withColumn("payload", upper(col("payload")))
+    CommitLog.writeLogged(one(0L to 4L), out, "src", flushSize = 5)
+    CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
+    // source moves on: appends + DML, then maintenance that truncates
+    // the log below the derived watermark (maintain knows nothing of
+    // derived pins — the old behavior wedged every future tick on
+    // 'history truncated')
+    CommitLog.writeLogged(one(5L to 9L), out, "src", flushSize = 5)
+    CommitLog.updateWhere(spark, out, "src", col("off") === 2L,
+      Map("payload" -> lit("patched")))
+    CommitLog.deleteWhere(spark, out, "src", col("off") === 7L)
+    CommitLog.writeLogged(one(10L to 11L), out, "src", flushSize = 5)
+    CommitLog.maintain(spark, out, "src", targetRecords = 64, graceMs = 0)
+    CommitLog.maintain(spark, out, "src", targetRecords = 64, graceMs = 0)
+    assert(!CommitLog.replayableAt(spark, out, "src", 0L),
+      "precondition: the watermark version must actually be truncated")
+    // the tick degrades to reconcile instead of refusing forever
+    CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
+    val back = CommitLog.read(spark, out, "dst")
+      .select(col("off"), col("payload")).as[(Long, String)].collect().toMap
+    assert(back === (0L to 11L).filter(_ != 7L)
+      .map(o => o -> (if (o == 2L) "PATCHED" else s"V$o")).toMap,
+      "reconcile must converge the derivative to transform(live source)")
+    // and the NEXT tick is incremental again (watermark advanced)
+    CommitLog.deleteWhere(spark, out, "src", col("off") === 0L)
+    CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
+    assert(!CommitLog.read(spark, out, "dst")
+      .select("off").as[Long].collect().contains(0L))
   }
 
   test("maintainDerived: one tick forwards appends and cascades DML; watermark rides filenames") {
