@@ -41,6 +41,12 @@ case class MinKDistinct(
     if (value.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"min_k_distinct needs (bigint, int), got ${value.dataType.sql}")
+    // type check BEFORE the eval: a non-numeric foldable k (a string
+    // or date literal) must fail analysis cleanly, not throw a raw
+    // ClassCastException out of the Number cast
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"min_k_distinct k must be an integer, got ${kExpr.dataType.sql}")
     else if (!kExpr.foldable || kExpr.eval() == null ||
       kExpr.eval().asInstanceOf[Number].intValue() <= 0)
       TypeCheckResult.TypeCheckFailure("min_k_distinct k must be a positive literal")

@@ -49,6 +49,11 @@ case class TopKPairs(
       TypeCheckResult.TypeCheckFailure(
         s"topk_pairs needs (bigint, bigint, int), got " +
           s"${ord.dataType.sql}, ${id.dataType.sql}")
+    // type check BEFORE the eval: a non-numeric foldable k must fail
+    // analysis cleanly, not throw out of the Number cast
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs k must be an integer, got ${kExpr.dataType.sql}")
     else if (!kExpr.foldable || kExpr.eval() == null ||
       kExpr.eval().asInstanceOf[Number].intValue() <= 0)
       TypeCheckResult.TypeCheckFailure("topk_pairs k must be a positive literal")

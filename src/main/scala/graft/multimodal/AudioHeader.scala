@@ -22,12 +22,15 @@ object AudioHeader {
                              sampleRate: Int, bitsPerSample: Int,
                              nFrames: Long, durationMs: Long)
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
+  // ONE set of RIFF little-endian readers for the package (the
+  // VideoHeader/VideoSamples pattern) — PcmSamples shares these
+  private[multimodal] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private[multimodal] def le16(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8)
+  private[multimodal] def le32(b: Array[Byte], i: Int): Long =
     u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
       (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
-  private def tag(b: Array[Byte], i: Int): String =
+  private[multimodal] def tag(b: Array[Byte], i: Int): String =
     new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   def parseWav(b: Array[Byte]): Option[AudioMeta] = {

@@ -60,11 +60,16 @@ object ImageFixtures {
   def pngBytesHashed(w: Int, h: Int, colorType: Int, key: Long,
                      brightness: Int): Array[Byte] = {
     require(brightness >= 0 && brightness <= 128, s"brightness $brightness")
-    // murmur-style avalanche: the key multiplies in BEFORE the spatial
-    // terms (a plain XOR constant would shift every pixel by the same
-    // low-bit mask and keep most pixel comparisons key-independent)
+    // full-avalanche key finalizer (splitmix64) BEFORE the spatial
+    // terms — the same fix blockMix documents: a bare `key * GOLDEN`
+    // leaves keys at constant additive distance with correlated low
+    // bits, and key pairs sampling the same pixel grid can then
+    // produce structurally-near rasters (spurious dHash near-dups)
     encodePng(w, h, colorType, (x, y, c) => {
-      var m = (key * 0x9E3779B97F4A7C15L).toInt
+      var z = key + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      var m = (z ^ (z >>> 31)).toInt
       m = (m ^ x) * 0x85EBCA6B
       m = (m ^ y) * 0xC2B2AE35
       m = (m ^ c) * 0x27D4EB2F

@@ -75,6 +75,11 @@ object ImageHeader {
         val len = be16(b, i + 2)
         if (len < 2) return None
         if (isSof(m)) {
+          // the SOF payload must contain the 6 header bytes we read —
+          // bound by the declared segment length, not just the array,
+          // or a lying length reports the NEXT marker's bytes as
+          // dimensions
+          if (len < 2 + 6) return None
           if (i + 9 >= b.length) return None
           val precision = u8(b, i + 4)
           val h = be16(b, i + 5)

@@ -308,11 +308,16 @@ object JpegPixels {
               if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
             }
           case 0xc0 | 0xc1 => // SOF0/SOF1: baseline / extended sequential
+            // same segment-bounds rule as DQT/DHT: a lying length
+            // would let the component specs read the next marker's
+            // bytes in-bounds and decode a silently wrong raster
+            if (bodyLen < 6) return None
             if (u8(b, body) != 8) return None // 8-bit precision only
             h = be16(b, body + 1)
             w = be16(b, body + 3)
             val nc = u8(b, body + 5)
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (bodyLen < 6 + 3 * nc) return None
             comps = Array.tabulate(nc) { c =>
               val o = body + 6 + 3 * c
               Comp(u8(b, o), u8(b, o + 1) >> 4, u8(b, o + 1) & 15, u8(b, o + 2))
@@ -322,11 +327,15 @@ object JpegPixels {
           case mm if mm >= 0xc2 && mm <= 0xcf && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
             return None // progressive / arithmetic / lossless / hierarchical
           case 0xdd => // DRI
+            if (bodyLen < 2) return None
             restartInterval = be16(b, body)
           case 0xda => // SOS — entropy data follows; decode and return
             if (comps == null) return None
+            if (bodyLen < 1) return None
             val ns = u8(b, body)
             if (ns != comps.length) return None
+            // ns byte + 2 bytes per component + Ss/Se/AhAl trailer
+            if (bodyLen < 1 + 2 * ns + 3) return None
             val scanDc = new Array[Huff](ns)
             val scanAc = new Array[Huff](ns)
             val order = new Array[Int](ns)

@@ -36,6 +36,13 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("duration_ms", LongType)))
 
+  /** The (media_id, mime, payload) shape every synthetic* generator
+    * emits — ONE declaration, not one per builder. */
+  val syntheticMediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
   /** Feature row produced per media item by the decode pass. */
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -199,36 +206,46 @@ object Multimodal {
         val id = r.getLong(0)
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         decodeRaster(bytes) match {
-          case Some(img) =>
-            val ch = img.channels
-            val n = img.width.toLong * img.height
-            val sums = new Array[Long](ch)
-            val mins = Array.fill(ch)(255)
-            val maxs = new Array[Int](ch)
-            var i = 0
-            while (i < img.pixels.length) {
-              val c = i % ch
-              val v = img.pixels(i) & 0xff
-              sums(c) += v
-              if (v < mins(c)) mins(c) = v
-              if (v > maxs(c)) maxs(c) = v
-              i += 1
-            }
-            (0 until ch).map(c => Row(id, c, n, sums(c), mins(c), maxs(c),
-              sums(c).toDouble / n.toDouble))
-          case None =>
-            val n = math.max(bytes.length, 1).toLong
-            var sum = 0L; var mn = 255; var mx = 0
-            bytes.foreach { b =>
-              val v = b & 0xff
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-            }
-            if (bytes.isEmpty) { mn = 0 }
-            Seq(Row(id, -1, n, sum, mn, mx, sum.toDouble / n.toDouble))
+          case Some(img) => channelStatRows(id, img)
+          case None => Seq(byteStatRow(id, bytes))
         }
       }(enc)
+  }
+
+  /** Per-channel stats rows for a decoded raster — the ONE loop the
+    * full-resolution and resized stats passes share. */
+  private def channelStatRows(id: Long, img: PngPixels.Image): Seq[Row] = {
+    val ch = img.channels
+    val n = img.width.toLong * img.height
+    val sums = new Array[Long](ch)
+    val mins = Array.fill(ch)(255)
+    val maxs = new Array[Int](ch)
+    var i = 0
+    while (i < img.pixels.length) {
+      val c = i % ch
+      val v = img.pixels(i) & 0xff
+      sums(c) += v
+      if (v < mins(c)) mins(c) = v
+      if (v > maxs(c)) maxs(c) = v
+      i += 1
+    }
+    (0 until ch).map(c => Row(id, c, n, sums(c), mins(c), maxs(c),
+      sums(c).toDouble / n.toDouble))
+  }
+
+  /** The channel = -1 byte-stats fallback row for payloads no in-JVM
+    * codec rasterizes — shared by every stats pass's quarantine arm. */
+  private def byteStatRow(id: Long, bytes: Array[Byte]): Row = {
+    val n = math.max(bytes.length, 1).toLong
+    var sum = 0L; var mn = 255; var mx = 0
+    bytes.foreach { b =>
+      val v = b & 0xff
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+    }
+    if (bytes.isEmpty) { mn = 0 }
+    Row(id, -1, n, sum, mn, mx, sum.toDouble / n.toDouble)
   }
 
   /** REAL decode → REAL resize → per-channel stats, batched: the
@@ -246,24 +263,8 @@ object Multimodal {
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
         decodeRaster(bytes).filter(i =>
             i.width >= factor && i.height >= factor).toSeq.flatMap { full =>
-          val img = resizeRaster(full, full.width / factor,
-            full.height / factor)
-          val ch = img.channels
-          val n = img.width.toLong * img.height
-          val sums = new Array[Long](ch)
-          val mins = Array.fill(ch)(255)
-          val maxs = new Array[Int](ch)
-          var i = 0
-          while (i < img.pixels.length) {
-            val c = i % ch
-            val v = img.pixels(i) & 0xff
-            sums(c) += v
-            if (v < mins(c)) mins(c) = v
-            if (v > maxs(c)) maxs(c) = v
-            i += 1
-          }
-          (0 until ch).map(c => Row(id, c, n, sums(c), mins(c), maxs(c),
-            sums(c).toDouble / n.toDouble))
+          channelStatRows(id, resizeRaster(full, full.width / factor,
+            full.height / factor))
         }
       }(enc)
   }
@@ -275,11 +276,7 @@ object Multimodal {
     * image at 4-px blocks — SQL-recomputable despite a real resize
     * having run. */
   def syntheticResizeImages(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -331,11 +328,7 @@ object Multimodal {
     * the fixture half of the `multimodal_decode` round-trip: builder
     * and parser meet only at the public byte format. */
   def syntheticImages(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -426,11 +419,7 @@ object Multimodal {
     * copy-dependent brightness offset, bounded so nothing clamps. A
     * perceptual dedup must pair exactly the same-key documents. */
   def syntheticNearDupImages(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -459,11 +448,7 @@ object Multimodal {
     * "same image saved in another format" duplicate class an
     * image-dedup pipeline has to collapse across container types. */
   def syntheticCrossFormatImages(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -523,17 +508,7 @@ object Multimodal {
             }
             (0 until ch).map(c => Row(id, c, a.nFrames, sums(c), mins(c),
               maxs(c), sums(c).toDouble / a.nFrames.toDouble))
-          case _ =>
-            val n = math.max(bytes.length, 1).toLong
-            var sum = 0L; var mn = 255; var mx = 0
-            bytes.foreach { b =>
-              val v = b & 0xff
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-            }
-            if (bytes.isEmpty) { mn = 0 }
-            Seq(Row(id, -1, n, sum, mn, mx, sum.toDouble / n.toDouble))
+          case _ => Seq(byteStatRow(id, bytes))
         }
       }(enc)
   }
@@ -572,11 +547,7 @@ object Multimodal {
     * arithmetically from `doc_id` (SQL-recomputable), bytes built by
     * [[AudioFixtures]]. The audio half of the decode round-trip. */
   def syntheticAudio(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -626,11 +597,7 @@ object Multimodal {
     * timescale, duration and track count derived arithmetically from
     * `doc_id` (SQL-recomputable), bytes built by [[VideoFixtures]]. */
   def syntheticVideo(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -687,11 +654,7 @@ object Multimodal {
     * recomputes the whole plan (sizes, prefix-sum offsets, pts grid,
     * keyframe cadence). */
   def syntheticSampledVideos(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -766,11 +729,7 @@ object Multimodal {
     * flat-block levels derive arithmetically from `doc_id`, so a SQL
     * oracle regenerates each sampled frame's decoded raster. */
   def syntheticMjpegVideos(docs: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("mime", StringType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
       .mapPartitions { rows =>
         rows.map { r =>

@@ -16,13 +16,7 @@ object PcmSamples {
   final case class Audio(channels: Int, bitsPerSample: Int,
                          nFrames: Long, samples: Array[Int])
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
-      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
-  private def tag(b: Array[Byte], i: Int): String =
-    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  import AudioHeader.{le16, le32, tag, u8} // shared RIFF readers
 
   def decode(b: Array[Byte]): Option[Audio] = {
     if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")

@@ -81,6 +81,14 @@ object IvfIndex {
             statsCols: Seq[String] = Nil,
             bloomCols: Seq[String] = Nil): Long = {
     val spark = vecs.sparkSession
+    // BEFORE any topic commits: serving (probeCells) embeds the
+    // centroid table as plan literals and refuses k beyond
+    // LiteralAssignMaxK — a build that exceeded it would commit an
+    // index its own search entry can never read
+    require(k > 0 && k <= KMeans.LiteralAssignMaxK,
+      s"k=$k: serving embeds centroids as plan literals " +
+        s"(≤ ${KMeans.LiteralAssignMaxK} cells) — shard the corpus " +
+        "across indexes instead of widening one quantizer")
     require(CommitLog.latestVersion(spark, indexDir, VectorsTopic) < 0,
       s"index at $indexDir already built — append() grows it, " +
         "a retrain is a new index dir")
@@ -519,6 +527,9 @@ object IvfIndex {
               k: Int, iters: Int, parts: Int = 4,
               flushSize: Int = 1 << 20): Long = {
     val spark = vecs.sparkSession
+    require(k > 0 && k <= KMeans.LiteralAssignMaxK,
+      s"k=$k: codebook cells embed as plan literals " +
+        s"(≤ ${KMeans.LiteralAssignMaxK})") // before any topic commits
     require(CommitLog.latestVersion(spark, indexDir, PqCodesTopic) < 0,
       s"PQ index at $indexDir already built — a retrain is a new index dir")
     val books = KMeans.fitSubspaces(vecs, m, subDims, k, iters)
@@ -639,6 +650,17 @@ object IvfIndex {
                  statsCols: Seq[String] = Nil,
                  bloomCols: Seq[String] = Nil): Long = {
     val spark = vecs.sparkSession
+    // BEFORE any topic commits: both the encode path (cellOf) and
+    // serving embed centroid/codebook tables as plan literals — a k
+    // or pqK past LiteralAssignMaxK would crash AFTER the centroids
+    // topic committed, leaving a dir that can neither finish building
+    // nor rebuild (the already-built guards below refuse the retry)
+    require(k > 0 && k <= KMeans.LiteralAssignMaxK,
+      s"k=$k: encode/serving embed centroids as plan literals " +
+        s"(≤ ${KMeans.LiteralAssignMaxK} cells)")
+    require(pqK > 0 && pqK <= KMeans.LiteralAssignMaxK,
+      s"pqK=$pqK: codebook cells embed as plan literals " +
+        s"(≤ ${KMeans.LiteralAssignMaxK})")
     require(CommitLog.latestVersion(spark, indexDir, IvfPqCodesTopic) < 0,
       s"IVF-PQ index at $indexDir already built — a retrain is a new dir")
     // the coarse quantizer shares CentroidsTopic with plain IVF, so a

@@ -66,10 +66,20 @@ object ShardExport {
     // the shard count (BatchWriter encodes the partition as int —
     // silent wrap would strand files outside the committed-name regex)
     val stats = df.agg(count(lit(1)).as("n"),
-      count(when(col(idCol).isNull, 1)).as("nulls")).collect()(0)
-    val (n, nulls) = (stats.getLong(0), stats.getLong(1))
+      count(when(col(idCol).isNull, 1)).as("nulls"),
+      countDistinct(col(idCol)).as("ids")).collect()(0)
+    val (n, nulls, ids) = (stats.getLong(0), stats.getLong(1),
+      stats.getLong(2))
     require(nulls == 0L, s"$nulls rows have a null $idCol — no " +
       "deterministic shuffle position exists for them")
+    // duplicate ids break determinism the same way nulls do: both
+    // copies hash identically and tie on the id tiebreak, so the rank
+    // orders them by physical partition order — a shard boundary
+    // between them would place DIFFERENT payloads per run
+    require(ids == n - nulls,
+      s"${n - nulls - ids} duplicate $idCol value(s) — shard " +
+        "determinism needs one row per id (dedupe or disambiguate " +
+        "the id first)")
     if (n == 0L) return -1L
     require((n - 1) / rowsPerShard <= Int.MaxValue,
       s"${(n + rowsPerShard - 1) / rowsPerShard} shards exceed the " +

@@ -27,11 +27,19 @@ object ZOrder {
   /** Bit-interleave two `bits`-bit non-negative coordinates into a
     * `2·bits`-bit Morton code: x occupies even bit positions, y odd.
     * Coordinates must already be folded into [0, 2^bits). */
-  def interleave(x: Column, y: Column, bits: Int): Column =
+  def interleave(x: Column, y: Column, bits: Int): Column = {
+    // same bit-budget guard as interleaveN: past 2·bits = 63 the JVM
+    // wraps the shift distance (x << 65 ≡ x << 1) and high coordinate
+    // bits silently fold onto low Morton positions; at exactly 64 the
+    // top position is the sign bit and downstream arithmetic shifts
+    // sign-extend
+    require(bits > 0 && 2 * bits <= 63,
+      s"2·$bits Morton bits exceed a Long's non-sign capacity (63)")
     (0 until bits).map { i =>
       shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+  }
 
   /** K-ary generalization of [[interleave]]: bit i of coordinate c
     * lands at position `i·k + c` (for k = 2 this is exactly
