@@ -141,6 +141,12 @@ object AvroSink {
             rotationBucket: Option[Column] = None)
       : Seq[BatchWriter.CommittedFile] = {
     codecFor(codec) // validate on the driver, not first-task
+    // same charset gate as the BatchWriter formats: an out-of-charset
+    // topic writes names the committed-file regex can never parse
+    // back (offset recovery silently restarts at 0), and a '/'
+    // escapes the layout entirely
+    require(FileNaming.isValidTopicName(topic),
+      s"illegal topic name: '$topic'")
     val spark = df.sparkSession
     SessionSafety.disableNaNDroppingCachePruning(spark)
     val sized = (rotationBucket match {
@@ -233,7 +239,19 @@ object AvroSink {
       }
       ok = true
     } finally {
-      writers.values.foreach { case (_, w) => w.close() }
+      // close EVERY writer even when one close throws (disk-full at
+      // final-block flush): a plain foreach would skip the rest,
+      // leaking their output streams across task retries and
+      // stranding their temps un-deleted
+      val bodyOk = ok
+      var firstClose: Throwable = null
+      writers.values.foreach { case (_, w) =>
+        try w.close()
+        catch { case t: Throwable =>
+          if (firstClose == null) firstClose = t else firstClose.addSuppressed(t)
+          ok = false
+        }
+      }
       if (ok)
         writers.foreach { case ((p, i), (tmp, _)) =>
           val dest = new Path(s"$staged/part=$p/file_idx=$i/part-0.avro")
@@ -241,6 +259,12 @@ object AvroSink {
         }
       else
         writers.values.foreach { case (tmp, _) => fs.delete(tmp, false) }
+      // a failed close means unflushed data: the task MUST fail even
+      // though the row loop succeeded (returning normally here would
+      // let the commit adopt a truncated file). When the BODY already
+      // threw, let ITS exception propagate — rethrowing here would
+      // mask the root cause.
+      if (bodyOk && firstClose != null) throw firstClose
     }
   }
 

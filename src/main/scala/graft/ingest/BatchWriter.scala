@@ -263,8 +263,10 @@ object BatchWriter {
     // overwrite-mode staging write wipes a crashed predecessor's
     // leftovers instead of leaking uuid dirs. Discipline: one
     // multi-topic writer per store, the same one-writer-per-staging-dir
-    // rule the per-topic path already implies.
-    stageAndCommit(sized, outDir, s"$outDir/+tmp/.multi",
+    // rule the per-topic path already implies. `+multi`, not a
+    // topic-legal name: the charset [A-Za-z0-9._-] admits ".multi",
+    // so a topic of that name would share (and wipe) this directory
+    stageAndCommit(sized, outDir, s"$outDir/+tmp/+multi",
       topicOf = Some("topic"), topic = "", pad = pad, format = format)
   }
 
@@ -346,14 +348,23 @@ object BatchWriter {
       }
       var start = -1L
       var end = -1L
+      var acc = 0L
       var names = List.empty[String]
       kept.result().foreach { f =>
         if (names.isEmpty) start = f.start
         names = f.name :: names
         end = f.end
-        if (end - start + 1 >= targetRecords) {
+        // size by the SUM of per-file name spans, not end − start of
+        // the group: an offset gap between files (Kafka retention
+        // expiry, erasure) holds no records — counting it would close
+        // chronically undersized groups on gappy topics. The OUTPUT
+        // name still spans the whole group (gaps claim no data and
+        // keep resume coverage monotone).
+        acc += f.end - f.start + 1
+        if (acc >= targetRecords) {
           groups += CompactGroup(p, start, end, names.reverse)
           names = Nil
+          acc = 0L
         }
       }
       if (names.nonEmpty) groups += CompactGroup(p, start, end, names.reverse)

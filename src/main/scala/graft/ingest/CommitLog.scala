@@ -374,14 +374,22 @@ object CommitLog {
     * pending appends' ORIGINAL files unreferenced, so a consumer must
     * catch up within the vacuum grace window of any compaction that
     * overlaps its backlog — retain what your consumers still need. */
+  /** Relative paths added by APPEND versions in `(from, to]` — the
+    * commit-kind delta scan shared by the change feed and the
+    * materialized-view refresh (a version carrying removes is a
+    * compaction/DML rewrite of already-live offsets, never new data). */
+  def addedRelsBetween(spark: SparkSession, outDir: String, topic: String,
+                       from: Long, to: Long): Seq[String] =
+    ((from + 1) to to).flatMap { v =>
+      val (adds, removes) = changesAt(spark, outDir, topic, v)
+      if (removes.isEmpty) adds else Seq.empty // swaps rewrite, appends add
+    }.distinct
+
   def readAddedSince(spark: SparkSession, outDir: String, topic: String,
                      sinceVersion: Long,
                      format: String = "parquet"): DataFrame = {
     val latest = latestVersion(spark, outDir, topic)
-    val fresh = (sinceVersion + 1 to latest).flatMap { v =>
-      val (adds, removes) = changesAt(spark, outDir, topic, v)
-      if (removes.isEmpty) adds else Seq.empty // swaps rewrite, appends add
-    }.distinct
+    val fresh = addedRelsBetween(spark, outDir, topic, sinceVersion, latest)
     // an idle poll (caught-up consumer, or only compaction swaps since
     // the checkpoint) is a legitimate production call — empty frame at
     // the topic's live schema, not a crash. A poll BEFORE the

@@ -219,11 +219,17 @@ object FileBloom {
     val files = DedupIngest.fpFiles(f, bloomDir(outDir, topic))
       .map(_._2.toString)
     if (files.isEmpty) return rels
-    val analyzed = CommitLog.readFiles(spark, outDir, topic,
-      rels.take(1), format).filter(predicate).queryExecution.analyzed
-    val cond = analyzed.collectFirst {
-      case fl: logical.Filter => fl.condition
-    }.getOrElse(return rels)
+    // same degradation rule as FileStats.pruneRels: the resolution
+    // probe runs against ONE file's schema, and on a schema-evolved
+    // topic the predicate's column may be absent from that file —
+    // resolution failure must degrade to "never refute", not a
+    // thrown plan error
+    val cond =
+      (try CommitLog.readFiles(spark, outDir, topic, rels.take(1), format)
+        .filter(predicate).queryExecution.analyzed
+        .collectFirst { case fl: logical.Filter => fl.condition }
+      catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse(return rels)
     val eqs = eqConjuncts(cond)
     if (eqs.isEmpty) return rels
     val colNames = eqs.map(_._1).distinct

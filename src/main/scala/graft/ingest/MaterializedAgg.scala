@@ -85,12 +85,31 @@ object MaterializedAgg {
     val s1 = CommitLog.latestVersion(spark, outDir, sourceTopic)
     val w = watermark(spark, outDir, viewTopic)
     if (s1 <= w) return w
+    // the incremental window needs every version file in (w, s1] —
+    // truncateLog (run by the source's maintain(), which knows
+    // nothing of view watermarks) may have deleted the prefix, and a
+    // raw changesAt walk would then throw FileNotFoundException on
+    // EVERY future refresh. Rebuild the exact state from the live
+    // snapshot instead — expensive, converging, and also the path a
+    // brand-new view on a truncated topic takes to catch up.
+    val availVers =
+      CommitLog.versions(spark, outDir, sourceTopic).toSet
+    if (!((w + 1) to s1).forall(availVers.contains)) {
+      val snap = CommitLog.snapshot(spark, outDir, sourceTopic)
+      if (snap.isEmpty) return w // nothing live to rebuild from
+      val raw = derive.foldLeft(
+        CommitLog.readFiles(spark, outDir, sourceTopic, snap, format)) {
+        case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))
+      }
+      val full = aggregate(raw, keys, sums, distincts)
+      publishState(spark, outDir, viewTopic, full, s1, startIdx = 0,
+        numFiles, CommitLog.snapshot(spark, outDir, viewTopic))
+      return s1
+    }
     // appends only, pinned to (w, s1] — a publish racing this refresh
     // lands above s1 and is the NEXT refresh's delta
-    val freshRels = ((w + 1) to s1).flatMap { v =>
-      val (adds, removes) = CommitLog.changesAt(spark, outDir, sourceTopic, v)
-      if (removes.isEmpty) adds else Seq.empty
-    }.distinct
+    val freshRels =
+      CommitLog.addedRelsBetween(spark, outDir, sourceTopic, w, s1)
     if (freshRels.isEmpty) return w // only swaps in the window
     // derived keys (event-time buckets and the like) project onto the
     // delta BEFORE aggregation; they must be deterministic row-local
@@ -227,10 +246,14 @@ object MaterializedAgg {
     if (!f.exists(root)) return Seq.empty
     val live = CommitLog.snapshot(spark, outDir, viewTopic).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    val doomed = f.listStatus(root).toSeq.map(_.getPath)
-      .filter(p => ViewFile.pattern.matcher(p.getName).matches())
-      .filter(p => !live.contains(p.getName))
-      .filter(p => f.getFileStatus(p).getModificationTime <= cutoff)
+    // filter on the statuses listStatus already returned — a
+    // per-file getFileStatus would re-fetch the modtime with one
+    // extra namenode round trip each
+    val doomed = f.listStatus(root).toSeq
+      .filter(st => ViewFile.pattern.matcher(st.getPath.getName).matches())
+      .filter(st => !live.contains(st.getPath.getName))
+      .filter(st => st.getModificationTime <= cutoff)
+      .map(_.getPath)
     doomed.foreach(p => f.delete(p, false))
     doomed.map(_.getName)
   }
@@ -246,7 +269,7 @@ object MaterializedAgg {
       .agg(count(lit(1)).as("n"),
         sums.map(c => sum(col(c)).as(s"sum_$c")) ++
           distincts.map(c =>
-            expr(s"hll_sketch_agg($c)").as(s"hll_$c")): _*)
+            expr(s"hll_sketch_agg(`$c`)").as(s"hll_$c")): _*)
 
   /** Merge partial-aggregate tables: counts and sums re-sum, sketches
     * re-union. */
@@ -256,7 +279,7 @@ object MaterializedAgg {
       .agg(sum(col("n")).as("n"),
         sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
           distincts.map(c =>
-            expr(s"hll_union_agg(hll_$c)").as(s"hll_$c")): _*)
+            expr(s"hll_union_agg(`hll_$c`)").as(s"hll_$c")): _*)
 
   /** [[read]] with each sketch column rendered as its estimate
     * (`n_distinct_<c>`) — the consumer-facing face of the view. */
@@ -264,6 +287,6 @@ object MaterializedAgg {
                     distincts: Seq[String]): DataFrame =
     distincts.foldLeft(read(spark, outDir, viewTopic)) { (df, c) =>
       df.withColumn(s"n_distinct_$c",
-        expr(s"hll_sketch_estimate(hll_$c)")).drop(s"hll_$c")
+        expr(s"hll_sketch_estimate(`hll_$c`)")).drop(s"hll_$c")
     }
 }

@@ -22,12 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Rotation {
 
-  /** Exact integer division for non-negative longs expressed in Column
-    * algebra (`a div b`): the subtraction makes the numerator an exact
-    * multiple, so the double division is exact — unlike `floor(a / b)`,
-    * which can be off by one ULP near integer quotients. */
+  /** Exact floor division for longs expressed in Column algebra. The
+    * quotient routes through DECIMAL(38,0), not double: `(a −
+    * pmod(a,b)) / b` on longs is a DOUBLE division in Spark, exact
+    * only below 2⁵³ — an epoch-micros or wide-offset numerator above
+    * that would round the exact multiple and land records one
+    * file/bucket off. Decimal division of the exact multiple is exact
+    * over the full long range. */
   def longDiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
 
   /** Join `df` with the per-key minimum of `valueCol` (broadcast — the
     * aggregate has one row per topic-partition). */

@@ -28,6 +28,18 @@ class AvroSinkSpec extends SparkSuite {
       Seq((0L, "v0", 0.0), (1L, "v1", 1.5), (2L, "v2", 3.0)))
   }
 
+  test("an out-of-charset topic name refuses before any write") {
+    val out = java.nio.file.Files.createTempDirectory("avro-badname").toString
+    // "x+1" would write names the committed-file regex never parses
+    // back (offset recovery silently restarts at 0); "a/b" escapes
+    // the directory layout entirely
+    for (bad <- Seq("x+1", "a/b")) {
+      intercept[IllegalArgumentException] {
+        AvroSink.write(records(2), out, bad, flushSize = 2)
+      }
+    }
+  }
+
   test("deflate, snappy and bzip2 codecs write readable files") {
     // the reference's full avro.codec lattice minus "null" (golden test
     // above), DataWriterAvroTest.java:406-440

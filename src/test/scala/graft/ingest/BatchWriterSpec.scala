@@ -106,7 +106,19 @@ class BatchWriterSpec extends SparkSuite {
     assert(BatchWriter.listCommitted(spark, out, "alpha").isEmpty,
       "no file may commit when any topic in the batch is illegal")
     // staging cleaned on the validation failure
-    assert(!new java.io.File(s"$out/+tmp/.multi").exists())
+    assert(!new java.io.File(s"$out/+tmp/+multi").exists())
+  }
+
+  test("planCompaction sizes groups by per-file spans, not gap-inclusive group span") {
+    // retention-expired gap 10..99: the gap holds no records, so the
+    // two 10-record files must land in ONE group (the old end-start
+    // sizing counted the 90 missing offsets and closed an undersized
+    // group at the first file)
+    val plan = BatchWriter.planCompaction(Seq(
+      BatchWriter.CompactFile(0, 0, 9, "a"),
+      BatchWriter.CompactFile(0, 100, 109, "b")), targetRecords = 20)
+    assert(plan.groups.map(_.files) === Seq(List("a", "b")))
+    assert(plan.groups.head.start === 0L && plan.groups.head.end === 109L)
   }
 
   test("planCompaction refuses partially overlapping ranges (encoded layouts)") {

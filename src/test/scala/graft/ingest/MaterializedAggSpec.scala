@@ -47,6 +47,35 @@ class MaterializedAggSpec extends SparkSuite {
       Set(("a", 3L, 6L), ("b", 1L, 10L), ("c", 1L, 100L)))
   }
 
+  test("source log truncation below the view watermark degrades to a snapshot rebuild") {
+    val out = Files.createTempDirectory("graft-mv-trunc").toString
+    CommitLog.writeLogged(src((0L, 0L, "a", 1L), (0L, 1L, "b", 10L)),
+      out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    // the source moves on and its maintenance truncates the log below
+    // the view's watermark (maintain knows nothing of view pins) —
+    // the old changesAt walk then threw FileNotFoundException forever
+    CommitLog.writeLogged(src((0L, 2L, "a", 2L)), out, "t", flushSize = 10)
+    CommitLog.writeLogged(src((0L, 3L, "c", 100L)), out, "t", flushSize = 10)
+    CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
+    CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
+    assert(CommitLog.versions(spark, out, "t").min > 1L,
+      "precondition: the incremental window must actually be truncated")
+    val w = MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(w === CommitLog.latestVersion(spark, out, "t"))
+    assert(state(out) ===
+      Set(("a", 2L, 3L), ("b", 1L, 10L), ("c", 1L, 100L)),
+      "the rebuild must converge the view to the live snapshot state")
+    // and the next refresh is incremental again
+    CommitLog.writeLogged(src((0L, 4L, "b", 5L)), out, "t", flushSize = 10)
+    MaterializedAgg.refresh(spark, out, "t", "view",
+      keys = Seq("k"), sums = Seq("v"))
+    assert(state(out) ===
+      Set(("a", 2L, 3L), ("b", 2L, 15L), ("c", 1L, 100L)))
+  }
+
   test("row-level DML on the source needs rebuild: stale until, exact after, incremental again") {
     val out = Files.createTempDirectory("graft-mv-dml").toString
     CommitLog.writeLogged(src((0L, 0L, "a", 1L), (0L, 1L, "a", 2L),

@@ -15,6 +15,16 @@ import graft.SparkSuite
 class RotationSpec extends SparkSuite {
   import spark.implicits._
 
+  test("longDiv is exact above 2^53 (decimal route, not double)") {
+    // 3^35 * 4 + 1 ~ 2*10^17 > 2^53: a double-division quotient
+    // rounds the exact multiple and lands one bucket off
+    val big = 50031545098999707L * 4L + 1L
+    val got = Seq(big).toDF("a")
+      .select(Rotation.longDiv(col("a"), lit(4L)).as("q"))
+      .as[Long].head()
+    assert(got === big / 4L)
+  }
+
   test("withSizeFileIndex reproduces the flush.size=3 file split") {
     val df = (0L to 6L).map(o => ("t", 12L, o)).toDF("topic", "part", "off")
     val got = Rotation.withSizeFileIndex(df, Seq(col("part")), col("off"), 3)
