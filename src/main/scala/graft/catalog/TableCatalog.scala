@@ -44,11 +44,15 @@ object TableCatalog {
                           dataSchema: StructType, partitionCols: Seq[(String, String)],
                           database: Option[String] = None): Unit = {
     val dataDdl = dataSchema.toDDL
-    val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
+    // omit the clause entirely for a non-partitioned table:
+    // `PARTITIONED BY ()` is a ParseException, not a no-op
+    val partClause =
+      if (partitionCols.isEmpty) ""
+      else partitionCols.map { case (n, t) => s"${q(n)} $t" }
+        .mkString("\nPARTITIONED BY (", ", ", ")")
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${qualified(database, table)} ($dataDdl)
-         |USING PARQUET
-         |PARTITIONED BY ($partDdl)
+         |USING PARQUET$partClause
          |LOCATION ${lit(location)}""".stripMargin)
   }
 
@@ -71,11 +75,15 @@ object TableCatalog {
                    database: Option[String] = None): String = {
     val avroJson =
       graft.ingest.AvroSink.avroSchemaFor(dataSchema, recordName).toString
-    val partDdl = partitionCols.map { case (n, t) => s"${q(n)} $t" }.mkString(", ")
+    // same empty-list rule as createExternalTable: `PARTITIONED BY ()`
+    // is a ParseException, not a no-op
+    val partClause =
+      if (partitionCols.isEmpty) ""
+      else partitionCols.map { case (n, t) => s"${q(n)} $t" }
+        .mkString("\nPARTITIONED BY (", ", ", ")")
     s"""CREATE TABLE IF NOT EXISTS ${qualified(database, table)} (${dataSchema.toDDL})
        |USING AVRO
-       |OPTIONS ('avroSchema' = ${lit(avroJson)})
-       |PARTITIONED BY ($partDdl)
+       |OPTIONS ('avroSchema' = ${lit(avroJson)})$partClause
        |LOCATION ${lit(location)}
        |TBLPROPERTIES ('avro.schema.literal' = ${lit(avroJson)})""".stripMargin
   }
@@ -151,8 +159,13 @@ object TableCatalog {
                    partitionSpec: Map[String, Any],
                    database: Option[String] = None): Unit = {
     val spec = partitionSpec.map {
-      case (k, v: String) => s"${q(k)}=${lit(v)}"
-      case (k, v) => s"${q(k)}=$v"
+      // only bare integers render unquoted; everything else —
+      // strings, dates, timestamps — goes through the quoted-literal
+      // path (an unquoted 2026-08-16 is arithmetic to the parser)
+      case (k, v: Int) => s"${q(k)}=$v"
+      case (k, v: Long) => s"${q(k)}=$v"
+      case (k, v: Short) => s"${q(k)}=$v"
+      case (k, v) => s"${q(k)}=${lit(String.valueOf(v))}"
     }.mkString(", ")
     spark.sql(s"ALTER TABLE ${qualified(database, table)} " +
       s"ADD IF NOT EXISTS PARTITION ($spec)")

@@ -72,9 +72,19 @@ object SmtPredicate {
     * relational envelope: every payload (non-envelope) column NULL. */
   final case class RecordIsTombstone(name: String) extends SmtPredicate {
     def test(df: DataFrame): Column = {
-      val payload = df.columns.filterNot(Smt.EnvelopeColumns)
-      if (payload.isEmpty) lit(true)
-      else payload.map(col(_).isNull).reduce(_ && _)
+      // Connect tests record.value() == null and NOTHING else — on
+      // the normalized Kafka envelope (topic, part, off, ts, key,
+      // value) the value column alone decides; ts/key are non-null on
+      // every real tombstone, so an all-payload-null test would never
+      // fire there. Flattened envelopes without a value column fall
+      // back to all-payload-null with ts/key excluded as envelope.
+      if (df.columns.contains("value")) col("value").isNull
+      else {
+        val payload =
+          df.columns.filterNot(Smt.EnvelopeColumns ++ Set("ts", "key"))
+        if (payload.isEmpty) lit(true)
+        else payload.map(col(_).isNull).reduce(_ && _)
+      }
     }
   }
 }
@@ -138,8 +148,11 @@ object Smt {
       case _: NumericType => lit(0).cast(dt)
       case BinaryType => lit(Array.emptyByteArray)
       // Connect masks logical time types through their physical int64
-      // zero — epoch 0 — which is what this renders
-      case TimestampType | DateType => lit(0L).cast("timestamp").cast(dt)
+      // zero — epoch 0. TZ-free constructors, NOT a cast chain: a
+      // timestamp→date cast renders in the SESSION zone, so a
+      // west-of-UTC session would mask dates to 1969-12-31
+      case TimestampType => timestamp_millis(lit(0L))
+      case DateType => date_from_unix_date(lit(0))
       case other => throw new IllegalArgumentException(
         s"transforms.$alias (MaskField): masking a ${other.simpleString} " +
           s"column '$f' with no replacement is not supported (Connect " +
@@ -293,12 +306,24 @@ object Smt {
       require(df.columns.contains(field),
         s"transforms.$alias (TimestampConverter): no column '$field' " +
           "in the stream")
+      // Connect's TimestampConverter pins UTC for every wall-clock
+      // conversion; Spark's to_timestamp/date casts use the SESSION
+      // zone. All wall→instant reads therefore parse to
+      // TIMESTAMP_NTZ and route through this session-independent
+      // bridge: shift the UTC wall into the session zone, then cast
+      // (which interprets the wall in the session zone) — the two
+      // session references cancel exactly.
+      val sessionTz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      def utcWallToInstant(ntz: Column): Column =
+        convert_timezone(lit("UTC"), lit(sessionTz), ntz)
+          .cast(TimestampType)
       val asTs: Column = df.schema(field).dataType match {
         case TimestampType => col(field)
-        case DateType => col(field).cast(TimestampType)
+        case DateType =>
+          utcWallToInstant(col(field).cast("timestamp_ntz"))
         case StringType => format match {
-          case Some(f) => to_timestamp(col(field), f)
-          case scala.None => to_timestamp(col(field))
+          case Some(f) => utcWallToInstant(to_timestamp_ntz(col(field), lit(f)))
+          case scala.None => utcWallToInstant(to_timestamp_ntz(col(field)))
         }
         case _: NumericType => unixPrecision match {
           case "seconds" => timestamp_seconds(col(field).cast("long"))
@@ -311,8 +336,12 @@ object Smt {
       }
       val out: Column = targetType match {
         case "Timestamp" => asTs
-        case "Date" => asTs.cast(DateType)
-        case "string" => date_format(asTs, format.get) // required at parse
+        // instant→wall renders pin UTC too (the NTZ wall is rendered
+        // as-is, independent of the session zone)
+        case "Date" =>
+          convert_timezone(lit("UTC"), asTs).cast(DateType)
+        case "string" => // format required at parse
+          date_format(convert_timezone(lit("UTC"), asTs), format.get)
         case "unix" => unixPrecision match {
           case "seconds" => unix_seconds(asTs)
           case "microseconds" => unix_micros(asTs)
@@ -356,8 +385,14 @@ object Smt {
       // here would null-propagate into the topic and misroute the
       // record, so the row errors instead (lazily — only a null
       // record time evaluates the raise)
+      // render in UTC regardless of the session zone (Connect's
+      // TimestampRouter pins UTC): convert_timezone yields the UTC
+      // wall clock as TIMESTAMP_NTZ, which date_format renders
+      // as-is — a session-zone render would route the same record
+      // into different directories on differently-configured
+      // clusters, breaking replay determinism
       val rendered = when(col(tsField).isNotNull,
-          date_format(col(tsField), tsFormat))
+          date_format(convert_timezone(lit("UTC"), col(tsField)), tsFormat))
         .otherwise(raise_error(lit(s"transforms.$alias (TimestampRouter): " +
           s"null record time in '$tsField'")).cast("string"))
       val token = "(\\$\\{topic\\}|\\$\\{timestamp\\})".r
@@ -584,8 +619,17 @@ object Smt {
             case "Cast" =>
               p(alias, "spec") match {
                 case Some(specStr) =>
-                  val pairs = specStr.split(",").map(_.trim)
-                    .filter(_.nonEmpty).toSeq.flatMap { entry =>
+                  val entries = specStr.split(",").map(_.trim)
+                    .filter(_.nonEmpty).toSeq
+                  // a spec that names NO entries (",", "") must error,
+                  // not silently drop the declared transform from the
+                  // chain — every entry that fails below records its
+                  // own error, so pairs.isEmpty alone can't tell the
+                  // two apart
+                  if (entries.isEmpty)
+                    errors += s"transforms.$alias (Cast): spec " +
+                      s"'$specStr' names no field:type entries"
+                  val pairs = entries.flatMap { entry =>
                       entry.split(":") match {
                         case Array(f, t)
                             if f.trim.nonEmpty && t.trim.nonEmpty =>

@@ -55,8 +55,13 @@ object NearestCentroid {
     NativeExpressions.register(docs.sparkSession)
     val spine = docs
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("toks"))
-      .select(col("id"), size(col("toks")).cast("long").as("tot"),
-        col("toks"))
+      // coalesce both: a NULL text propagates a null token array, and
+      // a null `tot` would put a NULL in the vector's length slot
+      // (biasing fit and null-propagating predict's distance) where
+      // the contract promises the zero vector
+      .select(col("id"),
+        coalesce(size(col("toks")).cast("long"), lit(0L)).as("tot"),
+        coalesce(col("toks"), array().cast("array<string>")).as("toks"))
     val mx = spine
       .select(col("id"), col("tot"), explode(col("toks")).as("t"))
       .select(col("id"), col("tot"),

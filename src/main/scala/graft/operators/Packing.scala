@@ -40,6 +40,10 @@ object Packing {
   def withTokenOffsets(df: DataFrame, idCol: String, weightCol: String,
                        shardSpan: Long): DataFrame = {
     require(shardSpan > 0, s"shardSpan must be positive, got $shardSpan")
+    // same output-collision guard as Shuffle's pos/shard: silently
+    // clobbering a caller's tok_start would corrupt their data
+    require(!df.columns.contains("tok_start"),
+      "input already carries a tok_start column")
     // collision-safe internal names: a caller's own `shard` column must
     // survive untouched
     val sharded = df.withColumn("__pack_shard", expr(s"$idCol div $shardSpan"))

@@ -92,6 +92,10 @@ object ScaleJoins {
     * with both sides' columns. */
   def bucketedRangeJoin(points: DataFrame, intervals: DataFrame,
                         bucketMs: Long): DataFrame = {
+    // pmod(a, 0) is null (non-ANSI), so a zero bucket width would
+    // null every join key and silently return ZERO matches — refuse
+    // like every sibling operator's parameter guard
+    require(bucketMs > 0, s"bucketMs must be positive, got $bucketMs")
     def bucket(c: org.apache.spark.sql.Column) =
       graft.ingest.Rotation.longDiv(c, lit(bucketMs))
     val p = points.withColumn("__bucket", bucket(col("ts_ms")))

@@ -71,10 +71,16 @@ object SchemaEvolution {
     * silently emitting nulls.
     */
   def projectionTo(source: StructType, target: StructType,
-                   defaults: Map[String, Any] = Map.empty): Seq[Column] =
+                   defaults: Map[String, Any] = Map.empty): Seq[Column] = {
+    // match the analyzer's default case-INsensitive resolution: a
+    // source column present as "UserId" must satisfy a target field
+    // "userid" (a case-sensitive contains() would null-fill a column
+    // whose data exists, or spuriously refuse a non-nullable one)
+    val sourceByLower = source.fieldNames.map(n => n.toLowerCase -> n).toMap
     target.fields.toSeq.map { f =>
       val base: Column =
-        if (source.fieldNames.contains(f.name)) col(f.name)
+        if (sourceByLower.contains(f.name.toLowerCase))
+          col(sourceByLower(f.name.toLowerCase))
         else defaults.get(f.name) match {
           case Some(v) => lit(v)
           case scala.None if f.nullable => lit(null)
@@ -85,6 +91,7 @@ object SchemaEvolution {
         }
       base.cast(f.dataType).as(f.name)
     }
+  }
 
   def project(df: DataFrame, target: StructType,
               defaults: Map[String, Any] = Map.empty): DataFrame =

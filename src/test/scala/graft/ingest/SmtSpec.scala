@@ -124,6 +124,65 @@ class SmtSpec extends SparkSuite {
       "ev-20260301")
   }
 
+  test("time-rendering transforms pin UTC under a non-UTC session (Connect parity)") {
+    // Connect's TimestampRouter/TimestampConverter hardcode UTC; a
+    // session-zone render would route/convert the same record
+    // differently on differently-configured clusters
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      // 02:00Z on the 16th is 18:00 PDT on the 15th — the render must
+      // still say 16th
+      val df = Seq(("ev", 0L, 0L,
+          new java.sql.Timestamp(1786845600000L))) // 2026-08-16T02:00:00Z
+        .toDF("topic", "part", "off", "timestamp")
+      val Right(Seq(router)) = parse("transforms" -> "t",
+        "transforms.t.type" -> "TimestampRouter",
+        "transforms.t.timestamp.format" -> "yyyyMMdd")
+      assert(router.apply(df).select(col("topic")).as[String].head() ===
+        "ev-20260816")
+      // Date target: UTC calendar date, not the session's
+      val Right(Seq(conv)) = parse("transforms" -> "c",
+        "transforms.c.type" -> "TimestampConverter",
+        "transforms.c.field" -> "timestamp",
+        "transforms.c.target.type" -> "Date")
+      assert(conv.apply(df).select(col("timestamp").cast("string"))
+        .as[String].head() === "2026-08-16")
+      // string source parses as a UTC wall clock
+      val sdf = Seq(("ev", 0L, 0L, "2026-08-16 02:00:00"))
+        .toDF("topic", "part", "off", "ts_str")
+      val Right(Seq(p)) = parse("transforms" -> "c",
+        "transforms.c.type" -> "TimestampConverter",
+        "transforms.c.field" -> "ts_str",
+        "transforms.c.target.type" -> "unix",
+        "transforms.c.format" -> "yyyy-MM-dd HH:mm:ss")
+      assert(p.apply(sdf).select(col("ts_str")).as[Long].head() ===
+        1786845600000L)
+      // date mask zero is epoch DAY 0, not the session-shifted instant
+      val mdf = Seq(("ev", 0L, 0L, java.sql.Date.valueOf("2024-05-05")))
+        .toDF("topic", "part", "off", "d")
+      val Right(Seq(m)) = parse("transforms" -> "m",
+        "transforms.m.type" -> "MaskField",
+        "transforms.m.fields" -> "d")
+      assert(m.apply(mdf).select(col("d").cast("string")).as[String]
+        .head() === "1970-01-01")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("RecordIsTombstone tests the value column alone on the Kafka envelope") {
+    val df = Seq(
+      ("t", 0L, 0L, new java.sql.Timestamp(0L), "k1", null: String),
+      ("t", 0L, 1L, new java.sql.Timestamp(0L), "k2", "payload"))
+      .toDF("topic", "part", "off", "ts", "key", "value")
+    val pred = SmtPredicate.RecordIsTombstone("p")
+    // a real tombstone carries non-null ts/key — the predicate must
+    // still fire (Connect tests record.value() == null and nothing
+    // else)
+    val got = df.select(col("off"), pred.test(df).as("tomb"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got === Map(0L -> true, 1L -> false))
+  }
+
   test("TimestampRouter: Connect defaults apply; null record time errors; bad pattern rejected") {
     // defaults: topic.format=${topic}-${timestamp}, timestamp.format=yyyyMMdd
     val df = Seq(("ev", 0L, 0L,
