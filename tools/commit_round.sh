@@ -18,7 +18,7 @@ git add -f \
   2>/dev/null || true
 for f in LEAKCHECK.json COPYCHECK.json VERDICT.md ADVICE.md \
          bench_last.json BENCH_SF1.json BASELINE_QUERIES.json; do
-  [ -e "$f" ] && git add "$f"
+  [ -e "$f" ] && git add "$f" 2>/dev/null || true
 done
 if git diff --cached --quiet; then
   echo "no round artifacts to commit"
