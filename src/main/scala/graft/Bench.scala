@@ -39,7 +39,10 @@ object Bench {
     * not yet in the ledger surface under `"new_queries"`;
     * `tools/update_baseline.py` appends them from the round artifact. */
   private val BaselineEntry =
-    """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.eE+-]+),\s*"round":\s*(\d+)\s*\}""".r
+    // no closing-brace anchor: re-baselined entries carry extra fields
+    // ("note", "idle") after round, and MUST still parse — a dropped
+    // entry would silently re-enter the ledger as a "new query"
+    """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.eE+-]+),\s*"round":\s*(\d+)""".r
 
   private def loadBaseline(): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")

@@ -756,6 +756,19 @@ object IvfIndex {
     val read = CommitLog.readFiles(spark, indexDir, IvfPqCodesTopic, keep)
     val scan = predicate.fold(read)(read.filter)
       .select(col("off").as("id"), col("cell"), col("codes"))
+    ivfPqAdcRank(spark, indexDir, cents, scan, probes, subDims, k)
+  }
+
+  /** The residual-ADC ranking body shared by the one-stage serve and
+    * the refined serve's shortlist stage: LUT the probe queries
+    * against the residual codebooks, score `scan`'s codes (centroid
+    * dot + LUT sum — exact integer arithmetic), bounded-heap top-k.
+    * `scan` is the (id, cell, codes) projection of an already
+    * file-pruned (and possibly predicate-filtered) codes read. */
+  private def ivfPqAdcRank(spark: SparkSession, indexDir: String,
+                           cents: Seq[KMeans.Centroid], scan: DataFrame,
+                           probes: DataFrame, subDims: Int, k: Int)
+      : DataFrame = {
     val cb = CommitLog.read(spark, indexDir, IvfPqCodebooksTopic)
       .select(col("m"), col("code"), col("cv"))
     val qv = probes.select(col("q_id"), col("qv")).distinct()
@@ -796,13 +809,31 @@ object IvfIndex {
                          shortlist: Int, k: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must cover top-$k")
     NativeExpressions.register(spark)
+    val cents = centroids(spark, indexDir)
     val codesT = CommitLog.read(spark, indexDir, IvfPqCodesTopic)
     val q = codesT.filter(col("off").isin(queryIds: _*))
       .select(col("off").as("q_id"), col("v").as("qv"))
-    val short = searchIvfPq(spark, indexDir, queryIds, subDims, nprobe,
-        k = shortlist)
+    val probes = KMeans.probeCells(
+        q.select(col("q_id").as("id"), col("qv").as("v")), cents, nprobe)
+      .select(col("id").as("q_id"), col("v").as("qv"), col("cell"))
+    val cellSet = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (keep, _) = prunedRels(spark, indexDir, cellSet, IvfPqCodesTopic)
+    if (keep.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("q_id", "neighbor_id", "dot", "rnk")
+    }
+    val read = CommitLog.readFiles(spark, indexDir, IvfPqCodesTopic, keep)
+    val short = ivfPqAdcRank(spark, indexDir, cents,
+        read.select(col("off").as("id"), col("cell"), col("codes")),
+        probes, subDims, k = shortlist)
       .select(col("q_id"), col("neighbor_id"))
-    codesT.select(col("off").as("neighbor_id"), col("v"))
+    // the exact re-rank fetches full vectors from the SAME cell-pruned
+    // file set the shortlist stage scanned — every shortlist member
+    // came from a probed cell, so at scale this stage reads ~nprobe/K
+    // of the index's files instead of re-scanning the whole topic
+    read.select(col("off").as("neighbor_id"), col("v"))
       .join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("neighbor_id"),

@@ -5564,14 +5564,20 @@ object PipelineQueries {
             TF.shingles(col("toks"), 2).as("g2"))
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("n_tokens"),
-            (expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))")
-              .cast("double") /
+            // sum-of-token-lengths via codegen'd concat_ws instead of an
+            // interpreted aggregate() lambda (HOFs evaluate row-at-a-time
+            // with boxing; concat length is the same arithmetic)
+            (length(concat_ws("", col("toks"))).cast("double") /
               greatest(size(col("toks")), lit(1)).cast("double"))
               .as("mean_word_len"),
             size(expr(s"filter(toks, t -> t IN (${TF.stopwords
               .map(w => s"'$w'").mkString(", ")}))")).cast("long")
               .as("n_stops"),
-            (size(expr("filter(toks, t -> t RLIKE '^[a-z]+$')"))
+            // all-lowercase-alpha test as a literal-cached translate
+            // (strip [a-z]; empty remainder of a nonempty token ⇔ the
+            // old per-token RLIKE '^[a-z]+$', without regex machinery)
+            (size(expr("filter(toks, t -> t <> '' AND " +
+              "translate(t, 'abcdefghijklmnopqrstuvwxyz', '') = '')"))
               .cast("double") /
               greatest(size(col("toks")), lit(1)).cast("double"))
               .as("alpha_ratio"),

@@ -35,7 +35,44 @@ def timings_from(path):
     return out
 
 
+def rebaseline(argv):
+    """Re-baseline an EXISTING ledger entry. Precedented by the r14
+    agg_approx_users adjudication; this path enforces the procedure so
+    it can't become self-serving. Required:
+      (a) >=5 idle re-measurements, recorded in the entry ("idle"),
+          and the new sec must be their min (measure, don't negotiate);
+      (b) a non-empty "note" naming EITHER the semantic change to the
+          query since the first recording OR the idle-reproduction
+          evidence that the original entry priced a different cost.
+
+    Usage: update_baseline.py --rebaseline <name> <round> \\
+               --idle s1,s2,s3,s4,s5[,...] --note "why"
+    """
+    if len(argv) < 6 or "--idle" not in argv or "--note" not in argv:
+        sys.exit(rebaseline.__doc__)
+    name, rnd = argv[0], int(argv[1])
+    idle = [float(x) for x in argv[argv.index("--idle") + 1].split(",")]
+    note = argv[argv.index("--note") + 1].strip()
+    if len(idle) < 5:
+        sys.exit(f"rebaseline requires >=5 idle measurements, got {len(idle)}")
+    if not note:
+        sys.exit("rebaseline requires a non-empty --note")
+    with open("BASELINE_QUERIES.json") as f:
+        ledger = json.load(f)
+    if name not in ledger:
+        sys.exit(f"{name} not in ledger — use the append path for new queries")
+    old = ledger[name]
+    ledger[name] = {"sec": round(min(idle), 4), "round": rnd,
+                    "note": note, "idle": [round(x, 3) for x in idle]}
+    with open("BASELINE_QUERIES.json", "w") as f:
+        json.dump({k: ledger[k] for k in sorted(ledger)}, f, indent=1)
+    print(f"~ {name}: {old['sec']}s (r{old['round']}) -> "
+          f"{ledger[name]['sec']}s (r{rnd}): {note}")
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--rebaseline":
+        return rebaseline(sys.argv[2:])
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     bench_path, rnd = sys.argv[1], int(sys.argv[2])
