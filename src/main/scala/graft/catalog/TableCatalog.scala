@@ -158,6 +158,11 @@ object TableCatalog {
   def addPartition(spark: SparkSession, table: String,
                    partitionSpec: Map[String, Any],
                    database: Option[String] = None): Unit = {
+    // a null value would render as the quoted string 'null' and
+    // silently register a partition literally named "null"
+    partitionSpec.foreach { case (k, v) =>
+      require(v != null, s"null partition value for column '$k'")
+    }
     val spec = partitionSpec.map {
       // only bare integers render unquoted; everything else —
       // strings, dates, timestamps — goes through the quoted-literal

@@ -95,6 +95,7 @@ object MaterializedAgg {
     val availVers =
       CommitLog.versions(spark, outDir, sourceTopic).toSet
     if (!((w + 1) to s1).forall(availVers.contains)) {
+      MaintenanceMetrics.viewRebuild(outDir, viewTopic)
       val snap = CommitLog.snapshot(spark, outDir, sourceTopic)
       if (snap.isEmpty) return w // nothing live to rebuild from
       val raw = derive.foldLeft(
@@ -102,6 +103,11 @@ object MaterializedAgg {
         case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))
       }
       val full = aggregate(raw, keys, sums, distincts)
+      // same float-sum refusal as the incremental path and rebuild():
+      // without it, a brand-new float-sum view whose FIRST refresh
+      // runs against an already-truncated source would publish once
+      // and then wedge on every later incremental refresh
+      requireNoFloatSums(full, sums)
       publishState(spark, outDir, viewTopic, full, s1, startIdx = 0,
         numFiles, CommitLog.snapshot(spark, outDir, viewTopic))
       return s1
@@ -121,11 +127,7 @@ object MaterializedAgg {
     val delta = aggregate(raw, keys, sums, distincts)
     // float sums would make the merged state depend on refresh
     // cadence — reject at the source, not in the drifted numbers
-    delta.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
-      .foreach(f => require(
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType],
-        s"sum over float column — cast to DECIMAL first (${f.name})"))
+    requireNoFloatSums(delta, sums)
     val prior = CommitLog.snapshot(spark, outDir, viewTopic)
     val merged =
       if (prior.isEmpty) delta
@@ -198,11 +200,7 @@ object MaterializedAgg {
       case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))
     }
     val state = aggregate(raw, keys, sums, distincts)
-    state.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
-      .foreach(f => require(
-        !f.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
-          !f.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType],
-        s"sum over float column — cast to DECIMAL first (${f.name})"))
+    requireNoFloatSums(state, sums)
     val prior = CommitLog.snapshot(spark, outDir, viewTopic)
     val SameVer = s"agg-$s1-(\\d+)\\.parquet".r
     val startIdx = prior.flatMap {
@@ -263,6 +261,17 @@ object MaterializedAgg {
     * binaries (`hll_<c>`), not estimates — an estimate can't be
     * re-aggregated across refreshes, a sketch can, which is the whole
     * reason an incremental view can offer distincts at all. */
+  /** Refuse float sums in any to-be-published state: merging float
+    * partials makes the view depend on refresh cadence. Shared by the
+    * incremental, truncation-rebuild, and full-rebuild publish paths
+    * so no path can drift out of the contract. */
+  private def requireNoFloatSums(state: DataFrame, sums: Seq[String]): Unit =
+    state.schema.fields.filter(f => sums.contains(f.name.stripPrefix("sum_")))
+      .foreach(f => require(
+        !f.dataType.isInstanceOf[org.apache.spark.sql.types.DoubleType] &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.FloatType],
+        s"sum over float column — cast to DECIMAL first (${f.name})"))
+
   private def aggregate(df: DataFrame, keys: Seq[String], sums: Seq[String],
                         distincts: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)

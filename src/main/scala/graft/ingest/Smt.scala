@@ -106,6 +106,23 @@ final case class Predicated(inner: Smt, pred: SmtPredicate,
 
 object Smt {
 
+  /** The UTC wall clock of an instant, as TIMESTAMP_NTZ, by epoch
+    * arithmetic — NEVER through the session zone. (`convert_timezone
+    * (lit("UTC"), instant)` implicitly casts the instant to NTZ via
+    * the SESSION wall clock first; during that zone's fall-back hour
+    * the repeated wall clock resolves to one offset and the render
+    * lands an hour off. UTC has no DST, so epoch micros split into
+    * days + time-of-day are exact for every instant.) */
+  private[ingest] def instantToUtcWall(ts: Column): Column = {
+    val us = unix_micros(ts)
+    val tod = pmod(us, lit(86400000000L)) // non-negative, pre-epoch safe
+    val days = ((us - tod) / lit(86400000000L)).cast("int")
+    date_add(lit(java.sql.Date.valueOf("1970-01-01")), days)
+      .cast("timestamp_ntz") +
+      make_dt_interval(lit(0), lit(0), lit(0),
+        (tod.cast("decimal(20,0)") / lit(1000000L)).cast("decimal(18,6)"))
+  }
+
   /** Roster of supported `transforms.<alias>.type` values (Connect's
     * classic built-ins; the unqualified class names). */
   val Types: Seq[String] =
@@ -309,14 +326,21 @@ object Smt {
       // Connect's TimestampConverter pins UTC for every wall-clock
       // conversion; Spark's to_timestamp/date casts use the SESSION
       // zone. All wall→instant reads therefore parse to
-      // TIMESTAMP_NTZ and route through this session-independent
-      // bridge: shift the UTC wall into the session zone, then cast
-      // (which interprets the wall in the session zone) — the two
-      // session references cancel exactly.
-      val sessionTz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+      // TIMESTAMP_NTZ and convert by EPOCH ARITHMETIC on the wall
+      // fields — UTC has no DST, so the instant is exactly
+      // days·86400s + time-of-day. (An earlier session-zone
+      // round-trip — shift the UTC wall into the session zone, cast
+      // back — canceled exactly EXCEPT in the session zone's
+      // fall-back hour, where cast resolution of the repeated wall
+      // clock could land one hour off; it also froze the session
+      // zone at transform-build time.)
       def utcWallToInstant(ntz: Column): Column =
-        convert_timezone(lit("UTC"), lit(sessionTz), ntz)
-          .cast(TimestampType)
+        timestamp_micros(
+          unix_date(ntz.cast(DateType)).cast(LongType) * lit(86400000000L) +
+            hour(ntz).cast(LongType) * lit(3600000000L) +
+            minute(ntz).cast(LongType) * lit(60000000L) +
+            // SECOND extracts an exact DECIMAL(8,6) incl. the fraction
+            (date_part(lit("SECOND"), ntz) * lit(1000000)).cast(LongType))
       val asTs: Column = df.schema(field).dataType match {
         case TimestampType => col(field)
         case DateType =>
@@ -339,9 +363,9 @@ object Smt {
         // instant→wall renders pin UTC too (the NTZ wall is rendered
         // as-is, independent of the session zone)
         case "Date" =>
-          convert_timezone(lit("UTC"), asTs).cast(DateType)
+          Smt.instantToUtcWall(asTs).cast(DateType)
         case "string" => // format required at parse
-          date_format(convert_timezone(lit("UTC"), asTs), format.get)
+          date_format(Smt.instantToUtcWall(asTs), format.get)
         case "unix" => unixPrecision match {
           case "seconds" => unix_seconds(asTs)
           case "microseconds" => unix_micros(asTs)
@@ -392,7 +416,7 @@ object Smt {
       // into different directories on differently-configured
       // clusters, breaking replay determinism
       val rendered = when(col(tsField).isNotNull,
-          date_format(convert_timezone(lit("UTC"), col(tsField)), tsFormat))
+          date_format(Smt.instantToUtcWall(col(tsField)), tsFormat))
         .otherwise(raise_error(lit(s"transforms.$alias (TimestampRouter): " +
           s"null record time in '$tsField'")).cast("string"))
       val token = "(\\$\\{topic\\}|\\$\\{timestamp\\})".r

@@ -71,16 +71,28 @@ object SchemaEvolution {
     * silently emitting nulls.
     */
   def projectionTo(source: StructType, target: StructType,
-                   defaults: Map[String, Any] = Map.empty): Seq[Column] = {
-    // match the analyzer's default case-INsensitive resolution: a
-    // source column present as "UserId" must satisfy a target field
-    // "userid" (a case-sensitive contains() would null-fill a column
-    // whose data exists, or spuriously refuse a non-nullable one)
-    val sourceByLower = source.fieldNames.map(n => n.toLowerCase -> n).toMap
+                   defaults: Map[String, Any] = Map.empty,
+                   caseSensitive: Boolean = false): Seq[Column] = {
+    // match the analyzer's resolution mode: case-INsensitive by
+    // default (a source column present as "UserId" must satisfy a
+    // target field "userid" — a case-sensitive contains() would
+    // null-fill a column whose data exists, or spuriously refuse a
+    // non-nullable one), case-sensitive when the session analyzes
+    // case-sensitively (spark.sql.caseSensitive=true — [[project]]
+    // passes the conf through)
+    def key(n: String): String = if (caseSensitive) n else n.toLowerCase
+    // under insensitive lowering, two source names collapsing to one
+    // key would make toMap keep an arbitrary winner — refuse loudly
+    // (the analyzer raises AMBIGUOUS_REFERENCE for the same shape)
+    val collisions = source.fieldNames.groupBy(key).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      "source schema has columns that collide under case-insensitive " +
+        s"resolution: ${collisions.values.map(_.mkString("/")).mkString(", ")}")
+    val sourceByLower = source.fieldNames.map(n => key(n) -> n).toMap
     target.fields.toSeq.map { f =>
       val base: Column =
-        if (sourceByLower.contains(f.name.toLowerCase))
-          col(sourceByLower(f.name.toLowerCase))
+        if (sourceByLower.contains(key(f.name)))
+          col(sourceByLower(key(f.name)))
         else defaults.get(f.name) match {
           case Some(v) => lit(v)
           case scala.None if f.nullable => lit(null)
@@ -95,5 +107,6 @@ object SchemaEvolution {
 
   def project(df: DataFrame, target: StructType,
               defaults: Map[String, Any] = Map.empty): DataFrame =
-    df.select(projectionTo(df.schema, target, defaults): _*)
+    df.select(projectionTo(df.schema, target, defaults,
+      caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis): _*)
 }

@@ -191,4 +191,14 @@ class TableCatalogSpec extends SparkSuite {
       parts.mkString(","))
     spark.sql("DROP TABLE esc_tab")
   }
+
+  test("null partition values are rejected, not registered as 'null'") {
+    // the quoted-literal fallback would render a null as the STRING
+    // 'null' and silently register a partition literally named "null"
+    val e = intercept[IllegalArgumentException] {
+      TableCatalog.addPartition(spark, "any_tab",
+        Map("event_type" -> (null: Any)))
+    }
+    assert(e.getMessage.contains("null partition value"))
+  }
 }

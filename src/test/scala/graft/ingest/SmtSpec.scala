@@ -169,6 +169,41 @@ class SmtSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("wall→instant reads are exact inside the session zone's fall-back hour") {
+    // 2026-11-01 09:30Z lands on the LA wall clock's REPEATED 01:30
+    // (PST side). A bridge that round-trips through the session zone
+    // resolves that ambiguous wall to the PDT offset and comes back
+    // at 08:30Z — one hour off; the epoch-arithmetic bridge never
+    // consults the session zone at all.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val sdf = Seq(
+          ("ev", 0L, 0L, "2026-11-01 09:30:00"),  // repeated-hour PST side
+          ("ev", 0L, 1L, "2026-11-01 08:30:00"))  // repeated-hour PDT side
+        .toDF("topic", "part", "off", "ts_str")
+      val Right(Seq(p)) = parse("transforms" -> "c",
+        "transforms.c.type" -> "TimestampConverter",
+        "transforms.c.field" -> "ts_str",
+        "transforms.c.target.type" -> "unix",
+        "transforms.c.format" -> "yyyy-MM-dd HH:mm:ss")
+      val got = p.apply(sdf).select(col("off"), col("ts_str"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(0L -> 1793525400000L, 1L -> 1793521800000L))
+      // sub-second fraction survives the arithmetic (string target,
+      // rendered back in UTC)
+      val fdf = Seq(("ev", 0L, 0L, "2026-11-01 09:30:00.123"))
+        .toDF("topic", "part", "off", "ts_str")
+      val Right(Seq(f)) = parse("transforms" -> "f",
+        "transforms.f.type" -> "TimestampConverter",
+        "transforms.f.field" -> "ts_str",
+        "transforms.f.target.type" -> "string",
+        "transforms.f.format" -> "yyyy-MM-dd HH:mm:ss.SSS")
+      assert(f.apply(fdf).select(col("ts_str")).as[String].head() ===
+        "2026-11-01 09:30:00.123")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("RecordIsTombstone tests the value column alone on the Kafka envelope") {
     val df = Seq(
       ("t", 0L, 0L, new java.sql.Timestamp(0L), "k1", null: String),

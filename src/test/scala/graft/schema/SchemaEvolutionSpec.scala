@@ -76,4 +76,38 @@ class SchemaEvolutionSpec extends SparkSuite {
       SchemaEvolution.project(df, target)
     }
   }
+
+  test("project matches source columns case-insensitively (analyzer default)") {
+    val df = Seq((1L, "x")).toDF("UserId", "B")
+    val target = StructType(Seq(
+      StructField("userid", LongType), StructField("b", StringType)))
+    assert(SchemaEvolution.project(df, target)
+      .as[(Long, String)].head() === ((1L, "x")))
+  }
+
+  test("case-insensitive lowering refuses a source with case-colliding columns") {
+    val source = StructType(Seq(
+      StructField("UserId", LongType), StructField("userid", LongType)))
+    val target = StructType(Seq(StructField("userid", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.projectionTo(source, target)
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("project honors spark.sql.caseSensitive=true sessions") {
+    val prev = spark.conf.get("spark.sql.caseSensitive")
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      // a case-sensitive analyzer treats UserId and userid as distinct:
+      // the target field is MISSING (nullable -> null-filled), and two
+      // source columns differing only in case are NOT a collision
+      val df = Seq((1L, 2L)).toDF("UserId", "userid")
+      val target = StructType(Seq(
+        StructField("userid", LongType), StructField("USERID", LongType)))
+      val out = SchemaEvolution.project(df, target)
+      assert(out.as[(Option[Long], Option[Long])].head() ===
+        ((Some(2L), None)))
+    } finally spark.conf.set("spark.sql.caseSensitive", prev)
+  }
 }
