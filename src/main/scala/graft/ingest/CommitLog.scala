@@ -866,9 +866,14 @@ object CommitLog {
       if (replayableAt(spark, outDir, srcTopic, w))
         relayDml(spark, outDir, srcTopic, dstTopic, transform, w, cur, pad,
           format)
-      else
+      else {
+        // observable, not silent: a tick that degrades EVERY time
+        // (retention misconfigured below the tick cadence) is paying
+        // two full scans per tick while producing correct output
+        MaintenanceMetrics.derivedReconcile(outDir, dstTopic)
         reconcileDerived(spark, outDir, srcTopic, dstTopic, transform, pad,
           format)
+      }
       import spark.implicits._
       writeLogged(Seq((0L, cur)).toDF("part", "off"), outDir, marker,
         flushSize = 1, pad, format)

@@ -214,8 +214,11 @@ object Partitioners {
     catch { case e: IllegalArgumentException => Seq(e.getMessage) }
 
   /** [[jodaUnsupported]] plus the zone-name gate: `z` runs refuse
-    * when the configured zone's offset→name map is ambiguous over
-    * 1970–2100 (the collision is named in the result). */
+    * only when the zone id is not a Joda zone at all (java.time
+    * accepts ids like "GMT+05:30" that Joda's forID rejects).
+    * Offset-ambiguous zones (Europe/Moscow) no longer refuse — the
+    * renderer keys those on (instant interval) instead of offset
+    * alone (see [[zoneNameIntervals]]). */
   def jodaUnsupported(pattern: String, tz: String,
                       locale: java.util.Locale): Seq[String] = {
     // the lex try and the zone-resolution try are SEPARATE: a lex
@@ -228,10 +231,8 @@ object Partitioners {
       try jodaLex(pattern).collect { case JField('z', n) => n }.distinct
       catch { case _: IllegalArgumentException => Nil } // lex error above
     jodaUnsupported(pattern) ++ zRuns.flatMap { n =>
-      try zoneOffsetNames(tz, locale, long = n >= 4) match {
-        case Left(msg) => Seq(("z" * n) + s" ($msg)")
-        case Right(_) => Nil
-      } catch {
+      try { zoneNameIntervals(tz, locale, long = n >= 4); Nil }
+      catch {
         case e: IllegalArgumentException =>
           Seq(("z" * n) + s" (zone '$tz' is not a Joda zone id: ${e.getMessage})")
       }
@@ -243,11 +244,11 @@ object Partitioners {
     * `getName` — exactly what Joda's `z` printer emits). Left when
     * two intervals with the same offset carry different names (e.g.
     * Europe/Moscow, where +0300 and +0400 each map to both MSK and
-    * MSD across the 2011/2014 rule changes) — a per-row name would
-    * need the full transition table, so such zones refuse instead.
-    * Every common zone is functional: offset alternates between
-    * standard and DST, each with one name (PST/PDT, CET/CEST,
-    * AEST/AEDT, CHAST/CHADT…). */
+    * MSD across the 2011/2014 rule changes) — such zones render
+    * through the interval-keyed chain of [[zoneNameIntervals]]
+    * instead of this 2-branch offset chain. Every common zone is
+    * functional: offset alternates between standard and DST, each
+    * with one name (PST/PDT, CET/CEST, AEST/AEDT, CHAST/CHADT…). */
   private[partition] def zoneOffsetNames(
       tz: String, locale: java.util.Locale,
       long: Boolean): Either[String, Seq[(Long, String)]] = {
@@ -270,6 +271,37 @@ object Partitioners {
       if (n == t) more = false else t = n
     }
     Right(m.toSeq)
+  }
+
+  /** The zone's (instant-interval → display-name) table over
+    * 1970–2100, adjacent-merged on equal names — the Moscow-class
+    * fallback when [[zoneOffsetNames]] is ambiguous: Joda's name
+    * provider is queried per transition interval at plan time, so a
+    * per-interval time predicate renders `z` exactly even where one
+    * offset carried two names across rule changes. Entries are
+    * (startMs inclusive, endMs exclusive, name), ascending and
+    * contiguous; instants before 1970 take the first name, instants
+    * past 2100 the last. Throws IllegalArgumentException when `tz`
+    * is not a Joda zone id (the remaining refusal surface). */
+  private[partition] def zoneNameIntervals(
+      tz: String, locale: java.util.Locale,
+      long: Boolean): Seq[(Long, Long, String)] = {
+    val zone = org.joda.time.DateTimeZone.forID(tz)
+    val end = 4102444800000L // 2100-01-01T00:00Z
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    var t = 0L
+    var more = true
+    while (more && t < end) {
+      val name = if (long) zone.getName(t, locale)
+                 else zone.getShortName(t, locale)
+      val n = zone.nextTransition(t)
+      val stop = if (n == t) { more = false; end } else math.min(n, end)
+      if (buf.nonEmpty && buf.last._3 == name)
+        buf(buf.size - 1) = (buf.last._1, stop, name)
+      else buf += ((t, stop, name))
+      t = stop
+    }
+    buf.toSeq
   }
 
   /** Zero-pad `v` to minimum width `n` without ever truncating —
@@ -360,24 +392,40 @@ object Partitioners {
           format_string("%02d", pmod(absMin, lit(60))))
       }
     case 'z' => // locale zone name: short (<4 letters) / long (>=4),
-      // rendered from the plan-time offset→name table ([[zoneOffsetNames]];
-      // ambiguous zones were refused by [[jodaUnsupported]]). Domain is
+      // rendered from the plan-time offset→name table ([[zoneOffsetNames]])
+      // when unambiguous (2-branch chain for every common zone). Domain is
       // the walked 1970–2100 window — out-of-range instants fall back
       // to the standard-offset name rather than null-poisoning the path.
-      val names = zoneOffsetNames(tz, locale, long = n >= 4) match {
-        case Left(msg) => throw new IllegalArgumentException(
-          s"unsupported path.format token '${"z" * n}': $msg")
-        case Right(s) => s
+      zoneOffsetNames(tz, locale, long = n >= 4) match {
+        case Right(names) =>
+          val stdOff = org.joda.time.DateTimeZone.forID(tz)
+            .getStandardOffset(4102444799999L).toLong
+          val fallback = names.collectFirst { case (o, nm) if o == stdOff => nm }
+            .getOrElse(names.head._2)
+          names.tail
+            .foldLeft(when(offMs === lit(names.head._1), lit(names.head._2))) {
+              case (acc, (o, nm)) => acc.when(offMs === lit(o), lit(nm))
+            }
+            .otherwise(lit(fallback))
+        case Left(_) =>
+          // Moscow-class zone (one offset, two names across rule
+          // changes): key the chain on the bucket INSTANT interval —
+          // Joda's name provider is per transition interval, so a
+          // time predicate per merged interval is exact. The instant
+          // is recovered from the wall clock and its offset (b =
+          // utc + offMs by construction in [[jodaPath]]).
+          val ivs = zoneNameIntervals(tz, locale, long = n >= 4)
+          val inst = unix_millis(b) - offMs
+          if (ivs.size == 1) lit(ivs.head._3)
+          else {
+            val whens = ivs.init
+            whens.tail
+              .foldLeft(when(inst < lit(whens.head._2), lit(whens.head._3))) {
+                case (acc, (_, e, nm)) => acc.when(inst < lit(e), lit(nm))
+              }
+              .otherwise(lit(ivs.last._3))
+          }
       }
-      val stdOff = org.joda.time.DateTimeZone.forID(tz)
-        .getStandardOffset(4102444799999L).toLong
-      val fallback = names.collectFirst { case (o, nm) if o == stdOff => nm }
-        .getOrElse(names.head._2)
-      names.tail
-        .foldLeft(when(offMs === lit(names.head._1), lit(names.head._2))) {
-          case (acc, (o, nm)) => acc.when(offMs === lit(o), lit(nm))
-        }
-        .otherwise(lit(fallback))
     case other => throw new IllegalArgumentException(
       s"unsupported path.format token '${other.toString * n}'")
   }

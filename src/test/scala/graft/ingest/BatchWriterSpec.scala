@@ -91,6 +91,39 @@ class BatchWriterSpec extends SparkSuite {
       .collect().toSet === Set(("alpha", 3L), ("alpha", 4L)))
   }
 
+  test("writeMulti demux parity: orc and csv land the same per-topic layout as parquet") {
+    // r15 (verdict task #5): the two formats added in r14 as
+    // single-topic roundtrips must ride the demux plane identically —
+    // same one-pass staging, same committed names, right extensions
+    for (fmt <- Seq("orc", "csv")) {
+      val out = tmpDir()
+      val ext = BatchWriter.Formats(fmt)
+      val df = (for (t <- Seq("alpha", "beta"); o <- 0L until 5L)
+        yield (t, 0L, o, s"$t-$o")).toDF("topic", "part", "off", "payload")
+      val manifest = BatchWriter.writeMulti(df, out, flushSize = 3,
+        format = fmt)
+      assert(manifest.map(f => (f.topic, f.startOffset, f.endOffset)) === Seq(
+        ("alpha", 0L, 2L), ("alpha", 3L, 4L),
+        ("beta", 0L, 2L), ("beta", 3L, 4L)), s"format=$fmt")
+      assert(BatchWriter.listCommitted(spark, out, "alpha") === Seq(
+        s"alpha+0+0000000000+0000000002$ext",
+        s"alpha+0+0000000003+0000000004$ext"), s"format=$fmt")
+      // read-back: orc is self-describing; csv under an explicit
+      // schema (the reference's schema-supplied read path)
+      val schema = if (fmt == "csv") Some(org.apache.spark.sql.types
+        .StructType(Seq(
+          org.apache.spark.sql.types.StructField("off",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.StringType))))
+      else None
+      val beta = BatchWriter.read(spark, out, "beta", fmt, schema)
+      assert(beta.select(col("payload")).as[String].collect().toSet ===
+        (0L until 5L).map(o => s"beta-$o").toSet, s"format=$fmt")
+      assert(!beta.columns.contains("topic"), s"format=$fmt")
+    }
+  }
+
   test("writeMulti rejects illegal topic names before ANY rename — no torn batch") {
     val out = tmpDir()
     // one good topic + one bad: the batch must commit NOTHING — a

@@ -428,18 +428,25 @@ class CommitLogSpec extends SparkSuite {
     CommitLog.maintain(spark, out, "src", targetRecords = 64, graceMs = 0)
     assert(!CommitLog.replayableAt(spark, out, "src", 0L),
       "precondition: the watermark version must actually be truncated")
-    // the tick degrades to reconcile instead of refusing forever
+    // the tick degrades to reconcile instead of refusing forever —
+    // and the degrade is OBSERVABLE, not silent
+    assert(MaintenanceMetrics.derivedReconcileCount(out, "dst") === 0L)
     CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
+    assert(MaintenanceMetrics.derivedReconcileCount(out, "dst") === 1L,
+      "the reconcile fallback must bump the degrade counter")
     val back = CommitLog.read(spark, out, "dst")
       .select(col("off"), col("payload")).as[(Long, String)].collect().toMap
     assert(back === (0L to 11L).filter(_ != 7L)
       .map(o => o -> (if (o == 2L) "PATCHED" else s"V$o")).toMap,
       "reconcile must converge the derivative to transform(live source)")
-    // and the NEXT tick is incremental again (watermark advanced)
+    // and the NEXT tick is incremental again (watermark advanced) —
+    // the degrade counter must NOT move
     CommitLog.deleteWhere(spark, out, "src", col("off") === 0L)
     CommitLog.maintainDerived(spark, out, "src", "dst", up, flushSize = 10)
     assert(!CommitLog.read(spark, out, "dst")
       .select("off").as[Long].collect().contains(0L))
+    assert(MaintenanceMetrics.derivedReconcileCount(out, "dst") === 1L,
+      "a replayable watermark must take the incremental path again")
   }
 
   test("maintainDerived: one tick forwards appends and cascades DML; watermark rides filenames") {
@@ -469,6 +476,10 @@ class CommitLogSpec extends SparkSuite {
     assert(CommitLog.maintainDerived(spark, out, "src", "dst", up, 10) === v)
     assert(CommitLog.latestVersion(spark, out, "dst") === v)
     assert(CommitLog.maxOffsets(spark, out, "dst__cascade") === Map(0L -> 3L))
+    // a normally-retained source NEVER takes the degrade path: every
+    // tick above ran incremental, so the counter never moved
+    assert(MaintenanceMetrics.derivedReconcileCount(out, "dst") === 0L,
+      "normal-retention ticks must never degrade to the full reconcile")
     // crash between cascade and marker: re-running the cascade range
     // converges (content-idempotent), so simply re-cascading is safe
     CommitLog.relayDml(spark, out, "src", "dst", up, 0L, 3L)

@@ -62,18 +62,39 @@ class MaterializedAggSpec extends SparkSuite {
     CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
     assert(CommitLog.versions(spark, out, "t").min > 1L,
       "precondition: the incremental window must actually be truncated")
+    assert(MaintenanceMetrics.viewRebuildCount(out, "view") === 0L)
     val w = MaterializedAgg.refresh(spark, out, "t", "view",
       keys = Seq("k"), sums = Seq("v"))
+    assert(MaintenanceMetrics.viewRebuildCount(out, "view") === 1L,
+      "the truncation rebuild must bump the degrade counter")
     assert(w === CommitLog.latestVersion(spark, out, "t"))
     assert(state(out) ===
       Set(("a", 2L, 3L), ("b", 1L, 10L), ("c", 1L, 100L)),
       "the rebuild must converge the view to the live snapshot state")
-    // and the next refresh is incremental again
+    // and the next refresh is incremental again — counter must not move
     CommitLog.writeLogged(src((0L, 4L, "b", 5L)), out, "t", flushSize = 10)
     MaterializedAgg.refresh(spark, out, "t", "view",
       keys = Seq("k"), sums = Seq("v"))
     assert(state(out) ===
       Set(("a", 2L, 3L), ("b", 2L, 15L), ("c", 1L, 100L)))
+    assert(MaintenanceMetrics.viewRebuildCount(out, "view") === 1L,
+      "a replayable window must take the incremental path again")
+  }
+
+  test("normal-retention refresh cadence never takes the rebuild path (pin)") {
+    // retention misconfiguration is the ONLY road to the expensive
+    // full-state rebuild: N append+refresh cycles on a source whose
+    // history is intact must keep the degrade counter at zero
+    val out = Files.createTempDirectory("graft-mv-nodegrade").toString
+    for (i <- 0L until 6L) {
+      CommitLog.writeLogged(src((0L, i, if (i % 2 == 0) "a" else "b", i)),
+        out, "t", flushSize = 10)
+      MaterializedAgg.refresh(spark, out, "t", "view",
+        keys = Seq("k"), sums = Seq("v"))
+    }
+    assert(state(out) === Set(("a", 3L, 6L), ("b", 3L, 9L)))
+    assert(MaintenanceMetrics.viewRebuildCount(out, "view") === 0L,
+      "an intact source history must never trigger the snapshot rebuild")
   }
 
   test("row-level DML on the source needs rebuild: stale until, exact after, incremental again") {
@@ -293,6 +314,30 @@ class MaterializedAggSpec extends SparkSuite {
     CommitLog.writeLogged(
       Seq((0L, 0L, "a", 1.5)).toDF("part", "off", "k", "v"),
       out, "t", flushSize = 10)
+    val e = intercept[IllegalArgumentException] {
+      MaterializedAgg.refresh(spark, out, "t", "view",
+        keys = Seq("k"), sums = Seq("v"))
+    }
+    assert(e.getMessage.contains("DECIMAL"))
+  }
+
+  test("float sums are rejected on the truncation-rebuild path too") {
+    // a brand-new float-sum view whose FIRST refresh runs against an
+    // already-truncated source takes the snapshot-rebuild branch — it
+    // must refuse like the incremental path, not publish drifting
+    // float state once and wedge every later refresh
+    val out = Files.createTempDirectory("graft-mv-float-trunc").toString
+    import spark.implicits._
+    CommitLog.writeLogged(
+      Seq((0L, 0L, "a", 1.5)).toDF("part", "off", "k", "v"),
+      out, "t", flushSize = 10)
+    CommitLog.writeLogged(
+      Seq((0L, 1L, "b", 2.5)).toDF("part", "off", "k", "v"),
+      out, "t", flushSize = 10)
+    CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
+    CommitLog.maintain(spark, out, "t", targetRecords = 64, graceMs = 0)
+    assert(CommitLog.versions(spark, out, "t").min > 0L,
+      "precondition: the version-0 prefix must actually be truncated")
     val e = intercept[IllegalArgumentException] {
       MaterializedAgg.refresh(spark, out, "t", "view",
         keys = Seq("k"), sums = Seq("v"))

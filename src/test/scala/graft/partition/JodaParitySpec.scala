@@ -38,7 +38,7 @@ class JodaParitySpec extends SparkSuite {
     'G' -> 2, 'C' -> 3, 'x' -> 4, 'w' -> 3, 'e' -> 2, 'E' -> 5,
     'y' -> 5, 'Y' -> 4, 'D' -> 4, 'M' -> 5, 'd' -> 3, 'a' -> 2,
     'H' -> 3, 'k' -> 2, 'K' -> 2, 'h' -> 2, 'm' -> 3, 's' -> 3,
-    'S' -> 4, 'Z' -> 3)
+    'S' -> 4, 'Z' -> 3, 'z' -> 4)
   private val seps =
     Seq("/", "-", ".", ":", "_", "=", " ", "'y='", "''", "'/'", "'d/'")
 

@@ -178,7 +178,7 @@ class PartitionersSpec extends SparkSuite {
       s"expected the folded path literal in:\n$optimized")
   }
 
-  test("jodaPath: zone-name token z renders for functional zones, refuses ambiguous ones") {
+  test("jodaPath: zone-name token z — offset chain for functional zones, interval chain for Moscow-class") {
     def render(pat: String, at: java.sql.Timestamp): String =
       one(Partitioners.jodaPath(col("ts"), 3600000L,
         "America/Los_Angeles", java.util.Locale.ENGLISH, pat), at)
@@ -188,17 +188,35 @@ class PartitionersSpec extends SparkSuite {
     assert(render("zzzz", ts("2015-01-01 11:07:09")) ===
       "Pacific Standard Time")
     // Europe/Moscow maps +0300/+0400 each to both MSK and MSD across
-    // the 2011/2014 rule changes — ambiguous, so z refuses with the
-    // collision named while the rest of the alphabet still works
+    // the 2011/2014 rule changes — offset alone can't name it, so the
+    // renderer keys on the transition interval. Parity-pinned against
+    // Joda's own printer either side of BOTH rule changes (r15; this
+    // zone used to refuse at construction).
     assert(Partitioners.jodaUnsupported("'y'=yyyy/z", "Europe/Moscow",
-      java.util.Locale.ENGLISH).exists(_.contains("Europe/Moscow")))
-    assert(Partitioners.jodaUnsupported("'y'=yyyy/HH", "Europe/Moscow",
       java.util.Locale.ENGLISH) === Nil)
-    val e = intercept[IllegalArgumentException] {
-      one(Partitioners.jodaPath(col("ts"), 3600000L, "Europe/Moscow",
-        java.util.Locale.ENGLISH, "z"), ts("2015-01-01 11:07:09"))
+    def msk(pat: String, at: java.sql.Timestamp): Unit = {
+      val zone = org.joda.time.DateTimeZone.forID("Europe/Moscow")
+      val adjusted = zone.convertUTCToLocal(at.getTime)
+      val bucketUtc = zone.convertLocalToUTC(
+        (adjusted / 3600000L) * 3600000L, false)
+      val want = org.joda.time.format.DateTimeFormat.forPattern(pat)
+        .withZone(zone).withLocale(java.util.Locale.ENGLISH)
+        .print(new org.joda.time.DateTime(bucketUtc))
+      assert(one(Partitioners.jodaPath(col("ts"), 3600000L,
+        "Europe/Moscow", java.util.Locale.ENGLISH, pat), at) === want)
     }
-    assert(e.getMessage.contains("z"))
+    for (at <- Seq(
+        ts("2010-07-01 11:07:09"),   // pre-2011 summer: MSD (+04)
+        ts("2010-12-01 11:07:09"),   // pre-2011 winter: MSK (+03)
+        ts("2011-06-01 11:07:09"),   // post-2011 permanent +04: MSK
+        ts("2013-01-15 11:07:09"),   // permanent +04 winter: MSK
+        ts("2015-01-20 11:07:09"),   // post-2014 permanent +03: MSK
+        ts("2015-07-20 11:07:09"));
+        pat <- Seq("z", "zzzz", "yyyy/MM/dd/z"))
+      msk(pat, at)
+    // the remaining refusal surface: ids Joda itself rejects
+    assert(Partitioners.jodaUnsupported("z", "Not/AZone",
+      java.util.Locale.ENGLISH).exists(_.contains("not a Joda zone")))
   }
 
   test("timeBucketLocal floors on the LOCAL wall clock (half-hour zone)") {

@@ -164,10 +164,10 @@ class StreamIngestSpec extends SparkSuite {
     // golden tree for the reference's own custom-pattern spelling
     // (TimeBasedPartitionerTest.java:38-48): records at 01:10Z and
     // 02:20Z under 1h buckets → two encoded directories. The SAME
-    // config drives parquet, json and text — the r13 demux-plane
+    // config drives every BatchWriter format — the r13 demux-plane
     // asymmetry (encoded layouts working only for some formats) must
-    // not reappear on the config streaming surface.
-    for (fmt <- Seq("parquet", "json", "text")) {
+    // not reappear on the config streaming surface (orc/csv r15).
+    for (fmt <- Seq("parquet", "json", "text", "orc", "csv")) {
       val out = Files.createTempDirectory(s"graft-stream-joda-$fmt").toString
       val ckpt = Files.createTempDirectory(s"graft-ckpt-joda-$fmt").toString
       val cfg = GraftConfig(Map("flush.size" -> "10",
@@ -678,6 +678,55 @@ class StreamIngestSpec extends SparkSuite {
     assert(spark.table("dd").count() === 2)
   }
 
+  test("dedupOffsets soak: watermark evicts state — memory plateaus on a long stream") {
+    // the unbounded-state failure mode this pins against: a plain
+    // key-subset dropDuplicates NEVER evicts, so (a) state rows grow
+    // with the stream and (b) a re-sent offset is suppressed forever.
+    // dropDuplicatesWithinWatermark must do the opposite on both
+    // counts once the watermark passes: state plateaus, and an
+    // evicted (part, off) re-admits — the contract an at-least-once
+    // source needs (a redelivery AFTER the delay is out of contract).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val s = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamIngest.dedupOffsets(
+        s.toDF().toDF("ts", "part", "off"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("ddsoak")
+      .outputMode("append").start()
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val keysPerRound = 5
+    val rounds = 12
+    val stateSizes = scala.collection.mutable.Buffer.empty[Long]
+    for (b <- 0 until rounds) {
+      // event time advances 30 min per round — 3× the 10-min delay, so
+      // every round's state is evictable by the next. The SAME offsets
+      // 0..4 are re-sent every round (plus one in-batch duplicate):
+      // if eviction were broken they would be suppressed after round 0
+      val base = b * 30
+      s.addData((0 until keysPerRound).map(i => (t(base), 0L, i.toLong))
+        :+ ((t(base), 0L, 0L)): _*)
+      q.processAllAvailable()
+      Option(q.lastProgress).filter(_.stateOperators.nonEmpty)
+        .foreach(p => stateSizes += p.stateOperators.head.numRowsTotal)
+    }
+    q.stop()
+    // re-sent keys re-admit every OTHER round: the watermark at round
+    // b+1's start is base(b)−10min, which hasn't passed round b's
+    // expiry base(b)+10min yet — eviction completes by round b+2. A
+    // broken eviction (plain dropDuplicates) would admit round 0 only
+    // (5 rows total); working eviction admits ceil(rounds/2) rounds.
+    assert(spark.table("ddsoak").count() ===
+      ((rounds + 1) / 2).toLong * keysPerRound,
+      "evicted offsets must re-admit; in-watermark duplicates must not")
+    // state never accumulates past ~2 rounds of keys (current round +
+    // the not-yet-swept previous one); a broken eviction would reach
+    // rounds*keysPerRound = 60 by the end
+    assert(stateSizes.nonEmpty && stateSizes.max <= 3L * keysPerRound,
+      s"state must plateau, got $stateSizes")
+    assert(stateSizes.last <= 3L * keysPerRound,
+      s"final state must be bounded by the watermark, got $stateSizes")
+  }
+
   test("multi-topic interval rotation: per-topic record-time splits + crash-replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -735,6 +784,57 @@ class StreamIngestSpec extends SparkSuite {
     assert(alpha.count() === 5)
     assert(alpha.select(countDistinct(col("part"), col("off")))
       .as[Long].head() === 5)
+  }
+
+  test("multi-topic interval rotation holds for orc and csv (full sink parity)") {
+    // r15 (verdict task #5): the record-time bucket split must land
+    // the same committed layout for the r14 formats as for parquet —
+    // rotation is format-agnostic by design, pinned here so the demux
+    // asymmetry class of bug can't reappear
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ingest.{CommitLog, GraftConfig}
+    for (fmt <- Seq("orc", "csv")) {
+      val out = Files.createTempDirectory(s"graft-multi-rot-$fmt").toString
+      val ckpt = Files.createTempDirectory(s"graft-mrotf-ckpt-$fmt").toString
+      val cfg = GraftConfig(Map("flush.size" -> "100",
+        "format.class" -> fmt, "rotate.interval.ms" -> "60000"))
+      val root = cfg.topicsRoot(out)
+      def t(s: String) = Timestamp.valueOf(s)
+      val s1 = MemoryStream[(String, Long, Long, Timestamp, String)]
+      val q1 = StreamIngest.startLoggedMulti(
+        s1.toDF().toDF("topic", "part", "off", "timestamp", "payload"),
+        out, cfg, ckpt)
+      s1.addData(
+        ("alpha", 0L, 0L, t("2026-03-01 10:00:00"), "a0"),
+        ("alpha", 0L, 1L, t("2026-03-01 10:00:30"), "a1"),
+        ("alpha", 0L, 2L, t("2026-03-01 10:01:10"), "a2"),
+        ("beta", 0L, 0L, t("2026-03-01 10:00:10"), "b0"))
+      q1.processAllAvailable()
+      q1.stop()
+      val ext = BatchWriter.Formats(fmt)
+      assert(BatchWriter.listCommitted(spark, root, "alpha") === Seq(
+        s"alpha+0+0000000000+0000000001$ext",
+        s"alpha+0+0000000002+0000000002$ext"), s"format=$fmt")
+      assert(BatchWriter.listCommitted(spark, root, "beta") === Seq(
+        s"beta+0+0000000000+0000000000$ext"), s"format=$fmt")
+      // content: orc reads back self-described through the commit log;
+      // csv under an explicit schema straight off the committed files
+      if (fmt == "orc")
+        assert(CommitLog.read(spark, root, "alpha", "orc")
+          .select(col("payload")).as[String].collect().toSet ===
+          Set("a0", "a1", "a2"))
+      else {
+        import org.apache.spark.sql.types._
+        val got = spark.read.schema(StructType(Seq(
+            StructField("off", LongType),
+            StructField("timestamp", TimestampType),
+            StructField("payload", StringType))))
+          .csv(s"$root/alpha/partition=0/*.csv")
+          .select(col("payload")).as[String].collect().toSet
+        assert(got === Set("a0", "a1", "a2"))
+      }
+    }
   }
 
   test("dead-letter routing: invalid records land in <topic>.dlq, replay exact") {
