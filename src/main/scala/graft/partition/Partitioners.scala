@@ -218,7 +218,7 @@ object Partitioners {
     * accepts ids like "GMT+05:30" that Joda's forID rejects).
     * Offset-ambiguous zones (Europe/Moscow) no longer refuse — the
     * renderer keys those on (instant interval) instead of offset
-    * alone (see [[zoneNameIntervals]]). */
+    * alone (see [[zoneNameEras]]). */
   def jodaUnsupported(pattern: String, tz: String,
                       locale: java.util.Locale): Seq[String] = {
     // the lex try and the zone-resolution try are SEPARATE: a lex
@@ -231,7 +231,7 @@ object Partitioners {
       try jodaLex(pattern).collect { case JField('z', n) => n }.distinct
       catch { case _: IllegalArgumentException => Nil } // lex error above
     jodaUnsupported(pattern) ++ zRuns.flatMap { n =>
-      try { zoneNameIntervals(tz, locale, long = n >= 4); Nil }
+      try { zoneNameEras(tz, locale, long = n >= 4); Nil }
       catch {
         case e: IllegalArgumentException =>
           Seq(("z" * n) + s" (zone '$tz' is not a Joda zone id: ${e.getMessage})")
@@ -245,7 +245,7 @@ object Partitioners {
     * two intervals with the same offset carry different names (e.g.
     * Europe/Moscow, where +0300 and +0400 each map to both MSK and
     * MSD across the 2011/2014 rule changes) — such zones render
-    * through the interval-keyed chain of [[zoneNameIntervals]]
+    * through the era-keyed chain of [[zoneNameEras]]
     * instead of this 2-branch offset chain. Every common zone is
     * functional: offset alternates between standard and DST, each
     * with one name (PST/PDT, CET/CEST, AEST/AEDT, CHAST/CHADT…). */
@@ -273,35 +273,49 @@ object Partitioners {
     Right(m.toSeq)
   }
 
-  /** The zone's (instant-interval → display-name) table over
-    * 1970–2100, adjacent-merged on equal names — the Moscow-class
-    * fallback when [[zoneOffsetNames]] is ambiguous: Joda's name
-    * provider is queried per transition interval at plan time, so a
-    * per-interval time predicate renders `z` exactly even where one
-    * offset carried two names across rule changes. Entries are
-    * (startMs inclusive, endMs exclusive, name), ascending and
-    * contiguous; instants before 1970 take the first name, instants
-    * past 2100 the last. Throws IllegalArgumentException when `tz`
-    * is not a Joda zone id (the remaining refusal surface). */
-  private[partition] def zoneNameIntervals(
+  /** The zone's name ERAS over 1970–2100 — the Moscow-class fallback
+    * when [[zoneOffsetNames]] is ambiguous. An era is a maximal run
+    * of transition intervals over which the offset→name map is
+    * CONSTANT (a new era starts exactly when some offset re-appears
+    * under a different name — Moscow has two: {+03→MSK, +04→MSD}
+    * until the 2011 rule change, {+04→MSK, +03→MSK} after). Walked
+    * through Joda's own name provider at plan time; the renderer
+    * emits one instant-range branch per era, each containing the
+    * usual tiny offset chain — O(rule changes) branches, NOT
+    * O(transitions) (a per-transition chain measured an 8 MiB task
+    * binary on this zone). Entries are (eraStartMs, offset→name
+    * table), ascending; instants before 1970 take the first era,
+    * instants past 2100 the last. Throws IllegalArgumentException
+    * when `tz` is not a Joda zone id (the remaining refusal
+    * surface). */
+  private[partition] def zoneNameEras(
       tz: String, locale: java.util.Locale,
-      long: Boolean): Seq[(Long, Long, String)] = {
+      long: Boolean): Seq[(Long, Seq[(Long, String)])] = {
     val zone = org.joda.time.DateTimeZone.forID(tz)
     val end = 4102444800000L // 2100-01-01T00:00Z
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String)])]
+    val m = scala.collection.mutable.LinkedHashMap[Long, String]()
+    var eraStart = 0L
     var t = 0L
     var more = true
     while (more && t < end) {
+      val off = zone.getOffset(t).toLong
       val name = if (long) zone.getName(t, locale)
                  else zone.getShortName(t, locale)
+      m.get(off) match {
+        case Some(prev) if prev != name =>
+          out += ((eraStart, m.toSeq))
+          eraStart = t
+          m.clear()
+          m.update(off, name)
+        case _ => m.update(off, name)
+      }
       val n = zone.nextTransition(t)
-      val stop = if (n == t) { more = false; end } else math.min(n, end)
-      if (buf.nonEmpty && buf.last._3 == name)
-        buf(buf.size - 1) = (buf.last._1, stop, name)
-      else buf += ((t, stop, name))
-      t = stop
+      if (n == t) more = false else t = n
     }
-    buf.toSeq
+    out += ((eraStart, m.toSeq))
+    out.toSeq
   }
 
   /** Zero-pad `v` to minimum width `n` without ever truncating —
@@ -409,21 +423,29 @@ object Partitioners {
             .otherwise(lit(fallback))
         case Left(_) =>
           // Moscow-class zone (one offset, two names across rule
-          // changes): key the chain on the bucket INSTANT interval —
-          // Joda's name provider is per transition interval, so a
-          // time predicate per merged interval is exact. The instant
-          // is recovered from the wall clock and its offset (b =
-          // utc + offMs by construction in [[jodaPath]]).
-          val ivs = zoneNameIntervals(tz, locale, long = n >= 4)
+          // changes): one instant-range branch per ERA, each holding
+          // the usual offset chain — exact, and O(rule changes)
+          // branches. The instant is recovered from the wall clock
+          // and its offset (b = utc + offMs in [[jodaPath]]).
+          val eras = zoneNameEras(tz, locale, long = n >= 4)
           val inst = unix_millis(b) - offMs
-          if (ivs.size == 1) lit(ivs.head._3)
-          else {
-            val whens = ivs.init
-            whens.tail
-              .foldLeft(when(inst < lit(whens.head._2), lit(whens.head._3))) {
-                case (acc, (_, e, nm)) => acc.when(inst < lit(e), lit(nm))
+          def offChain(tbl: Seq[(Long, String)]): Column =
+            if (tbl.size == 1) lit(tbl.head._2)
+            else tbl.tail
+              .foldLeft(when(offMs === lit(tbl.head._1), lit(tbl.head._2))) {
+                case (acc, (o, nm)) => acc.when(offMs === lit(o), lit(nm))
               }
-              .otherwise(lit(ivs.last._3))
+              .otherwise(lit(tbl.head._2))
+          if (eras.size == 1) offChain(eras.head._2)
+          else {
+            val later = eras.tail.reverse // latest era first
+            later.tail
+              .foldLeft(when(inst >= lit(later.head._1),
+                offChain(later.head._2))) {
+                case (acc, (s, tbl)) =>
+                  acc.when(inst >= lit(s), offChain(tbl))
+              }
+              .otherwise(offChain(eras.head._2))
           }
       }
     case other => throw new IllegalArgumentException(

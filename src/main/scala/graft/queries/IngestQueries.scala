@@ -142,6 +142,40 @@ object IngestQueries {
              |  count(*) AS n
              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // A5++ — Moscow-class zone-name rendering (r15): Joda `z` over a
+    // zone whose offset→name map is ambiguous across rule changes
+    // (Europe/Moscow: +03/+04 each carried MSK and MSD) — rendered by
+    // the interval-keyed plan-time chain (Partitioners.zoneNameIntervals)
+    // instead of refusing. Deterministic day-grain instants spanning
+    // 2010→2015.5 cross the 2010 DST window, the 2011 permanent-+04
+    // change, and the 2014 permanent-+03 change; the oracle re-derives
+    // the names from the pinned tzdb transition instants.
+    QuerySpec("partition_time_moscow",
+      (s, d) => stream(s, d)
+        .select(timestamp_millis(lit(1262304000000L) +
+          pmod(col("off"), lit(2000L)) * lit(86400000L)).as("mts"))
+        .groupBy(Partitioners.jodaPath(col("mts"), 3600000L,
+          "Europe/Moscow", java.util.Locale.ENGLISH, "yyyy-MM'/'z")
+          .as("path"))
+        .agg(count(lit(1)).as("n")).orderBy(col("path")),
+      Some("""WITH m AS (SELECT 1262304000000 + (event_id % 2000) * 86400000 AS t
+             |  FROM events),
+             |-- Europe/Moscow transition instants (UTC ms, tzdb):
+             |-- 2010-03-27T23:00Z +04 MSD / 2010-10-30T23:00Z +03 MSK /
+             |-- 2011-03-26T23:00Z +04 MSK / 2014-10-25T22:00Z +03 MSK
+             |o AS (SELECT t,
+             |    CASE WHEN (t >= 1269730800000 AND t < 1288479600000)
+             |           OR (t >= 1301180400000 AND t < 1414274400000)
+             |      THEN 14400000 ELSE 10800000 END AS offms,
+             |    CASE WHEN t >= 1269730800000 AND t < 1288479600000
+             |      THEN 'MSD' ELSE 'MSK' END AS zname
+             |  FROM m),
+             |w AS (SELECT make_timestamp((t + offms) * 1000) AS wall, zname
+             |  FROM o)
+             |SELECT concat(strftime(wall, '%Y-%m'), '/', zname) AS path,
+             |  count(*) AS n
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A7 — RecordField timestamp extractor: epoch-ms field → timestamp.
     QuerySpec("ts_extract_field",
       (s, d) => stream(s, d).select(col("off").as("event_id"),

@@ -401,15 +401,30 @@ class GraftConfigSpec extends SparkSuite {
       .toDF("ts").select(p.as("p")).as[String].collect()
     assert(paths(0) === paths(1))
     assert(paths(0) === "year=2015/month=November/day=01/hour=1")
+    // offset-ambiguous zones (Europe/Moscow) render z through the
+    // era-keyed chain since r15 — the config surface accepts them and
+    // lands Joda's own names across the 2011 rule change
+    val cfgM = GraftConfig(base ++ Map(
+      "partitioner.class" -> "time",
+      "partition.duration.ms" -> "3600000",
+      "path.format" -> "'zone'=zz/",
+      "timezone" -> "Europe/Moscow",
+      "timestamp.field" -> "ts"))
+    val pm = cfgM.partitionPath(col("part"), col("ts"), n => col(n))
+    val mskPaths = Seq(
+        java.sql.Timestamp.valueOf("2010-07-01 11:00:00"), // MSD era
+        java.sql.Timestamp.valueOf("2015-01-20 11:00:00")) // MSK (+03)
+      .toDF("ts").select(pm.as("p")).as[String].collect()
+    assert(mskPaths.toSeq === Seq("zone=MSD", "zone=MSK"))
     // untranslatable tokens refuse at construction with the token
-    // named: letters Joda itself rejects, and the zone-name token on
-    // a zone whose offset→name map is ambiguous (Europe/Moscow)
+    // named: letters Joda itself rejects, and zone ids Joda cannot
+    // resolve
     val e = intercept[IllegalArgumentException] {
       GraftConfig(base ++ Map(
         "partitioner.class" -> "time",
         "partition.duration.ms" -> "3600000",
         "path.format" -> "'zone'=zz/",
-        "timezone" -> "Europe/Moscow",
+        "timezone" -> "Not/AZone",
         "timestamp.field" -> "ts"))
     }
     assert(e.getMessage.contains("untranslatable"))
