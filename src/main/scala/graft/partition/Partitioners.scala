@@ -130,9 +130,10 @@ object Partitioners {
   // translates the FULL Joda print alphabet into a foldable Column
   // chain over the SAME duration bucket, and fail-fasts (at CONFIG
   // time, via [[jodaUnsupported]]) on anything outside it — a wrong
-  // directory tree is worse than a refusal. The only conditional
-  // token is the locale zone name `z`, gated on the zone's
-  // offset→name map being unambiguous (see [[zoneOffsetNames]]).
+  // directory tree is worse than a refusal. The locale zone name `z`
+  // renders every Joda-resolvable zone: a 2-branch offset chain when
+  // the offset→name map is unambiguous ([[zoneOffsetNames]]), an
+  // era-keyed chain otherwise ([[zoneNameEras]]).
   // Locale-sensitive text (month/day/zone names, halfday, era) is
   // derived at plan time from the classpath Joda itself so the
   // rendered names match the reference printer byte-for-byte.
@@ -195,7 +196,7 @@ object Partitioners {
     * (d), halfday text (a), hour fields in all four Joda numberings
     * (H 0-23, k 1-24, K 0-11, h 1-12), minute (m), second (s),
     * fraction-of-second (S), zone offset / id (Z), and the locale
-    * zone name (z — gated per zone, see [[zoneOffsetNames]]). */
+    * zone name (z — offset or era chain, see [[zoneOffsetNames]]/[[zoneNameEras]]). */
   private val JodaSupported: Set[Char] =
     Set('G', 'C', 'x', 'w', 'e', 'E', 'y', 'Y', 'D', 'M', 'd',
       'a', 'H', 'k', 'K', 'h', 'm', 's', 'S', 'Z', 'z')
@@ -457,7 +458,7 @@ object Partitioners {
     * tz, ts)` (`/root/reference/src/test/java/io/confluent/connect/hdfs/partitioner/TimeUtils.java:26-38`)
     * re-expressed as one foldable Column: bucket in local wall time,
     * then render each pattern atom. Every Joda print token is
-    * translated (`z` gated per zone — see [[zoneOffsetNames]]);
+    * translated (`z` via offset or era chain — see [[zoneNameEras]]);
     * parity with Joda's own printer is property-pinned in
     * `JodaParitySpec`. A single trailing `/`
     * (the reference's patterns end with one; its path join collapses

@@ -145,7 +145,7 @@ object IngestQueries {
     // A5++ — Moscow-class zone-name rendering (r15): Joda `z` over a
     // zone whose offset→name map is ambiguous across rule changes
     // (Europe/Moscow: +03/+04 each carried MSK and MSD) — rendered by
-    // the interval-keyed plan-time chain (Partitioners.zoneNameIntervals)
+    // the era-keyed plan-time chain (Partitioners.zoneNameEras)
     // instead of refusing. Deterministic day-grain instants spanning
     // 2010→2015.5 cross the 2010 DST window, the 2011 permanent-+04
     // change, and the 2014 permanent-+03 change; the oracle re-derives

@@ -86,7 +86,7 @@ object SchemaEvolution {
     // (the analyzer raises AMBIGUOUS_REFERENCE for the same shape)
     val collisions = source.fieldNames.groupBy(key).filter(_._2.length > 1)
     require(collisions.isEmpty,
-      "source schema has columns that collide under case-insensitive " +
+      "source schema has columns that collide under the session's name " +
         s"resolution: ${collisions.values.map(_.mkString("/")).mkString(", ")}")
     val sourceByLower = source.fieldNames.map(n => key(n) -> n).toMap
     target.fields.toSeq.map { f =>
