@@ -40,11 +40,27 @@ object Bench {
     * `tools/update_baseline.py` appends them from the round artifact. */
   private val BaselineEntry =
     // no closing-brace anchor: re-baselined entries carry extra fields
-    // ("note", "idle") after round, and MUST still parse — a dropped
-    // entry would silently re-enter the ledger as a "new query"
+    // ("note", "idle", "prev_sec") after round, and MUST still parse —
+    // a dropped entry would silently re-enter the ledger as a "new
+    // query"
     """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.eE+-]+),\s*"round":\s*(\d+)""".r
+  // idle spread and pre-adjudication baseline, both flat fields inside
+  // the entry object ([^}] cannot cross the entry's closing brace;
+  // update_baseline.py sanitizes braces out of notes)
+  private val BaselineIdle =
+    """"([A-Za-z0-9_]+)":\s*\{[^}]*?"idle":\s*\[([^\]]*)\]""".r
+  private val BaselinePrev =
+    """"([A-Za-z0-9_]+)":\s*\{[^}]*?"prev_sec":\s*([0-9.eE+-]+)""".r
 
-  private def loadBaseline(): Map[String, Double] = {
+  /** One ledger row: first-recorded (or adjudicated) seconds, the
+    * sample std-dev of its recorded idle re-measurements (0 when the
+    * entry was never re-baselined — the 2×/+1 s floors still apply),
+    * and the pre-adjudication seconds when a re-baseline replaced the
+    * original recording (audit trail — `vs_prev` in the artifact). */
+  private final case class BaseEntry(sec: Double, sigma: Double,
+                                     prevSec: Option[Double])
+
+  private def loadBaseline(): Map[String, BaseEntry] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
     val f = new java.io.File(path)
     if (!f.isFile) Map.empty
@@ -52,8 +68,24 @@ object Bench {
       val text = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      BaselineEntry.findAllMatchIn(text)
+      val idles = BaselineIdle.findAllMatchIn(text).map { m =>
+        val xs = m.group(2).split(",").map(_.trim)
+          .filter(_.nonEmpty).map(_.toDouble)
+        val sigma =
+          if (xs.length < 2) 0.0
+          else {
+            val mean = xs.sum / xs.length
+            math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
+          }
+        m.group(1) -> sigma
+      }.toMap
+      val prevs = BaselinePrev.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      BaselineEntry.findAllMatchIn(text).map { m =>
+        val name = m.group(1)
+        name -> BaseEntry(m.group(2).toDouble,
+          idles.getOrElse(name, 0.0), prevs.get(name))
+      }.toMap
     }
   }
 
@@ -265,28 +297,42 @@ object Bench {
     // (ratio suppressed) — the rule is about real queries drifting.
     val baseline = loadBaseline()
     val ratios = results.collect {
-      case (name, s) if s >= 0 && baseline.get(name).exists(_ >= 0.1) =>
-        name -> s / baseline(name)
+      case (name, s) if s >= 0 && baseline.get(name).exists(_.sec >= 0.1) =>
+        name -> s / baseline(name).sec
     }
     val ratioJson = ratios
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     // noise-normalized ratios: raw ratio divided by how much slower
-    // this run's machine measured than the calibration reference. The
-    // raw 2x gate stays authoritative; this column is for adjudicating
-    // whether a uniform creep is environment or regression.
-    val calRef = baseline.getOrElse("calibration_sec", CalibrationRefSec)
+    // this run's machine measured than the calibration reference.
+    val calRef = baseline.get("calibration_sec").map(_.sec)
+      .getOrElse(CalibrationRefSec)
     val calScale = if (calibrationSec > 0) calibrationSec / calRef else 1.0
     val normJson = ratios
       .map { case (k, r) => "\"" + k + "\":" + f"${r / calScale}%.2f" }
       .mkString("{", ",", "}")
-    // the drift callout needs BOTH a >2x ratio and a material absolute
-    // delta: sub-second queries swing 2x on GC/page-cache state alone
-    // (observed same-code, same-data, hours apart), and flagging those
-    // would train readers to ignore the field
+    // audit column: ratio vs the PRE-adjudication baseline for every
+    // re-baselined entry, so an upward re-baseline can never silence
+    // the gate's history — drift vs the original first recording stays
+    // readable from the artifact alone
+    val prevJson = results.collect {
+      case (k, s) if s >= 0 && baseline.get(k).exists(_.prevSec.exists(_ >= 0.1)) =>
+        "\"" + k + "\":" + f"${s / baseline(k).prevSec.get}%.2f"
+    }.mkString("{", ",", "}")
+    // Variance-aware drift gate (r16 — four different sub-2 s queries
+    // were flagged across three runs of byte-identical code; the plain
+    // 2×-raw rule on short queries measures the machine, not the code).
+    // A query is flagged only when BOTH its raw and its calibration-
+    // normalized seconds exceed every one of: 2× the ledger entry, the
+    // ledger entry + 3σ of its recorded idle spread (entries that have
+    // one), and the ledger entry + 1 s absolute. min(raw, norm): a
+    // run on a slow machine must clear the bar even after correction.
     val resultOf = results.toMap
-    val regressions = ratios.filter { case (k, r) =>
-      r > 2.0 && resultOf(k) - baseline(k) > 1.0
+    val regressions = ratios.filter { case (k, _) =>
+      val e = baseline(k)
+      val s = resultOf(k)
+      val eff = math.min(s, s / calScale)
+      eff > Seq(2 * e.sec, e.sec + 3 * e.sigma, e.sec + 1.0).max
     }
     val regJson = regressions
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
@@ -302,7 +348,7 @@ object Bench {
     // truncated capture loses detail, never the headline numbers.
     // The COMPLETE line is also written to a tracked file so no round
     // ever loses its per-query seconds again (r12 did).
-    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"new_queries":$newQ,"vs_baseline":$ratioJson,"vs_baseline_norm":$normJson,"regressions":$regJson,"failed":$failed,"calibration_sec":${f"$calibrationSec%.3f"},"calibration_ref":$calRef,"value":$total,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","unit":"sec","queries":$qjson,"retimed":$retimedJson,"actions":$actionsJson,"new_queries":$newQ,"vs_baseline":$ratioJson,"vs_baseline_norm":$normJson,"vs_prev":$prevJson,"regressions":$regJson,"failed":$failed,"calibration_sec":${f"$calibrationSec%.3f"},"calibration_ref":$calRef,"value":$total,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -56,4 +56,21 @@ object MaintenanceMetrics {
   def viewRebuildCount(outDir: String, viewTopic: String): Long =
     Option(counters.get(s"view-rebuild:$outDir:$viewTopic"))
       .fold(0L)(_.get())
+
+  /** Drop every counter under `outDir`. The map is process-global
+    * and otherwise grows one entry per (dir, topic) forever — a
+    * long-lived driver rotating output dirs must release retired
+    * dirs, and tests can isolate without minting unique temp dirs. */
+  def reset(outDir: String): Unit = {
+    val it = counters.keySet.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      // keys are "<kind>:<outDir>:<topic>"; kind never contains ':'
+      val rest = k.substring(k.indexOf(':') + 1)
+      if (rest == outDir || rest.startsWith(outDir + ":")) it.remove()
+    }
+  }
+
+  /** Drop ALL counters (test teardown for suites that share dirs). */
+  def resetAll(): Unit = counters.clear()
 }

@@ -95,9 +95,11 @@ object MaterializedAgg {
     val availVers =
       CommitLog.versions(spark, outDir, sourceTopic).toSet
     if (!((w + 1) to s1).forall(availVers.contains)) {
-      MaintenanceMetrics.viewRebuild(outDir, viewTopic)
       val snap = CommitLog.snapshot(spark, outDir, sourceTopic)
       if (snap.isEmpty) return w // nothing live to rebuild from
+      // count the degrade only once a rebuild actually runs — a
+      // truncated-but-empty source above returns without scanning
+      MaintenanceMetrics.viewRebuild(outDir, viewTopic)
       val raw = derive.foldLeft(
         CommitLog.readFiles(spark, outDir, sourceTopic, snap, format)) {
         case (df, (name, sqlExpr)) => df.withColumn(name, expr(sqlExpr))

@@ -430,23 +430,33 @@ object Partitioners {
           // and its offset (b = utc + offMs in [[jodaPath]]).
           val eras = zoneNameEras(tz, locale, long = n >= 4)
           val inst = unix_millis(b) - offMs
-          def offChain(tbl: Seq[(Long, String)]): Column =
+          // out-of-table fallback mirrors the unambiguous branch: an
+          // offset absent from the era's table (post-2100 instants in
+          // the open-ended latest era) renders the era's STANDARD-
+          // offset name, not whichever name was walked first
+          val zone = org.joda.time.DateTimeZone.forID(tz)
+          def offChain(eraRep: Long, tbl: Seq[(Long, String)]): Column = {
+            val stdOff = zone.getStandardOffset(eraRep).toLong
+            val fb = tbl.collectFirst { case (o, nm) if o == stdOff => nm }
+              .getOrElse(tbl.head._2)
             if (tbl.size == 1) lit(tbl.head._2)
             else tbl.tail
               .foldLeft(when(offMs === lit(tbl.head._1), lit(tbl.head._2))) {
                 case (acc, (o, nm)) => acc.when(offMs === lit(o), lit(nm))
               }
-              .otherwise(lit(tbl.head._2))
-          if (eras.size == 1) offChain(eras.head._2)
+              .otherwise(lit(fb))
+          }
+          val endRep = 4102444799999L // same instant the 2-branch path uses
+          if (eras.size == 1) offChain(endRep, eras.head._2)
           else {
             val later = eras.tail.reverse // latest era first
             later.tail
               .foldLeft(when(inst >= lit(later.head._1),
-                offChain(later.head._2))) {
+                offChain(endRep, later.head._2))) {
                 case (acc, (s, tbl)) =>
-                  acc.when(inst >= lit(s), offChain(tbl))
+                  acc.when(inst >= lit(s), offChain(s, tbl))
               }
-              .otherwise(offChain(eras.head._2))
+              .otherwise(offChain(eras.head._1, eras.head._2))
           }
       }
     case other => throw new IllegalArgumentException(

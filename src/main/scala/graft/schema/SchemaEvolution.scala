@@ -82,12 +82,18 @@ object SchemaEvolution {
     // passes the conf through)
     def key(n: String): String = if (caseSensitive) n else n.toLowerCase
     // under insensitive lowering, two source names collapsing to one
-    // key would make toMap keep an arbitrary winner — refuse loudly
-    // (the analyzer raises AMBIGUOUS_REFERENCE for the same shape)
-    val collisions = source.fieldNames.groupBy(key).filter(_._2.length > 1)
+    // key would make toMap keep an arbitrary winner — refuse loudly,
+    // but only when the projection actually resolves the ambiguous
+    // name (the analyzer raises AMBIGUOUS_REFERENCE on resolution, not
+    // on the mere presence of colliding columns: {UserId, userid,
+    // other} projected onto {other} is legal)
+    val referenced = target.fields.iterator.map(f => key(f.name)).toSet
+    val collisions = source.fieldNames.groupBy(key)
+      .filter { case (k, ns) => ns.length > 1 && referenced.contains(k) }
     require(collisions.isEmpty,
       "source schema has columns that collide under the session's name " +
-        s"resolution: ${collisions.values.map(_.mkString("/")).mkString(", ")}")
+        s"resolution and are referenced by the target: " +
+        collisions.values.map(_.mkString("/")).mkString(", "))
     val sourceByLower = source.fieldNames.map(n => key(n) -> n).toMap
     target.fields.toSeq.map { f =>
       val base: Column =

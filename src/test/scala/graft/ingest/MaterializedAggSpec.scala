@@ -81,6 +81,37 @@ class MaterializedAggSpec extends SparkSuite {
       "a replayable window must take the incremental path again")
   }
 
+  test("reset(outDir) drops that dir's counters and nothing else") {
+    // the counter map is process-global: a long-lived driver rotating
+    // output dirs must be able to release retired dirs, and tests
+    // must be able to isolate without minting unique temp dirs. (The
+    // empty-snapshot early return in refresh() precedes the counter
+    // bump, so a rebuild that never scans is never counted — that
+    // state isn't constructible through the public API because
+    // eraseSwap always retains a coverage keeper, hence no
+    // integration pin for it.)
+    val out = Files.createTempDirectory("graft-mv-reset").toString
+    val out2 = Files.createTempDirectory("graft-mv-reset2").toString
+    for (o <- Seq(out, out2)) {
+      CommitLog.writeLogged(src((0L, 0L, "a", 1L)), o, "t", flushSize = 10)
+      MaterializedAgg.refresh(spark, o, "t", "view",
+        keys = Seq("k"), sums = Seq("v"))
+      CommitLog.writeLogged(src((0L, 1L, "b", 2L)), o, "t", flushSize = 10)
+      CommitLog.writeLogged(src((0L, 2L, "c", 3L)), o, "t", flushSize = 10)
+      CommitLog.maintain(spark, o, "t", targetRecords = 64, graceMs = 0)
+      CommitLog.maintain(spark, o, "t", targetRecords = 64, graceMs = 0)
+      MaterializedAgg.refresh(spark, o, "t", "view",
+        keys = Seq("k"), sums = Seq("v"))
+    }
+    assert(MaintenanceMetrics.viewRebuildCount(out, "view") === 1L)
+    assert(MaintenanceMetrics.viewRebuildCount(out2, "view") === 1L)
+    MaintenanceMetrics.reset(out)
+    assert(MaintenanceMetrics.viewRebuildCount(out, "view") === 0L,
+      "reset(outDir) must drop the dir's counters for long-lived drivers")
+    assert(MaintenanceMetrics.viewRebuildCount(out2, "view") === 1L,
+      "reset(outDir) must not touch other dirs")
+  }
+
   test("normal-retention refresh cadence never takes the rebuild path (pin)") {
     // retention misconfiguration is the ONLY road to the expensive
     // full-state rebuild: N append+refresh cycles on a source whose

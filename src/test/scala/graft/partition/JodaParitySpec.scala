@@ -24,8 +24,14 @@ import graft.SparkSuite
 class JodaParitySpec extends SparkSuite {
   import spark.implicits._
 
+  // the last three are ambiguous-history zones (rule churn and/or
+  // non-hour offsets: Moscow's 2011/2014 same-offset renames, Chile's
+  // midnight-transition DST, Iran's :30 offset with on/off DST years)
+  // that exercise the era-keyed z path — r16 widening, so the
+  // era-table rendering is certified beyond the zone it was built for
   private val zones = Seq("UTC", "America/Los_Angeles", "Asia/Kolkata",
-    "Australia/Sydney", "Europe/Paris", "Pacific/Chatham")
+    "Australia/Sydney", "Europe/Paris", "Pacific/Chatham",
+    "Europe/Moscow", "America/Santiago", "Asia/Tehran")
   private val locales = Seq(java.util.Locale.ENGLISH, java.util.Locale.FRENCH,
     java.util.Locale.GERMAN, java.util.Locale.JAPANESE)
   private val durations = Seq(250L, 1000L, 60000L, 900000L, 3600000L,

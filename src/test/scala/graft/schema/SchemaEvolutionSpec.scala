@@ -95,6 +95,15 @@ class SchemaEvolutionSpec extends SparkSuite {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("unreferenced case collisions don't block the projection") {
+    // the analyzer raises AMBIGUOUS_REFERENCE only when the ambiguous
+    // name is actually resolved: {UserId, userid, other} -> {other}
+    // is legal and must stay legal
+    val df = Seq((1L, 2L, "x")).toDF("UserId", "userid", "other")
+    val target = StructType(Seq(StructField("other", StringType)))
+    assert(SchemaEvolution.project(df, target).as[String].head() === "x")
+  }
+
   test("project honors spark.sql.caseSensitive=true sessions") {
     val prev = spark.conf.get("spark.sql.caseSensitive")
     spark.conf.set("spark.sql.caseSensitive", "true")

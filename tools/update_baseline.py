@@ -62,8 +62,17 @@ def rebaseline(argv):
     if name not in ledger:
         sys.exit(f"{name} not in ledger — use the append path for new queries")
     old = ledger[name]
+    # braces would break Bench's entry-scoped regex parse of idle/prev
+    note = note.replace("{", "(").replace("}", ")")
+    # keep the PRE-adjudication baseline alongside the new one (flat
+    # fields — a nested object would regex-parse as a ledger entry
+    # named "prev"): the gate's history survives the re-baseline, and
+    # Bench emits a vs_prev audit column from it. Chained re-baselines
+    # preserve the ORIGINAL first recording, not the previous hop.
     ledger[name] = {"sec": round(min(idle), 4), "round": rnd,
-                    "note": note, "idle": [round(x, 3) for x in idle]}
+                    "note": note, "idle": [round(x, 3) for x in idle],
+                    "prev_sec": old.get("prev_sec", old["sec"]),
+                    "prev_round": old.get("prev_round", old["round"])}
     with open("BASELINE_QUERIES.json", "w") as f:
         json.dump({k: ledger[k] for k in sorted(ledger)}, f, indent=1)
     print(f"~ {name}: {old['sec']}s (r{old['round']}) -> "
