@@ -5337,13 +5337,17 @@ object PipelineQueries {
             .select(col("doc_id"), col("source"), col("n_tokens")))
         // stage 3: near-dup prune among survivors — banded candidates,
         // exact Jaccard >= 0.5 verify, the HIGHER id of a verified
-        // pair is pruned (deterministic lower-id survivor). Bands chain
-        // off the CACHED survivor shingles (banding is per-doc, so
-        // filter-then-band == band-then-filter) — one corpus
-        // tokenize+shingle pass instead of two.
-        val (sh0, _) = minhashShingleBands(s, d)
+        // pair is pruned (deterministic lower-id survivor). The
+        // survivor filter lands BELOW the tokenize (shingling is
+        // per-doc, so filter-then-shingle == shingle-then-filter):
+        // the regex pass runs over survivor text only, not the whole
+        // corpus — at 100 TB the quality gate's rejects never get
+        // tokenized a second time.
         val ids = survE.select(col("doc_id"))
-        val sh = TrackedCache.persist(sh0.join(ids, Seq("doc_id"), "left_semi"))
+        val sh = TrackedCache.persist(
+          docs.join(ids, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"),
+              TF.shingles(TF.tokens(col("text")), 3).as("sh")))
         val bands = TrackedCache.persist(minhashBandsFrom(sh))
         val cand = candidatePairs(bands, "ia", "ib")
         val pruned = cand
@@ -5353,9 +5357,15 @@ object PipelineQueries {
           .select(col("ib").as("doc_id")).distinct()
         val survN = survE.join(pruned, Seq("doc_id"), "left_anti")
         // stage 4: decontamination — drop survivors sharing any 8-gram
-        // with the eval set
-        val g8 = TrackedCache.persist(docs.select(col("doc_id"),
-          explode(TF.shingles(TF.tokens(col("text")), 8)).as("g")))
+        // with the eval set. Only eval docs (< 25) and exact-dedup
+        // survivors can contribute grams the stage reads (gram
+        // explosion is per-doc), so the third corpus tokenize pass
+        // shrinks to those rows — quality-gate rejects are skipped.
+        val g8 = TrackedCache.persist(
+          docs.filter(col("doc_id") < 25)
+            .unionByName(docs.join(ids, Seq("doc_id"), "left_semi"))
+            .select(col("doc_id"),
+              explode(TF.shingles(TF.tokens(col("text")), 8)).as("g")))
         val evalG = g8.filter(col("doc_id") < 25).select(col("g")).distinct()
         val cont = g8.join(survN.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .join(broadcast(evalG), Seq("g"), "left_semi")
