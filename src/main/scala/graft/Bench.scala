@@ -81,6 +81,19 @@ object Bench {
       }.toMap
       val prevs = BaselinePrev.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // loud consistency check: the entry-scoped regexes assume notes
+      // never contain '}' (update_baseline.py sanitizes, but the
+      // ledger is hand-editable) — a brace inside a note would
+      // silently drop that entry's sigma/prev, tightening the gate
+      // with no parse error anywhere
+      val idleFields = "\"idle\"".r.findAllIn(text).size
+      val prevFields = "\"prev_sec\"".r.findAllIn(text).size
+      if (idleFields != idles.size || prevFields != prevs.size)
+        System.err.println(
+          s"[bench] WARNING ledger parse mismatch: $idleFields idle " +
+            s"fields but ${idles.size} parsed, $prevFields prev_sec " +
+            s"fields but ${prevs.size} parsed — a '}' inside a note? " +
+            "Affected entries lose their sigma/prev silently.")
       BaselineEntry.findAllMatchIn(text).map { m =>
         val name = m.group(1)
         name -> BaseEntry(m.group(2).toDouble,
@@ -94,10 +107,13 @@ object Bench {
     * timed at run start. Its seconds land in the artifact as
     * `calibration_sec`; dividing each query's raw vs-baseline ratio by
     * (calibration_sec / calibration_ref) yields the noise-normalized
-    * `vs_baseline_norm` column. The raw 2× gate stays authoritative;
-    * the normalized column exists so a uniformly-slow driver window
+    * `vs_baseline_norm` column. Since r16 the drift gate reads
+    * min(raw, normalized) against the variance-aware threshold (see
+    * the regressions filter), with a raw-only backstop at 2× the
+    * threshold so a session-level slowdown the probe shares cannot
+    * self-normalize into silence; a uniformly-slow driver window
     * (r13 saw the whole TPC-H block creep 1.2–1.6× while an idle
-    * re-run of identical code measured 14% faster) is attributable
+    * re-run of identical code measured 14% faster) stays attributable
     * from the artifact alone. min-of-3 — the probe measures the
     * machine, not a scheduler hiccup. */
   private def calibrate(spark: SparkSession): Double = {
@@ -327,12 +343,17 @@ object Bench {
     // ledger entry + 3σ of its recorded idle spread (entries that have
     // one), and the ledger entry + 1 s absolute. min(raw, norm): a
     // run on a slow machine must clear the bar even after correction.
+    // BACKSTOP: raw seconds past TWICE the full threshold flag
+    // regardless of the normalizer — a session-level regression that
+    // also slows the calibration probe (it shares the session configs)
+    // must not self-normalize into silence.
     val resultOf = results.toMap
     val regressions = ratios.filter { case (k, _) =>
       val e = baseline(k)
       val s = resultOf(k)
       val eff = math.min(s, s / calScale)
-      eff > Seq(2 * e.sec, e.sec + 3 * e.sigma, e.sec + 1.0).max
+      val threshold = Seq(2 * e.sec, e.sec + 3 * e.sigma, e.sec + 1.0).max
+      eff > threshold || s > 2 * threshold
     }
     val regJson = regressions
       .map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }

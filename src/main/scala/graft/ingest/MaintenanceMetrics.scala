@@ -66,8 +66,13 @@ object MaintenanceMetrics {
     while (it.hasNext) {
       val k = it.next()
       // keys are "<kind>:<outDir>:<topic>"; kind never contains ':'
+      // and topic names are charset-gated colon-free, but outDir is
+      // an arbitrary path — so a prefix match alone would also drop
+      // dirs like "<outDir>:blue". Require the remainder after
+      // "<outDir>:" to be a bare (colon-free) topic.
       val rest = k.substring(k.indexOf(':') + 1)
-      if (rest == outDir || rest.startsWith(outDir + ":")) it.remove()
+      if (rest.startsWith(outDir + ":") &&
+          !rest.substring(outDir.length + 1).contains(':')) it.remove()
     }
   }
 

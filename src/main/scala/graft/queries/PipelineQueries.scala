@@ -784,12 +784,20 @@ object PipelineQueries {
     * persists the frame(s) it actually reuses. One definition owns the
     * banding parameters (3-gram shingles, 4 rows/band), so query and
     * oracle can never drift per consumer. */
+  /** MinHash shingle frame over an arbitrary (doc_id, text) frame —
+    * the ONE owner of the shingle width, so a consumer that pre-
+    * filters its documents (the capstone's survivor set) still
+    * shingles identically to the full-corpus consumers and the
+    * oracle. */
+  private def minhashShinglesOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+
   private def minhashShingleBands(s: org.apache.spark.sql.SparkSession,
                                   d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     NativeExpressions.register(s)
-    val sh = Tables.documents(s, d).select(col("doc_id"),
-      TF.shingles(TF.tokens(col("text")), 3).as("sh"))
+    val sh = minhashShinglesOf(Tables.documents(s, d))
     (sh, minhashBandsFrom(sh))
   }
 
@@ -5345,9 +5353,7 @@ object PipelineQueries {
         // tokenized a second time.
         val ids = survE.select(col("doc_id"))
         val sh = TrackedCache.persist(
-          docs.join(ids, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"),
-              TF.shingles(TF.tokens(col("text")), 3).as("sh")))
+          minhashShinglesOf(docs.join(ids, Seq("doc_id"), "left_semi")))
         val bands = TrackedCache.persist(minhashBandsFrom(sh))
         val cand = candidatePairs(bands, "ia", "ib")
         val pruned = cand

@@ -46,7 +46,8 @@ class StreamCrashSoakSpec extends SparkSuite {
     def payload(p: Long, o: Long) = s"v$p-$o"
 
     var kills = 0
-    val rounds = 24
+    var cleans = 0
+    val rounds = 30
     for (round <- 1 to rounds) {
       // new offsets for this lifetime, on random partitions
       val fresh = (1 to (1 + rnd.nextInt(5))).map { _ =>
@@ -77,8 +78,11 @@ class StreamCrashSoakSpec extends SparkSuite {
         out, "t", flushSize = 1 + rnd.nextInt(4), ckpt)
 
       // feed in random chunks; kill somewhere random — possibly before
-      // anything is fed, possibly mid-history, possibly after a drain
-      val killAt = rnd.nextInt(feed.size + 1)
+      // anything is fed, possibly mid-history. Drawing past feed.size
+      // makes the kill unreachable, so ~1/4 of lifetimes shut down
+      // CLEANLY instead (both exit paths must be exercised; a
+      // kill-every-round soak would never test the clean handoff)
+      val killAt = rnd.nextInt(feed.size + feed.size / 3 + 1)
       var fed = 0
       var killed = false
       while (fed < feed.size && !killed) {
@@ -90,11 +94,12 @@ class StreamCrashSoakSpec extends SparkSuite {
         if (rnd.nextInt(3) == 0) q.processAllAvailable()
         if (fed >= killAt) killed = true
       }
-      if (!killed) q.processAllAvailable() // clean shutdown this round
+      if (!killed) { q.processAllAvailable(); cleans += 1 } // clean round
       else kills += 1
       q.stop() // abrupt when killed=true: unprocessed batches are lost
     }
     assert(kills >= 20, s"soak degenerate: only $kills kill points")
+    assert(cleans >= 2, s"soak degenerate: only $cleans clean shutdowns")
 
     // final lifetime: full replay, full drain, clean stop
     val ckptF = Files.createTempDirectory("graft-soak-final").toString
