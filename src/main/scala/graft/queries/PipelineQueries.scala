@@ -5451,8 +5451,19 @@ object PipelineQueries {
             col("n_tokens").between(10, 5000))
           .select(col("doc_id"), col("n_tokens"))
         // gate-side fingerprints: the SAME function over the SAME
-        // payload shape (text only) the corpus committed under
-        val fpSrc = docs.select(col("doc_id").as("off"), col("text"))
+        // payload shape (text only) the corpus committed under —
+        // computed over the ARRIVING BATCH PARTITION only (the same
+        // row-local predicate the gate's stage-1 filter starts from,
+        // pushed to the scan), never the committed corpus: hashing the
+        // whole topic and joining down afterwards re-read every
+        // committed document's text, exactly what this query's scale
+        // contract says never happens. The hash stays in its own
+        // scan-side projection: to_json is CodegenFallback, and
+        // inlining it into the join stage was measured to knock that
+        // whole stage out of codegen (~14% on the query at sf1).
+        val fpSrc = docs
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") >= 25)
+          .select(col("doc_id").as("off"), col("text"))
         val bFp = fpSrc.select(col("off").as("doc_id"),
           DedupIngest.fingerprint(fpSrc).as("fp"))
         val batch = TrackedCache.persist(
