@@ -38,68 +38,61 @@ object Bench {
     * instead of by archaeology over truncated BENCH_r* tails. Queries
     * not yet in the ledger surface under `"new_queries"`;
     * `tools/update_baseline.py` appends them from the round artifact. */
-  private val BaselineEntry =
-    // no closing-brace anchor: re-baselined entries carry extra fields
-    // ("note", "idle", "prev_sec") after round, and MUST still parse —
-    // a dropped entry would silently re-enter the ledger as a "new
-    // query"
-    """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.eE+-]+),\s*"round":\s*(\d+)""".r
-  // idle spread and pre-adjudication baseline, both flat fields inside
-  // the entry object ([^}] cannot cross the entry's closing brace;
-  // update_baseline.py sanitizes braces out of notes)
-  private val BaselineIdle =
-    """"([A-Za-z0-9_]+)":\s*\{[^}]*?"idle":\s*\[([^\]]*)\]""".r
-  private val BaselinePrev =
-    """"([A-Za-z0-9_]+)":\s*\{[^}]*?"prev_sec":\s*([0-9.eE+-]+)""".r
-
   /** One ledger row: first-recorded (or adjudicated) seconds, the
     * sample std-dev of its recorded idle re-measurements (0 when the
-    * entry was never re-baselined — the 2×/+1 s floors still apply),
+    * entry has no recorded spread — the 2×/+1 s floors still apply),
     * and the pre-adjudication seconds when a re-baseline replaced the
     * original recording (audit trail — `vs_prev` in the artifact). */
-  private final case class BaseEntry(sec: Double, sigma: Double,
-                                     prevSec: Option[Double])
+  private[graft] final case class BaseEntry(sec: Double, sigma: Double,
+                                            prevSec: Option[Double])
+
+  /** Structural parse of the ledger (VERDICT r16 task #6: the former
+    * three entry-scoped regexes silently dropped an entry's
+    * sigma/prev when a hand-edited note contained `}` — now a brace,
+    * bracket, or quoted field token inside a note corrupts nothing).
+    * A malformed ledger THROWS instead of degrading: a gate input
+    * that fails to parse must stop the artifact, not quietly loosen
+    * or tighten the thresholds. Kept as a cross-check (advisor r16
+    * #3, with the stricter patterns it asked for): field-shaped
+    * occurrences of `"idle": [` / `"prev_sec": <num>` in the raw
+    * text are counted against the parsed entries — a count mismatch
+    * now means note text mimicking a field, and warns loudly. */
+  private[graft] def parseLedger(text: String): Map[String, BaseEntry] = {
+    import graft.util.MiniJson
+    val root = MiniJson.parse(text).obj.getOrElse(
+      throw new IllegalArgumentException("ledger root is not a JSON object"))
+    val entries = root.map { case (name, v) =>
+      val sec = (v \ "sec").num.getOrElse(throw new IllegalArgumentException(
+        s"ledger entry '$name' has no numeric \"sec\""))
+      val idle = (v \ "idle").arr.getOrElse(Vector.empty).flatMap(_.num)
+      val sigma =
+        if (idle.length < 2) 0.0
+        else {
+          val mean = idle.sum / idle.length
+          math.sqrt(idle.map(x => (x - mean) * (x - mean)).sum / (idle.length - 1))
+        }
+      name -> BaseEntry(sec, sigma, (v \ "prev_sec").num)
+    }.toMap
+    val idleFields = """"idle":\s*\[""".r.findAllIn(text).size
+    val prevFields = """"prev_sec":\s*-?[0-9]""".r.findAllIn(text).size
+    val idleParsed = root.count { case (_, v) => (v \ "idle").arr.isDefined }
+    val prevParsed = root.count { case (_, v) => (v \ "prev_sec").num.isDefined }
+    if (idleFields != idleParsed || prevFields != prevParsed)
+      System.err.println(
+        s"[bench] WARNING ledger cross-check mismatch: $idleFields " +
+          s"idle-shaped tokens but $idleParsed parsed, $prevFields " +
+          s"prev_sec-shaped but $prevParsed parsed — note text " +
+          "mimicking a field?")
+    entries
+  }
 
   private def loadBaseline(): Map[String, BaseEntry] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
     val f = new java.io.File(path)
     if (!f.isFile) Map.empty
-    else {
-      val text = new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val idles = BaselineIdle.findAllMatchIn(text).map { m =>
-        val xs = m.group(2).split(",").map(_.trim)
-          .filter(_.nonEmpty).map(_.toDouble)
-        val sigma =
-          if (xs.length < 2) 0.0
-          else {
-            val mean = xs.sum / xs.length
-            math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
-          }
-        m.group(1) -> sigma
-      }.toMap
-      val prevs = BaselinePrev.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      // loud consistency check: the entry-scoped regexes assume notes
-      // never contain '}' (update_baseline.py sanitizes, but the
-      // ledger is hand-editable) — a brace inside a note would
-      // silently drop that entry's sigma/prev, tightening the gate
-      // with no parse error anywhere
-      val idleFields = "\"idle\"".r.findAllIn(text).size
-      val prevFields = "\"prev_sec\"".r.findAllIn(text).size
-      if (idleFields != idles.size || prevFields != prevs.size)
-        System.err.println(
-          s"[bench] WARNING ledger parse mismatch: $idleFields idle " +
-            s"fields but ${idles.size} parsed, $prevFields prev_sec " +
-            s"fields but ${prevs.size} parsed — a '}' inside a note? " +
-            "Affected entries lose their sigma/prev silently.")
-      BaselineEntry.findAllMatchIn(text).map { m =>
-        val name = m.group(1)
-        name -> BaseEntry(m.group(2).toDouble,
-          idles.getOrElse(name, 0.0), prevs.get(name))
-      }.toMap
-    }
+    else parseLedger(new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Machine-speed calibration probe (r14, VERDICT r13 task #2): a

@@ -62,14 +62,16 @@ def rebaseline(argv):
     if name not in ledger:
         sys.exit(f"{name} not in ledger — use the append path for new queries")
     old = ledger[name]
-    # braces would break Bench's entry-scoped regex parse of idle/prev
-    note = note.replace("{", "(").replace("}", ")")
-    # keep the PRE-adjudication baseline alongside the new one (flat
-    # fields — a nested object would regex-parse as a ledger entry
-    # named "prev"): the gate's history survives the re-baseline, and
-    # Bench emits a vs_prev audit column from it. Chained re-baselines
-    # preserve the ORIGINAL first recording, not the previous hop.
-    ledger[name] = {"sec": round(min(idle), 4), "round": rnd,
+    # keep the PRE-adjudication baseline alongside the new one: the
+    # gate's history survives the re-baseline, and Bench emits a
+    # vs_prev audit column from it. Chained re-baselines preserve the
+    # ORIGINAL first recording, not the previous hop. (Notes are
+    # stored verbatim — Bench parses the ledger as real JSON since
+    # r17, so braces in notes corrupt nothing.)
+    # sec and idle round to the SAME precision so sec always equals
+    # min(idle) as displayed (r16 advisor: round-4 sec could sit below
+    # the round-3 idle min, confusing the audit trail).
+    ledger[name] = {"sec": round(min(idle), 3), "round": rnd,
                     "note": note, "idle": [round(x, 3) for x in idle],
                     "prev_sec": old.get("prev_sec", old["sec"]),
                     "prev_round": old.get("prev_round", old["round"])}
@@ -79,9 +81,45 @@ def rebaseline(argv):
           f"{ledger[name]['sec']}s (r{rnd}): {note}")
 
 
+def record_idle(argv):
+    """Record idle re-measurements for an EXISTING ledger entry WITHOUT
+    changing its sec/round/note/prev (VERDICT r16 task #3): populates
+    the "idle" field so the drift gate's ledger+3*sigma_idle term is
+    computed from measured spread instead of degrading to the 2x/+1s
+    floors. Requires >=5 samples (same evidentiary bar as rebaseline).
+    REPLACES any prior idle array — the spread of the CURRENT code is
+    the variance the gate should price, not a mix across versions.
+
+    Usage: update_baseline.py --record-idle <name> --idle s1,...,s5[,...]
+    """
+    if len(argv) < 3 or "--idle" not in argv:
+        sys.exit(record_idle.__doc__)
+    name = argv[0]
+    idle = [float(x) for x in argv[argv.index("--idle") + 1].split(",")]
+    if len(idle) < 5:
+        sys.exit(f"record-idle requires >=5 idle measurements, got {len(idle)}")
+    with open("BASELINE_QUERIES.json") as f:
+        ledger = json.load(f)
+    if name not in ledger:
+        sys.exit(f"{name} not in ledger — use the append path for new queries")
+    entry = dict(ledger[name])
+    had = "replacing prior idle" if "idle" in entry else "first idle record"
+    entry["idle"] = [round(x, 3) for x in idle]
+    ledger[name] = entry
+    with open("BASELINE_QUERIES.json", "w") as f:
+        json.dump({k: ledger[k] for k in sorted(ledger)}, f, indent=1)
+    mean = sum(idle) / len(idle)
+    sigma = (sum((x - mean) ** 2 for x in idle) / (len(idle) - 1)) ** 0.5
+    print(f"~ {name}: idle[{len(idle)}] recorded ({had}), sec stays "
+          f"{entry['sec']}, sigma={sigma:.3f}, gate term sec+3s="
+          f"{entry['sec'] + 3 * sigma:.3f}")
+
+
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--rebaseline":
         return rebaseline(sys.argv[2:])
+    if len(sys.argv) >= 2 and sys.argv[1] == "--record-idle":
+        return record_idle(sys.argv[2:])
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     bench_path, rnd = sys.argv[1], int(sys.argv[2])
