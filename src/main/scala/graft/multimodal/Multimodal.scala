@@ -572,11 +572,19 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_tracks", IntegerType),
-    StructField("duration_ms", LongType)))
+    StructField("duration_ms", LongType),
+    StructField("codec", StringType),
+    StructField("decoded", BooleanType, nullable = false)))
 
   /** REAL video-envelope decode: parse each payload's MP4 `moov` tree
     * ([[VideoHeader]]) inside the same partition-batched boundary.
-    * Unrecognized payloads route as `unknown` with null fields. */
+    * Unrecognized payloads route as `unknown` with null fields.
+    * `codec` is the video track's `stsd` fourcc (null when the track
+    * names none); `decoded` reports whether the in-JVM pixel path can
+    * rasterize this track's samples (MJPEG's "jpeg" entry — see
+    * [[decodeFramePixels]]). `decoded = false` with a non-null codec
+    * (avc1, …) is the explicit route-to-external-decoder signal:
+    * downstream gets honest byte stats, never silently. */
   def decodeVideo(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(videoMetaSchema)
     media.select(col("media_id"), col("payload"))
@@ -586,16 +594,21 @@ object Multimodal {
           val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
           VideoHeader.parseMp4(bytes) match {
             case Some(m) => Row(id, m.format, m.width, m.height,
-              m.nTracks, m.durationMs)
-            case None => Row(id, "unknown", null, null, null, null)
+              m.nTracks, m.durationMs, m.codec.orNull,
+              m.codec.contains("jpeg"))
+            case None => Row(id, "unknown", null, null, null, null,
+              null, false)
           }
         }
       }(enc)
   }
 
   /** Synthesize a REAL MP4 envelope per document — dimensions,
-    * timescale, duration and track count derived arithmetically from
-    * `doc_id` (SQL-recomputable), bytes built by [[VideoFixtures]]. */
+    * timescale, duration, track count AND the stsd codec fourcc
+    * derived arithmetically from `doc_id` (SQL-recomputable), bytes
+    * built by [[VideoFixtures]]. The codec cycle covers the routing
+    * space: `jpeg` (in-JVM decodable), `avc1`/`mp4v` (native-codec —
+    * route external), and a no-stsd envelope (codec unknown). */
   def syntheticVideo(docs: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(syntheticMediaSchema)
     docs.select(col("doc_id"))
@@ -605,12 +618,17 @@ object Multimodal {
           val ts = (id % 3) match {
             case 0 => 600; case 1 => 1000; case _ => 90000
           }
+          val codec = (id % 4) match {
+            case 0 => Some("jpeg"); case 1 => Some("avc1")
+            case 2 => Some("mp4v"); case _ => None
+          }
           Row(id, "video/mp4", VideoFixtures.mp4Bytes(
             w = (16 * (1 + id % 120)).toInt,
             h = (16 * (1 + (id * 7) % 68)).toInt,
             timescale = ts,
             duration = (1 + id % 3599) * 25,
-            withAudioTrack = id % 2 == 1))
+            withAudioTrack = id % 2 == 1,
+            codec = codec))
         }
       }(enc)
   }

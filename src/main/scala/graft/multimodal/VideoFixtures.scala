@@ -63,16 +63,28 @@ object VideoFixtures {
   }
 
   /** A structurally-valid MP4 envelope: `ftyp` + `moov`(mvhd + one
-    * video trak [+ one 0×0 audio trak]). */
+    * video trak [+ one 0×0 audio trak]). With `codec` set, the video
+    * trak carries the full mdia→minf→stbl→stsd chain naming that
+    * sample-entry fourcc (what a real mux always writes — the codec
+    * ROUTING key); None keeps the legacy tkhd-only trak, the
+    * no-sample-description shape whose codec must parse as unknown. */
   def mp4Bytes(w: Int, h: Int, timescale: Int, duration: Long,
-               withAudioTrack: Boolean): Array[Byte] = {
+               withAudioTrack: Boolean,
+               codec: Option[String] = None): Array[Byte] = {
     require(w > 0 && h > 0 && timescale > 0 && duration >= 0,
       s"bad mp4 fixture: ${w}x$h ts=$timescale dur=$duration")
     val ftypBody = new ByteArrayOutputStream()
     ftypBody.write("isom".getBytes("US-ASCII"))
     ftypBody.write(be32(512L))
     ftypBody.write("isom".getBytes("US-ASCII"))
-    val traks = box("trak", tkhd(1, duration, w, h)) ++
+    val videoMdia = codec match {
+      case Some(fourcc) =>
+        val stsd = fullBox("stsd", be32(1L) ++ visualSampleEntry(fourcc, w, h))
+        box("mdia", mdhd(timescale, duration) ++ hdlr("vide") ++
+          box("minf", box("stbl", stsd)))
+      case None => Array.emptyByteArray
+    }
+    val traks = box("trak", tkhd(1, duration, w, h) ++ videoMdia) ++
       (if (withAudioTrack) box("trak", tkhd(2, duration, 0, 0))
        else Array.emptyByteArray)
     val moov = box("moov", mvhd(timescale, duration) ++ traks)

@@ -24,9 +24,16 @@ package graft.multimodal
   */
 object VideoHeader {
 
-  /** Parsed video envelope. `durationMs` floors duration·1000/timescale. */
+  /** Parsed video envelope. `durationMs` floors duration·1000/timescale.
+    * `codec` is the first sample-entry fourcc of the video track's
+    * `stsd` (trak→mdia→minf→stbl→stsd — e.g. "jpeg" for MJPEG-in-MP4,
+    * "avc1" for H.264; None when the track carries no sample
+    * description) — the ROUTING key that lets a pipeline send
+    * native-codec tracks to an external decode stage instead of
+    * silently falling back to byte stats. */
   final case class VideoMeta(format: String, width: Int, height: Int,
-                             nTracks: Int, durationMs: Long)
+                             nTracks: Int, durationMs: Long,
+                             codec: Option[String] = None)
 
   private[multimodal] def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private[multimodal] def be32(b: Array[Byte], i: Int): Long =
@@ -73,6 +80,8 @@ object VideoHeader {
     var nTracks = 0
     var w = 0
     var h = 0
+    var codec: Option[String] = None
+    var codecPinned = false // set once the dims-bearing trak is seen
     val ok = walkBoxes(b, ms, me) { (t, s, e) =>
       if (t == "mvhd" && e - s >= 20) {
         val (timescale, duration) = u8(b, s) match { // version byte
@@ -83,6 +92,8 @@ object VideoHeader {
         if (timescale > 0) durationMs = duration * 1000L / timescale
       } else if (t == "trak") {
         nTracks += 1
+        var trakCodec: Option[String] = None
+        var tookDims = false
         walkBoxes(b, s, e) { (tt, ts, te) =>
           if (tt == "tkhd" && w == 0) {
             val off = u8(b, ts) match { // width/height trail the payload
@@ -93,14 +104,32 @@ object VideoHeader {
             if (off > 0) {
               val tw = (be32(b, off) >> 16).toInt // 16.16 fixed point
               val th = (be32(b, off + 4) >> 16).toInt
-              if (tw > 0 && th > 0) { w = tw; h = th } // audio tracks are 0x0
+              if (tw > 0 && th > 0) { w = tw; h = th; tookDims = true } // audio tracks are 0x0
             }
+          } else if (tt == "mdia") {
+            // trak→mdia→minf→stbl→stsd: first sample entry's fourcc
+            // (u32 size + tag right after the entry count)
+            walkBoxes(b, ts, te) { (t2, s2, e2) =>
+              if (t2 == "minf") walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+                if (t3 == "stbl") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+                  if (t4 == "stsd" && e4 - s4 >= 16 &&
+                    be32(b, s4 + 4) >= 1 && trakCodec.isEmpty)
+                    trakCodec = Some(tag(b, s4 + 12))
+                }
+              }
+              ()
+            }
+            ()
           }
         }
+        // the dims-bearing (video) track names the file's codec; a
+        // non-video track's entry is only a fallback
+        if (tookDims) { codec = trakCodec; codecPinned = true }
+        else if (!codecPinned && codec.isEmpty) codec = trakCodec
         ()
       }
     }
     if (!ok || durationMs < 0 || nTracks == 0) None
-    else Some(VideoMeta("mp4", w, h, nTracks, durationMs))
+    else Some(VideoMeta("mp4", w, h, nTracks, durationMs, codec))
   }
 }

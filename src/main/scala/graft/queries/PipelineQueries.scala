@@ -5305,7 +5305,10 @@ object PipelineQueries {
              |  CAST(1 + doc_id % 2 AS INT) AS n_tracks,
              |  CAST((1 + doc_id % 3599) * 25 * 1000 //
              |    (CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
-             |      ELSE 90000 END) AS BIGINT) AS duration_ms
+             |      ELSE 90000 END) AS BIGINT) AS duration_ms,
+             |  CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'avc1'
+             |    WHEN 2 THEN 'mp4v' ELSE NULL END AS codec,
+             |  (doc_id % 4 = 0) AS decoded
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ---- The CAPSTONE: a full RefinedWeb-style curation pipeline as

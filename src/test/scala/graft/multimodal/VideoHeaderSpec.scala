@@ -41,6 +41,32 @@ class VideoHeaderSpec extends AnyFunSuite {
     assert((tail(4) & 0xff) === 0x00 && (tail(5) & 0xff) === 0xf0)
   }
 
+  test("stsd fourcc surfaces as the codec routing key; no stsd parses unknown") {
+    // every fourcc the synthetic cycle emits, plus the legacy
+    // no-sample-description trak — the H.264 case is the point:
+    // codec REPORTED (avc1), so a pipeline routes to an external
+    // decoder instead of silently getting byte stats
+    for (fc <- Seq("jpeg", "avc1", "mp4v")) {
+      val b = VideoFixtures.mp4Bytes(w = 640, h = 360, timescale = 600,
+        duration = 1500L, withAudioTrack = false, codec = Some(fc))
+      assert(VideoHeader.parseMp4(b)
+        .contains(VideoMeta("mp4", 640, 360, 1, 2500L, Some(fc))), fc)
+    }
+    val bare = VideoFixtures.mp4Bytes(w = 640, h = 360, timescale = 600,
+      duration = 1500L, withAudioTrack = false)
+    assert(VideoHeader.parseMp4(bare).flatMap(_.codec).isEmpty)
+    // an audio trak must not steal or clobber the video trak's codec
+    val withAudio = VideoFixtures.mp4Bytes(w = 320, h = 240,
+      timescale = 1000, duration = 500L, withAudioTrack = true,
+      codec = Some("avc1"))
+    assert(VideoHeader.parseMp4(withAudio).flatMap(_.codec)
+      .contains("avc1"))
+    // the MJPEG player-shaped fixture names jpeg through the same path
+    val mjpeg = VideoFixtures.mp4MjpegBytes(w = 24, h = 16,
+      timescale = 600, delta = 25, nFrames = 6, seed = 3L)
+    assert(VideoHeader.parseMp4(mjpeg).flatMap(_.codec).contains("jpeg"))
+  }
+
   test("malformed streams are rejected, not mis-parsed") {
     assert(VideoHeader.parseMp4(Array.emptyByteArray).isEmpty)
     assert(VideoHeader.parseMp4("not a movie at all".getBytes).isEmpty)
