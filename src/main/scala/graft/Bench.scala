@@ -151,7 +151,7 @@ object Bench {
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
 
   private def newSession(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -164,7 +164,7 @@ object Bench {
       .config("spark.sql.inMemoryColumnarStorage.partitionPruning", "false")
       // broadcast/shuffle state is cleaned via weak refs; an explicit
       // periodic GC keeps the cleaner's backlog bounded over 60 queries
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval", "1min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.listenerManager.register(

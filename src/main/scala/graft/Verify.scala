@@ -10,7 +10,7 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,7 +22,7 @@ object Verify {
       // Spark: a cached frame filtered on d >= x loses its NaN rows
       // because the batch upper bound is computed with JVM compares,
       // which ignore NaN) - correctness over a micro-optimization
-      .config("spark.sql.inMemoryColumnarStorage.partitionPruning", "false")
+      .config("spark.sql.inMemoryColumnarStorage.partitionPruning", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

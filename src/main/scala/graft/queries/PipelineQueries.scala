@@ -138,7 +138,7 @@ object PipelineQueries {
     val (withB, release) = embSignatureFrame(s, d)
     // same hot-key cap as [[candidatePairs]]: a degenerate LSH cell
     // (e.g. a mass of near-identical embeddings) must not go quadratic
-    val bk = dropHotBands(
+    val bk = dropHotBandsPinned(
       withB.select(col("vec_id"), explode(col("keys")).as("k")), "k")
     val cand = bk.as("a").join(bk.as("b"),
         col("a.k") === col("b.k") && col("a.vec_id") < col("b.vec_id"))
@@ -299,7 +299,7 @@ object PipelineQueries {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val (withB, _) = embSignatureFrame(s, d)
     // hot-key cap mirrors [[candidatePairs]] — see MaxBandMembers
-    val bk = dropHotBands(
+    val bk = dropHotBandsPinned(
       withB.select(col("vec_id"), explode(col("keys")).as("k")), "k")
     val cand = bk.as("a").join(bk.as("b"),
         col("a.k") === col("b.k") && col("a.vec_id") =!= col("b.vec_id"))
@@ -895,10 +895,30 @@ object PipelineQueries {
     * [[minhashShingleBands]] owns the banding parameters), so the four
     * consumers — pair search, clusters, containment, the e2e pipeline —
     * can never drift on candidate generation. */
+  /** [[dropHotBands]] with the hot-key set PINNED (r17): when the
+    * capped frame feeds a SELF-join, both sides anti-join against the
+    * hot set, and without the pin each side re-ran the full
+    * count-per-key aggregate over the keys frame — one whole extra
+    * aggregation pass at any scale (plan diff: two HashAggregate+
+    * Exchange(key) subtrees → one InMemoryTableScan). The pinned set
+    * is metadata-scale (almost always empty; bounded by
+    * #keys / [[MaxBandMembers]]), so the pin is free. Self-join
+    * candidate generators use this; single-consumer cappings keep the
+    * plain [[dropHotBands]]. */
+  private def dropHotBandsPinned(df: org.apache.spark.sql.DataFrame,
+                                 key: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hot = TrackedCache.persist(
+      df.groupBy(col(key)).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > MaxBandMembers)
+        .select(col(key)))
+    df.join(hot, Seq(key), "left_anti")
+  }
+
   private[graft] def candidatePairs(bands: org.apache.spark.sql.DataFrame,
                                     loCol: String, hiCol: String)
       : org.apache.spark.sql.DataFrame = {
-    val capped = dropHotBands(bands, "band")
+    val capped = dropHotBandsPinned(bands, "band")
     capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as(loCol), col("b.doc_id").as(hiCol))
@@ -4004,10 +4024,18 @@ object PipelineQueries {
           .join(w, Seq("bucket"))
           .groupBy(col("doc_id"))
           .agg(sum(col("nb") * col("llr_bits")).as("score"))
-        val ds = Tables.documents(s, d).select(col("doc_id"))
-          .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("score"), lit(0L)).as("dsir_score"))
+        // ds persisted, not just hist: the histogram job and the final
+        // output join BOTH consume ds, and without the pin the second
+        // consumer re-ran the whole weights+score chain — the weight
+        // histograms, the target-quality text scan, and the per-doc
+        // score aggregation each executed twice (r17; plan diff in
+        // plans/r17/sample_dsir_*.txt). One row per doc (id + score),
+        // the same thin-projection pin class as the capstone's.
+        val ds = TrackedCache.persist(
+          Tables.documents(s, d).select(col("doc_id"))
+            .join(perDoc, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("score"), lit(0L)).as("dsir_score")))
         val hist = TrackedCache.persist(
           ds.groupBy(col("dsir_score")).agg(count(lit(1)).as("nd")))
         val n = hist.agg(coalesce(sum(col("nd")), lit(0L)))
