@@ -22,10 +22,13 @@ import graft.functions.{NativeExpressions, TextFunctions => TF}
   * Scale shape: grams explode to (doc_id, pos, 8-byte hash) — the text
   * itself never shuffles — and the sliding minimum is a window frame
   * PARTITIONED BY doc_id (keyed, never corpus-wide). The pair search
-  * is an equi-join on fingerprint with a document-frequency cut first,
-  * so one boilerplate fingerprint shared by a million documents is
-  * dropped instead of joined quadratically — the same
-  * stop-the-heavy-hitter discipline the LSH band monitors enforce.
+  * builds a BOUNDED posting list per fingerprint (min-k aggregate,
+  * map-side combined) and drops any list that overflows the
+  * document-frequency cut, so one boilerplate fingerprint shared by a
+  * million documents is dropped instead of joined quadratically — the
+  * same stop-the-heavy-hitter discipline the LSH band monitors
+  * enforce — and the surviving pairs expand list-locally without a
+  * fingerprint-keyed self-join.
   *
   * Reference scope note: the reference connector (kafka-connect-hdfs)
   * has no similarity operators; this belongs to the training-data
@@ -79,12 +82,32 @@ object Winnowing {
     * would square in the join). Output: (doc_a, doc_b, n_shared),
     * doc_a < doc_b. */
   def sharedPairs(fps: DataFrame, maxDf: Long, minShared: Long): DataFrame = {
-    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("fp"))
-    val kept = fps.join(rare, Seq("fp"), "left_semi")
-    kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    NativeExpressions.register(fps.sparkSession)
+    // Bounded posting-list shape (r17): ONE aggregate builds each
+    // fingerprint's ≤(maxDf+1)-doc posting list through the
+    // map-side-combined min_k_distinct sketch aggregate — an overflowed
+    // list (size maxDf+1) IS the df > maxDf heavy hitter and drops,
+    // and a surviving list is the complete distinct doc set (fps rows
+    // are distinct per (doc_id, fp)). Pairs then explode list-locally:
+    // the list is ascending, so (docs[i], docs[j>i]) is already
+    // doc_a < doc_b. Replaces the previous df-count aggregate +
+    // semi-join + fp-keyed self-join — two fewer corpus-scale passes
+    // over the fingerprint table, and the one exchange that remains
+    // carries ≤ maxDf+1 eight-byte ids per fingerprint instead of the
+    // full posting rows twice. The per-group pair expansion is
+    // interpreted HOF work, but over ≤ maxDf-element arrays at
+    // fingerprint-vocabulary scale — never per-token.
+    val posting = fps.groupBy(col("fp"))
+      .agg(call_function("min_k_distinct", col("doc_id"),
+        lit(maxDf.toInt + 1)).as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+    posting
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> " +
+          "transform(slice(docs, i + 2, size(docs) - i - 1), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -532,10 +532,14 @@ object PipelineQueries {
     val raw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("raw_cnt"))
     val tgt = grams.join(target, Seq("doc_id"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("target_cnt"))
-    val jw = raw.join(tgt, Seq("bucket"), "left")
+    // jw pinned (r17): the totals aggregate and the final weight
+    // projection both consume it, and without the pin the two gram
+    // histograms + their join (and the target-quality text-stats scan
+    // feeding tgt) executed twice. B rows — a metadata-scale pin.
+    val jw = TrackedCache.persist(raw.join(tgt, Seq("bucket"), "left")
       .select(col("bucket"),
         coalesce(col("target_cnt"), lit(0L)).as("target_cnt"),
-        col("raw_cnt"))
+        col("raw_cnt")))
     val tot = broadcast(jw.agg(sum(col("target_cnt")).as("t_tot"),
       sum(col("raw_cnt")).as("r_tot")))
     jw.crossJoin(tot).select(col("bucket"), col("target_cnt"),
@@ -2110,9 +2114,11 @@ object PipelineQueries {
     //      monitors: no posting list ever squares. ----
     QuerySpec("dedup_winnow_pairs",
       (s, d) => {
-        val fps = TrackedCache.persist(
-          Winnowing.fingerprints(Tables.documents(s, d)))
-        Winnowing.sharedPairs(fps, maxDf = 20L, minShared = 2L)
+        // no pin needed since r17: sharedPairs consumes the
+        // fingerprint frame exactly once (bounded posting-list
+        // aggregate instead of df-cut + self-join)
+        Winnowing.sharedPairs(Winnowing.fingerprints(Tables.documents(s, d)),
+            maxDf = 20L, minShared = 2L)
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some(s"""WITH tok AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
@@ -3546,8 +3552,13 @@ object PipelineQueries {
         val grams = TrackedCache.persist( // shared: eval build + corpus probe
           Tables.documents(s, d).select(col("doc_id"),
             explode(TF.shingles(TF.tokens(col("text")), 8)).as("g")))
-        val evalGrams = grams.filter(col("doc_id") < 25)
-          .select(col("g")).distinct()
+        // evalGrams pinned (r17): three consumers (the sizing count,
+        // the bloom build, the exact semi-join's right side) each
+        // re-ran the eval-side distinct over the gram cache.
+        // Eval-benchmark-scale — the broadcast side by design.
+        val evalGrams = TrackedCache.persist(
+          grams.filter(col("doc_id") < 25)
+            .select(col("g")).distinct())
         val hashed = evalGrams.select(
           call_function("hash60_md5", col("g").cast("binary")).as("gh"))
         // one metadata-scale count to size the sketch, then the
@@ -5392,7 +5403,13 @@ object PipelineQueries {
           .join(sh.as("y"), col("ib") === col("y.doc_id"))
           .filter(DF.jaccard(col("x.sh"), col("y.sh")) >= 0.5)
           .select(col("ib").as("doc_id")).distinct()
-        val survN = survE.join(pruned, Seq("doc_id"), "left_anti")
+        // survN pinned (r17): the decontamination stage's semi-join AND
+        // the final anti-join both consume it, and without the pin the
+        // whole near-dup stage — candidate self-join + exact-Jaccard
+        // verify over the shingle arrays — executed twice. Same thin
+        // (id/source/n_tokens) pin class as survE.
+        val survN = TrackedCache.persist(
+          survE.join(pruned, Seq("doc_id"), "left_anti"))
         // stage 4: decontamination — drop survivors sharing any 8-gram
         // with the eval set. Only eval docs (< 25) and exact-dedup
         // survivors can contribute grams the stage reads (gram
@@ -5536,8 +5553,13 @@ object PipelineQueries {
           .join(sigB.as("y"), col("ib") === col("y.doc_id"))
           .filter(agreeXY >= DF.numMinhashes / 2)
           .select(col("ib").as("doc_id")).distinct()
-        val survN = survE.join(dupVsCorpus, Seq("doc_id"), "left_anti")
-          .join(dupInBatch, Seq("doc_id"), "left_anti")
+        // survN pinned (r17) for the same reason as the full capstone's:
+        // its two consumers (decon semi-join, final anti-join) otherwise
+        // re-ran BOTH near-dup admission probes — the corpus-plane band
+        // probe and the in-batch candidate verify — a second time.
+        val survN = TrackedCache.persist(
+          survE.join(dupVsCorpus, Seq("doc_id"), "left_anti")
+            .join(dupInBatch, Seq("doc_id"), "left_anti"))
         // stage 4: decontamination — ONLY batch survivors re-gram;
         // the benchmark-scale eval-gram set broadcasts
         val evalG = docs.filter(col("doc_id") < 25)

@@ -1235,6 +1235,9 @@ object RelationalQueries {
     // frame — never a global window over the corpus.
     QuerySpec("q15_top_supplier",
       (s, d) => {
+        // NOT pinned (r17, measured): rev is consumed twice (max +
+        // join), but pinning benched 0.43 → 1.40 s — the cache build
+        // dwarfs re-running a quarter-filtered pushed-down scan.
         val rev = Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
             col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
@@ -1369,6 +1372,13 @@ object RelationalQueries {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
             col("n_name"))
+        // NOT pinned (r17, measured): psr is consumed twice (min-cost
+        // aggregate + final join), but pinning it benched WORSE
+        // (2.02 → 2.29 s) — the columnar cache build costs more than
+        // re-running the pushed-down lineitem aggregation at bench
+        // scale, and the recompute is two map-side-combined passes a
+        // 100 TB run would take from the (then materialized) partsupp
+        // table anyway.
         val psr = partsupp(s, d)
           .join(broadcast(esupp), col("ps_suppkey") === col("s_suppkey"))
         val mc = psr.groupBy(col("ps_partkey").as("m_partkey"))
@@ -1481,6 +1491,10 @@ object RelationalQueries {
             .filter(col("n_name") === "NATION_3")),
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
+        // NOT pinned (r17, measured): pv is consumed twice (total +
+        // threshold filter), but pinning benched worse (1.58 → 1.90 s)
+        // for the same reason as q2's psr — cache build > recompute
+        // for cheap codegen'd aggregates at this scale.
         val pv = partsupp(s, d)
           .join(broadcast(nsupp), col("ps_suppkey") === col("s_suppkey"))
           .groupBy(col("ps_partkey"))
