@@ -97,12 +97,18 @@ object StreamIngest {
       // the SAME (part, off) twice within one micro-batch, which the
       // committed-offset filter alone cannot catch
       val deduped = batch.dropDuplicates("part", "off")
-      // pin the filtered batch: isEmpty + the write's staging/manifest
-      // jobs would otherwise re-read the source up to three times
+      // pin the filtered batch: the write's staging/manifest jobs
+      // would otherwise re-read the source twice
       val fresh = BatchWriter.resumeFrom(deduped, committed).persist()
       try {
-        if (!fresh.isEmpty) {
-          val manifest = writeFn(fresh)
+        // no isEmpty pre-probe (r17): it cost one extra job on EVERY
+        // batch to optimize only the fully-replayed-batch case, which
+        // the writer handles anyway — an empty staging write commits
+        // nothing and returns an empty manifest, and the manifest
+        // guard keeps afterWrite (log publish, views) from seeing a
+        // no-op batch, exactly as the old branch did.
+        val manifest = writeFn(fresh)
+        if (manifest.nonEmpty) {
           afterWrite(manifest)
           committed = manifest.foldLeft(committed) { (m, f) =>
             m.updated(f.partition, math.max(m.getOrElse(f.partition, -1L), f.endOffset))
@@ -620,7 +626,11 @@ object StreamIngest {
         val fresh = BatchWriter.resumeFromMulti(deduped, committed.toMap)
           .persist()
         try {
-          if (!fresh.isEmpty) {
+          // no isEmpty pre-probe (r17) — same reasoning as the
+          // single-topic loop: an all-replayed batch stages nothing
+          // and yields an empty manifest, and the per-topic publish
+          // loop below iterates zero groups.
+          {
             val manifest = Retry.withBackoff(writeRetries, retryBackoffMs)(
               // avro cannot join the dynamic-partitioned staging job;
               // per-topic schema projection makes slices structurally
